@@ -1,0 +1,187 @@
+"""As-of joins (J1): the reference's signature operator.
+
+``lvmh_forecaster2.py:150-185`` aligns each forecast row with a
+later-arriving actual: when a new actual arrives it fills the *oldest*
+forecast whose ``actual_price`` is NULL (FIFO, ``forecaster:173-177`` linear
+``iterrows`` scan). Two declarative, shuffle-minimal Spark decompositions:
+
+1. **Time as-of join** (``asof_join``): for each left row, the latest right
+   row with ``right.ts <= left.ts`` per key. Spark ≤4 has no ASOF JOIN SQL,
+   so we compose it as *union + last(ignore-nulls) window*: tag both inputs,
+   union, sort per key by (ts, side) and carry the last non-null right value
+   forward. ONE shuffle + sort on (key, ts) — no range-join row explosion,
+   no driver loop; scales to arbitrarily many keys/rows and is exactly the
+   merge-join strategy a native ASOF implementation would use.
+
+2. **FIFO sequence alignment** (``fifo_align``): the reference's exact
+   arrival-order semantics — i-th forecast pairs with the (i+offset)-th
+   observation. ``row_number`` per key on both sides + equi-join on the
+   sequence number: two co-partitioned shuffles on the same key.
+
+The DuckDB oracles use DuckDB's native ``ASOF JOIN`` and ``row_number``
+respectively, so these queries are verified against an independent
+implementation of the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import register
+
+__all__ = ["asof_join", "fifo_align"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    right_value_cols: tuple[str, ...] = ("value",),
+    tiebreak: str = "event_id",
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward (default) or forward as-of join.
+
+    Returns ``left`` with, for each row, the most recent (backward) or next
+    (forward) right-side ``right_value_cols`` at or before/after ``left.ts``
+    within the same ``on`` key. Unmatched rows keep NULLs (left-outer
+    semantics, like the reference's not-yet-filled forecasts).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    carried = [f"{c}{suffix}" for c in right_value_cols]
+    l_tagged = left.select(
+        F.lit(1).alias("_side"),
+        F.col(on),
+        F.col(ts).alias("_ts"),
+        F.col(tiebreak).alias("_tb"),
+        F.struct(*left.columns).alias("_row"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(a) for c, a in zip(right_value_cols, carried)],
+    )
+    r_tagged = right.select(
+        F.lit(0).alias("_side"),
+        F.col(on),
+        F.col(ts).alias("_ts"),
+        F.col(tiebreak).alias("_tb"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
+        ).alias("_row"),
+        *[F.col(c).alias(a) for c, a in zip(right_value_cols, carried)],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        # right rows (side=0) sort before left rows at equal ts => inclusive
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.asc("_ts"), F.asc("_side"), F.asc("_tb"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = [F.last(a, ignorenulls=True).over(w).alias(a) for a in carried]
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.asc("_ts"), F.desc("_side"), F.asc("_tb"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        filled = [F.first(a, ignorenulls=True).over(w).alias(a) for a in carried]
+
+    out = unioned.select("_side", "_row", *filled).filter(F.col("_side") == 1)
+    return out.select(*[F.col(f"_row.{c}").alias(c) for c in left.columns], *carried)
+
+
+def fifo_align(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    offset: int = 0,
+    how: str = "left",
+) -> DataFrame:
+    """FIFO arrival-order alignment: the i-th left row (per key, ordered by
+    arrival) joins the (i+offset)-th right row. This is the reference's
+    fill-the-oldest-NULL-forecast semantics (``lvmh_forecaster2.py:173-177``)
+    expressed as a sequence-number equi-join: forecasts are consumed in
+    creation order by actuals in arrival order.
+
+    Output columns: all of ``left`` plus right's columns prefixed ``r_``.
+    """
+    wl = Window.partitionBy(key).orderBy(ts, tiebreak)
+    wr = Window.partitionBy(key).orderBy(ts, tiebreak)
+    l = left.withColumn("_seq", F.row_number().over(wl))
+    r = right.withColumn("_seq", F.row_number().over(wr) - F.lit(offset))
+    r = r.select(
+        F.col(key).alias("_rkey"), "_seq", *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key]
+    )
+    joined = l.join(r, (l[key] == r["_rkey"]) & (l["_seq"] == r["_seq"]), how)
+    return joined.drop("_seq", "_rkey")
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_click_purchase",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value
+        FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, date_trunc('microseconds', ts) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, c.value, p.value AS value_right
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("timeseries", "asof", "J1"),
+)
+def q_asof_time(spark, sf_dir):
+    """J1 (time variant): for each click, the latest prior-or-equal purchase
+    value of the same user; NULL when no purchase preceded it."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, purchases, on="user_id", ts="ts", right_value_cols=("value",))
+    return out.select("event_id", "user_id", "value", "value_right")
+
+
+@register(
+    "asof_fifo_forecast_alignment",
+    oracle="""
+    WITH seqd AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        FROM events
+    )
+    SELECT f.user_id, f.event_id, f.value AS forecast_basis,
+           a.value AS actual_value,
+           round(a.value - f.value, 9) AS error
+    FROM seqd f LEFT JOIN seqd a
+      ON f.user_id = a.user_id AND a.seq = f.seq + 5
+    """,
+    tags=("timeseries", "asof", "J1", "fifo"),
+)
+def q_asof_fifo(spark, sf_dir):
+    """J1 (FIFO variant): pair each observation with the one arriving 5
+    ticks later per key — the reference's forecast-ledger alignment where a
+    forecast made at tick i is scored against the actual at tick i+5."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = fifo_align(ev, ev, key="user_id", ts="ts", tiebreak="event_id", offset=5)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("forecast_basis"),
+        F.col("r_value").alias("actual_value"),
+        F.round(F.col("r_value") - F.col("value"), 9).alias("error"),
+    )

@@ -1,0 +1,700 @@
+"""Batch relational core: the standard operator set (SURVEY.md §2.8 row
+"standard relational set") exercised on the driver's TPC-H-ish star schema.
+
+The reference itself has no relational queries (it is a single-stream tick
+pipeline), but the as-of join and metric aggregates decompose into these, and
+the driver's oracle harness verifies them directly. All pure Catalyst
+built-ins: scans get predicate pushdown + column pruning, small dimension
+joins broadcast, large joins sort-merge/shuffled-hash under AQE.
+
+Hash-parity conventions (see plans/registry.py docstring): aliases match the
+oracle SQL exactly; double aggregates rounded on both sides; DuckDB HUGEINT /
+BIGINT-returning scalar fns cast to match Spark's types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation pipeline (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "agg"),
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped scan→filter→hash-agg. Filter + pruning push into the
+    parquet scan; partial aggregation is map-side (4×3 groups)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("relational", "join", "topk"),
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-k.
+    customer is small relative to lineitem → broadcast; the orders⋈lineitem
+    join shuffles on orderkey with AQE free to pick broadcast at low SF."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("relational", "join"),
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join; region/nation/supplier broadcast,
+    fact-side joins shuffle on their keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "join_broadcast_part",
+    oracle="""
+    SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 10
+    GROUP BY p.p_brand
+    """,
+    tags=("relational", "join", "broadcast"),
+)
+def join_broadcast_part(spark, sf_dir):
+    """Explicit broadcast-hash join of the small part dim into lineitem —
+    zero shuffle on the fact side until the final 25-group agg."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("relational", "join", "semi"),
+)
+def join_semi(spark, sf_dir):
+    """Left-semi join (EXISTS): customers having at least one big order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("relational", "join", "anti"),
+)
+def join_anti(spark, sf_dir):
+    """Left-anti join (NOT EXISTS): customers with no big order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_left_outer_order_lines",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n_lines,
+           round(coalesce(sum(l.l_quantity), 0.0), 2) AS total_qty
+    FROM orders o LEFT JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 45
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+    tags=("relational", "join", "outer"),
+)
+def join_left_outer(spark, sf_dir):
+    """Left-outer join with an ON-clause predicate (null-extended rows kept),
+    then grouped counts — exercises outer-join null semantics."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, (o.o_orderkey == l.l_orderkey) & (l.l_quantity > 45), "left")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "join_full_outer_nations",
+    oracle="""
+    SELECT coalesce(a.k, b.k) AS nationkey,
+           a.n_customers, b.n_suppliers
+    FROM (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS n_customers
+          FROM customer GROUP BY c_nationkey) a
+    FULL OUTER JOIN (SELECT s_nationkey AS k, CAST(count(*) AS BIGINT) AS n_suppliers
+          FROM supplier GROUP BY s_nationkey) b
+      ON a.k = b.k
+    """,
+    tags=("relational", "join", "outer"),
+)
+def join_full_outer(spark, sf_dir):
+    """Full-outer join of two aggregates (nations present on either side)."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return c.join(s, ["k"], "full_outer").select(
+        F.col("k").alias("nationkey"), "n_customers", "n_suppliers"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped / distinct / multi-dimensional aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("relational", "agg", "distinct"),
+)
+def agg_distinct_counts(spark, sf_dir):
+    """Grouped count-distinct (expand + two-phase agg under the hood)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "agg", "rollup"),
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (grand total + per-flag + per-flag/status)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n, round(avg(o_totalprice), 6) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("relational", "agg", "cube"),
+)
+def agg_cube(spark, sf_dir):
+    """CUBE over two dimensions (all 4 grouping sets)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 6).alias("avg_price")
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT l_suppkey, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem GROUP BY l_suppkey
+    HAVING sum(l_extendedprice) > 1000000
+    """,
+    tags=("relational", "agg", "having"),
+)
+def agg_having(spark, sf_dir):
+    """GROUP BY ... HAVING (post-aggregation filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            F.sum("l_extendedprice").alias("_raw"),
+        )
+        .filter(F.col("_raw") > 1000000)
+        .drop("_raw")
+    )
+
+
+@register(
+    "agg_conditional_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS total_f,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS total_o,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS total_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("relational", "agg", "pivot"),
+)
+def agg_conditional_pivot(spark, sf_dir):
+    """Pivot-style conditional aggregation (CASE WHEN inside sum)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def cond_sum(status: str):
+        return F.round(
+            F.sum(F.when(F.col("o_orderstatus") == status, F.col("o_totalprice")).otherwise(0.0)), 2
+        )
+
+    return o.groupBy("o_orderpriority").agg(
+        cond_sum("F").alias("total_f"), cond_sum("O").alias("total_o"), cond_sum("P").alias("total_p")
+    )
+
+
+@register(
+    "subquery_above_nation_avg",
+    oracle="""
+    SELECT c.c_custkey, round(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    JOIN (SELECT c_nationkey, avg(c_acctbal) AS navg
+          FROM customer GROUP BY c_nationkey) t
+      ON c.c_nationkey = t.c_nationkey
+    WHERE c.c_acctbal > t.navg
+    """,
+    tags=("relational", "subquery"),
+)
+def subquery_above_nation_avg(spark, sf_dir):
+    """Correlated-scalar-subquery shape: customers above their nation's mean
+    balance, decorrelated into an agg + broadcast join."""
+    c = _t(spark, sf_dir, "customer")
+    navg = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("navg"))
+    return (
+        c.join(F.broadcast(navg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("navg"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions / sort / limit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rnk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+    ) t WHERE rnk <= 3
+    """,
+    tags=("relational", "window", "topk"),
+)
+def window_rank_topk(spark, sf_dir):
+    """Grouped top-k via row_number — single hash partition by customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rnk")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_total
+    FROM orders
+    """,
+    tags=("relational", "window"),
+)
+def window_running_sum(spark, sf_dir):
+    """Per-customer running revenue (cumulative frame)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
+    )
+
+
+@register(
+    "window_lag_lead_price",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev,
+           round(lead(o_totalprice) OVER w - o_totalprice, 2) AS delta_next,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("relational", "window"),
+)
+def window_lag_lead(spark, sf_dir):
+    """lag/lead deltas + ntile bucketing per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wq = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("o_totalprice").over(w) - F.col("o_totalprice"), 2).alias("delta_next"),
+        F.ntile(4).over(wq).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "sort_limit_global_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+    tags=("relational", "sort", "topk"),
+)
+def sort_limit_global_topk(spark, sf_dir):
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heap,
+    no full sort, no single-node shuffle of the whole table."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 350000
+    UNION
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    """,
+    tags=("relational", "setop"),
+)
+def set_union_distinct(spark, sf_dir):
+    """UNION (distinct) of two key sets."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return o.union(c).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("relational", "setop"),
+)
+def set_intersect(spark, sf_dir):
+    """INTERSECT: customers with both a finished and an open order."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("relational", "setop"),
+)
+def set_except(spark, sf_dir):
+    """EXCEPT (distinct): customers with a finished order but no open one."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function library
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_fns",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           lower(p_type) AS type_lower,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           substr(p_name, 1, 5) AS name_prefix,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_type, 'ECONOMY', 'ECO') AS type_replaced,
+           CASE WHEN p_name LIKE '%gold%' THEN 1 ELSE 0 END AS has_gold,
+           trim(p_name) AS name_trim,
+           reverse(p_brand) AS brand_rev
+    FROM part
+    """,
+    tags=("relational", "scalar", "string"),
+)
+def scalar_string_fns(spark, sf_dir):
+    """String scalar functions (all JVM built-ins, codegen'd)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace(F.col("p_type"), "ECONOMY", "ECO").alias("type_replaced"),
+        F.when(F.col("p_name").like("%gold%"), 1).otherwise(0).alias("has_gold"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+    )
+
+
+@register(
+    "scalar_date_fns",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(date_part('day', o_orderdate) AS INTEGER) AS order_day,
+           date_trunc('month', o_orderdate) AS month_start,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS BIGINT)
+               AS days_to_2002
+    FROM orders
+    """,
+    tags=("relational", "scalar", "date"),
+)
+def scalar_date_fns(spark, sf_dir):
+    """Date/time scalar functions."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_2002"),
+    )
+
+
+@register(
+    "scalar_math_fns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_extendedprice - 30000), 4) AS abs_dev,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_bucket,
+           CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(ln(l_extendedprice + 1), 6) AS price_ln,
+           round(pow(1 + l_tax, 2), 6) AS tax_sq,
+           CAST(l_quantity AS BIGINT) % 5 AS qty_mod
+    FROM lineitem
+    """,
+    tags=("relational", "scalar", "math"),
+)
+def scalar_math_fns(spark, sf_dir):
+    """Math scalar functions (P9: sqrt at ``lvmh_forecaster2.py:138``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 30000), 4).alias("abs_dev"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_bucket"),
+        F.floor(F.col("l_discount") * 100).alias("disc_pct"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        (F.col("l_quantity").cast("long") % 5).alias("qty_mod"),
+    )
+
+
+@register(
+    "scalar_conditional_fns",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_class,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_masked,
+           greatest(c_acctbal, 0.0) AS bal_floor,
+           least(round(c_acctbal, 0), 9999.0) AS bal_cap
+    FROM customer
+    """,
+    tags=("relational", "scalar", "conditional"),
+)
+def scalar_conditional_fns(spark, sf_dir):
+    """CASE/coalesce/nullif/greatest/least conditional scalars."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_class"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+        F.least(F.round(F.col("c_acctbal"), 0), F.lit(9999.0)).alias("bal_cap"),
+    )

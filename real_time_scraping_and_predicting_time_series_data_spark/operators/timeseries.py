@@ -1,0 +1,398 @@
+"""Time-series signature operators of the reference pipeline.
+
+Re-expresses, as declarative keyed Spark operators (scaling from the
+reference's single implicit ticker to millions of keys):
+
+- change-detection dedup      (P2, ``asyncio scraping.py:80-83``)
+- anchored variation          (P3, ``asyncio scraping.py:45-52``)
+- sliding-window featurization(W1, ``lvmh_forecaster2.py:73-88``)
+- last-N tail window          (W2, ``lvmh_forecaster2.py:112``)
+- tick down-sampling          (W4, ``lvmh_forecaster2.py:250-252``)
+- RMSE aggregate              (A1, ``lvmh_forecaster2.py:126-148``)
+- min/max/mean aggregates     (A2/A3, ``lvmh_forecaster2.py:242-273``)
+- MinMax scaling              (A5, ``lvmh_forecaster2.py:79-80,113,122``)
+- tumbling-window aggregation (streaming-shaped; batch twin of the
+  micro-batch loop S4, ``lvmh_forecaster2.py:313-336``)
+
+Scale notes: every operator partitions by key (``user_id``); the only
+shuffles are the per-key hash partition for window functions and the final
+group-by — both on the same key, so AQE can reuse the exchange. No
+driver-side loops, no UDFs: all expressions stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..catalog import load_table
+
+__all__ = [
+    "change_dedup",
+    "anchored_variation",
+    "sliding_features",
+    "tail_window",
+    "downsample",
+    "rmse",
+    "minmax_scale",
+]
+
+# ---------------------------------------------------------------------------
+# Composable operators
+# ---------------------------------------------------------------------------
+
+
+def _key_window(key: str, ts: str, tiebreak: str) -> WindowSpec:
+    return Window.partitionBy(key).orderBy(ts, tiebreak)
+
+
+def change_dedup(
+    df: DataFrame, key: str = "user_id", ts: str = "ts", value: str = "value", tiebreak: str = "event_id"
+) -> DataFrame:
+    """Consecutive-distinct filter: keep a row only when ``value`` differs
+    from the previous retained value per key; the first row per key is always
+    kept (``asyncio scraping.py:80-83``).
+
+    Because equal *consecutive* raw values collapse transitively, filtering on
+    ``lag(value)`` over the raw stream is equivalent to the reference's
+    retained-stream comparison. One hash partition by key; O(1) state per row.
+    """
+    w = _key_window(key, ts, tiebreak)
+    prev = F.lag(value).over(w)
+    return (
+        df.withColumn("_prev", prev)
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(value)))
+        .drop("_prev")
+    )
+
+
+def anchored_variation(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+    out: str = "variation",
+) -> DataFrame:
+    """``variation = value / first_value - 1`` with the anchor latched from
+    the first observation per key (``asyncio scraping.py:45-52``); first row
+    gets exactly 0.0.
+    """
+    w = _key_window(key, ts, tiebreak).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    first = F.first(value).over(w)
+    return df.withColumn(out, F.col(value) / first - F.lit(1.0))
+
+
+def sliding_features(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+    lookback: int = 10,
+    horizon: int = 5,
+) -> DataFrame:
+    """Sliding-window featurization (``lvmh_forecaster2.py:73-88``): for each
+    row, ``features`` = the last ``lookback`` values (inclusive) and
+    ``targets`` = the next ``horizon`` values. Rows without a full window are
+    dropped, mirroring the reference's range bound.
+
+    ``collect_list`` over a row-frame window; one shuffle on the key.
+    """
+    w = _key_window(key, ts, tiebreak)
+    feat = F.collect_list(value).over(w.rowsBetween(-(lookback - 1), 0))
+    targ = F.collect_list(value).over(w.rowsBetween(1, horizon))
+    return (
+        df.withColumn("features", feat)
+        .withColumn("targets", targ)
+        .filter((F.size("features") == lookback) & (F.size("targets") == horizon))
+    )
+
+
+def tail_window(
+    df: DataFrame, n: int, key: str = "user_id", ts: str = "ts", tiebreak: str = "event_id"
+) -> DataFrame:
+    """Most recent ``n`` rows per key (``lvmh_forecaster2.py:112`` takes the
+    last ``sequence_length`` prices as inference input).
+
+    ``row_number`` over a descending per-key window then filter — a single
+    shuffle; at scale this is the standard grouped top-k (partial top-k per
+    map task would be a further optimization via ``Window`` + AQE).
+    """
+    w = Window.partitionBy(key).orderBy(F.desc(ts), F.desc(tiebreak))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n).drop("_rn")
+
+
+def downsample(
+    df: DataFrame, step: int, key: str = "user_id", ts: str = "ts", tiebreak: str = "event_id"
+) -> DataFrame:
+    """Keep every ``step``-th row per key, plus the last row
+    (``lvmh_forecaster2.py:250-252`` axis-tick thinning)."""
+    w = _key_window(key, ts, tiebreak)
+    cnt = Window.partitionBy(key)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(cnt))
+        .filter(((F.col("_rn") - 1) % step == 0) | (F.col("_rn") == F.col("_n")))
+        .drop("_rn", "_n")
+    )
+
+
+def rmse(df: DataFrame, actual: str, pred: str, group: list[str] | None = None) -> DataFrame:
+    """RMSE over rows where both columns are present
+    (``lvmh_forecaster2.py:126-148``: dropna then sqrt(mean(sq diff)))."""
+    filtered = df.filter(F.col(actual).isNotNull() & F.col(pred).isNotNull())
+    expr = F.sqrt(F.avg(F.pow(F.col(actual) - F.col(pred), F.lit(2)))).alias("rmse")
+    if group:
+        return filtered.groupBy(*group).agg(expr)
+    return filtered.agg(expr)
+
+
+def minmax_scale(
+    df: DataFrame, value: str = "value", key: str | None = None, out: str = "scaled"
+) -> DataFrame:
+    """MinMax [0,1] scaling (``lvmh_forecaster2.py:26,79-80``): fit = min/max
+    aggregate over the whole history, transform = (x-mn)/(mx-mn).
+
+    The reference refits over ALL history each retrain (leakage-faithful
+    mode); a split-safe variant would compute the agg over the training
+    prefix only. Implemented as agg + broadcast join (scalar subquery
+    semantics) — no window over the full table, so no single-partition
+    bottleneck at scale.
+    """
+    if key is None:
+        stats = df.agg(
+            F.min(value).alias("_mn"), F.max(value).alias("_mx")
+        )
+        joined = df.crossJoin(F.broadcast(stats))
+    else:
+        stats = df.groupBy(key).agg(F.min(value).alias("_mn"), F.max(value).alias("_mx"))
+        joined = df.join(F.broadcast(stats), on=key)
+    rng = F.col("_mx") - F.col("_mn")
+    scaled = F.when(rng == 0, F.lit(0.0)).otherwise((F.col(value) - F.col("_mn")) / rng)
+    return joined.withColumn(out, scaled).drop("_mn", "_mx")
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (events table; each with a DuckDB oracle twin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_change_dedup",
+    oracle="""
+    SELECT event_id, user_id, value FROM (
+        SELECT event_id, user_id, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ) t WHERE prev IS NULL OR prev <> value
+    """,
+    tags=("timeseries", "P2"),
+)
+def q_change_dedup(spark, sf_dir):
+    """P2: consecutive-distinct tick filter per key."""
+    ev = load_table(spark, sf_dir, "events")
+    return change_dedup(ev).select("event_id", "user_id", "value")
+
+
+@register(
+    "ts_anchored_variation",
+    oracle="""
+    SELECT event_id, user_id, value,
+           round(value / first_value(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 9) AS variation
+    FROM events
+    """,
+    tags=("timeseries", "P3"),
+)
+def q_anchored_variation(spark, sf_dir):
+    """P3: per-key variation vs. first observed value."""
+    ev = load_table(spark, sf_dir, "events")
+    out = anchored_variation(ev)
+    return out.select(
+        "event_id", "user_id", "value", F.round("variation", 9).alias("variation")
+    )
+
+
+@register(
+    "ts_sliding_features_lags",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value, 2) OVER w AS lag_2, lag(value, 1) OVER w AS lag_1,
+           lead(value, 1) OVER w AS lead_1, lead(value, 2) OVER w AS lead_2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    QUALIFY lag_2 IS NOT NULL AND lead_2 IS NOT NULL
+    """,
+    tags=("timeseries", "W1"),
+)
+def q_sliding_features_lags(spark, sf_dir):
+    """W1 (scalar form): lookback window as lag columns, targets as leads —
+    the SQL-checkable twin of the array-valued ``sliding_features``."""
+    ev = load_table(spark, sf_dir, "events")
+    w = _key_window("user_id", "ts", "event_id")
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 2).over(w).alias("lag_2"),
+        F.lag("value", 1).over(w).alias("lag_1"),
+        F.lead("value", 1).over(w).alias("lead_1"),
+        F.lead("value", 2).over(w).alias("lead_2"),
+    )
+    return out.filter(F.col("lag_2").isNotNull() & F.col("lead_2").isNotNull())
+
+
+@register(
+    "ts_sliding_features_arrays",
+    oracle=None,  # array-valued; covered rows-only + by tests vs. the lag form
+    tags=("timeseries", "W1"),
+)
+def q_sliding_features_arrays(spark, sf_dir):
+    """W1 (array form): collect_list windows exactly shaped like the
+    reference's X[n,10,1] / y[n,5] tensors (``lvmh_forecaster2.py:83-88``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_features(ev, lookback=10, horizon=5).select(
+        "event_id", "user_id", "features", "targets"
+    )
+
+
+@register(
+    "ts_tail_window",
+    oracle="""
+    SELECT event_id, user_id, value FROM (
+        SELECT event_id, user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) t WHERE rn <= 10
+    """,
+    tags=("timeseries", "W2"),
+)
+def q_tail_window(spark, sf_dir):
+    """W2: last-10 rows per key (model inference input window)."""
+    ev = load_table(spark, sf_dir, "events")
+    return tail_window(ev, 10).select("event_id", "user_id", "value")
+
+
+@register(
+    "ts_downsample",
+    oracle="""
+    SELECT event_id, user_id FROM (
+        SELECT event_id, user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    ) t WHERE (rn - 1) % 7 = 0 OR rn = n
+    """,
+    tags=("timeseries", "W4"),
+)
+def q_downsample(spark, sf_dir):
+    """W4: every 7th tick per key plus the last."""
+    ev = load_table(spark, sf_dir, "events")
+    return downsample(ev, 7).select("event_id", "user_id")
+
+
+@register(
+    "ts_rmse",
+    oracle="""
+    SELECT user_id, round(sqrt(avg((a - b) * (a - b))), 6) AS rmse FROM (
+        SELECT user_id, value AS a,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+        FROM events
+    ) t WHERE a IS NOT NULL AND b IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("timeseries", "A1"),
+)
+def q_rmse(spark, sf_dir):
+    """A1: RMSE between each value and its predecessor (persistence
+    forecast), grouped per key — the reference's forecast-vs-actual metric
+    with lag(value) standing in for the forecast column."""
+    ev = load_table(spark, sf_dir, "events")
+    w = _key_window("user_id", "ts", "event_id")
+    paired = ev.select("user_id", F.col("value").alias("a"), F.lag("value").over(w).alias("b"))
+    out = rmse(paired, "a", "b", group=["user_id"])
+    return out.select("user_id", F.round("rmse", 6).alias("rmse"))
+
+
+@register(
+    "ts_minmax_scale",
+    oracle="""
+    SELECT event_id, user_id,
+           round(CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END, 9) AS scaled
+    FROM (
+        SELECT event_id, user_id, value,
+               min(value) OVER (PARTITION BY user_id) AS mn,
+               max(value) OVER (PARTITION BY user_id) AS mx
+        FROM events
+    ) t
+    """,
+    tags=("timeseries", "A5"),
+)
+def q_minmax_scale(spark, sf_dir):
+    """A5: per-key MinMax [0,1] scaling, full-history fit (leakage-faithful
+    mode of ``lvmh_forecaster2.py:79-80``)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = minmax_scale(ev, key="user_id")
+    return out.select("event_id", "user_id", F.round("scaled", 9).alias("scaled"))
+
+
+@register(
+    "ts_tumbling_agg",
+    oracle="""
+    SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 6) AS avg_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events
+    GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    tags=("timeseries", "streaming-shaped"),
+)
+def q_tumbling_agg(spark, sf_dir):
+    """Tumbling 1-hour window aggregate per key — batch twin of the
+    Structured Streaming windowed agg replacing the reference's 1 s
+    micro-batch drain (S4, ``lvmh_forecaster2.py:313-336``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("bucket_start"),
+            "n_events",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@register(
+    "ts_running_extrema",
+    oracle="""
+    SELECT user_id,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("timeseries", "A2", "A3"),
+)
+def q_running_extrema(spark, sf_dir):
+    """A2/A3: per-key min/max/mean (the reference's axis-limit and
+    plot-title aggregates, ``lvmh_forecaster2.py:242-273``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )

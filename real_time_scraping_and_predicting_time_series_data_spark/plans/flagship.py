@@ -1,0 +1,65 @@
+"""Flagship query: the reference's whole tick pipeline as ONE declarative
+statement (SURVEY.md §7 minimum slice).
+
+On ``events``, per ``user_id`` ordered by ``ts``:
+change-detection dedup (P2) → anchored variation vs. first value (P3) →
+per-key aggregate (tick count, max |variation|, final variation) → global
+top-10 "movers" by max |variation| (row_number).
+
+Exercises scan → window functions → filter → derivation → hash agg →
+top-k in a single Catalyst plan: exactly one shuffle on ``user_id`` (the
+window and the groupBy share it) plus the final top-k exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.timeseries import anchored_variation, change_dedup
+from ..plans.registry import register
+
+FLAGSHIP_ORACLE = """
+WITH dedup AS (
+    SELECT * FROM (
+        SELECT event_id, ts, user_id, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ) t WHERE prev IS NULL OR prev <> value
+), var AS (
+    SELECT user_id, event_id, value,
+           value / first_value(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS variation
+    FROM dedup
+), agg AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           round(max(abs(variation)), 9) AS max_abs_variation
+    FROM var GROUP BY user_id
+)
+SELECT user_id, n_ticks, max_abs_variation,
+       CAST(row_number() OVER (ORDER BY max_abs_variation DESC, user_id) AS BIGINT) AS mover_rank
+FROM agg
+QUALIFY mover_rank <= 10
+"""
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ticks = change_dedup(ev)
+    var = anchored_variation(ticks)
+    agg = var.groupBy("user_id").agg(
+        F.count("*").alias("n_ticks"),
+        F.round(F.max(F.abs(F.col("variation"))), 9).alias("max_abs_variation"),
+    )
+    w = Window.orderBy(F.desc("max_abs_variation"), F.asc("user_id"))
+    return (
+        agg.withColumn("mover_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("mover_rank") <= 10)
+        .select("user_id", "n_ticks", "max_abs_variation", "mover_rank")
+    )
+
+
+register("flagship_top_movers", oracle=FLAGSHIP_ORACLE, tags=("flagship",))(flagship)

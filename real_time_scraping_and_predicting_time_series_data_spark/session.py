@@ -1,0 +1,61 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference runs two GIL-bound OS processes (``lvmh_forecaster2.py:31,
+342-343``); here all parallelism is Spark's. Defaults are tuned so the same
+logical plans survive a 1000-executor / 100 TB deployment:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join selection);
+- auto broadcast threshold left at Spark default so small dims (region,
+  nation, supplier at low SF; genuinely small dims at full scale) broadcast;
+- Arrow enabled for the few pandas-UDF paths (model inference, stateful ops);
+- shuffle partitions sized for the local harness but overridable via env.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "SHUFFLE_PARTITIONS"]
+
+SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "real-time-ts-engine",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the SparkSession.
+
+    On a real cluster ``master`` comes from spark-submit; locally we default
+    to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Driver testdata stores events.ts as parquet TIMESTAMP(NANOS), which
+        # Spark's vectorized reader rejects; read as long ns and convert in
+        # the catalog (catalog.load_table) to µs TimestampType.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # 128 MiB input splits: good balance of task count vs. overhead at
+        # both local and cluster scale.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
