@@ -1,0 +1,78 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+Each query is materialized via the noop sink (full execution, no driver
+collect cost). A small warmup query amortizes JVM/codegen startup so the
+numbers reflect steady-state engine throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+from real_time_scraping_and_predicting_time_series_data_spark.session import get_spark
+
+# Representative of the engine's surface: the reference pipeline (flagship,
+# asof, windows), relational core (agg/join/window/topk), and the
+# LLM-pipeline extensions (dedup/similarity/text) as they land.
+HEADLINE = [
+    "flagship_top_movers",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "asof_join_click_purchase",
+    "asof_fifo_forecast_alignment",
+    "ts_sliding_features_lags",
+    "window_rank_orders_per_customer",
+    "agg_distinct_counts",
+    "sort_limit_global_topk",
+    "dedup_minhash_pairs",
+    "sim_bruteforce_topk",
+    "text_quality_scores",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warmup: JVM + codegen + parquet footer reads, not counted.
+    qs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
