@@ -1,1 +1,393 @@
-"""(placeholder — filled in this round)"""
+"""Deduplication operators for large-scale training-data pipelines
+(SURVEY.md §2.8 north-star extensions; no counterpart in the reference —
+closest semantic relative is the consecutive-change dedup P2,
+``asyncio scraping.py:80``).
+
+Five families, each designed so the expensive step is a key-partitioned
+join/agg rather than an O(n²) cross join:
+
+- **exact**      : content hash (sha256) group-by; keep min doc_id.
+- **n-gram Jaccard** : shingle-set overlap via explode + equi-join on the
+  shingle (inverted index), blocked by a cheap key (``source``) so the join
+  fan-out stays bounded at 100 TB.
+- **MinHash + LSH** : k independent min-hashes of the shingle set via
+  ``min(xxhash64(shingle, seed))`` aggregations; banding → candidate buckets
+  → exact-Jaccard verification of candidates only.
+- **SimHash**    : 64-bit fingerprint from per-token hashes; near-dup =
+  small Hamming distance, candidates via band equality on 16-bit chunks.
+- **embedding cosine** : near-dup pairs above a cosine threshold, blocked by
+  label (stand-in for an ANN/IVF cell assignment at scale).
+
+MinHash/SimHash use ``xxhash64`` (JVM-side, deterministic) — not
+reproducible in DuckDB, so those queries carry no oracle and are instead
+property-tested against exact Jaccard (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vector import as_double, cosine, hamming64
+from ..plans.registry import register
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "minhash_candidates",
+    "simhash",
+    "simhash_pairs",
+    "embedding_dup_pairs",
+]
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact content hash.
+
+    sha256 group-by: the canonical exact-dedup at scale — single shuffle on
+    the 256-bit hash, no full-text comparisons.
+    """
+    return (
+        df.withColumn("content_hash", F.sha2(F.col(text), 256))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + exact n-gram Jaccard (inverted-index join, not cross join)
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of a whitespace-tokenized text."""
+    words = F.split(F.trim(text), r"\s+")
+    if n == 1:
+        return F.array_distinct(words)
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return F.array_distinct(grams)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    block: str | None = "source",
+    n: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via an inverted-index self-join.
+
+    explode(shingles) → join on (block, shingle) with id<id → count common
+    shingles per pair → Jaccard = common / (|A| + |B| - common). The join is
+    keyed on the shingle (plus an optional blocking key), so cost scales with
+    Σ df(shingle)² within blocks — bounded, unlike a cross join. At 100 TB
+    the blocking key (source, LSH bucket, length band) is what keeps df low.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block).alias("blk")] if block else [F.lit(0).alias("blk")] ),
+        shingles(F.col(text), n).alias("sh"),
+    ).withColumn("set_size", F.size("sh"))
+
+    inv = base.select("id", "blk", "set_size", F.explode("sh").alias("shingle"))
+    a = inv.select(
+        F.col("id").alias("id_a"), "blk", F.col("set_size").alias("size_a"), "shingle"
+    )
+    b = inv.select(
+        F.col("id").alias("id_b"), "blk", F.col("set_size").alias("size_b"), "shingle"
+    )
+    common = (
+        a.join(b, ["blk", "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = common.withColumn(
+        "jaccard",
+        F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 2, num_perm: int = 16
+) -> DataFrame:
+    """k-permutation MinHash signature: sig[i] = min over shingles of
+    xxhash64(shingle, salt_i). One explode + one grouped agg with k min()
+    columns — fully JVM-side, linear in total shingle count.
+    """
+    ex = (
+        df.select(F.col(id_col).alias("id"), shingles(F.col(text), n).alias("sh"))
+        .select("id", F.explode("sh").alias("shingle"))
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}") for i in range(num_perm)
+    ]
+    return ex.groupBy("id").agg(*mins)
+
+
+def minhash_candidates(
+    sigs: DataFrame, num_perm: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_perm/bands`` rows; docs sharing any full band become candidate
+    pairs. Bucket join on (band_idx, band_hash) — the classic
+    sub-quadratic candidate generation.
+    """
+    rows_per_band = num_perm // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.hash(*[F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                    "bucket"
+                ),
+            )
+            for bi in range(bands)
+        ]
+    )
+    exploded = sigs.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+    a = exploded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = exploded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """64-bit SimHash: per token, xxhash64; fingerprint bit i is the sign of
+    Σ_tokens (±1 by token-hash bit i). Expressed as explode + 64 conditional
+    sums + bit reassembly — one grouped aggregation, all codegen.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.trim(F.col(text)), r"\s+")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    sums = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*sums)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"s_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(fps: DataFrame, max_hamming: int = 12, bands: int = 4) -> DataFrame:
+    """Near-dup candidates: docs sharing any (64/bands)-bit chunk of the
+    fingerprint, verified by exact Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole guarantee: a pair at Hamming distance < ``bands`` always
+    shares at least one chunk (its differing bits can't touch every chunk),
+    so recall is 1.0 up to distance bands-1 and probabilistic beyond —
+    raise ``bands`` (smaller chunks) to trade candidate volume for recall.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), bi * width).bitwiseAND(F.lit(mask)).alias(
+                    "chunk"
+                ),
+            )
+            for bi in range(bands)
+        ]
+    )
+    ex = fps.select("id", "simhash", F.explode(chunks).alias("b")).select(
+        "id", "simhash", F.col("b.band").alias("band"), F.col("b.chunk").alias("chunk")
+    )
+    a = ex.select(F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"), "band", "chunk")
+    b = ex.select(F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"), "band", "chunk")
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    block: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate vectors: pairs with cosine ≥ threshold. With a blocking
+    column (LSH bucket / IVF cell / label) the join is per-block; without,
+    it is a genuine cross join — only acceptable for small n or as the
+    verification step after candidate generation.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec)).alias("v"),
+        *([F.col(block).alias("blk")] if block else [F.lit(0).alias("blk")]),
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "blk")
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "blk")
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+    tags=("dedup", "exact"),
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact content-hash dedup with representative selection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle="""
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)) k
+      ON d.doc_id = k.keep_id
+    """,
+    tags=("dedup", "exact"),
+)
+def q_dedup_exact_survivors(spark, sf_dir):
+    """Exact dedup, survivor rows (join back to keep full records)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (
+        docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep_id"))
+    ).select("keep_id")
+    return docs.join(keep, docs.doc_id == keep.keep_id, "left_semi").select("doc_id", "source")
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, source,
+               list_distinct([words[i] || ' ' || words[i+1] FOR i IN range(1, len(words))]) AS grams
+        FROM toks
+    ), sized AS (
+        SELECT doc_id, source, grams, len(grams) AS set_size FROM sh
+    ), inv AS (
+        SELECT doc_id, source, set_size, unnest(grams) AS shingle FROM sized
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.set_size AS size_a, b.set_size AS size_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM inv a JOIN inv b ON a.source = b.source AND a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common / (size_a + size_b - n_common), 9) AS jaccard
+    FROM common
+    WHERE n_common / (size_a + size_b - n_common) >= 0.05
+    """,
+    tags=("dedup", "jaccard"),
+)
+def q_dedup_jaccard(spark, sf_dir):
+    """Exact 2-gram Jaccard pairs (source-blocked inverted-index join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = jaccard_pairs(docs, block="source", n=2, threshold=0.05)
+    return out.select("id_a", "id_b", "n_common", F.round("jaccard", 9).alias("jaccard"))
+
+
+@register("dedup_minhash_pairs", oracle=None, tags=("dedup", "minhash", "lsh"))
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH candidate pairs verified by exact Jaccard (rows-only:
+    xxhash64 not reproducible in the oracle; recall property-tested)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, n=2, num_perm=16)
+    cands = minhash_candidates(sigs, num_perm=16, bands=4)
+    exact = jaccard_pairs(docs, block=None, n=2, threshold=0.0).select(
+        "id_a", "id_b", "jaccard"
+    )
+    return cands.join(exact, ["id_a", "id_b"], "left").select(
+        "id_a", "id_b", F.round(F.coalesce("jaccard", F.lit(0.0)), 9).alias("jaccard")
+    )
+
+
+@register("dedup_simhash_pairs", oracle=None, tags=("dedup", "simhash"))
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming ≤ 20 (rows-only; banding recall
+    property-tested)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash(docs)
+    return simhash_pairs(fps, max_hamming=20, bands=4)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+    tags=("dedup", "embedding"),
+)
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold tuned to the random test
+    vectors; at scale the pair generation would be LSH/IVF-blocked)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_dup_pairs(emb, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))

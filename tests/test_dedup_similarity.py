@@ -1,0 +1,165 @@
+"""Property tests for the non-SQL-expressible dedup/similarity operators
+(SURVEY.md §5.5): LSH candidates vs exact baselines on synthetic corpora
+with planted near-duplicates."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_candidates,
+    minhash_signatures,
+    simhash,
+    simhash_pairs,
+)
+from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+VOCAB = [f"w{i}" for i in range(200)]
+
+
+def _corpus(spark, n_docs=30, n_dups=8, seed=7):
+    """Random docs + planted near-duplicates (1-word edit of an original)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        words = [rng.choice(VOCAB) for _ in range(60)]
+        rows.append((i, " ".join(words), "s0"))
+    for j in range(n_dups):
+        base = list(rows[j][1].split())
+        base[5] = rng.choice(VOCAB)  # one-word edit -> jaccard ~0.9
+        rows.append((n_docs + j, " ".join(base), "s0"))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "x y")], "doc_id long, text string"
+    )
+    out = {r.keep_id: r.n_copies for r in exact_dedup(df).collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_minhash_recall_on_planted_dups(spark):
+    docs = _corpus(spark)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(docs, block=None, n=2, threshold=0.7).collect()
+    }
+    assert len(truth) >= 6  # the planted pairs are found by the exact op
+    sigs = minhash_signatures(docs, n=2, num_perm=16)
+    cands = {(r.id_a, r.id_b) for r in minhash_candidates(sigs, 16, bands=4).collect()}
+    # banding with 4 bands of 4 rows: P(candidate) = 1-(1-j^4)^4 -> ~0.97 at j=0.9
+    recall = len(truth & cands) / len(truth)
+    assert recall >= 0.8, f"minhash recall {recall} over {len(truth)} true pairs"
+
+
+def test_minhash_no_false_certainty(spark):
+    """Candidates are a CANDIDATE set: verification (exact jaccard) is what
+    asserts near-dupness. Unrelated docs' jaccard stays low."""
+    docs = _corpus(spark, n_dups=0)
+    sigs = minhash_signatures(docs, n=2, num_perm=16)
+    cands = minhash_candidates(sigs, 16, bands=4)
+    verified = cands.join(
+        jaccard_pairs(docs, block=None, n=2, threshold=0.5).select("id_a", "id_b"),
+        ["id_a", "id_b"],
+        "inner",
+    )
+    assert verified.count() == 0
+
+
+def test_simhash_separates_dups_from_random(spark):
+    docs = _corpus(spark)
+    fps = simhash(docs)
+    # bands=16 (4-bit chunks): pigeonhole-guaranteed recall up to hamming 15,
+    # far above the planted pairs' distances.
+    pairs = simhash_pairs(fps, max_hamming=63, bands=16).collect()
+    planted = {(j, 30 + j) for j in range(8)}
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    planted_ham = [ham[p] for p in planted if p in ham]
+    other_ham = [h for p, h in ham.items() if p not in planted]
+    assert len(planted_ham) == 8
+    assert max(planted_ham) <= 12  # one-word edit moves few bits
+    if other_ham:  # random pairs that collided on a band
+        assert min(other_ham) > max(planted_ham)
+
+
+def test_simhash_banding_pigeonhole_guarantee(spark):
+    """Hamming < bands ⇒ pair is always a candidate (exact guarantee)."""
+    docs = _corpus(spark)
+    fps = simhash(docs)
+    all_pairs = simhash_pairs(fps, max_hamming=3, bands=16).collect()
+    # brute force check: every pair at hamming<=3 must appear
+    rows = fps.collect()
+    import itertools
+
+    want = set()
+    for a, b in itertools.combinations(sorted(rows, key=lambda r: r.id), 2):
+        d = bin(a.simhash ^ b.simhash).count("1")
+        if d <= 3:
+            want.add((a.id, b.id))
+    got = {(r.id_a, r.id_b) for r in all_pairs}
+    assert want <= got
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(spark):
+    """Every ANN result must carry the same cosine the exact operator
+    computes, and per-query ranks must be 1..k without gaps in cos order."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = brute_force_topk(emb, queries, k=50)
+    ann = lsh_topk(emb, queries, k=5, bits=4)
+    joined = ann.alias("a").join(
+        bf.alias("b"),
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.neighbor_id") == F.col("b.neighbor_id")),
+        "left",
+    )
+    rows = joined.select("a.query_id", "a.neighbor_id", "a.cos", "b.cos").collect()
+    for r in rows:
+        if r[3] is not None:  # appears in exact top-50: scores must agree
+            assert r[2] == pytest.approx(r[3], abs=1e-9)
+    # ranks contiguous per query
+    by_q = {}
+    for r in ann.collect():
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i][1] >= rs[i + 1][1] for i in range(len(rs) - 1))
+
+
+def test_bruteforce_topk_matches_numpy(spark):
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas()
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=float) for r in pdf.itertuples()}
+    queries = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [
+        (r.neighbor_id, r.cos)
+        for r in brute_force_topk(emb, queries, k=3).orderBy("rank").collect()
+    ]
+    q = vecs[3]
+    sims = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in vecs.items()
+        if vid != 3
+    }
+    want = sorted(sims.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:3]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-6)
