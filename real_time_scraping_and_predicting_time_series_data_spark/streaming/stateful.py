@@ -1,0 +1,83 @@
+"""Stateful streaming operators (P2/P3 in streaming form).
+
+The reference keeps two scalars of state per stream: ``last_price`` for the
+change gate (``asyncio scraping.py:16, 80``) and ``first_price`` for the
+variation anchor (``asyncio scraping.py:15, 45-52``). Here that state is
+keyed (millions of tickers, not one) and managed by Spark's state store via
+``applyInPandasWithState`` — checkpointed, fault-tolerant, O(1) per key.
+
+Within a micro-batch rows are sorted by event time before applying the
+gate, so batch/stream parity holds when the source delivers in order (the
+file drop-zone does); true out-of-order streams need the watermarked window
+operators in streaming/windows.py instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["streaming_ticks"]
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("variation", T.DoubleType()),
+    ]
+)
+
+# state = (last_price, first_price): exactly the two instance attributes of
+# LVMHPriceScraper (asyncio scraping.py:15-16), per key.
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_price", T.DoubleType()),
+        T.StructField("first_price", T.DoubleType()),
+    ]
+)
+
+
+def _apply_gate(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    last_price, first_price = state.get if state.exists else (None, None)
+    out_rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for r in pdf.itertuples(index=False):
+            price = float(r.value)
+            if last_price is None or price != last_price:  # scraper:80
+                if first_price is None:  # scraper:47-48
+                    first_price = price
+                out_rows.append(
+                    (user_id, int(r.event_id), r.ts, price, price / first_price - 1.0)
+                )
+                last_price = price
+    state.update((last_price, first_price))
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows, columns=["user_id", "event_id", "ts", "value", "variation"]
+        )
+
+
+def streaming_ticks(ticks: DataFrame) -> DataFrame:
+    """Change-dedup + anchored variation over an unbounded keyed tick stream
+    (the full E1 scraper pipeline minus I/O), with per-key state."""
+    return (
+        ticks.groupBy("user_id")
+        .applyInPandasWithState(
+            _apply_gate,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
