@@ -125,20 +125,27 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def shingle_sets(df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 2) -> DataFrame:
+    """(id, sh: array<string>) shingle sets — the shared intermediate of the
+    MinHash pipeline. Callers that use it more than once (signatures +
+    candidate verification) should materialize it (``localCheckpoint`` /
+    persist / a parquet stage at cluster scale) instead of recomputing the
+    scan→tokenize→shingle subtree per consumer."""
+    return df.select(F.col(id_col).alias("id"), shingles(F.col(text), n).alias("sh"))
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 2, num_perm: int = 16
+    sets: DataFrame, num_perm: int = 16
 ) -> DataFrame:
-    """k-permutation MinHash signature: sig[i] = min over shingles of
-    xxhash64(shingle, salt_i). One explode + one grouped agg with k min()
-    columns — fully JVM-side, linear in total shingle count.
+    """k-permutation MinHash signature over ``shingle_sets`` output:
+    sig[i] = min over shingles of perm_i(shingle). One explode + one grouped
+    agg with k min() columns — fully JVM-side, linear in shingle count. The
+    shingle string is hashed ONCE; permutations re-hash the 8-byte long.
     """
-    ex = (
-        df.select(F.col(id_col).alias("id"), shingles(F.col(text), n).alias("sh"))
-        .select("id", F.explode("sh").alias("shingle"))
+    ex = sets.select("id", F.explode("sh").alias("shingle")).withColumn(
+        "h", F.xxhash64("shingle")
     )
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}") for i in range(num_perm)
-    ]
+    mins = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}") for i in range(num_perm)]
     return ex.groupBy("id").agg(*mins)
 
 
@@ -350,19 +357,32 @@ def q_dedup_jaccard(spark, sf_dir):
     return out.select("id_a", "id_b", "n_common", F.round("jaccard", 9).alias("jaccard"))
 
 
+def verify_candidates_jaccard(cands: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact Jaccard computed ONLY for candidate pairs: two equi-joins fetch
+    the shingle sets, ``array_intersect`` scores each pair. Cost is linear
+    in |candidates| — this is the LSH contract (never score all O(n²)
+    pairs)."""
+    a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - common
+    return joined.select("id_a", "id_b", (common / union).alias("jaccard"))
+
+
 @register("dedup_minhash_pairs", oracle=None, tags=("dedup", "minhash", "lsh"))
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash-LSH candidate pairs verified by exact Jaccard (rows-only:
-    xxhash64 not reproducible in the oracle; recall property-tested)."""
+    """MinHash-LSH candidate pairs verified by exact Jaccard on candidates
+    only (rows-only: xxhash64 not reproducible in the oracle; recall
+    property-tested). The shingle sets are materialized once
+    (localCheckpoint) and shared by the signature and verification stages —
+    at cluster scale this is a persisted intermediate table."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, n=2, num_perm=16)
+    sets = shingle_sets(docs, n=2).localCheckpoint(eager=False)
+    sigs = minhash_signatures(sets, num_perm=16).localCheckpoint(eager=False)
     cands = minhash_candidates(sigs, num_perm=16, bands=4)
-    exact = jaccard_pairs(docs, block=None, n=2, threshold=0.0).select(
-        "id_a", "id_b", "jaccard"
-    )
-    return cands.join(exact, ["id_a", "id_b"], "left").select(
-        "id_a", "id_b", F.round(F.coalesce("jaccard", F.lit(0.0)), 9).alias("jaccard")
-    )
+    verified = verify_candidates_jaccard(cands, sets)
+    return verified.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
 @register("dedup_simhash_pairs", oracle=None, tags=("dedup", "simhash"))

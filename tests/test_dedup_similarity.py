@@ -14,6 +14,7 @@ from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup im
     jaccard_pairs,
     minhash_candidates,
     minhash_signatures,
+    shingle_sets,
     simhash,
     simhash_pairs,
 )
@@ -54,7 +55,7 @@ def test_minhash_recall_on_planted_dups(spark):
         for r in jaccard_pairs(docs, block=None, n=2, threshold=0.7).collect()
     }
     assert len(truth) >= 6  # the planted pairs are found by the exact op
-    sigs = minhash_signatures(docs, n=2, num_perm=16)
+    sigs = minhash_signatures(shingle_sets(docs, n=2), num_perm=16)
     cands = {(r.id_a, r.id_b) for r in minhash_candidates(sigs, 16, bands=4).collect()}
     # banding with 4 bands of 4 rows: P(candidate) = 1-(1-j^4)^4 -> ~0.97 at j=0.9
     recall = len(truth & cands) / len(truth)
@@ -65,7 +66,7 @@ def test_minhash_no_false_certainty(spark):
     """Candidates are a CANDIDATE set: verification (exact jaccard) is what
     asserts near-dupness. Unrelated docs' jaccard stays low."""
     docs = _corpus(spark, n_dups=0)
-    sigs = minhash_signatures(docs, n=2, num_perm=16)
+    sigs = minhash_signatures(shingle_sets(docs, n=2), num_perm=16)
     cands = minhash_candidates(sigs, 16, bands=4)
     verified = cands.join(
         jaccard_pairs(docs, block=None, n=2, threshold=0.5).select("id_a", "id_b"),
