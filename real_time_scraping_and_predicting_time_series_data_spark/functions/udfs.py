@@ -1,0 +1,110 @@
+"""Python UDF surface (SURVEY.md §2.8 "UDF surface"): Arrow-vectorized
+pandas UDFs — scalar, grouped-aggregate — plus ``applyInPandas`` grouped
+map. These exist to prove the slow path is wired correctly (Arrow batching,
+schemas, null handling); every hot-path operator in this engine is
+expression-based precisely so these are rarely needed. The demo UDFs
+compute SQL-expressible math so the oracle can verify the Arrow round-trip
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import load_table
+from ..plans.registry import register
+
+
+@pandas_udf(T.DoubleType())
+def log_return(v: pd.Series) -> pd.Series:
+    """Scalar pandas UDF: ln(1+x) — vectorized numpy under Arrow."""
+    import numpy as np
+
+    return pd.Series(np.log1p(v))
+
+
+@pandas_udf(T.DoubleType())
+def weighted_mean(v: pd.Series, w: pd.Series) -> float:  # GROUPED_AGG (scalar return)
+    """Grouped-aggregate pandas UDF: Σvw/Σw per group."""
+    import numpy as np
+
+    den = float(np.sum(w))
+    return float(np.sum(v * w) / den) if den else float("nan")
+
+
+def grouped_zscore(df: DataFrame, key: str = "user_id", value: str = "value") -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-key z-score (population sd). The
+    expression twin is (x-avg)/stddev_pop over a key window — used by the
+    oracle."""
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("zscore", T.DoubleType()),
+        ]
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf[value].mean()
+        sd = pdf[value].std(ddof=0)
+        z = (pdf[value] - mu) / sd if sd else pdf[value] * 0.0
+        return pd.DataFrame({"user_id": pdf[key], "event_id": pdf["event_id"], "zscore": z})
+
+    return df.groupBy(key).applyInPandas(per_key, schema)
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (oracle-verified UDF round trips)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT event_id, round(ln(1 + value), 9) AS logret
+    FROM events WHERE value > -1
+    """,
+    tags=("udf", "pandas"),
+)
+def q_udf_scalar(spark, sf_dir):
+    """Arrow scalar pandas UDF vs its SQL twin."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > -1)
+    return ev.select("event_id", F.round(log_return("value"), 9).alias("logret"))
+
+
+@register(
+    "udf_grouped_agg_pandas",
+    oracle="""
+    SELECT user_id, round(sum(value * event_id) / sum(event_id), 6) AS wmean
+    FROM events GROUP BY user_id
+    """,
+    tags=("udf", "pandas", "agg"),
+)
+def q_udf_grouped_agg(spark, sf_dir):
+    """Grouped-agg pandas UDF (weighted mean, weights = event_id) vs SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(weighted_mean(F.col("value"), F.col("event_id").cast("double")), 6).alias("wmean")
+    )
+
+
+@register(
+    "udf_grouped_map_zscore",
+    oracle="""
+    SELECT user_id, event_id,
+           round((value - avg(value) OVER w) / stddev_pop(value) OVER w, 6) AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+    tags=("udf", "pandas", "grouped-map"),
+)
+def q_udf_grouped_map(spark, sf_dir):
+    """applyInPandas grouped map (per-key z-score) vs window-expression SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    out = grouped_zscore(ev)
+    return out.select("user_id", "event_id", F.round("zscore", 6).alias("zscore"))

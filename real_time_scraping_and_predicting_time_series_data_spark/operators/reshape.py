@@ -1,0 +1,151 @@
+"""Reshaping + sampling operators: pivot/unpivot, deterministic sampling,
+array/map scalar functions (SURVEY.md §2.8 "standard relational set").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import register
+
+__all__ = ["pivot_status", "unpivot_totals", "hash_mod_sample", "stratified_sample"]
+
+
+def pivot_status(orders: DataFrame) -> DataFrame:
+    """Wide pivot: one column per order status (Catalyst rewrites to
+    conditional aggregation — same plan as hand-written CASE sums, no extra
+    shuffle)."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+def unpivot_totals(wide: DataFrame) -> DataFrame:
+    """Melt the pivoted frame back to long form (ids × (status, total))."""
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["F", "O", "P"],
+        variableColumnName="status",
+        valueColumnName="total",
+    )
+
+
+def hash_mod_sample(df: DataFrame, id_col: str, pct: int = 10) -> DataFrame:
+    """Deterministic, reproducible sampling: keep rows whose key folds into
+    the first ``pct`` of 100 residue classes. Unlike ``TABLESAMPLE``/rand,
+    this survives re-runs, engine changes and repartitioning — the property
+    a 100 TB pipeline needs for stable held-out splits."""
+    return df.filter(F.pmod(F.col(id_col), F.lit(100)) < pct)
+
+
+def stratified_sample(df: DataFrame, strata_col: str, fractions: dict, seed: int = 42) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): engine-seeded, so
+    reproducible within Spark but not cross-engine (rows-only check)."""
+    return df.sampleBy(strata_col, fractions, seed)
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "reshape_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("reshape", "pivot"),
+)
+def q_pivot(spark, sf_dir):
+    """groupBy().pivot() wide aggregation."""
+    return pivot_status(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_total,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS o_total,
+               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p_total
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, total FROM (
+        SELECT o_orderpriority, 'F' AS status, f_total AS total FROM wide
+        UNION ALL SELECT o_orderpriority, 'O', o_total FROM wide
+        UNION ALL SELECT o_orderpriority, 'P', p_total FROM wide
+    ) t WHERE total IS NOT NULL
+    """,
+    tags=("reshape", "unpivot"),
+)
+def q_unpivot(spark, sf_dir):
+    """pivot → unpivot round trip (melt); NULL cells dropped like SQL
+    UNPIVOT's default."""
+    wide = pivot_status(load_table(spark, sf_dir, "orders"))
+    return unpivot_totals(wide).filter(F.col("total").isNotNull())
+
+
+@register(
+    "sample_hash_mod",
+    oracle="""
+    SELECT event_id, user_id, value FROM events WHERE event_id % 100 < 10
+    """,
+    tags=("sample",),
+)
+def q_hash_mod_sample(spark, sf_dir):
+    """Deterministic 10% key-residue sample."""
+    ev = load_table(spark, sf_dir, "events")
+    return hash_mod_sample(ev, "event_id", 10).select("event_id", "user_id", "value")
+
+
+@register("sample_stratified", oracle=None, tags=("sample", "stratified"))
+def q_stratified_sample(spark, sf_dir):
+    """Seeded per-stratum sampling (rows-only; fraction accuracy
+    pytest-asserted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang", {"en": 0.5, "fr": 0.2, "de": 0.2, "es": 0.2, "zh": 0.2})
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "array_fns_embeddings",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           CAST(len(v) AS INTEGER) AS dim,
+           round(list_max(v), 6) AS vmax,
+           round(list_min(v), 6) AS vmin,
+           round(list_sum(v), 6) AS vsum,
+           round(v[1], 6) AS first_component,
+           round(list_sort(v)[len(v)], 6) AS sorted_last,
+           round(list_sum(list_filter(v, x -> x > 0)), 6) AS pos_sum
+    FROM e
+    """,
+    tags=("scalar", "array"),
+)
+def q_array_fns(spark, sf_dir):
+    """Array scalar-function surface over the embedding column (size/min/
+    max/sum/index/sort/filter) — the multimodal-column toolkit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max(v), 6).alias("vmax"),
+        F.round(F.array_min(v), 6).alias("vmin"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("vsum"),
+        F.round(F.element_at(v, 1), 6).alias("first_component"),
+        F.round(F.element_at(F.array_sort(v), F.size("embedding")), 6).alias("sorted_last"),
+        F.round(
+            F.aggregate(F.filter(v, lambda x: x > 0), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("pos_sum"),
+    )

@@ -1,0 +1,228 @@
+"""Rolling / resampling time-series operators extending the reference's
+window family (W1-W4): moving statistics, EWMA, fixed-grid resampling with
+gap-fill, and quantiles. All window-function compositions — one hash
+partition per key, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.asof import asof_join
+from ..plans.registry import register
+
+__all__ = ["rolling_stats", "ewma", "resample_grid"]
+
+
+def rolling_stats(
+    df: DataFrame,
+    n: int = 5,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Trailing-n moving avg/min/max/stddev per key (the reference recomputes
+    these over the whole history per plot tick, A2/A3 — here a proper
+    bounded row frame)."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    return df.select(
+        key,
+        tiebreak,
+        value,
+        F.avg(value).over(w).alias("roll_avg"),
+        F.min(value).over(w).alias("roll_min"),
+        F.max(value).over(w).alias("roll_max"),
+        F.stddev_samp(value).over(w).alias("roll_std"),
+        F.count(value).over(w).alias("roll_n"),
+    )
+
+
+def ewma(
+    df: DataFrame,
+    alpha: float = 0.3,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+    out: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average, exact recursive form
+    (ewma_t = α·x_t + (1-α)·ewma_{t-1}, seeded with the first value).
+
+    The recursion is a left fold over the per-key prefix: ``collect_list``
+    over a cumulative row frame + ``aggregate``. Deterministic order (the
+    window's), so cross-engine reproducible. O(n²) per key in the worst
+    case (prefix arrays); for unbounded streams the stateful gate
+    (streaming/stateful.py) carries the same recursion in O(1) state —
+    this batch form is for bounded backfills.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = F.collect_list(value).over(w)
+    folded = F.aggregate(
+        F.slice(prefix, 2, F.greatest(F.size(prefix) - 1, F.lit(0))),
+        F.element_at(prefix, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return df.withColumn(out, folded)
+
+
+def resample_grid(
+    df: DataFrame,
+    step: str = "1 hour",
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Resample irregular ticks onto a fixed per-key grid with last-value
+    gap-fill (hypertable rollup / time_bucket_gapfill semantics):
+
+    1. per key: [min_bucket, max_bucket] span (one agg);
+    2. explode the bucket sequence (no cross join, no driver loop);
+    3. backward as-of join the original ticks onto grid points.
+    """
+    spans = df.groupBy(key).agg(
+        F.date_trunc("hour", F.min(ts)).alias("_lo"),
+        F.date_trunc("hour", F.max(ts)).alias("_hi"),
+    )
+    grid = spans.select(
+        key,
+        F.explode(F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))).alias("grid_ts"),
+    )
+    left = grid.select(
+        key, F.col("grid_ts").alias(ts), F.monotonically_increasing_id().alias(tiebreak)
+    )
+    right = df.select(key, ts, tiebreak, value)
+    filled = asof_join(left, right, on=key, ts=ts, right_value_cols=(value,), tiebreak=tiebreak)
+    return filled.select(key, F.col(ts).alias("grid_ts"), F.col(f"{value}_right").alias("filled_value"))
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_rolling_stats",
+    oracle="""
+    SELECT user_id, event_id, value,
+           round(avg(value) OVER w, 6) AS roll_avg,
+           round(min(value) OVER w, 6) AS roll_min,
+           round(max(value) OVER w, 6) AS roll_max,
+           round(coalesce(stddev_samp(value) OVER w, 0.0), 6) AS roll_std,
+           CAST(count(value) OVER w AS BIGINT) AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("timeseries", "rolling"),
+)
+def q_rolling_stats(spark, sf_dir):
+    """Trailing-5 moving statistics per key."""
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_stats(ev, n=5)
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round("roll_avg", 6).alias("roll_avg"),
+        F.round("roll_min", 6).alias("roll_min"),
+        F.round("roll_max", 6).alias("roll_max"),
+        F.round(F.coalesce("roll_std", F.lit(0.0)), 6).alias("roll_std"),
+        F.col("roll_n").cast("long").alias("roll_n"),
+    )
+
+
+@register(
+    "ts_ewma",
+    oracle="""
+    WITH pre AS (
+        SELECT user_id, event_id, value,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+        FROM events
+    )
+    SELECT user_id, event_id, value,
+           round(list_reduce(prefix, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+    FROM pre
+    """,
+    tags=("timeseries", "ewma"),
+)
+def q_ewma(spark, sf_dir):
+    """Exact recursive EWMA (α=0.3) per key — left fold over the ordered
+    prefix, reproduced independently by DuckDB's list_reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma(ev, alpha=0.3)
+    return out.select("user_id", "event_id", "value", F.round("ewma", 6).alias("ewma"))
+
+
+@register(
+    "ts_resample_gapfill",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS grid_ts
+        FROM spans
+    ), ticks AS (
+        SELECT user_id, date_trunc('microseconds', ts) AS ts, value FROM events
+    )
+    SELECT g.user_id, g.grid_ts, t.value AS filled_value
+    FROM grid g ASOF LEFT JOIN ticks t
+      ON g.user_id = t.user_id AND g.grid_ts >= t.ts
+    """,
+    tags=("timeseries", "resample"),
+)
+def q_resample(spark, sf_dir):
+    """Hourly grid resample with last-value gap-fill per key."""
+    ev = load_table(spark, sf_dir, "events")
+    return resample_grid(ev, step="1 hour")
+
+
+@register(
+    "ts_quantiles",
+    oracle="""
+    SELECT user_id,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY user_id
+    """,
+    tags=("timeseries", "quantile"),
+)
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated per-key quantiles (`percentile` ≡ DuckDB
+    quantile_cont). The approx_percentile variant for 100 TB-scale single
+    -pass sketching is `ts_quantiles_approx` (rows-only)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@register("ts_quantiles_approx", oracle=None, tags=("timeseries", "quantile", "sketch"))
+def q_quantiles_approx(spark, sf_dir):
+    """approx_percentile (KLL-style sketch): the mergeable single-pass
+    quantile path for 100 TB — rows-only (sketch internals engine-specific);
+    accuracy vs exact quantiles is pytest-asserted."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+        F.approx_count_distinct("value").alias("ndv_approx"),
+    )

@@ -48,6 +48,9 @@ _QUERY_MODULES = (
     "real_time_scraping_and_predicting_time_series_data_spark.plans.flagship",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.relational",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries",
+    "real_time_scraping_and_predicting_time_series_data_spark.operators.rolling",
+    "real_time_scraping_and_predicting_time_series_data_spark.operators.reshape",
+    "real_time_scraping_and_predicting_time_series_data_spark.functions.udfs",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.asof",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.dedup",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.similarity",
