@@ -698,3 +698,100 @@ def scalar_conditional_fns(spark, sf_dir):
         F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
         F.least(F.round(F.col("c_acctbal"), 0), F.lit(9999.0)).alias("bal_cap"),
     )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("relational", "join", "topk"),
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: lost-revenue ranking over returned items — fact
+    filter pushed to the scan, nation broadcast, top-20 without full sort."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS totalprice,
+           round(t.total_qty, 2) AS total_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 250) t
+      ON o.o_orderkey = t.l_orderkey
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate-then-join (orders whose line quantities
+    exceed a threshold) — the agg shrinks the fact before the join."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 250)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "monthly_revenue_trend",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', l_shipdate) AS month,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY date_trunc('month', l_shipdate)
+    )
+    SELECT month, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta
+    FROM m
+    """,
+    tags=("relational", "date", "window"),
+)
+def monthly_revenue_trend(spark, sf_dir):
+    """Monthly revenue with month-over-month delta (agg → ordered window).
+
+    The trend window is a single global ordering over ~#months rows (tiny
+    post-aggregation), so the unpartitioned window is safe at any scale."""
+    l = _t(spark, sf_dir, "lineitem")
+    m = l.groupBy(F.date_trunc("month", "l_shipdate").alias("month")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month", "revenue", F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("mom_delta")
+    )
