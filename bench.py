@@ -37,6 +37,12 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "sim_bruteforce_topk",
     "text_quality_scores",
+    "text_tfidf",
+    "ts_ewma",
+    "ts_resample_gapfill",
+    "q10_returned_items",
+    "dedup_jaccard_pairs",
+    "skew_salted_join",
 ]
 
 

@@ -16,7 +16,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["TABLES", "SCHEMAS", "load_table", "register_views", "default_sf_dir"]
+__all__ = [
+    "TABLES",
+    "SCHEMAS",
+    "load_table",
+    "register_views",
+    "default_sf_dir",
+    "ensure_min_partitions",
+]
+
+
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions.
+
+    Small parquet files arrive as a single partition, which serializes any
+    compute-heavy derivation (tokenize/shingle/hash) onto one core. At
+    cluster scale real inputs split by ``maxPartitionBytes`` and this is a
+    no-op; locally it unlocks the full local[N] parallelism for a
+    negligible shuffle of the raw rows."""
+    if min_parts is None:
+        min_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df
 
 # All driver-provided tables (TESTDATA.md / FIXTURES.md).
 TABLES = (

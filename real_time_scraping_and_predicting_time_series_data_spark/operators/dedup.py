@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import ensure_min_partitions, load_table
 from ..functions.vector import as_double, cosine, hamming64
 from ..plans.registry import register
 
@@ -329,7 +329,8 @@ def q_dedup_exact_survivors(spark, sf_dir):
         FROM documents
     ), sh AS (
         SELECT doc_id, source,
-               list_distinct([words[i] || ' ' || words[i+1] FOR i IN range(1, len(words))]) AS grams
+               list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                              FOR i IN range(1, len(words) - 1)]) AS grams
         FROM toks
     ), sized AS (
         SELECT doc_id, source, grams, len(grams) AS set_size FROM sh
@@ -351,9 +352,14 @@ def q_dedup_exact_survivors(spark, sf_dir):
     tags=("dedup", "jaccard"),
 )
 def q_dedup_jaccard(spark, sf_dir):
-    """Exact 2-gram Jaccard pairs (source-blocked inverted-index join)."""
-    docs = load_table(spark, sf_dir, "documents")
-    out = jaccard_pairs(docs, block="source", n=2, threshold=0.05)
+    """Exact 3-gram Jaccard pairs (source-blocked inverted-index join).
+
+    3-grams (not 2-grams) keep per-shingle document frequency low on this
+    small-vocabulary corpus, bounding the Σ df² join fan-out — shingle
+    width is THE knob that keeps the exact op sub-quadratic; MinHash-LSH
+    (dedup_minhash_pairs) is the path when even that is too hot."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = jaccard_pairs(docs, block="source", n=3, threshold=0.05)
     return out.select("id_a", "id_b", "n_common", F.round("jaccard", 9).alias("jaccard"))
 
 
@@ -377,7 +383,7 @@ def q_dedup_minhash(spark, sf_dir):
     property-tested). The shingle sets are materialized once
     (localCheckpoint) and shared by the signature and verification stages —
     at cluster scale this is a persisted intermediate table."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     sets = shingle_sets(docs, n=2).localCheckpoint(eager=False)
     sigs = minhash_signatures(sets, num_perm=16).localCheckpoint(eager=False)
     cands = minhash_candidates(sigs, num_perm=16, bands=4)
@@ -389,7 +395,7 @@ def q_dedup_minhash(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs at Hamming ≤ 20 (rows-only; banding recall
     property-tested)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     fps = simhash(docs)
     return simhash_pairs(fps, max_hamming=20, bands=4)
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import ensure_min_partitions, load_table
 from ..plans.registry import register
 
 __all__ = ["words_of", "quality_scores", "langid_scores", "tfidf", "fingerprint"]
@@ -239,7 +239,7 @@ def q_text_token_topk(spark, sf_dir):
 )
 def q_text_tfidf(spark, sf_dir):
     """TF-IDF inverted index over the corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return tfidf(docs)
 
 
@@ -266,5 +266,5 @@ def q_text_tfidf(spark, sf_dir):
 def q_text_fingerprint(spark, sf_dir):
     """Deterministic polynomial document fingerprint (integer arithmetic —
     exact cross-engine parity, no hash-library dependence)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return fingerprint(docs)

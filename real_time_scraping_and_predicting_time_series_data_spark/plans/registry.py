@@ -58,6 +58,8 @@ _QUERY_MODULES = (
     "real_time_scraping_and_predicting_time_series_data_spark.operators.multimodal",
     "real_time_scraping_and_predicting_time_series_data_spark.sources.json_extract",
     "real_time_scraping_and_predicting_time_series_data_spark.ml.forecast",
+    "real_time_scraping_and_predicting_time_series_data_spark.ml.mllib_forecast",
+    "real_time_scraping_and_predicting_time_series_data_spark.operators.skew",
 )
 
 _loaded = False

@@ -1,0 +1,55 @@
+"""Stateful-operator restart correctness (SURVEY.md §7 hard/risky #2):
+the keyed (last_price, first_price) state must survive a query stop +
+restart from the same checkpoint — the change gate must NOT re-emit or
+re-anchor after recovery."""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_scraping_and_predicting_time_series_data_spark.sources.streams import (
+    file_tick_stream,
+)
+from real_time_scraping_and_predicting_time_series_data_spark.streaming.stateful import (
+    streaming_ticks,
+)
+
+from tests.test_streaming import _write_poll_file
+
+
+def _run_to_parquet(spark, drop, ckpt, out):
+    """The memory sink cannot recover from a checkpoint; the parquet sink
+    can — use it for restart semantics."""
+    q = (
+        streaming_ticks(file_tick_stream(spark, drop))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {r.event_id: r for r in spark.read.parquet(out).collect()}
+
+
+def test_state_survives_restart(spark, tmp_path):
+    drop, ckpt, out = str(tmp_path / "drop"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    # run 1: establish state (first=100 anchors variation; last=101)
+    _write_poll_file(drop, "poll_000.json", [(0, 0, 1, 100.0), (1, 10, 1, 101.0)])
+    first_run = _run_to_parquet(spark, drop, ckpt, out)
+    assert set(first_run) == {0, 1}
+
+    # run 2 (fresh query object, same checkpoint): a duplicate of the last
+    # retained price (must be DROPPED - last_price recovered) and a new
+    # price (variation must use the ORIGINAL anchor 100.0, not re-anchor)
+    _write_poll_file(drop, "poll_001.json", [(2, 20, 1, 101.0), (3, 30, 1, 150.0)])
+    second = _run_to_parquet(spark, drop, ckpt, out)
+
+    assert 2 not in second, "duplicate re-emitted: last_price state lost on restart"
+    assert 3 in second
+    assert second[3].variation == pytest.approx(150.0 / 100.0 - 1), (
+        "variation re-anchored: first_price state lost on restart"
+    )
+    assert set(second) == {0, 1, 3}  # committed batch-1 output not duplicated
