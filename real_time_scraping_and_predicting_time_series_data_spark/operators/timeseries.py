@@ -396,3 +396,33 @@ def q_running_extrema(spark, sf_dir):
         F.round(F.max("value"), 6).alias("max_value"),
         F.round(F.avg("value"), 6).alias("avg_value"),
     )
+
+
+@register(
+    "ts_timestamp_arithmetic",
+    oracle="""
+    SELECT e.event_id, CAST(s.step AS INTEGER) AS step,
+           date_trunc('microseconds', e.ts) + s.step * INTERVAL 1 MINUTE AS target_ts,
+           CAST(date_diff('second', date_trunc('microseconds', e.ts),
+                date_trunc('microseconds', e.ts) + s.step * INTERVAL 1 MINUTE) AS BIGINT)
+               AS horizon_seconds
+    FROM events e CROSS JOIN (SELECT unnest([1, 2, 3]) AS step) s
+    """,
+    tags=("timeseries", "P10"),
+)
+def q_timestamp_arithmetic(spark, sf_dir):
+    """P10: synthetic future event-times — the reference stamps each
+    forecast ``now + i minutes`` (``lvmh_forecaster2.py:162,181``); here the
+    horizon fan-out is an explode + interval arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "ts", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("step"))
+        .select(
+            "event_id",
+            "step",
+            F.expr("timestampadd(MINUTE, step, ts)").alias("target_ts"),
+            F.expr("timestampdiff(SECOND, ts, timestampadd(MINUTE, step, ts))")
+            .cast("long")
+            .alias("horizon_seconds"),
+        )
+    )

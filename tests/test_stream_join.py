@@ -1,0 +1,67 @@
+"""Stream-stream interval join (J1 streaming variant): buffered state,
+range condition, batch/stream agreement."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from real_time_scraping_and_predicting_time_series_data_spark.sources.streams import (
+    TICK_SCHEMA,
+    file_tick_stream,
+)
+from real_time_scraping_and_predicting_time_series_data_spark.streaming.joins import (
+    stream_interval_join,
+)
+
+from tests.test_streaming import BASE, _write_poll_file
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    drop_l, drop_r = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    # left: clicks at t=0s,600s; right: purchases at 60s (joins to t=0),
+    # 1200s (joins to t=600), 5000s (joins to nothing within 10 min)
+    _write_poll_file(drop_l, "poll_000.json", [(0, 0, 1, 1.0), (1, 600, 1, 2.0)])
+    _write_poll_file(drop_r, "poll_000.json", [(100, 60, 1, 10.0), (101, 1200, 1, 20.0)])
+    _write_poll_file(drop_r, "poll_001.json", [(102, 5000, 1, 30.0)])
+
+    joined = stream_interval_join(
+        file_tick_stream(spark, drop_l),
+        file_tick_stream(spark, drop_r),
+        interval="10 minutes",
+        watermark="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    assert got == {(0, 100), (1, 101)}
+
+    # batch twin on the union of all rows must agree
+    rows_l = [(0, 0, 1, 1.0), (1, 600, 1, 2.0)]
+    rows_r = [(100, 60, 1, 10.0), (101, 1200, 1, 20.0), (102, 5000, 1, 30.0)]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(e, BASE + dt.timedelta(seconds=s), u, v) for e, s, u, v in rows], TICK_SCHEMA
+    )
+    l, r = mk(rows_l), mk(rows_r)
+    batch = (
+        l.alias("l")
+        .join(
+            r.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") > F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(F.col("l.event_id").alias("le"), F.col("r.event_id").alias("re"))
+    )
+    assert {(x.le, x.re) for x in batch.collect()} == got
