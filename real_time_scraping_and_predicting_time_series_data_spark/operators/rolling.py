@@ -226,3 +226,137 @@ def q_quantiles_approx(spark, sf_dir):
         F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
         F.approx_count_distinct("value").alias("ndv_approx"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 3600,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap to the
+    previous event exceeds ``gap_seconds`` (the batch twin of
+    ``session_window`` in streaming/windows.py). Classic lag + cumulative
+    sum of session-start flags — one key shuffle."""
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    prev_us = F.lag(F.unix_micros(F.col(ts))).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col(ts)) - prev_us > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    cum = Window.partitionBy(key).orderBy(ts, tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_id", F.sum(new_sess).over(cum))
+
+
+def resample_interpolate(
+    df: DataFrame,
+    step: str = "1 hour",
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Fixed-grid resample with LINEAR interpolation between the bracketing
+    ticks (vs. resample_grid's last-value fill): backward + forward as-of
+    joins fetch the brackets, the interpolation is pure arithmetic.
+    Endpoints degrade gracefully (only one bracket -> that value)."""
+    spans = df.groupBy(key).agg(
+        F.date_trunc("hour", F.min(ts)).alias("_lo"),
+        F.date_trunc("hour", F.max(ts)).alias("_hi"),
+    )
+    grid = spans.select(
+        key, F.explode(F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))).alias("grid_ts")
+    )
+    left = grid.select(
+        key, F.col("grid_ts").alias(ts), F.monotonically_increasing_id().alias(tiebreak)
+    )
+    ticks = df.select(key, ts, tiebreak, value)
+    back = asof_join(
+        left, ticks, on=key, ts=ts, right_value_cols=(value, ts), tiebreak=tiebreak, suffix="_prev"
+    )
+    both = asof_join(
+        back,
+        ticks,
+        on=key,
+        ts=ts,
+        right_value_cols=(value, ts),
+        tiebreak=tiebreak,
+        direction="forward",
+        suffix="_next",
+    )
+    vp, vn = F.col(f"{value}_prev"), F.col(f"{value}_next")
+    tp, tn = F.unix_micros(f"{ts}_prev"), F.unix_micros(f"{ts}_next")
+    tg = F.unix_micros(F.col(ts))
+    interp = (
+        F.when(vp.isNull(), vn)
+        .when(vn.isNull(), vp)
+        .when(tn == tp, vp)
+        .otherwise(vp + (vn - vp) * (tg - tp) / (tn - tp))
+    )
+    return both.select(key, F.col(ts).alias("grid_ts"), interp.alias("interp_value"))
+
+
+@register(
+    "ts_sessionize",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(epoch_us(date_trunc('microseconds', ts))) OVER w IS NULL
+                      OR epoch_us(date_trunc('microseconds', ts))
+                         - lag(epoch_us(date_trunc('microseconds', ts))) OVER w > 3600000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) t
+    """,
+    tags=("timeseries", "session"),
+)
+def q_sessionize(spark, sf_dir):
+    """Gap-based batch sessionization (1 h gap) — the batch twin of the
+    streaming session_window."""
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize(ev, gap_seconds=3600)
+    return out.select("event_id", "user_id", F.col("session_id").cast("long").alias("session_id"))
+
+
+@register(
+    "ts_resample_interpolate",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS grid_ts FROM spans
+    ), ticks AS (
+        SELECT user_id, date_trunc('microseconds', ts) AS ts, value FROM events
+    ), b AS (
+        SELECT g.user_id, g.grid_ts, t.value AS v_prev, t.ts AS ts_prev
+        FROM grid g ASOF LEFT JOIN ticks t ON g.user_id = t.user_id AND g.grid_ts >= t.ts
+    ), f AS (
+        SELECT g.user_id, g.grid_ts, t.value AS v_next, t.ts AS ts_next
+        FROM grid g ASOF LEFT JOIN ticks t ON g.user_id = t.user_id AND g.grid_ts <= t.ts
+    )
+    SELECT b.user_id, b.grid_ts,
+           round(CASE
+               WHEN v_prev IS NULL THEN v_next
+               WHEN v_next IS NULL THEN v_prev
+               WHEN ts_next = ts_prev THEN v_prev
+               ELSE v_prev + (v_next - v_prev)
+                    * (epoch_us(b.grid_ts) - epoch_us(ts_prev))
+                    / (epoch_us(ts_next) - epoch_us(ts_prev))
+           END, 6) AS interp_value
+    FROM b JOIN f ON b.user_id = f.user_id AND b.grid_ts = f.grid_ts
+    """,
+    tags=("timeseries", "resample", "interpolate"),
+)
+def q_resample_interpolate(spark, sf_dir):
+    """Hourly grid resample with linear interpolation between brackets."""
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_interpolate(ev, step="1 hour")
+    return out.select("user_id", "grid_ts", F.round("interp_value", 6).alias("interp_value"))

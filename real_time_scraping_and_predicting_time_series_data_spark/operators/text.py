@@ -268,3 +268,30 @@ def q_text_fingerprint(spark, sf_dir):
     exact cross-engine parity, no hash-library dependence)."""
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return fingerprint(docs)
+
+
+@register(
+    "text_edit_distance_pairs",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_distance
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 8
+    """,
+    tags=("text", "similarity", "levenshtein"),
+)
+def q_edit_distance(spark, sf_dir):
+    """Edit-distance near-dup pairs within a blocking key (brand) —
+    character-level complement to the token-level Jaccard/MinHash family.
+    The blocked self-join bounds the O(|block|²) pair generation."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey").alias("key_a"), "p_brand", F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("key_b"), "p_brand", F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, "p_brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_distance") <= 8)
+        .select("key_a", "key_b", "edit_distance")
+    )

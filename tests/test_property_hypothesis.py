@@ -1,0 +1,94 @@
+"""Hypothesis property tests (SURVEY.md §5.4): reference invariants hold on
+arbitrary tick sequences, not just the curated fixtures.
+
+Each example runs a Spark job, so examples are few and small — the point is
+adversarial inputs (all-equal runs, negative prices, single elements),
+which hypothesis finds and the fixture tests don't."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from real_time_scraping_and_predicting_time_series_data_spark.operators.asof import fifo_align
+from real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries import (
+    anchored_variation,
+    change_dedup,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+# values from a tiny alphabet -> consecutive duplicates are common
+values = st.lists(
+    st.sampled_from([1.0, 2.0, 2.5, -3.0, 100.0]), min_size=1, max_size=12
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, vals):
+    rows = [
+        (i, BASE + dt.timedelta(seconds=5 * i), 1, float(v)) for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+
+
+def _python_reference(vals):
+    """asyncio scraping.py:45-52,80 in plain python."""
+    retained, last = [], None
+    for i, v in enumerate(vals):
+        if last is None or v != last:
+            retained.append((i, v))
+            last = v
+    first = retained[0][1]
+    return [(i, v, v / first - 1) for i, v in retained]
+
+
+@given(vals=values)
+@SLOW
+def test_dedup_variation_matches_python_reference(spark, vals):
+    got = sorted(
+        (r.event_id, r.value, r.variation)
+        for r in anchored_variation(change_dedup(_df(spark, vals))).collect()
+    )
+    want = sorted(_python_reference(vals))
+    assert [(e, v) for e, v, _ in got] == [(e, v) for e, v, _ in want]
+    for (_, _, g), (_, _, w) in zip(got, want):
+        assert g == pytest.approx(w, abs=1e-12)
+
+
+@given(vals=values)
+@SLOW
+def test_dedup_invariants(spark, vals):
+    out = change_dedup(_df(spark, vals)).orderBy("ts", "event_id").collect()
+    # no equal consecutive values survive
+    for a, b in zip(out, out[1:]):
+        assert a.value != b.value
+    # first raw row always kept; retained is a subsequence of the input
+    assert out[0].event_id == 0
+    ids = [r.event_id for r in out]
+    assert ids == sorted(ids)
+
+
+@given(vals=values, offset=st.integers(min_value=0, max_value=4))
+@SLOW
+def test_fifo_align_injective_and_ordered(spark, vals, offset):
+    df = _df(spark, vals)
+    out = fifo_align(df, df, offset=offset).collect()
+    matched = sorted(
+        (r.event_id, r.r_event_id) for r in out if r.r_event_id is not None
+    )
+    rights = [b for _, b in matched]
+    assert len(set(rights)) == len(rights)  # injective
+    assert rights == sorted(rights)  # order-preserving
+    # pairing distance is exactly `offset` positions
+    for a, b in matched:
+        assert b - a == offset
