@@ -85,14 +85,14 @@ def q1_pricing_summary(spark, sf_dir):
     oracle="""
     SELECT l.l_orderkey,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           o.o_orderdate, o.o_orderpriority
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
       AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
       AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    GROUP BY l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'), o.o_orderpriority
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
     """,
@@ -114,7 +114,7 @@ def q3_shipping_priority(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .select("l_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "o_orderpriority")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -614,7 +614,7 @@ def scalar_string_fns(spark, sf_dir):
            CAST(year(o_orderdate) AS INTEGER) AS order_year,
            CAST(month(o_orderdate) AS INTEGER) AS order_month,
            CAST(date_part('day', o_orderdate) AS INTEGER) AS order_day,
-           date_trunc('month', o_orderdate) AS month_start,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
            CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS BIGINT)
                AS days_to_2002
@@ -630,7 +630,7 @@ def scalar_date_fns(spark, sf_dir):
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
         F.dayofmonth("o_orderdate").alias("order_day"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
         F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
         .cast("long")
@@ -772,9 +772,9 @@ def q18_large_orders(spark, sf_dir):
     "monthly_revenue_trend",
     oracle="""
     WITH m AS (
-        SELECT date_trunc('month', l_shipdate) AS month,
+        SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM lineitem GROUP BY date_trunc('month', l_shipdate)
+        FROM lineitem GROUP BY strftime(date_trunc('month', l_shipdate), '%Y-%m-%d')
     )
     SELECT month, revenue,
            round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta
@@ -788,7 +788,9 @@ def monthly_revenue_trend(spark, sf_dir):
     The trend window is a single global ordering over ~#months rows (tiny
     post-aggregation), so the unpartitioned window is safe at any scale."""
     l = _t(spark, sf_dir, "lineitem")
-    m = l.groupBy(F.date_trunc("month", "l_shipdate").alias("month")).agg(
+    m = l.groupBy(
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias("month")
+    ).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )
     w = Window.orderBy("month")

@@ -179,7 +179,8 @@ def q_ewma(spark, sf_dir):
     ), ticks AS (
         SELECT user_id, date_trunc('microseconds', ts) AS ts, value FROM events
     )
-    SELECT g.user_id, g.grid_ts, t.value AS filled_value
+    SELECT g.user_id, strftime(g.grid_ts, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+           t.value AS filled_value
     FROM grid g ASOF LEFT JOIN ticks t
       ON g.user_id = t.user_id AND g.grid_ts >= t.ts
     """,
@@ -188,7 +189,12 @@ def q_ewma(spark, sf_dir):
 def q_resample(spark, sf_dir):
     """Hourly grid resample with last-value gap-fill per key."""
     ev = load_table(spark, sf_dir, "events")
-    return resample_grid(ev, step="1 hour")
+    out = resample_grid(ev, step="1 hour")
+    return out.select(
+        "user_id",
+        F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+        "filled_value",
+    )
 
 
 @register(
@@ -342,7 +348,7 @@ def q_sessionize(spark, sf_dir):
         SELECT g.user_id, g.grid_ts, t.value AS v_next, t.ts AS ts_next
         FROM grid g ASOF LEFT JOIN ticks t ON g.user_id = t.user_id AND g.grid_ts <= t.ts
     )
-    SELECT b.user_id, b.grid_ts,
+    SELECT b.user_id, strftime(b.grid_ts, '%Y-%m-%d %H:%M:%S') AS grid_ts,
            round(CASE
                WHEN v_prev IS NULL THEN v_next
                WHEN v_next IS NULL THEN v_prev
@@ -359,4 +365,8 @@ def q_resample_interpolate(spark, sf_dir):
     """Hourly grid resample with linear interpolation between brackets."""
     ev = load_table(spark, sf_dir, "events")
     out = resample_interpolate(ev, step="1 hour")
-    return out.select("user_id", "grid_ts", F.round("interp_value", 6).alias("interp_value"))
+    return out.select(
+        "user_id",
+        F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+        F.round("interp_value", 6).alias("interp_value"),
+    )

@@ -342,7 +342,7 @@ def q_minmax_scale(spark, sf_dir):
 @register(
     "ts_tumbling_agg",
     oracle="""
-    SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+    SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
            CAST(count(*) AS BIGINT) AS n_events,
            round(avg(value), 6) AS avg_value,
            round(min(value), 6) AS min_value,
@@ -367,7 +367,7 @@ def q_tumbling_agg(spark, sf_dir):
         )
         .select(
             "user_id",
-            F.col("w.start").alias("bucket_start"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
             "n_events",
             "avg_value",
             "min_value",
@@ -402,7 +402,8 @@ def q_running_extrema(spark, sf_dir):
     "ts_timestamp_arithmetic",
     oracle="""
     SELECT e.event_id, CAST(s.step AS INTEGER) AS step,
-           date_trunc('microseconds', e.ts) + s.step * INTERVAL 1 MINUTE AS target_ts,
+           strftime(date_trunc('microseconds', e.ts) + s.step * INTERVAL 1 MINUTE,
+                    '%Y-%m-%d %H:%M:%S.%f') AS target_ts,
            CAST(date_diff('second', date_trunc('microseconds', e.ts),
                 date_trunc('microseconds', e.ts) + s.step * INTERVAL 1 MINUTE) AS BIGINT)
                AS horizon_seconds
@@ -420,7 +421,9 @@ def q_timestamp_arithmetic(spark, sf_dir):
         .select(
             "event_id",
             "step",
-            F.expr("timestampadd(MINUTE, step, ts)").alias("target_ts"),
+            F.date_format(
+                F.expr("timestampadd(MINUTE, step, ts)"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("target_ts"),
             F.expr("timestampdiff(SECOND, ts, timestampadd(MINUTE, step, ts))")
             .cast("long")
             .alias("horizon_seconds"),
