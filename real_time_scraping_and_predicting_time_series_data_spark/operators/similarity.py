@@ -85,12 +85,16 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec: str = "embedding",
     query_id: str = "query_id",
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """ANN top-k: exact ranking restricted to the query's SRP bucket.
+    """ANN top-k: exact ranking restricted to the query's SRP bucket(s).
 
     Join on bucket equality instead of cross join — candidate count drops by
-    ~2^bits. (Multi-probe = also joining neighbor buckets — left as the
-    recall knob; tests measure recall vs brute force.)
+    ~2^bits. ``multi_probe`` additionally probes every bucket at Hamming
+    distance 1 from the query's (bits+1 probes): near-boundary neighbors
+    whose sign flipped on one hyperplane are recovered, trading candidate
+    volume (×(bits+1)/2^bits of the corpus) for recall — the standard
+    multi-probe LSH knob.
     """
     c = srp_buckets(
         corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec)).alias("v_c")),
@@ -101,6 +105,11 @@ def lsh_topk(
     q = srp_buckets(
         queries.select(F.col(query_id), as_double(F.col(vec)).alias("v_q")), "v_q", bits, dim
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)]
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col(query_id))

@@ -164,3 +164,27 @@ def test_bruteforce_topk_matches_numpy(spark):
     assert [g[0] for g in got] == [w[0] for w in want]
     for g, w in zip(got, want):
         assert g[1] == pytest.approx(w[1], abs=1e-6)
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    """Multi-probe must strictly widen the candidate set and not hurt
+    recall@5 vs brute force."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(multi):
+        ann = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_topk(emb, queries, k=5, bits=4, multi_probe=multi).collect()
+        }
+        return len(bf & ann) / len(bf)
+
+    r_single, r_multi = recall(False), recall(True)
+    assert r_multi >= r_single
+    assert r_multi >= 0.4, (r_single, r_multi)

@@ -125,3 +125,20 @@ def test_frame_sample_bounds(assets):
     for r in out:
         assert 0 <= r.frame_idx < r.n_frames
         assert r.frame_idx % 7 == 0
+
+
+def test_keras_path_gated_cleanly(spark):
+    """The Keras fidelity path must import everywhere and fail with a clear
+    actionable error (not an ImportError at import time) when the backend
+    is absent."""
+    from real_time_scraping_and_predicting_time_series_data_spark.ml.keras_forecast import (
+        HAS_KERAS,
+        KerasLSTMForecaster,
+    )
+
+    m = KerasLSTMForecaster()
+    if HAS_KERAS:  # environment-dependent: exercise for real if available
+        m.build_model()
+    else:
+        with pytest.raises(RuntimeError, match="tensorflow/keras is not installed"):
+            m.build_model()
