@@ -154,7 +154,7 @@ def q_rolling_stats(spark, sf_dir):
         FROM events
     )
     SELECT user_id, event_id, value,
-           round(list_reduce(prefix, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+           floor(list_reduce(prefix, (acc, x) -> 0.3 * x + 0.7 * acc) * 10000 + 0.5) / 10000 AS ewma
     FROM pre
     """,
     tags=("timeseries", "ewma"),
@@ -164,7 +164,18 @@ def q_ewma(spark, sf_dir):
     prefix, reproduced independently by DuckDB's list_reduce."""
     ev = load_table(spark, sf_dir, "events")
     out = ewma(ev, alpha=0.3)
-    return out.select("user_id", "event_id", "value", F.round("ewma", 6).alias("ewma"))
+    # Explicit half-up canonicalization floor(x*1e4 + 0.5)/1e4 instead of
+    # round(): the exact decimal EWMA of 2-decimal inputs frequently lands
+    # ON a rounding boundary (e.g. 26.92725), and Spark (BigDecimal
+    # half-up on the binary value) vs DuckDB (fp-multiply half-away)
+    # resolve such boundaries differently. floor/mul/add are bit-identical
+    # IEEE ops in both engines, so the canonical value is too.
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.floor(F.col("ewma") * 10000 + 0.5) / 10000).alias("ewma"),
+    )
 
 
 @register(

@@ -1,0 +1,105 @@
+"""Statistical aggregates + collection aggregation (SURVEY.md §2.8
+"standard relational set", statistical tail): correlation/covariance,
+per-key linear trend via regr_* aggregates (the closed-form cousin of the
+ml/ forecasters), histograms, ordered collection aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import register
+
+
+@register(
+    "stats_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(stddev_samp(l_extendedprice), 4) AS price_sd,
+           round(var_samp(l_quantity), 6) AS qty_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("stats", "agg"),
+)
+def q_corr_covar(spark, sf_dir):
+    """Correlation / covariance / variance aggregates per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_sd"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+    )
+
+
+@register(
+    "stats_linear_trend",
+    oracle="""
+    SELECT user_id,
+           round(regr_slope(value, epoch_us(date_trunc('microseconds', ts)) / 86400000000.0), 6)
+               AS slope_per_day,
+           round(regr_intercept(value, epoch_us(date_trunc('microseconds', ts)) / 86400000000.0), 4)
+               AS intercept,
+           round(regr_r2(value, epoch_us(date_trunc('microseconds', ts)) / 86400000000.0), 6)
+               AS r2
+    FROM events GROUP BY user_id
+    """,
+    tags=("stats", "trend", "timeseries"),
+)
+def q_linear_trend(spark, sf_dir):
+    """Per-key linear trend (value ~ time) via regr_* aggregates — the
+    one-shuffle closed-form trend extractor complementing the lag-feature
+    forecasters (a 100 TB trend scan is a single grouped aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / F.lit(86400000000.0)  # days since epoch
+    return ev.groupBy("user_id").agg(
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+    )
+
+
+@register(
+    "stats_value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 20.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 2) AS bin_min,
+           round(max(value), 2) AS bin_max
+    FROM events GROUP BY floor(value / 20.0)
+    """,
+    tags=("stats", "histogram"),
+)
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram (bin = floor(value/20)) — the basic profiling
+    scan of a training-data pipeline."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.floor(F.col("value") / 20.0).alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 2).alias("bin_min"),
+        F.round(F.max("value"), 2).alias("bin_max"),
+    )
+
+
+@register(
+    "collect_sorted_lists",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(event_type)) AS types_sorted,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
+    FROM events GROUP BY user_id
+    """,
+    tags=("stats", "collect"),
+)
+def q_collect_sorted(spark, sf_dir):
+    """Collection aggregation with deterministic ordering: collect_list is
+    order-nondeterministic under parallelism, so results are sorted before
+    leaving the operator (the only hash-stable way to emit them)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("event_type")).alias("types_sorted"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_csv"),
+    )
