@@ -47,6 +47,7 @@ QUERIES: dict[str, Query] = {}
 _QUERY_MODULES = (
     "real_time_scraping_and_predicting_time_series_data_spark.plans.flagship",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.relational",
+    "real_time_scraping_and_predicting_time_series_data_spark.operators.tpch_deep",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.rolling",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.reshape",
