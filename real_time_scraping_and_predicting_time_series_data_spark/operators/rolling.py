@@ -381,3 +381,92 @@ def q_resample_interpolate(spark, sf_dir):
         F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
         F.round("interp_value", 6).alias("interp_value"),
     )
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    levels: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Multi-resolution time-bucket rollup (TimescaleDB-style continuous
+    aggregate cascade): the finest level aggregates the raw rows once, every
+    coarser level re-aggregates the previous level's *partials* (sum of sums,
+    sum of counts, min of mins, max of maxes) instead of rescanning raw data.
+
+    At 100 TB this is the difference between one raw scan and |levels| raw
+    scans: each cascade step processes only the previous level's output
+    (~1/60th the rows per step), and avg stays exact because it is derived
+    from composable (sum, count) partials, never averaged-of-averages.
+    """
+    finest, *coarser = levels
+    cur = (
+        df.groupBy(key, F.date_trunc(finest, ts).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(value).alias("s"),
+            F.min(value).alias("mn"),
+            F.max(value).alias("mx"),
+        )
+        .withColumn("resolution", F.lit(finest))
+    )
+    out = [cur]
+    for lvl in coarser:
+        cur = (
+            cur.groupBy(key, F.date_trunc(lvl, "bucket").alias("bucket"))
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("s").alias("s"),
+                F.min("mn").alias("mn"),
+                F.max("mx").alias("mx"),
+            )
+            .withColumn("resolution", F.lit(lvl))
+        )
+        out.append(cur)
+    unioned = out[0]
+    for part in out[1:]:
+        unioned = unioned.unionByName(part)
+    return unioned
+
+
+@register(
+    "ts_hypertable_rollup",
+    oracle="""
+    SELECT 'minute' AS resolution, user_id,
+           strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(avg(value), 6) AS avg_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY user_id, date_trunc('minute', ts)
+    UNION ALL
+    SELECT 'hour', user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),
+           CAST(count(*) AS BIGINT), round(sum(value), 2), round(avg(value), 6),
+           round(min(value), 6), round(max(value), 6)
+    FROM events GROUP BY user_id, date_trunc('hour', ts)
+    UNION ALL
+    SELECT 'day', user_id, strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+           CAST(count(*) AS BIGINT), round(sum(value), 2), round(avg(value), 6),
+           round(min(value), 6), round(max(value), 6)
+    FROM events GROUP BY user_id, date_trunc('day', ts)
+    """,
+    tags=("timeseries", "rollup", "hypertable"),
+)
+def q_hypertable_rollup(spark, sf_dir):
+    """Minute→hour→day cascading rollup per user: one raw scan, coarser
+    levels re-aggregate composable partials (the oracle recomputes each level
+    from raw — identical results, different cost shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    roll = hypertable_rollup(ev)
+    return roll.select(
+        "resolution",
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        F.col("n").cast("long").alias("n_events"),
+        F.round("s", 2).alias("total_value"),
+        F.round(F.col("s") / F.col("n"), 6).alias("avg_value"),
+        F.round("mn", 6).alias("min_value"),
+        F.round("mx", 6).alias("max_value"),
+    )

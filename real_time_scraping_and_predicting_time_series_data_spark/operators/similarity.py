@@ -23,7 +23,7 @@ from ..catalog import load_table
 from ..functions.vector import as_double, cosine
 from ..plans.registry import register
 
-__all__ = ["brute_force_topk", "srp_buckets", "lsh_topk"]
+__all__ = ["brute_force_topk", "srp_buckets", "lsh_topk", "ivf_train", "ivf_assign", "ivf_topk"]
 
 
 def brute_force_topk(
@@ -186,3 +186,98 @@ def q_sim_label_centroids(spark, sf_dir):
         ex.groupBy("label", (F.col("i") + 1).cast("int").alias("dim"))
         .agg(F.round(F.avg("x"), 6).alias("centroid"))
     )
+
+
+def _argmin_cell(scored: DataFrame, id_cols: list[str], dist: str = "dist") -> DataFrame:
+    """Per-id argmin over the broadcast centroid set: min(struct(dist, cell))
+    picks the nearest cell with deterministic (lowest-cell) tie-breaks."""
+    return scored.groupBy(*id_cols).agg(
+        F.min(F.struct(F.round(F.col(dist), 9).alias("d"), F.col("cell"))).getField("cell").alias("cell")
+    )
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame, vec_col: str, id_cols: list[str]) -> DataFrame:
+    """Assign each vector to its nearest centroid (cells broadcast, corpus
+    never shuffles): crossJoin |df|×K, argmin by cosine distance."""
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", -cosine(F.col(vec_col), F.col("c_vec"))
+    )
+    return df.join(_argmin_cell(scored, id_cols), id_cols)
+
+
+def ivf_train(corpus: DataFrame, vec_col: str, id_col: str, k: int = 16, iters: int = 2) -> DataFrame:
+    """Deterministic coarse quantizer: seed cells by ``id % k``, then run
+    ``iters`` distributed Lloyd iterations (assign → per-cell mean). Every
+    step is a grouped aggregate or a broadcast crossJoin — no driver-side
+    data, no randomness, reproducible across executors and runs.
+    """
+    assigned = corpus.withColumn("cell", (F.col(id_col) % k).cast("int"))
+    for _ in range(iters):
+        cents = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.avg("x").alias("c"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s.getField("c")
+                ).alias("c_vec")
+            )
+        )
+        assigned = ivf_assign(corpus, cents, vec_col, [id_col])
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF ANN top-k: coarse-quantize the corpus into ``n_cells`` inverted
+    lists, probe each query's ``nprobe`` nearest cells, exact-rank only
+    within the probed lists.
+
+    The scale shape: the corpus is scanned once for assignment and then
+    joined on ``cell`` — a hash join whose build side (queries × nprobe) is
+    tiny and broadcast, so the big side never shuffles. Candidate volume is
+    ~nprobe/n_cells of the corpus vs the brute-force cross join. Recall is
+    property-tested against brute_force_topk (tests/test_dedup_similarity.py).
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec)).alias("v_c"))
+    q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("v_q"))
+    cents = ivf_train(c, "v_c", "neighbor_id", k=n_cells)
+    c_cells = ivf_assign(c, cents, "v_c", ["neighbor_id"])
+    q_scored = q.crossJoin(F.broadcast(cents)).withColumn("dist", -cosine(F.col("v_q"), F.col("c_vec")))
+    wq = Window.partitionBy(query_id).orderBy(F.round("dist", 9), "cell")
+    q_cells = (
+        q_scored.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select(query_id, "v_q", "cell")
+    )
+    scored = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col(query_id))
+        .withColumn("cos", cosine(F.col("v_q"), F.col("v_c")))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc(F.round("cos", 9)), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+@register("sim_ivf_topk", oracle=None, tags=("similarity", "ivf", "ann"))
+def q_sim_ivf(spark, sf_dir):
+    """IVF ANN top-5 for the same query set as the brute-force baseline
+    (rows-only; recall property-tested)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)

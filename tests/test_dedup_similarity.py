@@ -188,3 +188,48 @@ def test_lsh_multiprobe_improves_recall(spark):
     r_single, r_multi = recall(False), recall(True)
     assert r_multi >= r_single
     assert r_multi >= 0.4, (r_single, r_multi)
+
+
+def test_ivf_topk_recall_and_score_parity(spark):
+    """IVF ANN: scores must equal the exact operator's cosines for shared
+    pairs, and probing 4/16 cells must keep recall@5 usable (>= 0.5)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    ann = ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4).collect()
+    for r in ann:
+        if (r.query_id, r.neighbor_id) in bf:
+            assert r.cos == pytest.approx(bf[(r.query_id, r.neighbor_id)], abs=1e-9)
+    hits = sum((r.query_id, r.neighbor_id) in bf for r in ann)
+    recall = hits / len(bf)
+    assert recall >= 0.5, f"IVF recall@5 {recall}"
+
+
+def test_ivf_cells_partition_corpus(spark):
+    """Every corpus vector lands in exactly one cell and cells are 0..K-1."""
+    from real_time_scraping_and_predicting_time_series_data_spark.functions.vector import (
+        as_double,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("v_c"))
+    cents = ivf_train(c, "v_c", "neighbor_id", k=8)
+    assigned = ivf_assign(c, cents, "v_c", ["neighbor_id"])
+    n_corpus = c.count()
+    assert assigned.count() == n_corpus
+    assert assigned.select("neighbor_id").distinct().count() == n_corpus
+    cells = {r.cell for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(8))
