@@ -93,6 +93,13 @@ def jaccard_pairs(
     keyed on the shingle (plus an optional blocking key), so cost scales with
     Σ df(shingle)² within blocks — bounded, unlike a cross join. At 100 TB
     the blocking key (source, LSH bucket, length band) is what keeps df low.
+
+    Two scale choices: (a) both self-join sides are the *same* plan subtree
+    shuffled on the same keys, so Spark materializes the exchange once and
+    reuses it (ReusedExchange — verified in tests/test_plans.py), no manual
+    materialization needed; (b) the join key is ``xxhash64(shingle)`` —
+    8 bytes through the shuffle instead of the shingle string (collision
+    odds ~|shingles|²/2⁶⁴, deterministic).
     """
     base = df.select(
         F.col(id_col).alias("id"),
@@ -100,7 +107,9 @@ def jaccard_pairs(
         shingles(F.col(text), n).alias("sh"),
     ).withColumn("set_size", F.size("sh"))
 
-    inv = base.select("id", "blk", "set_size", F.explode("sh").alias("shingle"))
+    inv = base.select("id", "blk", "set_size", F.explode("sh").alias("_sh")).select(
+        "id", "blk", "set_size", F.xxhash64("_sh").alias("shingle")
+    )
     a = inv.select(
         F.col("id").alias("id_a"), "blk", F.col("set_size").alias("size_a"), "shingle"
     )
