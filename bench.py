@@ -43,6 +43,12 @@ HEADLINE = [
     "q10_returned_items",
     "dedup_jaccard_pairs",
     "skew_salted_join",
+    "q6_revenue_forecast",
+    "q13_order_count_histogram",
+    "q21_waiting_supplier",
+    "range_join_purchase_errors",
+    "ts_hypertable_rollup",
+    "text_token_stats",
 ]
 
 

@@ -295,3 +295,40 @@ def q_edit_distance(spark, sf_dir):
         .filter(F.col("edit_distance") <= 8)
         .select("key_a", "key_b", "edit_distance")
     )
+
+
+# GPT-style pre-tokenizer classes, lookahead-free so Java regex (Spark) and
+# RE2 (DuckDB oracle) agree: letter runs, digit runs, non-space symbol runs.
+BPE_ISH_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+'))
+                AS BIGINT) AS bpe_ish_tokens,
+           round(length(text)
+                 / greatest(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+')), 1),
+                 6) AS chars_per_token
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def q_text_token_stats(spark, sf_dir):
+    """Per-document token counting two ways (SURVEY §2.8 text analysis):
+    whitespace splitting and a BPE-ish pre-tokenizer regex (letter / digit /
+    symbol runs — the lookahead-free core of GPT-2's pre-tokenizer), plus
+    chars-per-token, the usual proxy for tokenizer efficiency. Pure codegen
+    string ops; at scale this is a map-only pass with no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(bpe).cast("long").alias("bpe_ish_tokens"),
+        F.round(
+            F.length("text") / F.greatest(F.size(bpe), F.lit(1)), 6
+        ).alias("chars_per_token"),
+    )
