@@ -891,3 +891,33 @@ def q14_promo_effect(spark, sf_dir):
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@register(
+    "window_distribution_fns",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 9) AS prank,
+           round(cume_dist() OVER w, 9) AS cdist,
+           round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("relational", "window", "distribution"),
+)
+def window_distribution_fns(spark, sf_dir):
+    """Distribution-family window functions (rank/dense_rank/percent_rank/
+    cume_dist/nth_value) per customer — one hash partition, one sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 9).alias("prank"),
+        F.round(F.cume_dist().over(w), 9).alias("cdist"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )

@@ -332,3 +332,49 @@ def q_text_token_stats(spark, sf_dir):
             F.length("text") / F.greatest(F.size(bpe), F.lit(1)), 6
         ).alias("chars_per_token"),
     )
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle="""
+    WITH kept AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+        WHERE lang IN ('en', 'de', 'fr', 'es') AND n_chars BETWEEN 120 AND 480
+    ), survivors AS (
+        SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    )
+    SELECT k.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(k.n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(k.n_chars), 6) AS avg_chars
+    FROM kept k JOIN survivors s ON k.doc_id = s.doc_id
+    GROUP BY k.source
+    """,
+    tags=("text", "pipeline", "dedup"),
+)
+def q_pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end training-data prep composite: language allowlist → length
+    band → exact dedup (md5 group-by, min-id survivor) → per-source corpus
+    stats. The shape of a real 100 TB cleaning job: every stage is a
+    pushed-down filter, one dedup shuffle on the hash, one agg shuffle on
+    source — the allowlist and length band prune before any shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(
+        F.col("lang").isin("en", "de", "fr", "es")
+        & F.col("n_chars").between(120, 480)
+    ).withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    )
+    survivors = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    return (
+        kept.join(survivors, kept.doc_id == survivors.keep_id, "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
