@@ -399,6 +399,11 @@ def hypertable_rollup(
     scans: each cascade step processes only the previous level's output
     (~1/60th the rows per step), and avg stays exact because it is derived
     from composable (sum, count) partials, never averaged-of-averages.
+
+    Each level is materialized (localCheckpoint here; a persisted aggregate
+    table on a cluster — that's what makes it a *continuous* aggregate) so
+    the union's branches share one computation per level instead of
+    re-deriving every level from the raw scan.
     """
     finest, *coarser = levels
     cur = (
@@ -410,6 +415,7 @@ def hypertable_rollup(
             F.max(value).alias("mx"),
         )
         .withColumn("resolution", F.lit(finest))
+        .localCheckpoint(eager=False)
     )
     out = [cur]
     for lvl in coarser:
@@ -422,6 +428,7 @@ def hypertable_rollup(
                 F.max("mx").alias("mx"),
             )
             .withColumn("resolution", F.lit(lvl))
+            .localCheckpoint(eager=False)
         )
         out.append(cur)
     unioned = out[0]

@@ -74,3 +74,50 @@ def test_broadcast_part_join(spark):
 def test_semi_anti_planned_as_such(spark):
     assert "LeftSemi" in _plan(spark, "join_semi_customers_with_orders")
     assert "LeftAnti" in _plan(spark, "join_anti_customers_without_orders")
+
+
+def test_q6_all_conjuncts_pushed(spark):
+    """Q6's three filter conjuncts must all reach the parquet scan, and the
+    scan must read only the 4 referenced columns."""
+    plan = _plan(spark, "q6_revenue_forecast")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_extendedprice" in read
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The bucketized range join must plan as a hash/sort-merge equi-join —
+    never BroadcastNestedLoopJoin or CartesianProduct."""
+    plan = _plan(spark, "range_join_purchase_errors")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_q21_exists_lowered_to_semi_anti(spark):
+    """Q21's EXISTS / NOT EXISTS pair must appear as LeftSemi + LeftAnti
+    joins, not subquery re-execution."""
+    plan = _plan(spark, "q21_waiting_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_hypertable_rollup_levels_materialized_once(spark):
+    """The cascade must not re-derive every level from the raw scan: each
+    level is a materialized checkpoint (ExistingRDD in the union plan), so
+    the union contains no duplicated parquet scans."""
+    plan = _plan(spark, "ts_hypertable_rollup")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ExistingRDD" in plan
+
+
+def test_pipeline_clean_corpus_filters_pushed(spark):
+    """Allowlist and length band prune the documents scan before any
+    shuffle."""
+    plan = _plan(spark, "pipeline_clean_corpus")
+    assert "In(lang" in plan
+    assert "GreaterThanOrEqual(n_chars,120)" in plan
