@@ -81,13 +81,16 @@ def tfidf(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", min_df: int = 1
 ) -> DataFrame:
     """TF-IDF per (doc, term): tf = count/doc_len, idf = ln((N+1)/(df+1))+1
-    (smoothed). Two grouped aggregations + one broadcast-ish join on term —
-    the classic inverted-index build."""
+    (smoothed). The raw token explosion is aggregated exactly once (into
+    ``tf``); doc lengths are sum(tf_count) and document frequencies are a
+    plain count over ``tf`` (already distinct on (id, term) — no expensive
+    count-distinct expand), so the downstream shuffles run over the much
+    smaller per-(doc, term) relation."""
     toks = df.select(F.col(id_col).alias("id"), F.explode(words_of(F.col(text))).alias("term"))
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf_count"))
-    doc_len = toks.groupBy("id").agg(F.count("*").alias("doc_len"))
+    doc_len = tf.groupBy("id").agg(F.sum("tf_count").alias("doc_len"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
-    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df")).filter(F.col("df") >= min_df)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df")).filter(F.col("df") >= min_df)
     return (
         tf.join(doc_len, "id")
         .join(dfreq, "term")
