@@ -43,17 +43,24 @@ def asof_join(
     tiebreak: str = "event_id",
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Backward (default) or forward as-of join.
+    """Backward (default) or forward as-of join, with optional tolerance.
 
     Returns ``left`` with, for each row, the most recent (backward) or next
     (forward) right-side ``right_value_cols`` at or before/after ``left.ts``
-    within the same ``on`` key. Unmatched rows keep NULLs (left-outer
-    semantics, like the reference's not-yet-filled forecasts).
+    within the same ``on`` key, plus the matched right timestamp as
+    ``{ts}{suffix}``. Unmatched rows keep NULLs (left-outer semantics, like
+    the reference's not-yet-filled forecasts). ``tolerance_seconds`` (pandas
+    ``merge_asof``-style) nulls the match when the time gap exceeds it —
+    evaluated as a post-fill predicate, so it adds no shuffle.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
 
+    right_value_cols = tuple(right_value_cols)
+    if ts not in right_value_cols:
+        right_value_cols = right_value_cols + (ts,)
     carried = [f"{c}{suffix}" for c in right_value_cols]
     l_tagged = left.select(
         F.lit(1).alias("_side"),
@@ -91,7 +98,20 @@ def asof_join(
         )
         filled = [F.first(a, ignorenulls=True).over(w).alias(a) for a in carried]
 
-    out = unioned.select("_side", "_row", *filled).filter(F.col("_side") == 1)
+    out = unioned.select("_side", "_ts", "_row", *filled).filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        rts = F.col(f"{ts}{suffix}")
+        gap = (
+            F.unix_micros(F.col("_ts")) - F.unix_micros(rts)
+            if direction == "backward"
+            else F.unix_micros(rts) - F.unix_micros(F.col("_ts"))
+        )
+        in_tol = rts.isNotNull() & (gap <= int(tolerance_seconds * 1_000_000))
+        out = out.select(
+            "_ts",
+            "_row",
+            *[F.when(in_tol, F.col(a)).otherwise(F.lit(None)).alias(a) for a in carried],
+        )
     return out.select(*[F.col(f"_row.{c}").alias(c) for c in left.columns], *carried)
 
 
@@ -184,4 +204,56 @@ def q_asof_fifo(spark, sf_dir):
         F.col("value").alias("forecast_basis"),
         F.col("r_value").alias("actual_value"),
         F.round(F.col("r_value") - F.col("value"), 9).alias("error"),
+    )
+
+
+@register(
+    "asof_join_forward_tolerance",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value
+        FROM events WHERE event_type = 'click'
+    ), errors AS (
+        SELECT user_id, date_trunc('microseconds', ts) AS ts, value
+        FROM events WHERE event_type = 'error'
+    ), matched AS (
+        SELECT c.event_id, c.user_id, c.value, c.ts AS c_ts,
+               e.value AS e_value, e.ts AS e_ts
+        FROM clicks c ASOF LEFT JOIN errors e
+          ON c.user_id = e.user_id AND c.ts <= e.ts
+    )
+    SELECT event_id, user_id, value,
+           CASE WHEN e_ts IS NOT NULL
+                 AND epoch_us(e_ts) - epoch_us(c_ts) <= 1800000000
+                THEN e_value END AS value_right,
+           CASE WHEN e_ts IS NOT NULL
+                 AND epoch_us(e_ts) - epoch_us(c_ts) <= 1800000000
+                THEN strftime(e_ts, '%Y-%m-%d %H:%M:%S.%f') END AS matched_ts
+    FROM matched
+    """,
+    tags=("timeseries", "asof", "J1", "forward", "tolerance"),
+)
+def q_asof_forward_tolerance(spark, sf_dir):
+    """J1 (forward + tolerance variant): for each click, the next error of
+    the same user within 30 minutes — pandas merge_asof(direction='forward',
+    tolerance=...) semantics, still one shuffle + one window, verified
+    against DuckDB's native forward ASOF JOIN with a gap predicate."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts", "value")
+    out = asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        ts="ts",
+        right_value_cols=("value",),
+        direction="forward",
+        tolerance_seconds=1800,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        "value_right",
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("matched_ts"),
     )
