@@ -150,3 +150,36 @@ def q_ml_forecast(spark, sf_dir):
         F.round("rmse_1", 4).alias("rmse_1"),
         F.round("rmse_2", 4).alias("rmse_2"),
     )
+
+
+@register(
+    "ml_seasonal_naive_eval",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, value,
+               lag(value, 7) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pred
+        FROM events
+    )
+    SELECT user_id,
+           round(sqrt(avg((value - pred) * (value - pred))), 6) AS rmse,
+           CAST(count(*) AS BIGINT) AS n_scored
+    FROM s WHERE pred IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("ml", "baseline", "eval"),
+)
+def q_seasonal_naive_eval(spark, sf_dir):
+    """Seasonal-naive baseline (predict value from 7 ticks ago) scored by
+    per-key RMSE — the standard forecast sanity floor (M4), and the one
+    forecaster whose full train/predict/eval loop is SQL-expressible, so the
+    eval itself is oracle-checked end-to-end."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn("pred", F.lag("value", 7).over(w)).filter(F.col("pred").isNotNull())
+    err = F.col("value") - F.col("pred")
+    return s.groupBy("user_id").agg(
+        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+        F.count("*").alias("n_scored"),
+    )

@@ -103,3 +103,64 @@ def q_collect_sorted(spark, sf_dir):
         F.sort_array(F.collect_list("event_type")).alias("types_sorted"),
         F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_csv"),
     )
+
+
+@register(
+    "stats_median_mode",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag, round(median(l_extendedprice), 6) AS median_price
+        FROM lineitem GROUP BY l_returnflag
+    ), cnt AS (
+        SELECT l_returnflag, l_quantity AS v, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ), md AS (
+        SELECT l_returnflag, v AS mode_qty,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, v) AS rk
+        FROM cnt
+    )
+    SELECT med.l_returnflag, med.median_price, md.mode_qty
+    FROM med JOIN md ON med.l_returnflag = md.l_returnflag AND md.rk = 1
+    """,
+    tags=("stats", "agg", "median", "mode"),
+)
+def q_median_mode(spark, sf_dir):
+    """Grouped median (exact percentile_cont 0.5) and a deterministic mode
+    (ties broken toward the smallest value via an explicit count + rank, so
+    both engines agree — bare mode() is tie-nondeterministic)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 6).alias("median_price")
+    )
+    cnt = li.groupBy("l_returnflag", F.col("l_quantity").alias("v")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), "v")
+    mode = (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_returnflag", F.col("v").alias("mode_qty"))
+    )
+    return med.join(mode, "l_returnflag")
+
+
+@register(
+    "stats_ordered_string_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("stats", "agg", "string"),
+)
+def q_ordered_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/string_agg): collect_set →
+    array_sort → concat_ws, deterministic regardless of partition order."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
