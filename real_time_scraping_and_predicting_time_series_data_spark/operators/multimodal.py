@@ -166,3 +166,41 @@ def q_multimodal_features(spark, sf_dir):
         "n_bytes",
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
     )
+
+
+@register(
+    "multimodal_text_embedding_join",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    )
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6) AS avg_l2,
+           round(avg(d.n_chars), 6) AS avg_chars,
+           CAST(count(DISTINCT e.label) AS BIGINT) AS n_labels
+    FROM documents d JOIN e ON d.doc_id = e.vec_id
+    GROUP BY d.lang
+    """,
+    tags=("multimodal", "join", "embedding"),
+)
+def q_multimodal_text_embedding_join(spark, sf_dir):
+    """Cross-modal join: text rows joined 1:1 to their embedding rows (the
+    multimodal single-schema story — text + vector columns side by side),
+    aggregating an embedding statistic (L2 norm) against a text statistic
+    (chars) per language. At scale both tables co-partition on the shared id
+    so the join shuffles each side once."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    l2 = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    e = emb.select("vec_id", l2.alias("l2"), "label")
+    return (
+        docs.join(e, docs.doc_id == e.vec_id)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("l2"), 6).alias("avg_l2"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )

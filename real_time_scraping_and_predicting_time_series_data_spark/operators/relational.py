@@ -921,3 +921,37 @@ def window_distribution_fns(spark, sf_dir):
         F.round(F.cume_dist().over(w), 9).alias("cdist"),
         F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
     )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("relational", "setop", "multiset"),
+)
+def set_except_all(spark, sf_dir):
+    """EXCEPT ALL (bag semantics: multiplicities subtract, not collapse)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("relational", "setop", "multiset"),
+)
+def set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (bag semantics: min of multiplicities survives)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.intersectAll(b)
