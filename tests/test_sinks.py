@@ -89,3 +89,50 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     )
     got = joined.collect()
     assert {(r.o_orderstatus, r.n) for r in got} == {(r.o_orderstatus, r.n) for r in want}
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from real_time_scraping_and_predicting_time_series_data_spark.sources.sinks import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "frag")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.repartition(64).write.parquet(src)  # simulate streaming small files
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) >= 32
+    dst = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, dst, target_file_bytes=64 * 1024 * 1024)
+    assert len(glob.glob(f"{dst}/*.parquet")) == n <= 2
+    assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Every z-ordered file must cover a narrow slice of BOTH key columns
+    (vs naive round-robin files that each span the full range)."""
+    import glob
+
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.sources.sinks import (
+        zorder_write,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", "value"
+    )
+    naive = str(tmp_path / "naive")
+    ev.repartition(8).write.parquet(naive)
+    zpath = str(tmp_path / "zord")
+    zorder_write(ev, zpath, cols=("user_id", "value"), bits=8, n_files=8)
+
+    def avg_span(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            row = spark.read.parquet(f).agg(F.min(col), F.max(col)).collect()[0]
+            spans.append(float(row[1]) - float(row[0]))
+        return sum(spans) / len(spans)
+
+    assert spark.read.parquet(zpath).count() == ev.count()
+    for col in ("user_id", "value"):
+        assert avg_span(zpath, col) < 0.6 * avg_span(naive, col), col
