@@ -477,3 +477,38 @@ def q_hypertable_rollup(spark, sf_dir):
         F.round("mn", 6).alias("min_value"),
         F.round("mx", 6).alias("max_value"),
     )
+
+
+@register(
+    "ts_rolling_time_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(avg(value) OVER w, 6) AS avg_1h,
+           round(min(value) OVER w, 6) AS min_1h,
+           round(max(value) OVER w, 6) AS max_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    tags=("timeseries", "rolling", "range-frame"),
+)
+def q_rolling_time_window(spark, sf_dir):
+    """Trailing 1-hour window stats per key — a RANGE frame over event time
+    (all rows within the interval, however many), vs the ROWS frame of
+    ts_rolling_stats (fixed row count, however spaced). Spark's range frame
+    runs on µs longs; same single per-key sort as the rows frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        F.round(F.min("value").over(w), 6).alias("min_1h"),
+        F.round(F.max("value").over(w), 6).alias("max_1h"),
+    )
