@@ -85,6 +85,7 @@ def jaccard_pairs(
     block: str | None = "source",
     n: int = 2,
     threshold: float = 0.2,
+    prune_singletons: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via an inverted-index self-join.
 
@@ -110,6 +111,16 @@ def jaccard_pairs(
     inv = base.select("id", "blk", "set_size", F.explode("sh").alias("_sh")).select(
         "id", "blk", "set_size", F.xxhash64("_sh").alias("shingle")
     )
+    if prune_singletons:
+        # A shingle occurring once in its block can't appear in any pair, so
+        # drop it BEFORE the self-join (~60% of this corpus's 3-gram
+        # postings). The df count partitions by the same (blk, shingle) keys
+        # a sort-merge pair join shuffles on, so at cluster scale the filter
+        # rides the join's exchange; locally AQE broadcasts the join and the
+        # window would be a pure extra shuffle — hence opt-in. set_size
+        # keeps counting ALL shingles; only n_common terms need df >= 2.
+        wdf = Window.partitionBy("blk", "shingle")
+        inv = inv.withColumn("_df", F.count("*").over(wdf)).filter(F.col("_df") >= 2).drop("_df")
     a = inv.select(
         F.col("id").alias("id_a"), "blk", F.col("set_size").alias("size_a"), "shingle"
     )

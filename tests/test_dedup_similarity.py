@@ -233,3 +233,23 @@ def test_ivf_cells_partition_corpus(spark):
     assert assigned.select("neighbor_id").distinct().count() == n_corpus
     cells = {r.cell for r in assigned.select("cell").distinct().collect()}
     assert cells <= set(range(8))
+
+
+def test_jaccard_singleton_pruning_preserves_results(spark):
+    """The df>=2 pruning knob must not change any pair or score."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {
+        (r.id_a, r.id_b): (r.n_common, round(r.jaccard, 9))
+        for r in jaccard_pairs(docs, block="source", n=3, threshold=0.05).collect()
+    }
+    pruned = {
+        (r.id_a, r.id_b): (r.n_common, round(r.jaccard, 9))
+        for r in jaccard_pairs(
+            docs, block="source", n=3, threshold=0.05, prune_singletons=True
+        ).collect()
+    }
+    assert base == pruned and len(base) > 0
