@@ -183,3 +183,86 @@ def q_seasonal_naive_eval(spark, sf_dir):
         F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
         F.count("*").alias("n_scored"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key model fitting (one model per key — the "millions of models" shape)
+# ---------------------------------------------------------------------------
+
+
+def fit_per_key(
+    feats: DataFrame,
+    lookback: int = 5,
+    horizon: int = 2,
+    key: str = "user_id",
+    value_col: str = "value",
+    ridge: float = 1e-8,
+) -> DataFrame:
+    """One AR model per key via grouped-map (``applyInPandas``): each key's
+    rows arrive as one Arrow batch, numpy solves the (lookback+1)-dim normal
+    equations per horizon step, and only the coefficient vectors leave the
+    worker — (|keys| × horizon) tiny rows.
+
+    This is the scale shape for per-entity models (one per ticker / device /
+    user): the fit parallelizes across keys with no driver involvement,
+    state per task is O(lookback²), and the output coefficient table is
+    broadcastable. The global-model twin (``LinearForecaster.fit``) is the
+    one-model-over-everything alternative; the test shows per-key fitting
+    recovering per-key dynamics a single global model cannot.
+    """
+    import pandas as pd
+
+    dcols = [value_col] + [f"lag_{i}" for i in range(1, lookback)]
+    d = lookback + 1
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.column_stack([np.ones(len(pdf))] + [pdf[c].to_numpy(float) for c in dcols])
+        rows = []
+        kval = pdf[key].iloc[0]
+        for j in range(1, horizon + 1):
+            m = pdf[f"y_{j}"].notna().to_numpy()
+            Xm, ym = X[m], pdf.loc[m, f"y_{j}"].to_numpy(float)
+            w = np.linalg.solve(Xm.T @ Xm + ridge * np.eye(d), Xm.T @ ym)
+            rows.append((kval, j, w.tolist()))
+        return pd.DataFrame(rows, columns=[key, "step", "coefs"])
+
+    return feats.groupBy(key).applyInPandas(
+        _fit, schema=f"{key} long, step int, coefs array<double>"
+    )
+
+
+def predict_per_key(
+    feats: DataFrame,
+    coefs: DataFrame,
+    lookback: int = 5,
+    key: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Join the (broadcastable) per-key coefficient table back and score as
+    a JVM-side zip_with dot product — one output row per (input row, step),
+    no Python in the scoring path."""
+    dcols = [value_col] + [f"lag_{i}" for i in range(1, lookback)]
+    xarr = F.array(F.lit(1.0), *[F.col(c).cast("double") for c in dcols])
+    dot = F.aggregate(
+        F.zip_with(xarr, F.col("coefs"), lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return feats.join(F.broadcast(coefs), key).withColumn("pred", dot)
+
+
+@register("ml_per_key_forecast_eval", oracle=None, tags=("ml", "forecast", "per-key", "M1", "M4"))
+def q_ml_per_key_forecast(spark, sf_dir):
+    """Per-key AR fit (grouped-map) → broadcast-coefficient scoring →
+    per-(key, step) RMSE. Rows-only (iterative lin-alg); per-key dynamics
+    recovery is pytest-asserted."""
+    ev = load_table(spark, sf_dir, "events")
+    feats = lag_features(ev, lookback=5, horizon=2)
+    coefs = fit_per_key(feats, lookback=5, horizon=2)
+    preds = predict_per_key(feats, coefs, lookback=5)
+    scored = preds.withColumn(
+        "y", F.when(F.col("step") == 1, F.col("y_1")).otherwise(F.col("y_2"))
+    ).filter(F.col("y").isNotNull())
+    err = F.col("pred") - F.col("y")
+    return scored.groupBy("user_id", "step").agg(
+        F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+        F.count("*").alias("n_scored"),
+    )

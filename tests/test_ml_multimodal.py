@@ -142,3 +142,47 @@ def test_keras_path_gated_cleanly(spark):
     else:
         with pytest.raises(RuntimeError, match="tensorflow/keras is not installed"):
             m.build_model()
+
+
+def test_per_key_fit_recovers_distinct_dynamics(spark):
+    """Two keys driven by different noiseless AR(2) processes: per-key fit
+    must recover each key's coefficients (near-zero RMSE per key), which a
+    single global model cannot do."""
+    import datetime as dt
+
+    from real_time_scraping_and_predicting_time_series_data_spark.ml.forecast import (
+        LinearForecaster,
+        fit_per_key,
+        lag_features,
+        predict_per_key,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    series = {1: ([0.9, -0.2], [10.0, 11.0]), 2: ([0.3, 0.6], [5.0, 4.0])}
+    for uid, (ar, seed) in series.items():
+        vals = list(seed)
+        for t in range(2, 80):
+            vals.append(ar[0] * vals[t - 1] + ar[1] * vals[t - 2] + 1.0)
+        rows += [
+            (uid, i, base + dt.timedelta(minutes=i), float(v)) for i, v in enumerate(vals)
+        ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+
+    feats = lag_features(df, lookback=3, horizon=1)
+    coefs = fit_per_key(feats, lookback=3, horizon=1)
+    preds = predict_per_key(feats, coefs, lookback=3).filter(F.col("y_1").isNotNull())
+    per_key_rmse = {
+        r.user_id: r.rmse
+        for r in preds.groupBy("user_id")
+        .agg(F.sqrt(F.avg(F.pow(F.col("pred") - F.col("y_1"), 2))).alias("rmse"))
+        .collect()
+    }
+    assert all(v < 1e-6 for v in per_key_rmse.values()), per_key_rmse
+
+    glob = LinearForecaster(lookback=3, horizon=1).fit(feats)
+    gpreds = glob.predict(feats).filter(F.col("y_1").isNotNull())
+    g_rmse = gpreds.agg(
+        F.sqrt(F.avg(F.pow(F.col("pred_1") - F.col("y_1"), 2))).alias("r")
+    ).collect()[0].r
+    assert g_rmse > 100 * max(per_key_rmse.values())
