@@ -473,18 +473,21 @@ def q21_waiting_supplier(spark, sf_dir):
            round(sum(c.c_acctbal), 2) AS totacctbal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.ab
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 400000)
     GROUP BY c.c_mktsegment
     """,
     tags=("relational", "subquery", "anti", "agg"),
 )
 def q22_dormant_rich_customers(spark, sf_dir):
-    """TPC-H Q22 shape: above-average-balance customers with no orders,
+    """TPC-H Q22 shape: above-average-balance customers with no large order,
     grouped by segment (fixtures have no phone column, so segment replaces
-    the country-code grouping). The global avg is a 1-row broadcast cross
-    join; NOT EXISTS is a left-anti join against orders."""
+    the country-code grouping; the >400k order predicate keeps the result
+    non-empty at every SF — plain no-orders is empty on this corpus). The
+    global avg is a 1-row broadcast cross join; NOT EXISTS is a left-anti
+    join against the filtered orders."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
     return (
         c.crossJoin(F.broadcast(avg_bal))
