@@ -1,0 +1,69 @@
+"""Count-min sketch guarantees: never undercount, bounded overcount, heavy
+hitters exact-ranked, and merge = build-on-union."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_scraping_and_predicting_time_series_data_spark.operators.sketch import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tokens(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    toks = _tokens(spark)
+    n_total = toks.count()
+    exact = {r.token: r.n for r in toks.groupBy("token").agg(F.count("*").alias("n")).collect()}
+    sketch = cms_build(toks, depth=4, width=1024)
+    est = {
+        r.token: r.est
+        for r in cms_estimate(sketch, toks.distinct(), depth=4, width=1024).collect()
+    }
+    assert set(est) == set(exact)
+    eps_n = (2.718 / 1024) * n_total  # CMS bound: overcount <= e/width * N (w.h.p.)
+    for t, n in exact.items():
+        assert est[t] >= n, t
+        assert est[t] <= n + eps_n, (t, est[t], n, eps_n)
+
+
+def test_cms_heavy_hitters_match_exact_counts(spark):
+    """On this corpus the heavy tokens collide negligibly: the top-10 by
+    estimate must be the top-10 by exact count with identical counts."""
+    toks = _tokens(spark)
+    exact_top = (
+        toks.groupBy("token").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token").limit(10).collect()
+    )
+    sketch = cms_build(toks, depth=4, width=1024)
+    est = {
+        r.token: r.est
+        for r in cms_estimate(sketch, toks.distinct(), depth=4, width=1024).collect()
+    }
+    for r in exact_top:
+        assert est[r.token] == r.n, (r.token, est[r.token], r.n)
+
+
+def test_cms_merge_equals_build_on_union(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    def toks_of(df):
+        return df.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+
+    a = toks_of(docs.filter(F.col("doc_id") % 2 == 0))
+    b = toks_of(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = cms_merge(
+        cms_build(a, depth=4, width=256), cms_build(b, depth=4, width=256)
+    )
+    direct = cms_build(toks_of(docs), depth=4, width=256)
+    m = {(r.seed, r.bucket): r.n for r in merged.collect()}
+    d = {(r.seed, r.bucket): r.n for r in direct.collect()}
+    assert m == d
