@@ -1,0 +1,117 @@
+"""Event-sequence analytics: funnel conversion and cohort retention — the
+two standard event-table rollups a time-series engine serves beside its
+windowed aggregates (SURVEY.md §2.8 extension surface; both pure grouped
+aggregation + broadcast-scale joins, fully oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "funnel_three_stage",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        WHERE e.event_type = 'error' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click_purchase,
+           CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_click_purchase_error
+    """,
+    tags=("events", "funnel"),
+)
+def q_funnel_three_stage(spark, sf_dir):
+    """Ordered three-stage funnel (click → purchase → error): each stage is
+    the per-user min event time strictly after the previous stage's; the
+    funnel counts users surviving each stage. Per stage: one grouped min +
+    one join on user_id — every relation after stage 1 is |users|-sized, so
+    at 100 TB only the first grouped min touches the raw events."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "error")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_click"))
+        .crossJoin(s2.agg(F.count("*").alias("n_click_purchase")))
+        .crossJoin(s3.agg(F.count("*").alias("n_click_purchase_error")))
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT)
+                   AS week_offset
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+    tags=("events", "retention", "cohort"),
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users bucketed by first-seen week, counted
+    once per (cohort, week-offset) they were active in. First-seen is one
+    grouped min; the cohort map is |users|-sized and broadcasts; the
+    distinct collapses per-user-week activity before the final count."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"), "week_offset"
+    ).agg(F.count("*").alias("active_users"))

@@ -63,6 +63,7 @@ _QUERY_MODULES = (
     "real_time_scraping_and_predicting_time_series_data_spark.operators.skew",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.rangejoin",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.sketch",
+    "real_time_scraping_and_predicting_time_series_data_spark.operators.funnel",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.stats",
 )
 
