@@ -11,7 +11,11 @@ cross-table comparison), Q6 (pure scan-agg with a conjunctive pushdown), Q7
 decomposition), Q13 (outer-join count histogram), Q15 (agg + global-max scalar
 subquery), Q17 (correlated avg threshold), Q19 (disjunctive join predicate),
 Q21 (EXISTS + NOT EXISTS double correlation), Q22 (global scalar subquery +
-anti join).
+anti join); plus the four shapes needing partsupp — Q2 (correlated min),
+Q11 (global-threshold HAVING), Q16 (NOT IN + grouped distinct count), Q20
+(nested decorrelated aggregates) — over a partsupp derived as lineitem's
+distinct (partkey, suppkey) pairs. With relational.py's Q1/Q3/Q5/Q10/Q12/
+Q14/Q18 this covers all 22 TPC-H query shapes.
 
 Scale notes are per-query; the common rules: dimension sides broadcast, fact
 filters push into the parquet scan, and every EXISTS/NOT EXISTS lowers to a
@@ -498,4 +502,179 @@ def q22_dormant_rich_customers(spark, sf_dir):
             F.count("*").alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# The four shapes needing partsupp, derived as distinct (l_partkey, l_suppkey)
+# pairs from lineitem — completes all 22 TPC-H query shapes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+    ), costed AS (
+        SELECT ps.partkey, ps.suppkey, s.s_acctbal, s.s_name, s.s_nationkey
+        FROM ps JOIN supplier s ON ps.suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT p.p_partkey, p.p_brand, c.s_name, round(c.s_acctbal, 2) AS s_acctbal
+    FROM part p
+    JOIN costed c ON p.p_partkey = c.partkey
+    WHERE p.p_size = 15
+      AND c.s_acctbal = (SELECT min(c2.s_acctbal) FROM costed c2
+                         WHERE c2.partkey = c.partkey)
+    """,
+    tags=("relational", "subquery", "join", "exists"),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: cheapest regional supplier per part (acctbal proxies
+    supply cost; partsupp derived from lineitem's distinct pairs). The
+    correlated per-part min decorrelates into a grouped min re-joined on
+    partkey — never a per-row subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    costed = (
+        ps.join(F.broadcast(s), ps.suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("partkey", "s_name", "s_acctbal")
+    )
+    mins = costed.groupBy(F.col("partkey").alias("m_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        costed.join(mins, (costed.partkey == mins.m_partkey) & (costed.s_acctbal == mins.min_bal))
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .select("p_partkey", "p_brand", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH value_by_part AS (
+        SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS part_value
+        FROM lineitem GROUP BY l_partkey
+    ), total AS (
+        SELECT avg(part_value) AS av FROM value_by_part
+    )
+    SELECT v.l_partkey, round(v.part_value, 2) AS part_value
+    FROM value_by_part v, total
+    WHERE v.part_value > total.av * 1.25
+    """,
+    tags=("relational", "subquery", "agg"),
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose revenue exceeds a multiple of the mean
+    part revenue — grouped sum + 1-row global aggregate broadcast back as
+    the HAVING threshold (mean-relative so the predicate stays selective
+    but non-empty at every scale factor)."""
+    li = _t(spark, sf_dir, "lineitem")
+    vbp = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value")
+    )
+    total = vbp.agg(F.avg("part_value").alias("av"))
+    return (
+        vbp.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("av") * 1.25)
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("relational", "join", "anti", "distinct"),
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier counts per part attribute, with a
+    NOT IN subquery (suppliers in deficit) lowered to a left-anti join and
+    the attribute filters pushed into the part broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_suppkey")
+    )
+    return (
+        ps.join(bad, ps.suppkey == bad.bad_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+    ), part_total AS (
+        SELECT l_partkey, sum(sq) AS tq FROM shipped GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM shipped sh
+    JOIN part_total pt ON sh.l_partkey = pt.l_partkey
+    JOIN part p ON p.p_partkey = sh.l_partkey AND p.p_name LIKE '%blue%'
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    WHERE sh.sq > 0.5 * pt.tq
+    """,
+    tags=("relational", "subquery", "join", "agg"),
+)
+def q20_excess_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped more than half of a blue
+    part's yearly volume — nested correlated aggregates decorrelated into
+    two grouped sums (per pair, per part) joined back; part filter and
+    supplier dim broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("sq"))
+    part_total = shipped.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("sq").alias("tq")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        shipped.join(part_total, shipped.l_partkey == part_total.pt_partkey)
+        .filter(F.col("sq") > 0.5 * F.col("tq"))
+        .join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), shipped.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
     )
