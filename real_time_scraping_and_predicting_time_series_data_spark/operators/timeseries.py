@@ -429,3 +429,33 @@ def q_timestamp_arithmetic(spark, sf_dir):
             .alias("horizon_seconds"),
         )
     )
+
+
+@register(
+    "ts_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM events
+    """,
+    tags=("timeseries", "gapfill", "forward-fill"),
+)
+def q_ts_forward_fill(spark, sf_dir):
+    """Forward fill (LOCF): error events' values are treated as missing and
+    carried forward from the last good observation per key — last(...)
+    IGNORE NULLS over the cumulative frame, the same primitive the as-of
+    join builds on. One shuffle + sort per key; leading missings stay NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(good, ignorenulls=True).over(w).alias("filled_value"),
+    )
