@@ -20,7 +20,7 @@ join/agg rather than an O(n²) cross join:
 
 MinHash/SimHash use ``xxhash64`` (JVM-side, deterministic) — not
 reproducible in DuckDB, so those queries carry no oracle and are instead
-property-tested against exact Jaccard (tests/test_dedup.py).
+property-tested against exact Jaccard (tests/test_dedup_similarity.py).
 """
 
 from __future__ import annotations

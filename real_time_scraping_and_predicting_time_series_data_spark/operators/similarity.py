@@ -8,7 +8,7 @@
   with deterministic hyperplanes derived from xxhash64 — probe the query's
   bucket (plus multi-probe neighbors), exact-rank only within buckets.
   Candidate sets shrink by ~2^bits; recall is property-tested against the
-  brute-force baseline (tests/test_similarity.py).
+  brute-force baseline (tests/test_dedup_similarity.py).
 
 Vector math is Catalyst higher-order functions (functions/vector.py) — no
 Python in the hot path.
