@@ -459,3 +459,45 @@ def q_ts_forward_fill(spark, sf_dir):
         "user_id",
         F.last(good, ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@register(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH r AS (
+        SELECT event_id, user_id, value,
+               avg(value) OVER w AS m,
+               stddev_samp(value) OVER w AS sd,
+               count(*) OVER w AS n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value,
+           round((value - m) / sd, 6) AS zscore
+    FROM r
+    WHERE n >= 10 AND sd > 1e-12 AND abs((value - m) / sd) > 2.5
+    """,
+    tags=("timeseries", "anomaly", "rolling"),
+)
+def q_ts_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection per key: each value scored against
+    the mean/stddev of its own trailing 20 observations (frame ends at the
+    PREVIOUS row so the point under test never contaminates its baseline);
+    flag |z| > 2.5 with a 10-observation warm-up. One per-key sort, no
+    second pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    r = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("m"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("*").over(w).alias("n"),
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        r.filter((F.col("n") >= 10) & (F.col("sd") > 1e-12) & (F.abs(z) > 2.5))
+        .select("event_id", "user_id", "value", F.round(z, 6).alias("zscore"))
+    )
