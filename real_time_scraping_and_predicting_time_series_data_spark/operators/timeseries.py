@@ -501,3 +501,91 @@ def q_ts_anomaly_zscore(spark, sf_dir):
         r.filter((F.col("n") >= 10) & (F.col("sd") > 1e-12) & (F.abs(z) > 2.5))
         .select("event_id", "user_id", "value", F.round(z, 6).alias("zscore"))
     )
+
+
+@register(
+    "ts_winsorize",
+    oracle="""
+    WITH q AS (
+        SELECT user_id,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.value,
+           round(least(greatest(e.value, q.lo), q.hi), 6) AS winsorized,
+           CASE WHEN e.value < q.lo OR e.value > q.hi THEN 1 ELSE 0 END AS clipped
+    FROM events e JOIN q ON e.user_id = q.user_id
+    """,
+    tags=("timeseries", "winsorize", "quality"),
+)
+def q_ts_winsorize(spark, sf_dir):
+    """Per-key winsorization: clip values to the key's own [p5, p95] band —
+    the outlier-capping pass a training-data pipeline runs before
+    normalization. The per-key quantile table is |keys|-sized and
+    broadcasts; clipping is a codegen'd least/greatest."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("user_id").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(q), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6).alias(
+                "winsorized"
+            ),
+            F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+            .otherwise(0)
+            .alias("clipped"),
+        )
+    )
+
+
+@register(
+    "ts_cusum_drift",
+    oracle="""
+    WITH keyed AS (
+        SELECT user_id, event_id, value,
+               avg(value) OVER (PARTITION BY user_id) AS mu,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+        FROM events
+    )
+    SELECT user_id, event_id,
+           floor(list_reduce(list_prepend(0.0, list_transform(prefix, x -> x - mu)),
+                             (acc, d) -> greatest(0.0, acc + d)) * 1000 + 0.5) / 1000
+               AS cusum_pos
+    FROM keyed
+    """,
+    tags=("timeseries", "cusum", "changepoint"),
+)
+def q_ts_cusum_drift(spark, sf_dir):
+    """One-sided CUSUM drift statistic per key: S_t = max(0, S_{t-1} +
+    (x_t - μ_key)) — the classic upward-changepoint detector. The recursion
+    is a left fold over the ordered prefix (same pattern as the exact EWMA);
+    μ is the key's own mean, broadcast back. Canonical half-up rounding via
+    floor(x·1e3 + .5) keeps both engines bit-identical on boundaries."""
+    ev = load_table(spark, sf_dir, "events")
+    mu = ev.groupBy("user_id").agg(F.avg("value").alias("mu"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keyed = ev.join(F.broadcast(mu), "user_id").withColumn(
+        "prefix", F.collect_list("value").over(w)
+    )
+    folded = F.aggregate(
+        F.transform(F.col("prefix"), lambda x: x - F.col("mu")),
+        F.lit(0.0),
+        lambda acc, d: F.greatest(F.lit(0.0), acc + d),
+    )
+    return keyed.select(
+        "user_id",
+        "event_id",
+        (F.floor(folded * 1000 + 0.5) / 1000).alias("cusum_pos"),
+    )
