@@ -955,3 +955,50 @@ def set_intersect_all(spark, sf_dir):
     a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
     return a.intersectAll(b)
+
+
+@register(
+    "sql_recursive_month_spine",
+    oracle="""
+    WITH RECURSIVE months(m, mend) AS (
+        SELECT date_trunc('month', min(l_shipdate)), date_trunc('month', max(l_shipdate))
+        FROM lineitem
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH, mend FROM months WHERE m < mend
+    ), rev AS (
+        SELECT date_trunc('month', l_shipdate) AS mm,
+               sum(l_extendedprice * (1 - l_discount)) AS r
+        FROM lineitem GROUP BY date_trunc('month', l_shipdate)
+    )
+    SELECT strftime(months.m, '%Y-%m-%d') AS month,
+           round(coalesce(rev.r, 0.0), 2) AS revenue
+    FROM months LEFT JOIN rev ON months.m = rev.mm
+    """,
+    tags=("relational", "recursive-cte", "sql-surface"),
+)
+def sql_recursive_month_spine(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE) through the SQL surface: a
+    gap-free month spine generated from the data's own span (the recursion
+    carries its end bound, no correlated subquery per step), left-joined to
+    monthly revenue so empty months surface as zero — the calendar-spine
+    pattern monthly_revenue_trend can't express without a generator."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m, mend) AS (
+            SELECT date_trunc('month', min(l_shipdate)), date_trunc('month', max(l_shipdate))
+            FROM lineitem
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH, mend FROM months WHERE m < mend
+        ), rev AS (
+            SELECT date_trunc('month', l_shipdate) AS mm,
+                   sum(l_extendedprice * (1 - l_discount)) AS r
+            FROM lineitem GROUP BY date_trunc('month', l_shipdate)
+        )
+        SELECT date_format(months.m, 'yyyy-MM-dd') AS month,
+               round(coalesce(rev.r, 0.0), 2) AS revenue
+        FROM months LEFT JOIN rev ON months.m = rev.mm
+        """
+    )
