@@ -55,3 +55,29 @@ def q_from_json(spark, sf_dir):
     return parsed.select("event_id", F.col("p.k").alias("k_typed")).filter(
         F.col("k_typed").isNotNull()
     )
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END AS k_missing
+    FROM events
+    """,
+    tags=("json", "variant", "S2"),
+)
+def q_json_variant(spark, sf_dir):
+    """S2 on Spark 4's VARIANT type: parse the JSON column once into a
+    variant (binary, lazily-shredded — no upfront schema like from_json,
+    no per-path re-parse like get_json_object) and extract typed paths with
+    variant_get. The modern semi-structured storage path: at 100 TB variant
+    columns shred into parquet and path extraction prunes like any column."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k_value"),
+        F.when(k.isNull(), 1).otherwise(0).alias("k_missing"),
+    )
