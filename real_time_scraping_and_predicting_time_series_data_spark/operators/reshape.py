@@ -149,3 +149,40 @@ def q_array_fns(spark, sf_dir):
             F.aggregate(F.filter(v, lambda x: x > 0), F.lit(0.0), lambda a, x: a + x), 6
         ).alias("pos_sum"),
     )
+
+
+@register(
+    "sample_group_split",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, event_id,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT) % 10 AS bucket
+        FROM events
+    )
+    SELECT CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM b GROUP BY 1
+    """,
+    tags=("sample", "split", "group-aware"),
+)
+def q_sample_group_split(spark, sf_dir):
+    """Leakage-aware train/val/test split: the split key is a hash of the
+    GROUP (user), not the row, so every event of a user lands in the same
+    split — the correct way to split entity-correlated training data.
+    md5 is identical across engines, making the assignment itself
+    oracle-verified; deterministic, seedless, and stable as data grows (a
+    user's split never changes when their events do)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10).cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split")
+    )
+    return ev.select(split, "user_id", "event_id").groupBy("split").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
