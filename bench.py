@@ -49,6 +49,11 @@ HEADLINE = [
     "range_join_purchase_errors",
     "ts_hypertable_rollup",
     "text_token_stats",
+    "funnel_three_stage",
+    "retention_cohorts",
+    "ts_anomaly_zscore",
+    "sketch_cms_heavy_hitters",
+    "pipeline_clean_corpus",
 ]
 
 
