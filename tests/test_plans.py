@@ -121,3 +121,19 @@ def test_pipeline_clean_corpus_filters_pushed(spark):
     plan = _plan(spark, "pipeline_clean_corpus")
     assert "In(lang" in plan
     assert "GreaterThanOrEqual(n_chars,120)" in plan
+
+
+def test_funnel_stage_relations_broadcast(spark):
+    """After stage 1's grouped min, funnel stage relations are |users|-sized
+    and must broadcast — no shuffle join against raw events."""
+    plan = _plan(spark, "funnel_three_stage")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_winsorize_quantile_table_broadcast(spark):
+    """The per-key quantile table joins back via broadcast; clipping is
+    codegen'd least/greatest, not a UDF."""
+    plan = _plan(spark, "ts_winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
