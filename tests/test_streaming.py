@@ -250,3 +250,43 @@ def test_transform_with_state_twin_matches_v1(spark, tmp_path):
     want = anchored_variation(change_dedup(batch_df)).collect()
     want_map = {r.event_id: (r.value, round(r.variation, 12)) for r in want}
     assert got_map == want_map
+
+
+def test_update_and_complete_output_modes(spark, tmp_path):
+    """Running per-key aggregation through the two non-append output modes:
+    update emits only groups changed by each batch (so a key touched twice
+    appears twice in the sink); complete re-emits the full state, whose last
+    emission must equal the batch recompute over all input."""
+    drop = str(tmp_path / "drop")
+    _write_poll_file(drop, "poll_000.json", BATCH_1)
+    _write_poll_file(drop, "poll_001.json", BATCH_2)
+    stream = file_tick_stream(spark, drop)
+    counts = stream.groupBy("user_id").count()
+
+    for mode, name in (("update", "upd_out"), ("complete", "cmp_out")):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{mode}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    want = {(1, 5), (2, 3)}  # batch recompute over BATCH_1 + BATCH_2
+
+    upd = [(r.user_id, r["count"]) for r in spark.sql("SELECT * FROM upd_out").collect()]
+    # both keys updated in both batches -> two emissions per key
+    assert sorted(k for k, _ in upd) == [1, 1, 2, 2]
+    latest_upd = {}
+    for k, c in upd:
+        latest_upd[k] = max(c, latest_upd.get(k, 0))
+    assert set(latest_upd.items()) == want
+
+    cmp_rows = [(r.user_id, r["count"]) for r in spark.sql("SELECT * FROM cmp_out").collect()]
+    # complete mode: the final emission holds the full, correct state
+    latest_cmp = {}
+    for k, c in cmp_rows:
+        latest_cmp[k] = max(c, latest_cmp.get(k, 0))
+    assert set(latest_cmp.items()) == want
