@@ -1002,3 +1002,69 @@ def sql_recursive_month_spine(spark, sf_dir):
         FROM months LEFT JOIN rev ON months.m = rev.mm
         """
     )
+
+
+@register(
+    "dq_validation_suite",
+    oracle="""
+    SELECT 'lineitem_orphan_orderkeys' AS check_name,
+           CAST(count(*) AS BIGINT) AS violations
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'lineitem_nonpositive_price',
+           CAST(count(*) AS BIGINT) FROM lineitem WHERE l_extendedprice <= 0
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           CAST(count(*) AS BIGINT) FROM lineitem
+    WHERE l_discount < 0 OR l_discount > 1
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'customer_unknown_nation',
+           CAST(count(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey = c.c_nationkey)
+    """,
+    tags=("relational", "quality", "constraints"),
+)
+def dq_validation_suite(spark, sf_dir):
+    """Data-quality constraint suite (Deequ/dbt-test shape): referential
+    integrity (anti joins), primary-key uniqueness, range and null checks —
+    one pass per table, unioned into a (check_name, violations) report.
+    The operational pre-flight a 100 TB pipeline runs before training jobs;
+    every check is a pushed-down filter or an anti join on the key."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+
+    def check(name, df):
+        return df.agg(F.count("*").cast("long").alias("violations")).select(
+            F.lit(name).alias("check_name"), "violations"
+        )
+
+    orphans = l.join(o.select("o_orderkey"), l.l_orderkey == o.o_orderkey, "left_anti")
+    dup_pk = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("violations")
+    ).select(F.lit("orders_duplicate_pk").alias("check_name"), "violations")
+    bad_nation = c.join(
+        F.broadcast(n.select("n_nationkey")), c.c_nationkey == n.n_nationkey, "left_anti"
+    )
+    return (
+        check("lineitem_orphan_orderkeys", orphans)
+        .unionByName(dup_pk)
+        .unionByName(check("lineitem_nonpositive_price", l.filter(F.col("l_extendedprice") <= 0)))
+        .unionByName(
+            check(
+                "lineitem_discount_out_of_range",
+                l.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+            )
+        )
+        .unionByName(check("orders_null_custkey", o.filter(F.col("o_custkey").isNull())))
+        .unionByName(check("customer_unknown_nation", bad_nation))
+    )
