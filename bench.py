@@ -53,6 +53,8 @@ HEADLINE = [
     "retention_cohorts",
     "ts_anomaly_zscore",
     "sketch_cms_heavy_hitters",
+    "sketch_hll_distinct",
+    "ts_gaps_islands",
     "pipeline_clean_corpus",
 ]
 

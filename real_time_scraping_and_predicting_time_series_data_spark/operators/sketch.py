@@ -94,3 +94,22 @@ def q_cms_heavy_hitters(spark, sf_dir):
     cands = tokens.distinct()
     est = cms_estimate(sketch, cands, depth=4, width=1024)
     return est.orderBy(F.desc("est"), "token").limit(20)
+
+
+@register("sketch_hll_distinct", oracle=None, tags=("sketch", "hll", "approx-distinct"))
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate distinct users per event type
+    (``approx_count_distinct``, rsd=1%) beside the event count.
+
+    The scale path for COUNT(DISTINCT): exact distinct shuffles every
+    distinct (group, user) pair, HLL shuffles one ~kB-size mergeable
+    register set per group per partition — constant-size state regardless
+    of cardinality, the same reason the reference's dedup-by-last-value
+    (``asyncio scraping.py:80``) keeps O(1) state. Rows-only (HLL register
+    layouts differ between engines); accuracy vs exact is property-tested
+    in tests/test_sketch.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -36,6 +36,7 @@ __all__ = [
     "downsample",
     "rmse",
     "minmax_scale",
+    "gaps_islands",
 ]
 
 # ---------------------------------------------------------------------------
@@ -588,4 +589,75 @@ def q_ts_cusum_drift(spark, sf_dir):
         "user_id",
         "event_id",
         (F.floor(folded * 1000 + 0.5) / 1000).alias("cusum_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-run detection
+# ---------------------------------------------------------------------------
+
+
+def gaps_islands(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    mark: str = "event_type",
+) -> DataFrame:
+    """Group consecutive rows with the same ``mark`` value into islands.
+
+    The generalization of the reference's consecutive-change logic
+    (``asyncio scraping.py:80-83``) from "drop repeats" to "summarize each
+    run": per key, ordered by (ts, tiebreak), a new island starts whenever
+    ``mark`` differs from the previous row's value.
+
+    Implementation is a change flag (``lag``) + running sum — both windows
+    share ONE hash partitioning on ``key``, so the whole derivation costs a
+    single shuffle; the island id is then available for any downstream
+    grouped aggregation. (The textbook row_number-difference trick needs two
+    different window partitionings and therefore two shuffles.)
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    prev = F.lag(mark).over(w)
+    chg = F.when(prev.isNull() | (prev != F.col(mark)), F.lit(1)).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("island_id", F.sum(chg).over(run))
+
+
+@register(
+    "ts_gaps_islands",
+    oracle="""
+    SELECT user_id, event_type, CAST(island_id AS BIGINT) AS island_id,
+           CAST(min(event_id) AS BIGINT) AS start_event_id,
+           CAST(max(event_id) AS BIGINT) AS end_event_id,
+           CAST(count(*) AS BIGINT) AS run_len,
+           round(avg(value), 9) AS avg_value
+    FROM (
+        SELECT user_id, event_type, event_id, value,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island_id
+        FROM (
+            SELECT user_id, event_type, event_id, value, ts,
+                   CASE WHEN lag(event_type) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                        IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+            FROM events
+        ) flagged
+    ) islands
+    GROUP BY user_id, event_type, island_id
+    """,
+    tags=("timeseries", "gaps-islands", "P2"),
+)
+def q_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: summarize each run of consecutive same-type events
+    per user (start/end arrival sequence, length, mean value). One shuffle
+    for both windows + the grouped agg reuses the same key prefix."""
+    ev = load_table(spark, sf_dir, "events")
+    runs = gaps_islands(ev)
+    return runs.groupBy("user_id", "event_type", "island_id").agg(
+        F.min("event_id").alias("start_event_id"),
+        F.max("event_id").alias("end_event_id"),
+        F.count(F.lit(1)).alias("run_len"),
+        F.round(F.avg("value"), 9).alias("avg_value"),
     )

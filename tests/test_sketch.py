@@ -67,3 +67,24 @@ def test_cms_merge_equals_build_on_union(spark):
     m = {(r.seed, r.bucket): r.n for r in merged.collect()}
     d = {(r.seed, r.bucket): r.n for r in direct.collect()}
     assert m == d
+
+
+def test_hll_distinct_within_rsd_of_exact(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in all_queries()["sketch_hll_distinct"].fn(spark, SF).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, est in approx.items():
+        # rsd=1% → allow 5 standard-error widths before calling it broken
+        assert abs(est - exact[etype]) <= max(1, 0.05 * exact[etype]), (etype, est, exact[etype])

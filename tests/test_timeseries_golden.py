@@ -263,3 +263,31 @@ def test_fifo_every_forecast_filled_once_fifo_order(spark):
     actuals = [a for _, a in matched]
     assert len(set(actuals)) == len(actuals)
     assert actuals == sorted(actuals)
+
+
+def test_gaps_islands_partitions_stream_into_alternating_runs(spark, ticks):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries import (
+        gaps_islands,
+    )
+
+    # mark = the value column itself: islands are runs of equal consecutive
+    # values, so island count per key == change_dedup survivor count.
+    runs = gaps_islands(ticks, mark="value").collect()
+    assert len(runs) == len(ROWS)  # every row belongs to exactly one island
+
+    per_key: dict[int, list] = {}
+    for r in sorted(runs, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        per_key.setdefault(r["user_id"], []).append(r)
+    survivors = {
+        r["user_id"]: 0
+        for r in change_dedup(ticks).collect()
+    }
+    for r in change_dedup(ticks).collect():
+        survivors[r["user_id"]] += 1
+    for uid, rows in per_key.items():
+        ids = [r["island_id"] for r in rows]
+        assert ids == sorted(ids)  # island ids non-decreasing in stream order
+        # consecutive rows share an island iff values match
+        for a, b in zip(rows, rows[1:]):
+            assert (a["island_id"] == b["island_id"]) == (a["value"] == b["value"])
+        assert len(set(ids)) == survivors[uid]  # one island per retained tick
