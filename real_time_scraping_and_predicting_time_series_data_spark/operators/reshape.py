@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..plans.registry import register
 
-__all__ = ["pivot_status", "unpivot_totals", "hash_mod_sample", "stratified_sample"]
+__all__ = ["pivot_status", "unpivot_totals", "hash_mod_sample", "stratified_sample", "weighted_systematic_sample"]
 
 
 def pivot_status(orders: DataFrame) -> DataFrame:
@@ -186,3 +186,78 @@ def q_sample_group_split(spark, sf_dir):
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    k: int,
+    weight,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Deterministic weight-proportional sampling of ≤ k rows per key
+    (systematic / low-variance resampling, the particle-filter scheme).
+
+    Lay the rows of a key end-to-end on a [0, total_weight) line and pick
+    the rows containing the k evenly-spaced points — selection probability
+    is proportional to ``weight`` with zero randomness and zero extra
+    variance. Weights are quantized to integers so the cumulative sum is
+    exact: no floating-point summation-order hazards, which makes the
+    operator bit-reproducible across engines and across re-runs at any
+    partitioning (the fp-safe analogue of the E-S exponential-keys method).
+
+    Cost: one hash partition on ``key`` shared by both window frames, then a
+    filter — no second shuffle, no per-key collect.
+    """
+    from pyspark.sql import Window
+
+    w_int = F.col("_w")
+    run = (
+        Window.partitionBy(key)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(key)
+    weighted = (
+        df.withColumn("_w", weight)
+        .withColumn("_cum", F.sum(w_int).over(run))
+        .withColumn("_total", F.sum(w_int).over(tot))
+    )
+    picked = F.floor(
+        ((F.col("_cum") - w_int) * k).cast("double") / F.col("_total")
+    ) < F.floor((F.col("_cum") * k).cast("double") / F.col("_total"))
+    return weighted.filter(picked).drop("_w", "_cum", "_total")
+
+
+@register(
+    "sample_weighted_systematic",
+    oracle="""
+    WITH wts AS (
+        SELECT user_id, event_id, ts, value,
+               CAST(floor(abs(value) * 100) AS BIGINT) + 1 AS w
+        FROM events
+    ), cums AS (
+        SELECT user_id, event_id, value, w,
+               CAST(sum(w) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(sum(w) OVER (PARTITION BY user_id) AS BIGINT) AS total
+        FROM wts
+    )
+    SELECT user_id, event_id, value
+    FROM cums
+    WHERE floor(CAST((cum - w) * 5 AS DOUBLE) / total)
+        < floor(CAST(cum * 5 AS DOUBLE) / total)
+    """,
+    tags=("sample", "weighted", "systematic"),
+)
+def q_sample_weighted_systematic(spark, sf_dir):
+    """Weight-proportional deterministic sampling: ≤ 5 events per user,
+    selection probability ∝ |value| (e.g. quality-score-weighted corpus
+    subsampling). Integer-quantized weights keep the cumulative line exact,
+    so Spark and the oracle agree bit-for-bit on every pick."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.floor(F.abs(F.col("value")) * 100).cast("long") + F.lit(1).cast("long")
+    out = weighted_systematic_sample(ev, k=5, weight=w)
+    return out.select("user_id", "event_id", "value")

@@ -79,3 +79,34 @@ def test_resample_gapfill_carries_last_value(spark):
     # grid is contiguous hourly
     deltas = grid["grid_ts"].diff().dropna().unique()
     assert len(deltas) == 1 and deltas[0] == pd.Timedelta(hours=1)
+
+
+def test_weighted_systematic_sample_picks_at_most_k_heaviest_biased(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.reshape import (
+        weighted_systematic_sample,
+    )
+
+    ev = load_table(spark, SF, "events")
+    k = 5
+    w = F.floor(F.abs(F.col("value")) * 100).cast("long") + F.lit(1).cast("long")
+    picks = weighted_systematic_sample(ev, k=k, weight=w).groupBy("user_id").count()
+    counts = {r["user_id"]: r["count"] for r in picks.collect()}
+    n_users = ev.select("user_id").distinct().count()
+    assert set(counts) == set(
+        r["user_id"] for r in ev.select("user_id").distinct().collect()
+    )
+    # systematic resampling selects between 1 and k rows per key (a single
+    # heavy row can swallow multiple stride points but is emitted once)
+    assert all(1 <= c <= k for c in counts.values()), counts
+    assert len(counts) == n_users
+
+    # determinism: same input -> identical pick set
+    again = weighted_systematic_sample(ev, k=k, weight=w)
+    a = {(r["user_id"], r["event_id"]) for r in again.select("user_id", "event_id").collect()}
+    b = {
+        (r["user_id"], r["event_id"])
+        for r in weighted_systematic_sample(ev, k=k, weight=w)
+        .select("user_id", "event_id")
+        .collect()
+    }
+    assert a == b
