@@ -137,3 +137,21 @@ def test_winsorize_quantile_table_broadcast(spark):
     plan = _plan(spark, "ts_winsorize")
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gaps_islands_single_key_shuffle(spark):
+    """Change-flag window, island-id running sum, AND the island groupBy all
+    ride ONE hash exchange: the agg keys (user_id, event_type, island_id)
+    are a superset of the window partition key, so HashPartitioning(user_id)
+    already satisfies the aggregation's clustered distribution."""
+    plan = _plan(spark, "ts_gaps_islands")
+    body = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert body.count("Exchange") == 1, body
+
+
+def test_weighted_systematic_sample_single_key_shuffle(spark):
+    """Cumulative-weight frame and per-key total share one exchange on
+    user_id; the pick is a filter, not a second wide stage."""
+    plan = _plan(spark, "sample_weighted_systematic")
+    body = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert body.count("Exchange") == 1, body
