@@ -248,15 +248,37 @@ def q_sliding_features_lags(spark, sf_dir):
 
 @register(
     "ts_sliding_features_arrays",
-    oracle=None,  # array-valued; covered rows-only + by tests vs. the lag form
+    oracle="""
+    SELECT event_id, user_id,
+           array_to_string(list_transform(feats, x -> printf('%.9f', x)), ',') AS features_csv,
+           array_to_string(list_transform(targs, x -> printf('%.9f', x)), ',') AS targets_csv
+    FROM (
+        SELECT event_id, user_id,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS feats,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING) AS targs
+        FROM events
+    ) t WHERE len(feats) = 10 AND len(targs) = 5
+    """,
     tags=("timeseries", "W1"),
 )
 def q_sliding_features_arrays(spark, sf_dir):
     """W1 (array form): collect_list windows exactly shaped like the
-    reference's X[n,10,1] / y[n,5] tensors (``lvmh_forecaster2.py:83-88``)."""
+    reference's X[n,10,1] / y[n,5] tensors (``lvmh_forecaster2.py:83-88``).
+
+    The registered query serializes each window to a fixed-format CSV string
+    (``%.9f`` per element) so the driver's hash canonicalizer — which cannot
+    hash list-valued cells — gets deterministic scalar columns; the array API
+    (``sliding_features``) itself still returns ``array<double>``.
+    """
     ev = load_table(spark, sf_dir, "events")
+    fmt = lambda c: F.array_join(F.transform(c, lambda x: F.format_string("%.9f", x)), ",")
     return sliding_features(ev, lookback=10, horizon=5).select(
-        "event_id", "user_id", "features", "targets"
+        "event_id",
+        "user_id",
+        fmt("features").alias("features_csv"),
+        fmt("targets").alias("targets_csv"),
     )
 
 
