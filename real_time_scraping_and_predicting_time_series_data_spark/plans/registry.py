@@ -44,27 +44,35 @@ QUERIES: dict[str, Query] = {}
 # Modules that contribute queries; imported lazily by all_queries() so a
 # syntax error in one operator module surfaces loudly instead of silently
 # shrinking the registry.
+# Module order determines registry dict order, which is the order the
+# driver's capped correctness harness walks: round 1 checked only the first
+# ~50 queries, leaving the as-of / dedup / similarity / text / multimodal /
+# UDF families without driver rows.  Rotate the not-yet-driver-checked
+# families to the front so this round's check window covers them; the
+# round-1-green relational/timeseries/flagship queries move to the tail
+# (their green rows are already on record, and the in-repo parity runner
+# keeps exercising every query regardless of order).
 _QUERY_MODULES = (
-    "real_time_scraping_and_predicting_time_series_data_spark.plans.flagship",
-    "real_time_scraping_and_predicting_time_series_data_spark.operators.relational",
-    "real_time_scraping_and_predicting_time_series_data_spark.operators.tpch_deep",
-    "real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries",
-    "real_time_scraping_and_predicting_time_series_data_spark.operators.rolling",
-    "real_time_scraping_and_predicting_time_series_data_spark.operators.reshape",
-    "real_time_scraping_and_predicting_time_series_data_spark.functions.udfs",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.asof",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.dedup",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.similarity",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.text",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.multimodal",
     "real_time_scraping_and_predicting_time_series_data_spark.sources.json_extract",
-    "real_time_scraping_and_predicting_time_series_data_spark.ml.forecast",
-    "real_time_scraping_and_predicting_time_series_data_spark.ml.mllib_forecast",
-    "real_time_scraping_and_predicting_time_series_data_spark.operators.skew",
-    "real_time_scraping_and_predicting_time_series_data_spark.operators.rangejoin",
+    "real_time_scraping_and_predicting_time_series_data_spark.functions.udfs",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.sketch",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.funnel",
+    "real_time_scraping_and_predicting_time_series_data_spark.operators.tpch_deep",
+    "real_time_scraping_and_predicting_time_series_data_spark.operators.rolling",
+    "real_time_scraping_and_predicting_time_series_data_spark.operators.reshape",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.stats",
+    "real_time_scraping_and_predicting_time_series_data_spark.operators.skew",
+    "real_time_scraping_and_predicting_time_series_data_spark.operators.rangejoin",
+    "real_time_scraping_and_predicting_time_series_data_spark.ml.forecast",
+    "real_time_scraping_and_predicting_time_series_data_spark.ml.mllib_forecast",
+    "real_time_scraping_and_predicting_time_series_data_spark.operators.relational",
+    "real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries",
+    "real_time_scraping_and_predicting_time_series_data_spark.plans.flagship",
 )
 
 _loaded = False
