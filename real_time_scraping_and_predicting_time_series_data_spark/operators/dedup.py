@@ -28,8 +28,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+import random
+
 from ..catalog import ensure_min_partitions, load_table
-from ..functions.vector import as_double, cosine, hamming64
+from ..functions.vector import as_double, cosine, dot
+from ..functions.vector import hamming64
 from ..plans.registry import register
 
 __all__ = [
@@ -41,6 +44,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_banded",
 ]
 
 # ---------------------------------------------------------------------------
@@ -302,6 +306,105 @@ def embedding_dup_pairs(
     )
 
 
+# Banded sign-random-projection blocking.  The hyperplane signs are fixed
+# pseudo-random ±1 constants generated from a seeded PRNG at import time and
+# inlined as literals into BOTH the Spark expression and the DuckDB oracle
+# SQL, so the blocking (and therefore the exact result set) is reproducible
+# on both engines — unlike the xxhash64-based SRP in similarity.py, which
+# has no oracle twin.
+_SRP_SEED = 20260813
+_SRP_DIM = 64
+
+
+def _srp_signs(bands: int, bits: int, dim: int = _SRP_DIM, seed: int = _SRP_SEED):
+    """±1 hyperplane components, signs[band][bit][component]."""
+    rng = random.Random(seed)
+    return [
+        [[1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)] for _ in range(bits)]
+        for _ in range(bands)
+    ]
+
+
+def embedding_dup_pairs_banded(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.95,
+    bands: int = 16,
+    bits: int = 3,
+    dim: int = _SRP_DIM,
+    seed: int = _SRP_SEED,
+) -> DataFrame:
+    """Embedding near-dup pairs via banded SRP blocking + exact-cosine verify.
+
+    Candidates = pairs agreeing on all ``bits`` hyperplane signs of any of
+    the ``bands`` bands — an equi-join on (band, bucket), never a cross
+    join.  Exact cosine is computed only for candidates.  A pair at cosine c
+    survives one band with prob (1 - acos(c)/π)^bits, so recall is
+    1-(1-p^bits)^bands: ≥0.99 at c=0.4 for (16 bands, 3 bits).  At a
+    production near-dup threshold (c≥0.95, p≈0.9) the right knobs are wider
+    bands (16+ bits → 2^16 buckets, ~4000× candidate reduction); the test
+    corpus's deliberately weak 0.4 threshold needs the shallow setting.
+    """
+    signs = _srp_signs(bands, bits, dim, seed)
+    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec)).alias("v"))
+    band_structs = []
+    for t in range(bands):
+        bucket = F.lit(0)
+        for i in range(bits):
+            plane = F.array(*[F.lit(s) for s in signs[t][i]])
+            bucket = bucket + F.when(dot(F.col("v"), plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        band_structs.append(F.struct(F.lit(t).alias("band"), bucket.alias("bucket")))
+    bk = base.select("id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+    a = bk.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = bk.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def _srp_banded_oracle(threshold: float, bands: int = 16, bits: int = 3) -> str:
+    """DuckDB twin of ``embedding_dup_pairs_banded``: same sign constants,
+    same band/bucket blocking, same exact-cosine verification."""
+    signs = _srp_signs(bands, bits)
+    structs = []
+    for t in range(bands):
+        terms = []
+        for i in range(bits):
+            arr = "[" + ",".join(str(s) for s in signs[t][i]) + "]"
+            terms.append(f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {1 << i} ELSE 0 END)")
+        structs.append("{'band': %d, 'bucket': %s}" % (t, " + ".join(terms)))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bk AS (SELECT vec_id, unnest([{", ".join(structs)}]) AS s FROM e),
+    bb AS (SELECT vec_id, s.band AS band, s.bucket AS bucket FROM bk),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bb a JOIN bb b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.id_a
+    JOIN e eb ON eb.vec_id = c.id_b
+    WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 # ---------------------------------------------------------------------------
@@ -422,18 +525,17 @@ def q_dedup_simhash(spark, sf_dir):
 
 @register(
     "dedup_embedding_cosine",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.v, b.v), 6) AS cos
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
-    """,
+    oracle=_srp_banded_oracle(threshold=0.4),
     tags=("dedup", "embedding"),
 )
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (threshold tuned to the random test
-    vectors; at scale the pair generation would be LSH/IVF-blocked)."""
+    """Embedding-cosine near-dup pairs, SRP-band-blocked: candidate pairs
+    come from an equi-join on (band, bucket) — no cross join at any scale —
+    then exact cosine verifies candidates only.  The oracle replicates the
+    identical blocking from the same inlined hyperplane constants, so the
+    result set (not just the survivors) is hash-checked.  Threshold 0.4 is
+    tuned to the random test vectors; recall vs the unblocked all-pairs
+    ground truth is property-tested (tests/test_dedup_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = embedding_dup_pairs(emb, threshold=0.4)
+    out = embedding_dup_pairs_banded(emb, threshold=0.4)
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))

@@ -253,3 +253,29 @@ def test_jaccard_singleton_pruning_preserves_results(spark):
         ).collect()
     }
     assert base == pruned and len(base) > 0
+
+
+def test_embedding_banded_recall_vs_unblocked(spark):
+    """SRP-band blocking must recover ≥95% of the unblocked all-pairs ground
+    truth at the registered threshold, with zero false positives (exact
+    cosine verifies every candidate)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_banded,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    truth = {
+        (r.id_a, r.id_b): round(r.cos, 6)
+        for r in embedding_dup_pairs(emb, block=None, threshold=0.4).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): round(r.cos, 6)
+        for r in embedding_dup_pairs_banded(emb, threshold=0.4).collect()
+    }
+    assert len(truth) > 0
+    assert set(blocked) <= set(truth)  # no false positives
+    recall = len(blocked) / len(truth)
+    assert recall >= 0.95, f"banded recall {recall:.3f} over {len(truth)} pairs"
+    for pair, c in blocked.items():
+        assert truth[pair] == c  # scores identical where recovered

@@ -155,3 +155,11 @@ def test_weighted_systematic_sample_single_key_shuffle(spark):
     plan = _plan(spark, "sample_weighted_systematic")
     body = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
     assert body.count("Exchange") == 1, body
+
+
+def test_embedding_dedup_is_equi_join_not_cross(spark):
+    """The SRP-banded embedding dedup must plan every join as an equi-join on
+    (band, bucket) or id — never a cross join on a constant key."""
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
