@@ -1,13 +1,16 @@
 """Rolling / resampling time-series operators extending the reference's
 window family (W1-W4): moving statistics, EWMA, fixed-grid resampling with
-gap-fill, and quantiles. All window-function compositions — one hash
-partition per key, no UDFs.
+gap-fill, and quantiles. Window-function compositions — one hash partition
+per key — except the EWMA recurrence, which is an Arrow-batched per-key
+``applyInPandas`` fold (the one shape Catalyst windows cannot express in
+O(n)).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from ..catalog import load_table
 from ..operators.asof import asof_join
@@ -56,25 +59,30 @@ def ewma(
     """Exponentially weighted moving average, exact recursive form
     (ewma_t = α·x_t + (1-α)·ewma_{t-1}, seeded with the first value).
 
-    The recursion is a left fold over the per-key prefix: ``collect_list``
-    over a cumulative row frame + ``aggregate``. Deterministic order (the
-    window's), so cross-engine reproducible. O(n²) per key in the worst
-    case (prefix arrays); for unbounded streams the stateful gate
-    (streaming/stateful.py) carries the same recursion in O(1) state —
-    this batch form is for bounded backfills.
+    Scale shape: one shuffle on ``key`` into ``applyInPandas``, then a
+    sequential O(n)-time / O(n)-memory fold per key — the former
+    ``collect_list``-prefix form carried an i-element array on row i (O(n²)
+    per key), which blows the window buffer on a long key.  A recurrence
+    with a data-dependent decay has no O(n) Catalyst window form, so this is
+    the sanctioned Arrow-batched Python crossing; the per-step float ops
+    (α·x + (1-α)·acc) are IEEE-identical to DuckDB's ``list_reduce`` fold,
+    keeping bit-exact oracle parity.  For unbounded streams the stateful
+    gate (streaming/stateful.py) carries the same recursion in O(1) state.
     """
-    w = (
-        Window.partitionBy(key)
-        .orderBy(ts, tiebreak)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    prefix = F.collect_list(value).over(w)
-    folded = F.aggregate(
-        F.slice(prefix, 2, F.greatest(F.size(prefix) - 1, F.lit(0))),
-        F.element_at(prefix, 1),
-        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
-    )
-    return df.withColumn(out, folded)
+    schema = StructType(list(df.schema.fields) + [StructField(out, DoubleType())])
+    a, b = float(alpha), 1.0 - float(alpha)
+
+    def fold(pdf):
+        pdf = pdf.sort_values([ts, tiebreak])
+        acc = None
+        res = []
+        for x in pdf[value]:
+            x = float(x)
+            acc = x if acc is None else a * x + b * acc
+            res.append(acc)
+        return pdf.assign(**{out: res})
+
+    return df.groupBy(key).applyInPandas(fold, schema=schema)
 
 
 def resample_grid(

@@ -571,46 +571,68 @@ def q_ts_winsorize(spark, sf_dir):
 @register(
     "ts_cusum_drift",
     oracle="""
-    WITH keyed AS (
-        SELECT user_id, event_id, value,
-               avg(value) OVER (PARTITION BY user_id) AS mu,
-               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+    WITH c AS (
+        SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS vi
         FROM events
+    ), st AS (
+        SELECT user_id, CAST(sum(vi) AS BIGINT) AS sv, count(*) AS n
+        FROM c GROUP BY user_id
+    ), keyed AS (
+        SELECT c.user_id, c.event_id, c.ts,
+               c.vi - ((2 * st.sv + st.n) // (2 * st.n)) AS d
+        FROM c JOIN st USING (user_id)
+    ), pre AS (
+        SELECT user_id, event_id, ts,
+               CAST(sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+        FROM keyed
     )
     SELECT user_id, event_id,
-           floor(list_reduce(list_prepend(0.0, list_transform(prefix, x -> x - mu)),
-                             (acc, d) -> greatest(0.0, acc + d)) * 1000 + 0.5) / 1000
+           (p - least(0, CAST(min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))) / 100.0
                AS cusum_pos
-    FROM keyed
+    FROM pre
     """,
     tags=("timeseries", "cusum", "changepoint"),
 )
 def q_ts_cusum_drift(spark, sf_dir):
     """One-sided CUSUM drift statistic per key: S_t = max(0, S_{t-1} +
-    (x_t - μ_key)) — the classic upward-changepoint detector. The recursion
-    is a left fold over the ordered prefix (same pattern as the exact EWMA);
-    μ is the key's own mean, broadcast back. Canonical half-up rounding via
-    floor(x·1e3 + .5) keeps both engines bit-identical on boundaries."""
+    (x_t - μ_key)) — the classic upward-changepoint detector, with μ the
+    key's mean rounded to cents.
+
+    Scale shape: the recursion has an exact closed form — S_t = P_t −
+    min(0, min_{j≤t} P_j) with P the running sum of deviations — so the
+    whole statistic is a running sum plus a running min over the SAME
+    per-key ordering: two Window nodes sharing one hash partitioning, O(1)
+    window state per row.  (The previous fold over a ``collect_list``
+    prefix carried an i-element array on row i — O(n²) per key, an OOM
+    hazard on long keys.)
+
+    Cross-engine exactness: ``value`` is 2-decimal, so everything runs in
+    integer cents — vi = round(100·value), μ_cents = ⌊(2·Σvi + n)/(2n)⌋
+    (half-up), deviations/prefix sums/mins all integers — making every
+    intermediate bit-identical between Spark and DuckDB regardless of
+    summation order; only the final /100.0 returns to double (an identical
+    IEEE division on both sides)."""
     ev = load_table(spark, sf_dir, "events")
-    mu = ev.groupBy("user_id").agg(F.avg("value").alias("mu"))
+    evc = ev.withColumn("vi", F.round(F.col("value") * 100).cast("long"))
+    st = evc.groupBy("user_id").agg(F.sum("vi").alias("sv"), F.count("*").alias("n"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    keyed = ev.join(F.broadcast(mu), "user_id").withColumn(
-        "prefix", F.collect_list("value").over(w)
+    keyed = (
+        evc.join(F.broadcast(st), "user_id")
+        .withColumn("d", F.col("vi") - F.expr("(2 * sv + n) div (2 * n)"))
+        .withColumn("p", F.sum("d").over(w))
+        .withColumn("mn", F.min("p").over(w))
     )
-    folded = F.aggregate(
-        F.transform(F.col("prefix"), lambda x: x - F.col("mu")),
-        F.lit(0.0),
-        lambda acc, d: F.greatest(F.lit(0.0), acc + d),
-    )
+    s_cents = F.col("p") - F.least(F.lit(0).cast("long"), F.col("mn"))
     return keyed.select(
         "user_id",
         "event_id",
-        (F.floor(folded * 1000 + 0.5) / 1000).alias("cusum_pos"),
+        (s_cents / 100.0).alias("cusum_pos"),
     )
 
 
