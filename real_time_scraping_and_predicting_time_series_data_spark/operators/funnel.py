@@ -42,8 +42,12 @@ def q_funnel_three_stage(spark, sf_dir):
     """Ordered three-stage funnel (click → purchase → error): each stage is
     the per-user min event time strictly after the previous stage's; the
     funnel counts users surviving each stage. Per stage: one grouped min +
-    one join on user_id — every relation after stage 1 is |users|-sized, so
-    at 100 TB only the first grouped min touches the raw events."""
+    one join on user_id — every relation after stage 1 is |users|-sized.
+    No broadcast hints: |users| is unbounded (tens of millions at 100 TB,
+    a driver/executor OOM if forced onto the build side), and the stage
+    joins key on the same user_id the grouped mins already hash-partition
+    on, so a shuffle join co-partitions for free; AQE still downgrades to
+    broadcast at runtime when a stage relation measures small."""
     ev = _t(spark, sf_dir, "events")
     s1 = (
         ev.filter(F.col("event_type") == "click")
@@ -52,14 +56,14 @@ def q_funnel_three_stage(spark, sf_dir):
     )
     s2 = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(s1), "user_id")
+        .join(s1, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     s3 = (
         ev.filter(F.col("event_type") == "error")
-        .join(F.broadcast(s2), "user_id")
+        .join(s2, "user_id")
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
@@ -93,14 +97,15 @@ def q_funnel_three_stage(spark, sf_dir):
 def q_retention_cohorts(spark, sf_dir):
     """Cohort retention triangle: users bucketed by first-seen week, counted
     once per (cohort, week-offset) they were active in. First-seen is one
-    grouped min; the cohort map is |users|-sized and broadcasts; the
-    distinct collapses per-user-week activity before the final count."""
+    grouped min; the cohort map is |users|-sized — unbounded, so no forced
+    broadcast (AQE may still pick one when it measures small); the distinct
+    collapses per-user-week activity before the final count."""
     ev = _t(spark, sf_dir, "events")
     first_seen = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     activity = (
-        ev.join(F.broadcast(first_seen), "user_id")
+        ev.join(first_seen, "user_id")
         .select(
             "user_id",
             "cohort_week",

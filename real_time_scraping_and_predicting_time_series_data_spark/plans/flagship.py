@@ -54,10 +54,15 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_ticks"),
         F.round(F.max(F.abs(F.col("variation"))), 9).alias("max_abs_variation"),
     )
+    # Top-k via orderBy().limit(): plans as TakeOrderedAndProject (per-
+    # partition partial top-10 + merge), so the |users|-sized agg output is
+    # never funneled into one partition for a full sort.  The rank window
+    # then runs over exactly 10 rows — the global rank-then-filter form
+    # would sort ALL users in a single partition first.
+    top = agg.orderBy(F.desc("max_abs_variation"), F.asc("user_id")).limit(10)
     w = Window.orderBy(F.desc("max_abs_variation"), F.asc("user_id"))
     return (
-        agg.withColumn("mover_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("mover_rank") <= 10)
+        top.withColumn("mover_rank", F.row_number().over(w).cast("long"))
         .select("user_id", "n_ticks", "max_abs_variation", "mover_rank")
     )
 

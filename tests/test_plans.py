@@ -123,12 +123,14 @@ def test_pipeline_clean_corpus_filters_pushed(spark):
     assert "GreaterThanOrEqual(n_chars,120)" in plan
 
 
-def test_funnel_stage_relations_broadcast(spark):
-    """After stage 1's grouped min, funnel stage relations are |users|-sized
-    and must broadcast — no shuffle join against raw events."""
-    plan = _plan(spark, "funnel_three_stage")
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
+def test_funnel_no_forced_broadcast_on_user_relations(spark):
+    """Funnel stage relations and the retention cohort map are |users|-sized
+    — unbounded, so the plan must not carry an explicit broadcast hint
+    (AQE may still choose broadcast at runtime from measured sizes)."""
+    for name in ("funnel_three_stage", "retention_cohorts"):
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" not in optimized, name
 
 
 def test_winsorize_quantile_table_broadcast(spark):
@@ -175,3 +177,10 @@ def test_ewma_cusum_no_prefix_arrays(spark):
     cusum_plan = _plan(spark, "ts_cusum_drift")
     assert "collect_list" not in cusum_plan
     assert "FlatMapGroupsInPandas" not in cusum_plan  # stays fully JVM-side
+
+
+def test_flagship_topk_avoids_global_sort(spark):
+    """The flagship's top-10 movers must plan as TakeOrderedAndProject
+    (partial per-partition top-k), never a full global sort of all users."""
+    plan = _plan(spark, "flagship_top_movers")
+    assert "TakeOrderedAndProject" in plan
