@@ -205,26 +205,39 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, vec_col: str, id_cols: list[
     return df.join(_argmin_cell(scored, id_cols), id_cols)
 
 
+def _cell_means(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """Per-cell mean vector: posexplode + grouped avg + reassemble."""
+    return (
+        assigned.select("cell", F.posexplode(F.col(vec_col)).alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s.getField("c")
+            ).alias("c_vec")
+        )
+    )
+
+
 def ivf_train(corpus: DataFrame, vec_col: str, id_col: str, k: int = 16, iters: int = 2) -> DataFrame:
     """Deterministic coarse quantizer: seed cells by ``id % k``, then run
-    ``iters`` distributed Lloyd iterations (assign → per-cell mean). Every
-    step is a grouped aggregate or a broadcast crossJoin — no driver-side
-    data, no randomness, reproducible across executors and runs.
+    ``iters`` distributed Lloyd iterations (assign to nearest centroid →
+    per-cell mean). Every step is a grouped aggregate or a broadcast
+    crossJoin — no driver-side data, no randomness, reproducible across
+    executors and runs.
+
+    ``iters=0`` returns the seed centroids (means of the ``id % k``
+    partition); the returned centroids are always the means of the LAST
+    assignment, so train/assign compose without an off-by-one.
     """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
     assigned = corpus.withColumn("cell", (F.col(id_col) % k).cast("int"))
+    cents = _cell_means(assigned, vec_col)
     for _ in range(iters):
-        cents = (
-            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("i", "x"))
-            .groupBy("cell", "i")
-            .agg(F.avg("x").alias("c"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s.getField("c")
-                ).alias("c_vec")
-            )
-        )
         assigned = ivf_assign(corpus, cents, vec_col, [id_col])
+        cents = _cell_means(assigned, vec_col)
     return cents
 
 

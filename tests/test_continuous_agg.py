@@ -72,8 +72,29 @@ def test_incremental_serve_equals_batch_recompute(spark, tmp_path):
     before = _served(agg, "minute")
     agg.compact()
     assert _served(agg, "minute") == before
-    store = spark.read.parquet(agg.store)
+    store = agg.partials()
     assert store.count() == store.select("user_id", "bucket").distinct().count()
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a batch_id must not
+    double-count — the replay overwrites its own earlier write."""
+    agg = ContinuousAggregate(spark, str(tmp_path))
+    agg.ingest_batch(_df(spark, BATCH_1), 0)
+    agg.ingest_batch(_df(spark, BATCH_2), 1)
+    agg.ingest_batch(_df(spark, BATCH_2), 1)  # replay
+    for resolution in ("minute", "hour"):
+        assert _served(agg, resolution) == _expected(spark, resolution), resolution
+
+
+def test_ingest_after_compact_lands_in_new_generation(spark, tmp_path):
+    """Post-compact ingests must keep serving correctly from the swapped
+    generation directory."""
+    agg = ContinuousAggregate(spark, str(tmp_path))
+    agg.ingest_batch(_df(spark, BATCH_1), 0)
+    agg.compact()
+    agg.ingest_batch(_df(spark, BATCH_2), 1)
+    assert _served(agg, "minute") == _expected(spark, "minute")
 
 
 def test_streaming_attach_feeds_store(spark, tmp_path):
