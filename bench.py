@@ -56,6 +56,13 @@ HEADLINE = [
     "sketch_hll_distinct",
     "ts_gaps_islands",
     "pipeline_clean_corpus",
+    # r2 additions: families most likely to regress under the blocking /
+    # recurrence rework, plus one more TPC-H deep shape.
+    "sim_ivf_topk",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "ts_cusum_drift",
+    "q8_market_share",
 ]
 
 

@@ -406,6 +406,64 @@ def _srp_banded_oracle(threshold: float, bands: int = 16, bits: int = 3) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every node
+    starts labeled with itself; each round each node takes the min of its
+    own label and its neighbors' labels, until a fixpoint.
+
+    Scale shape: each round is one equi-join (edges × labels, keyed on the
+    node id) plus one grouped min — the standard distributed CC loop
+    (GraphX/pregel-style; large-star/small-star would cut rounds from
+    O(diameter) to O(log n) if chains were long, but near-dup components
+    are shallow).  Each round's labels are ``localCheckpoint``-ed so the
+    lineage (and thus the replay cost of a lost partition) stays constant;
+    convergence is detected by counting changed labels — a scalar per
+    round, not a collect.
+
+    ``edges``: (src, dst) pairs.  ``nodes``: one column of node ids;
+    isolated nodes come out labeled with themselves.
+    """
+    node_col = nodes.columns[0]
+    # The edge list is re-joined every round; materialize it once so an
+    # expensive upstream (e.g. the Jaccard inverted-index join) doesn't
+    # re-execute per iteration.
+    sym = (
+        edges.select(F.col("src"), F.col("dst"))
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(F.col(node_col).alias("node")).withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # Registered queries
 # ---------------------------------------------------------------------------
 
@@ -539,3 +597,61 @@ def q_dedup_embedding(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     out = embedding_dup_pairs_banded(emb, threshold=0.4)
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+@register(
+    "dedup_duplicate_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, source,
+               list_distinct([words[i] || ' ' || words[i+1]
+                              FOR i IN range(1, len(words))]) AS grams
+        FROM toks
+    ), sized AS (
+        SELECT doc_id, source, grams, len(grams) AS set_size FROM sh
+    ), inv AS (
+        SELECT doc_id, source, set_size, unnest(grams) AS shingle FROM sized
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.set_size AS size_a, b.set_size AS size_b,
+               count(*) AS n_common
+        FROM inv a JOIN inv b ON a.source = b.source AND a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ), pairs AS (
+        SELECT id_a, id_b FROM common
+        WHERE n_common / (size_a + size_b - n_common) >= 0.05
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "clustering", "graph"),
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate clustering: 2-gram Jaccard pairs (threshold 0.05) as edges,
+    connected components labels every document with the minimum doc_id of
+    its near-dup cluster (isolated docs label themselves).  This is the
+    canonical corpus-dedup shape — pairwise near-dup detection alone can't
+    pick survivors when dup relations chain (A~B, B~C but A!~C); the
+    component label is the group-by key for survivor selection.
+
+    Oracle: DuckDB recursive CTE computing min reachable id per node over
+    the same symmetric edge set — an independent CC formulation (transitive
+    closure) vs Spark's iterative label propagation."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    edges = jaccard_pairs(docs, block="source", n=2, threshold=0.05).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    labels = connected_components(edges, docs.select("doc_id"))
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -59,30 +59,41 @@ def ewma(
     """Exponentially weighted moving average, exact recursive form
     (ewma_t = α·x_t + (1-α)·ewma_{t-1}, seeded with the first value).
 
-    Scale shape: one shuffle on ``key`` into ``applyInPandas``, then a
-    sequential O(n)-time / O(n)-memory fold per key — the former
-    ``collect_list``-prefix form carried an i-element array on row i (O(n²)
-    per key), which blows the window buffer on a long key.  A recurrence
-    with a data-dependent decay has no O(n) Catalyst window form, so this is
-    the sanctioned Arrow-batched Python crossing; the per-step float ops
-    (α·x + (1-α)·acc) are IEEE-identical to DuckDB's ``list_reduce`` fold,
-    keeping bit-exact oracle parity.  For unbounded streams the stateful
-    gate (streaming/stateful.py) carries the same recursion in O(1) state.
+    Scale shape: one hash shuffle on ``key`` + in-partition sort, then ONE
+    ``mapInPandas`` pass per partition — the accumulator dict lives in the
+    iterator closure, so key groups spanning Arrow batch boundaries fold
+    correctly and Python is entered once per *partition*, not once per key
+    (the previous ``applyInPandas`` form paid a pandas round-trip per group;
+    with thousands of short keys that overhead was ~6× the query).  The
+    former ``collect_list``-prefix form before that carried an i-element
+    array on row i (O(n²) per key).  A recurrence with a data-dependent
+    decay has no O(n) Catalyst window form, so this is the sanctioned
+    Arrow-batched Python crossing; the per-step float ops (α·x + (1-α)·acc)
+    are IEEE-identical to DuckDB's ``list_reduce`` fold, keeping bit-exact
+    oracle parity.  For unbounded streams the stateful gate
+    (streaming/stateful.py) carries the same recursion in O(1) state.
     """
     schema = StructType(list(df.schema.fields) + [StructField(out, DoubleType())])
     a, b = float(alpha), 1.0 - float(alpha)
 
-    def fold(pdf):
-        pdf = pdf.sort_values([ts, tiebreak])
-        acc = None
-        res = []
-        for x in pdf[value]:
-            x = float(x)
-            acc = x if acc is None else a * x + b * acc
-            res.append(acc)
-        return pdf.assign(**{out: res})
+    part = df.repartition(key).sortWithinPartitions(key, ts, tiebreak)
 
-    return df.groupBy(key).applyInPandas(fold, schema=schema)
+    def fold(batches):
+        last_key, acc = object(), 0.0  # sentinel never equals a real key
+        for pdf in batches:
+            vals = pdf[value].to_numpy(dtype="float64")
+            keys = pdf[key].to_numpy()
+            res = [0.0] * len(vals)
+            for i in range(len(vals)):
+                k = keys[i]
+                if k != last_key:
+                    last_key, acc = k, float(vals[i])
+                else:
+                    acc = a * float(vals[i]) + b * acc
+                res[i] = acc
+            yield pdf.assign(**{out: res})
+
+    return part.mapInPandas(fold, schema=schema)
 
 
 def resample_grid(
@@ -168,9 +179,14 @@ def q_rolling_stats(spark, sf_dir):
     tags=("timeseries", "ewma"),
 )
 def q_ewma(spark, sf_dir):
-    """Exact recursive EWMA (α=0.3) per key — left fold over the ordered
-    prefix, reproduced independently by DuckDB's list_reduce."""
-    ev = load_table(spark, sf_dir, "events")
+    """Exact recursive EWMA (α=0.3) per key — sequential per-key fold,
+    reproduced independently by DuckDB's list_reduce.
+
+    Project to the four needed columns BEFORE the fold: Catalyst cannot
+    prune columns through the applyInPandas boundary, so without this the
+    wide ``props`` JSON string would round-trip through Arrow for every
+    row (~5× the query's runtime at sf0.1)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     out = ewma(ev, alpha=0.3)
     # Explicit half-up canonicalization floor(x*1e4 + 0.5)/1e4 instead of
     # round(): the exact decimal EWMA of 2-decimal inputs frequently lands

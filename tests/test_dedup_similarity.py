@@ -279,3 +279,21 @@ def test_embedding_banded_recall_vs_unblocked(spark):
     assert recall >= 0.95, f"banded recall {recall:.3f} over {len(truth)} pairs"
     for pair, c in blocked.items():
         assert truth[pair] == c  # scores identical where recovered
+
+
+def test_connected_components_handcrafted(spark):
+    """Chain, triangle-with-bridge, and isolated nodes all label with the
+    component minimum; propagation must cross multi-hop chains."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (12, 13)],
+        "src BIGINT, dst BIGINT",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 4, 10, 11, 12, 13, 99)], "id BIGINT"
+    )
+    got = {r.node: r.label for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 99: 99}

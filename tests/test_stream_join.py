@@ -65,3 +65,76 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         .select(F.col("l.event_id").alias("le"), F.col("r.event_id").alias("re"))
     )
     assert {(x.le, x.re) for x in batch.collect()} == got
+
+
+def test_stream_join_ledger_parity_sf001(spark, tmp_path):
+    """J1 streaming twin at data scale: the sf0.01 events table, time-sliced
+    into six micro-batches per side and replayed through availableNow, must
+    produce exactly the batch interval-join ledger — protecting the
+    watermarked stream-stream join against eviction/buffering regressions."""
+    import os
+
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "ts", "user_id", "value", "event_type"
+    )
+    sides = {
+        "clicks": ev.filter(F.col("event_type") == "click").drop("event_type"),
+        "purchases": ev.filter(F.col("event_type") == "purchase").drop("event_type"),
+    }
+    n_slices = 6
+    drops = {}
+    for name, df in sides.items():
+        drop = str(tmp_path / name)
+        os.makedirs(drop)
+        rows = df.orderBy("ts", "event_id").collect()
+        step = (len(rows) + n_slices - 1) // n_slices
+        for k in range(n_slices):
+            chunk = rows[k * step : (k + 1) * step]
+            if not chunk:
+                continue
+            spark.createDataFrame(chunk, df.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(tmp_path / f"_stage_{name}_{k}"))
+            stage = tmp_path / f"_stage_{name}_{k}"
+            part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+            dst = os.path.join(drop, f"slice_{k}.parquet")
+            os.rename(str(stage / part), dst)
+            t = 1_700_000_000 + k * 10
+            os.utime(dst, (t, t))
+        drops[name] = drop
+
+    def stream_side(drop):
+        return (
+            spark.readStream.schema(sides["clicks"].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+
+    joined = stream_interval_join(
+        stream_side(drops["clicks"]),
+        stream_side(drops["purchases"]),
+        interval="2 hours",
+        watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ledger_sf001")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM ledger_sf001").collect()
+    }
+
+    batch = stream_interval_join(
+        sides["clicks"], sides["purchases"], interval="2 hours", watermark="2 hours"
+    )
+    want = {(r.l_event_id, r.r_event_id) for r in batch.collect()}
+    assert len(want) > 50
+    assert got == want
