@@ -16,7 +16,7 @@ from ..catalog import load_table
 from ..operators.asof import asof_join
 from ..plans.registry import register
 
-__all__ = ["rolling_stats", "ewma", "resample_grid"]
+__all__ = ["rolling_stats", "ewma", "holt_linear", "resample_grid"]
 
 
 def rolling_stats(
@@ -92,6 +92,69 @@ def ewma(
                     acc = a * float(vals[i]) + b * acc
                 res[i] = acc
             yield pdf.assign(**{out: res})
+
+    return part.mapInPandas(fold, schema=schema)
+
+
+def holt_linear(
+    df: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing, exact recursive
+    form — the natural next step from the reference's single-series
+    forecasting loop (``lvmh_forecaster2.py`` trains on the level only;
+    Holt adds an explicit trend state):
+
+        level_t = α·x_t + (1-α)·(level_{t-1} + trend_{t-1})
+        trend_t = β·(level_t - level_{t-1}) + (1-β)·trend_{t-1}
+
+    seeded level_1 = x_1, trend_1 = 0. Emits level, trend, and the
+    one-step-ahead forecast level+trend per row.
+
+    Same scale shape as :func:`ewma`: one hash shuffle on ``key`` +
+    in-partition sort, then a single ``mapInPandas`` pass with the
+    (level, trend) accumulator carried across Arrow batches in the
+    iterator closure — O(1) state per key, Python entered once per
+    partition. The streaming twin would carry (level, trend) in
+    ``transformWithStateInPandas`` state exactly like the stateful EWMA.
+    """
+    fields = [f for f in df.schema.fields]
+    schema = StructType(
+        fields
+        + [
+            StructField("holt_level", DoubleType()),
+            StructField("holt_trend", DoubleType()),
+        ]
+    )
+    a, oma = float(alpha), 1.0 - float(alpha)
+    b, omb = float(beta), 1.0 - float(beta)
+
+    part = df.repartition(key).sortWithinPartitions(key, ts, tiebreak)
+
+    def fold(batches):
+        last_key, lvl, trd = object(), 0.0, 0.0
+        for pdf in batches:
+            vals = pdf[value].to_numpy(dtype="float64")
+            keys = pdf[key].to_numpy()
+            levels = [0.0] * len(vals)
+            trends = [0.0] * len(vals)
+            for i in range(len(vals)):
+                k = keys[i]
+                x = float(vals[i])
+                if k != last_key:
+                    last_key, lvl, trd = k, x, 0.0
+                else:
+                    new_lvl = a * x + oma * (lvl + trd)
+                    trd = b * (new_lvl - lvl) + omb * trd
+                    lvl = new_lvl
+                levels[i] = lvl
+                trends[i] = trd
+            yield pdf.assign(holt_level=levels, holt_trend=trends)
 
     return part.mapInPandas(fold, schema=schema)
 
@@ -535,4 +598,85 @@ def q_rolling_time_window(spark, sf_dir):
         F.round(F.avg("value").over(w), 6).alias("avg_1h"),
         F.round(F.min("value").over(w), 6).alias("min_1h"),
         F.round(F.max("value").over(w), 6).alias("max_1h"),
+    )
+
+
+@register(
+    "ts_holt_linear",
+    oracle="""
+    WITH RECURSIVE o AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), s AS (
+        SELECT user_id, event_id, value, rn,
+               value AS level, CAST(0.0 AS DOUBLE) AS trend
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.value, o.rn,
+               0.5 * o.value + 0.5 * (s.level + s.trend) AS level,
+               0.3 * ((0.5 * o.value + 0.5 * (s.level + s.trend)) - s.level)
+                   + 0.7 * s.trend AS trend
+        FROM s JOIN o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+    )
+    SELECT user_id, event_id, value,
+           floor(level * 10000 + 0.5) / 10000 AS holt_level,
+           floor(trend * 10000 + 0.5) / 10000 AS holt_trend,
+           floor((level + trend) * 10000 + 0.5) / 10000 AS holt_forecast
+    FROM s
+    """,
+    tags=("timeseries", "forecast", "holt"),
+)
+def q_holt_linear(spark, sf_dir):
+    """Holt double exponential smoothing (α=0.5, β=0.3) per key, with the
+    one-step-ahead forecast level+trend. The oracle replays the identical
+    IEEE recurrence via a recursive CTE (one iteration per row rank), so
+    the floor-canonicalized values are bit-exact across engines. Columns
+    pruned before the Arrow crossing, as in ts_ewma."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = holt_linear(ev, alpha=0.5, beta=0.3)
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.floor(F.col("holt_level") * 10000 + 0.5) / 10000).alias("holt_level"),
+        (F.floor(F.col("holt_trend") * 10000 + 0.5) / 10000).alias("holt_trend"),
+        (F.floor((F.col("holt_level") + F.col("holt_trend")) * 10000 + 0.5) / 10000).alias(
+            "holt_forecast"
+        ),
+    )
+
+
+@register(
+    "ts_rolling_corr",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, event_id, ts, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        FROM events
+    )
+    SELECT user_id, event_id,
+           round(corr(value, prev_value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4) AS autocorr_20
+    FROM lagged
+    """,
+    tags=("timeseries", "rolling", "corr"),
+)
+def q_rolling_corr(spark, sf_dir):
+    """Trailing-20-row lag-1 autocorrelation per key (regime/trend
+    detector): lag + windowed corr share one (key, ts) sort, so the whole
+    query is a single Exchange. NaN (zero-variance frame) canonicalized to
+    NULL to match the oracle's SQL semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-19, Window.currentRow)
+    c = F.corr("value", "prev_value").over(frame)
+    return (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.when(~F.isnan(c), c), 4).alias("autocorr_20"),
+        )
     )
