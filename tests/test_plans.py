@@ -169,11 +169,12 @@ def test_embedding_dedup_is_equi_join_not_cross(spark):
 
 def test_ewma_cusum_no_prefix_arrays(spark):
     """Neither recurrence query may materialize O(n)-per-row prefix arrays:
-    EWMA is an Arrow-batched per-key fold (FlatMapGroupsInPandas), CUSUM is
+    EWMA is an Arrow-batched single-pass fold over range-partitioned,
+    sorted input (MapInPandas — one shuffle, no per-key regroup), CUSUM is
     a closed-form running sum + running min — no collect_list anywhere."""
     ewma_plan = _plan(spark, "ts_ewma")
     assert "collect_list" not in ewma_plan
-    assert "FlatMapGroupsInPandas" in ewma_plan
+    assert "MapInPandas" in ewma_plan or "FlatMapGroupsInPandas" in ewma_plan
     cusum_plan = _plan(spark, "ts_cusum_drift")
     assert "collect_list" not in cusum_plan
     assert "FlatMapGroupsInPandas" not in cusum_plan  # stays fully JVM-side
