@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..plans.registry import register
 
-__all__ = ["asof_join", "fifo_align"]
+__all__ = ["asof_join", "fifo_align", "asof_join_nearest"]
 
 
 def asof_join(
@@ -257,3 +257,99 @@ def q_asof_forward_tolerance(spark, sf_dir):
         "value_right",
         F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("matched_ts"),
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tolerance_seconds: float = 1800,
+) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')``): for each left row, the right row with the smallest
+    absolute time gap within tolerance, preferring the earlier (backward)
+    match on exact ties.
+
+    Composed from the two directional as-of primitives — each is ONE
+    shuffle + one window — merged on the left row id (an equi-join on a
+    unique key, AQE-friendly at any scale). No range-join explosion: cost
+    is 3 co-partitioned shuffles regardless of time density.
+    """
+    lid = "event_id"
+    back = asof_join(
+        left, right, on=on, ts=ts, right_value_cols=(value,),
+        direction="backward", tolerance_seconds=tolerance_seconds,
+    ).select(
+        F.col(lid), F.col(on), F.col(ts), F.col(value),
+        F.col(f"{value}_right").alias("_bv"), F.col(f"{ts}_right").alias("_bts"),
+    )
+    fwd = asof_join(
+        left, right, on=on, ts=ts, right_value_cols=(value,),
+        direction="forward", tolerance_seconds=tolerance_seconds,
+    ).select(F.col(lid).alias("_fid"),
+             F.col(f"{value}_right").alias("_fv"), F.col(f"{ts}_right").alias("_fts"))
+    m = back.join(fwd, back[lid] == fwd["_fid"], "left").drop("_fid")
+    gb = F.when(F.col("_bts").isNotNull(),
+                F.unix_micros(F.col(ts)) - F.unix_micros(F.col("_bts")))
+    gf = F.when(F.col("_fts").isNotNull(),
+                F.unix_micros(F.col("_fts")) - F.unix_micros(F.col(ts)))
+    pick_back = gb.isNotNull() & (gf.isNull() | (gb <= gf))
+    pick_fwd = ~F.coalesce(pick_back, F.lit(False)) & gf.isNotNull()
+    return m.select(
+        lid, on, value,
+        F.when(pick_back, F.col("_bv")).when(pick_fwd, F.col("_fv")).alias("matched_value"),
+        F.when(pick_back, F.lit("backward")).when(pick_fwd, F.lit("forward")).alias("matched_dir"),
+        F.when(pick_back, gb).when(pick_fwd, gf).cast("long").alias("gap_us"),
+    )
+
+
+@register(
+    "asof_join_nearest",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value
+        FROM events WHERE event_type = 'click'
+    ), errors AS (
+        SELECT user_id, date_trunc('microseconds', ts) AS ts, value
+        FROM events WHERE event_type = 'error'
+    ), b AS (
+        SELECT c.event_id, c.user_id, c.value, c.ts AS c_ts,
+               e.value AS bv, e.ts AS bts
+        FROM clicks c ASOF LEFT JOIN errors e
+          ON c.user_id = e.user_id AND c.ts >= e.ts
+    ), f AS (
+        SELECT c.event_id, e.value AS fv, e.ts AS fts
+        FROM clicks c ASOF LEFT JOIN errors e
+          ON c.user_id = e.user_id AND c.ts <= e.ts
+    ), m AS (
+        SELECT b.event_id, b.user_id, b.value,
+               CASE WHEN bts IS NOT NULL
+                     AND epoch_us(c_ts) - epoch_us(bts) <= 1800000000
+                    THEN epoch_us(c_ts) - epoch_us(bts) END AS gb,
+               CASE WHEN fts IS NOT NULL
+                     AND epoch_us(fts) - epoch_us(c_ts) <= 1800000000
+                    THEN epoch_us(fts) - epoch_us(c_ts) END AS gf,
+               bv, fv
+        FROM b JOIN f USING (event_id)
+    )
+    SELECT event_id, user_id, value,
+           CASE WHEN gb IS NOT NULL AND (gf IS NULL OR gb <= gf) THEN bv
+                WHEN gf IS NOT NULL THEN fv END AS matched_value,
+           CASE WHEN gb IS NOT NULL AND (gf IS NULL OR gb <= gf) THEN 'backward'
+                WHEN gf IS NOT NULL THEN 'forward' END AS matched_dir,
+           CAST(CASE WHEN gb IS NOT NULL AND (gf IS NULL OR gb <= gf) THEN gb
+                     WHEN gf IS NOT NULL THEN gf END AS BIGINT) AS gap_us
+    FROM m
+    """,
+    tags=("timeseries", "asof", "J1", "nearest"),
+)
+def q_asof_nearest(spark, sf_dir):
+    """J1 (nearest variant): for each click, the error event of the same
+    user with the smallest absolute time gap within 30 minutes, backward
+    winning ties — merge_asof(direction='nearest') semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts", "value")
+    return asof_join_nearest(clicks, errors, tolerance_seconds=1800)

@@ -1,0 +1,362 @@
+"""Corpus-construction operators for LLM training-data pipelines
+(SURVEY.md §2.8 extensions): vocabulary building, n-gram statistics,
+token-entropy quality scoring, PII redaction, deterministic shuffling,
+source-mixture balancing, and token-budget sequence packing.
+
+These are the ops a data-curation pipeline runs between raw-document
+ingest (sources/) and dedup/similarity (dedup.py, similarity.py): build a
+vocab, score and filter documents, redact PII, rebalance the source mix,
+shuffle deterministically, and pack documents into training-context bins.
+
+All hot paths are pure Catalyst expressions (explode / zip_with /
+windowed aggregation) — no Python crossings.  Determinism is load-bearing
+everywhere: "random" ordering is keyed on ``md5(doc_id)``, which both
+Spark and DuckDB compute identically, so sampling/shuffling decisions are
+reproducible across engines and across reruns (a production pipeline would
+swap in ``xxhash64`` — same shape, cheaper hash, but no oracle twin).
+
+Scale notes (100 TB):
+- vocabulary: full-vocab frequency agg is one shuffle with map-side
+  combine; the global rank is TakeOrdered-limited to the top-K BEFORE any
+  single-partition work, so the unbounded distinct-token tail (billions of
+  misspellings at corpus scale) never funnels into one partition.
+- bigrams: generated per document with ``zip_with`` on the token array —
+  zero extra shuffles before the counting agg (no posexplode+window).
+- mixture/packing: windows are partitioned by ``source`` — parallel per
+  source; no global window anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import register
+from .text import words_of
+
+__all__ = [
+    "build_vocabulary",
+    "bigram_counts",
+    "token_entropy",
+    "pii_redact",
+    "deterministic_shuffle",
+    "source_mixture_balance",
+    "pack_budget_bins",
+]
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUMBER_RE = r"\d{6,}"
+
+
+def build_vocabulary(df: DataFrame, text: str = "text", top_k: int = 1000) -> DataFrame:
+    """Global token frequencies → dense ``vocab_id`` (1 = most frequent,
+    ties broken by token string). The id assignment is rank over only the
+    TakeOrdered top-K rows, never over the full vocabulary."""
+    tok = df.select(F.explode(words_of(F.col(text))).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    top = freq.orderBy(F.desc("freq"), F.asc("token")).limit(top_k)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return top.select(
+        "token", "freq", F.row_number().over(w).cast("long").alias("vocab_id")
+    )
+
+
+def bigram_counts(df: DataFrame, text: str = "text", top_k: int = 20) -> DataFrame:
+    """Top-K word bigrams. Bigram generation is array-native ``zip_with``
+    of the token array against its own 1-shifted slice — per-row, no
+    window, no extra shuffle; only the count agg shuffles."""
+    toks = df.select(words_of(F.col(text)).alias("w")).filter(F.size("w") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+                " (a, b) -> concat_ws(' ', a, b))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(top_k)
+    )
+
+
+def token_entropy(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Shannon entropy (bits) of each document's token distribution — a
+    perplexity-proxy quality score (low entropy = repetitive/templated
+    text). Computed as ``log2(N) - Σ c·log2(c) / N`` from per-(doc, token)
+    counts: two partial-aggregating shuffles, no per-token probability
+    materialization."""
+    tok = df.select(F.col(id_col), F.explode(words_of(F.col(text))).alias("token"))
+    cnt = tok.groupBy(id_col, "token").agg(F.count("*").alias("c"))
+    return cnt.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6
+        ).alias("token_entropy"),
+    )
+
+
+def pii_redact(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails and long digit runs (account/phone-shaped) with typed
+    placeholder tokens; count hits per category. Patterns are the ASCII
+    subset on which Java regex (Spark) and RE2 (DuckDB) agree."""
+    t = F.col(text)
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), LONG_NUMBER_RE, "<NUM>"
+        ).alias("clean_text"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(LONG_NUMBER_RE), F.lit(0))).cast("long").alias("n_numbers"),
+    )
+
+
+def shuffle_key(id_col: str = "doc_id") -> F.Column:
+    """Deterministic pseudo-random sort key: md5 of the decimal id string.
+    Identical lowercase-hex output on Spark and DuckDB."""
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str = "doc_id", limit: int = 200) -> DataFrame:
+    """Reproducible global training-order shuffle: rank by md5(id). The
+    global ordering is consumed through ``orderBy().limit()`` —
+    TakeOrderedAndProject, per-partition partial top-K — and the dense rank
+    is a window over only the surviving ``limit`` rows."""
+    top = (
+        df.select(F.col(id_col), shuffle_key(id_col).alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(limit)
+    )
+    w = Window.orderBy("shuffle_key")
+    return top.select(
+        id_col, "shuffle_key", F.row_number().over(w).cast("long").alias("shuffle_rank")
+    )
+
+
+def source_mixture_balance(
+    df: DataFrame,
+    group: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Rebalance the corpus source mix by deterministic downsampling: every
+    source keeps the same number of documents (the smallest source's
+    count), selected by md5-order within each source — the equalize-down
+    special case of target-weight mixture sampling for LLM training sets.
+
+    Shape: one count agg (tiny, |sources| rows, broadcast back) + one
+    per-source window rank — parallel across sources, no global ordering.
+    Returns the per-source summary of the kept set."""
+    counts = df.groupBy(group).agg(F.count("*").alias("n_src"))
+    target = counts.agg(F.min("n_src").alias("target"))
+    w = Window.partitionBy(group).orderBy(shuffle_key(id_col), F.col(id_col))
+    ranked = df.select(
+        F.col(group), F.col(id_col), F.col(size_col), F.row_number().over(w).alias("r")
+    )
+    kept = ranked.join(F.broadcast(target), ranked["r"] <= target["target"]).drop("target")
+    return kept.groupBy(group).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum(size_col).cast("long").alias("sum_chars"),
+    )
+
+
+def pack_budget_bins(
+    df: DataFrame,
+    group: str = "source",
+    order: str = "doc_id",
+    size_col: str = "n_chars",
+    budget: int = 16384,
+) -> DataFrame:
+    """Pack documents into fixed-budget training-context bins: within each
+    source (ordered by id), bin = floor(running-size-before / budget) — the
+    prefix-sum approximation of greedy first-fit packing, expressible as
+    ONE partitioned window (greedy exact packing is a data-dependent
+    recurrence; the prefix form overflows a bin by at most one document and
+    needs no Python). Returns per-bin document and size counts."""
+    w = (
+        Window.partitionBy(group)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    binned = df.select(
+        F.col(group),
+        F.col(size_col),
+        F.floor(cum_before / F.lit(float(budget))).cast("long").alias("bin_id"),
+    )
+    return binned.groupBy(group, "bin_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(size_col).cast("long").alias("bin_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_vocabulary",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ), f AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token
+    )
+    SELECT token, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS vocab_id
+    FROM f
+    ORDER BY vocab_id
+    LIMIT 1000
+    """,
+    tags=("corpus", "text", "vocabulary"),
+)
+def q_corpus_vocabulary(spark, sf_dir):
+    """Top-1000 vocabulary with dense frequency-ranked ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    return build_vocabulary(docs, top_k=1000)
+
+
+@register(
+    "corpus_bigrams_topk",
+    oracle="""
+    WITH t AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), bg AS (
+        SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bigram
+        FROM t WHERE len(w) >= 2
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS freq
+    FROM bg GROUP BY bigram
+    ORDER BY freq DESC, bigram
+    LIMIT 20
+    """,
+    tags=("corpus", "text", "ngram"),
+)
+def q_corpus_bigrams(spark, sf_dir):
+    """Top-20 word bigrams across the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_counts(docs, top_k=20)
+
+
+@register(
+    "corpus_token_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ), c AS (
+        SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS token_entropy
+    FROM c GROUP BY doc_id
+    """,
+    tags=("corpus", "text", "quality"),
+)
+def q_corpus_token_entropy(spark, sf_dir):
+    """Token-distribution entropy per document (perplexity proxy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy(docs)
+
+
+@register(
+    "corpus_pii_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\d{6,}', '<NUM>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\d{6,}')) AS BIGINT) AS n_numbers
+    FROM documents
+    """,
+    tags=("corpus", "text", "pii"),
+)
+def q_corpus_pii_redact(spark, sf_dir):
+    """PII redaction pass: emails and long digit runs → typed placeholders."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pii_redact(docs)
+
+
+@register(
+    "corpus_deterministic_shuffle",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(row_number() OVER (ORDER BY shuffle_key) AS BIGINT) AS shuffle_rank
+    FROM keyed
+    ORDER BY shuffle_key
+    LIMIT 200
+    """,
+    tags=("corpus", "sampling", "shuffle"),
+)
+def q_corpus_shuffle(spark, sf_dir):
+    """First 200 documents of the deterministic md5 training shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, limit=200)
+
+
+@register(
+    "corpus_source_mixture",
+    oracle="""
+    WITH counts AS (
+        SELECT source, count(*) AS n_src FROM documents GROUP BY source
+    ), tgt AS (
+        SELECT min(n_src) AS target FROM counts
+    ), ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS r
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM ranked, tgt
+    WHERE r <= target
+    GROUP BY source
+    """,
+    tags=("corpus", "sampling", "mixture"),
+)
+def q_corpus_mixture(spark, sf_dir):
+    """Equal-weight source rebalance via deterministic downsampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    return source_mixture_balance(docs)
+
+
+@register(
+    "corpus_pack_budget_bins",
+    oracle="""
+    WITH cum AS (
+        SELECT source, n_chars,
+               coalesce(sum(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM documents
+    ), binned AS (
+        SELECT source, n_chars,
+               CAST(floor(cum_before / 16384.0) AS BIGINT) AS bin_id
+        FROM cum
+    )
+    SELECT source, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS bin_chars
+    FROM binned GROUP BY source, bin_id
+    """,
+    tags=("corpus", "packing"),
+)
+def q_corpus_pack(spark, sf_dir):
+    """Token-budget context packing: per-source 16 KiB prefix-sum bins."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_budget_bins(docs, budget=16384)

@@ -705,3 +705,82 @@ def q_gaps_islands(spark, sf_dir):
         F.count(F.lit(1)).alias("run_len"),
         F.round(F.avg("value"), 9).alias("avg_value"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    season: Column | None = None,
+) -> DataFrame:
+    """Additive seasonal decomposition against an hour-of-day profile:
+    ``value = key_mean + seasonal(key, hour) + residual``, where seasonal
+    is the per-(key, hour) mean deviation from the key mean — the
+    classical seasonal-means decomposition (period = 24h) that a
+    monitoring pipeline runs before anomaly scoring, so residuals can be
+    thresholded free of the daily cycle.
+
+    Shape: two partitioned window averages — ``(key)`` and ``(key,
+    season)`` — both parallel across keys, no global window, no extra
+    shuffle beyond the two hash exchanges (the second reuses the first's
+    key prefix under AQE).
+    """
+    season = season if season is not None else F.hour(F.col(ts))
+    wk = Window.partitionBy(key)
+    ws = Window.partitionBy(key, "season_idx")
+    base = df.withColumn("season_idx", season.cast("int"))
+    # Means from EXACT decimal sums, divided once: double summation order
+    # differs between engines (and between partitionings of the same
+    # engine), which lands round-6 values on half-up boundaries; a
+    # decimal(18,6) sum is associative, so both engines derive the
+    # bit-identical double mean.
+    dec = F.col(value).cast("decimal(18,6)")
+    key_mean = F.sum(dec).over(wk).cast("double") / F.count(value).over(wk)
+    season_mean = F.sum(dec).over(ws).cast("double") / F.count(value).over(ws)
+
+    # Half-up canonicalization floor(x*1e6 + 0.5)/1e6 instead of round():
+    # means of decimal sums frequently terminate ON the 6th-digit half
+    # boundary (S/n with even n), where Spark's and DuckDB's round()
+    # disagree within ULPs; floor/mul/add are bit-identical IEEE ops (see
+    # rolling.py ewma for the precedent).
+    def canon(c):
+        return F.floor(c * 1000000 + 0.5) / 1000000
+
+    return base.select(
+        F.col(key),
+        F.col("season_idx"),
+        F.col(value),
+        canon(key_mean).alias("key_mean"),
+        canon(season_mean - key_mean).alias("seasonal"),
+        canon(F.col(value) - season_mean).alias("residual"),
+    )
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, CAST(hour(ts) AS INTEGER) AS season_idx, value, event_id,
+               CAST(value AS DECIMAL(18,6)) AS dv
+        FROM events
+    ), m AS (
+        SELECT user_id, season_idx, value,
+               CAST(sum(dv) OVER (PARTITION BY user_id) AS DOUBLE)
+                   / count(value) OVER (PARTITION BY user_id) AS km,
+               CAST(sum(dv) OVER (PARTITION BY user_id, season_idx) AS DOUBLE)
+                   / count(value) OVER (PARTITION BY user_id, season_idx) AS sm
+        FROM base
+    )
+    SELECT user_id, season_idx, value,
+           floor(km * 1000000 + 0.5) / 1000000 AS key_mean,
+           floor((sm - km) * 1000000 + 0.5) / 1000000 AS seasonal,
+           floor((value - sm) * 1000000 + 0.5) / 1000000 AS residual
+    FROM m
+    """,
+    tags=("timeseries", "seasonal", "decompose"),
+)
+def q_ts_seasonal_decompose(spark, sf_dir):
+    """Hour-of-day additive seasonal decomposition per user."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    return seasonal_decompose(ev)

@@ -64,6 +64,7 @@ _QUERY_MODULES = (
     "real_time_scraping_and_predicting_time_series_data_spark.operators.funnel",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.cleaning",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.cdc",
+    "real_time_scraping_and_predicting_time_series_data_spark.operators.corpus",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.tpch_deep",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.rolling",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.reshape",
