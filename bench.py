@@ -63,6 +63,13 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ts_cusum_drift",
     "q8_market_share",
+    # r2 additions: corpus-construction family + nearest as-of + seasonal
+    # decomposition (new surface this round).
+    "corpus_vocabulary",
+    "corpus_token_entropy",
+    "corpus_pack_budget_bins",
+    "asof_join_nearest",
+    "ts_seasonal_decompose",
 ]
 
 
