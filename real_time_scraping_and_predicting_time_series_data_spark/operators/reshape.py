@@ -4,13 +4,13 @@ array/map scalar functions (SURVEY.md §2.8 "standard relational set").
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..plans.registry import register
 
-__all__ = ["pivot_status", "unpivot_totals", "hash_mod_sample", "stratified_sample", "weighted_systematic_sample"]
+__all__ = ["pivot_status", "unpivot_totals", "hash_mod_sample", "stratified_sample", "weighted_systematic_sample", "stratified_exact_sample"]
 
 
 def pivot_status(orders: DataFrame) -> DataFrame:
@@ -261,3 +261,68 @@ def q_sample_weighted_systematic(spark, sf_dir):
     w = F.floor(F.abs(F.col("value")) * 100).cast("long") + F.lit(1).cast("long")
     out = weighted_systematic_sample(ev, k=5, weight=w)
     return out.select("user_id", "event_id", "value")
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    stratum: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling with EXACT per-stratum counts:
+    keep the first ``ceil(fraction · n)`` rows of each stratum in
+    md5(id)-order. Unlike seeded Bernoulli ``sampleBy`` (whose picks are
+    engine-RNG-specific and whose counts are only correct in expectation),
+    the selection is a pure function of the data — reproducible across
+    engines, re-runs, and repartitionings, with exact counts, so the full
+    pick-set is oracle-verifiable.
+
+    Shape: one tiny per-stratum count agg broadcast back + one window rank
+    partitioned by stratum — parallel per stratum, no global ordering.
+    """
+    frac = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
+    counts = df.groupBy(stratum).agg(F.count("*").alias("_n"))
+    targets = counts.select(
+        F.col(stratum).alias("_st"),
+        F.ceil(frac[F.col(stratum)] * F.col("_n")).cast("long").alias("_target"),
+    )
+    w = Window.partitionBy(stratum).orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    ranked = df.withColumn("_r", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(targets), ranked[stratum] == targets["_st"])
+        .filter(F.col("_r") <= F.col("_target"))
+        .drop("_st", "_target", "_r")
+    )
+
+
+@register(
+    "sample_stratified_exact",
+    oracle="""
+    WITH f(lang, frac) AS (
+        VALUES ('en', 0.5), ('fr', 0.2), ('de', 0.2), ('es', 0.2), ('zh', 0.2)
+    ), tgt AS (
+        SELECT d.lang, CAST(ceil(f.frac * count(*)) AS BIGINT) AS target
+        FROM documents d JOIN f USING (lang)
+        GROUP BY d.lang, f.frac
+    ), ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS r
+        FROM documents
+    )
+    SELECT ranked.doc_id, ranked.lang
+    FROM ranked JOIN tgt USING (lang)
+    WHERE r <= target
+    """,
+    tags=("sample", "stratified", "deterministic"),
+)
+def q_stratified_exact(spark, sf_dir):
+    """Exact-count deterministic stratified sample (md5-ranked per lang) —
+    the oracle-checkable twin of the seeded-RNG ``sample_stratified``."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_exact_sample(
+        docs, "lang", {"en": 0.5, "fr": 0.2, "de": 0.2, "es": 0.2, "zh": 0.2}
+    )
+    return out.select("doc_id", "lang")
