@@ -1,0 +1,83 @@
+"""Incremental corpus store (streaming/corpus_ingest.py): serve() must
+equal the batch exact-dedup survivor set after any mix of ingests and
+at-least-once replays, including through a real streaming query."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from real_time_scraping_and_predicting_time_series_data_spark.streaming.corpus_ingest import (
+    IncrementalCorpusStore,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+# batch 2 repeats batch 1 content ("dup of a") and itself ("twice twice").
+BATCH_1 = [(1, "alpha text", "s1"), (2, "beta text", "s1"), (3, "alpha text", "s2")]
+BATCH_2 = [(10, "beta text", "s2"), (11, "gamma text", "s2"), (12, "gamma text", "s1")]
+# first-seen survivors: 1 (alpha), 2 (beta), 11 (gamma)
+EXPECTED = {(1, "alpha text"), (2, "beta text"), (11, "gamma text")}
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _served(store):
+    return {(r["doc_id"], r["text"]) for r in store.serve().collect()}
+
+
+def test_first_seen_survivors_across_batches(spark, tmp_path):
+    store = IncrementalCorpusStore(spark, str(tmp_path))
+    store.ingest_batch(_df(spark, BATCH_1), 0)
+    store.ingest_batch(_df(spark, BATCH_2), 1)
+    assert _served(store) == EXPECTED
+
+
+def test_replayed_batch_is_idempotent_and_not_self_suppressing(spark, tmp_path):
+    store = IncrementalCorpusStore(spark, str(tmp_path))
+    store.ingest_batch(_df(spark, BATCH_1), 0)
+    store.ingest_batch(_df(spark, BATCH_2), 1)
+    # at-least-once: batch 1 re-delivered. Must neither duplicate (its dir
+    # is overwritten) nor self-suppress (ledger excludes its own first try).
+    store.ingest_batch(_df(spark, BATCH_2), 1)
+    assert _served(store) == EXPECTED
+
+
+def test_streaming_attach_dedups_exactly_once(spark, tmp_path):
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    for i, rows in enumerate((BATCH_1, BATCH_2)):
+        with open(os.path.join(drop, f"b{i}.json"), "w") as f:
+            for doc_id, text, source in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text, "source": source}) + "\n")
+        t = 1_700_000_000 + i * 10
+        os.utime(os.path.join(drop, f"b{i}.json"), (t, t))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(drop)
+    )
+    store = IncrementalCorpusStore(spark, str(tmp_path / "store"))
+    q = store.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert _served(store) == EXPECTED
+
+
+def test_extra_columns_carried_and_hash_present(spark, tmp_path):
+    store = IncrementalCorpusStore(spark, str(tmp_path))
+    store.ingest_batch(_df(spark, BATCH_1), 0)
+    row = {r["doc_id"]: r for r in store.serve().collect()}[1]
+    assert row["source"] == "s1"
+    assert len(row["content_hash"]) == 64
