@@ -266,3 +266,114 @@ def q_ml_per_key_forecast(spark, sf_dir):
         F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
         F.count("*").alias("n_scored"),
     )
+
+
+@register(
+    "ml_error_metrics",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, value,
+               lag(value, 7) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pred
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           round(sqrt(avg((value - pred) * (value - pred))), 6) AS rmse,
+           round(avg(abs(value - pred)), 6) AS mae,
+           round(avg(CASE WHEN value <> 0 THEN abs((value - pred) / value) END), 6) AS mape,
+           round(avg(CASE WHEN abs(value) + abs(pred) <> 0
+                          THEN 2 * abs(value - pred) / (abs(value) + abs(pred)) END), 6) AS smape,
+           round(avg(pred - value), 6) AS bias
+    FROM s WHERE pred IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("ml", "eval", "M4"),
+)
+def q_ml_error_metrics(spark, sf_dir):
+    """Full forecast-error metric suite (RMSE / MAE / MAPE / SMAPE / bias)
+    per key over the seasonal-naive predictions — the reference scores only
+    RMSE (``lvmh_forecaster2.py:119``); production eval loops track the
+    scale-free twins too. One window + one grouped agg, all JVM-side."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn("pred", F.lag("value", 7).over(w)).filter(F.col("pred").isNotNull())
+    err = F.col("pred") - F.col("value")
+    ae = F.abs(err)
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+        F.round(F.avg(ae), 6).alias("mae"),
+        F.round(F.avg(F.when(F.col("value") != 0, ae / F.abs("value"))), 6).alias("mape"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.abs("value") + F.abs("pred") != 0,
+                    2 * ae / (F.abs("value") + F.abs("pred")),
+                )
+            ),
+            6,
+        ).alias("smape"),
+        F.round(F.avg(err), 6).alias("bias"),
+    )
+
+
+@register(
+    "ml_backtest_folds",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ), folds(fold) AS (VALUES (1), (2), (3)),
+    s AS (
+        SELECT user_id, value, epoch_us(ts) AS tus,
+               lag(value, 7) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pred
+        FROM events
+    )
+    SELECT f.fold,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           round(sqrt(avg((s.value - s.pred) * (s.value - s.pred))), 6) AS rmse,
+           round(avg(abs(s.value - s.pred)), 6) AS mae
+    FROM s, bounds b, folds f
+    WHERE s.pred IS NOT NULL
+      AND s.tus >= b.lo + (b.hi - b.lo) * f.fold // 4
+      AND s.tus <  b.lo + (b.hi - b.lo) * (f.fold + 1) // 4
+    GROUP BY f.fold
+    """,
+    tags=("ml", "eval", "backtest", "M4"),
+)
+def q_ml_backtest_folds(spark, sf_dir):
+    """Rolling-origin backtest (M4 as a proper evaluation protocol): the
+    observation span is quartered; folds 1-3 score the seasonal-naive
+    forecaster on successive quarter test windows, so each fold's test data
+    lies strictly after more history than the last. Fold boundaries are
+    exact integer µs arithmetic — bit-identical across engines. Shape: one
+    per-key lag window + a broadcast 1-row bounds join + grouped agg; the
+    events relation is scanned twice (bounds + scored) but shuffled once."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    )
+    folds = spark.range(1, 4).select(F.col("id").cast("int").alias("fold"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        ev.withColumn("pred", F.lag("value", 7).over(w))
+        .filter(F.col("pred").isNotNull())
+        .withColumn("tus", F.unix_micros("ts"))
+    )
+    joined = (
+        s.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(folds))
+        .filter(
+            (F.col("tus") >= F.col("lo") + F.expr("(hi - lo) * fold div 4"))
+            & (F.col("tus") < F.col("lo") + F.expr("(hi - lo) * (fold + 1) div 4"))
+        )
+    )
+    err = F.col("value") - F.col("pred")
+    return joined.groupBy("fold").agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+        F.round(F.avg(F.abs(err)), 6).alias("mae"),
+    )
