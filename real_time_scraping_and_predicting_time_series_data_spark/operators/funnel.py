@@ -120,3 +120,83 @@ def q_retention_cohorts(spark, sf_dir):
     return activity.groupBy(
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"), "week_offset"
     ).agg(F.count("*").alias("active_users"))
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), pairs AS (
+        SELECT cur, nxt, count(*) AS n FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, CAST(n AS BIGINT) AS n_transitions,
+           round(n / (sum(n) OVER (PARTITION BY cur)), 6) AS p_next
+    FROM pairs
+    """,
+    tags=("events", "sequence", "markov"),
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current). The per-user ordering window and the pair
+    count agg are the only shuffles; the probability normalization windows
+    over the |types|² transition relation (tiny at any corpus size). The
+    empirical transition model behind next-event prediction and
+    funnel-dropoff attribution."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("cur")
+    return pairs.select(
+        "cur",
+        "nxt",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p_next"),
+    )
+
+
+@register(
+    "events_type_cooccurrence",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
+        FROM events GROUP BY user_id
+    ), pairs AS (
+        SELECT unnest(flatten(list_transform(range(1, len(types) + 1),
+                   i -> list_transform(range(i + 1, len(types) + 1),
+                        j -> {'a': types[i], 'b': types[j]})))) AS p
+        FROM per_user
+    )
+    SELECT p.a AS type_a, p.b AS type_b, CAST(count(*) AS BIGINT) AS n_users
+    FROM pairs GROUP BY p.a, p.b
+    """,
+    tags=("events", "cooccurrence"),
+)
+def q_type_cooccurrence(spark, sf_dir):
+    """Event-type co-occurrence: for each unordered type pair, how many
+    users exhibit both. The per-user type set is bounded by |event types|
+    (collect_set stays O(types) per user, never O(events)), and pair
+    generation is array-native over that tiny set — the market-basket
+    co-occurrence shape without a self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pairs = per_user.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(types, (a, i) ->"
+                " transform(slice(types, i + 2, size(types)), b -> struct(a, b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b")
+    ).agg(F.count("*").cast("long").alias("n_users"))
