@@ -164,3 +164,75 @@ def q_ordered_string_agg(spark, sf_dir):
         F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
     )
+
+
+@register(
+    "ts_feature_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+               first_value(value) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv,
+               last_value(value) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           floor((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+                 * 1000000 + 0.5) / 1000000 AS mean_value,
+           round(stddev_samp(value), 6) AS std_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           round(min(fv), 6) AS first_value,
+           round(min(lv), 6) AS last_value,
+           round(regr_slope(value, epoch_us(date_trunc('microseconds', ts)) / 86400000000.0), 6)
+               AS slope_per_day,
+           round(corr(value, prev), 6) AS autocorr_lag1
+    FROM seq GROUP BY user_id
+    """,
+    tags=("stats", "timeseries", "features", "ml"),
+)
+def q_ts_feature_matrix(spark, sf_dir):
+    """Per-key time-series feature matrix (tsfresh-style summary vector) in
+    a single pass: count, mean, std, extrema, first/last by time, linear
+    trend slope, and lag-1 autocorrelation. The lag window and the grouped
+    agg share the same key — one hash exchange total — so a 100 TB feature
+    extraction is one shuffle, not ten sequential scans. The mean uses the
+    exact-decimal-sum + half-up canonicalization (see seasonal_decompose)
+    because a plain double mean of large per-key groups lands on round-6
+    boundaries; variance/corr/slope pass through sqrt/ratio forms whose
+    boundary probability is negligible."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev"),
+        # first/last by the UNIQUE (ts, event_id) order — arg_min/max on ts
+        # alone would be nondeterministic under duplicate timestamps.
+        F.first("value").over(wfull).alias("fv"),
+        F.last("value").over(wfull).alias("lv"),
+    )
+    x = F.unix_micros("ts") / F.lit(86400000000.0)
+    mean_exact = (
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")
+    )
+    return seq.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        (F.floor(mean_exact * 1000000 + 0.5) / 1000000).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("std_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(F.min("fv"), 6).alias("first_value"),
+        F.round(F.min("lv"), 6).alias("last_value"),
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_day"),
+        F.round(F.corr("value", "prev"), 6).alias("autocorr_lag1"),
+    )
