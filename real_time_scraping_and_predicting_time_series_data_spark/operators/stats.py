@@ -236,3 +236,49 @@ def q_ts_feature_matrix(spark, sf_dir):
         F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_day"),
         F.round(F.corr("value", "prev"), 6).alias("autocorr_lag1"),
     )
+
+
+@register(
+    "ts_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT user_id, median(value) AS med
+        FROM events GROUP BY user_id
+    ), dev AS (
+        SELECT e.user_id, e.value, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (user_id)
+    ), mad AS (
+        SELECT user_id, median(adev) AS mad
+        FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(min(d.med), 6) AS median_value,
+           round(min(m.mad), 6) AS mad,
+           CAST(count(*) FILTER (WHERE d.adev > 3 * 1.4826 * m.mad) AS BIGINT)
+               AS n_outliers
+    FROM dev d JOIN mad m USING (user_id)
+    GROUP BY d.user_id
+    """,
+    tags=("stats", "timeseries", "robust", "anomaly"),
+)
+def q_ts_mad_outliers(spark, sf_dir):
+    """Robust per-key outlier counts via the median absolute deviation
+    (|x − median| > 3·1.4826·MAD — the robust z-score that, unlike the
+    mean/σ z-score in ``ts_anomaly_zscore``, is not itself dragged by the
+    outliers it is hunting). Two grouped exact medians + a co-keyed join
+    back: three key-partitioned shuffles, no global ordering — `median`
+    aggregates per key, never over the full relation."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(med, "user_id").withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    mad = dev.groupBy("user_id").agg(F.percentile("adev", 0.5).alias("mad"))
+    d = dev.join(mad, "user_id")
+    return d.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.round(F.min("med"), 6).alias("median_value"),
+        F.round(F.min("mad"), 6).alias("mad"),
+        F.sum(
+            F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )
