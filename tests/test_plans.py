@@ -185,3 +185,42 @@ def test_flagship_topk_avoids_global_sort(spark):
     (partial per-partition top-k), never a full global sort of all users."""
     plan = _plan(spark, "flagship_top_movers")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_pack_single_window_no_join(spark):
+    """Context packing = one source-partitioned window + grouped agg: no
+    joins, and the cumulative frame must ride the source partitioning
+    (never an empty partition spec = global window)."""
+    plan = _plan(spark, "corpus_pack_budget_bins")
+    assert "Join" not in plan
+    assert "windowspecdefinition(source" in plan
+    body = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert body.count("Window") == 1, body
+
+
+def test_corpus_mixture_no_global_window(spark):
+    """Mixture rebalance ranks within source partitions only (window spec
+    carries the source key) and the |sources|-row target relation comes
+    back as a broadcast join — no cross product."""
+    plan = _plan(spark, "corpus_source_mixture")
+    assert "windowspecdefinition(source" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_feature_matrix_single_exchange(spark):
+    """The per-key feature matrix must reuse ONE hash exchange on user_id
+    for its lag/first/last windows and the final aggregation — a 100 TB
+    featurization pass is exactly one shuffle."""
+    plan = _plan(spark, "ts_feature_matrix")
+    body = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert body.count("Exchange") == 1, body
+
+
+def test_markov_transitions_no_global_sort(spark):
+    """Markov normalization windows over the tiny transition relation; the
+    sequence window is per-user — no global Sort before an Exchange-less
+    single partition."""
+    plan = _plan(spark, "events_markov_transitions")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -92,3 +92,57 @@ def test_fifo_align_injective_and_ordered(spark, vals, offset):
     # pairing distance is exactly `offset` positions
     for a, b in matched:
         assert b - a == offset
+
+
+# -- nearest as-of vs pandas merge_asof ------------------------------------
+
+_gap_lists = st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=8)
+
+
+@given(left_offsets=_gap_lists, right_offsets=_gap_lists)
+@SLOW
+def test_asof_nearest_matches_pandas_merge_asof(spark, left_offsets, right_offsets):
+    """asof_join_nearest must agree with pandas merge_asof(direction=
+    'nearest') — an independent implementation of the semantics — whenever
+    pandas' tie behavior is defined (pandas also prefers the backward match
+    on exact ties). Offsets are seconds; tolerance 15s forces both matched
+    and unmatched rows."""
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    left_rows = [
+        (i, 1, BASE + dt.timedelta(seconds=s), float(i)) for i, s in enumerate(sorted(left_offsets))
+    ]
+    right_rows = [
+        (100 + i, 1, BASE + dt.timedelta(seconds=s), 100.0 + i)
+        for i, s in enumerate(sorted(right_offsets))
+    ]
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    got = {
+        r["event_id"]: r["matched_value"]
+        for r in asof_join_nearest(
+            spark.createDataFrame(left_rows, schema),
+            spark.createDataFrame(right_rows, schema),
+            tolerance_seconds=15,
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(left_rows, columns=["event_id", "user_id", "ts", "value"]).sort_values("ts")
+    rpd = pd.DataFrame(right_rows, columns=["event_id", "user_id", "ts", "value"]).sort_values("ts")
+    merged = pd.merge_asof(
+        lpd,
+        rpd[["ts", "value"]].rename(columns={"value": "rv"}),
+        on="ts",
+        direction="nearest",
+        tolerance=pd.Timedelta(seconds=15),
+    )
+    # pandas merge_asof collapses duplicate right timestamps to the LAST
+    # row; our semantics pick the as-of survivor per direction. Only compare
+    # where right timestamps are unique (the defined case).
+    if rpd["ts"].is_unique:
+        for _, row in merged.iterrows():
+            want = None if pd.isna(row["rv"]) else row["rv"]
+            assert got[row["event_id"]] == want, (row["event_id"], got[row["event_id"]], want)
