@@ -81,3 +81,41 @@ def test_extra_columns_carried_and_hash_present(spark, tmp_path):
     row = {r["doc_id"]: r for r in store.serve().collect()}[1]
     assert row["source"] == "s1"
     assert len(row["content_hash"]) == 64
+
+
+def test_store_survives_checkpoint_restart(spark, tmp_path):
+    """Stop after batch 1, restart the stream from the same checkpoint with
+    new files present: the restarted query must process only the new batch,
+    and the corpus must equal the batch recompute — no re-admission of
+    already-rejected duplicates, no loss."""
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+
+    def write_file(i, rows):
+        with open(os.path.join(drop, f"b{i}.json"), "w") as f:
+            for doc_id, text, source in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text, "source": source}) + "\n")
+        t = 1_700_000_000 + i * 10
+        os.utime(os.path.join(drop, f"b{i}.json"), (t, t))
+
+    def stream():
+        return (
+            spark.readStream.format("json")
+            .schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .load(drop)
+        )
+
+    store = IncrementalCorpusStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+
+    write_file(0, BATCH_1)
+    q = store.attach(stream(), ckpt)
+    q.awaitTermination(120)
+    assert _served(store) == {(1, "alpha text"), (2, "beta text")}
+
+    # restart from the same checkpoint with batch 2 now present
+    write_file(1, BATCH_2)
+    q = store.attach(stream(), ckpt)
+    q.awaitTermination(120)
+    assert _served(store) == EXPECTED
