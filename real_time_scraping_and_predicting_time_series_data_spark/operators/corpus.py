@@ -23,7 +23,11 @@ Scale notes (100 TB):
 - bigrams: generated per document with ``zip_with`` on the token array —
   zero extra shuffles before the counting agg (no posexplode+window).
 - mixture/packing: windows are partitioned by ``source`` — parallel per
-  source; no global window anywhere.
+  source; no global window anywhere. Caveat: with a handful of sources the
+  per-source sort concentrates (one task per source) — the exact-count
+  variants are |stratum|-bounded-sort ops; at corpus scale use the
+  windowless hash-threshold twin (``source_mixture_fraction``) or a
+  composite (source, shard) packing key.
 """
 
 from __future__ import annotations
@@ -148,8 +152,11 @@ def source_mixture_balance(
     special case of target-weight mixture sampling for LLM training sets.
 
     Shape: one count agg (tiny, |sources| rows, broadcast back) + one
-    per-source window rank — parallel across sources, no global ordering.
-    Returns the per-source summary of the kept set."""
+    per-source window rank — parallel across sources, no global ordering,
+    but each source's rank sorts in a single task: exact counts cost a
+    |stratum|-bounded sort. At 100 TB with few, huge sources prefer
+    ``source_mixture_fraction`` (windowless hash thinning, ~√target count
+    error). Returns the per-source summary of the kept set."""
     counts = df.groupBy(group).agg(F.count("*").alias("n_src"))
     target = counts.agg(F.min("n_src").alias("target"))
     w = Window.partitionBy(group).orderBy(shuffle_key(id_col), F.col(id_col))
@@ -360,3 +367,68 @@ def q_corpus_pack(spark, sf_dir):
     """Token-budget context packing: per-source 16 KiB prefix-sum bins."""
     docs = load_table(spark, sf_dir, "documents")
     return pack_budget_bins(docs, budget=16384)
+
+
+def hash_uniform(id_col: str = "doc_id") -> F.Column:
+    """Deterministic uniform [0,1) draw per id: the first 8 hex digits of
+    md5(id) as an integer over 2^32. Identical on Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) / F.lit(4294967296.0)
+
+
+def source_mixture_fraction(
+    df: DataFrame,
+    group: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Scale-path mixture rebalance: per-source Bernoulli thinning at rate
+    ``target/n_src`` keyed on the deterministic md5 uniform — a pure FILTER
+    against a broadcast |sources|-row rate table. Zero windows, zero
+    per-group ordering: unlike ``source_mixture_balance`` (exact counts via
+    per-source rank, which concentrates each source's sort in one task when
+    |sources| is small), this keeps the scan embarrassingly parallel at any
+    size; kept counts land within ~√target of the target, which is the
+    standard LLM-corpus mixture trade."""
+    counts = df.groupBy(group).agg(F.count("*").alias("n_src"))
+    target = counts.agg(F.min("n_src").alias("target"))
+    rates = counts.crossJoin(F.broadcast(target)).select(
+        F.col(group).alias("_g"),
+        (F.col("target").cast("double") / F.col("n_src")).alias("_rate"),
+    )
+    kept = df.join(F.broadcast(rates), df[group] == F.col("_g")).filter(
+        hash_uniform(id_col) < F.col("_rate")
+    )
+    return kept.groupBy(group).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum(size_col).cast("long").alias("sum_chars"),
+    )
+
+
+@register(
+    "corpus_source_mixture_fraction",
+    oracle="""
+    WITH counts AS (
+        SELECT source, count(*) AS n_src FROM documents GROUP BY source
+    ), tgt AS (
+        SELECT min(n_src) AS target FROM counts
+    ), rates AS (
+        SELECT source, CAST(target AS DOUBLE) / n_src AS rate
+        FROM counts, tgt
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              / 4294967296.0 < r.rate
+    GROUP BY d.source
+    """,
+    tags=("corpus", "sampling", "mixture", "scale-path"),
+)
+def q_corpus_mixture_fraction(spark, sf_dir):
+    """Mixture rebalance by deterministic hash thinning — the windowless
+    100 TB path (exact-count twin: ``corpus_source_mixture``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return source_mixture_fraction(docs)

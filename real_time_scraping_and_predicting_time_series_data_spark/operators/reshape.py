@@ -278,7 +278,10 @@ def stratified_exact_sample(
     pick-set is oracle-verifiable.
 
     Shape: one tiny per-stratum count agg broadcast back + one window rank
-    partitioned by stratum — parallel per stratum, no global ordering.
+    partitioned by stratum — parallel per stratum, no global ordering (each
+    stratum's rank is a single-task sort, so exact counts cost a
+    |stratum|-bounded sort; for few, huge strata at 100 TB use hash-rate
+    thinning as in ``corpus.source_mixture_fraction``).
     """
     frac = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
     counts = df.groupBy(stratum).agg(F.count("*").alias("_n"))
