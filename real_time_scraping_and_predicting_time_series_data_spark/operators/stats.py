@@ -282,3 +282,37 @@ def q_ts_mad_outliers(spark, sf_dir):
             F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
         ).cast("long").alias("n_outliers"),
     )
+
+
+@register(
+    "ml_quantile_binning",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, value,
+               ntile(10) OVER (PARTITION BY user_id ORDER BY value, event_id) AS bin
+        FROM events
+    )
+    SELECT user_id, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi
+    FROM b GROUP BY user_id, bin
+    """,
+    tags=("ml", "features", "binning"),
+)
+def q_ml_quantile_binning(spark, sf_dir):
+    """Equal-frequency feature discretization: per-key value deciles via
+    ``ntile`` (deterministic under the unique (value, event_id) order), then
+    per-bin boundaries — the binning table a feature store ships to
+    training. One key-partitioned window + a grouped agg riding the same
+    key prefix; no global ordering."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value", "event_id")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    b = ev.withColumn("bin", F.ntile(10).over(w))
+    return b.groupBy("user_id", "bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    ).select("user_id", F.col("bin").cast("long").alias("bin"), "n", "lo", "hi")
