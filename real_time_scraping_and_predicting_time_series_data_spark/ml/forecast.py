@@ -336,8 +336,8 @@ def q_ml_error_metrics(spark, sf_dir):
            round(avg(abs(s.value - s.pred)), 6) AS mae
     FROM s, bounds b, folds f
     WHERE s.pred IS NOT NULL
-      AND s.tus >= b.lo + (b.hi - b.lo) * f.fold // 4
-      AND s.tus <  b.lo + (b.hi - b.lo) * (f.fold + 1) // 4
+      AND s.tus >= b.lo + (b.hi - b.lo + 1) * f.fold // 4
+      AND s.tus <  b.lo + (b.hi - b.lo + 1) * (f.fold + 1) // 4
     GROUP BY f.fold
     """,
     tags=("ml", "eval", "backtest", "M4"),
@@ -366,9 +366,11 @@ def q_ml_backtest_folds(spark, sf_dir):
     joined = (
         s.crossJoin(F.broadcast(bounds))
         .crossJoin(F.broadcast(folds))
+        # span+1 boundaries: fold 3's bound is hi+1, so the globally latest
+        # observation is scored (with span, `tus < hi` would drop it).
         .filter(
-            (F.col("tus") >= F.col("lo") + F.expr("(hi - lo) * fold div 4"))
-            & (F.col("tus") < F.col("lo") + F.expr("(hi - lo) * (fold + 1) div 4"))
+            (F.col("tus") >= F.col("lo") + F.expr("(hi - lo + 1) * fold div 4"))
+            & (F.col("tus") < F.col("lo") + F.expr("(hi - lo + 1) * (fold + 1) div 4"))
         )
     )
     err = F.col("value") - F.col("pred")

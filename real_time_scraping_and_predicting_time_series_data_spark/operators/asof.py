@@ -266,18 +266,21 @@ def asof_join_nearest(
     ts: str = "ts",
     value: str = "value",
     tolerance_seconds: float = 1800,
+    left_id: str = "event_id",
 ) -> DataFrame:
     """Nearest-direction as-of join (pandas ``merge_asof(direction=
     'nearest')``): for each left row, the right row with the smallest
     absolute time gap within tolerance, preferring the earlier (backward)
-    match on exact ties.
+    match on exact ties. ``left_id`` must uniquely identify left rows — the
+    two directional passes are merged by equi-joining on it, so duplicates
+    would fan out.
 
     Composed from the two directional as-of primitives — each is ONE
     shuffle + one window — merged on the left row id (an equi-join on a
     unique key, AQE-friendly at any scale). No range-join explosion: cost
     is 3 co-partitioned shuffles regardless of time density.
     """
-    lid = "event_id"
+    lid = left_id
     back = asof_join(
         left, right, on=on, ts=ts, right_value_cols=(value,),
         direction="backward", tolerance_seconds=tolerance_seconds,

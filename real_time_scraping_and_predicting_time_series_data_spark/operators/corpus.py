@@ -46,6 +46,8 @@ __all__ = [
     "pii_redact",
     "deterministic_shuffle",
     "source_mixture_balance",
+    "source_mixture_fraction",
+    "hash_uniform",
     "pack_budget_bins",
 ]
 
@@ -108,13 +110,15 @@ def pii_redact(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Dat
     placeholder tokens; count hits per category. Patterns are the ASCII
     subset on which Java regex (Spark) and RE2 (DuckDB) agree."""
     t = F.col(text)
+    # Numbers are counted on the email-redacted text, not the raw text —
+    # digit runs inside an email are consumed by the email replacement and
+    # must not double-count as number redactions.
+    after_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
     return df.select(
         F.col(id_col),
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), LONG_NUMBER_RE, "<NUM>"
-        ).alias("clean_text"),
+        F.regexp_replace(after_email, LONG_NUMBER_RE, "<NUM>").alias("clean_text"),
         F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(LONG_NUMBER_RE), F.lit(0))).cast("long").alias("n_numbers"),
+        F.size(F.regexp_extract_all(after_email, F.lit(LONG_NUMBER_RE), F.lit(0))).cast("long").alias("n_numbers"),
     )
 
 
@@ -280,7 +284,9 @@ def q_corpus_token_entropy(spark, sf_dir):
                regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\\d{6,}', '<NUM>', 'g') AS clean_text,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '\\d{6,}')) AS BIGINT) AS n_numbers
+           CAST(len(regexp_extract_all(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\d{6,}')) AS BIGINT) AS n_numbers
     FROM documents
     """,
     tags=("corpus", "text", "pii"),

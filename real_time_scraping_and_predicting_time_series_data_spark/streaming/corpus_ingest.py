@@ -30,6 +30,7 @@ survivor order.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -77,8 +78,16 @@ class IncrementalCorpusStore:
         ledger = self._ledger_hashes(exclude_batch_id=batch_id)
         if ledger is not None:
             survivors = survivors.join(ledger, "content_hash", "left_anti")
+        # Atomic publish (the continuous_agg staging pattern): write to a
+        # hidden staging dir, then swap via rename. A crash mid-write leaves
+        # only staging garbage — serve() never reads a partially-written
+        # batch dir, and the checkpoint replay rebuilds the batch cleanly.
         target = os.path.join(self.root, f"batch_id={batch_id}")
-        survivors.write.mode("overwrite").parquet(target)
+        staging = os.path.join(self.root, f".staging_batch_id={batch_id}")
+        shutil.rmtree(staging, ignore_errors=True)
+        survivors.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(staging, target)
 
     def attach(self, docs: DataFrame, checkpoint: str):
         """Wire a streaming document source into the store."""

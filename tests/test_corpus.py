@@ -42,6 +42,15 @@ def test_pii_redact_hits_and_counts(spark):
     assert got[3]["clean_text"] == "clean text only"
 
 
+def test_pii_redact_counts_numbers_after_email_redaction(spark):
+    """Digit runs living inside an email must not double-count as number
+    redactions: counts reconcile with the placeholders in clean_text."""
+    df = _docs(spark, [(1, "reach a123456789@x.com or 777777777", "a", 0)])
+    row = pii_redact(df).collect()[0]
+    assert row["clean_text"] == "reach <EMAIL> or <NUM>"
+    assert (row["n_emails"], row["n_numbers"]) == (1, 1)
+
+
 def test_vocabulary_rank_and_tiebreak(spark):
     df = _docs(spark, [(1, "b b a a c", "a", 0), (2, "a", "a", 0)])
     rows = build_vocabulary(df, top_k=2).collect()
@@ -119,10 +128,6 @@ def test_asof_nearest_prefers_smaller_gap_backward_on_tie(spark):
 def test_vocabulary_plan_no_global_sort(spark):
     """The vocab rank must consume the global ordering through TakeOrdered,
     never a full-vocabulary single-partition sort."""
-    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+    from tests.test_plans import _plan
 
-    df = all_queries()["corpus_vocabulary"].fn(spark, "/root/testdata/sf0.001")
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
-    assert "TakeOrderedAndProject" in plan
+    assert "TakeOrderedAndProject" in _plan(spark, "corpus_vocabulary")

@@ -174,7 +174,8 @@ def test_ewma_cusum_no_prefix_arrays(spark):
     a closed-form running sum + running min — no collect_list anywhere."""
     ewma_plan = _plan(spark, "ts_ewma")
     assert "collect_list" not in ewma_plan
-    assert "MapInPandas" in ewma_plan or "FlatMapGroupsInPandas" in ewma_plan
+    assert "MapInPandas" in ewma_plan
+    assert "FlatMapGroupsInPandas" not in ewma_plan  # no per-key regroup
     cusum_plan = _plan(spark, "ts_cusum_drift")
     assert "collect_list" not in cusum_plan
     assert "FlatMapGroupsInPandas" not in cusum_plan  # stays fully JVM-side
