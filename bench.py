@@ -70,6 +70,11 @@ HEADLINE = [
     "corpus_pack_budget_bins",
     "asof_join_nearest",
     "ts_seasonal_decompose",
+    "corpus_source_mixture_fraction",
+    "ts_feature_matrix",
+    "ts_mad_outliers",
+    "ml_error_metrics",
+    "ml_quantile_binning",
 ]
 
 

@@ -119,3 +119,44 @@ def test_store_survives_checkpoint_restart(spark, tmp_path):
     q = store.attach(stream(), ckpt)
     q.awaitTermination(120)
     assert _served(store) == EXPECTED
+
+
+def test_streaming_corpus_pipeline_composition(spark, tmp_path):
+    """The continuous corpus pipeline end-to-end: drop-zone JSON docs →
+    PII redaction (stateless Catalyst pass on the stream) → first-seen
+    dedup store. The served corpus must equal the batch recompute of the
+    same composition (redact-then-dedup over the union of all files)."""
+    from pyspark.sql import functions as F
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import pii_redact
+
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    rows1 = [(1, "pay 1234567 to a@b.io", "s1"), (2, "plain text", "s1")]
+    rows2 = [(3, "pay 7654321 to a@b.io", "s2"),  # differs pre-redaction only
+             (4, "plain text", "s2"), (5, "fresh doc", "s2")]
+    for i, rows in enumerate((rows1, rows2)):
+        with open(os.path.join(drop, f"b{i}.json"), "w") as f:
+            for doc_id, text, source in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text, "source": source}) + "\n")
+        t = 1_700_000_000 + i * 10
+        os.utime(os.path.join(drop, f"b{i}.json"), (t, t))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(drop)
+    )
+    redacted = pii_redact(stream).withColumnRenamed("clean_text", "text")
+    store = IncrementalCorpusStore(spark, str(tmp_path / "store"))
+    q = store.attach(redacted, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {(r["doc_id"], r["text"]) for r in store.serve().collect()}
+    # docs 1 and 3 redact to the same text -> doc 3 rejected; 4 dups 2.
+    assert got == {
+        (1, "pay <NUM> to <EMAIL>"),
+        (2, "plain text"),
+        (5, "fresh doc"),
+    }
