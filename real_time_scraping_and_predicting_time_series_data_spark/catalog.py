@@ -159,17 +159,25 @@ def default_sf_dir() -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table as a DataFrame (columnar parquet scan).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark has no ns
-    timestamp type, so the session reads it as a long (ns since epoch,
-    ``spark.sql.legacy.parquet.nanosAsLong``) and we truncate to µs here.
-    DuckDB-oracle SQL that outputs raw ``ts`` must apply
-    ``date_trunc('microseconds', ts)`` for hash parity.
+    Timestamp columns are normalized to plain UTC ``timestamp`` regardless of
+    the parquet physical type the generator used:
+
+    - TIMESTAMP(NANOS) (early testdata): Spark reads it as a long only under
+      ``spark.sql.legacy.parquet.nanosAsLong``; truncate ns → µs here.
+    - timestamp[us] without timezone (current testdata): Spark reads it as
+      TIMESTAMP_NTZ, which several chronon functions (``unix_micros`` etc.)
+      reject; cast to ``timestamp``. The session timezone is pinned to UTC,
+      so the wall-clock values — and every DuckDB-oracle hash — are
+      unchanged by the cast.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        if name == "events" and col == "ts" and dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
