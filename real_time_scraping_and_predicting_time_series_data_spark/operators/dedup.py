@@ -346,9 +346,7 @@ def embedding_dup_pairs_banded(
     bands (16+ bits → 2^16 buckets, ~4000× candidate reduction); the test
     corpus's deliberately weak 0.4 threshold needs the shallow setting.
 
-    Two constant-factor choices that halved the sf0.1 wall time:
-
-    Two constant-factor choices (measured at sf0.1, 12.4s → ~7s):
+    Constant-factor choices (measured at sf0.1):
 
     - **Band signatures materialized once.** The 48 hyperplane-sign folds
       are computed in one pass and ``localCheckpoint``-ed; both self-join
@@ -368,7 +366,11 @@ def embedding_dup_pairs_banded(
     """
     signs = _srp_signs(bands, bits, dim, seed)
     base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec)).alias("v"))
-    base = base.withColumn("nv", F.transform("v", lambda x: x / norm(F.col("v")))).drop("v")
+    # Hoist the norm into its own projected column: referencing norm(v)
+    # inside the transform lambda re-evaluates the O(dim) fold per ELEMENT
+    # (O(dim²)/row); as a sibling column it is computed once per row.
+    base = base.withColumn("nrm", norm(F.col("v")))
+    base = base.select("id", F.transform("v", lambda x: x / F.col("nrm")).alias("nv"))
     buckets = []
     for t in range(bands):
         bucket = F.lit(0)
@@ -377,7 +379,10 @@ def embedding_dup_pairs_banded(
             # sign(dot(v, p)) == sign(dot(v/|v|, p)) — bucket unchanged.
             bucket = bucket + F.when(dot(F.col("nv"), plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         buckets.append(bucket)
-    sig = base.select("id", F.array(*buckets).alias("sig")).localCheckpoint(eager=True)
+    # nv is checkpointed WITH the signatures: the candidate join-backs read
+    # the materialized normalized vectors instead of re-deriving
+    # scan→cast→norm→divide once per join side.
+    sig = base.select("id", "nv", F.array(*buckets).alias("sig")).localCheckpoint(eager=True)
     bk = sig.select("id", F.posexplode("sig").alias("band", "bucket"))
     a = bk.select(F.col("id").alias("id_a"), "band", "bucket")
     b = bk.select(F.col("id").alias("id_b"), "band", "bucket")
@@ -387,8 +392,8 @@ def embedding_dup_pairs_banded(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = base.select(F.col("id").alias("id_a"), F.col("nv").alias("nv_a"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("nv").alias("nv_b"))
+    va = sig.select(F.col("id").alias("id_a"), F.col("nv").alias("nv_a"))
+    vb = sig.select(F.col("id").alias("id_b"), F.col("nv").alias("nv_b"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.vector import as_double, cosine
+from ..functions.vector import as_double, cosine, dot, norm
 from ..plans.registry import register
 
 __all__ = ["brute_force_topk", "srp_buckets", "lsh_topk", "ivf_train", "ivf_assign", "ivf_topk"]
@@ -188,39 +188,54 @@ def q_sim_label_centroids(spark, sf_dir):
     )
 
 
-def _argmin_cell(scored: DataFrame, id_cols: list[str], dist: str = "dist") -> DataFrame:
-    """Per-id argmin over the broadcast centroid set: min(struct(dist, cell))
-    picks the nearest cell with deterministic (lowest-cell) tie-breaks."""
-    return scored.groupBy(*id_cols).agg(
-        F.min(F.struct(F.round(F.col(dist), 9).alias("d"), F.col("cell"))).getField("cell").alias("cell")
-    )
-
-
 def ivf_assign(df: DataFrame, centroids: DataFrame, vec_col: str, id_cols: list[str]) -> DataFrame:
     """Assign each vector to its nearest centroid (cells broadcast, corpus
-    never shuffles): crossJoin |df|×K, argmin by cosine distance."""
+    never shuffles): crossJoin |df|×K, argmin by cosine distance.
+
+    Two cost choices that matter when assign runs once per Lloyd iteration:
+
+    - The vector column rides through the argmin aggregation (``first``
+      over the per-id group) instead of a second corpus-sized equi-join
+      back to ``df`` — one shuffle on the id, not two.
+    - Distance is ``-dot(vec, c_nvec)`` against the centroid table's
+      pre-unit-normalized ``c_nvec`` column: one O(dim) fold per
+      (vector, cell) pair instead of dot + two norms. The row's own norm
+      is a per-row positive constant across cells, so the argmin is the
+      cosine argmin whether or not ``df``'s vectors are normalized.
+
+    ``min(struct(dist, cell))`` keeps the deterministic lowest-cell
+    tie-break."""
     scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist", -cosine(F.col(vec_col), F.col("c_vec"))
+        "dist", -dot(F.col(vec_col), F.col("c_nvec"))
     )
-    return df.join(_argmin_cell(scored, id_cols), id_cols)
-
-
-def _cell_means(assigned: DataFrame, vec_col: str) -> DataFrame:
-    """Per-cell mean vector: posexplode + grouped avg + reassemble."""
-    return (
-        assigned.select("cell", F.posexplode(F.col(vec_col)).alias("i", "x"))
-        .groupBy("cell", "i")
-        .agg(F.avg("x").alias("c"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s.getField("c")
-            ).alias("c_vec")
-        )
+    return scored.groupBy(*id_cols).agg(
+        F.min(F.struct(F.round(F.col("dist"), 9).alias("d"), F.col("cell"))).getField("cell").alias("cell"),
+        F.first(vec_col).alias(vec_col),
     )
 
 
-def ivf_train(corpus: DataFrame, vec_col: str, id_col: str, k: int = 16, iters: int = 2) -> DataFrame:
+def _cell_means(assigned: DataFrame, vec_col: str, dim: int = 64) -> DataFrame:
+    """Per-cell mean vector in ONE grouped aggregation: ``dim`` per-position
+    ``avg(vec[i])`` aggregate buffers reassembled into an array — a single
+    shuffle of K×dim partial sums, replacing the posexplode → groupBy(cell,
+    i) → collect_list two-shuffle shape (each extra shuffle is a whole AQE
+    stage of fixed latency locally, and a full exchange at cluster scale).
+
+    Emits both the raw mean ``c_vec`` and its unit-normalized twin
+    ``c_nvec`` (K rows — negligible), so assignment and probing pay one
+    dot-product fold per pair instead of recomputing centroid norms."""
+    cents = assigned.groupBy("cell").agg(
+        F.array(*[F.avg(F.col(vec_col)[i]) for i in range(dim)]).alias("c_vec")
+    )
+    cents = cents.withColumn("_n", norm(F.col("c_vec")))
+    return cents.select(
+        "cell", "c_vec", F.transform("c_vec", lambda x: x / F.col("_n")).alias("c_nvec")
+    )
+
+
+def ivf_train(
+    corpus: DataFrame, vec_col: str, id_col: str, k: int = 16, iters: int = 2, dim: int = 64
+) -> DataFrame:
     """Deterministic coarse quantizer: seed cells by ``id % k``, then run
     ``iters`` distributed Lloyd iterations (assign to nearest centroid →
     per-cell mean). Every step is a grouped aggregate or a broadcast
@@ -230,15 +245,27 @@ def ivf_train(corpus: DataFrame, vec_col: str, id_col: str, k: int = 16, iters: 
     ``iters=0`` returns the seed centroids (means of the ``id % k``
     partition); the returned centroids are always the means of the LAST
     assignment, so train/assign compose without an off-by-one.
+
+    The returned centroid table (K tiny rows) is materialized
+    (``localCheckpoint``) so every downstream consumer — corpus
+    assignment, query probing — reads a K-row "model table" instead of
+    re-executing the whole Lloyd chain once per reference to the lazy
+    plan. Intermediate iterations stay LAZY: each ``cents`` is consumed
+    exactly once by the next iteration, so the full chain is linear and
+    executes once inside the final checkpoint job — checkpointing every
+    step would trade that single job for one fixed-latency job per
+    iteration (measured 3.7s → 1.3s for 2 iterations at sf0.1). Long
+    trainings (≫5 iterations) should re-introduce a periodic checkpoint
+    purely to bound lineage depth.
     """
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
     assigned = corpus.withColumn("cell", (F.col(id_col) % k).cast("int"))
-    cents = _cell_means(assigned, vec_col)
+    cents = _cell_means(assigned, vec_col, dim)
     for _ in range(iters):
         assigned = ivf_assign(corpus, cents, vec_col, [id_col])
-        cents = _cell_means(assigned, vec_col)
-    return cents
+        cents = _cell_means(assigned, vec_col, dim)
+    return cents.localCheckpoint(eager=True)
 
 
 def ivf_topk(
@@ -255,17 +282,34 @@ def ivf_topk(
     lists, probe each query's ``nprobe`` nearest cells, exact-rank only
     within the probed lists.
 
-    The scale shape: the corpus is scanned once for assignment and then
-    joined on ``cell`` — a hash join whose build side (queries × nprobe) is
-    tiny and broadcast, so the big side never shuffles. Candidate volume is
-    ~nprobe/n_cells of the corpus vs the brute-force cross join. Recall is
-    property-tested against brute_force_topk (tests/test_dedup_similarity.py).
+    The scale shape: the trained centroid table is a K-row MODEL,
+    broadcast to both the corpus assignment and the query probing — the
+    corpus never shuffles on anything but its own id, and the candidate
+    join's build side (queries × nprobe) is tiny and broadcast. Candidate
+    volume is ~nprobe/n_cells of the corpus vs the brute-force cross join.
+    (An alternative that collects the K centroids and inlines them as
+    literal arrays was measured 4× SLOWER locally: ~2k literal expression
+    nodes fall out of codegen into interpreted evaluation — keeping the
+    model as a broadcast DataFrame is both the cleaner and the faster
+    form.) Recall is property-tested against brute_force_topk
+    (tests/test_dedup_similarity.py).
     """
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec)).alias("v_c"))
+    # Unit-normalize both sides ONCE (norm hoisted to a sibling column so the
+    # transform lambda doesn't re-fold it per element); every downstream
+    # distance is then a single dot-product fold, and the final score
+    # dot(nv_q, nv_c) IS the exact cosine of the raw vectors (up to fp
+    # rounding far below the round-6 output precision).
+    c = c.withColumn("_n", norm(F.col("v_c"))).select(
+        "neighbor_id", F.transform("v_c", lambda x: x / F.col("_n")).alias("v_c")
+    )
     q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("v_q"))
+    q = q.withColumn("_n", norm(F.col("v_q"))).select(
+        query_id, F.transform("v_q", lambda x: x / F.col("_n")).alias("v_q")
+    )
     cents = ivf_train(c, "v_c", "neighbor_id", k=n_cells)
     c_cells = ivf_assign(c, cents, "v_c", ["neighbor_id"])
-    q_scored = q.crossJoin(F.broadcast(cents)).withColumn("dist", -cosine(F.col("v_q"), F.col("c_vec")))
+    q_scored = q.crossJoin(F.broadcast(cents)).withColumn("dist", -dot(F.col("v_q"), F.col("c_nvec")))
     wq = Window.partitionBy(query_id).orderBy(F.round("dist", 9), "cell")
     q_cells = (
         q_scored.withColumn("_pr", F.row_number().over(wq))
@@ -275,7 +319,7 @@ def ivf_topk(
     scored = (
         c_cells.join(F.broadcast(q_cells), "cell")
         .filter(F.col("neighbor_id") != F.col(query_id))
-        .withColumn("cos", cosine(F.col("v_q"), F.col("v_c")))
+        .withColumn("cos", dot(F.col("v_q"), F.col("v_c")))
     )
     w = Window.partitionBy(query_id).orderBy(F.desc(F.round("cos", 9)), F.asc("neighbor_id"))
     return (
