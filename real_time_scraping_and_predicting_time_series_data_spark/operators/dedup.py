@@ -10,16 +10,18 @@ join/agg rather than an O(n²) cross join:
 - **n-gram Jaccard** : shingle-set overlap via explode + equi-join on the
   shingle (inverted index), blocked by a cheap key (``source``) so the join
   fan-out stays bounded at 100 TB.
-- **MinHash + LSH** : k independent min-hashes of the shingle set via
-  ``min(xxhash64(shingle, seed))`` aggregations; banding → candidate buckets
-  → exact-Jaccard verification of candidates only.
+- **MinHash + LSH** : k universal-hash permutations of one md5-derived
+  32-bit shingle hash (``min((aᵢ·h + bᵢ) mod p)`` aggregations); banding →
+  candidate buckets → exact-Jaccard verification of candidates only. The
+  hash chain is plain integer arithmetic over md5, so the DuckDB oracle
+  reproduces the ENTIRE pipeline bit-for-bit (candidates included).
 - **SimHash**    : 64-bit fingerprint from per-token hashes; near-dup =
   small Hamming distance, candidates via band equality on 16-bit chunks.
 - **embedding cosine** : near-dup pairs above a cosine threshold, blocked by
   label (stand-in for an ANN/IVF cell assignment at scale).
 
-MinHash/SimHash use ``xxhash64`` (JVM-side, deterministic) — not
-reproducible in DuckDB, so those queries carry no oracle and are instead
+SimHash still uses ``xxhash64`` (JVM-side, deterministic) — not
+reproducible in DuckDB, so that query carries no oracle and is instead
 property-tested against exact Jaccard (tests/test_dedup_similarity.py).
 """
 
@@ -158,18 +160,37 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text: str = "text", n: i
     return df.select(F.col(id_col).alias("id"), shingles(F.col(text), n).alias("sh"))
 
 
+# Universal-hash MinHash permutations: perm_i(h) = (a_i·h + b_i) mod p over
+# a single md5-derived 32-bit shingle hash. Coefficients come from a seeded
+# PRNG at import time and are inlined into BOTH the Spark expressions and
+# the DuckDB oracle SQL, so signatures — and therefore LSH candidates — are
+# bit-identical across engines. p = 2^31-1 (Mersenne prime); a_i,b_i < 2^30
+# keep a·h + b < 2^62, inside BIGINT on both engines.
+_MH_SEED = 20260813
+_MH_PRIME = 2147483647
+
+
+def _mh_coeffs(num_perm: int, seed: int = _MH_SEED) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(num_perm)]
+
+
 def minhash_signatures(
     sets: DataFrame, num_perm: int = 16
 ) -> DataFrame:
     """k-permutation MinHash signature over ``shingle_sets`` output:
     sig[i] = min over shingles of perm_i(shingle). One explode + one grouped
     agg with k min() columns — fully JVM-side, linear in shingle count. The
-    shingle string is hashed ONCE; permutations re-hash the 8-byte long.
-    """
+    shingle string is md5-hashed ONCE (first 8 hex digits → 32-bit int);
+    permutations are integer arithmetic on that value, reproducible in the
+    DuckDB oracle (``('0x' || substr(md5(s), 1, 8))::BIGINT``)."""
     ex = sets.select("id", F.explode("sh").alias("shingle")).withColumn(
-        "h", F.xxhash64("shingle")
+        "h", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
     )
-    mins = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}") for i in range(num_perm)]
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_mh_coeffs(num_perm))
+    ]
     return ex.groupBy("id").agg(*mins)
 
 
@@ -178,17 +199,20 @@ def minhash_candidates(
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``num_perm/bands`` rows; docs sharing any full band become candidate
-    pairs. Bucket join on (band_idx, band_hash) — the classic
-    sub-quadratic candidate generation.
-    """
+    pairs. Bucket join on (band_idx, band_value_tuple) — the classic
+    sub-quadratic candidate generation. The bucket key is the
+    concatenated band VALUES (not a re-hash): equal keys iff equal band
+    tuples, so the candidate set is exactly reproducible in SQL and free
+    of bucket-collision false candidates; the key stays ≤ ~44 chars for
+    4 rows/band, comparable shuffle width to a 64-bit hash."""
     rows_per_band = num_perm // bands
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.hash(*[F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                    "bucket"
-                ),
+                F.concat_ws(
+                    "-", *[F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
             )
             for bi in range(bands)
         ]
@@ -583,13 +607,62 @@ def verify_candidates_jaccard(cands: DataFrame, sets: DataFrame) -> DataFrame:
     return joined.select("id_a", "id_b", (common / union).alias("jaccard"))
 
 
-@register("dedup_minhash_pairs", oracle=None, tags=("dedup", "minhash", "lsh"))
+def _minhash_oracle(num_perm: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of the full MinHash-LSH pipeline: same md5-derived base
+    hash, same inlined universal-hash coefficients, same band-value-tuple
+    buckets, same exact-Jaccard verification — the candidate SET itself is
+    hash-checked, not just the survivors."""
+    coeffs = _mh_coeffs(num_perm)
+    rows = num_perm // bands
+    min_cols = ",\n               ".join(
+        f"min(({a} * h + {b}) % {_MH_PRIME}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, %d AS band, concat_ws('-', %s) AS bucket FROM sig"
+        % (bi, ", ".join(f"mh_{bi * rows + r}" for r in range(rows)))
+        for bi in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+    ), sh AS (
+        SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1]
+                                      FOR i IN range(1, len(words))]) AS grams
+        FROM toks
+    ), ex AS (
+        SELECT doc_id, unnest(grams) AS shingle FROM sh
+    ), hh AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM ex
+    ), sig AS (
+        SELECT doc_id, {min_cols}
+        FROM hh GROUP BY doc_id
+    ), bk AS (
+        {band_selects}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.grams, sb.grams)) /
+                 (len(sa.grams) + len(sb.grams) - len(list_intersect(sa.grams, sb.grams))),
+                 9) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    """
+
+
+@register("dedup_minhash_pairs", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH candidate pairs verified by exact Jaccard on candidates
-    only (rows-only: xxhash64 not reproducible in the oracle; recall
-    property-tested). The shingle sets are materialized once
-    (localCheckpoint) and shared by the signature and verification stages —
-    at cluster scale this is a persisted intermediate table."""
+    only. Fully oracle-checked: the md5/universal-hash permutation chain
+    and the band-value buckets are bit-reproducible in DuckDB, so the
+    driver hashes the exact candidate pipeline, not a weaker rows-only
+    shape; recall vs exact Jaccard is additionally property-tested. The
+    shingle sets are materialized once (localCheckpoint) and shared by the
+    signature and verification stages — at cluster scale this is a
+    persisted intermediate table."""
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     sets = shingle_sets(docs, n=2).localCheckpoint(eager=False)
     sigs = minhash_signatures(sets, num_perm=16).localCheckpoint(eager=False)

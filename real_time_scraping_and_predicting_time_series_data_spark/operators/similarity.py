@@ -23,7 +23,15 @@ from ..catalog import load_table
 from ..functions.vector import as_double, cosine, dot, norm
 from ..plans.registry import register
 
-__all__ = ["brute_force_topk", "srp_buckets", "lsh_topk", "ivf_train", "ivf_assign", "ivf_topk"]
+__all__ = [
+    "brute_force_topk",
+    "srp_buckets",
+    "srp_buckets_seeded",
+    "lsh_topk",
+    "ivf_train",
+    "ivf_assign",
+    "ivf_topk",
+]
 
 
 def brute_force_topk(
@@ -76,6 +84,29 @@ def srp_buckets(df: DataFrame, vec_double: str, bits: int = 8, dim: int = 64) ->
     return df.withColumn("bucket", bucket)
 
 
+# Seeded-hyperplane SRP twin: the ±1 components come from the same seeded
+# PRNG scheme as the banded embedding dedup (operators/dedup.py), inlined
+# as literals into both the Spark expression and the DuckDB oracle — unlike
+# the xxhash64 variant above, the bucketing (and therefore the registered
+# LSH query's exact result set) is reproducible cross-engine.
+_LSH_SEED = 20260815
+
+
+def srp_buckets_seeded(
+    df: DataFrame, vec_double: str, bits: int = 4, dim: int = 64, seed: int = _LSH_SEED
+) -> DataFrame:
+    from .dedup import _srp_signs
+
+    signs = _srp_signs(1, bits, dim, seed)[0]
+    bucket = F.lit(0).cast("long")
+    for b in range(bits):
+        plane = F.array(*[F.lit(s) for s in signs[b]])
+        bucket = bucket + F.when(dot(F.col(vec_double), plane) > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return df.withColumn("bucket", bucket)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -94,15 +125,17 @@ def lsh_topk(
     distance 1 from the query's (bits+1 probes): near-boundary neighbors
     whose sign flipped on one hyperplane are recovered, trading candidate
     volume (×(bits+1)/2^bits of the corpus) for recall — the standard
-    multi-probe LSH knob.
+    multi-probe LSH knob. Hyperplanes are the seeded literal kind
+    (``srp_buckets_seeded``), so the registered query carries a full
+    DuckDB oracle of the identical bucketing.
     """
-    c = srp_buckets(
+    c = srp_buckets_seeded(
         corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec)).alias("v_c")),
         "v_c",
         bits,
         dim,
     )
-    q = srp_buckets(
+    q = srp_buckets_seeded(
         queries.select(F.col(query_id), as_double(F.col(vec)).alias("v_q")), "v_q", bits, dim
     )
     if multi_probe:
@@ -156,10 +189,41 @@ def q_sim_bruteforce(spark, sf_dir):
     return brute_force_topk(emb, queries, k=5)
 
 
-@register("sim_lsh_topk", oracle=None, tags=("similarity", "lsh", "ann"))
+def _lsh_oracle(k: int = 5, bits: int = 4, dim: int = 64, seed: int = _LSH_SEED) -> str:
+    """DuckDB twin of multi-probe SRP-LSH: same inlined hyperplane signs,
+    same bucket arithmetic, same Hamming-1 probe set, same exact ranking."""
+    from .dedup import _srp_signs
+
+    signs = _srp_signs(1, bits, dim, seed)[0]
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, [%s]) > 0 THEN %d ELSE 0 END)"
+        % (",".join(str(s) for s in signs[b]), 1 << b)
+        for b in range(bits)
+    )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << b})" for b in range(bits)])
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS v_q, bucket FROM b WHERE vec_id < 10),
+    qp AS (SELECT query_id, v_q, unnest([{probes}]) AS bucket FROM q),
+    scored AS (
+        SELECT qp.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(qp.v_q, c.v) AS cos
+        FROM b c JOIN qp ON c.bucket = qp.bucket AND c.vec_id <> qp.query_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY round(cos, 9) DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= {k}
+    """
+
+
+@register("sim_lsh_topk", oracle=_lsh_oracle(), tags=("similarity", "lsh", "ann"))
 def q_sim_lsh(spark, sf_dir):
-    """SRP-LSH ANN top-5 for the same query set (rows-only; recall vs brute
-    force property-tested)."""
+    """Multi-probe SRP-LSH ANN top-5 for the same query set. Fully
+    oracle-checked: the seeded literal hyperplanes make bucketing and the
+    probe set bit-reproducible in DuckDB; recall vs brute force is
+    additionally property-tested."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -22,6 +22,8 @@ counters per partition before the exchange — the shuffle moves at most
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,18 +32,37 @@ from ..plans.registry import register
 
 __all__ = ["cms_build", "cms_estimate", "cms_merge"]
 
+# Pairwise-independent hash rows: bucket_s(tok) = ((a_s·h + b_s) mod p) mod
+# width over ONE md5-derived 32-bit token hash h. Coefficients come from a
+# seeded PRNG at import time and are inlined into both the Spark
+# expressions and the DuckDB oracle, making the whole sketch — counters,
+# estimates, heavy-hitter ranking — bit-reproducible cross-engine.
+_CMS_SEED = 20260814
+_CMS_PRIME = 2147483647
 
-def _bucket(tok, seed: int, width: int):
-    return F.pmod(F.xxhash64(tok, F.lit(seed)), F.lit(width))
+
+def _cms_coeffs(depth: int, seed: int = _CMS_SEED) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(depth)]
+
+
+def _tok_hash(tok) -> F.Column:
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def _bucket(h, seed: int, width: int):
+    a, b = _cms_coeffs(seed + 1)[seed]
+    return ((F.lit(a) * h + F.lit(b)) % F.lit(_CMS_PRIME)) % F.lit(width)
 
 
 def cms_build(tokens: DataFrame, tok: str = "token", depth: int = 4, width: int = 1024) -> DataFrame:
     """(seed, bucket, n) counter table from a one-column token relation."""
-    rows = tokens.select(
+    with_h = tokens.withColumn("_h", _tok_hash(F.col(tok)))
+    rows = with_h.select(
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(s).alias("seed"), _bucket(F.col(tok), s, width).alias("bucket"))
+                    F.struct(F.lit(s).alias("seed"), _bucket(F.col("_h"), s, width).alias("bucket"))
                     for s in range(depth)
                 ]
             )
@@ -66,12 +87,13 @@ def cms_estimate(
     """Point-frequency estimates for each distinct query token: explode the
     token into its depth (seed, bucket) probes, broadcast-join the (tiny)
     sketch, take the min counter. Missing counters mean frequency 0."""
-    probes = queries.select(
+    with_h = queries.withColumn("_h", _tok_hash(F.col(tok)))
+    probes = with_h.select(
         tok,
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(s).alias("seed"), _bucket(F.col(tok), s, width).alias("bucket"))
+                    F.struct(F.lit(s).alias("seed"), _bucket(F.col("_h"), s, width).alias("bucket"))
                     for s in range(depth)
                 ]
             )
@@ -81,12 +103,43 @@ def cms_estimate(
     return joined.groupBy(tok).agg(F.min("n").alias("est"))
 
 
-@register("sketch_cms_heavy_hitters", oracle=None, tags=("sketch", "cms", "heavy-hitters"))
+def _cms_oracle(depth: int = 4, width: int = 1024) -> str:
+    """DuckDB twin of the count-min heavy-hitters pipeline: same md5 base
+    hash, same inlined hash-row coefficients, same counters and min-probe
+    estimates — the sketch itself is reproduced, not approximated."""
+    coeffs = _cms_coeffs(depth)
+    seed_rows = ", ".join(f"({s}, {a}, {b})" for s, (a, b) in enumerate(coeffs))
+    return f"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+    ), hh AS (
+        SELECT token, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM toks
+    ), b AS (
+        SELECT token, s.seed AS seed,
+               ((s.a * h + s.b) % {_CMS_PRIME}) % {width} AS bucket
+        FROM hh CROSS JOIN (VALUES {seed_rows}) AS s(seed, a, b)
+    ), sketch AS (
+        SELECT seed, bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY seed, bucket
+    ), probes AS (
+        SELECT DISTINCT token, seed, bucket FROM b
+    )
+    SELECT p.token, min(sk.n) AS est
+    FROM probes p JOIN sketch sk ON sk.seed = p.seed AND sk.bucket = p.bucket
+    GROUP BY p.token
+    ORDER BY est DESC, token
+    LIMIT 20
+    """
+
+
+@register(
+    "sketch_cms_heavy_hitters", oracle=_cms_oracle(), tags=("sketch", "cms", "heavy-hitters")
+)
 def q_cms_heavy_hitters(spark, sf_dir):
     """Heavy hitters via count-min: build the sketch over the corpus token
     stream, estimate the frequency of each candidate token, keep the top 20
-    by estimate. Rows-only (xxhash64 not oracle-reproducible); the CMS
-    overcount bound and exact-vs-estimate agreement on heavy tokens are
+    by estimate. Fully oracle-checked — the md5/universal-hash rows make
+    counters and estimates bit-reproducible in DuckDB; the CMS overcount
+    bound and exact-vs-estimate agreement on heavy tokens are additionally
     property-tested."""
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     tokens = docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
