@@ -1,0 +1,247 @@
+"""Corpus-quality filtering and training-data preparation operators
+(SURVEY.md §2.8 north-star extensions; no counterpart in the 551-line
+reference — these are the LLM-pipeline operations a 100 TB corpus engine
+needs beside dedup/similarity/text).
+
+- **Gopher-style quality filters**: the published rule family (word-count
+  bounds, mean-word-length bounds, alphabetic-word fraction, stopword
+  presence) computed per document as pure Catalyst array/string
+  expressions, emitting one flag per rule plus the composed keep decision.
+- **Token chunking with overlap**: fixed-size sliding chunks (RAG/context
+  packing shape) via sequence → explode → slice — the array-native form of
+  the reference's sliding-window featurization (W1,
+  ``lvmh_forecaster2.py:83-88``) applied to tokens instead of prices.
+- **int8 embedding quantization**: per-vector affine quantization with
+  reconstruction-error audit — transform/fold HOFs, no Python; the
+  ``floor(x + 0.5)`` form (not ``round``) keeps the bit pattern identical
+  to the DuckDB twin.
+- **Key-skew profile**: the partition-planning diagnostic — per-key count
+  distribution quantiles + heaviest-key share, the numbers that decide
+  salting/AQE-skew settings before a 100 TB join.
+
+All four are single-scan, shuffle-once (or shuffle-twice for the profile's
+count-of-counts) shapes with full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import ensure_min_partitions, load_table
+from ..plans.registry import register
+
+__all__ = []
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+
+@register(
+    "text_gopher_filters",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               round(list_sum(list_transform(words, w -> length(w))) / len(words), 6)
+                   AS mean_word_len,
+               round(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) / len(words), 6)
+                   AS alpha_frac,
+               len(list_filter(words, w -> w IN {_STOPWORDS!r})) AS n_stopwords
+        FROM t
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len, alpha_frac,
+           CAST(n_stopwords AS BIGINT) AS n_stopwords,
+           n_words >= 20 AND n_words <= 100000 AS ok_word_count,
+           mean_word_len >= 3 AND mean_word_len <= 10 AS ok_mean_word_len,
+           alpha_frac >= 0.8 AS ok_alpha,
+           n_stopwords >= 2 AS ok_stopwords,
+           (n_words >= 20 AND n_words <= 100000)
+               AND (mean_word_len >= 3 AND mean_word_len <= 10)
+               AND alpha_frac >= 0.8 AND n_stopwords >= 2 AS keep
+    FROM m
+    """,
+    tags=("text", "quality", "gopher"),
+)
+def q_gopher_filters(spark, sf_dir):
+    """Gopher-style document quality rules (Rae et al. 2021's published
+    heuristic family, the subset meaningful on a synthetic corpus): word
+    count in [20, 100k], mean word length in [3, 10], ≥80% words containing
+    a letter, ≥2 stopwords. One scan, zero shuffles — every rule is an
+    array fold over the tokenization; emits per-rule flags so downstream
+    can audit WHY a document was dropped (the filter-transparency pattern),
+    plus the composed keep decision."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    t = docs.select("doc_id", words.alias("words"))
+    n_words = F.size("words")
+    mean_wl = F.round(
+        F.aggregate(F.transform("words", lambda w: F.length(w)), F.lit(0), lambda a, x: a + x)
+        / n_words,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter("words", lambda w: w.rlike("[a-z]"))) / n_words, 6
+    )
+    n_stop = F.size(F.filter("words", lambda w: w.isin(*_STOPWORDS)))
+    m = t.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    ok_wc = (F.col("n_words") >= 20) & (F.col("n_words") <= 100000)
+    ok_mwl = (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+    ok_alpha = F.col("alpha_frac") >= 0.8
+    ok_stop = F.col("n_stopwords") >= 2
+    return m.select(
+        "*",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
+_CHUNK, _STRIDE = 32, 24
+
+
+@register(
+    "corpus_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+    ), starts AS (
+        SELECT doc_id, words, unnest(range(1, len(words) + 1, {_STRIDE})) AS s FROM t
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {_STRIDE} AS BIGINT) AS chunk_index,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(len(list_slice(words, s, s + {_CHUNK} - 1)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(words, s, s + {_CHUNK} - 1), ' ') AS chunk_text
+    FROM starts
+    """,
+    tags=("corpus", "chunking"),
+)
+def q_chunk_overlap(spark, sf_dir):
+    """Fixed-size token chunks with overlap (chunk 32, stride 24 — each
+    chunk shares 8 tokens with its predecessor): the RAG/context-window
+    preparation shape. sequence → explode → slice, all array-native; the
+    trailing partial chunk is kept (training pipelines pad it). Same
+    array-window pattern as the reference's X/y tensor construction
+    (``lvmh_forecaster2.py:83-88``) but over tokens. Scale: one scan, the
+    explode multiplies rows by ~n_tokens/stride — no shuffle at all."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words"))
+    starts = t.select(
+        "doc_id",
+        "words",
+        F.explode(F.sequence(F.lit(1), F.size("words"), F.lit(_STRIDE))).alias("s"),
+    )
+    chunk = F.slice(F.col("words"), F.col("s"), _CHUNK)
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / _STRIDE).cast("long").alias("chunk_index"),
+        F.col("s").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+        SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+               (list_max(v) - list_min(v)) / 255.0 AS scale
+        FROM e
+    ), q AS (
+        SELECT vec_id, v, mn, scale,
+               list_transform(v, x -> floor((x - mn) / scale + 0.5)) AS qv
+        FROM s WHERE scale > 0
+    )
+    SELECT vec_id,
+           round(mn, 6) AS q_min,
+           round(scale, 9) AS q_scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_checksum,
+           round(list_max(list_transform(range(1, len(v) + 1),
+                                         i -> abs(v[i] - (mn + qv[i] * scale)))), 9)
+               AS max_abs_err
+    FROM q
+    """,
+    tags=("embedding", "quantization"),
+)
+def q_int8_quantize(spark, sf_dir):
+    """Affine int8 quantization of the embedding column with a
+    reconstruction-error audit: per-vector (min, scale) → code = floor((x −
+    min)/scale + 0.5) ∈ [0, 255] → max |x − dequant(code)|. Zero shuffles,
+    pure HOFs; ``floor(+0.5)`` instead of ``round`` keeps Spark and DuckDB
+    bit-identical (their ``round`` tie-breaking differs). The checksum is
+    the driver-hashable stand-in for the int8 payload itself; constant
+    vectors (scale 0) are excluded on both sides."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    s = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_min(v).alias("mn"),
+        ((F.array_max(v) - F.array_min(v)) / 255.0).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    q = s.withColumn(
+        "qv", F.transform("v", lambda x: F.floor((x - F.col("mn")) / F.col("scale") + 0.5))
+    )
+    err = F.array_max(
+        F.zip_with(
+            "v", "qv", lambda x, c: F.abs(x - (F.col("mn") + c * F.col("scale")))
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.round("mn", 6).alias("q_min"),
+        F.round("scale", 9).alias("q_scale"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_checksum"),
+        F.round(err, 9).alias("max_abs_err"),
+    )
+
+
+@register(
+    "events_key_skew_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_key_rows,
+           round(avg(n), 6) AS mean_key_rows,
+           round(quantile_cont(n, 0.5), 6) AS p50,
+           round(quantile_cont(n, 0.9), 6) AS p90,
+           round(quantile_cont(n, 0.99), 6) AS p99,
+           round(max(n) / sum(n), 9) AS top_key_share
+    FROM counts
+    """,
+    tags=("skew", "profiling"),
+)
+def q_key_skew_profile(spark, sf_dir):
+    """Key-distribution profile of the join/agg key: per-key counts, then
+    count-of-counts statistics (quantiles of the key-size distribution,
+    heaviest-key share). This is the diagnostic that sizes salting and AQE
+    skew thresholds BEFORE shuffling 100 TB on a key; two shuffles total
+    and the second one aggregates |keys| rows to a single profile row."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    pct = F.percentile("n", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.round(F.avg("n"), 6).alias("mean_key_rows"),
+        F.round(pct[0], 6).alias("p50"),
+        F.round(pct[1], 6).alias("p90"),
+        F.round(pct[2], 6).alias("p99"),
+        F.round(F.max("n") / F.sum("n"), 9).alias("top_key_share"),
+    )

@@ -1,0 +1,167 @@
+"""Tick-bar analytics: OHLC candles, VWAP, drawdown, cross-series
+correlation.
+
+The reference is a stock-tick pipeline (``asyncio scraping.py`` polls one
+price series; ``lvmh_forecaster2.py`` plots it): these are the standard
+downstream analytics a user of such a pipeline reaches for next, expressed
+as single-shuffle grouped aggregations / windows over the generalized
+many-key tick table (``events``).
+
+- **OHLC bars**: one grouped aggregation per (key, time bucket); open and
+  close are ``min_by``/``max_by`` picks on a zero-padded sortable
+  ``(timestamp, tiebreak)`` string key — DuckDB's ``arg_min``/``arg_max``
+  accept only a single ordering argument, so the composite order is encoded
+  into one lexicographically-correct string on BOTH engines.
+- **VWAP** rides the same aggregation: Σ(price·size)/Σ(size) with the size
+  taken from the ``props`` JSON (S2's path extraction feeding an aggregate).
+- **Max drawdown**: running peak via a bounded ``rowsBetween`` window, then
+  a grouped max of (peak − value) — the window and the aggregation share
+  one hash partitioning on the key (single exchange).
+- **Type correlation**: daily per-type mean series self-joined on the day
+  (5 types → 10 pairs), Pearson ``corr`` per pair — how the engine answers
+  "do clicks and purchases move together?" without any driver-side loop.
+
+At 100 TB: every query here shuffles once on (key[, bucket]) with map-side
+partial aggregation; bars and correlations are ~|keys|·|buckets| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import register
+
+__all__ = []
+
+
+def _sort_key():
+    """Zero-padded (epoch-micros, event_id) string — lexicographic order ==
+    (ts, event_id) order, reproducible in DuckDB as
+    ``lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 10, '0')``."""
+    return F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+
+
+@register(
+    "ts_ohlc_vwap_bars",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, date_trunc('hour', ts) AS bar_ts, value,
+               lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 10, '0') AS sk,
+               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS size
+        FROM events
+    )
+    SELECT user_id, bar_ts,
+           arg_min(value, sk) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, sk) AS close,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           round(sum(value * size) / nullif(sum(size), 0), 6) AS vwap
+    FROM t
+    GROUP BY user_id, bar_ts
+    """,
+    tags=("timeseries", "ohlc", "vwap"),
+)
+def q_ohlc_vwap_bars(spark, sf_dir):
+    """Hourly OHLC + VWAP bars per key: ONE grouped aggregation (single
+    shuffle on (user_id, hour)); open/close via min_by/max_by on the padded
+    sort key, VWAP weighted by the props.k size field."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+        "value",
+        _sort_key().alias("sk"),
+        F.get_json_object("props", "$.k").cast("double").alias("size"),
+    )
+    return t.groupBy("user_id", "bar_ts").agg(
+        F.min_by("value", F.col("sk")).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", F.col("sk")).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        # nullif guard: a bar whose sizes sum to 0 has no defined VWAP —
+        # NULL on both engines (ANSI Spark would otherwise raise).
+        F.round(
+            F.sum(F.col("value") * F.col("size")) / F.nullif(F.sum("size"), F.lit(0.0)), 6
+        ).alias("vwap"),
+    )
+
+
+@register(
+    "ts_max_drawdown",
+    oracle="""
+    WITH peaks AS (
+        SELECT user_id, value,
+               max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM events
+    )
+    SELECT user_id,
+           round(max(peak - value), 6) AS max_drawdown,
+           round(max(peak), 6) AS peak_value
+    FROM peaks
+    GROUP BY user_id
+    """,
+    tags=("timeseries", "drawdown"),
+)
+def q_max_drawdown(spark, sf_dir):
+    """Maximum drawdown per key: running peak (bounded window, O(1) state
+    per row — no prefix arrays) then a grouped max of peak − value. The
+    window partitioning and the aggregation hash on the same key, so the
+    plan carries ONE exchange. Absolute (not ratio) drawdown keeps the
+    statistic defined for zero/negative series."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peaks = ev.select("user_id", "value", F.max("value").over(w).alias("peak"))
+    return peaks.groupBy("user_id").agg(
+        F.round(F.max(F.col("peak") - F.col("value")), 6).alias("max_drawdown"),
+        F.round(F.max("peak"), 6).alias("peak_value"),
+    )
+
+
+@register(
+    "events_type_daily_corr",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS mean_value
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(a.mean_value, b.mean_value), 6) AS corr
+    FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+    tags=("timeseries", "correlation"),
+)
+def q_type_daily_corr(spark, sf_dir):
+    """Pairwise Pearson correlation of the per-type daily mean-value series:
+    daily grouped agg (one shuffle), equi-join the tiny per-type series on
+    the day (broadcast at any scale — |days|·|types| rows), grouped corr per
+    pair. 5 types → 10 pairs; the declarative form of "do clicks and
+    purchases move together?"."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.avg("value").alias("mean_value"))
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "day", F.col("mean_value").alias("va")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "day", F.col("mean_value").alias("vb")
+    )
+    joined = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    return joined.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.corr("va", "vb"), 6).alias("corr"),
+    )

@@ -71,6 +71,8 @@ _QUERY_MODULES = (
     "real_time_scraping_and_predicting_time_series_data_spark.operators.stats",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.skew",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.rangejoin",
+    "real_time_scraping_and_predicting_time_series_data_spark.operators.tickbars",
+    "real_time_scraping_and_predicting_time_series_data_spark.operators.quality",
     "real_time_scraping_and_predicting_time_series_data_spark.ml.forecast",
     "real_time_scraping_and_predicting_time_series_data_spark.ml.mllib_forecast",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.relational",

@@ -1,0 +1,115 @@
+"""Semantic unit tests for the tick-bar analytics and corpus-quality
+operators (crafted inputs where the expected answer is computable by hand;
+oracle parity at sf0.001 is covered by test_registry.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+QS = all_queries()
+
+
+def _ticks(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+
+def test_ohlc_open_close_pick_by_ts_then_event_id(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # same hour bar; two ticks share ts -> event_id breaks the tie
+        (2, t0, 1, "click", 10.0, '{"k": 1}'),
+        (1, t0, 1, "click", 20.0, '{"k": 1}'),
+        (3, t0 + dt.timedelta(minutes=30), 1, "click", 5.0, '{"k": 3}'),
+    ]
+    df = _ticks(spark, rows)
+    path = str(tmp_path / "events.parquet")
+    df.write.parquet(path)
+    # point the query at a dir shaped like the testdata layout
+    out = QS["ts_ohlc_vwap_bars"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    bar = out[0]
+    assert bar.open == 20.0  # event_id 1 wins the equal-ts tie
+    assert bar.close == 5.0
+    assert bar.high == 20.0 and bar.low == 5.0 and bar.n_ticks == 3
+    # vwap = (10*1 + 20*1 + 5*3) / 5 = 9.0
+    assert bar.vwap == pytest.approx(9.0, abs=1e-9)
+
+
+def test_max_drawdown_handcrafted(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10.0, 12.0, 7.0, 11.0, 4.0, 6.0]  # peak 12 -> trough 4 => dd 8
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "click", v, "{}") for i, v in enumerate(vals)
+    ]
+    _ticks(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    out = QS["ts_max_drawdown"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].max_drawdown == pytest.approx(8.0)
+    assert out[0].peak_value == pytest.approx(12.0)
+
+
+def test_type_daily_corr_shape_and_bounds(spark):
+    rows = QS["events_type_daily_corr"].fn(spark, SF).collect()
+    assert len(rows) == 10  # C(5,2) type pairs
+    for r in rows:
+        assert r.type_a < r.type_b
+        if r.corr is not None:
+            assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9
+
+
+def test_chunk_overlap_covers_and_overlaps(spark):
+    out = QS["corpus_chunk_overlap"].fn(spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_words")
+    )
+    per_doc = out.groupBy("doc_id").agg(
+        F.max(F.col("chunk_start") + F.col("n_tokens") - 1).alias("covered"),
+        F.count("*").alias("n_chunks"),
+        F.min("n_tokens").alias("min_tok"),
+        F.max("n_tokens").alias("max_tok"),
+    )
+    joined = per_doc.join(docs, "doc_id").collect()
+    assert len(joined) > 0
+    for r in joined:
+        assert r.covered == r.n_words  # every token lands in some chunk
+        assert r.max_tok <= 32
+        # every chunk except possibly the last is full-size
+        assert r.n_chunks == (max(r.n_words - 1, 0)) // 24 + 1
+
+
+def test_int8_quantize_error_bound(spark):
+    rows = QS["embedding_int8_quantize"].fn(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # affine rounding error is at most scale/2 (plus fp slack)
+        assert r.max_abs_err <= r.q_scale / 2 + 1e-9
+        assert 0 <= r.q_checksum <= 255 * 64
+
+
+def test_key_skew_profile_consistency(spark):
+    row = QS["events_key_skew_profile"].fn(spark, SF).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert row.n_rows == ev.count()
+    assert row.n_keys == ev.select("user_id").distinct().count()
+    assert row.p50 <= row.p90 <= row.p99 <= row.max_key_rows
+    assert row.top_key_share == pytest.approx(row.max_key_rows / row.n_rows, rel=1e-6)
+
+
+def test_gopher_filters_flags_compose(spark):
+    rows = QS["text_gopher_filters"].fn(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.keep == (
+            r.ok_word_count and r.ok_mean_word_len and r.ok_alpha and r.ok_stopwords
+        )
+        assert r.n_stopwords <= r.n_words
+    # the synthetic corpus is lowercase word salad: alpha fraction is 1
+    assert all(r.alpha_frac == 1.0 for r in rows)
