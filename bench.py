@@ -75,6 +75,16 @@ HEADLINE = [
     "ts_mad_outliers",
     "ml_error_metrics",
     "ml_quantile_binning",
+    # r3 additions: tick-bar analytics + corpus-quality packs, and the
+    # newly oracle-checked LSH family.
+    "ts_ohlc_vwap_bars",
+    "ts_max_drawdown",
+    "events_sessionize",
+    "corpus_chunk_overlap",
+    "corpus_lm_perplexity",
+    "embedding_int8_quantize",
+    "events_key_skew_profile",
+    "sim_lsh_topk",
 ]
 
 

@@ -235,23 +235,31 @@ def minhash_candidates(
 # ---------------------------------------------------------------------------
 
 
+# 60-bit SimHash: the token hash is the first 15 hex digits of md5 —
+# bit-reproducible in DuckDB (('0x' || substr(md5(tok), 1, 15))::BIGINT),
+# so the fingerprints, the chunk-band candidates and the Hamming verify all
+# carry a full oracle. 60 = 4·15 keeps the default 4-band chunking exact.
+_SIMHASH_BITS = 60
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
-    """64-bit SimHash: per token, xxhash64; fingerprint bit i is the sign of
-    Σ_tokens (±1 by token-hash bit i). Expressed as explode + 64 conditional
-    sums + bit reassembly — one grouped aggregation, all codegen.
+    """60-bit SimHash: per token, an md5-derived hash; fingerprint bit i is
+    the sign of Σ_tokens (±1 by token-hash bit i). Expressed as explode +
+    60 conditional sums + bit reassembly — one grouped aggregation, all
+    codegen, reproducible cross-engine.
     """
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(F.split(F.trim(F.col(text)), r"\s+")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
     sums = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s_{i}")
-        for i in range(64)
+        for i in range(_SIMHASH_BITS)
     ]
     agg = toks.groupBy("id").agg(*sums)
     fp = None
-    for i in range(64):
+    for i in range(_SIMHASH_BITS):
         bit = F.when(F.col(f"s_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp.bitwiseXOR(term)
@@ -259,15 +267,17 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFr
 
 
 def simhash_pairs(fps: DataFrame, max_hamming: int = 12, bands: int = 4) -> DataFrame:
-    """Near-dup candidates: docs sharing any (64/bands)-bit chunk of the
+    """Near-dup candidates: docs sharing any (60/bands)-bit chunk of the
     fingerprint, verified by exact Hamming distance ≤ ``max_hamming``.
 
     Pigeonhole guarantee: a pair at Hamming distance < ``bands`` always
-    shares at least one chunk (its differing bits can't touch every chunk),
-    so recall is 1.0 up to distance bands-1 and probabilistic beyond —
-    raise ``bands`` (smaller chunks) to trade candidate volume for recall.
+    shares at least one chunk (its differing bits can't touch every chunk;
+    bits left uncovered when bands ∤ 60 only weaken precision, never this
+    recall bound), so recall is 1.0 up to distance bands-1 and
+    probabilistic beyond — raise ``bands`` (smaller chunks) to trade
+    candidate volume for recall.
     """
-    width = 64 // bands
+    width = _SIMHASH_BITS // bands
     mask = (1 << width) - 1
     chunks = F.array(
         *[
@@ -671,13 +681,54 @@ def q_dedup_minhash(spark, sf_dir):
     return verified.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
-@register("dedup_simhash_pairs", oracle=None, tags=("dedup", "simhash"))
+def _simhash_oracle(max_hamming: int = 20, bands: int = 4) -> str:
+    """DuckDB twin of the SimHash pipeline: same md5-derived token hash,
+    same 60 sign sums, same chunk banding, same Hamming verification."""
+    width = _SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    s_cols = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS)
+    )
+    chunk_selects = "\n        UNION ALL ".join(
+        f"SELECT id, fp, {bi} AS band, (fp >> {bi * width}) & {mask} AS chunk FROM fps"
+        for bi in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), hh AS (
+        SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ), sums AS (
+        SELECT id, {s_cols}
+        FROM hh GROUP BY id
+    ), fps AS (
+        SELECT id, CAST({fp_terms} AS BIGINT) AS fp FROM sums
+    ), ex AS (
+        {chunk_selects}
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+        FROM ex a JOIN ex b ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs at Hamming ≤ 20 (rows-only; banding recall
-    property-tested)."""
+    """SimHash near-dup pairs at Hamming ≤ 20. Fully oracle-checked: the
+    md5-derived 60-bit fingerprints make the whole pipeline — sign sums,
+    chunk banding, Hamming verify — bit-reproducible in DuckDB; banding
+    recall is additionally property-tested."""
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     fps = simhash(docs)
-    return simhash_pairs(fps, max_hamming=20, bands=4)
+    out = simhash_pairs(fps, max_hamming=20, bands=4)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 @register(

@@ -209,6 +209,51 @@ def q_int8_quantize(spark, sf_dir):
 
 
 @register(
+    "corpus_lm_perplexity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ), freq AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY token
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n FROM freq
+    ), scored AS (
+        SELECT t.doc_id, ln(f.c / tot.n) AS logp
+        FROM toks t JOIN freq f ON f.token = t.token CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(exp(-avg(logp)), 4) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("corpus", "quality", "perplexity"),
+)
+def q_lm_perplexity(spark, sf_dir):
+    """Unigram language-model perplexity per document (the CCNet-style
+    corpus quality signal, with the LM trained on the corpus itself):
+    token frequencies → p(token) = c/N → ppl(doc) = exp(−mean ln p).
+    Three shuffles: the frequency build, the token⋈frequency equi-join
+    (co-partitioned on the token — the frequency side is |vocab| rows and
+    broadcasts when small), and the per-doc aggregation. Everything stays
+    in Catalyst; no model object exists outside the frequency table."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.log(F.col("c") / F.col("n")).alias("logp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.exp(-F.avg("logp")), 4).alias("ppl"),
+    )
+
+
+@register(
     "events_key_skew_profile",
     oracle="""
     WITH counts AS (

@@ -130,6 +130,67 @@ def q_max_drawdown(spark, sf_dir):
 
 
 @register(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_seconds
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    tags=("timeseries", "session"),
+)
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization by inactivity gap (30 min): lag-flag → running
+    sum → session summary. The batch twin of the streaming
+    ``session_window`` aggregation (streaming/windows.py); both windows and
+    the final grouped agg hash on ``user_id``, so the plan carries ONE
+    exchange. The same lag-flag + running-sum shape as gaps-and-islands,
+    keyed on time gaps instead of value runs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_s = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_s > 30 * 60 * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0)).alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id", "ts", F.sum("new_session").over(run).alias("session_id")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1_000_000)
+        ).cast("long").alias("duration_seconds"),
+    )
+
+
+@register(
     "events_type_daily_corr",
     oracle="""
     WITH daily AS (

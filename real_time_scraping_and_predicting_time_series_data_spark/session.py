@@ -43,6 +43,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime row-level bloom prefilters on shuffle joins (off by
+        # default): the build side's join keys are sketched into a bloom
+        # filter that prunes the probe side BEFORE its shuffle — at 100 TB
+        # this is the difference between shuffling the full fact table and
+        # shuffling only rows that can possibly match.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Driver testdata stores events.ts as parquet TIMESTAMP(NANOS), which

@@ -225,3 +225,56 @@ def test_markov_transitions_no_global_sort(spark):
     plan = _plan(spark, "events_markov_transitions")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ohlc_bars_single_exchange(spark):
+    """OHLC+VWAP is one grouped aggregation: exactly one hash exchange on
+    (user_id, bar), and the JSON size extraction stays in the scan-side
+    projection (no extra shuffle for the weighted sum)."""
+    plan = _plan(spark, "ts_ohlc_vwap_bars")
+    body = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert body.count("Exchange") == 1, body
+    assert "Join" not in body
+
+
+def test_drawdown_window_and_agg_share_exchange(spark):
+    """Running-peak window and the per-key max hash on the same key: one
+    exchange, no prefix arrays (bounded rowsBetween only)."""
+    plan = _plan(spark, "ts_max_drawdown")
+    body = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert body.count("Exchange") == 1, body
+    assert "collect_list" not in plan
+
+
+def test_sessionize_single_exchange(spark):
+    """lag-flag window, running-sum window and the session summary agg all
+    partition by user_id — one exchange end to end."""
+    plan = _plan(spark, "events_sessionize")
+    body = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert body.count("Exchange") == 1, body
+
+
+def test_chunk_overlap_no_shuffle(spark):
+    """Chunking is scan → generate → project: zero exchanges."""
+    plan = _plan(spark, "corpus_chunk_overlap")
+    body = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    # ensure_min_partitions may inject one round-robin repartition of the
+    # raw scan; beyond that the operator itself must not shuffle.
+    assert body.count("Exchange") <= 1, body
+    assert "Join" not in body and "Sort" not in body
+
+
+def test_gopher_filters_no_shuffle(spark):
+    """Per-document quality rules are pure projections."""
+    plan = _plan(spark, "text_gopher_filters")
+    body = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert body.count("Exchange") == 0, body
+
+
+def test_quantize_no_shuffle_prunes_label(spark):
+    """Quantization is a projection; the unused label column must be pruned
+    from the scan."""
+    plan = _plan(spark, "embedding_int8_quantize")
+    body = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert body.count("Exchange") == 0, body
+    assert "label" not in plan.split("ReadSchema")[1].splitlines()[0]

@@ -103,6 +103,35 @@ def test_key_skew_profile_consistency(spark):
     assert row.top_key_share == pytest.approx(row.max_key_rows / row.n_rows, rel=1e-6)
 
 
+def test_sessionize_splits_on_gap(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        (1, t0, 7, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 7, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=50), 7, "click", 1.0, "{}"),  # 40-min gap
+        (4, t0 + dt.timedelta(minutes=55), 7, "click", 1.0, "{}"),
+    ]
+    _ticks(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    out = sorted(
+        QS["events_sessionize"].fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r.session_id,
+    )
+    assert [r.n_events for r in out] == [2, 2]
+    assert out[0].duration_seconds == 600
+    assert out[1].duration_seconds == 300
+
+
+def test_lm_perplexity_uniform_corpus(spark, tmp_path):
+    # every token equally frequent -> p = 1/V for all, ppl == V exactly
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd")], "doc_id long, text string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = QS["corpus_lm_perplexity"].fn(spark, str(tmp_path)).collect()
+    assert {r.doc_id: r.ppl for r in out} == {1: 4.0, 2: 4.0}
+    assert all(r.n_tokens == 2 for r in out)
+
+
 def test_gopher_filters_flags_compose(spark):
     rows = QS["text_gopher_filters"].fn(spark, SF).collect()
     assert len(rows) > 0
