@@ -252,30 +252,43 @@ def q_sim_label_centroids(spark, sf_dir):
     )
 
 
+def _centroid_row(centroids: DataFrame) -> DataFrame:
+    """Collapse the K-row centroid table to a SINGLE row holding
+    array<struct(cell, c_nvec)> — the broadcastable model literal."""
+    return centroids.agg(F.collect_list(F.struct("cell", "c_nvec")).alias("_cents"))
+
+
+def _nearest_cells(vec_col: str) -> F.Column:
+    """array<struct(d, cell)> of (rounded −cosine·‖v‖, cell) per centroid —
+    ascending struct order IS the cosine argmin order with the
+    deterministic lowest-cell tie-break."""
+    return F.transform(
+        "_cents",
+        lambda c: F.struct(
+            F.round(-dot(F.col(vec_col), c.getField("c_nvec")), 9).alias("d"),
+            c.getField("cell").alias("cell"),
+        ),
+    )
+
+
 def ivf_assign(df: DataFrame, centroids: DataFrame, vec_col: str, id_cols: list[str]) -> DataFrame:
-    """Assign each vector to its nearest centroid (cells broadcast, corpus
-    never shuffles): crossJoin |df|×K, argmin by cosine distance.
+    """Assign each vector to its nearest centroid with ZERO shuffles: the
+    K-row centroid table collapses to one broadcast row of
+    struct(cell, c_nvec), and the argmin is a per-row ``array_min`` over a
+    ``transform`` — no K-way row explosion, no grouped aggregation, which
+    matters when assign runs once per Lloyd iteration AND when the corpus
+    is 100 TB (the model ships to every task; the data never moves).
 
-    Two cost choices that matter when assign runs once per Lloyd iteration:
-
-    - The vector column rides through the argmin aggregation (``first``
-      over the per-id group) instead of a second corpus-sized equi-join
-      back to ``df`` — one shuffle on the id, not two.
-    - Distance is ``-dot(vec, c_nvec)`` against the centroid table's
-      pre-unit-normalized ``c_nvec`` column: one O(dim) fold per
-      (vector, cell) pair instead of dot + two norms. The row's own norm
-      is a per-row positive constant across cells, so the argmin is the
-      cosine argmin whether or not ``df``'s vectors are normalized.
-
-    ``min(struct(dist, cell))`` keeps the deterministic lowest-cell
-    tie-break."""
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist", -dot(F.col(vec_col), F.col("c_nvec"))
-    )
-    return scored.groupBy(*id_cols).agg(
-        F.min(F.struct(F.round(F.col("dist"), 9).alias("d"), F.col("cell"))).getField("cell").alias("cell"),
-        F.first(vec_col).alias(vec_col),
-    )
+    Distance is ``-dot(vec, c_nvec)`` against the pre-unit-normalized
+    centroid: one O(dim) fold per (vector, cell). The row's own norm is a
+    positive per-row constant across cells, so the argmin is the cosine
+    argmin whether or not ``df``'s vectors are normalized. ``id_cols`` is
+    kept for API stability; all of ``df``'s columns pass through."""
+    del id_cols  # argmin is per-row now — no grouping key needed
+    scored = df.crossJoin(F.broadcast(_centroid_row(centroids)))
+    return scored.withColumn(
+        "cell", F.array_min(_nearest_cells(vec_col)).getField("cell")
+    ).drop("_cents")
 
 
 def _cell_means(assigned: DataFrame, vec_col: str, dim: int = 64) -> DataFrame:
@@ -373,11 +386,20 @@ def ivf_topk(
     )
     cents = ivf_train(c, "v_c", "neighbor_id", k=n_cells)
     c_cells = ivf_assign(c, cents, "v_c", ["neighbor_id"])
-    q_scored = q.crossJoin(F.broadcast(cents)).withColumn("dist", -dot(F.col("v_q"), F.col("c_nvec")))
-    wq = Window.partitionBy(query_id).orderBy(F.round("dist", 9), "cell")
+    # Query probing is the same broadcast-model projection: sort the per-row
+    # (distance, cell) structs, keep the nprobe nearest — no window, no
+    # per-cell row explosion.
     q_cells = (
-        q_scored.withColumn("_pr", F.row_number().over(wq))
-        .filter(F.col("_pr") <= nprobe)
+        q.crossJoin(F.broadcast(_centroid_row(cents)))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(_nearest_cells("v_q")), 1, nprobe),
+                    lambda s: s.getField("cell"),
+                )
+            ),
+        )
         .select(query_id, "v_q", "cell")
     )
     scored = (
