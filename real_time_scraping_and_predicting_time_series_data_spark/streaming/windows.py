@@ -80,6 +80,46 @@ def session_stats(ticks: DataFrame, gap: str = "5 minutes", watermark: str = "10
     )
 
 
+def ohlc_bars_stream(
+    ticks: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Streaming OHLC(+VWAP) candles: the tumbling-window twin of the batch
+    ``ts_ohlc_vwap_bars`` aggregation (operators/tickbars.py). Open/close
+    are ``min_by``/``max_by`` on the event timestamp inside the window —
+    incremental aggregation state is one (value, ts) pair per extreme, so a
+    bar's state is O(1) regardless of tick volume; late ticks inside the
+    watermark update the candle before append-mode emission."""
+    # Same zero-padded (ts, event_id) pick key as the batch operator so the
+    # streaming candle is bit-identical even when two ticks share a µs.
+    sk = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    aggs = [
+        F.min_by("value", sk).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", sk).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ]
+    if size_col:
+        aggs.append(
+            (F.sum(F.col("value") * F.col(size_col)) / F.nullif(F.sum(size_col), F.lit(0.0))).alias(
+                "vwap"
+            )
+        )
+    return (
+        ticks.withWatermark("ts", watermark)
+        .groupBy("user_id", F.window("ts", window).alias("w"))
+        .agg(*aggs)
+        .select("user_id", F.col("w.start").alias("bar_ts"), *[c for c in
+                ("open", "high", "low", "close", "n_ticks", *(("vwap",) if size_col else ()))])
+    )
+
+
 def dedup_within_watermark(ticks: DataFrame, watermark: str = "2 minutes") -> DataFrame:
     """Exactly-once tick identity dedup inside the watermark horizon
     (``dropDuplicatesWithinWatermark`` — the streaming guard against source
