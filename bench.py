@@ -85,6 +85,7 @@ HEADLINE = [
     "embedding_int8_quantize",
     "events_key_skew_profile",
     "sim_lsh_topk",
+    "pipeline_pretraining_corpus",
 ]
 
 

@@ -254,6 +254,81 @@ def q_lm_perplexity(spark, sf_dir):
 
 
 @register(
+    "pipeline_pretraining_corpus",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents
+    ), m AS (
+        SELECT doc_id, text, words,
+               len(words) AS n_words,
+               list_sum(list_transform(words, w -> length(w))) / len(words) AS mwl,
+               len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) / len(words) AS af,
+               len(list_filter(words, w -> w IN {_STOPWORDS!r})) AS ns
+        FROM t
+    ), kept AS (
+        SELECT doc_id, text, words FROM m
+        WHERE n_words BETWEEN 20 AND 100000 AND mwl BETWEEN 3 AND 10
+          AND af >= 0.8 AND ns >= 2
+    ), survivors AS (
+        SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    ), sdocs AS (
+        SELECT k.doc_id, k.words FROM kept k JOIN survivors s ON s.doc_id = k.doc_id
+    ), chunks AS (
+        SELECT doc_id, words, unnest(range(1, len(words) + 1, {_STRIDE})) AS s
+        FROM sdocs
+    )
+    SELECT md5(doc_id || ':' || CAST((s - 1) / {_STRIDE} AS BIGINT)) AS shuffle_key,
+           doc_id,
+           CAST((s - 1) / {_STRIDE} AS BIGINT) AS chunk_index,
+           CAST(len(list_slice(words, s, s + {_CHUNK} - 1)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(words, s, s + {_CHUNK} - 1), ' ') AS chunk_text
+    FROM chunks
+    """,
+    tags=("corpus", "pipeline"),
+)
+def q_pipeline_pretraining(spark, sf_dir):
+    """End-to-end pretraining-corpus preparation as ONE declarative plan:
+    Gopher quality gate → exact-dedup survivors (min doc_id per content
+    hash, left-semi joined back) → overlapping token chunks → deterministic
+    md5 shuffle key (the reproducible training order, sorted by the
+    consumer — no global sort inside the job). Composes the round-2/3
+    building blocks the way a real data pipeline would; cost is one
+    dedup aggregation + one semi join + a chunk explode, with every
+    quality rule fused into the scan-side projection."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    mwl = (
+        F.aggregate(F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x)
+        / n_words
+    )
+    af = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / n_words
+    ns = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
+    kept = docs.filter(
+        n_words.between(20, 100000) & mwl.between(3, 10) & (af >= 0.8) & (ns >= 2)
+    ).select("doc_id", "text", words.alias("words"))
+    survivors = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    sdocs = kept.join(survivors, "doc_id", "left_semi")
+    chunks = sdocs.select(
+        "doc_id",
+        "words",
+        F.explode(F.sequence(F.lit(1), F.size("words"), F.lit(_STRIDE))).alias("s"),
+    )
+    idx = ((F.col("s") - 1) / _STRIDE).cast("long")
+    chunk = F.slice(F.col("words"), F.col("s"), _CHUNK)
+    return chunks.select(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), idx.cast("string"))).alias(
+            "shuffle_key"
+        ),
+        "doc_id",
+        idx.alias("chunk_index"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+@register(
     "events_key_skew_profile",
     oracle="""
     WITH counts AS (

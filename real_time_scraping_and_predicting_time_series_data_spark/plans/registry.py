@@ -103,6 +103,7 @@ _FRONT = (
     "corpus_lm_perplexity",
     "embedding_int8_quantize",
     "events_key_skew_profile",
+    "pipeline_pretraining_corpus",
     # (b) oracle upgrades needing hash-verified driver rows
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
