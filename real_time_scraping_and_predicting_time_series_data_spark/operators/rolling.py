@@ -16,7 +16,7 @@ from ..catalog import load_table
 from ..operators.asof import asof_join
 from ..plans.registry import register
 
-__all__ = ["rolling_stats", "ewma", "holt_linear", "resample_grid"]
+__all__ = ["rolling_stats", "ewma", "holt_linear", "holt_winters", "resample_grid"]
 
 
 def rolling_stats(
@@ -159,6 +159,79 @@ def holt_linear(
     return part.mapInPandas(fold, schema=schema)
 
 
+def holt_winters(
+    df: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.2,
+    period: int = 24,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Additive Holt-Winters (level + trend + period-``m`` seasonal), exact
+    recursive form with zero-initialized seasonals:
+
+        idx_t    = (t-1) mod m
+        level_t  = α·(x_t − s_{idx}) + (1-α)·(level + trend)
+        trend_t  = β·(level_t − level) + (1-β)·trend
+        s_idx    ← γ·(x_t − level_t) + (1-γ)·s_idx
+
+    seeded level_1 = x_1, trend_1 = 0, s ≡ 0. The zero-init variant keeps
+    the recurrence deterministic and engine-reproducible (the DuckDB
+    oracle threads the seasonal array through a recursive CTE with an
+    index-lambda ``list_transform``); a production fit would warm-start
+    the seasonals from the first period's means.
+
+    Same scale shape as :func:`ewma`/:func:`holt_linear`: one hash shuffle
+    on ``key`` + in-partition sort, ONE ``mapInPandas`` pass, O(period)
+    state per key carried across Arrow batches in the iterator closure.
+    """
+    fields = [f for f in df.schema.fields]
+    schema = StructType(
+        fields
+        + [
+            StructField("hw_level", DoubleType()),
+            StructField("hw_trend", DoubleType()),
+            StructField("hw_seasonal", DoubleType()),
+        ]
+    )
+    a, oma = float(alpha), 1.0 - float(alpha)
+    b, omb = float(beta), 1.0 - float(beta)
+    g, omg = float(gamma), 1.0 - float(gamma)
+    m = int(period)
+
+    part = df.repartition(key).sortWithinPartitions(key, ts, tiebreak)
+
+    def fold(batches):
+        last_key, lvl, trd, seas, pos = object(), 0.0, 0.0, [0.0] * m, 0
+        for pdf in batches:
+            vals = pdf[value].to_numpy(dtype="float64")
+            keys = pdf[key].to_numpy()
+            levels = [0.0] * len(vals)
+            trends = [0.0] * len(vals)
+            seasonal = [0.0] * len(vals)
+            for i in range(len(vals)):
+                k = keys[i]
+                x = float(vals[i])
+                if k != last_key:
+                    last_key, lvl, trd, seas, pos = k, x, 0.0, [0.0] * m, 0
+                else:
+                    pos += 1
+                    idx = pos % m
+                    new_lvl = a * (x - seas[idx]) + oma * (lvl + trd)
+                    trd = b * (new_lvl - lvl) + omb * trd
+                    seas[idx] = g * (x - new_lvl) + omg * seas[idx]
+                    lvl = new_lvl
+                levels[i] = lvl
+                trends[i] = trd
+                seasonal[i] = seas[pos % m]
+            yield pdf.assign(hw_level=levels, hw_trend=trends, hw_seasonal=seasonal)
+
+    return part.mapInPandas(fold, schema=schema)
+
+
 def resample_grid(
     df: DataFrame,
     step: str = "1 hour",
@@ -262,6 +335,57 @@ def q_ewma(spark, sf_dir):
         "event_id",
         "value",
         (F.floor(F.col("ewma") * 10000 + 0.5) / 10000).alias("ewma"),
+    )
+
+
+_HW_ZEROS = ", ".join(["CAST(0.0 AS DOUBLE)"] + ["0.0"] * 23)
+_HW_IDX = "((o.rn - 1) % 24) + 1"
+_HW_LVL = f"0.5 * (o.value - s.seas[{_HW_IDX}]) + 0.5 * (s.lvl + s.trd)"
+
+
+@register(
+    "ts_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE o AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), s AS (
+        SELECT user_id, event_id, value, rn,
+               value AS lvl, CAST(0.0 AS DOUBLE) AS trd,
+               [{_HW_ZEROS}] AS seas
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.value, o.rn,
+               {_HW_LVL} AS lvl,
+               0.3 * (({_HW_LVL}) - s.lvl) + 0.7 * s.trd AS trd,
+               list_transform(s.seas, (v, i) -> CASE WHEN i = {_HW_IDX}
+                   THEN 0.2 * (o.value - ({_HW_LVL})) + 0.8 * v
+                   ELSE v END) AS seas
+        FROM s JOIN o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+    )
+    SELECT user_id, event_id, value,
+           floor(lvl * 10000 + 0.5) / 10000 AS hw_level,
+           floor(trd * 10000 + 0.5) / 10000 AS hw_trend,
+           floor(seas[((rn - 1) % 24) + 1] * 10000 + 0.5) / 10000 AS hw_seasonal
+    FROM s
+    """,
+    tags=("timeseries", "forecast", "holt-winters"),
+)
+def q_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters (α=0.5, β=0.3, γ=0.2, period 24) per key —
+    exact recursive triple-smoothing, the seasonal extension of the
+    reference's single-series forecasting loop. The DuckDB oracle threads
+    the 24-slot seasonal array through a recursive CTE (index-lambda
+    ``list_transform``), reproducing every IEEE operation in the same
+    order; ``floor(x·1e4 + 0.5)/1e4`` canonicalizes half-boundary cases as
+    in ts_ewma. Columns are pruned to the four needed BEFORE the Arrow
+    crossing."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = holt_winters(ev, alpha=0.5, beta=0.3, gamma=0.2, period=24)
+    c = lambda col: (F.floor(F.col(col) * 10000 + 0.5) / 10000).alias(col)  # noqa: E731
+    return out.select(
+        "user_id", "event_id", "value", c("hw_level"), c("hw_trend"), c("hw_seasonal")
     )
 
 

@@ -130,6 +130,7 @@ _FRONT = (
     "ts_sessionize",
     "ts_rolling_corr",
     "ts_holt_linear",
+    "ts_holt_winters",
     "ts_rolling_stats",
     "ts_rolling_time_window",
     "ts_resample_gapfill",

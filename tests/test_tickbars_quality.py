@@ -132,6 +132,35 @@ def test_lm_perplexity_uniform_corpus(spark, tmp_path):
     assert all(r.n_tokens == 2 for r in out)
 
 
+def test_holt_winters_recovers_planted_seasonality(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.rolling import (
+        holt_winters,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    pattern = [0.0, 5.0, -5.0]
+    rows = [
+        (i, t0 + dt.timedelta(hours=i), 1, "t", 10.0 + pattern[i % 3], "{}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = sorted(
+        holt_winters(df, alpha=0.3, beta=0.1, gamma=0.5, period=3).collect(),
+        key=lambda r: r.event_id,
+    )
+    tail = out[-3:]
+    by_slot = {r.event_id % 3: r for r in tail}
+    # seasonal components converge toward the planted (0, +5, -5) offsets
+    assert by_slot[1].hw_seasonal > 2.5
+    assert by_slot[2].hw_seasonal < -2.5
+    assert abs(by_slot[0].hw_seasonal) < 1.5
+    for r in tail:  # level converges to the deseasonalized mean
+        assert abs(r.hw_level - 10.0) < 1.5
+
+
 def test_gopher_filters_flags_compose(spark):
     rows = QS["text_gopher_filters"].fn(spark, SF).collect()
     assert len(rows) > 0
