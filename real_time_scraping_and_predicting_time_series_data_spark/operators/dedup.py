@@ -15,14 +15,17 @@ join/agg rather than an O(n²) cross join:
   candidate buckets → exact-Jaccard verification of candidates only. The
   hash chain is plain integer arithmetic over md5, so the DuckDB oracle
   reproduces the ENTIRE pipeline bit-for-bit (candidates included).
-- **SimHash**    : 64-bit fingerprint from per-token hashes; near-dup =
-  small Hamming distance, candidates via band equality on 16-bit chunks.
-- **embedding cosine** : near-dup pairs above a cosine threshold, blocked by
-  label (stand-in for an ANN/IVF cell assignment at scale).
+- **SimHash**    : 60-bit fingerprint from md5-derived per-token hashes;
+  near-dup = small Hamming distance, candidates via band equality on
+  15-bit chunks — fully reproduced by the DuckDB oracle (sign sums, chunk
+  banding, Hamming verify).
+- **embedding cosine** : near-dup pairs above a cosine threshold, blocked
+  by banded sign-random-projection buckets (seeded literal hyperplanes,
+  mirrored by the oracle).
 
-SimHash still uses ``xxhash64`` (JVM-side, deterministic) — not
-reproducible in DuckDB, so that query carries no oracle and is instead
-property-tested against exact Jaccard (tests/test_dedup_similarity.py).
+Every family is value-hash-checked end to end; banding recall is
+additionally property-tested against the exact operators
+(tests/test_dedup_similarity.py).
 """
 
 from __future__ import annotations
@@ -364,7 +367,7 @@ def embedding_dup_pairs_banded(
     id_col: str = "vec_id",
     vec: str = "embedding",
     threshold: float = 0.95,
-    bands: int = 16,
+    bands: int = 12,
     bits: int = 3,
     dim: int = _SRP_DIM,
     seed: int = _SRP_SEED,
@@ -375,7 +378,9 @@ def embedding_dup_pairs_banded(
     the ``bands`` bands — an equi-join on (band, bucket), never a cross
     join.  Exact cosine is computed only for candidates.  A pair at cosine c
     survives one band with prob (1 - acos(c)/π)^bits, so recall is
-    1-(1-p^bits)^bands: ≥0.99 at c=0.4 for (16 bands, 3 bits).  At a
+    1-(1-p^bits)^bands: 0.96 theoretical / 0.98 measured at c=0.4 for
+    (12 bands, 3 bits) — trimmed from 16 bands in r3 for 25% less
+    candidate volume while holding the ≥0.95 recall contract.  At a
     production near-dup threshold (c≥0.95, p≈0.9) the right knobs are wider
     bands (16+ bits → 2^16 buckets, ~4000× candidate reduction); the test
     corpus's deliberately weak 0.4 threshold needs the shallow setting.
@@ -437,7 +442,7 @@ def embedding_dup_pairs_banded(
     )
 
 
-def _srp_banded_oracle(threshold: float, bands: int = 16, bits: int = 3) -> str:
+def _srp_banded_oracle(threshold: float, bands: int = 12, bits: int = 3) -> str:
     """DuckDB twin of ``embedding_dup_pairs_banded``: same sign constants,
     same band/bucket blocking, same exact-cosine verification."""
     signs = _srp_signs(bands, bits)
