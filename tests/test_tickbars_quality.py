@@ -161,6 +161,83 @@ def test_holt_winters_recovers_planted_seasonality(spark):
         assert abs(r.hw_level - 10.0) < 1.5
 
 
+def test_ohlc_invariants_on_real_table(spark):
+    """low ≤ open, close ≤ high on every bar; tick counts partition the
+    table; VWAP lies within [low, high] whenever defined."""
+    bars = QS["ts_ohlc_vwap_bars"].fn(spark, SF).collect()
+    ev_count = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r.n_ticks for r in bars) == ev_count
+    for r in bars:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        if r.vwap is not None:
+            assert r.low - 1e-6 <= r.vwap <= r.high + 1e-6
+
+
+def test_sessionize_partitions_events_and_respects_gap(spark):
+    """Sessions partition the event set; consecutive sessions of a user are
+    separated by MORE than the 30-minute gap."""
+    sess = QS["events_sessionize"].fn(spark, SF).collect()
+    ev_count = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r.n_events for r in sess) == ev_count
+    by_user: dict = {}
+    for r in sess:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r.session_start)
+        for prev, nxt in zip(rows, rows[1:]):
+            gap = (nxt.session_start - prev.session_end).total_seconds()
+            assert gap > 30 * 60
+
+
+def test_chunk_non_overlap_reconstructs_document(spark):
+    """Dropping each chunk's 8-token overlap (except the first chunk)
+    reconstructs the original token stream exactly."""
+    out = QS["corpus_chunk_overlap"].fn(spark, SF)
+    rebuilt = {
+        r.doc_id: r.toks
+        for r in out.groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_index", "chunk_text"))
+                    ),
+                    lambda s: F.when(
+                        s.getField("chunk_index") == 0,
+                        F.split(s.getField("chunk_text"), " "),
+                    ).otherwise(
+                        F.slice(F.split(s.getField("chunk_text"), " "), 9, 32)
+                    ),
+                )
+            ).alias("toks")
+        )
+        .collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    for d in docs:
+        assert rebuilt[d.doc_id] == d.text.strip().split()
+
+
+def test_holt_winters_constant_series_is_fixed_point(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.rolling import (
+        holt_winters,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "t", 7.0, "{}") for i in range(30)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = holt_winters(df, period=5).collect()
+    # constant series: level locked at x, trend 0; seasonals decay toward 0
+    for r in out:
+        assert r.hw_level == pytest.approx(7.0, abs=1e-6)
+        assert r.hw_trend == pytest.approx(0.0, abs=1e-6)
+        assert abs(r.hw_seasonal) <= 7.0 * 0.2 + 1e-9
+
+
 def test_gopher_filters_flags_compose(spark):
     rows = QS["text_gopher_filters"].fn(spark, SF).collect()
     assert len(rows) > 0
