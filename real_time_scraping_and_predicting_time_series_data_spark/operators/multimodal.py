@@ -154,17 +154,46 @@ def q_multimodal_frames(spark, sf_dir):
     return frame_sample(assets_from_documents(docs), stride=7)
 
 
-@register("multimodal_features", oracle=None, tags=("multimodal", "pandas-udf"))
+@register(
+    "multimodal_features",
+    oracle=f"""
+    WITH assets AS (
+        SELECT doc_id AS asset_id,
+               ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS digest_hex
+        FROM documents
+    )
+    SELECT asset_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(d.i AS INTEGER) AS dim,
+           round(('0x' || substr(digest_hex, 8 * (d.i - 1) + 1, 8))::BIGINT
+                     / 4294967296.0, 9) AS feature
+    FROM assets CROSS JOIN (SELECT unnest(range(1, {FEATURE_DIM + 1})) AS i) d
+    """,
+    tags=("multimodal", "pandas-udf"),
+)
 def q_multimodal_features(spark, sf_dir):
-    """Arrow-batched fake-decode featurization (rows-only: pandas-side
-    digest; determinism and batch shape are pytest-verified)."""
+    """Arrow-batched fake-decode featurization, now fully oracle-checked:
+    the deterministic digest featurizer (sha256 of the payload, 4-byte
+    big-endian words scaled to [0,1)) is re-derived by DuckDB from the hex
+    digest, so every feature VALUE the Pandas-UDF path emits is
+    value-hash-verified — the Arrow plumbing (schema, batching, mapInPandas
+    signature) is exactly what a real codec featurizer would use, with the
+    decode call swapped at the marked point. Features are posexploded to
+    numeric rows (driver-hashable; no float→string formatting)."""
     docs = load_table(spark, sf_dir, "documents")
     out = decode_features(assets_from_documents(docs))
     return out.select(
         "asset_id",
         "kind",
         "n_bytes",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
+        F.posexplode("features"),
+    ).select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round("col", 9).alias("feature"),
     )
 
 

@@ -109,6 +109,7 @@ _FRONT = (
     "dedup_simhash_pairs",
     "sketch_cms_heavy_hitters",
     "sim_lsh_topk",
+    "multimodal_features",
     # (c) never-driver-checked scale/signature families
     "ts_ewma",
     "ts_hypertable_rollup",
