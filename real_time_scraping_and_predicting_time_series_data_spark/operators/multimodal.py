@@ -1,17 +1,18 @@
 """Multimodal columns (SURVEY.md §2.8): image/audio/video as opaque
 ``binary`` payloads with typed metadata, plus decode / feature-extract /
-frame-sample operators.
+resize / frame-sample operators.
 
-The decode step itself is STUBBED (image/audio libraries are not in this
-container): ``decode_features`` runs a deterministic fake featurizer inside
-``mapInPandas`` so the Spark-side plumbing — schema, Arrow batch shape,
-partitioning — is real and tested, while ``real_decode=True`` raises
-``NotImplementedError`` at the exact point a PIL/ffmpeg call would go.
+The codec step itself is STUBBED (image/audio libraries are not in this
+container): ``decode_features`` and ``resize_images`` run deterministic
+fakes inside ``mapInPandas`` so the Spark-side plumbing — schema, Arrow
+batch shape, partitioning — is real and tested, while ``real_decode=True``
+raises ``NotImplementedError`` at the exact point a PIL/ffmpeg call would
+go. Because the fakes are pure digests, BOTH queries carry full DuckDB
+oracles: every value crossing the Arrow boundary is hash-verified.
 
 The driver testdata has no binary table, so assets are derived
 deterministically from ``documents`` (payload = utf-8 bytes of ``text``,
-kind from ``doc_id`` — same derivation in the DuckDB oracle), keeping these
-queries hash-checkable end-to-end except the pandas featurizer (rows-only).
+kind from ``doc_id`` — same derivation in the DuckDB oracle).
 """
 
 from __future__ import annotations
@@ -27,7 +28,13 @@ from pyspark.sql import types as T
 from ..catalog import load_table
 from ..plans.registry import register
 
-__all__ = ["assets_from_documents", "decode_features", "frame_sample", "FEATURE_DIM"]
+__all__ = [
+    "assets_from_documents",
+    "decode_features",
+    "resize_images",
+    "frame_sample",
+    "FEATURE_DIM",
+]
 
 FEATURE_DIM = 8
 
@@ -93,6 +100,64 @@ def decode_features(assets: DataFrame, real_decode: bool = False) -> DataFrame:
             )
 
     return assets.mapInPandas(extract, schema=_FEATURE_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("resized_hash", T.StringType()),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, target_w: int = 256, real_decode: bool = False) -> DataFrame:
+    """Aspect-preserving image resize over binary payloads (``mapInPandas``).
+
+    Target height = floor(h·target_w/w + 0.5) (integer-exact on both
+    engines). The pixel resample is the STUBBED codec step: the fake emits
+    sha256(payload ‖ "WxH" dims tag) as the resized artifact's content
+    hash, so the batch shape, schema and per-row output of the real
+    operator are exercised — and, because the fake is a pure digest, the
+    whole operator is oracle-checkable. ``real_decode=True`` raises at the
+    exact point a PIL ``Image.resize`` would run.
+    """
+    imgs = assets.filter(F.col("kind") == "image").select(
+        "asset_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        "payload",
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                # Real implementation: PIL.Image.open(io.BytesIO(payload))
+                # .resize((tw, th)) then re-encode.
+                raise NotImplementedError("media codecs not available in this environment")
+            tws, ths, hashes = [], [], []
+            for w, h, payload in zip(pdf["width"], pdf["height"], pdf["payload"]):
+                tw = int(target_w)
+                th = int(h * tw // w + (1 if (h * tw % w) * 2 >= w else 0)) if w else 0
+                tag = f"{tw}x{th}".encode()
+                tws.append(tw)
+                ths.append(th)
+                hashes.append(hashlib.sha256(bytes(payload) + tag).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "target_w": pd.Series(tws, dtype="int32"),
+                    "target_h": pd.Series(ths, dtype="int32"),
+                    "resized_hash": hashes,
+                }
+            )
+
+    return imgs.mapInPandas(resize, schema=_RESIZE_SCHEMA)
 
 
 def frame_sample(assets: DataFrame, stride: int = 7) -> DataFrame:
@@ -195,6 +260,45 @@ def q_multimodal_features(spark, sf_dir):
         (F.col("pos") + 1).cast("int").alias("dim"),
         F.round("col", 9).alias("feature"),
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH assets AS (
+        SELECT doc_id AS asset_id,
+               ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+               (n_chars % 640)::INT AS width,
+               (n_chars % 480)::INT AS height,
+               text
+        FROM documents
+    ), t AS (
+        SELECT asset_id, width, height,
+               CASE WHEN width = 0 THEN 0
+                    ELSE ((height * 256) // width
+                          + CASE WHEN ((height * 256) % width) * 2 >= width
+                                 THEN 1 ELSE 0 END)
+               END AS target_h,
+               text
+        FROM assets WHERE kind = 'image'
+    )
+    SELECT asset_id, width, height,
+           CAST(256 AS INTEGER) AS target_w,
+           CAST(target_h AS INTEGER) AS target_h,
+           sha256(text || 256::VARCHAR || 'x' || target_h::VARCHAR) AS resized_hash
+    FROM t
+    """,
+    tags=("multimodal", "pandas-udf", "resize"),
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Aspect-preserving resize of the image assets (Pandas-UDF codec
+    plumbing, deterministic fake resample). Fully oracle-checked: target
+    dimensions are integer-exact round-half-up arithmetic and the fake
+    resized-artifact hash is sha256(payload ‖ dims tag), both re-derived
+    by DuckDB — so the Arrow path's entire output is value-hash-verified
+    while the real PIL call stays stubbed at the marked point."""
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(assets_from_documents(docs), target_w=256)
 
 
 @register(

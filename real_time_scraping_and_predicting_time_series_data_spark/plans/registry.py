@@ -104,6 +104,7 @@ _FRONT = (
     "embedding_int8_quantize",
     "events_key_skew_profile",
     "pipeline_pretraining_corpus",
+    "multimodal_resize",
     # (b) oracle upgrades needing hash-verified driver rows
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",

@@ -119,6 +119,23 @@ def test_real_decode_is_stubbed(assets):
         decode_features(assets, real_decode=True).collect()
 
 
+def test_resize_real_decode_is_stubbed_and_fake_is_aspect_exact(assets):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        resize_images(assets, real_decode=True).collect()
+    rows = resize_images(assets, target_w=256).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.target_w == 256
+        if r.width:
+            # round-half-up aspect preservation: within half a pixel of exact
+            assert abs(r.target_h - r.height * 256 / r.width) <= 0.5
+        assert len(r.resized_hash) == 64
+
+
 def test_frame_sample_bounds(assets):
     out = frame_sample(assets, stride=7).collect()
     assert len(out) > 0
