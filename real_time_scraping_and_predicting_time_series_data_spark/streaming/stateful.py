@@ -84,6 +84,98 @@ def streaming_ticks(ticks: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stateful Holt-Winters: O(period) state per key
+# ---------------------------------------------------------------------------
+
+_HW_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("hw_level", T.DoubleType()),
+        T.StructField("hw_trend", T.DoubleType()),
+        T.StructField("hw_seasonal", T.DoubleType()),
+    ]
+)
+
+# state = (position counter, level, trend, seasonal array) — the full
+# Holt-Winters recurrence state; the array shows the state store carrying a
+# non-scalar field (schema'd, checkpointed) beyond the reference's two
+# scalars.
+_HW_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("pos", T.LongType()),
+        T.StructField("lvl", T.DoubleType()),
+        T.StructField("trd", T.DoubleType()),
+        T.StructField("seas", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def streaming_holt_winters(
+    ticks: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.2,
+    period: int = 24,
+) -> DataFrame:
+    """Streaming twin of ``operators/rolling.py::holt_winters``: the exact
+    same recurrence (identical IEEE op order → bit-identical outputs under
+    in-order delivery), with (pos, level, trend, seasonal[period]) carried
+    in the state store per key — O(period) state, unbounded stream."""
+    a, oma = float(alpha), 1.0 - float(alpha)
+    b, omb = float(beta), 1.0 - float(beta)
+    g, omg = float(gamma), 1.0 - float(gamma)
+    m = int(period)
+
+    def gate(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            pos, lvl, trd, seas = state.get
+            seas = list(seas)
+        else:
+            pos, lvl, trd, seas = -1, 0.0, 0.0, [0.0] * m
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                x = float(r.value)
+                if pos < 0:
+                    pos, lvl, trd, seas = 0, x, 0.0, [0.0] * m
+                else:
+                    pos += 1
+                    idx = pos % m
+                    new_lvl = a * (x - seas[idx]) + oma * (lvl + trd)
+                    trd = b * (new_lvl - lvl) + omb * trd
+                    seas[idx] = g * (x - new_lvl) + omg * seas[idx]
+                    lvl = new_lvl
+                rows.append((user_id, int(r.event_id), r.ts, x, lvl, trd, seas[pos % m]))
+        state.update((pos, lvl, trd, seas))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id", "event_id", "ts", "value",
+                    "hw_level", "hw_trend", "hw_seasonal",
+                ],
+            )
+
+    return ticks.groupBy("user_id").applyInPandasWithState(
+        gate,
+        outputStructType=_HW_OUT_SCHEMA,
+        stateStructType=_HW_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__.append("streaming_holt_winters")
+
+
+# ---------------------------------------------------------------------------
 # transformWithState twin (Spark 4 arbitrary-state v2 API)
 # ---------------------------------------------------------------------------
 

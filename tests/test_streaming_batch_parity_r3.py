@@ -83,6 +83,55 @@ def test_sessionize_stream_parity(spark, tmp_path):
         )
 
 
+def test_holt_winters_stateful_stream_parity(spark, tmp_path):
+    """The stateful Holt-Winters gate must be BIT-identical to the batch
+    fold when micro-batches arrive in time order: split sf0.001 events at
+    the median ts into two files, replay with maxFilesPerTrigger=1 (state
+    crosses a real micro-batch boundary), compare every row."""
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.rolling import (
+        holt_winters,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.stateful import (
+        streaming_holt_winters,
+    )
+
+    ev = load_table(spark, SF, "events").select("user_id", "event_id", "ts", "value")
+    mid = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    src = str(tmp_path / "hw_src")
+    ev.filter(F.unix_micros("ts") <= mid).coalesce(1).write.mode("overwrite").parquet(
+        src + "/f0"
+    )
+    ev.filter(F.unix_micros("ts") > mid).coalesce(1).write.mode("overwrite").parquet(
+        src + "/f1"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    q = (
+        streaming_holt_winters(stream, period=24)
+        .writeStream.format("memory")
+        .queryName("hw_par")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.event_id: (r.hw_level, r.hw_trend, r.hw_seasonal)
+        for r in spark.sql("SELECT * FROM hw_par").collect()
+    }
+    want = {
+        r.event_id: (r.hw_level, r.hw_trend, r.hw_seasonal)
+        for r in holt_winters(ev, period=24).collect()
+    }
+    assert len(got) == len(want) >= 1000
+    assert got == want  # bit-identical, including across the batch boundary
+
+
 def test_ohlc_stream_parity(spark, tmp_path):
     stream = _streamed_events(spark, tmp_path).withColumn(
         "size", F.get_json_object("props", "$.k").cast("double")
