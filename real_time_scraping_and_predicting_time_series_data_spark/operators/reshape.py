@@ -107,6 +107,36 @@ def q_hash_mod_sample(spark, sf_dir):
     return hash_mod_sample(ev, "event_id", 10).select("event_id", "user_id", "value")
 
 
+@register(
+    "sample_per_key_reservoir",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_id, user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY md5(event_id::VARCHAR), event_id) AS rn
+        FROM events
+    )
+    SELECT event_id, user_id, value FROM ranked WHERE rn <= 5
+    """,
+    tags=("sample", "reservoir"),
+)
+def q_per_key_reservoir(spark, sf_dir):
+    """Deterministic per-key reservoir: at most k=5 rows per key, chosen
+    uniformly-ish by ranking on the md5 of the row id (the reproducible
+    stand-in for a random reservoir — same sample on every engine and every
+    run). One hash shuffle on the key; per-key state is the k-row window
+    buffer, so a hot key cannot blow memory the way an unbounded
+    collect_list sample would. The bounded-per-key shape is what caps
+    training-data contributions per source/user at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_id", "user_id", "value")
+    )
+
+
 @register("sample_stratified", oracle=None, tags=("sample", "stratified"))
 def q_stratified_sample(spark, sf_dir):
     """Seeded per-stratum sampling (rows-only; fraction accuracy

@@ -160,6 +160,7 @@ _FRONT = (
     "sample_group_split",
     "sample_weighted_systematic",
     "sample_stratified_exact",
+    "sample_per_key_reservoir",
     "stats_corr_covar",
     "stats_linear_trend",
     "stats_value_histogram",
