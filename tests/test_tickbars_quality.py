@@ -248,3 +248,19 @@ def test_gopher_filters_flags_compose(spark):
         assert r.n_stopwords <= r.n_words
     # the synthetic corpus is lowercase word salad: alpha fraction is 1
     assert all(r.alpha_frac == 1.0 for r in rows)
+
+
+def test_per_key_reservoir_bounds_and_determinism(spark):
+    out1 = QS["sample_per_key_reservoir"].fn(spark, SF).collect()
+    out2 = QS["sample_per_key_reservoir"].fn(spark, SF).collect()
+    # deterministic across runs (md5 ranking, no RNG)
+    assert sorted(r.event_id for r in out1) == sorted(r.event_id for r in out2)
+    per_key: dict = {}
+    for r in out1:
+        per_key[r.user_id] = per_key.get(r.user_id, 0) + 1
+    assert max(per_key.values()) <= 5
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    # every key with >=5 events contributes exactly 5; smaller keys all rows
+    counts = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    for uid, n in counts.items():
+        assert per_key.get(uid, 0) == min(n, 5)
