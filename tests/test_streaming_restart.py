@@ -53,3 +53,59 @@ def test_state_survives_restart(spark, tmp_path):
         "variation re-anchored: first_price state lost on restart"
     )
     assert set(second) == {0, 1, 3}  # committed batch-1 output not duplicated
+
+
+def test_holt_winters_state_survives_restart(spark, tmp_path):
+    """The (pos, level, trend, seasonal[]) Holt-Winters state — including
+    the ARRAY field — must recover from the checkpoint: rows ingested
+    after a restart must continue the recurrence exactly where the batch
+    fold would be, not re-seed."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.rolling import (
+        holt_winters,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.stateful import (
+        streaming_holt_winters,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    all_rows = [
+        (i, t0 + dt.timedelta(minutes=i), 7, float(10 + (i * 3) % 7)) for i in range(12)
+    ]
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+
+    def run(rows, subdir):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/{subdir}"
+        )
+        q = (
+            streaming_holt_winters(
+                spark.readStream.schema(schema).parquet(src + "/*"), period=5
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(all_rows[:7], "f0")   # run 1: seeds level + fills part of the seasonal array
+    run(all_rows[7:], "f1")   # run 2: fresh query object, same checkpoint
+
+    got = {
+        r.event_id: (r.hw_level, r.hw_trend, r.hw_seasonal)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.event_id: (r.hw_level, r.hw_trend, r.hw_seasonal)
+        for r in holt_winters(
+            spark.createDataFrame(all_rows, schema), period=5
+        ).collect()
+    }
+    assert got == want  # bit-identical across the stop/restart boundary
