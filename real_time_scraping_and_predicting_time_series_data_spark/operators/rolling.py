@@ -780,9 +780,10 @@ def q_holt_linear(spark, sf_dir):
         FROM events
     )
     SELECT user_id, event_id,
-           round(corr(value, prev_value) OVER (
+           floor(corr(value, prev_value) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4) AS autocorr_20
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) * 10000 + 0.5) / 10000
+               AS autocorr_20
     FROM lagged
     """,
     tags=("timeseries", "rolling", "corr"),
@@ -791,16 +792,23 @@ def q_rolling_corr(spark, sf_dir):
     """Trailing-20-row lag-1 autocorrelation per key (regime/trend
     detector): lag + windowed corr share one (key, ts) sort, so the whole
     query is a single Exchange. NaN (zero-variance frame) canonicalized to
-    NULL to match the oracle's SQL semantics."""
+    NULL to match the oracle's SQL semantics. Values use the repo's floor
+    half-up canonicalization (floor(x*10000+0.5)/10000, as ts_ewma/holt do)
+    rather than round(): round(-1e-9, 4) emits -0.0 on both engines but the
+    engines disagree on WHICH near-zero corr values are negative at the
+    last ulp, and value hashes distinguish -0.0 from +0.0. The floor form
+    never produces -0.0, so the 2-row signed-zero mismatch seen in
+    CORRECTNESS_r03 cannot recur."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = w.rowsBetween(-19, Window.currentRow)
     c = F.corr("value", "prev_value").over(frame)
+    canon = F.floor(F.when(~F.isnan(c), c) * 10000 + 0.5) / 10000
     return (
         ev.withColumn("prev_value", F.lag("value").over(w))
         .select(
             "user_id",
             "event_id",
-            F.round(F.when(~F.isnan(c), c), 4).alias("autocorr_20"),
+            canon.alias("autocorr_20"),
         )
     )

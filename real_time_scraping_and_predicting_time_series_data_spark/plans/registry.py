@@ -93,60 +93,10 @@ _loaded = False
 # (d) the TPC-H deep shapes and remaining never-checked
 # rolling/reshape/stats/sampling queries.
 _FRONT = (
-    # (a) r3 new surface
-    "ts_ohlc_vwap_bars",
-    "ts_max_drawdown",
-    "events_sessionize",
-    "events_type_daily_corr",
-    "text_gopher_filters",
-    "corpus_chunk_overlap",
-    "corpus_lm_perplexity",
-    "embedding_int8_quantize",
-    "events_key_skew_profile",
-    "pipeline_pretraining_corpus",
-    "multimodal_resize",
-    # (b) oracle upgrades needing hash-verified driver rows
-    "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
-    "sketch_cms_heavy_hitters",
-    "sim_lsh_topk",
-    "multimodal_features",
-    # (c) never-driver-checked scale/signature families
-    "ts_ewma",
-    "ts_hypertable_rollup",
-    "skew_salted_join",
-    "range_join_purchase_errors",
-    "ts_feature_matrix",
-    "ts_mad_outliers",
-    "ts_seasonal_decompose",
-    "ml_error_metrics",
-    "ml_quantile_binning",
-    "ml_backtest_folds",
-    "ml_seasonal_naive_eval",
-    "corpus_pack_budget_bins",
-    "corpus_source_mixture",
-    "corpus_source_mixture_fraction",
-    "sql_recursive_month_spine",
-    "dq_validation_suite",
-    "set_intersect_all",
-    "ts_sessionize",
+    # (a) the one red r3 row, fixed this round (signed-zero canonicalization)
     "ts_rolling_corr",
-    "ts_holt_linear",
-    "ts_holt_winters",
-    "ts_rolling_stats",
-    "ts_rolling_time_window",
-    "ts_resample_gapfill",
-    "ts_resample_interpolate",
-    "ts_quantiles",
-    # (d) TPC-H deep + remaining never-checked
-    "q2_min_cost_supplier",
-    "q4_priority_late_ship",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q13_order_count_histogram",
+    # (b) the 26 queries no driver round has ever sampled (all pass the
+    # in-repo parity harness; VERDICT r3 item 3 asks for driver rows)
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
@@ -168,7 +118,26 @@ _FRONT = (
     "stats_ordered_string_agg",
     "collect_sorted_lists",
     "array_fns_embeddings",
-    "ts_sliding_features_arrays",
+    # (c) r4 new surface (registered this round; names appended as built —
+    # unknown names in this tuple are skipped harmlessly)
+    "sim_ivf_topk_seeded",
+    "ann_hnsw_layered_probe",
+    "dedup_ngram_jaccard",
+    "text_langid_ngram",
+    "text_rolling_fingerprint",
+    "graph_user_copurchase_pagerank",
+    "stream_cdc_scd2_merge",
+    "ts_kalman_filter_1d",
+    "ts_stl_robust_decompose",
+    "ts_changepoint_cusum_segments",
+    "corpus_dedup_pipeline_report",
+    "events_funnel_attribution",
+    "embedding_pq_codebook",
+    "sketch_tdigest_quantiles",
+    "sketch_bloom_membership",
+    "ts_anomaly_zscore_ensemble",
+    "ml_ridge_closed_form",
+    "ml_pca_power_iteration",
 )
 
 

@@ -44,28 +44,62 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+def _collect_batch(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame | None:
+    """Concatenate a key's Arrow chunks and sort ONCE across the whole
+    micro-batch. applyInPandasWithState delivers a key's batch as multiple
+    chunks when rows exceed ``spark.sql.execution.arrow.maxRecordsPerBatch``,
+    and chunk order is partition arrival order — sorting each chunk
+    independently would silently reorder rows across chunk boundaries and
+    corrupt any sequential recurrence."""
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return None
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    return pdf.sort_values(["ts", "event_id"], ignore_index=True)
+
+
+def _gate_batch(
+    user_id, pdf: pd.DataFrame, last_price, first_price
+) -> tuple[pd.DataFrame | None, Any, Any]:
+    """Vectorized change-gate + anchored variation over one sorted batch.
+
+    The consecutive-distinct gate (scraper:80) retains row i iff its price
+    differs from the last RETAINED price — which always equals row i-1's
+    price (an unretained row's price equals the last retained one by
+    definition), so the gate is exactly a pandas shift-compare; only the
+    cross-batch seam (row 0 vs the carried ``last_price``) is scalar.
+    Division/subtraction are the same elementwise IEEE ops as the old
+    per-row loop, so outputs are bit-identical.
+    """
+    prices = pdf["value"].astype("float64")
+    keep = prices.ne(prices.shift())  # NaN prev → True: first row kept
+    if last_price is not None:
+        keep.iat[0] = bool(prices.iat[0] != last_price)
+    new_last = float(prices.iat[-1])
+    kept = pdf.loc[keep]
+    if not len(kept):
+        return None, new_last, first_price
+    if first_price is None:  # scraper:47-48
+        first_price = float(kept["value"].iat[0])
+    out = kept[["event_id", "ts", "value"]].copy()
+    out.insert(0, "user_id", user_id)
+    out["variation"] = out["value"].astype("float64") / first_price - 1.0
+    return out, new_last, first_price
+
+
 def _apply_gate(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     last_price, first_price = state.get if state.exists else (None, None)
-    out_rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for r in pdf.itertuples(index=False):
-            price = float(r.value)
-            if last_price is None or price != last_price:  # scraper:80
-                if first_price is None:  # scraper:47-48
-                    first_price = price
-                out_rows.append(
-                    (user_id, int(r.event_id), r.ts, price, price / first_price - 1.0)
-                )
-                last_price = price
-    state.update((last_price, first_price))
-    if out_rows:
-        yield pd.DataFrame(
-            out_rows, columns=["user_id", "event_id", "ts", "value", "variation"]
-        )
+    pdf = _collect_batch(pdfs)
+    if pdf is not None:
+        out, last_price, first_price = _gate_batch(user_id, pdf, last_price, first_price)
+        state.update((last_price, first_price))
+        if out is not None:
+            yield out
+    else:
+        state.update((last_price, first_price))
 
 
 def streaming_ticks(ticks: DataFrame) -> DataFrame:
@@ -139,8 +173,8 @@ def streaming_holt_winters(
         else:
             pos, lvl, trd, seas = -1, 0.0, 0.0, [0.0] * m
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = _collect_batch(pdfs)
+        if pdf is not None:
             for r in pdf.itertuples(index=False):
                 x = float(r.value)
                 if pos < 0:
@@ -203,23 +237,16 @@ try:  # Spark >= 4.0, and protobuf present (the state-protocol wire format
                 last_price, first_price = self._gate.get()
             else:
                 last_price, first_price = None, None
-            out_rows = []
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts", "event_id"])
-                for r in pdf.itertuples(index=False):
-                    price = float(r.value)
-                    if last_price is None or price != last_price:  # scraper:80
-                        if first_price is None:  # scraper:47-48
-                            first_price = price
-                        out_rows.append(
-                            (user_id, int(r.event_id), r.ts, price, price / first_price - 1.0)
-                        )
-                        last_price = price
-            self._gate.update((last_price, first_price))
-            if out_rows:
-                yield pd.DataFrame(
-                    out_rows, columns=["user_id", "event_id", "ts", "value", "variation"]
+            pdf = _collect_batch(rows)
+            if pdf is not None:
+                out, last_price, first_price = _gate_batch(
+                    user_id, pdf, last_price, first_price
                 )
+                self._gate.update((last_price, first_price))
+                if out is not None:
+                    yield out
+            else:
+                self._gate.update((last_price, first_price))
 
         def close(self) -> None:
             pass

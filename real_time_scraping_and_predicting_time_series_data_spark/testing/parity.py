@@ -42,8 +42,9 @@ def _canon_value(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "∅"
-        if v == 0.0:
-            v = 0.0  # -0.0 → 0.0
+        # Preserve the sign of zero: the driver's value hash distinguishes
+        # -0.0 from +0.0 (it bit us in ts_rolling_corr r3), so the local
+        # harness must be at least as strict. round() keeps the sign.
         return repr(round(v, 12))
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
