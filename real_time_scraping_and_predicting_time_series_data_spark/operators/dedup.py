@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 import random
 
 from ..catalog import ensure_min_partitions, load_table
+from ..functions.hashing import M61, md5_60, md5_60_sql, perm61, perm61_sql
 from ..functions.vector import as_double, cosine, dot, norm
 from ..functions.vector import hamming64
 from ..plans.registry import register
@@ -164,13 +165,15 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text: str = "text", n: i
 
 
 # Universal-hash MinHash permutations: perm_i(h) = (a_i·h + b_i) mod p over
-# a single md5-derived 32-bit shingle hash. Coefficients come from a seeded
-# PRNG at import time and are inlined into BOTH the Spark expressions and
-# the DuckDB oracle SQL, so signatures — and therefore LSH candidates — are
-# bit-identical across engines. p = 2^31-1 (Mersenne prime); a_i,b_i < 2^30
-# keep a·h + b < 2^62, inside BIGINT on both engines.
+# a single md5-derived 60-BIT shingle hash (functions/hashing.py): a 32-bit
+# base hash has birthday collisions among distinct shingles every ~2^16
+# values — routine at 100 TB — which silently inflates Jaccard estimates.
+# p = 2^61-1 with the overflow-safe M61 modmul keeps everything BIGINT on
+# both engines; coefficients come from a seeded PRNG at import time and are
+# inlined into BOTH the Spark expressions and the DuckDB oracle SQL, so
+# signatures — and therefore LSH candidates — are bit-identical.
 _MH_SEED = 20260813
-_MH_PRIME = 2147483647
+_MH_PRIME = M61
 
 
 def _mh_coeffs(num_perm: int, seed: int = _MH_SEED) -> list[tuple[int, int]]:
@@ -184,14 +187,14 @@ def minhash_signatures(
     """k-permutation MinHash signature over ``shingle_sets`` output:
     sig[i] = min over shingles of perm_i(shingle). One explode + one grouped
     agg with k min() columns — fully JVM-side, linear in shingle count. The
-    shingle string is md5-hashed ONCE (first 8 hex digits → 32-bit int);
-    permutations are integer arithmetic on that value, reproducible in the
-    DuckDB oracle (``('0x' || substr(md5(s), 1, 8))::BIGINT``)."""
+    shingle string is md5-hashed ONCE (first 15 hex digits → 60-bit int);
+    permutations are overflow-safe M61 integer arithmetic on that value
+    (functions/hashing.py), reproducible in the DuckDB oracle."""
     ex = sets.select("id", F.explode("sh").alias("shingle")).withColumn(
-        "h", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+        "h", md5_60("shingle")
     )
     mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"mh_{i}")
+        F.min(perm61(a, b, F.col("h"))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_mh_coeffs(num_perm))
     ]
     return ex.groupBy("id").agg(*mins)
@@ -630,7 +633,7 @@ def _minhash_oracle(num_perm: int = 16, bands: int = 4) -> str:
     coeffs = _mh_coeffs(num_perm)
     rows = num_perm // bands
     min_cols = ",\n               ".join(
-        f"min(({a} * h + {b}) % {_MH_PRIME}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
+        f"min({perm61_sql(a, b, 'h')}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
     )
     band_selects = "\n        UNION ALL ".join(
         "SELECT doc_id, %d AS band, concat_ws('-', %s) AS bucket FROM sig"
@@ -647,7 +650,7 @@ def _minhash_oracle(num_perm: int = 16, bands: int = 4) -> str:
     ), ex AS (
         SELECT doc_id, unnest(grams) AS shingle FROM sh
     ), hh AS (
-        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM ex
+        SELECT doc_id, {md5_60_sql('shingle')} AS h FROM ex
     ), sig AS (
         SELECT doc_id, {min_cols}
         FROM hh GROUP BY doc_id

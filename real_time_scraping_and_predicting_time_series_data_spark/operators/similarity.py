@@ -31,6 +31,7 @@ __all__ = [
     "ivf_train",
     "ivf_assign",
     "ivf_topk",
+    "ivf_topk_seeded",
 ]
 
 
@@ -377,14 +378,33 @@ def ivf_topk(
     # distance is then a single dot-product fold, and the final score
     # dot(nv_q, nv_c) IS the exact cosine of the raw vectors (up to fp
     # rounding far below the round-6 output precision).
+    #
+    # The normalized corpus is materialized once (lazy localCheckpoint):
+    # every Lloyd iteration's centroid broadcast executes as its own job
+    # whose subtree would otherwise re-run the parquet read + normalize
+    # chain — with the checkpoint those jobs read the materialized rows.
+    # Same move at cluster scale: persist the normalized projection before
+    # iterating (A/B at sf0.1: 4.73s → 4.33s warm median; the pre-r3
+    # groupBy-argmin shape, which shuffles the whole corpus per iteration,
+    # measured 4.65s — see SCALE.md §IVF).
     c = c.withColumn("_n", norm(F.col("v_c"))).select(
         "neighbor_id", F.transform("v_c", lambda x: x / F.col("_n")).alias("v_c")
-    )
+    ).localCheckpoint(eager=False)
     q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("v_q"))
     q = q.withColumn("_n", norm(F.col("v_q"))).select(
         query_id, F.transform("v_q", lambda x: x / F.col("_n")).alias("v_q")
     )
     cents = ivf_train(c, "v_c", "neighbor_id", k=n_cells)
+    return _ivf_probe_rank(c, q, cents, k=k, nprobe=nprobe, query_id=query_id)
+
+
+def _ivf_probe_rank(
+    c: DataFrame, q: DataFrame, cents: DataFrame, k: int, nprobe: int, query_id: str
+) -> DataFrame:
+    """Shared IVF serving path: assign the (normalized) corpus to cells,
+    probe each query's ``nprobe`` nearest cells, exact-rank candidates.
+    Both assignment and probing are projections against the broadcast
+    one-row centroid model; the candidate join's build side is tiny."""
     c_cells = ivf_assign(c, cents, "v_c", ["neighbor_id"])
     # Query probing is the same broadcast-model projection: sort the per-row
     # (distance, cell) structs, keep the nprobe nearest — no window, no
@@ -415,6 +435,38 @@ def ivf_topk(
     )
 
 
+def ivf_topk_seeded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF with DETERMINISTIC seed centroids (no Lloyd iterations): cell j's
+    centroid is the unit-normalized vector of corpus id j. Every number in
+    the pipeline — centroids, assignment argmin, probe ranking, candidate
+    cosines — is then an exact expression over parquet values with a fixed
+    left-to-right fold order, so the full serving path (assign → probe →
+    rank) carries a bit-exact DuckDB oracle; the Lloyd-trained variant
+    stays rows-only because distributed ``avg`` partial-aggregation order
+    is engine-specific."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec)).alias("v_c"))
+    c = c.withColumn("_n", norm(F.col("v_c"))).select(
+        "neighbor_id", F.transform("v_c", lambda x: x / F.col("_n")).alias("v_c")
+    )
+    q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("v_q"))
+    q = q.withColumn("_n", norm(F.col("v_q"))).select(
+        query_id, F.transform("v_q", lambda x: x / F.col("_n")).alias("v_q")
+    )
+    cents = c.filter(F.col("neighbor_id") < n_cells).select(
+        F.col("neighbor_id").cast("int").alias("cell"), F.col("v_c").alias("c_nvec")
+    )
+    return _ivf_probe_rank(c, q, cents, k=k, nprobe=nprobe, query_id=query_id)
+
+
 @register("sim_ivf_topk", oracle=None, tags=("similarity", "ivf", "ann"))
 def q_sim_ivf(spark, sf_dir):
     """IVF ANN top-5 for the same query set as the brute-force baseline
@@ -424,3 +476,58 @@ def q_sim_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
+
+
+_IVF_SEEDED_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+          FROM e),
+    cents AS (SELECT CAST(vec_id AS INT) AS cell, nv AS c_nvec
+              FROM n WHERE vec_id < 16),
+    assign AS (
+        SELECT vec_id, nv, cell FROM (
+            SELECT n.vec_id, n.nv, c.cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round(-list_dot_product(n.nv, c.c_nvec), 9), c.cell
+                   ) AS rn
+            FROM n CROSS JOIN cents c)
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, v_q, cell FROM (
+            SELECT n.vec_id AS query_id, n.nv AS v_q, c.cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round(-list_dot_product(n.nv, c.c_nvec), 9), c.cell
+                   ) AS rn
+            FROM n CROSS JOIN cents c WHERE n.vec_id < 10)
+        WHERE rn <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_dot_product(p.v_q, a.nv) AS cos
+        FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY round(cos, 9) DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 5
+    """
+
+
+@register("sim_ivf_topk_seeded", oracle=_IVF_SEEDED_ORACLE, tags=("similarity", "ivf", "ann"))
+def q_sim_ivf_seeded(spark, sf_dir):
+    """IVF ANN with deterministic seed centroids (cell j = normalized vector
+    of corpus id j, no Lloyd iterations) — upgrades the IVF assign → probe →
+    rank pipeline from a rows-only check to a full value-hash oracle: every
+    distance is an exact fixed-order fold both engines reproduce bit-wise.
+    The Lloyd-trained ``sim_ivf_topk`` stays rows-only (distributed avg
+    order is engine-specific); recall for both is property-tested against
+    ``brute_force_topk``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_seeded(emb, queries, k=5, n_cells=16, nprobe=4)

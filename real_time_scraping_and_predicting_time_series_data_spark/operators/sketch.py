@@ -28,17 +28,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import ensure_min_partitions, load_table
+from ..functions.hashing import M61, md5_60, md5_60_sql, mulmod61, mulmod61_sql
 from ..plans.registry import register
 
 __all__ = ["cms_build", "cms_estimate", "cms_merge"]
 
 # Pairwise-independent hash rows: bucket_s(tok) = ((a_s·h + b_s) mod p) mod
-# width over ONE md5-derived 32-bit token hash h. Coefficients come from a
-# seeded PRNG at import time and are inlined into both the Spark
-# expressions and the DuckDB oracle, making the whole sketch — counters,
-# estimates, heavy-hitter ranking — bit-reproducible cross-engine.
+# width over ONE md5-derived 60-BIT token hash h (functions/hashing.py) —
+# a 32-bit base hash collides among distinct tokens every ~2^16 values at
+# corpus scale, fully correlating all depth rows for the colliding pair and
+# defeating the min-probe. p = 2^61-1 with the overflow-safe M61 modmul
+# keeps everything BIGINT on both engines; coefficients come from a seeded
+# PRNG at import time and are inlined into both the Spark expressions and
+# the DuckDB oracle, making the whole sketch — counters, estimates,
+# heavy-hitter ranking — bit-reproducible cross-engine.
 _CMS_SEED = 20260814
-_CMS_PRIME = 2147483647
+_CMS_PRIME = M61
 
 
 def _cms_coeffs(depth: int, seed: int = _CMS_SEED) -> list[tuple[int, int]]:
@@ -47,12 +52,12 @@ def _cms_coeffs(depth: int, seed: int = _CMS_SEED) -> list[tuple[int, int]]:
 
 
 def _tok_hash(tok) -> F.Column:
-    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+    return md5_60(tok)
 
 
 def _bucket(h, seed: int, width: int):
     a, b = _cms_coeffs(seed + 1)[seed]
-    return ((F.lit(a) * h + F.lit(b)) % F.lit(_CMS_PRIME)) % F.lit(width)
+    return ((mulmod61(a, h) + F.lit(b)) % F.lit(_CMS_PRIME)) % F.lit(width)
 
 
 def cms_build(tokens: DataFrame, tok: str = "token", depth: int = 4, width: int = 1024) -> DataFrame:
@@ -104,20 +109,24 @@ def cms_estimate(
 
 
 def _cms_oracle(depth: int = 4, width: int = 1024) -> str:
-    """DuckDB twin of the count-min heavy-hitters pipeline: same md5 base
-    hash, same inlined hash-row coefficients, same counters and min-probe
-    estimates — the sketch itself is reproduced, not approximated."""
+    """DuckDB twin of the count-min heavy-hitters pipeline: same 60-bit md5
+    base hash, same inlined M61 hash rows (one UNION ALL branch per seed —
+    the modmul coefficients must be literals, not join columns), same
+    counters and min-probe estimates — the sketch itself is reproduced,
+    not approximated."""
     coeffs = _cms_coeffs(depth)
-    seed_rows = ", ".join(f"({s}, {a}, {b})" for s, (a, b) in enumerate(coeffs))
+    bucket_selects = "\n        UNION ALL ".join(
+        f"SELECT token, {s} AS seed, "
+        f"(({mulmod61_sql(a, 'h')} + {b}) % {_CMS_PRIME}) % {width} AS bucket FROM hh"
+        for s, (a, b) in enumerate(coeffs)
+    )
     return f"""
     WITH toks AS (
         SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
     ), hh AS (
-        SELECT token, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM toks
+        SELECT token, {md5_60_sql('token')} AS h FROM toks
     ), b AS (
-        SELECT token, s.seed AS seed,
-               ((s.a * h + s.b) % {_CMS_PRIME}) % {width} AS bucket
-        FROM hh CROSS JOIN (VALUES {seed_rows}) AS s(seed, a, b)
+        {bucket_selects}
     ), sketch AS (
         SELECT seed, bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY seed, bucket
     ), probes AS (

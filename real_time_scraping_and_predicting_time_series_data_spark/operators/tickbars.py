@@ -39,10 +39,10 @@ __all__ = []
 def _sort_key():
     """Zero-padded (epoch-micros, event_id) string — lexicographic order ==
     (ts, event_id) order, reproducible in DuckDB as
-    ``lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 10, '0')``."""
+    ``lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 20, '0')``."""
     return F.concat(
         F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
     )
 
 
@@ -51,7 +51,7 @@ def _sort_key():
     oracle="""
     WITH t AS (
         SELECT user_id, date_trunc('hour', ts) AS bar_ts, value,
-               lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 10, '0') AS sk,
+               lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 20, '0') AS sk,
                CAST(json_extract_string(props, '$.k') AS DOUBLE) AS size
         FROM events
     )

@@ -21,9 +21,15 @@ Admission rule (first-arrival-wins, deterministic):
   batch excludes its own directory from the ledger read.
 
 Served-corpus invariant (pinned in tests/test_neardup_ingest.py): no two
-documents in ``serve()`` have Jaccard ≥ threshold — within a batch,
-distinct components have no verified edge; across batches, admission
-explicitly re-verifies against everything already accepted.
+documents in ``serve()`` BOTH share a MinHash band bucket AND have
+Jaccard ≥ threshold. This is the LSH guarantee, which is probabilistic in
+the Jaccard value itself: a pair at J just above the threshold can share
+no band bucket (P[collision] = 1-(1-J^r)^b ≈ 0.6% at J = 0.2 with b = 4
+bands × r = 4 rows) and both be admitted. Near-certain detection needs
+J well above the band threshold (J^r·b ≳ 1) or a banding config sized to
+the target J — the standard LSH recall trade-off, identical to the batch
+pipeline's. What IS exact: every candidate that does collide is verified
+with exact Jaccard before rejection, so there are no false rejections.
 """
 
 from __future__ import annotations

