@@ -172,3 +172,91 @@ def q_cdc_scd2(spark, sf_dir):
         ).alias("valid_to"),
         "is_current",
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (table-level data diff)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str, compare: list[str]) -> DataFrame:
+    """Row-level diff of two keyed snapshots: full outer join on the key,
+    classify each key as inserted / deleted / changed / unchanged by
+    comparing the listed columns (null-safe). The table-diff primitive
+    behind incremental publishing, reconciliation audits, and CDC
+    backfills; at scale both sides shuffle once on the key (or not at all
+    if both snapshots are bucketed/partitioned by it — the layout the
+    ingest pipeline already writes)."""
+    o = old.select(F.col(key), *[F.col(c).alias(f"old_{c}") for c in compare])
+    n = new.select(F.col(key), *[F.col(c).alias(f"new_{c}") for c in compare])
+    j = o.join(n, key, "full_outer")
+    changed = None
+    for c in compare:
+        ne = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    status = (
+        F.when(F.col(f"old_{compare[0]}").isNull() & F.col(f"new_{compare[0]}").isNotNull(), "inserted")
+        .when(F.col(f"new_{compare[0]}").isNull() & F.col(f"old_{compare[0]}").isNotNull(), "deleted")
+        .when(changed, "changed")
+        .otherwise("unchanged")
+    )
+    return j.withColumn("diff_status", status)
+
+
+__all__ = list(globals().get("__all__", [])) + ["snapshot_diff"]
+
+
+@register(
+    "dq_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    ), new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN floor(o_totalprice * 1.1 * 100 + 0.5) / 100
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 97 != 0
+    ), j AS (
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               o.o_totalprice AS old_price, n.o_totalprice AS new_price,
+               CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                    WHEN n.o_orderkey IS NULL THEN 'deleted'
+                    WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'changed'
+                    ELSE 'unchanged' END AS diff_status
+        FROM old o FULL OUTER JOIN new n ON n.o_orderkey = o.o_orderkey
+    )
+    SELECT o_orderkey, diff_status,
+           floor(old_price * 100 + 0.5) / 100 AS old_price,
+           floor(new_price * 100 + 0.5) / 100 AS new_price
+    FROM j WHERE diff_status IN ('deleted', 'changed')
+    """,
+    tags=("dq", "diff", "cdc"),
+)
+def q_dq_snapshot_diff(spark, sf_dir):
+    """Snapshot diff demo: 'new' is the orders table with every 97th order
+    deleted and urgent orders repriced +10% — the diff must recover exactly
+    the deleted keys and the changed rows with old/new values. (Key-only
+    join + column compare; the synthetic mutation makes the expected diff
+    deterministic and fully oracle-checked.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    new = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5) / 100,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    d = snapshot_diff(old, new, "o_orderkey", ["o_totalprice", "o_orderstatus"])
+    return d.filter(F.col("diff_status").isin("deleted", "changed")).select(
+        "o_orderkey",
+        "diff_status",
+        (F.floor(F.col("old_o_totalprice") * 100 + 0.5) / 100).alias("old_price"),
+        (F.floor(F.col("new_o_totalprice") * 100 + 0.5) / 100).alias("new_price"),
+    )

@@ -116,7 +116,14 @@ def jaccard_pairs(
         F.col(id_col).alias("id"),
         *( [F.col(block).alias("blk")] if block else [F.lit(0).alias("blk")] ),
         shingles(F.col(text), n).alias("sh"),
-    ).withColumn("set_size", F.size("sh"))
+    )
+    return _jaccard_core(base, threshold, prune_singletons)
+
+
+def _jaccard_core(base: DataFrame, threshold: float, prune_singletons: bool) -> DataFrame:
+    """Shared inverted-index Jaccard machinery over (id, blk, sh) rows —
+    used by the word-shingle and character-shingle pair generators."""
+    base = base.withColumn("set_size", F.size("sh"))
 
     inv = base.select("id", "blk", "set_size", F.explode("sh").alias("_sh")).select(
         "id", "blk", "set_size", F.xxhash64("_sh").alias("shingle")
@@ -813,3 +820,73 @@ def q_dedup_clusters(spark, sf_dir):
     )
     labels = connected_components(edges, docs.select("doc_id"))
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram Jaccard (typo-level near-dup)
+# ---------------------------------------------------------------------------
+
+
+def char_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    block: str | None = "source",
+    n: int = 4,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Exact CHARACTER-n-gram Jaccard pairs — the typo/near-edit-level
+    companion of the word-shingle :func:`jaccard_pairs` (single-character
+    edits shift every word shingle they touch but only ``n`` of the char
+    grams, so char-gram Jaccard degrades smoothly under small edits).
+    Same inverted-index machinery (``_jaccard_core``): explode grams →
+    equi-join on (block, gram-hash) → count commons; cost Σdf² within
+    blocks, never O(n²)."""
+    t = F.trim(F.col(text))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
+            lambda i: t.substr(i, F.lit(n)),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *([F.col(block).alias("blk")] if block else [F.lit(0).alias("blk")]),
+        grams.alias("sh"),
+    )
+    return _jaccard_core(base, threshold, prune_singletons=False)
+
+
+__all__.append("char_jaccard_pairs")
+
+
+@register(
+    "dedup_char_ngram_jaccard",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(length(trim(text)) - 3, 1) + 1),
+                   i -> substr(trim(text), i, 4))) AS grams
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.grams, b.grams)) AS n_common,
+               len(a.grams) AS sa, len(b.grams) AS sb
+        FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa + sb - n_common), 9) AS jaccard
+    FROM pairs
+    WHERE n_common / (sa + sb - n_common) >= 0.35
+    """,
+    tags=("dedup", "jaccard", "chargram"),
+)
+def q_dedup_char_ngram(spark, sf_dir):
+    """Character-4-gram Jaccard near-dup pairs within source blocks at
+    threshold 0.35. The oracle verifies with a direct all-pairs
+    list_intersect within blocks (feasible at sf0.01); the engine path is
+    the inverted-index join — same result, sub-quadratic cost."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = char_jaccard_pairs(docs, n=4, threshold=0.35)
+    return out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))

@@ -365,3 +365,132 @@ def q_key_skew_profile(spark, sf_dir):
         F.round(pct[2], 6).alias("p99"),
         F.round(F.max("n") / F.sum("n"), 9).alias("top_key_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dedup pipeline report
+# ---------------------------------------------------------------------------
+
+
+def _dedup_report_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.35) -> str:
+    """DuckDB twin of the dedup funnel report: same exact-hash survivor
+    rule, same MinHash-LSH candidates (shared M61 hash rows), same
+    verified-pair drop rule, same per-source token accounting."""
+    from ..functions.hashing import md5_60_sql, perm61_sql
+    from .dedup import _mh_coeffs
+
+    coeffs = _mh_coeffs(num_perm)
+    rows = num_perm // bands
+    min_cols = ",\n               ".join(
+        f"min({perm61_sql(a, b, 'h')}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, %d AS band, concat_ws('-', %s) AS bucket FROM sig"
+        % (bi, ", ".join(f"mh_{bi * rows + r}" for r in range(rows)))
+        for bi in range(bands)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, text, source,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ), keep AS (
+        SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)
+    ), surv AS (
+        SELECT d.* FROM d JOIN keep k ON k.doc_id = d.doc_id
+    ), toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM surv
+    ), sh AS (
+        SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1]
+                                      FOR i IN range(1, len(words))]) AS grams
+        FROM toks
+    ), ex AS (
+        SELECT doc_id, unnest(grams) AS shingle FROM sh
+    ), hh AS (
+        SELECT doc_id, {md5_60_sql('shingle')} AS h FROM ex
+    ), sig AS (
+        SELECT doc_id, {min_cols}
+        FROM hh GROUP BY doc_id
+    ), bk AS (
+        {band_selects}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), dropped AS (
+        SELECT DISTINCT c.id_b AS doc_id
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+        WHERE len(list_intersect(sa.grams, sb.grams)) /
+              (len(sa.grams) + len(sb.grams) - len(list_intersect(sa.grams, sb.grams)))
+              >= {threshold}
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(s.doc_id) AS BIGINT) AS n_after_exact,
+           CAST(count(CASE WHEN s.doc_id IS NOT NULL AND dr.doc_id IS NULL
+                           THEN 1 END) AS BIGINT) AS n_final,
+           CAST(sum(d.n_tokens) AS BIGINT) AS tokens_before,
+           CAST(coalesce(sum(CASE WHEN s.doc_id IS NOT NULL AND dr.doc_id IS NULL
+                                  THEN d.n_tokens END), 0) AS BIGINT) AS tokens_after
+    FROM d
+    LEFT JOIN (SELECT doc_id FROM surv) s ON s.doc_id = d.doc_id
+    LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
+
+@register(
+    "corpus_dedup_pipeline_report",
+    oracle=_dedup_report_oracle(),
+    tags=("corpus", "dedup", "report", "pipeline"),
+)
+def q_dedup_pipeline_report(spark, sf_dir):
+    """The dedup funnel audit every corpus build ships with: per source,
+    document/token counts (1) raw, (2) after exact dedup (min-doc_id
+    survivor per content hash), (3) after near-dup removal (drop any
+    surviving doc that appears as the LARGER id of a MinHash-LSH candidate
+    pair verified at Jaccard >= 0.35 — the deterministic pair-drop rule;
+    cluster-representative selection is the separate
+    ``dedup_duplicate_clusters`` operator). Composes the registered exact +
+    MinHash pipelines, so the whole funnel — hashes, buckets, verified
+    pairs, token sums — carries one full value-hash oracle. Scale shape:
+    the two dedup stages are the proven sub-quadratic ones; the report
+    itself is two broadcastable id sets left-joined back plus one grouped
+    sum."""
+    from .dedup import (
+        minhash_candidates,
+        minhash_signatures,
+        shingle_sets,
+        verify_candidates_jaccard,
+    )
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents")).withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    )
+    keep = docs.groupBy(F.md5("text").alias("_h")).agg(F.min("doc_id").alias("doc_id"))
+    surv = docs.join(keep.select("doc_id"), "doc_id").localCheckpoint(eager=False)
+    sets = shingle_sets(surv, n=2).localCheckpoint(eager=False)
+    sigs = minhash_signatures(sets, num_perm=16)
+    cands = minhash_candidates(sigs, num_perm=16, bands=4)
+    dropped = (
+        verify_candidates_jaccard(cands, sets)
+        .filter(F.col("jaccard") >= 0.35)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    flagged = (
+        docs.join(surv.select("doc_id", F.lit(1).alias("_surv")), "doc_id", "left")
+        .join(F.broadcast(dropped.withColumn("_drop", F.lit(1))), "doc_id", "left")
+    )
+    final_tok = F.when(
+        F.col("_surv").isNotNull() & F.col("_drop").isNull(), F.col("n_tokens")
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count("_surv").cast("long").alias("n_after_exact"),
+        F.count(final_tok).cast("long").alias("n_final"),
+        F.sum("n_tokens").cast("long").alias("tokens_before"),
+        F.coalesce(F.sum(final_tok), F.lit(0)).cast("long").alias("tokens_after"),
+    )

@@ -812,3 +812,105 @@ def q_rolling_corr(spark, sf_dir):
             canon.alias("autocorr_20"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Kalman filter (local-level model)
+# ---------------------------------------------------------------------------
+
+
+def kalman_1d(
+    df: DataFrame,
+    q: float = 0.01,
+    r: float = 0.1,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-key 1-D Kalman filter (local-level model) — the probabilistic
+    upgrade of the reference's smoothing loop (``lvmh_forecaster2.py``'s
+    forecast-vs-actual tracking, A1-A3): the filtered estimate is the
+    optimal linear denoiser of the tick stream under process variance ``q``
+    and observation variance ``r``:
+
+        P' = P + q;  K = P'/(P'+r);  x += K·(z - x);  P = (1-K)·P'
+
+    seeded x_1 = z_1, P_1 = 1. Same scale shape as :func:`ewma`: one hash
+    shuffle on ``key`` + in-partition sort, one ``mapInPandas`` pass with
+    the (x, P) accumulator carried across Arrow batch boundaries in the
+    iterator closure — O(1) state, O(n) work, keys never split across
+    partitions. The per-step float ops replay IEEE-identically in the
+    oracle's recursive CTE."""
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("kalman_x", DoubleType()), StructField("kalman_p", DoubleType())]
+    )
+    qv, rv = float(q), float(r)
+    part = df.repartition(key).sortWithinPartitions(key, ts, tiebreak)
+
+    def fold(batches):
+        last_key, x, p = object(), 0.0, 0.0
+        for pdf in batches:
+            vals = pdf[value].to_numpy(dtype="float64")
+            keys = pdf[key].to_numpy()
+            xs = [0.0] * len(vals)
+            ps = [0.0] * len(vals)
+            for i in range(len(vals)):
+                kk = keys[i]
+                z = float(vals[i])
+                if kk != last_key:
+                    last_key, x, p = kk, z, 1.0
+                else:
+                    pp = p + qv
+                    k = pp / (pp + rv)
+                    x = x + k * (z - x)
+                    p = (1.0 - k) * pp
+                xs[i] = x
+                ps[i] = p
+            yield pdf.assign(kalman_x=xs, kalman_p=ps)
+
+    return part.mapInPandas(fold, schema=schema)
+
+
+__all__.append("kalman_1d")
+
+
+@register(
+    "ts_kalman_filter_1d",
+    oracle="""
+    WITH RECURSIVE o AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), s AS (
+        SELECT user_id, event_id, value, rn,
+               value AS x, CAST(1.0 AS DOUBLE) AS p
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.value, o.rn,
+               s.x + ((s.p + 0.01) / ((s.p + 0.01) + 0.1)) * (o.value - s.x) AS x,
+               (1.0 - ((s.p + 0.01) / ((s.p + 0.01) + 0.1))) * (s.p + 0.01) AS p
+        FROM s JOIN o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+    )
+    SELECT user_id, event_id, value,
+           floor(x * 10000 + 0.5) / 10000 AS kalman_x,
+           floor(p * 10000 + 0.5) / 10000 AS kalman_p
+    FROM s
+    """,
+    tags=("timeseries", "kalman", "filter"),
+)
+def q_kalman_1d(spark, sf_dir):
+    """Per-key local-level Kalman filter (q=0.01, r=0.1): filtered estimate
+    and posterior variance per tick. The oracle replays the identical IEEE
+    recurrence via a recursive CTE; floor-canonicalized values are
+    bit-exact across engines."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = kalman_1d(ev, q=0.01, r=0.1)
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.floor(F.col("kalman_x") * 10000 + 0.5) / 10000).alias("kalman_x"),
+        (F.floor(F.col("kalman_p") * 10000 + 0.5) / 10000).alias("kalman_p"),
+    )

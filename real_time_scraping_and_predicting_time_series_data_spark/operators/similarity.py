@@ -531,3 +531,121 @@ def q_sim_ivf_seeded(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk_seeded(emb, queries, k=5, n_cells=16, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-embedding codebook assignment
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4        # subspaces
+_PQ_SUB = 16     # dims per subspace
+_PQ_K = 16       # codes per subspace
+
+
+def pq_assign(corpus: DataFrame, id_col: str = "vec_id", vec: str = "embedding") -> DataFrame:
+    """Assign every vector a PQ code per subspace: split the 64-dim vector
+    into ``m=4`` blocks of 16 dims; block s's codebook is the corresponding
+    block of corpus ids 0..k-1 (deterministic seeding, same convention as
+    ``ivf_topk_seeded``); code = argmin squared-L2 within the block.
+
+    The compressed form (4 bytes/vector here; m·log2(k) bits in general)
+    is what makes billion-scale ANN memory-resident — IVF-PQ serving
+    scans 100 TB of raw vectors as ~1.6 TB of codes. Shape: the k-row
+    codebook collapses to ONE broadcast row; assignment is a pure per-row
+    projection (array_min over a transform — zero shuffles, zero row
+    explosion), identical to ``ivf_assign``'s broadcast-model pattern.
+
+    Returns (vec_id, subspace, code, err): err = round-6 squared-L2 of the
+    chosen code (the per-block quantization error audit, as
+    ``embedding_int8_quantize`` does for scalar quantization)."""
+    c = corpus.select(F.col(id_col), as_double(F.col(vec)).alias("v"))
+    codes = corpus.filter(F.col(id_col) < _PQ_K).select(
+        F.col(id_col).cast("int").alias("code"), as_double(F.col(vec)).alias("cv")
+    )
+    codes_row = codes.agg(F.collect_list(F.struct("code", "cv")).alias("_codes"))
+
+    # One row per (vector, subspace), then a SINGLE argmin expression whose
+    # slice offset is the subspace column. (The tempting alternative — four
+    # sibling array_min(transform(aggregate(zip_with(...)))) expressions in
+    # one projection — miscompiles in Spark 4.1: the copied nested-lambda
+    # trees resolve against each other's lambda variables and every block
+    # returns d=0. One HOF instance per projection sidesteps it and is the
+    # better plan anyway: no 4-way expression duplication.)
+    subs = c.select(
+        id_col, "v", F.explode(F.array(*[F.lit(s) for s in range(_PQ_M)])).alias("subspace")
+    )
+    start = F.col("subspace") * _PQ_SUB + 1
+
+    def block_d(cd):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("v"), start, _PQ_SUB),
+                F.slice(cd.getField("cv"), start, _PQ_SUB),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.transform(
+            "_codes",
+            lambda cd: F.struct(
+                F.round(block_d(cd), 9).alias("d"), cd.getField("code").alias("code")
+            ),
+        )
+    )
+    return (
+        subs.crossJoin(F.broadcast(codes_row))
+        .select(id_col, "subspace", best.alias("b"))
+        .select(
+            id_col,
+            "subspace",
+            F.col("b.code").alias("code"),
+            F.round(F.col("b.d"), 6).alias("err"),
+        )
+    )
+
+
+def _pq_oracle() -> str:
+    branches = []
+    for s in range(_PQ_M):
+        off = s * _PQ_SUB
+        fold = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {_PQ_SUB + 1}), "
+            f"i -> (v[{off} + i] - cv[{off} + i]) * (v[{off} + i] - cv[{off} + i]))), "
+            "(acc, x) -> acc + x)"
+        )
+        branches.append(
+            f"SELECT e.vec_id, {s} AS subspace, c.code, round({fold}, 9) AS d\n"
+            "         FROM e CROSS JOIN codes c"
+        )
+    union = "\n        UNION ALL ".join(branches)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    codes AS (
+        SELECT CAST(vec_id AS INT) AS code, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < {_PQ_K}
+    ), scored AS (
+        {union}
+    ), ranked AS (
+        SELECT vec_id, subspace, code, d,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d, code) AS rn
+        FROM scored
+    )
+    SELECT vec_id, subspace, code, round(d, 6) AS err
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("embedding_pq_codebook", oracle=_pq_oracle(), tags=("similarity", "pq", "quantization"))
+def q_embedding_pq(spark, sf_dir):
+    """Product-quantization code assignment (m=4 subspaces x k=16 codes,
+    deterministic corpus-seeded codebooks) with per-block quantization
+    error — fully oracle-checked: every squared-L2 fold is a fixed-order
+    expression both engines reproduce bit-wise (argmin tie-break by lowest
+    code id on both sides)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_assign(emb)

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import ensure_min_partitions, load_table
-from ..functions.hashing import M61, md5_60, md5_60_sql, mulmod61, mulmod61_sql
+from ..functions.hashing import M61, md5_60, md5_60_sql, mulmod61, mulmod61_sql, perm61, perm61_sql
 from ..plans.registry import register
 
 __all__ = ["cms_build", "cms_estimate", "cms_merge"]
@@ -174,4 +174,129 @@ def q_hll_distinct(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — set-membership sketch
+# ---------------------------------------------------------------------------
+
+# k independent bit positions per token: bit_i(tok) = perm61(a_i, b_i,
+# md5_60(tok)) % m. Coefficients seeded and inlined into both engines, so
+# the filter's bit set — and therefore every probe verdict including the
+# false positives — is bit-reproducible cross-engine.
+_BLOOM_SEED = 20260816
+
+
+def _bloom_coeffs(k: int, seed: int = _BLOOM_SEED) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(k)]
+
+
+def bloom_build(tokens: DataFrame, tok: str = "token", m: int = 4096, k: int = 3) -> DataFrame:
+    """Build a Bloom filter as a relation of DISTINCT set bit positions
+    (single column ``bit``, ≤ m rows). Relational-native: build is one
+    explode + distinct (map-side combine collapses duplicates before the
+    exchange), merge is union+distinct, and the whole filter stays a tiny
+    broadcastable table no matter how large the keyed corpus — the same
+    fixed-memory mergeable-sketch pattern as the count-min sketch above."""
+    from ..functions.hashing import perm61
+
+    h = _tok_hash(F.col(tok))
+    bits = tokens.select(
+        F.explode(
+            F.array(*[(perm61(a, b, h) % F.lit(m)).alias(f"b{i}") for i, (a, b) in enumerate(_bloom_coeffs(k))])
+        ).alias("bit")
+    )
+    return bits.distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame, queries: DataFrame, tok: str = "token", m: int = 4096, k: int = 3
+) -> DataFrame:
+    """Membership probe: a token is 'maybe present' iff ALL k of its bits
+    are set (count of matched probe bits == k); guaranteed no false
+    negatives. The filter side is broadcast; the probe is an equi-join on
+    the bit position — no Python, no per-row loops."""
+    from ..functions.hashing import perm61
+
+    h = _tok_hash(F.col(tok))
+    probes = queries.select(
+        tok,
+        F.explode(
+            F.array(*[(perm61(a, b, h) % F.lit(m)).alias(f"b{i}") for i, (a, b) in enumerate(_bloom_coeffs(k))])
+        ).alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(bloom.withColumn("_set", F.lit(1))), "bit", "left")
+        .groupBy(tok)
+        .agg((F.count("_set") == F.lit(k)).alias("bloom_maybe"))
+    )
+    return hits
+
+
+__all__ += ["bloom_build", "bloom_probe"]
+
+
+def _bloom_oracle(m: int = 4096, k: int = 3) -> str:
+    """DuckDB twin: same 60-bit md5 base hash, same inlined M61 probe rows,
+    same all-k-bits membership rule, same exact-membership audit column."""
+    coeffs = _bloom_coeffs(k)
+    build_bits = "\n            UNION ALL ".join(
+        f"SELECT ({perm61_sql(a, b, 'h')}) % {m} AS bit FROM src0_h"
+        for a, b in coeffs
+    )
+    probe_bits = "\n            UNION ALL ".join(
+        f"SELECT token, ({perm61_sql(a, b, 'h')}) % {m} AS bit FROM src1_h"
+        for a, b in coeffs
+    )
+    return f"""
+    WITH src0_toks AS (
+        SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents WHERE source = 'src0'
+    ), src0_h AS (
+        SELECT token, {md5_60_sql('token')} AS h FROM src0_toks
+    ), bloom AS (
+        SELECT DISTINCT bit FROM ({build_bits})
+    ), src1_toks AS (
+        SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents WHERE source = 'src1'
+    ), src1_h AS (
+        SELECT token, {md5_60_sql('token')} AS h FROM src1_toks
+    ), probes AS (
+        {probe_bits}
+    ), verdict AS (
+        SELECT p.token,
+               (count(b.bit) = {k}) AS bloom_maybe
+        FROM probes p LEFT JOIN bloom b ON b.bit = p.bit
+        GROUP BY p.token
+    )
+    SELECT v.token, v.bloom_maybe,
+           (s.token IS NOT NULL) AS actually_present
+    FROM verdict v LEFT JOIN src0_toks s ON s.token = v.token
+    """
+
+
+@register("sketch_bloom_membership", oracle=_bloom_oracle(), tags=("sketch", "bloom", "membership"))
+def q_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership: build the filter over src0's distinct
+    tokens, probe every distinct src1 token, and audit each verdict against
+    exact membership (``actually_present``) — no-false-negative invariant
+    and the deterministic false positives are both part of the hashed
+    result. Fully oracle-checked via the shared M61 hash rows."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = lambda src: (
+        docs.filter(F.col("source") == src)
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .distinct()
+    )
+    src0, src1 = toks("src0"), toks("src1")
+    bloom = bloom_build(src0, m=4096, k=3).localCheckpoint(eager=False)
+    verdicts = bloom_probe(bloom, src1, m=4096, k=3)
+    return verdicts.join(
+        src0.withColumn("_present", F.lit(True)), "token", "left"
+    ).select(
+        "token",
+        "bloom_maybe",
+        F.coalesce(F.col("_present"), F.lit(False)).alias("actually_present"),
     )

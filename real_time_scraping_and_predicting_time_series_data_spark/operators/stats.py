@@ -316,3 +316,175 @@ def q_ml_quantile_binning(spark, sf_dir):
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     ).select("user_id", F.col("bin").cast("long").alias("bin"), "n", "lo", "hi")
+
+
+# ---------------------------------------------------------------------------
+# Closed-form ridge regression (normal equations as aggregates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_ridge_closed_form",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               sum(l_quantity) AS sx,
+               sum(l_extendedprice) AS sy,
+               sum(l_quantity * l_quantity) AS sxx,
+               sum(l_quantity * l_extendedprice) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round(((n + 10.0) * sxy - sx * sy) /
+                 ((sxx + 10.0) * (n + 10.0) - sx * sx), 6) AS ridge_w,
+           round(((sxx + 10.0) * sy - sx * sxy) /
+                 ((sxx + 10.0) * (n + 10.0) - sx * sx), 4) AS ridge_b
+    FROM s
+    """,
+    tags=("ml", "ridge", "closed-form"),
+)
+def q_ridge_closed_form(spark, sf_dir):
+    """Per-group ridge regression (y = w·x + b, λ=10, penalty on both
+    coefficients) solved in closed form from FIVE scalar aggregates — the
+    2×2 normal-equation system inverted symbolically:
+
+        w = ((n+λ)·Sxy − Sx·Sy) / det,  b = ((Sxx+λ)·Sy − Sx·Sxy) / det,
+        det = (Sxx+λ)(n+λ) − Sx²
+
+    The 100 TB shape of model fitting: ONE grouped aggregation over the
+    data (map-side partial sums), then O(1) scalar math per group — no
+    gradient loop, no driver-side matrix, no second pass. Complements the
+    d-dimensional lstsq in ml/forecast.py (reference training loop,
+    ``lvmh_forecaster2.py:90-104``) with the regularized closed form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lam = F.lit(10.0)
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("l_quantity").alias("sx"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+    )
+    det = (F.col("sxx") + lam) * (F.col("n") + lam) - F.col("sx") * F.col("sx")
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(((F.col("n") + lam) * F.col("sxy") - F.col("sx") * F.col("sy")) / det, 6).alias(
+            "ridge_w"
+        ),
+        F.round(((F.col("sxx") + lam) * F.col("sy") - F.col("sx") * F.col("sxy")) / det, 4).alias(
+            "ridge_b"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA first principal component via power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_DIMS = 8
+_PCA_ITERS = 3
+
+
+def _pca_cov(spark, sf_dir):
+    """(i, j, c) population covariance of the first _PCA_DIMS embedding
+    dims: explode → center → self-join on vec_id → one grouped avg. The
+    64-row covariance table is the broadcastable 'model'; the corpus is
+    read once."""
+    from ..functions.vector import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.slice(as_double(F.col("embedding")), 1, _PCA_DIMS)).alias("i", "x"),
+    )
+    mu = ex.groupBy("i").agg(F.avg("x").alias("mu"))
+    exc = ex.join(F.broadcast(mu), "i").select(
+        "vec_id", "i", (F.col("x") - F.col("mu")).alias("xc")
+    )
+    a = exc.select("vec_id", F.col("i").alias("ci"), F.col("xc").alias("xa"))
+    b = exc.select("vec_id", F.col("i").alias("cj"), F.col("xc").alias("xb"))
+    return (
+        a.join(b, "vec_id")
+        .groupBy("ci", "cj")
+        .agg(F.avg(F.col("xa") * F.col("xb")).alias("c"))
+    )
+
+
+@register(
+    "ml_pca_power_iteration",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (
+        SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM e
+    ),
+    exd AS (SELECT vec_id, i, x FROM ex WHERE i < {_PCA_DIMS}),
+    mu AS (SELECT i, avg(x) AS mu FROM exd GROUP BY i),
+    exc AS (SELECT d.vec_id, d.i, d.x - m.mu AS xc FROM exd d JOIN mu m ON m.i = d.i),
+    c AS (
+        SELECT a.i AS ci, b.i AS cj, avg(a.xc * b.xc) AS c
+        FROM exc a JOIN exc b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ),
+    v0 AS (SELECT i, CASE WHEN i = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS v FROM mu),
+    u1 AS (SELECT c.ci AS i, sum(c.c * v.v) AS u FROM c JOIN v0 v ON v.i = c.cj GROUP BY c.ci),
+    v1 AS (SELECT i, u / sqrt((SELECT sum(u * u) FROM u1)) AS v FROM u1),
+    u2 AS (SELECT c.ci AS i, sum(c.c * v.v) AS u FROM c JOIN v1 v ON v.i = c.cj GROUP BY c.ci),
+    v2 AS (SELECT i, u / sqrt((SELECT sum(u * u) FROM u2)) AS v FROM u2),
+    u3 AS (SELECT c.ci AS i, sum(c.c * v.v) AS u FROM c JOIN v2 v ON v.i = c.cj GROUP BY c.ci),
+    v3 AS (SELECT i, u / sqrt((SELECT sum(u * u) FROM u3)) AS v FROM u3),
+    ray AS (
+        SELECT sum(a.v * c.c * b.v) AS lam
+        FROM c JOIN v3 a ON a.i = c.ci JOIN v3 b ON b.i = c.cj
+    )
+    SELECT CAST(v3.i AS INT) AS dim,
+           round(v3.v, 6) AS pc1,
+           round((SELECT lam FROM ray), 6) AS eigenvalue
+    FROM v3
+    """,
+    tags=("ml", "pca", "power-iteration"),
+)
+def q_pca_power_iteration(spark, sf_dir):
+    """First principal component of the leading {dims} embedding dims via
+    {iters} power iterations (v ← C·v / ‖C·v‖ from v₀ = e₀), plus the
+    Rayleigh-quotient eigenvalue — the canonical iterative linear-algebra
+    shape on a DataFrame engine: the corpus is read ONCE to build the
+    (dims², 3)-row covariance model; every iteration is a join + grouped
+    sum over that tiny table, never over the data. Deterministic start
+    vector → deterministic sign → full value-hash oracle (the one
+    'iterative algorithm' family the driver can hash)."""
+    cov = _pca_cov(spark, sf_dir).localCheckpoint(eager=False)
+    v = cov.select(F.col("ci").alias("i")).distinct().select(
+        "i", F.when(F.col("i") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("v")
+    )
+    for _ in range(_PCA_ITERS):
+        u = (
+            cov.join(F.broadcast(v.withColumnRenamed("i", "cj")), "cj")
+            .groupBy("ci")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("u"))
+        )
+        nrm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
+        v = (
+            u.crossJoin(F.broadcast(nrm))
+            .select(F.col("ci").alias("i"), (F.col("u") / F.col("nrm")).alias("v"))
+        )
+    lam = (
+        cov.join(F.broadcast(v.select(F.col("i").alias("ci"), F.col("v").alias("va"))), "ci")
+        .join(F.broadcast(v.select(F.col("i").alias("cj"), F.col("v").alias("vb"))), "cj")
+        .agg(F.sum(F.col("va") * F.col("c") * F.col("vb")).alias("lam"))
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .select(
+            F.col("i").cast("int").alias("dim"),
+            F.round("v", 6).alias("pc1"),
+            F.round("lam", 6).alias("eigenvalue"),
+        )
+    )
+
+
+q_pca_power_iteration.__doc__ = q_pca_power_iteration.__doc__.format(
+    dims=_PCA_DIMS, iters=_PCA_ITERS
+)

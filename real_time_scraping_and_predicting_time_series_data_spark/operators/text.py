@@ -405,3 +405,80 @@ def q_pipeline_clean_corpus(spark, sf_dir):
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS-style near-dup/plagiarism detector)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), g AS (
+        SELECT doc_id,
+               list_transform(range(1, len(w) - 1),
+                   i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT
+               ) AS h
+        FROM t WHERE len(w) >= 6
+    ), fp AS (
+        SELECT doc_id,
+               list_transform(range(1, len(h) - 2),
+                   j -> least(h[j], h[j+1], h[j+2], h[j+3])) AS fps
+        FROM g
+    )
+    SELECT DISTINCT doc_id, unnest(fps) AS fingerprint
+    FROM fp
+    """,
+    tags=("text", "fingerprint", "winnowing"),
+)
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    3-word shingle (60-bit md5), slide a window of 4 consecutive shingle
+    hashes, keep each window's minimum, emit the distinct (doc, fingerprint)
+    set. Guarantees every match of ≥ 6 consecutive words between two
+    documents shares a fingerprint — the classic sub-quadratic overlap
+    detector (candidates come from an equi-join on ``fingerprint``, like
+    the MinHash band join). Pure Catalyst HOFs over one scan: the shingle
+    hash array and window minima are per-row ``transform``s (no explode
+    until the final distinct), so the 100 TB cost is one scan + one
+    distinct shuffle of (doc, fp) pairs."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 2),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("w"), i),
+                        F.element_at(F.col("w"), i + 1),
+                        F.element_at(F.col("w"), i + 2),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    fps = F.transform(
+        F.sequence(F.lit(1), F.size("h") - 3),
+        lambda j: F.least(
+            F.element_at(F.col("h"), j),
+            F.element_at(F.col("h"), j + 1),
+            F.element_at(F.col("h"), j + 2),
+            F.element_at(F.col("h"), j + 3),
+        ),
+    )
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 6)
+        .select("doc_id", hashes.alias("h"))
+        .select("doc_id", F.explode(fps).alias("fingerprint"))
+        .distinct()
+    )

@@ -784,3 +784,143 @@ def q_ts_seasonal_decompose(spark, sf_dir):
     """Hour-of-day additive seasonal decomposition per user."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
     return seasonal_decompose(ev)
+
+
+@register(
+    "ts_changepoint_cusum_segments",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS vi
+        FROM events
+    ), st AS (
+        SELECT user_id, CAST(sum(vi) AS BIGINT) AS sv, count(*) AS n
+        FROM c GROUP BY user_id
+    ), keyed AS (
+        SELECT c.user_id, c.event_id, c.ts, c.vi,
+               c.vi - ((2 * st.sv + st.n) // (2 * st.n)) AS d
+        FROM c JOIN st USING (user_id)
+    ), psum AS (
+        SELECT user_id, event_id, ts, vi,
+               CAST(sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+        FROM keyed
+    ), pre AS (
+        SELECT user_id, event_id, ts, vi,
+               p - least(0, CAST(min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS s
+        FROM psum
+    ), flagged AS (
+        SELECT user_id, event_id, ts, vi, s,
+               CASE WHEN s >= 500 AND
+                         coalesce(lag(s) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) < 500
+                    THEN 1 ELSE 0 END AS crossing
+        FROM pre
+    ), seg AS (
+        SELECT user_id, event_id, ts, vi, s,
+               CAST(sum(crossing) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+        FROM flagged
+    )
+    SELECT user_id, segment_id,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           min(event_id) AS start_event,
+           max(event_id) AS end_event,
+           round(CAST(sum(vi) AS BIGINT) / (100.0 * count(*)), 6) AS seg_avg,
+           max(s) / 100.0 AS seg_max_cusum
+    FROM seg
+    GROUP BY user_id, segment_id
+    """,
+    tags=("timeseries", "cusum", "changepoint", "segments"),
+)
+def q_ts_changepoint_segments(spark, sf_dir):
+    """CUSUM changepoint segmentation per key: the drift statistic S_t (the
+    exact integer-cents closed form of ``ts_cusum_drift``: running sum of
+    deviations minus its running min) crosses the alarm threshold h=5.00
+    from below → a segment boundary; segment id = crossings so far; one
+    grouped aggregate emits per-segment extent and stats. Everything stays
+    in integer cents until the two final divisions, so the whole pipeline
+    — statistic, crossings, segment ids, sums — is bit-identical across
+    engines regardless of summation order. Scale shape: the same single
+    per-key hash partition serves all four window functions AND (via
+    partial aggregation) the segment rollup — one exchange total."""
+    ev = load_table(spark, sf_dir, "events")
+    evc = ev.withColumn("vi", F.round(F.col("value") * 100).cast("long"))
+    st = evc.groupBy("user_id").agg(F.sum("vi").alias("sv"), F.count("*").alias("n"))
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed = (
+        evc.join(F.broadcast(st), "user_id")
+        .withColumn("d", F.col("vi") - F.expr("(2 * sv + n) div (2 * n)"))
+        .withColumn("p", F.sum("d").over(w))
+        .withColumn("mn", F.min("p").over(w))
+        .withColumn("s", F.col("p") - F.least(F.lit(0).cast("long"), F.col("mn")))
+    )
+    flagged = keyed.withColumn(
+        "crossing",
+        F.when(
+            (F.col("s") >= 500) & (F.coalesce(F.lag("s").over(wo), F.lit(0)) < 500), 1
+        ).otherwise(0),
+    ).withColumn("segment_id", F.sum("crossing").over(w).cast("long"))
+    return flagged.groupBy("user_id", "segment_id").agg(
+        F.count("*").cast("long").alias("n_ticks"),
+        F.min("event_id").alias("start_event"),
+        F.max("event_id").alias("end_event"),
+        F.round(F.sum("vi").cast("long") / (100.0 * F.count("*")), 6).alias("seg_avg"),
+        (F.max("s") / 100.0).alias("seg_max_cusum"),
+    )
+
+
+@register(
+    "ts_acf",
+    oracle="""
+    WITH l AS (
+        SELECT user_id, value,
+               lag(value, 1) OVER w AS v1,
+               lag(value, 2) OVER w AS v2,
+               lag(value, 3) OVER w AS v3,
+               lag(value, 4) OVER w AS v4,
+               lag(value, 5) OVER w AS v5
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(1 AS INT) AS lag, round(corr(value, v1), 6) AS acf
+    FROM l GROUP BY user_id
+    UNION ALL
+    SELECT user_id, CAST(2 AS INT) AS lag, round(corr(value, v2), 6) AS acf
+    FROM l GROUP BY user_id
+    UNION ALL
+    SELECT user_id, CAST(3 AS INT) AS lag, round(corr(value, v3), 6) AS acf
+    FROM l GROUP BY user_id
+    UNION ALL
+    SELECT user_id, CAST(4 AS INT) AS lag, round(corr(value, v4), 6) AS acf
+    FROM l GROUP BY user_id
+    UNION ALL
+    SELECT user_id, CAST(5 AS INT) AS lag, round(corr(value, v5), 6) AS acf
+    FROM l GROUP BY user_id
+    """,
+    tags=("timeseries", "acf", "stats"),
+)
+def q_ts_acf(spark, sf_dir):
+    """Per-key autocorrelation function at lags 1..5 (lag-pair Pearson
+    corr) — the seasonality/AR-order diagnostic that decides the
+    forecaster's window length (the reference hard-codes sequence_length=10,
+    ``lvmh_forecaster2.py:30``; ACF is how you'd choose it from data).
+    One window pass computes all five lag columns (single per-key sort),
+    one grouped aggregation computes all five corrs; the lag→row unpivot
+    happens on the 5-column aggregate (150 rows), not the tick stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "value",
+        *[F.lag("value", k).over(w).alias(f"v{k}") for k in range(1, 6)],
+    )
+    agg = lagged.groupBy("user_id").agg(
+        *[F.round(F.corr("value", f"v{k}"), 6).alias(f"acf{k}") for k in range(1, 6)]
+    )
+    return agg.select(
+        "user_id",
+        F.expr(
+            "stack(5, 1, acf1, 2, acf2, 3, acf3, 4, acf4, 5, acf5) AS (lag, acf)"
+        ),
+    ).select("user_id", F.col("lag").cast("int").alias("lag"), "acf")

@@ -72,6 +72,7 @@ _QUERY_MODULES = (
     "real_time_scraping_and_predicting_time_series_data_spark.operators.skew",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.rangejoin",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.tickbars",
+    "real_time_scraping_and_predicting_time_series_data_spark.operators.graph",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.quality",
     "real_time_scraping_and_predicting_time_series_data_spark.ml.forecast",
     "real_time_scraping_and_predicting_time_series_data_spark.ml.mllib_forecast",
@@ -121,23 +122,18 @@ _FRONT = (
     # (c) r4 new surface (registered this round; names appended as built —
     # unknown names in this tuple are skipped harmlessly)
     "sim_ivf_topk_seeded",
-    "ann_hnsw_layered_probe",
-    "dedup_ngram_jaccard",
-    "text_langid_ngram",
-    "text_rolling_fingerprint",
-    "graph_user_copurchase_pagerank",
-    "stream_cdc_scd2_merge",
     "ts_kalman_filter_1d",
-    "ts_stl_robust_decompose",
     "ts_changepoint_cusum_segments",
-    "corpus_dedup_pipeline_report",
-    "events_funnel_attribution",
+    "text_winnow_fingerprint",
+    "graph_copurchase_pagerank",
     "embedding_pq_codebook",
-    "sketch_tdigest_quantiles",
+    "corpus_dedup_pipeline_report",
     "sketch_bloom_membership",
-    "ts_anomaly_zscore_ensemble",
     "ml_ridge_closed_form",
     "ml_pca_power_iteration",
+    "dedup_char_ngram_jaccard",
+    "dq_snapshot_diff",
+    "ts_acf",
 )
 
 

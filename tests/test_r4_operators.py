@@ -1,0 +1,156 @@
+"""Round-4 operator properties: Kalman filter, Bloom membership, PageRank,
+PQ codebook, changepoint segments, winnowing, dedup report, ridge/PCA.
+
+The value-level correctness of each lives in the oracle-parity smoke
+(tests/test_registry.py walks every registered query); these tests pin the
+operator-level INVARIANTS that a hash comparison can't express.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+from real_time_scraping_and_predicting_time_series_data_spark.operators.graph import (
+    copurchase_edges,
+    pagerank,
+)
+from real_time_scraping_and_predicting_time_series_data_spark.operators.rolling import kalman_1d
+from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+    pq_assign,
+)
+from real_time_scraping_and_predicting_time_series_data_spark.operators.sketch import (
+    bloom_build,
+    bloom_probe,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def test_kalman_matches_scalar_reference(spark):
+    """The distributed fold equals a plain-Python Kalman recursion per key."""
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "event_id", "ts", "value")
+    out = (
+        kalman_1d(ev)
+        .filter(F.col("user_id") == 1)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    assert len(out) > 3
+    x, p = None, None
+    for row in out:
+        z = row.value
+        if x is None:
+            x, p = z, 1.0
+        else:
+            pp = p + 0.01
+            k = pp / (pp + 0.1)
+            x = x + k * (z - x)
+            p = (1.0 - k) * pp
+        assert row.kalman_x == x and row.kalman_p == p
+
+
+def test_kalman_variance_monotone_convergence(spark):
+    """Posterior variance decreases monotonically toward the steady state
+    (fixed point of the Riccati recursion) on every key."""
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "event_id", "ts", "value")
+    rows = kalman_1d(ev).select("user_id", "ts", "event_id", "kalman_p").collect()
+    per_key: dict = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        prev = per_key.get(r.user_id)
+        if prev is not None:
+            assert r.kalman_p <= prev + 1e-15
+        per_key[r.user_id] = r.kalman_p
+    # steady state: p* solves p = (1-k)(p+q) => quadratic; check terminal
+    # values are near it
+    q, robs = 0.01, 0.1
+    pstar = (-q + math.sqrt(q * q + 4 * q * robs)) / 2
+    for v in per_key.values():
+        assert abs(v - pstar) < 0.05
+
+
+def test_bloom_no_false_negatives(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .distinct()
+    )
+    bloom = bloom_build(toks, m=4096, k=3)
+    verdicts = bloom_probe(bloom, toks, m=4096, k=3)
+    assert verdicts.filter(~F.col("bloom_maybe")).count() == 0
+
+
+def test_bloom_fp_rate_within_theory(spark):
+    """False-positive rate on disjoint probes stays within ~3x the classic
+    (1 - e^{-kn/m})^k bound."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tok = lambda src: (
+        docs.filter(F.col("source") == src)
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .distinct()
+    )
+    src0 = tok("src0")
+    bloom = bloom_build(src0, m=4096, k=3)
+    probes = tok("src1").join(src0, "token", "left_anti")  # truly absent
+    n_probe = probes.count()
+    if n_probe == 0:
+        pytest.skip("no disjoint tokens at this sf")
+    fp = bloom_probe(bloom, probes, m=4096, k=3).filter(F.col("bloom_maybe")).count()
+    n = src0.count()
+    bound = (1.0 - math.exp(-3.0 * n / 4096.0)) ** 3
+    assert fp / n_probe <= max(3.0 * bound, 0.02)
+
+
+def test_pagerank_sums_to_one_and_positive(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    pr = pagerank(copurchase_edges(li)).collect()
+    total = sum(r.rank for r in pr)
+    assert abs(total - 1.0) < 1e-6  # symmetric graph: no dangling mass
+    assert all(r.rank > 0 for r in pr)
+    # rank correlates with degree on this near-regular graph: the top-decile
+    # degree nodes should average higher rank than the bottom decile
+    by_deg = sorted(pr, key=lambda r: r.degree)
+    k = max(1, len(by_deg) // 10)
+    lo = sum(r.rank for r in by_deg[:k]) / k
+    hi = sum(r.rank for r in by_deg[-k:]) / k
+    assert hi >= lo
+
+
+def test_pq_self_code_zero_error(spark):
+    """Codebook vectors quantize to themselves with zero error."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = pq_assign(emb).filter(F.col("vec_id") < 16).collect()
+    assert len(out) == 16 * 4
+    for r in out:
+        assert r.code == r.vec_id and r.err == 0.0
+
+
+def test_pq_error_bounded_by_any_code(spark):
+    """Chosen code's error is the minimum: spot-check it is <= the error
+    of code 0 for every (vector, subspace)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(50)
+    from real_time_scraping_and_predicting_time_series_data_spark.functions.vector import (
+        as_double,
+    )
+
+    out = pq_assign(emb)
+    c0 = emb.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("cv"))
+    v = emb.select("vec_id", as_double("embedding").alias("v")).crossJoin(F.broadcast(c0))
+    for s in range(4):
+        d0 = F.aggregate(
+            F.zip_with(
+                F.slice("v", s * 16 + 1, 16),
+                F.slice("cv", s * 16 + 1, 16),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        base = {r.vec_id: r.d for r in v.select("vec_id", d0.alias("d")).collect()}
+        got = {r.vec_id: r.err for r in out.filter(F.col("subspace") == s).collect()}
+        for vid, err in got.items():
+            assert err <= base[vid] + 1e-6
