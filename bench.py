@@ -86,8 +86,18 @@ HEADLINE = [
     "events_key_skew_profile",
     "sim_lsh_topk",
     "pipeline_pretraining_corpus",
-    # r4 additions: the oracle-checked IVF serving path.
+    # r4 additions: the oracle-checked IVF serving path + the new operator
+    # families most likely to regress (folds, HOF pipelines, iterative
+    # joins).
     "sim_ivf_topk_seeded",
+    "ts_kalman_filter_1d",
+    "ts_changepoint_cusum_segments",
+    "text_winnow_fingerprint",
+    "graph_copurchase_pagerank",
+    "embedding_pq_codebook",
+    "sketch_bloom_membership",
+    "corpus_dedup_pipeline_report",
+    "dedup_char_ngram_jaccard",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -32,12 +32,16 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     — co-occurrence within a key, never across the corpus."""
     a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    return (
+    # Dedup only the src<dst half (halves the distinct's shuffle volume),
+    # then mirror — the union is a cheap narrow op and the result is the
+    # same symmetric set. Both self-join sides are one reused exchange.
+    half = (
         a.join(b, "ok")
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
+    return half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
 def pagerank(edges: DataFrame, damp: float = _DAMP, iters: int = _ITERS) -> DataFrame:

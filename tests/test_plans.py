@@ -278,3 +278,36 @@ def test_quantize_no_shuffle_prunes_label(spark):
     body = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
     assert body.count("Exchange") == 0, body
     assert "label" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_pq_assign_is_projection_no_shuffle(spark):
+    """PQ code assignment must stay a broadcast-model projection: no
+    Exchange between the parquet scan and the argmin (the codes row is a
+    BroadcastExchange of the one-row collect_list aggregate)."""
+    plan = _plan(spark, "embedding_pq_codebook")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # corpus side shuffles zero times: no hash-partitioned Exchange anywhere
+    # — the only Exchange is the SinglePartition one feeding the 1-row
+    # codes aggregate.
+    assert "Exchange hashpartitioning" not in plan
+    assert "Arguments: SinglePartition" in plan
+
+
+def test_winnow_single_distinct_shuffle(spark):
+    """Winnowing: gram hashing and window minima are per-row HOFs; the only
+    hash Exchange is the final (doc, fingerprint) distinct."""
+    plan = _plan(spark, "text_winnow_fingerprint")
+    n_hash_exchanges = plan.count("Arguments: hashpartitioning")
+    assert n_hash_exchanges == 1, plan
+
+
+def test_changepoint_single_key_exchange(spark):
+    """All four window functions and the segment rollup share ONE per-key
+    hash partitioning (plus the broadcast of the per-key mean)."""
+    plan = _plan(spark, "ts_changepoint_cusum_segments")
+    args = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    # one exchange for the window/window/rollup chain, one for the per-key
+    # stats aggregate feeding the broadcast — both on user_id
+    assert len(args) <= 2, args
+    assert all("user_id" in l for l in args), args
