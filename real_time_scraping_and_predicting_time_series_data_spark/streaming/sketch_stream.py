@@ -1,0 +1,77 @@
+"""Incremental count-min sketch over a document stream — the streaming
+proof of the sketch's MERGEABILITY (operators/sketch.py): each micro-batch
+builds its own (seed, bucket, n) counter table; the served sketch is the
+sum-merge of every batch's counters, and equals the batch-built sketch of
+the full corpus exactly (counter addition is associative + commutative).
+
+Idempotence follows the corpus_ingest pattern: each batch's counters land
+in a ``batch_id=<id>`` directory via staging-rename, so an at-least-once
+replay overwrites its own directory instead of double-counting. At 100 TB
+the per-batch sketch is ≤ depth·width rows regardless of batch size — the
+merge cost never grows with history.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketch import cms_build
+
+__all__ = ["CmsStreamAccumulator"]
+
+
+class CmsStreamAccumulator:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        text_col: str = "text",
+        depth: int = 4,
+        width: int = 1024,
+    ) -> None:
+        self.spark = spark
+        self.store_dir = store_dir
+        self.text_col = text_col
+        self.depth = depth
+        self.width = width
+        os.makedirs(store_dir, exist_ok=True)
+
+    def _batch_dir(self, batch_id: int) -> str:
+        return os.path.join(self.store_dir, f"batch_id={batch_id}")
+
+    def ingest_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch hook: build this batch's counter table and publish
+        it under its batch_id (staging-rename → replay overwrites, never
+        double-counts)."""
+        tokens = batch_df.select(
+            F.explode(F.split(F.trim(F.col(self.text_col)), r"\s+")).alias("token")
+        )
+        sketch = cms_build(tokens, depth=self.depth, width=self.width)
+        staging = os.path.join(self.store_dir, f"_staging_{batch_id}")
+        sketch.coalesce(1).write.mode("overwrite").parquet(staging)
+        final = self._batch_dir(batch_id)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(staging, final)
+
+    def attach(self, stream_df: DataFrame, checkpoint: str):
+        return (
+            stream_df.writeStream.foreachBatch(
+                lambda df, bid: self.ingest_batch(df, bid)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def serve(self) -> DataFrame:
+        """The merged sketch: union of per-batch counters + one grouped
+        sum — identical to the batch-built sketch of everything ingested."""
+        merged = self.spark.read.option("basePath", self.store_dir).parquet(
+            self.store_dir + "/batch_id=*"
+        )
+        return merged.groupBy("seed", "bucket").agg(F.sum("n").alias("n"))

@@ -268,3 +268,72 @@ try:  # Spark >= 4.0, and protobuf present (the state-protocol wire format
     __all__.append("streaming_ticks_tws")
 except ImportError:  # pragma: no cover - Spark 3.x / no protobuf
     streaming_ticks_tws = None
+
+
+# ---------------------------------------------------------------------------
+# Stateful 1-D Kalman filter: O(1) state per key
+# ---------------------------------------------------------------------------
+
+_KF_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("kalman_x", T.DoubleType()),
+        T.StructField("kalman_p", T.DoubleType()),
+    ]
+)
+
+_KF_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("x", T.DoubleType()),
+        T.StructField("p", T.DoubleType()),
+    ]
+)
+
+
+def streaming_kalman_1d(ticks: DataFrame, q: float = 0.01, r: float = 0.1) -> DataFrame:
+    """Streaming twin of ``operators/rolling.py::kalman_1d`` — the same IEEE
+    recurrence (bit-identical outputs under in-order delivery) with (x, P)
+    carried in the state store per key: O(1) state, unbounded stream. The
+    chunk handling mirrors the other gates: concatenate + sort once per
+    key per micro-batch (``_collect_batch``)."""
+    qv, rv = float(q), float(r)
+
+    def gate(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        x, p = state.get if state.exists else (None, None)
+        pdf = _collect_batch(pdfs)
+        if pdf is None:
+            if x is not None:
+                state.update((x, p))
+            return
+        rows = []
+        for r_ in pdf.itertuples(index=False):
+            z = float(r_.value)
+            if x is None:
+                x, p = z, 1.0
+            else:
+                pp = p + qv
+                k = pp / (pp + rv)
+                x = x + k * (z - x)
+                p = (1.0 - k) * pp
+            rows.append((user_id, int(r_.event_id), r_.ts, z, x, p))
+        state.update((x, p))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts", "value", "kalman_x", "kalman_p"]
+        )
+
+    return ticks.groupBy("user_id").applyInPandasWithState(
+        gate,
+        outputStructType=_KF_OUT_SCHEMA,
+        stateStructType=_KF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__.append("streaming_kalman_1d")

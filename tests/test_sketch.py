@@ -88,3 +88,59 @@ def test_hll_distinct_within_rsd_of_exact(spark):
     for etype, est in approx.items():
         # rsd=1% → allow 5 standard-error widths before calling it broken
         assert abs(est - exact[etype]) <= max(1, 0.05 * exact[etype]), (etype, est, exact[etype])
+
+
+def test_cms_stream_merge_equals_batch(spark, tmp_path):
+    """Streamed per-batch sketches, sum-merged, equal the batch-built
+    sketch of the whole corpus exactly — the mergeability contract that
+    makes the sketch a valid distributed/incremental aggregate. Includes
+    an at-least-once replay (same batch twice) to pin idempotence."""
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.sketch import (
+        cms_build,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.sketch_stream import (
+        CmsStreamAccumulator,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    acc = CmsStreamAccumulator(spark, str(tmp_path / "cms_store"))
+    acc.ingest_batch(docs.filter(F.col("doc_id") <= half), batch_id=0)
+    acc.ingest_batch(docs.filter(F.col("doc_id") > half), batch_id=1)
+    # replay batch 1 (at-least-once delivery) — must not double count
+    acc.ingest_batch(docs.filter(F.col("doc_id") > half), batch_id=1)
+
+    tokens = docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+    want = {
+        (r.seed, r.bucket): r.n for r in cms_build(tokens, depth=4, width=1024).collect()
+    }
+    got = {(r.seed, r.bucket): r.n for r in acc.serve().collect()}
+    assert got == want
+
+
+def test_cms_stream_attach_availablenow(spark, tmp_path):
+    """End-to-end through writeStream.foreachBatch."""
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.sketch import (
+        cms_build,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.sketch_stream import (
+        CmsStreamAccumulator,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+    acc = CmsStreamAccumulator(spark, str(tmp_path / "store"))
+    q = acc.attach(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    tokens = docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+    want = sorted(
+        (r.seed, r.bucket, r.n) for r in cms_build(tokens, depth=4, width=1024).collect()
+    )
+    got = sorted((r.seed, r.bucket, r.n) for r in acc.serve().collect())
+    assert got == want

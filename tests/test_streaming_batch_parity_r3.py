@@ -162,3 +162,48 @@ def test_ohlc_stream_parity(spark, tmp_path):
             assert got[k][5] is None
         else:
             assert got[k][5] == pytest.approx(v[5], abs=1e-6)
+
+
+def test_kalman_stateful_stream_parity(spark, tmp_path):
+    """The stateful Kalman gate must be BIT-identical to the batch fold
+    across a real micro-batch boundary (same two-file replay as the
+    Holt-Winters parity test)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.rolling import (
+        kalman_1d,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.stateful import (
+        streaming_kalman_1d,
+    )
+
+    ev = load_table(spark, SF, "events").select("user_id", "event_id", "ts", "value")
+    mid = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    src = str(tmp_path / "kf_src")
+    ev.filter(F.unix_micros("ts") <= mid).coalesce(1).write.mode("overwrite").parquet(
+        src + "/f0"
+    )
+    ev.filter(F.unix_micros("ts") > mid).coalesce(1).write.mode("overwrite").parquet(
+        src + "/f1"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    q = (
+        streaming_kalman_1d(stream)
+        .writeStream.format("memory")
+        .queryName("kf_par")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "kf_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.event_id: (r.kalman_x, r.kalman_p)
+        for r in spark.sql("SELECT * FROM kf_par").collect()
+    }
+    want = {r.event_id: (r.kalman_x, r.kalman_p) for r in kalman_1d(ev).collect()}
+    assert len(got) == len(want) >= 1000
+    assert got == want  # bit-identical, including across the batch boundary
