@@ -494,3 +494,55 @@ def q_dedup_pipeline_report(spark, sf_dir):
         F.sum("n_tokens").cast("long").alias("tokens_before"),
         F.coalesce(F.sum(final_tok), F.lit(0)).cast("long").alias("tokens_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Normalization-aware exact dedup uplift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_normalize_dedup_uplift",
+    oracle="""
+    WITH n AS (
+        SELECT source,
+               md5(text) AS raw_h,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS norm_h
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT raw_h) AS BIGINT) AS distinct_raw,
+           CAST(count(DISTINCT norm_h) AS BIGINT) AS distinct_normalized,
+           CAST(count(DISTINCT raw_h) - count(DISTINCT norm_h) AS BIGINT)
+               AS dedup_uplift
+    FROM n GROUP BY source
+    """,
+    tags=("text", "dedup", "normalize", "quality"),
+)
+def q_text_normalize_uplift(spark, sf_dir):
+    """How many additional exact duplicates canonical text normalization
+    (lowercase → strip non-alphanumerics → collapse whitespace) exposes,
+    per source — the standard pre-dedup step in corpus construction, with
+    its payoff quantified before committing to it. Pure string expressions
+    + one grouped distinct-count; the ASCII-only normalization regex is
+    identical on both engines."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    norm = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+            )
+        )
+    )
+    n = docs.select("source", F.md5("text").alias("raw_h"), norm.alias("norm_h"))
+    return n.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("raw_h").cast("long").alias("distinct_raw"),
+        F.countDistinct("norm_h").cast("long").alias("distinct_normalized"),
+        (F.countDistinct("raw_h") - F.countDistinct("norm_h"))
+        .cast("long")
+        .alias("dedup_uplift"),
+    )

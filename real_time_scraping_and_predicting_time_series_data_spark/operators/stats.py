@@ -6,6 +6,7 @@ ml/ forecasters), histograms, ordered collection aggregation.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -488,3 +489,149 @@ def q_pca_power_iteration(spark, sf_dir):
 q_pca_power_iteration.__doc__ = q_pca_power_iteration.__doc__.format(
     dims=_PCA_DIMS, iters=_PCA_ITERS
 )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift statistic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_ks_drift",
+    oracle="""
+    WITH tagged AS (
+        SELECT n_chars AS v,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS a,
+               CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS b
+        FROM documents WHERE source IN ('src0', 'src1')
+    ), tot AS (
+        SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM tagged
+    ), g AS (
+        SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+        FROM tagged GROUP BY v
+    ), c AS (
+        SELECT v,
+               CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+               CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+        FROM g
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           max(abs(c.cuma * t.nb - c.cumb * t.na)) AS ks_num,
+           max(abs(c.cuma * t.nb - c.cumb * t.na)) / CAST(t.na * t.nb AS DOUBLE) AS ks_d
+    FROM c CROSS JOIN tot t
+    GROUP BY t.na, t.nb
+    """,
+    tags=("stats", "ks", "drift"),
+)
+def q_stats_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance between src0's and src1's
+    document-length distributions — the distribution-drift gate a corpus
+    pipeline runs before accepting a new data source. INTEGER-EXACT: the
+    supremum is computed as max |cumA·n_B − cumB·n_A| over the merged
+    distinct-value grid (ties handled by grouping first), so every
+    intermediate is a BIGINT and both engines agree bit-wise; the single
+    division at the end is one deterministic IEEE op. The global cumsum
+    runs over the distinct-VALUE relation (hundreds of rows), not the
+    documents — the one acceptable single-partition window."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    tagged = docs.select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("a"),
+        F.when(F.col("source") == "src1", 1).otherwise(0).alias("b"),
+    )
+    tot = tagged.agg(
+        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
+    )
+    g = tagged.groupBy("v").agg(
+        F.sum("a").cast("long").alias("ca"), F.sum("b").cast("long").alias("cb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = g.select(
+        "v",
+        F.sum("ca").over(w).cast("long").alias("cuma"),
+        F.sum("cb").over(w).cast("long").alias("cumb"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    num = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+    return j.groupBy("na", "nb").agg(
+        F.max(num).alias("ks_num"),
+        (F.max(num) / (F.col("na") * F.col("nb")).cast("double")).alias("ks_d"),
+    ).select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "ks_num", "ks_d"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-residual robust anomalies (STL-style residual + MAD)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_anomaly_stl_residual",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, value, CAST(round(value * 100) AS BIGINT) AS vi,
+               CAST(hour(ts) AS INT) AS hr
+        FROM events
+    ), seas AS (
+        SELECT user_id, hr,
+               CAST(sum(vi) AS BIGINT) / (100.0 * count(*)) AS s
+        FROM c GROUP BY user_id, hr
+    ), resid AS (
+        SELECT c.user_id, c.value - s.s AS r
+        FROM c JOIN seas s ON s.user_id = c.user_id AND s.hr = c.hr
+    ), med AS (
+        SELECT user_id, median(r) AS med FROM resid GROUP BY user_id
+    ), dev AS (
+        SELECT r.user_id, abs(r.r - m.med) AS adev
+        FROM resid r JOIN med m USING (user_id)
+    ), mad AS (
+        SELECT user_id, median(adev) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(min(m.mad), 6) AS resid_mad,
+           CAST(count(*) FILTER (WHERE d.adev > 3 * 1.4826 * m.mad) AS BIGINT)
+               AS n_anomalies
+    FROM dev d JOIN mad m USING (user_id)
+    GROUP BY d.user_id
+    """,
+    tags=("stats", "timeseries", "anomaly", "seasonal"),
+)
+def q_ts_anomaly_stl_residual(spark, sf_dir):
+    """Seasonality-aware robust anomaly counts: subtract the per-(key,
+    hour-of-day) seasonal mean (computed from exact integer-cent sums —
+    bit-reproducible regardless of summation order, same trick as
+    ``ts_seasonal_decompose``), then apply the MAD robust z-score to the
+    residuals. Catches off-season spikes that the raw-value detectors
+    (``ts_anomaly_zscore``, ``ts_mad_outliers``) miss because the seasonal
+    swing inflates their scale estimate. All shuffles are key-partitioned;
+    medians aggregate per key."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id",
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("vi"),
+        F.hour("ts").cast("int").alias("hr"),
+    )
+    seas = c.groupBy("user_id", "hr").agg(
+        (F.sum("vi").cast("long") / (100.0 * F.count("*"))).alias("s")
+    )
+    resid = c.join(seas, ["user_id", "hr"]).select(
+        "user_id", (F.col("value") - F.col("s")).alias("r")
+    )
+    med = resid.groupBy("user_id").agg(F.percentile("r", 0.5).alias("med"))
+    dev = resid.join(med, "user_id").select(
+        "user_id", F.abs(F.col("r") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("user_id").agg(F.percentile("adev", 0.5).alias("mad"))
+    d = dev.join(mad, "user_id")
+    return d.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.round(F.min("mad"), 6).alias("resid_mad"),
+        F.sum(F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_anomalies"),
+    )

@@ -134,6 +134,9 @@ _FRONT = (
     "dedup_char_ngram_jaccard",
     "dq_snapshot_diff",
     "ts_acf",
+    "stats_ks_drift",
+    "ts_anomaly_stl_residual",
+    "text_normalize_dedup_uplift",
 )
 
 
