@@ -200,3 +200,51 @@ def q_type_cooccurrence(spark, sf_dir):
     return pairs.groupBy(
         F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b")
     ).agg(F.count("*").cast("long").alias("n_users"))
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+        SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY e1 || '>' || e2 || '>' || e3
+    )
+    SELECT path, CAST(n AS BIGINT) AS n_occurrences,
+           CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank
+    FROM paths
+    QUALIFY rank <= 20
+    """,
+    tags=("events", "sequence", "paths"),
+)
+def q_events_top_paths(spark, sf_dir):
+    """Top-20 length-3 event-type paths across all users (the Sankey /
+    user-journey mining primitive): two leads over the per-user ordering
+    window build every consecutive triple, one grouped count ranks them.
+    The path relation is at most |types|³ rows (125 here) regardless of
+    corpus size, so the global ranking is a TakeOrdered over a tiny
+    aggregate — the per-user window is the only data-sized shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count("*").alias("n"))
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        paths.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("path", F.col("n").cast("long").alias("n_occurrences"), "rank")
+    )

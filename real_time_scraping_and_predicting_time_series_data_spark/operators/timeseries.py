@@ -924,3 +924,93 @@ def q_ts_acf(spark, sf_dir):
             "stack(5, 1, acf1, 2, acf2, 3, acf3, 4, acf4, 5, acf5) AS (lag, acf)"
         ),
     ).select("user_id", F.col("lag").cast("int").alias("lag"), "acf")
+
+
+@register(
+    "ts_sax_words",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS vi
+        FROM events
+    ), seg AS (
+        SELECT user_id, vi,
+               ntile(8) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg
+        FROM c
+    ), paa AS (
+        SELECT user_id, seg,
+               CAST(sum(vi) AS BIGINT) / (100.0 * count(*)) AS paa
+        FROM seg GROUP BY user_id, seg
+    ), st AS (
+        SELECT user_id,
+               CAST(sum(vi) AS BIGINT) / (100.0 * count(*)) AS mu,
+               sqrt((CAST(sum(vi * vi) AS BIGINT) / 10000.0) / count(*)
+                    - (CAST(sum(vi) AS BIGINT) / (100.0 * count(*)))
+                      * (CAST(sum(vi) AS BIGINT) / (100.0 * count(*)))) AS sd
+        FROM seg GROUP BY user_id
+    ), sym AS (
+        SELECT p.user_id, p.seg,
+               CASE WHEN (p.paa - s.mu) / s.sd < -0.6745 THEN 'a'
+                    WHEN (p.paa - s.mu) / s.sd < 0 THEN 'b'
+                    WHEN (p.paa - s.mu) / s.sd < 0.6745 THEN 'c'
+                    ELSE 'd' END AS sym,
+               s.sd AS sd
+        FROM paa p JOIN st s USING (user_id)
+    )
+    SELECT user_id,
+           string_agg(sym, '' ORDER BY seg) AS sax_word,
+           round(min(sd), 6) AS value_sd
+    FROM sym GROUP BY user_id
+    """,
+    tags=("timeseries", "sax", "symbolic"),
+)
+def q_ts_sax_words(spark, sf_dir):
+    """SAX symbolization (the classic symbolic time-series representation):
+    split each key's ordered series into 8 equal-count segments (ntile),
+    PAA = per-segment mean, z-normalize against the key's own mean/std,
+    discretize by the 4-letter Gaussian breakpoints (±0.6745, 0) and
+    concatenate into the key's 8-character SAX word — the index key for
+    motif discovery / whole-series similarity at 100 TB (words are tiny,
+    join-able, and distance lower-bounds Euclidean). Every mean/variance
+    comes from exact integer-cent sums, so the z-scores, letters and words
+    are bit-identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id", "ts", "event_id", F.round(F.col("value") * 100).cast("long").alias("vi")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = c.select("user_id", "vi", F.ntile(8).over(w).alias("seg"))
+    paa = seg.groupBy("user_id", "seg").agg(
+        (F.sum("vi").cast("long") / (100.0 * F.count("*"))).alias("paa")
+    )
+    mu = F.sum("vi").cast("long") / (100.0 * F.count("*"))
+    st = seg.groupBy("user_id").agg(
+        mu.alias("mu"),
+        F.sqrt(
+            (F.sum(F.col("vi") * F.col("vi")).cast("long") / 10000.0) / F.count("*")
+            - mu * mu
+        ).alias("sd"),
+    )
+    z = (F.col("paa") - F.col("mu")) / F.col("sd")
+    sym = (
+        paa.join(st, "user_id")
+        .select(
+            "user_id",
+            "seg",
+            F.when(z < -0.6745, "a")
+            .when(z < 0, "b")
+            .when(z < 0.6745, "c")
+            .otherwise("d")
+            .alias("sym"),
+            "sd",
+        )
+    )
+    return sym.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "sym"))),
+                lambda s: s.getField("sym"),
+            ),
+        ).alias("sax_word"),
+        F.round(F.min("sd"), 6).alias("value_sd"),
+    )

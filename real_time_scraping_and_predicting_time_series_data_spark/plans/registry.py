@@ -137,6 +137,8 @@ _FRONT = (
     "stats_ks_drift",
     "ts_anomaly_stl_residual",
     "text_normalize_dedup_uplift",
+    "ts_sax_words",
+    "events_top_paths",
 )
 
 
