@@ -825,7 +825,7 @@ def q_ts_seasonal_decompose(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_ticks,
            min(event_id) AS start_event,
            max(event_id) AS end_event,
-           round(CAST(sum(vi) AS BIGINT) / (100.0 * count(*)), 6) AS seg_avg,
+           floor(CAST(sum(vi) AS BIGINT) / (100.0 * count(*)) * 1000000 + 0.5) / 1000000 AS seg_avg,
            max(s) / 100.0 AS seg_max_cusum
     FROM seg
     GROUP BY user_id, segment_id
@@ -865,7 +865,7 @@ def q_ts_changepoint_segments(spark, sf_dir):
         F.count("*").cast("long").alias("n_ticks"),
         F.min("event_id").alias("start_event"),
         F.max("event_id").alias("end_event"),
-        F.round(F.sum("vi").cast("long") / (100.0 * F.count("*")), 6).alias("seg_avg"),
+        (F.floor(F.sum("vi").cast("long") / (100.0 * F.count("*")) * 1000000 + 0.5) / 1000000).alias("seg_avg"),
         (F.max("s") / 100.0).alias("seg_max_cusum"),
     )
 
