@@ -98,6 +98,11 @@ HEADLINE = [
     "sketch_bloom_membership",
     "corpus_dedup_pipeline_report",
     "dedup_char_ngram_jaccard",
+    "ts_sax_words",
+    "stats_ks_drift",
+    "ts_anomaly_stl_residual",
+    "events_top_paths",
+    "text_normalize_dedup_uplift",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with
