@@ -103,6 +103,8 @@ HEADLINE = [
     "ts_anomaly_stl_residual",
     "events_top_paths",
     "text_normalize_dedup_uplift",
+    "ts_lttb_downsample",
+    "ts_dtw_pairs",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

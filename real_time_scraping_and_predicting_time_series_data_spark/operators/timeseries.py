@@ -1014,3 +1014,310 @@ def q_ts_sax_words(spark, sf_dir):
         ).alias("sax_word"),
         F.round(F.min("sd"), 6).alias("value_sd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling (the industry-standard upgrade of W4)
+# ---------------------------------------------------------------------------
+
+
+def lttb_downsample(
+    df: DataFrame,
+    k: int = 10,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per key: keep first and
+    last points; split the interior into ``k-2`` equal-count buckets; in
+    each bucket keep the point maximizing the triangle area with the
+    PREVIOUSLY SELECTED point and the next bucket's centroid — the
+    shape-preserving visualization downsampler (vs the reference's
+    every-n-th thinning, ``lvmh_forecaster2.py:250-252``).
+
+    Selection is sequential (each pick depends on the previous), so it is
+    a per-key ``applyInPandas``; the area comparison runs in EXACT integer
+    arithmetic — x in key-relative epoch seconds, y in cents, and the
+    centroid division cleared by multiplying through by the next bucket's
+    count: A ∝ |(m·x_p − Sx)(y_c − y_p) − (x_p − x_c)(Sy − m·y_p)|.
+    Magnitude bound ≲ 2·10^15 at sf0.1 — BIGINT-safe; ties break to the
+    smallest ``tiebreak`` id. Keys with ≤ k points pass through whole.
+    """
+    prep = df.select(
+        F.col(key),
+        F.col(tiebreak),
+        F.col(ts),
+        F.col(value),
+        F.expr(f"unix_micros({ts}) div 1000000").alias("_xs"),
+        F.round(F.col(value) * 100).cast("long").alias("_y"),
+    )
+    out_schema = prep.select(key, tiebreak, value).schema
+
+    def fn(pdf):
+        pdf = pdf.sort_values([ts, tiebreak], ignore_index=True)
+        n = len(pdf)
+        if n <= k:
+            return pdf[[key, tiebreak, value]]
+        x0 = int(pdf["_xs"].min())
+        xs = [int(v) - x0 for v in pdf["_xs"]]
+        ys = [int(v) for v in pdf["_y"]]
+        eids = [int(v) for v in pdf[tiebreak]]
+        inner = k - 2
+        # bucket index per interior row i (0-based rn = i): b = 1 + ((i-1)*inner)//(n-2)
+        buckets: list[list[int]] = [[] for _ in range(k)]
+        buckets[0] = [0]
+        buckets[k - 1] = [n - 1]
+        for i in range(1, n - 1):
+            buckets[1 + ((i - 1) * inner) // (n - 2)].append(i)
+        sums = [
+            (sum(xs[i] for i in b), sum(ys[i] for i in b), len(b)) for b in buckets
+        ]
+        picked = [0]
+        prev = 0
+        for b in range(1, k - 1):
+            sx, sy, m = sums[b + 1]
+            xp, yp = xs[prev], ys[prev]
+            best, best_area, best_eid = None, -1, None
+            for i in buckets[b]:
+                area = abs((m * xp - sx) * (ys[i] - yp) - (xp - xs[i]) * (sy - m * yp))
+                if area > best_area or (area == best_area and eids[i] < best_eid):
+                    best, best_area, best_eid = i, area, eids[i]
+            picked.append(best)
+            prev = best
+        picked.append(n - 1)
+        return pdf.iloc[picked][[key, tiebreak, value]]
+
+    return prep.groupBy(key).applyInPandas(fn, schema=out_schema)
+
+
+__all__.append("lttb_downsample")
+
+
+@register(
+    "ts_lttb_downsample",
+    oracle="""
+    WITH RECURSIVE pts0 AS (
+        SELECT user_id, event_id, value,
+               CAST(round(value * 100) AS BIGINT) AS y,
+               epoch_us(ts) // 1000000 AS xs,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    ), small AS (
+        SELECT user_id, event_id, value FROM pts0 WHERE n <= 10
+    ), bk AS (
+        SELECT user_id, event_id, value, y, rn, n,
+               xs - min(xs) OVER (PARTITION BY user_id) AS x,
+               CASE WHEN rn = 1 THEN 0
+                    WHEN rn = n THEN 9
+                    ELSE 1 + ((rn - 2) * 8) // (n - 2) END AS b
+        FROM pts0 WHERE n > 10
+    ), nsum AS (
+        SELECT user_id, b,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(count(*) AS BIGINT) AS m
+        FROM bk GROUP BY user_id, b
+    ), sel(user_id, b, event_id, value, x, y) AS (
+        SELECT user_id, 0, event_id, value, x, y FROM bk WHERE b = 0
+        UNION ALL
+        SELECT s.user_id, s.b + 1,
+               max_by(c.event_id, lpad(CAST(abs((ns.m * s.x - ns.sx) * (c.y - s.y)
+                       - (s.x - c.x) * (ns.sy - ns.m * s.y)) AS VARCHAR), 20, '0')
+                   || lpad(CAST(9999999999 - c.event_id AS VARCHAR), 10, '0')),
+               max_by(c.value, lpad(CAST(abs((ns.m * s.x - ns.sx) * (c.y - s.y)
+                       - (s.x - c.x) * (ns.sy - ns.m * s.y)) AS VARCHAR), 20, '0')
+                   || lpad(CAST(9999999999 - c.event_id AS VARCHAR), 10, '0')),
+               max_by(c.x, lpad(CAST(abs((ns.m * s.x - ns.sx) * (c.y - s.y)
+                       - (s.x - c.x) * (ns.sy - ns.m * s.y)) AS VARCHAR), 20, '0')
+                   || lpad(CAST(9999999999 - c.event_id AS VARCHAR), 10, '0')),
+               max_by(c.y, lpad(CAST(abs((ns.m * s.x - ns.sx) * (c.y - s.y)
+                       - (s.x - c.x) * (ns.sy - ns.m * s.y)) AS VARCHAR), 20, '0')
+                   || lpad(CAST(9999999999 - c.event_id AS VARCHAR), 10, '0'))
+        FROM sel s
+        JOIN bk c ON c.user_id = s.user_id AND c.b = s.b + 1
+        JOIN nsum ns ON ns.user_id = s.user_id AND ns.b = s.b + 2
+        WHERE s.b < 8
+        GROUP BY s.user_id, s.b
+    )
+    SELECT user_id, event_id, value FROM sel
+    UNION ALL
+    SELECT user_id, event_id, value FROM bk WHERE b = 9
+    UNION ALL
+    SELECT user_id, event_id, value FROM small
+    """,
+    tags=("timeseries", "downsample", "lttb"),
+)
+def q_ts_lttb_downsample(spark, sf_dir):
+    """LTTB shape-preserving downsample to 10 points per key. The oracle
+    replays the full sequential selection via a recursive CTE threading
+    the previously-selected point per key, with the argmax expressed as
+    max_by over a zero-padded integer sort key (area desc, event_id asc)
+    — exact integer arithmetic end to end, so the selected point SET is
+    bit-identical across engines. Domain bound: event_id < 10^10 (same
+    contract as the tick-bar sort key) and |area| < 10^20."""
+    ev = load_table(spark, sf_dir, "events")
+    return lttb_downsample(ev, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic time warping distance between key pairs
+# ---------------------------------------------------------------------------
+
+_DTW_LEN = 24  # per-series length cap (first N ticks per key)
+_DTW_INF = 10**15  # boundary sentinel: >> any reachable path cost, no overflow
+
+
+def dtw_pair_distances(
+    df: DataFrame,
+    pairs: list[tuple[int, int]],
+    max_len: int = _DTW_LEN,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Exact dynamic-time-warping distance (|Δ| cost, no band) between the
+    first ``max_len`` ticks of each key pair — the classic elastic
+    whole-series similarity measure Spark has no operator for. Costs run
+    in integer cents, so the full DP is integer-exact.
+
+    Scale shape: each key reduces to ONE array row (ordered collect), the
+    pair table is a broadcast join of those rows, and each pair's O(n²)
+    DP runs vectorized-Python-side over its single row — work per pair is
+    bounded by ``max_len²``, and pairs parallelize across the cluster.
+    (A banded/windowed variant bounds it further; the cap is the
+    documented contract here.)"""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    users = sorted({u for p in pairs for u in p})
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    series = (
+        df.filter(F.col(key).isin(users))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_len)
+        .groupBy(key)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_rn").alias("rn"),
+                            F.round(F.col(value) * 100).cast("long").alias("y"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("y"),
+            ).alias("ys")
+        )
+    )
+    pairs_df = series.sparkSession.createDataFrame(
+        [(a, b) for a, b in pairs], f"user_a long, user_b long"
+    )
+    joined = (
+        pairs_df.join(
+            F.broadcast(series.select(F.col(key).alias("user_a"), F.col("ys").alias("ya"))),
+            "user_a",
+        )
+        .join(
+            F.broadcast(series.select(F.col(key).alias("user_b"), F.col("ys").alias("yb"))),
+            "user_b",
+        )
+    )
+    out_schema = StructType(
+        [
+            StructField("user_a", LongType()),
+            StructField("user_b", LongType()),
+            StructField("dtw_distance", DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ya = [int(v) for v in r.ya]
+                yb = [int(v) for v in r.yb]
+                na, nb = len(ya), len(yb)
+                prev = [0] + [_DTW_INF] * nb  # dp row 0
+                for i in range(1, na + 1):
+                    cur = [_DTW_INF] * (nb + 1)
+                    for j in range(1, nb + 1):
+                        cost = abs(ya[i - 1] - yb[j - 1])
+                        cur[j] = cost + min(prev[j - 1], prev[j], cur[j - 1])
+                    prev = cur
+                rows.append((int(r.user_a), int(r.user_b), prev[nb] / 100.0))
+            import pandas as pd
+
+            yield pd.DataFrame(rows, columns=["user_a", "user_b", "dtw_distance"])
+
+    return joined.mapInPandas(fn, schema=out_schema)
+
+
+__all__.append("dtw_pair_distances")
+
+_DTW_PAIRS = [(1, 2), (3, 4), (5, 6), (7, 8), (9, 10)]
+
+
+def _dtw_oracle(pairs=_DTW_PAIRS, max_len=_DTW_LEN, inf=_DTW_INF) -> str:
+    """DuckDB twin: the SAME DP replayed cell-by-cell in a recursive CTE.
+    State per iteration = the last nb+1 DP values (a rolling list buffer
+    in row-major order); cell t maps to (i, j) = (1+(t-1)//nb, 1+(t-1)%nb);
+    diag/up/left come from fixed buffer positions with boundary overrides.
+    All-integer arithmetic → bit-exact against the Spark-side DP."""
+    pair_rows = ", ".join(f"({a}, {b})" for a, b in pairs)
+    users = sorted({u for p in pairs for u in p})
+    user_list = ", ".join(str(u) for u in users)
+    return f"""
+    WITH RECURSIVE ranked AS (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id IN ({user_list})
+    ), series AS (
+        SELECT user_id, list(y ORDER BY rn) AS ys
+        FROM ranked WHERE rn <= {max_len} GROUP BY user_id
+    ), pair AS (
+        SELECT p.user_a, p.user_b, a.ys AS ya, b.ys AS yb,
+               len(a.ys) AS na, len(b.ys) AS nb
+        FROM (VALUES {pair_rows}) AS p(user_a, user_b)
+        JOIN series a ON a.user_id = p.user_a
+        JOIN series b ON b.user_id = p.user_b
+    ), dp(user_a, user_b, t, buf) AS (
+        SELECT user_a, user_b, 0,
+               list_prepend(CAST(0 AS BIGINT),
+                   [CAST({inf} AS BIGINT) FOR _ IN range(nb)])
+        FROM pair
+        UNION ALL
+        SELECT d.user_a, d.user_b, d.t + 1,
+               list_append(d.buf[2:],
+                   abs(p.ya[1 + d.t // p.nb] - p.yb[1 + d.t % p.nb]) + least(
+                       CASE WHEN d.t % p.nb = 0 AND d.t // p.nb > 0
+                            THEN {inf} ELSE d.buf[1] END,
+                       d.buf[2],
+                       CASE WHEN d.t % p.nb = 0 THEN {inf}
+                            ELSE d.buf[p.nb + 1] END))
+        FROM dp d JOIN pair p
+          ON p.user_a = d.user_a AND p.user_b = d.user_b
+        WHERE d.t < p.na * p.nb
+    )
+    SELECT CAST(d.user_a AS BIGINT) AS user_a,
+           CAST(d.user_b AS BIGINT) AS user_b,
+           d.buf[p.nb + 1] / 100.0 AS dtw_distance
+    FROM dp d JOIN pair p
+      ON p.user_a = d.user_a AND p.user_b = d.user_b
+    WHERE d.t = p.na * p.nb
+    """
+
+
+@register("ts_dtw_pairs", oracle=_dtw_oracle(), tags=("timeseries", "dtw", "similarity"))
+def q_ts_dtw_pairs(spark, sf_dir):
+    """DTW distance for five fixed key pairs over each key's first 24
+    ticks. The oracle replays the identical integer DP cell-by-cell via a
+    recursive CTE carrying a rolling (nb+1)-value buffer — the same
+    array-threading trick as the Holt-Winters oracle, extended to a 2-D
+    DP. Cell t (1-based) is (i, j) = (1+(t-1)//nb, 1+(t-1)%nb); in the
+    recursive step the previous iterate's t is t-1, so the indices appear
+    as 1 + t//nb and 1 + t%nb."""
+    ev = load_table(spark, sf_dir, "events")
+    return dtw_pair_distances(ev, _DTW_PAIRS, max_len=_DTW_LEN)

@@ -139,6 +139,8 @@ _FRONT = (
     "text_normalize_dedup_uplift",
     "ts_sax_words",
     "events_top_paths",
+    "ts_lttb_downsample",
+    "ts_dtw_pairs",
 )
 
 

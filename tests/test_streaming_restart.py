@@ -109,3 +109,53 @@ def test_holt_winters_state_survives_restart(spark, tmp_path):
         ).collect()
     }
     assert got == want  # bit-identical across the stop/restart boundary
+
+
+def test_kalman_state_survives_restart(spark, tmp_path):
+    """The (x, P) Kalman state must recover from the checkpoint: rows
+    ingested after a restart continue the recurrence bit-exactly where
+    the batch fold would be."""
+    import datetime as dt
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.rolling import (
+        kalman_1d,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.stateful import (
+        streaming_kalman_1d,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    all_rows = [
+        (i, t0 + dt.timedelta(minutes=i), 7, float(10 + (i * 3) % 7)) for i in range(12)
+    ]
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+
+    def run(rows, subdir):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/{subdir}"
+        )
+        q = (
+            streaming_kalman_1d(spark.readStream.schema(schema).parquet(src + "/*"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(all_rows[:7], "f0")
+    run(all_rows[7:], "f1")
+
+    got = {
+        r.event_id: (r.kalman_x, r.kalman_p)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.event_id: (r.kalman_x, r.kalman_p)
+        for r in kalman_1d(spark.createDataFrame(all_rows, schema)).collect()
+    }
+    assert len(got) == len(want) == 12
+    assert got == want
