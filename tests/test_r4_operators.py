@@ -154,3 +154,46 @@ def test_pq_error_bounded_by_any_code(spark):
         got = {r.vec_id: r.err for r in out.filter(F.col("subspace") == s).collect()}
         for vid, err in got.items():
             assert err <= base[vid] + 1e-6
+
+
+def test_lttb_counts_and_endpoints(spark):
+    """LTTB keeps exactly min(n, k) points per key and always retains the
+    first and last point of every key."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries import (
+        lttb_downsample,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    k = 5
+    out = lttb_downsample(ev, k=k)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.user_id, set()).add(r.event_id)
+    ends = {}
+    for r in ev.select("user_id", "event_id", "ts").collect():
+        cur = ends.setdefault(r.user_id, [])
+        cur.append((r.ts, r.event_id))
+    for uid, pts in ends.items():
+        pts.sort()
+        n = len(pts)
+        sel = got[uid]
+        assert len(sel) == min(n, k), uid
+        assert pts[0][1] in sel and pts[-1][1] in sel, uid
+
+
+def test_dtw_identity_and_symmetry(spark):
+    """dtw(a, a) == 0 and dtw(a, b) == dtw(b, a) (symmetric cost, no band)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries import (
+        dtw_pair_distances,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    d = {
+        (r.user_a, r.user_b): r.dtw_distance
+        for r in dtw_pair_distances(
+            ev, [(1, 1), (1, 2), (2, 1), (3, 4), (4, 3)], max_len=16
+        ).collect()
+    }
+    assert d[(1, 1)] == 0.0
+    assert d[(1, 2)] == d[(2, 1)] > 0
+    assert d[(3, 4)] == d[(4, 3)]
