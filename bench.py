@@ -105,6 +105,12 @@ HEADLINE = [
     "text_normalize_dedup_uplift",
     "ts_lttb_downsample",
     "ts_dtw_pairs",
+    # r4 second wave: compressed-domain ANN serving, graph structure
+    # mining, rank-based drift, robust trend.
+    "sim_pq_adc_topk",
+    "graph_triangle_counts",
+    "stats_mann_whitney",
+    "ts_theil_sen",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -115,3 +115,95 @@ def q_copurchase_pagerank(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     pr = pagerank(copurchase_edges(li))
     return pr.select("node", F.round("rank", 9).alias("pagerank"), "degree")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — cohesive-basket structure on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_TRI_SUPPORT = 2
+
+
+def strong_copurchase_half(lineitem: DataFrame, min_support: int = _TRI_SUPPORT) -> DataFrame:
+    """The ``src < dst`` half of the co-purchase graph restricted to STRONG
+    edges: part pairs that co-occur in at least ``min_support`` distinct
+    orders. The support filter is the practical prefilter for structure
+    mining on co-occurrence graphs — it drops the one-off hub noise that
+    makes raw co-occurrence graphs quadratically dense, and it is a pure
+    HAVING on the same grouped agg that dedups the pairs (no extra pass)."""
+    a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("_support"))
+        .filter(F.col("_support") >= min_support)
+        .select("src", "dst")
+    )
+
+
+def triangle_counts(half: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an id-oriented edge half
+    (``src < dst``): the standard two-join node-iterator — wedges from
+    ``e1(a,b) ⋈ e2(b,c)`` (``a<b<c`` by orientation), closed by probing
+    ``e3(a,c)``. Each triangle is generated exactly once, then credited to
+    all three corners. Returns (node, triangles).
+
+    Scale shape: the edge relation is checkpointed once and plays all three
+    join roles; both joins are equi-joins (on ``b``, then on ``(a,c)``) so
+    they hash-partition on real keys — no cross product anywhere. The wedge
+    count is Σ_b out(b)·in(b); on skewed graphs the classic refinement is
+    to orient edges from lower to higher (degree, id) instead of raw id,
+    which provably bounds out-degrees by O(sqrt(|E|)) — the same algorithm
+    with a different ORDER on nodes, kept out here because the support
+    filter already bounds degree on this graph."""
+    e = half.localCheckpoint(eager=False)
+    wedges = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(e.select(F.col("src").alias("b"), F.col("dst").alias("c")), "b")
+    )
+    tri = wedges.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("c")), ["a", "c"]
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").cast("long").alias("triangles"))
+
+
+@register(
+    "graph_triangle_counts",
+    oracle=f"""
+    WITH half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= {_TRI_SUPPORT}
+    ), tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM half e1
+        JOIN half e2 ON e1.dst = e2.src
+        JOIN half e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS triangles
+    FROM corners GROUP BY node
+    """,
+    tags=("graph", "triangles"),
+)
+def q_triangle_counts(spark, sf_dir):
+    """Per-part triangle participation on the strong (support >= 2)
+    co-purchase graph — the local-clustering signal behind "bought
+    together" bundles, and the graph-analytics companion to PageRank's
+    centrality. Exact integer counts end to end → full value-hash oracle.
+    Complements `graph_copurchase_pagerank` (reference forecasts one
+    entity; the extension surface mines cross-entity structure,
+    SURVEY.md §2.8)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return triangle_counts(strong_copurchase_half(li))

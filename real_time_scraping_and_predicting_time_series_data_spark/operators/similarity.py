@@ -649,3 +649,152 @@ def q_embedding_pq(spark, sf_dir):
     code id on both sides)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_assign(emb)
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance (ADC) top-k — serving over compressed codes
+# ---------------------------------------------------------------------------
+
+_ADC_QUERIES = 10
+_ADC_K = 5
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = _ADC_K,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the serving half of the
+    IVF-PQ stack (``embedding_pq_codebook`` is the compression half). Per
+    query, a lookup table of squared-L2 distances from each of its m=4
+    RAW sub-vectors to all k=16 codewords of that subspace is built
+    (|Q|·m·k rows — broadcast-tiny); a candidate's approximate distance is
+    then the SUM of m table lookups on its codes, never a touch of its raw
+    vector. That asymmetry (raw query vs coded corpus) is what lets a
+    billion-vector corpus serve from the 4-byte codes alone.
+
+    Scale shape: the corpus-sized side (`pq_assign` codes) joins the LUT
+    by broadcast on (subspace, code) — zero corpus shuffle to score; the
+    only exchanges are the (query_id, vec_id) partial-sum agg and the
+    per-query rank. At real scale the candidate set would first be cut by
+    IVF cell probing (`ivf_topk_seeded`) — composing the two is a filter
+    on the same codes relation.
+
+    Bit-parity: each LUT distance is the same fixed-order fold as
+    `pq_assign`, scaled to an integer (round(d·1e9) as BIGINT), so the
+    4-term sum is exact integer arithmetic — ranking and the value hash
+    cannot drift with summation order."""
+    cb = corpus.filter(F.col(id_col) < _PQ_K).select(
+        F.col(id_col).cast("int").alias("code"), as_double(F.col(vec)).alias("cv")
+    )
+    qx = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(F.col(vec)).alias("qv")
+    )
+    start = F.col("subspace") * _PQ_SUB + 1
+    d = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("qv"), start, _PQ_SUB),
+            F.slice(F.col("cv"), start, _PQ_SUB),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        qx.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id", "qv", "cv", "code",
+            F.explode(F.array(*[F.lit(s) for s in range(_PQ_M)])).alias("subspace"),
+        )
+        .select(
+            "query_id", "subspace", "code",
+            F.round(d * F.lit(1000000000.0)).cast("long").alias("pdi"),
+        )
+    )
+    codes = pq_assign(corpus, id_col=id_col, vec=vec).select(id_col, "subspace", "code")
+    adc = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("pdi").cast("long").alias("adci"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adci", id_col)
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(F.col("adci").cast("double") / F.lit(1000000000.0), 6).alias("adc"),
+            "rank",
+        )
+    )
+
+
+def _adc_oracle() -> str:
+    def fold(vname: str, s: int) -> str:
+        off = s * _PQ_SUB
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {_PQ_SUB + 1}), "
+            f"i -> ({vname}[{off} + i] - cv[{off} + i]) * ({vname}[{off} + i] - cv[{off} + i]))), "
+            "(acc, x) -> acc + x)"
+        )
+
+    assign_branches = "\n        UNION ALL ".join(
+        f"SELECT e.vec_id, {s} AS subspace, c.code, round({fold('v', s)}, 9) AS d\n"
+        "         FROM e CROSS JOIN codes c"
+        for s in range(_PQ_M)
+    )
+    lut_branches = "\n        UNION ALL ".join(
+        f"SELECT q.query_id, {s} AS subspace, c.code,\n"
+        f"                CAST(round({fold('qv', s)} * 1000000000.0) AS BIGINT) AS pdi\n"
+        "         FROM q CROSS JOIN codes c"
+        for s in range(_PQ_M)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    codes AS (
+        SELECT CAST(vec_id AS INT) AS code, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < {_PQ_K}
+    ), scored AS (
+        {assign_branches}
+    ), assign AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT vec_id, subspace, code,
+                   row_number() OVER (PARTITION BY vec_id, subspace
+                                      ORDER BY d, code) AS rn
+            FROM scored) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_ADC_QUERIES}
+    ), lut AS (
+        {lut_branches}
+    ), adc AS (
+        SELECT l.query_id, a.vec_id, CAST(sum(l.pdi) AS BIGINT) AS adci
+        FROM assign a JOIN lut l ON l.subspace = a.subspace AND l.code = a.code
+        WHERE a.vec_id <> l.query_id
+        GROUP BY l.query_id, a.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id,
+           round(CAST(adci AS DOUBLE) / 1000000000.0, 6) AS adc,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adci, vec_id) AS BIGINT) AS rank
+    FROM adc QUALIFY rank <= {_ADC_K}
+    """
+
+
+@register("sim_pq_adc_topk", oracle=_adc_oracle(), tags=("similarity", "pq", "ann"))
+def q_sim_pq_adc(spark, sf_dir):
+    """PQ asymmetric-distance top-5 for the first 10 vectors as queries —
+    the compressed-domain ANN serving path (score = sum of per-subspace
+    LUT lookups on 4-byte codes; corpus raw vectors are touched only at
+    compression time). Fully oracle-checked: integer-exact ADC sums make
+    ranking engine-independent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _ADC_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(emb, queries, k=_ADC_K)

@@ -635,3 +635,203 @@ def q_ts_anomaly_stl_residual(spark, sf_dir):
         .cast("long")
         .alias("n_anomalies"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum drift test (the KS statistic's rank-based sibling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_mann_whitney",
+    oracle="""
+    WITH tagged AS (
+        SELECT n_chars AS v,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS a,
+               CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS b
+        FROM documents WHERE source IN ('src0', 'src1')
+    ), tot AS (
+        SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM tagged
+    ), g AS (
+        SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM tagged GROUP BY v
+    ), c AS (
+        SELECT v, ca, cb, cnt,
+               CAST(COALESCE(sum(cnt) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cumbefore
+        FROM g
+    ), s AS (
+        SELECT t.na, t.nb,
+               CAST(sum(ca * (2 * cumbefore + cnt + 1)) AS BIGINT)
+                 - t.na * (t.na + 1) AS u2,
+               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        FROM c CROSS JOIN tot t
+        GROUP BY t.na, t.nb
+    )
+    SELECT na AS n_a, nb AS n_b, u2 AS u_twice,
+           CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
+           floor(
+               (CAST(u2 AS DOUBLE) - CAST(na * nb AS DOUBLE))
+               / (2.0 * sqrt(
+                   (CAST(na * nb AS DOUBLE) / 12.0)
+                   * ((CAST(na + nb AS DOUBLE) + 1.0)
+                      - CAST(ties AS DOUBLE)
+                        / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0)))))
+               * 1000000 + 0.5) / 1000000 AS z_score
+    FROM s
+    """,
+    tags=("stats", "drift", "rank"),
+)
+def q_stats_mann_whitney(spark, sf_dir):
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) between src0's and
+    src1's document-length distributions, with the tie-corrected normal
+    approximation z-score — the rank-based drift gate that sees median
+    shifts the KS supremum is insensitive to. INTEGER-EXACT like
+    `stats_ks_drift`: midranks come from the distinct-value grid
+    (2·midrank = 2·cum_before + cnt + 1, all BIGINT), doubled-U
+    ``u2 = Σ ca·(2·cum_before+cnt+1) − na(na+1)`` stays integral, and the
+    tie term Σ(t³−t) is integral, so both engines agree bit-wise until the
+    single fixed-shape z expression at the end (floor-canonicalized
+    half-up to 6 dp, the `ts_ewma` convention — F.round/DuckDB round
+    resolve half boundaries differently). The global rank
+    window runs over distinct VALUES (hundreds of rows), never documents."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    tagged = docs.select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("a"),
+        F.when(F.col("source") == "src1", 1).otherwise(0).alias("b"),
+    )
+    tot = tagged.agg(
+        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
+    )
+    g = tagged.groupBy("v").agg(
+        F.sum("a").cast("long").alias("ca"),
+        F.sum("b").cast("long").alias("cb"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "v", "ca", "cb", "cnt",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).cast("long").alias("cumbefore"),
+    )
+    s = (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            (
+                F.sum(F.col("ca") * (2 * F.col("cumbefore") + F.col("cnt") + 1)).cast("long")
+                - F.col("na") * (F.col("na") + 1)
+            ).alias("u2"),
+            F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+            .cast("long")
+            .alias("ties"),
+        )
+    )
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    nd = (F.col("na") + F.col("nb")).cast("double")
+    u2d = F.col("u2").cast("double")
+    var = ((F.col("na") * F.col("nb")).cast("double") / F.lit(12.0)) * (
+        (nd + F.lit(1.0)) - F.col("ties").cast("double") / (nd * (nd - F.lit(1.0)))
+    )
+    z = (u2d - (F.col("na") * F.col("nb")).cast("double")) / (F.lit(2.0) * F.sqrt(var))
+    return s.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("u2").alias("u_twice"),
+        (u2d / F.lit(2.0)).alias("u_stat"),
+        (F.floor(z * 1000000 + 0.5) / 1000000).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend — median of pairwise slopes over the daily grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_theil_sen",
+    oracle="""
+    WITH vi AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ), daily AS (
+        SELECT user_id, d,
+               CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / (100.0 * count(*)) AS m
+        FROM vi GROUP BY user_id, d
+    ), pairs AS (
+        SELECT a.user_id, a.d AS d1, b.d AS d2,
+               (b.m - a.m) / CAST(date_diff('day', a.d, b.d) AS DOUBLE) AS slope
+        FROM daily a JOIN daily b ON a.user_id = b.user_id AND a.d < b.d
+    ), ranked AS (
+        SELECT user_id, slope, d1, d2,
+               row_number() OVER (PARTITION BY user_id ORDER BY slope, d1, d2) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS cnt
+        FROM pairs
+    )
+    SELECT user_id, CAST(max(cnt) AS BIGINT) AS n_pairs,
+           floor(avg(slope) * 1000000 + 0.5) / 1000000 AS sen_slope
+    FROM ranked
+    WHERE rn = CAST(floor((cnt + 1) / 2.0) AS BIGINT)
+       OR rn = CAST(floor((cnt + 2) / 2.0) AS BIGINT)
+    GROUP BY user_id
+    """,
+    tags=("stats", "timeseries", "robust"),
+)
+def q_ts_theil_sen(spark, sf_dir):
+    """Per-user Theil-Sen robust trend: the median of all pairwise slopes
+    of the DAILY mean series — the breakdown-resistant alternative to
+    `stats_linear_trend`'s least-squares slope (a single corrupted day
+    cannot move it). The daily pre-aggregation is the scale move: pairwise
+    slopes are quadratic, so they are formed on the per-key daily grid
+    (tens of rows per key after one grouped agg), never on raw ticks; the
+    self-join and the median window are both partitioned by user_id, so
+    the whole query is one key-shuffle plus co-partitioned narrow work.
+    Bit-parity: daily means are exact integer sums divided once
+    (`sum(round(v*100))/(100·n)`, the `ts_anomaly_stl_residual`
+    convention), each slope is a single fixed-shape IEEE expression, and
+    the median picks rows by integer rank (avg of the middle one/two)."""
+    ev = load_table(spark, sf_dir, "events")
+    vi = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("user_id", "d").agg(
+        (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
+    )
+    a = daily.select("user_id", F.col("d").alias("d1"), F.col("m").alias("m1"))
+    b = daily.select("user_id", F.col("d").alias("d2"), F.col("m").alias("m2"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "user_id", "d1", "d2",
+            (
+                (F.col("m2") - F.col("m1"))
+                / F.datediff(F.col("d2"), F.col("d1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("slope", "d1", "d2")
+    wc = Window.partitionBy("user_id")
+    ranked = pairs.select(
+        "user_id", "slope",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(wc).cast("long").alias("cnt"),
+    )
+    mid1 = F.floor((F.col("cnt") + 1) / F.lit(2.0)).cast("long")
+    mid2 = F.floor((F.col("cnt") + 2) / F.lit(2.0)).cast("long")
+    return (
+        ranked.filter((F.col("rn") == mid1) | (F.col("rn") == mid2))
+        .groupBy("user_id")
+        .agg(
+            F.max("cnt").cast("long").alias("n_pairs"),
+            (F.floor(F.avg("slope") * 1000000 + 0.5) / 1000000).alias("sen_slope"),
+        )
+    )

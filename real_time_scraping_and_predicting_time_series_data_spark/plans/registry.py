@@ -141,6 +141,10 @@ _FRONT = (
     "events_top_paths",
     "ts_lttb_downsample",
     "ts_dtw_pairs",
+    "sim_pq_adc_topk",
+    "graph_triangle_counts",
+    "stats_mann_whitney",
+    "ts_theil_sen",
 )
 
 

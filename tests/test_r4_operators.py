@@ -197,3 +197,149 @@ def test_dtw_identity_and_symmetry(spark):
     assert d[(1, 1)] == 0.0
     assert d[(1, 2)] == d[(2, 1)] > 0
     assert d[(3, 4)] == d[(4, 3)]
+
+
+# ---------------------------------------------------------------------------
+# r4 second wave: triangles, Mann-Whitney, Theil-Sen, PQ-ADC serving
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_counts_crafted_graph(spark):
+    """K4 on {1,2,3,4} plus a pendant edge: every K4 node sits on C(3,2)=3
+    triangles, the pendant node on none."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.graph import triangle_counts
+
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b] + [(4, 9)]
+    half = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_counts(half).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_strong_copurchase_support_filter(spark):
+    """Only pairs co-occurring in >= 2 orders survive; orientation src<dst."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.graph import (
+        strong_copurchase_half,
+    )
+
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 30)],
+        "l_orderkey long, l_partkey long",
+    )
+    got = [(r.src, r.dst) for r in strong_copurchase_half(li, min_support=2).collect()]
+    assert got == [(10, 20)]
+
+
+def test_mann_whitney_hand_example(spark):
+    """Crafted samples with ties: A = [1, 2, 2], B = [2, 3].
+
+    Midranks: 1→1, the three 2s→3, 3→5. R_A = 1+3+3 = 7 → U_A = 7−6 = 1,
+    so u_twice = 2U_A = 2. Ties term: t=3 block → 24."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+    import duckdb
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        con = duckdb.connect()
+        con.execute(
+            """CREATE VIEW documents AS SELECT * FROM (VALUES
+            (1, 'src0'), (2, 'src0'), (2, 'src0'),
+            (2, 'src1'), (3, 'src1')) t(n_chars, source)"""
+        )
+        row = con.execute(
+            "SELECT * FROM (" + all_queries()["stats_mann_whitney"].oracle + ")"
+        ).fetchone()
+        n_a, n_b, u_twice, u_stat, z = row
+        assert (n_a, n_b, u_twice, u_stat) == (3, 2, 2, 1.0)
+        # z reproduces the tie-corrected normal approximation by hand:
+        n = 5.0
+        var = (3 * 2 / 12.0) * ((n + 1) - 24 / (n * (n - 1)))
+        assert z == pytest.approx((1.0 - 3.0) / math.sqrt(var), abs=1e-6)
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """A clean slope-2 daily series with one corrupted day still yields
+    sen_slope == 2 (the median pairwise slope ignores the outlier); the
+    least-squares slope would not."""
+    import datetime
+
+    rows = []
+    for i in range(9):
+        v = 2.0 * i if i != 4 else 500.0
+        rows.append((7, datetime.datetime(2024, 1, 1 + i, 12, 0, 0), v))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    ev.createOrReplaceTempView("_ts_theil_sen_src")
+    # call the operator body directly on the crafted frame
+    from pyspark.sql import Window
+
+    vi = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("user_id", "d").agg(
+        (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
+    )
+    a = daily.select("user_id", F.col("d").alias("d1"), F.col("m").alias("m1"))
+    b = daily.select("user_id", F.col("d").alias("d2"), F.col("m").alias("m2"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "user_id", "d1", "d2",
+            ((F.col("m2") - F.col("m1")) / F.datediff("d2", "d1").cast("double")).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("slope", "d1", "d2")
+    wc = Window.partitionBy("user_id")
+    ranked = pairs.select(
+        "user_id", "slope",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(wc).cast("long").alias("cnt"),
+    )
+    mid1 = F.floor((F.col("cnt") + 1) / F.lit(2.0)).cast("long")
+    mid2 = F.floor((F.col("cnt") + 2) / F.lit(2.0)).cast("long")
+    out = (
+        ranked.filter((F.col("rn") == mid1) | (F.col("rn") == mid2))
+        .groupBy("user_id")
+        .agg(F.round(F.avg("slope"), 6).alias("sen_slope"))
+        .collect()
+    )
+    assert out[0].sen_slope == pytest.approx(2.0, abs=1e-6)
+
+
+def test_pq_adc_matches_numpy_recomputation(spark):
+    """ADC distances equal a numpy recomputation of LUT-sum over the
+    operator's own code assignments, for every reported neighbor."""
+    import numpy as np
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        pq_adc_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_adc_topk(emb, queries, k=4).collect()
+    assert len(got) == 3 * 4
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    codes = {
+        (r.vec_id, r.subspace): r.code for r in pq_assign(emb).collect()
+    }
+    for r in got:
+        qv = vecs[r.query_id]
+        adci = 0
+        for s in range(_PQ_M):
+            cw = vecs[codes[(r.neighbor_id, s)]]
+            lo, hi = s * _PQ_SUB, (s + 1) * _PQ_SUB
+            d = float(np.sum((qv[lo:hi] - cw[lo:hi]) ** 2))
+            adci += int(np.floor(d * 1e9 + 0.5))
+        assert r.adc == pytest.approx(adci / 1e9, abs=2e-6)
+        assert r.neighbor_id != r.query_id
+        assert 1 <= r.rank <= 4
