@@ -108,6 +108,7 @@ HEADLINE = [
     # r4 second wave: compressed-domain ANN serving, graph structure
     # mining, rank-based drift, robust trend.
     "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
     "graph_triangle_counts",
     "stats_mann_whitney",
     "ts_theil_sen",

@@ -659,6 +659,38 @@ _ADC_QUERIES = 10
 _ADC_K = 5
 
 
+
+
+def _pq_lut(corpus: DataFrame, qx: DataFrame, id_col: str = "vec_id", vec: str = "embedding") -> DataFrame:
+    """Per-query ADC lookup table: integer-scaled squared-L2 from each query
+    sub-vector to every codeword of that subspace — |Q|·m·k rows, the
+    broadcast-tiny side of every ADC join. ``qx`` carries (query_id, qv)."""
+    cb = corpus.filter(F.col(id_col) < _PQ_K).select(
+        F.col(id_col).cast("int").alias("code"), as_double(F.col(vec)).alias("cv")
+    )
+    start = F.col("subspace") * _PQ_SUB + 1
+    d = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("qv"), start, _PQ_SUB),
+            F.slice(F.col("cv"), start, _PQ_SUB),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        qx.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id", "qv", "cv", "code",
+            F.explode(F.array(*[F.lit(s) for s in range(_PQ_M)])).alias("subspace"),
+        )
+        .select(
+            "query_id", "subspace", "code",
+            F.round(d * F.lit(1000000000.0)).cast("long").alias("pdi"),
+        )
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -687,33 +719,10 @@ def pq_adc_topk(
     `pq_assign`, scaled to an integer (round(d·1e9) as BIGINT), so the
     4-term sum is exact integer arithmetic — ranking and the value hash
     cannot drift with summation order."""
-    cb = corpus.filter(F.col(id_col) < _PQ_K).select(
-        F.col(id_col).cast("int").alias("code"), as_double(F.col(vec)).alias("cv")
-    )
     qx = queries.select(
         F.col(query_id_col).alias("query_id"), as_double(F.col(vec)).alias("qv")
     )
-    start = F.col("subspace") * _PQ_SUB + 1
-    d = F.aggregate(
-        F.zip_with(
-            F.slice(F.col("qv"), start, _PQ_SUB),
-            F.slice(F.col("cv"), start, _PQ_SUB),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    lut = (
-        qx.crossJoin(F.broadcast(cb))
-        .select(
-            "query_id", "qv", "cv", "code",
-            F.explode(F.array(*[F.lit(s) for s in range(_PQ_M)])).alias("subspace"),
-        )
-        .select(
-            "query_id", "subspace", "code",
-            F.round(d * F.lit(1000000000.0)).cast("long").alias("pdi"),
-        )
-    )
+    lut = _pq_lut(corpus, qx, id_col=id_col, vec=vec)
     codes = pq_assign(corpus, id_col=id_col, vec=vec).select(id_col, "subspace", "code")
     adc = (
         codes.join(F.broadcast(lut), ["subspace", "code"])
@@ -798,3 +807,199 @@ def q_sim_pq_adc(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_adc_topk(emb, queries, k=_ADC_K)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: cell probing composed with ADC scoring — the full ANN stack
+# ---------------------------------------------------------------------------
+
+_IVFPQ_DIM = _PQ_M * _PQ_SUB
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = _ADC_K,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """The composed IVF-PQ serving path: coarse-quantize the corpus into
+    ``n_cells`` L2 cells (seeded centroids = raw vectors of ids
+    0..n_cells-1, the `ivf_topk_seeded` convention), probe each query's
+    ``nprobe`` nearest cells, and rank ONLY the candidates that fall in a
+    probed cell — by PQ asymmetric distance over their 4-byte codes, never
+    their raw vectors. One metric (squared L2) end to end.
+
+    This is the billion-scale ANN architecture in relational form: the
+    inverted-file step cuts candidates to ~nprobe/n_cells of the corpus,
+    the PQ step scores survivors from codes. Both model tables (cells,
+    codebooks) are broadcast one-row structs; cell assignment and probing
+    are pure per-row projections (zero corpus shuffle); the only
+    exchanges are the candidate equi-join on `cell`, the (query, vec)
+    ADC partial sum, and the per-query top-k. Integer-exact ADC sums keep
+    the ranking engine-independent, so the WHOLE composition carries a
+    bit-exact oracle."""
+    cells = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("int").alias("cell"), as_double(F.col(vec)).alias("cellv")
+    )
+    cells_row = cells.agg(F.collect_list(F.struct("cell", "cellv")).alias("_cells"))
+
+    def cell_dists(vcol: str):
+        return F.transform(
+            "_cells",
+            lambda ce: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vcol), ce.getField("cellv"), lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    9,
+                ).alias("d"),
+                ce.getField("cell").alias("cell"),
+            ),
+        )
+
+    c_assign = (
+        corpus.select(F.col(id_col), as_double(F.col(vec)).alias("v"))
+        .crossJoin(F.broadcast(cells_row))
+        .select(id_col, F.array_min(cell_dists("v")).getField("cell").alias("cell"))
+    )
+    qx = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(F.col(vec)).alias("qv")
+    )
+    q_probes = (
+        qx.crossJoin(F.broadcast(cells_row))
+        .select(
+            "query_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(cell_dists("qv")), 1, nprobe),
+                    lambda s: s.getField("cell"),
+                )
+            ).alias("cell"),
+        )
+    )
+    cand = c_assign.join(F.broadcast(q_probes), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    codes = pq_assign(corpus, id_col=id_col, vec=vec).select(id_col, "subspace", "code")
+    lut = _pq_lut(corpus, qx, id_col=id_col, vec=vec)
+    adc = (
+        cand.join(codes, id_col)
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("pdi").cast("long").alias("adci"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adci", id_col)
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(F.col("adci").cast("double") / F.lit(1000000000.0), 6).alias("adc"),
+            "rank",
+        )
+    )
+
+
+def _ivfpq_oracle() -> str:
+    def subfold(vname: str, s: int) -> str:
+        off = s * _PQ_SUB
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {_PQ_SUB + 1}), "
+            f"i -> ({vname}[{off} + i] - cv[{off} + i]) * ({vname}[{off} + i] - cv[{off} + i]))), "
+            "(acc, x) -> acc + x)"
+        )
+
+    def fullfold(vname: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {_IVFPQ_DIM + 1}), "
+            f"i -> ({vname}[i] - cellv[i]) * ({vname}[i] - cellv[i]))), "
+            "(acc, x) -> acc + x)"
+        )
+
+    assign_branches = "\n        UNION ALL ".join(
+        f"SELECT e.vec_id, {s} AS subspace, c.code, round({subfold('v', s)}, 9) AS d\n"
+        "         FROM e CROSS JOIN codes c"
+        for s in range(_PQ_M)
+    )
+    lut_branches = "\n        UNION ALL ".join(
+        f"SELECT q.query_id, {s} AS subspace, c.code,\n"
+        f"                CAST(round({subfold('qv', s)} * 1000000000.0) AS BIGINT) AS pdi\n"
+        "         FROM q CROSS JOIN codes c"
+        for s in range(_PQ_M)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    codes AS (
+        SELECT CAST(vec_id AS INT) AS code, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < {_PQ_K}
+    ), scored AS (
+        {assign_branches}
+    ), assign AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT vec_id, subspace, code,
+                   row_number() OVER (PARTITION BY vec_id, subspace
+                                      ORDER BY d, code) AS rn
+            FROM scored) WHERE rn = 1
+    ), cells AS (
+        SELECT CAST(vec_id AS INT) AS cell, v AS cellv
+        FROM e WHERE vec_id < 16
+    ), fullassign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, ce.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY round({fullfold('v')}, 9), ce.cell) AS rn
+            FROM e CROSS JOIN cells ce) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_ADC_QUERIES}
+    ), probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.query_id, ce.cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY round({fullfold('qv')}, 9), ce.cell) AS rn
+            FROM q CROSS JOIN cells ce) WHERE rn <= 4
+    ), lut AS (
+        {lut_branches}
+    ), cand AS (
+        SELECT p.query_id, f.vec_id
+        FROM fullassign f JOIN probes p ON f.cell = p.cell
+        WHERE f.vec_id <> p.query_id
+    ), adc AS (
+        SELECT c.query_id, c.vec_id, CAST(sum(l.pdi) AS BIGINT) AS adci
+        FROM cand c
+        JOIN assign a ON a.vec_id = c.vec_id
+        JOIN lut l ON l.query_id = c.query_id
+                  AND l.subspace = a.subspace AND l.code = a.code
+        GROUP BY c.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id,
+           round(CAST(adci AS DOUBLE) / 1000000000.0, 6) AS adc,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adci, vec_id) AS BIGINT) AS rank
+    FROM adc QUALIFY rank <= {_ADC_K}
+    """
+
+
+@register("sim_ivfpq_topk", oracle=_ivfpq_oracle(), tags=("similarity", "ivf", "pq", "ann"))
+def q_sim_ivfpq(spark, sf_dir):
+    """Full IVF-PQ ANN serving: seeded L2 cells (16, nprobe=4) prune
+    candidates, PQ asymmetric distance over 4-byte codes ranks them —
+    the composed billion-scale architecture, bit-exact against the
+    DuckDB oracle end to end (integer ADC sums; round-9 argmin/probe
+    tie-break by cell id on both engines). In the query-vector metric
+    the raw corpus is touched only at compression time."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _ADC_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_adc_topk(emb, queries, k=_ADC_K, n_cells=16, nprobe=4)

@@ -142,6 +142,7 @@ _FRONT = (
     "ts_lttb_downsample",
     "ts_dtw_pairs",
     "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
     "graph_triangle_counts",
     "stats_mann_whitney",
     "ts_theil_sen",

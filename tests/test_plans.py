@@ -311,3 +311,25 @@ def test_changepoint_single_key_exchange(spark):
     # stats aggregate feeding the broadcast — both on user_id
     assert len(args) <= 2, args
     assert all("user_id" in l for l in args), args
+
+
+def test_pq_adc_broadcast_lut_no_cartesian(spark):
+    """ADC serving: the LUT must reach the corpus-sized codes relation by
+    broadcast (no cartesian, no shuffle of the codes side for the join);
+    hash exchanges exist only for the (query, vec) partial sum and the
+    per-query rank window."""
+    plan = _plan(spark, "sim_pq_adc_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the (query_id, vec_id) agg and the rank window partitioning only
+    args = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert len(args) <= 2, args
+
+
+def test_ivfpq_no_cartesian_and_broadcast_candidates(spark):
+    """The composed IVF-PQ path: cell model and LUT are broadcast one-row
+    structs; candidate generation is a broadcast equi-join on `cell`; no
+    cartesian products anywhere."""
+    plan = _plan(spark, "sim_ivfpq_topk")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # probes-cell join + LUT join

@@ -343,3 +343,42 @@ def test_pq_adc_matches_numpy_recomputation(spark):
         assert r.adc == pytest.approx(adci / 1e9, abs=2e-6)
         assert r.neighbor_id != r.query_id
         assert 1 <= r.rank <= 4
+
+
+def test_ivfpq_neighbors_come_from_probed_cells(spark):
+    """Every IVF-PQ neighbor must (a) sit in one of its query's nprobe
+    nearest cells under full-vector L2 (numpy recomputation), and (b) carry
+    the same integer-exact ADC distance the LUT-sum recomputation gives."""
+    import numpy as np
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        _PQ_M,
+        _PQ_SUB,
+        ivfpq_adc_topk,
+        pq_assign,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivfpq_adc_topk(emb, queries, k=4, n_cells=16, nprobe=4).collect()
+    assert {r.query_id for r in got} == {0, 1, 2}
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    cells = {j: vecs[j] for j in range(16)}
+    codes = {(r.vec_id, r.subspace): r.code for r in pq_assign(emb).collect()}
+
+    def nearest_cells(v, n):
+        ds = sorted((round(float(np.sum((v - cv) ** 2)), 9), j) for j, cv in cells.items())
+        return [j for _, j in ds[:n]]
+
+    for r in got:
+        qv = vecs[r.query_id]
+        probed = set(nearest_cells(qv, 4))
+        assert nearest_cells(vecs[r.neighbor_id], 1)[0] in probed
+        adci = 0
+        for s in range(_PQ_M):
+            cw = vecs[codes[(r.neighbor_id, s)]]
+            lo, hi = s * _PQ_SUB, (s + 1) * _PQ_SUB
+            adci += int(np.floor(float(np.sum((qv[lo:hi] - cw[lo:hi]) ** 2)) * 1e9 + 0.5))
+        assert r.adc == pytest.approx(adci / 1e9, abs=2e-6)
