@@ -541,11 +541,21 @@ def q_stats_ks_drift(spark, sf_dir):
         F.when(F.col("source") == "src0", 1).otherwise(0).alias("a"),
         F.when(F.col("source") == "src1", 1).otherwise(0).alias("b"),
     )
-    tot = tagged.agg(
-        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
-    )
     g = tagged.groupBy("v").agg(
         F.sum("a").cast("long").alias("ca"), F.sum("b").cast("long").alias("cb")
+    )
+    return ks_from_value_grid(g)
+
+
+def ks_from_value_grid(g):
+    """Two-sample KS distance from a (v, ca, cb) distinct-value count grid
+    — the shared core of `stats_ks_drift` and the streaming drift monitor
+    (streaming/drift_stream.py). Count grids are MERGEABLE (grouped sums
+    commute/associate), so an incrementally accumulated grid yields the
+    EXACT batch statistic — the same mergeability argument as the CMS
+    counter tables."""
+    tot = g.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     c = g.select(
@@ -833,5 +843,147 @@ def q_ts_theil_sen(spark, sf_dir):
         .agg(
             F.max("cnt").cast("long").alias("n_pairs"),
             (F.floor(F.avg("slope") * 1000000 + 0.5) / 1000000).alias("sen_slope"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — data-quality / fraud gate on amounts
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) to full double precision; literal constants (NOT computed
+# via log() at query time) because libm ln/log10 are not bit-identical
+# across engines.
+_BENFORD_P = {
+    1: "0.3010299956639812", 2: "0.17609125905568124", 3: "0.12493873660829992",
+    4: "0.09691001300805642", 5: "0.07918124604762482", 6: "0.06694678963061322",
+    7: "0.05799194697768673", 8: "0.05115252244738129", 9: "0.04575749056067514",
+}
+
+
+@register(
+    "dq_benford_totalprice",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice > 0
+    ), fd AS (
+        SELECT CAST(floor(cents / power(10, length(CAST(cents AS VARCHAR)) - 1)) AS INT)
+               AS digit
+        FROM c
+    ), g AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM fd GROUP BY digit
+    ), tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM g)
+    SELECT g.digit, g.observed,
+           CASE g.digit {' '.join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items())} END
+             AS benford_p,
+           floor((CAST(g.observed AS DOUBLE) / CAST(t.n AS DOUBLE)
+                  - CASE g.digit {' '.join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items())} END)
+                 * 1000000 + 0.5) / 1000000 AS deviation
+    FROM g CROSS JOIN tot t
+    """,
+    tags=("dq", "stats", "benford"),
+)
+def q_dq_benford(spark, sf_dir):
+    """First-significant-digit distribution of order totals vs Benford's
+    law — the classic data-quality / fabricated-amounts audit, per digit:
+    observed count, theoretical p, and the frequency deviation. The first
+    digit is extracted INTEGER-exactly: amounts become BIGINT cents, and
+    the digit is floor(cents / 10^(len-1)) via the integer's string length
+    — no float log10 anywhere (libm log isn't bit-portable; the division
+    by an exact power of ten cannot cross an integer boundary because real
+    fractional parts are >= 1e-7). Benford probabilities are full-precision
+    literals; the one derived double (deviation) is floor-canonicalized.
+    One grouped agg on a 9-row relation — the scan is the whole cost."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    fd = o.select(cents.alias("cents")).select(
+        F.floor(
+            F.col("cents")
+            / F.pow(F.lit(10.0), F.length(F.col("cents").cast("string")) - 1)
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    g = fd.groupBy("digit").agg(F.count("*").cast("long").alias("observed"))
+    tot = g.agg(F.sum("observed").cast("long").alias("n"))
+    pexpr = F.lit(None).cast("double")
+    for d, p in _BENFORD_P.items():
+        pexpr = F.when(F.col("digit") == d, F.lit(float(p))).otherwise(pexpr)
+    j = g.crossJoin(F.broadcast(tot))
+    dev = F.col("observed").cast("double") / F.col("n").cast("double") - pexpr
+    return j.select(
+        "digit", "observed",
+        pexpr.alias("benford_p"),
+        (F.floor(dev * 1000000 + 0.5) / 1000000).alias("deviation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square contingency — event_type x day-part independence
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_chi_square_contingency",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(floor(hour(ts) / 6) AS INT) AS daypart,
+               CAST(count(*) AS BIGINT) AS obs
+        FROM events GROUP BY event_type, CAST(floor(hour(ts) / 6) AS INT)
+    ), rowt AS (
+        SELECT event_type, CAST(sum(obs) AS BIGINT) AS rn FROM cells GROUP BY event_type
+    ), colt AS (
+        SELECT daypart, CAST(sum(obs) AS BIGINT) AS cn FROM cells GROUP BY daypart
+    ), tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells)
+    SELECT c.event_type, c.daypart, c.obs,
+           floor(CAST(r.rn * co.cn AS DOUBLE) / CAST(t.n AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS expected,
+           floor(
+               ((CAST(c.obs AS DOUBLE) - CAST(r.rn * co.cn AS DOUBLE) / CAST(t.n AS DOUBLE))
+                * (CAST(c.obs AS DOUBLE) - CAST(r.rn * co.cn AS DOUBLE) / CAST(t.n AS DOUBLE)))
+               / (CAST(r.rn * co.cn AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1000000 + 0.5)
+             / 1000000 AS chi2_contrib
+    FROM cells c
+    JOIN rowt r USING (event_type)
+    JOIN colt co USING (daypart)
+    CROSS JOIN tot t
+    """,
+    tags=("stats", "chi2", "contingency"),
+)
+def q_stats_chi_square(spark, sf_dir):
+    """Chi-square contingency decomposition of event_type x day-part (6h
+    buckets): observed counts, independence-expected counts, and per-cell
+    chi2 contributions — which (type, time) cells drive dependence. All
+    marginals are exact BIGINTs from ONE pass over the cell relation
+    (|types|·4 rows; the re-aggregations and joins touch only that tiny
+    grid, so the corpus is scanned once); the derived doubles are single
+    fixed-shape expressions, floor-canonicalized. Per-cell contributions
+    are emitted instead of the scalar Σ so the output is both the test
+    statistic (sum it) and the diagnosis (sort it)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.floor(F.hour("ts") / 6).cast("int").alias("daypart"),
+        )
+        .groupBy("event_type", "daypart")
+        .agg(F.count("*").cast("long").alias("obs"))
+    )
+    cells = cells.localCheckpoint(eager=False)
+    rowt = cells.groupBy("event_type").agg(F.sum("obs").cast("long").alias("rn"))
+    colt = cells.groupBy("daypart").agg(F.sum("obs").cast("long").alias("cn"))
+    tot = cells.agg(F.sum("obs").cast("long").alias("n"))
+    exp = (F.col("rn") * F.col("cn")).cast("double") / F.col("n").cast("double")
+    diff = F.col("obs").cast("double") - exp
+    return (
+        cells.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "daypart")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type", "daypart", "obs",
+            (F.floor(exp * 1000000 + 0.5) / 1000000).alias("expected"),
+            (F.floor((diff * diff) / exp * 1000000 + 0.5) / 1000000).alias("chi2_contrib"),
         )
     )

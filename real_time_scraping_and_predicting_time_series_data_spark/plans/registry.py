@@ -146,6 +146,8 @@ _FRONT = (
     "graph_triangle_counts",
     "stats_mann_whitney",
     "ts_theil_sen",
+    "dq_benford_totalprice",
+    "stats_chi_square_contingency",
 )
 
 

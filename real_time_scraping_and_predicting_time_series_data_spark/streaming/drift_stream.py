@@ -1,0 +1,104 @@
+"""Incremental two-sample drift monitor over a document stream — the
+streaming twin of `stats_ks_drift` (operators/stats.py), built on the same
+mergeability argument as the CMS accumulator (sketch_stream.py): each
+micro-batch reduces to its own (v, ca, cb) distinct-value count grid; the
+served grid is the grouped-sum merge of every batch's grid, and the KS
+statistic computed from it is EXACTLY the batch statistic over everything
+ingested (count addition is associative + commutative, and the KS supremum
+is a pure function of the merged grid).
+
+Idempotence follows the corpus_ingest pattern: per-batch grids land in
+``batch_id=<id>`` directories via staging-rename, so an at-least-once
+replay overwrites its own directory instead of double-counting. At 100 TB
+the per-batch state is |distinct values in batch| rows and the serve-side
+merge touches only grids — the raw stream is never re-read. This is the
+production shape for "alert when a new source's distribution drifts from
+the reference corpus" gates.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.stats import ks_from_value_grid
+
+__all__ = ["DriftStreamMonitor"]
+
+
+class DriftStreamMonitor:
+    """Accumulates (value, count_a, count_b) grids per micro-batch and
+    serves the exact two-sample KS distance over all data seen."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        value_col: str = "n_chars",
+        group_col: str = "source",
+        group_a: str = "src0",
+        group_b: str = "src1",
+    ) -> None:
+        self.spark = spark
+        self.store_dir = store_dir
+        self.value_col = value_col
+        self.group_col = group_col
+        self.group_a = group_a
+        self.group_b = group_b
+        os.makedirs(store_dir, exist_ok=True)
+
+    def _batch_dir(self, batch_id: int) -> str:
+        return os.path.join(self.store_dir, f"batch_id={batch_id}")
+
+    def batch_grid(self, df: DataFrame) -> DataFrame:
+        """This batch's (v, ca, cb) value grid — same tagging as the batch
+        query, reduced before anything is stored."""
+        tagged = df.filter(
+            F.col(self.group_col).isin(self.group_a, self.group_b)
+        ).select(
+            F.col(self.value_col).alias("v"),
+            F.when(F.col(self.group_col) == self.group_a, 1).otherwise(0).alias("a"),
+            F.when(F.col(self.group_col) == self.group_b, 1).otherwise(0).alias("b"),
+        )
+        return tagged.groupBy("v").agg(
+            F.sum("a").cast("long").alias("ca"), F.sum("b").cast("long").alias("cb")
+        )
+
+    def ingest_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch hook: publish this batch's grid under its batch_id
+        (staging-rename → replays overwrite, never double-count)."""
+        grid = self.batch_grid(batch_df)
+        staging = os.path.join(self.store_dir, f"_staging_{batch_id}")
+        grid.coalesce(1).write.mode("overwrite").parquet(staging)
+        final = self._batch_dir(batch_id)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(staging, final)
+
+    def attach(self, stream_df: DataFrame, checkpoint: str):
+        return (
+            stream_df.writeStream.foreachBatch(
+                lambda df, bid: self.ingest_batch(df, bid)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def serve_grid(self) -> DataFrame:
+        """The merged value grid: union of per-batch grids + one grouped
+        sum — identical to the batch grid of everything ingested."""
+        merged = self.spark.read.option("basePath", self.store_dir).parquet(
+            self.store_dir + "/batch_id=*"
+        )
+        return merged.groupBy("v").agg(
+            F.sum("ca").cast("long").alias("ca"), F.sum("cb").cast("long").alias("cb")
+        )
+
+    def serve_ks(self) -> DataFrame:
+        """Exact KS distance over all data seen — bit-identical to
+        `stats_ks_drift` run as one batch over the same rows."""
+        return ks_from_value_grid(self.serve_grid())

@@ -144,3 +144,48 @@ def test_cms_stream_attach_availablenow(spark, tmp_path):
     )
     got = sorted((r.seed, r.bucket, r.n) for r in acc.serve().collect())
     assert got == want
+
+
+def test_drift_stream_equals_batch_ks(spark, tmp_path):
+    """Incremental KS: per-batch value grids merged by sum give the EXACT
+    batch statistic (replay-safe), matching stats_ks_drift on the same rows."""
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import q_stats_ks_drift
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.drift_stream import (
+        DriftStreamMonitor,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    mon = DriftStreamMonitor(spark, str(tmp_path / "drift_store"))
+    mon.ingest_batch(docs.filter(F.col("doc_id") <= half), batch_id=0)
+    mon.ingest_batch(docs.filter(F.col("doc_id") > half), batch_id=1)
+    # at-least-once replay must not double count
+    mon.ingest_batch(docs.filter(F.col("doc_id") > half), batch_id=1)
+
+    want = q_stats_ks_drift(spark, sf).collect()[0].asDict()
+    got = mon.serve_ks().collect()[0].asDict()
+    assert got == want
+
+
+def test_drift_stream_attach_availablenow(spark, tmp_path):
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import q_stats_ks_drift
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.drift_stream import (
+        DriftStreamMonitor,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    src = str(tmp_path / "src")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+    mon = DriftStreamMonitor(spark, str(tmp_path / "store"))
+    q = mon.attach(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    want = q_stats_ks_drift(spark, sf).collect()[0].asDict()
+    got = mon.serve_ks().collect()[0].asDict()
+    assert got == want
