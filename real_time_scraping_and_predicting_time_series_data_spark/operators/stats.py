@@ -715,13 +715,22 @@ def q_stats_mann_whitney(spark, sf_dir):
         F.when(F.col("source") == "src0", 1).otherwise(0).alias("a"),
         F.when(F.col("source") == "src1", 1).otherwise(0).alias("b"),
     )
-    tot = tagged.agg(
-        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
-    )
     g = tagged.groupBy("v").agg(
         F.sum("a").cast("long").alias("ca"),
         F.sum("b").cast("long").alias("cb"),
-        F.count("*").cast("long").alias("cnt"),
+    )
+    return mann_whitney_from_value_grid(g)
+
+
+def mann_whitney_from_value_grid(g):
+    """Tie-corrected Mann-Whitney U from a (v, ca, cb) distinct-value count
+    grid — the shared core of `stats_mann_whitney` and the streaming drift
+    monitor. Like `ks_from_value_grid`, count grids are mergeable, so the
+    incrementally accumulated statistic equals the batch one exactly
+    (cnt at a value is ca + cb by construction)."""
+    g = g.select("v", "ca", "cb", (F.col("ca") + F.col("cb")).alias("cnt"))
+    tot = g.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
     )
     wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     c = g.select(

@@ -24,7 +24,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.stats import ks_from_value_grid
+from ..operators.stats import ks_from_value_grid, mann_whitney_from_value_grid
 
 __all__ = ["DriftStreamMonitor"]
 
@@ -102,3 +102,9 @@ class DriftStreamMonitor:
         """Exact KS distance over all data seen — bit-identical to
         `stats_ks_drift` run as one batch over the same rows."""
         return ks_from_value_grid(self.serve_grid())
+
+    def serve_mann_whitney(self) -> DataFrame:
+        """Exact tie-corrected Mann-Whitney U over all data seen —
+        bit-identical to `stats_mann_whitney` run as one batch (the same
+        value grid feeds both statistics; one store serves both gates)."""
+        return mann_whitney_from_value_grid(self.serve_grid())

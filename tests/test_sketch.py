@@ -168,6 +168,14 @@ def test_drift_stream_equals_batch_ks(spark, tmp_path):
     got = mon.serve_ks().collect()[0].asDict()
     assert got == want
 
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_stats_mann_whitney,
+    )
+
+    want_mw = q_stats_mann_whitney(spark, sf).collect()[0].asDict()
+    got_mw = mon.serve_mann_whitney().collect()[0].asDict()
+    assert got_mw == want_mw
+
 
 def test_drift_stream_attach_availablenow(spark, tmp_path):
     from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
