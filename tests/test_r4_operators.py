@@ -382,3 +382,74 @@ def test_ivfpq_neighbors_come_from_probed_cells(spark):
             lo, hi = s * _PQ_SUB, (s + 1) * _PQ_SUB
             adci += int(np.floor(float(np.sum((qv[lo:hi] - cw[lo:hi]) ** 2)) * 1e9 + 0.5))
         assert r.adc == pytest.approx(adci / 1e9, abs=2e-6)
+
+
+def test_pq_adc_exact_on_codeword_representable_corpus(spark):
+    """On a corpus whose vectors are EXACTLY representable by the codebooks
+    (every subspace block copied from one of the 16 codeword donors),
+    quantization error is zero, so ADC distance equals true squared-L2 and
+    the ADC top-k must equal the exact numpy top-k."""
+    import numpy as np
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        _PQ_M,
+        _PQ_SUB,
+        pq_adc_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    donors = rng.randn(16, _PQ_M * _PQ_SUB)
+    rows = []
+    for i in range(16):
+        rows.append((i, [float(x) for x in donors[i]]))
+    for i in range(16, 48):
+        v = np.concatenate(
+            [donors[(i * 7 + s * 3) % 16, s * _PQ_SUB:(s + 1) * _PQ_SUB] for s in range(_PQ_M)]
+        )
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_adc_topk(emb, queries, k=5).collect()
+    vecs = {i: np.array(v) for i, v in rows}
+    for q in range(3):
+        qv = vecs[q]
+        exact = sorted(
+            (round(float(np.sum((qv - v) ** 2)), 6), i)
+            for i, v in vecs.items() if i != q
+        )[:5]
+        got_q = sorted((r.adc, r.neighbor_id) for r in got if r.query_id == q)
+        assert [i for _, i in got_q] == [i for _, i in exact]
+        for (da, _), (de, _) in zip(got_q, exact):
+            assert da == pytest.approx(de, abs=2e-6)
+
+
+def test_ivfpq_recall_floor_on_real_embeddings(spark):
+    """Random gaussian embeddings are the PQ-adversarial case (near-
+    equidistant points, corpus-seeded codebooks): recall is structurally
+    modest there. Pin a regression floor, and pin that IVF pruning does
+    not reduce recall below the full-corpus ADC scan's."""
+    import numpy as np
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        ivfpq_adc_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivfpq_adc_topk(emb, queries, k=5).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    hits = tot = 0
+    for q in range(10):
+        qv = vecs[q]
+        exact_ids = {
+            i for _, i in sorted(
+                (float(np.sum((qv - v) ** 2)), i) for i, v in vecs.items() if i != q
+            )[:5]
+        }
+        hits += len(exact_ids & {r.neighbor_id for r in got if r.query_id == q})
+        tot += 5
+    assert hits / tot >= 0.15  # measured 0.26 at sf0.001; tripwire, not a quality claim
