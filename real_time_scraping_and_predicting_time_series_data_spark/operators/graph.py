@@ -166,11 +166,11 @@ def triangle_counts(half: DataFrame) -> DataFrame:
     tri = wedges.join(
         e.select(F.col("src").alias("a"), F.col("dst").alias("c")), ["a", "c"]
     )
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .union(tri.select(F.col("b").alias("node")))
-        .union(tri.select(F.col("c").alias("node")))
-    )
+    # explode, not a 3-way union: a union of three selects over `tri`
+    # re-executes the wedge+closing joins once PER BRANCH (the plan showed
+    # the join pipeline tripled); the explode credits all three corners in
+    # the single pass that found the triangle.
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return corners.groupBy("node").agg(F.count("*").cast("long").alias("triangles"))
 
 

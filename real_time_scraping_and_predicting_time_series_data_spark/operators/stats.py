@@ -824,6 +824,11 @@ def q_ts_theil_sen(spark, sf_dir):
     daily = vi.groupBy("user_id", "d").agg(
         (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
     )
+    # materialize the daily grid once: without this the self-join's two
+    # branches each re-scan and re-aggregate the raw tick table (the plan
+    # showed two independent (user_id, d) exchanges); the grid is tiny
+    # (keys x days) and the raw scan is the 100 TB cost.
+    daily = daily.localCheckpoint(eager=False)
     a = daily.select("user_id", F.col("d").alias("d1"), F.col("m").alias("m1"))
     b = daily.select("user_id", F.col("d").alias("d2"), F.col("m").alias("m2"))
     pairs = (

@@ -333,3 +333,23 @@ def test_ivfpq_no_cartesian_and_broadcast_candidates(spark):
     plan = _plan(spark, "sim_ivfpq_topk")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # probes-cell join + LUT join
+
+
+def test_triangle_counts_single_pass_corner_credit(spark):
+    """Triangle corners are credited by explode in the pass that found the
+    triangle — a 3-way union would re-execute the wedge+closing joins per
+    branch (plan had 13 hash exchanges; the explode form has the minimal
+    5: two for the wedge join, two for the closing join, one node agg)."""
+    plan = _plan(spark, "graph_triangle_counts")
+    args = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert len(args) <= 5, args
+    assert "CartesianProduct" not in plan
+
+
+def test_theil_sen_daily_grid_materialized_once(spark):
+    """The pairwise self-join must join the CHECKPOINTED daily grid, not
+    re-aggregate the raw tick table per branch: at most one visible hash
+    exchange (the user_id join/median partitioning) above the checkpoint."""
+    plan = _plan(spark, "ts_theil_sen")
+    args = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert len(args) <= 2, args
