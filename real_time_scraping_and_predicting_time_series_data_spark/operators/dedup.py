@@ -508,9 +508,12 @@ def connected_components(
     # The edge list is re-joined every round; materialize it once so an
     # expensive upstream (e.g. the Jaccard inverted-index join) doesn't
     # re-execute per iteration.
+    # Lazy-checkpoint the directed edges BEFORE mirroring: the union's two
+    # branches would otherwise each re-execute the (possibly expensive)
+    # upstream once while materializing the eager symmetric checkpoint.
+    edges = edges.select(F.col("src"), F.col("dst")).localCheckpoint(eager=False)
     sym = (
-        edges.select(F.col("src"), F.col("dst"))
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(node_col).alias("node")).withColumn(

@@ -40,6 +40,10 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
+        # materialize before mirroring: a bare union would re-execute the
+        # self-join + distinct once per branch (same antipattern fixed in
+        # triangle_counts' corner credit)
+        .localCheckpoint(eager=False)
     )
     return half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
