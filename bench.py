@@ -114,6 +114,7 @@ HEADLINE = [
     "ts_theil_sen",
     "dq_benford_totalprice",
     "stats_chi_square_contingency",
+    "ml_forecast_intervals",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -379,3 +379,87 @@ def q_ml_backtest_folds(spark, sf_dir):
         F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
         F.round(F.avg(F.abs(err)), 6).alias("mae"),
     )
+
+
+@register(
+    "ml_forecast_intervals",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id,
+               value - lag(value, 7) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS r
+        FROM events
+    ), t AS (
+        SELECT user_id, event_id, r,
+               row_number() OVER (PARTITION BY user_id ORDER BY r, event_id) AS rn,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        FROM s WHERE r IS NOT NULL
+    ), b AS (
+        SELECT user_id,
+               min(CASE WHEN rn = CAST(ceil(0.1 * n) AS BIGINT) THEN r END) AS lo,
+               min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN r END) AS hi,
+               CAST(max(n) AS BIGINT) AS n_scored
+        FROM t GROUP BY user_id
+    )
+    SELECT t.user_id, b.n_scored,
+           floor(b.lo * 1000000 + 0.5) / 1000000 AS resid_p10,
+           floor(b.hi * 1000000 + 0.5) / 1000000 AS resid_p90,
+           floor(CAST(sum(CASE WHEN t.r >= b.lo AND t.r <= b.hi
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / b.n_scored * 1000000 + 0.5) / 1000000 AS coverage
+    FROM t JOIN b USING (user_id)
+    GROUP BY t.user_id, b.n_scored, b.lo, b.hi
+    """,
+    tags=("ml", "eval", "intervals"),
+)
+def q_forecast_intervals(spark, sf_dir):
+    """Empirical prediction intervals for the seasonal-naive forecaster
+    (M4 closure): per key, the 10th/90th percentile of forecast residuals
+    by NEAREST-RANK selection (rank = ceil(p·n) under a unique (r,
+    event_id) order — no interpolation, so both engines pick the same
+    physical row and the band edges are raw parquet-derived doubles), plus
+    the realized coverage of that band. Interpolated percentile_cont is
+    engine-ambiguous under ties; nearest-rank is the bit-portable form.
+    Shape: ONE user_id exchange feeds both window passes (time-order lag,
+    residual-order rank), the bounds table is |keys| rows broadcast back,
+    and the coverage agg reuses the same partitioning."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "event_id",
+        (F.col("value") - F.lag("value", 7).over(wt)).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    wr = Window.partitionBy("user_id").orderBy("r", "event_id")
+    wn = Window.partitionBy("user_id")
+    t = s.select(
+        "user_id", "event_id", "r",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    b = t.groupBy("user_id").agg(
+        F.min(F.when(F.col("rn") == F.ceil(0.1 * F.col("n")), F.col("r"))).alias("lo"),
+        F.min(F.when(F.col("rn") == F.ceil(0.9 * F.col("n")), F.col("r"))).alias("hi"),
+        F.max("n").cast("long").alias("n_scored"),
+    )
+    j = t.join(F.broadcast(b), "user_id")
+    covered = F.sum(
+        F.when((F.col("r") >= F.col("lo")) & (F.col("r") <= F.col("hi")), 1).otherwise(0)
+    )
+    return (
+        j.groupBy("user_id", "n_scored", "lo", "hi")
+        .agg(
+            (
+                F.floor(
+                    covered.cast("double") / F.col("n_scored") * 1000000 + 0.5
+                ) / 1000000
+            ).alias("coverage")
+        )
+        .select(
+            "user_id", "n_scored",
+            (F.floor(F.col("lo") * 1000000 + 0.5) / 1000000).alias("resid_p10"),
+            (F.floor(F.col("hi") * 1000000 + 0.5) / 1000000).alias("resid_p90"),
+            "coverage",
+        )
+    )

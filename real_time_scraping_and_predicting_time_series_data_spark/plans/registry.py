@@ -148,6 +148,7 @@ _FRONT = (
     "ts_theil_sen",
     "dq_benford_totalprice",
     "stats_chi_square_contingency",
+    "ml_forecast_intervals",
 )
 
 

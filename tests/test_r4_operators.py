@@ -453,3 +453,17 @@ def test_ivfpq_recall_floor_on_real_embeddings(spark):
         hits += len(exact_ids & {r.neighbor_id for r in got if r.query_id == q})
         tot += 5
     assert hits / tot >= 0.15  # measured 0.26 at sf0.001; tripwire, not a quality claim
+
+
+def test_forecast_interval_coverage_invariant(spark):
+    """By nearest-rank construction the band [p10, p90] contains at least
+    ranks ceil(0.1n)..ceil(0.9n), i.e. coverage >= 0.8 for n >= 10; band
+    edges are ordered."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    rows = all_queries()["ml_forecast_intervals"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.resid_p10 <= r.resid_p90
+        if r.n_scored >= 10:
+            assert 0.8 <= r.coverage <= 1.0
