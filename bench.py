@@ -115,6 +115,8 @@ HEADLINE = [
     "dq_benford_totalprice",
     "stats_chi_square_contingency",
     "ml_forecast_intervals",
+    "dedup_containment_pairs",
+    "events_inter_arrival_stats",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

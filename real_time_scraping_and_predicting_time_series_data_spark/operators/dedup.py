@@ -893,3 +893,116 @@ def q_dedup_char_ngram(spark, sf_dir):
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     out = char_jaccard_pairs(docs, n=4, threshold=0.35)
     return out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric shingle containment — subset/quote-inclusion duplicates
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    block: str | None = "source",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directed containment pairs C(A→B) = |A∩B| / |A| over word n-gram
+    shingles: the asymmetric near-dup detector for SUBSET duplicates — a
+    short document quoted wholesale inside a longer one scores near 1.0
+    containment while its Jaccard can be arbitrarily low (the union is
+    dominated by the container). Broder's original resemblance/containment
+    pair; the containment side is what catches quote-inclusion and
+    boilerplate-wrapping duplication in a pretraining corpus.
+
+    Scale shape: identical to `jaccard_pairs` — the SAME inverted-index
+    self-join produces the undirected common-shingle counts once; both
+    directed containments are then emitted from the tiny aggregated pair
+    relation by a single explode (no union-branch recomputation, the
+    triangle_counts lesson). Returns (contained_id, container_id,
+    n_common, containment) at containment >= threshold."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block).alias("blk")] if block else [F.lit(0).alias("blk")] ),
+        shingles(F.col(text), n).alias("sh"),
+    ).withColumn("set_size", F.size("sh"))
+    inv = base.select("id", "blk", "set_size", F.explode("sh").alias("_sh")).select(
+        "id", "blk", "set_size", F.xxhash64("_sh").alias("shingle")
+    )
+    a = inv.select(F.col("id").alias("id_a"), "blk", F.col("set_size").alias("size_a"), "shingle")
+    b = inv.select(F.col("id").alias("id_b"), "blk", F.col("set_size").alias("size_b"), "shingle")
+    common = (
+        a.join(b, ["blk", "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    directed = common.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("contained_id"),
+                    F.col("id_b").alias("container_id"),
+                    F.col("n_common"),
+                    (F.col("n_common") / F.col("size_a")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("contained_id"),
+                    F.col("id_a").alias("container_id"),
+                    F.col("n_common"),
+                    (F.col("n_common") / F.col("size_b")).alias("containment"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return directed.filter(F.col("containment") >= threshold)
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, source,
+               list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                              FOR i IN range(1, len(words) - 1)]) AS grams
+        FROM toks
+    ), sized AS (
+        SELECT doc_id, source, grams, len(grams) AS set_size FROM sh
+    ), inv AS (
+        SELECT doc_id, source, set_size, unnest(grams) AS shingle FROM sized
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.set_size AS size_a, b.set_size AS size_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM inv a JOIN inv b ON a.source = b.source AND a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ), directed AS (
+        SELECT id_a AS contained_id, id_b AS container_id, n_common,
+               n_common / size_a AS containment
+        FROM common
+        UNION ALL
+        SELECT id_b, id_a, n_common, n_common / size_b FROM common
+    )
+    SELECT contained_id, container_id, n_common,
+           round(containment, 9) AS containment
+    FROM directed WHERE containment >= 0.8
+    """,
+    tags=("dedup", "containment"),
+)
+def q_dedup_containment(spark, sf_dir):
+    """Directed 3-gram shingle containment pairs at C >= 0.8 — the
+    subset-duplicate detector (short doc quoted inside a long one) that
+    symmetric Jaccard structurally misses. Same source-blocked
+    inverted-index join as `dedup_jaccard_pairs`; both directions emitted
+    from the aggregated pair relation in one explode pass."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = containment_pairs(docs, block="source", n=3, threshold=0.8)
+    return out.select(
+        "contained_id", "container_id", "n_common",
+        F.round("containment", 9).alias("containment"),
+    )

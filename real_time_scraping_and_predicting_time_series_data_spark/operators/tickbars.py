@@ -226,3 +226,80 @@ def q_type_daily_corr(spark, sf_dir):
         F.count(F.lit(1)).alias("n_days"),
         F.round(F.corr("va", "vb"), 6).alias("corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival statistics — tick-rate profiling / burstiness per key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_inter_arrival_stats",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id,
+               epoch_us(date_trunc('microseconds', ts))
+                 - lag(epoch_us(date_trunc('microseconds', ts)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ), t AS (
+        SELECT user_id, gap_us, gap_us / 1000000.0 AS gap_s,
+               row_number() OVER (PARTITION BY user_id ORDER BY gap_us, event_id) AS rn,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        FROM g WHERE gap_us IS NOT NULL
+    )
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_gaps,
+           floor(CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE)
+                 / (1000000.0 * max(n)) * 1000000 + 0.5) / 1000000 AS mean_gap_s,
+           CAST(min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                         THEN gap_us END) AS BIGINT) AS p50_gap_us,
+           CAST(min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                         THEN gap_us END) AS BIGINT) AS p90_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           round(stddev_samp(gap_s)
+                 / (CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE) / (1000000.0 * max(n))),
+                 4) AS burstiness
+    FROM t GROUP BY user_id
+    """,
+    tags=("events", "timeseries", "profiling"),
+)
+def q_inter_arrival_stats(spark, sf_dir):
+    """Per-key inter-arrival profile: gap count, exact mean gap, nearest-
+    rank p50/p90 gaps, max gap, and burstiness (coefficient of variation —
+    ~1 for a Poisson arrival process, >1 for bursty streams). This is the
+    rate-profiling scan behind trigger sizing, watermark tuning, and the
+    key-skew story (which keys are hot and HOW they are hot). Gaps are
+    integer MICROSECONDS end to end: percentiles and max are exact BIGINTs
+    picked by rank, the mean is one exact integer sum divided once
+    (floor-canonicalized), and only the stddev-based burstiness rounds a
+    grouped double agg (round-4, values O(1)). One user_id exchange feeds
+    the lag window, the rank window, and the final agg."""
+    ev = load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id", "event_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wt)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    wr = Window.partitionBy("user_id").orderBy("gap_us", "event_id")
+    wn = Window.partitionBy("user_id")
+    t = g.select(
+        "user_id", "gap_us",
+        (F.col("gap_us") / F.lit(1000000.0)).alias("gap_s"),
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    mean_s = F.sum("gap_us").cast("long").cast("double") / (
+        F.lit(1000000.0) * F.max("n")
+    )
+    return t.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        (F.floor(mean_s * 1000000 + 0.5) / 1000000).alias("mean_gap_s"),
+        F.min(
+            F.when(F.col("rn") == F.ceil(0.5 * F.col("n")), F.col("gap_us"))
+        ).cast("long").alias("p50_gap_us"),
+        F.min(
+            F.when(F.col("rn") == F.ceil(0.9 * F.col("n")), F.col("gap_us"))
+        ).cast("long").alias("p90_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.round(F.stddev_samp("gap_s") / mean_s, 4).alias("burstiness"),
+    )

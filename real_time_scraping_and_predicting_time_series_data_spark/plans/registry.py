@@ -149,6 +149,8 @@ _FRONT = (
     "dq_benford_totalprice",
     "stats_chi_square_contingency",
     "ml_forecast_intervals",
+    "dedup_containment_pairs",
+    "events_inter_arrival_stats",
 )
 
 

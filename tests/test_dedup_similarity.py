@@ -297,3 +297,26 @@ def test_connected_components_handcrafted(spark):
     )
     got = {r.node: r.label for r in connected_components(edges, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 99: 99}
+
+
+def test_containment_detects_subset_duplicate(spark):
+    """A short doc fully quoted inside a long one: containment(short→long)
+    = 1.0 even though Jaccard is far below any dedup threshold."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short, "s"), (2, filler + " " + short + " " + filler, "s")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.contained_id, r.container_id): r.containment
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    jac = jaccard_pairs(docs, block="source", n=3, threshold=0.0).collect()
+    assert all(r.jaccard < 0.1 for r in jac)
