@@ -117,6 +117,8 @@ HEADLINE = [
     "ml_forecast_intervals",
     "dedup_containment_pairs",
     "events_inter_arrival_stats",
+    "text_keywords_topk",
+    "funnel_conversion_lag",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

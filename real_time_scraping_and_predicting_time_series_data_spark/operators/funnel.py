@@ -248,3 +248,103 @@ def q_events_top_paths(spark, sf_dir):
         .filter(F.col("rank") <= 20)
         .select("path", F.col("n").cast("long").alias("n_occurrences"), "rank")
     )
+
+
+@register(
+    "funnel_conversion_lag",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id,
+               min(epoch_us(date_trunc('microseconds', e.ts))
+                   - epoch_us(date_trunc('microseconds', s1.t1))) AS gap_us
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), grid AS (
+        SELECT CAST(floor(gap_us / 1000000.0) AS BIGINT) AS gap_s,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(gap_us) AS BIGINT) AS su
+        FROM s2 GROUP BY 1
+    ), cum AS (
+        SELECT gap_s, c,
+               CAST(sum(c) OVER (ORDER BY gap_s) AS BIGINT) AS cm
+        FROM grid
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(su) AS BIGINT) AS sumu FROM grid
+    )
+    SELECT t.n AS n_converted,
+           floor(CAST(t.sumu AS DOUBLE) / (1000000.0 * t.n) * 1000000 + 0.5)
+             / 1000000 AS mean_lag_s,
+           CAST(min(CASE WHEN cm >= CAST(ceil(0.5 * t.n) AS BIGINT)
+                         THEN gap_s END) AS BIGINT) AS p50_lag_s,
+           CAST(min(CASE WHEN cm >= CAST(ceil(0.9 * t.n) AS BIGINT)
+                         THEN gap_s END) AS BIGINT) AS p90_lag_s,
+           CAST(max(gap_s) AS BIGINT) AS max_lag_s
+    FROM cum CROSS JOIN tot t
+    GROUP BY t.n, t.sumu
+    """,
+    tags=("events", "funnel", "latency"),
+)
+def q_funnel_conversion_lag(spark, sf_dir):
+    """Click→purchase conversion-lag distribution: per converting user the
+    first post-click purchase lag, then exact nearest-rank p50/p90/max and
+    exact mean over all converters. The percentile trick is the KS/grid
+    one: lags are bucketed to integer SECONDS and the global cumulative
+    window runs over the bounded (distinct lag-second, count) grid — never
+    a single-partition sort of the per-user relation (millions of rows at
+    100 TB; the grid is bounded by the time range instead). Everything is
+    BIGINT microseconds until the one floor-canonicalized mean division."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts") - F.unix_micros("t1")).alias("gap_us")
+        )
+    )
+    grid = s2.groupBy(
+        F.floor(F.col("gap_us") / F.lit(1000000.0)).cast("long").alias("gap_s")
+    ).agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("gap_us").cast("long").alias("su"),
+    )
+    wc = Window.orderBy("gap_s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grid.select(
+        "gap_s", "c", F.sum("c").over(wc).cast("long").alias("cm")
+    )
+    tot = grid.agg(
+        F.sum("c").cast("long").alias("n"), F.sum("su").cast("long").alias("sumu")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    mean = F.max("sumu").cast("double") / (F.lit(1000000.0) * F.max("n"))
+    return (
+        j.groupBy("n", "sumu")
+        .agg(
+            F.min(
+                F.when(F.col("cm") >= F.ceil(0.5 * F.col("n")), F.col("gap_s"))
+            ).cast("long").alias("p50_lag_s"),
+            F.min(
+                F.when(F.col("cm") >= F.ceil(0.9 * F.col("n")), F.col("gap_s"))
+            ).cast("long").alias("p90_lag_s"),
+            F.max("gap_s").cast("long").alias("max_lag_s"),
+            (F.floor(
+                F.col("sumu").cast("double") / (F.lit(1000000.0) * F.col("n"))
+                * 1000000 + 0.5
+            ) / 1000000).alias("mean_lag_s"),
+        )
+        .select(
+            F.col("n").alias("n_converted"), "mean_lag_s",
+            "p50_lag_s", "p90_lag_s", "max_lag_s",
+        )
+    )

@@ -482,3 +482,47 @@ def q_winnow_fingerprint(spark, sf_dir):
         .select("doc_id", F.explode(fps).alias("fingerprint"))
         .distinct()
     )
+
+
+@register(
+    "text_keywords_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT id, term, CAST(count(*) AS BIGINT) AS tf_count FROM toks GROUP BY id, term
+    ), dl AS (
+        SELECT id, CAST(sum(tf_count) AS BIGINT) AS doc_len FROM tf GROUP BY id
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), nd AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.id, tf.term,
+               round((tf.tf_count / dl.doc_len)
+                     * (ln((nd.n_docs + 1) / (dfreq.df + 1)) + 1), 9) AS tfidf
+        FROM tf JOIN dl USING (id) JOIN dfreq USING (term) CROSS JOIN nd
+    )
+    SELECT id, term, tfidf,
+           CAST(row_number() OVER (PARTITION BY id
+                                   ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 3
+    """,
+    tags=("text", "tfidf", "keywords"),
+)
+def q_text_keywords(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document — the per-doc salience extractor
+    (tagging, routing, topic seeding) layered on the corpus TF-IDF
+    relation. The rank window partitions by doc over the per-(doc, term)
+    relation (bounded by doc length), ordering on the round-9 score with
+    the term string as the deterministic tiebreaker — both engines sort
+    ASCII terms identically, so the selected keyword SET is bit-stable."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    scored = tfidf(docs)
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("id", "term", "tfidf", "rank")
+    )

@@ -151,6 +151,8 @@ _FRONT = (
     "ml_forecast_intervals",
     "dedup_containment_pairs",
     "events_inter_arrival_stats",
+    "text_keywords_topk",
+    "funnel_conversion_lag",
 )
 
 
