@@ -119,6 +119,7 @@ HEADLINE = [
     "events_inter_arrival_stats",
     "text_keywords_topk",
     "funnel_conversion_lag",
+    "ml_point_in_time_features",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

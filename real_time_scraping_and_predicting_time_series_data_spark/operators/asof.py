@@ -356,3 +356,80 @@ def q_asof_nearest(spark, sf_dir):
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
     errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts", "value")
     return asof_join_nearest(clicks, errors, tolerance_seconds=1800)
+
+
+@register(
+    "ml_point_in_time_features",
+    oracle="""
+    WITH vi AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ), feats AS (
+        SELECT user_id,
+               CAST(d AS TIMESTAMP) + INTERVAL 1 DAY AS avail_ts,
+               strftime(d, '%Y-%m-%d') AS feat_day,
+               CAST(count(*) AS BIGINT) AS feat_n,
+               CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / (100.0 * count(*)) AS feat_mean
+        FROM vi GROUP BY user_id, d
+    ), labels AS (
+        SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.user_id, l.event_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS label_ts,
+           round(l.value, 6) AS label_value,
+           f.feat_day, f.feat_n,
+           floor(f.feat_mean * 1000000 + 0.5) / 1000000 AS feat_mean
+    FROM labels l ASOF LEFT JOIN feats f
+      ON l.user_id = f.user_id AND l.ts >= f.avail_ts
+    """,
+    tags=("ml", "asof", "features"),
+)
+def q_point_in_time_features(spark, sf_dir):
+    """Point-in-time-correct feature join — the feature-store pattern that
+    prevents training-label leakage: each purchase (label) is joined to
+    its user's most recent COMPLETED-day feature snapshot (daily tick
+    count + exact mean), where a day's features become available only at
+    the following midnight. Same-day ticks can never leak into the label's
+    features, cold-start labels keep NULLs (left semantics). Reuses the
+    1-shuffle union + last-ignore-nulls as-of primitive — featurization
+    and alignment share the user_id partitioning; DuckDB's native ASOF
+    LEFT JOIN is the oracle. Generalizes the reference's forecast/actual
+    alignment (lvmh_forecaster2.py:161-185) from one series to the
+    entity-keyed training-set build."""
+    ev = load_table(spark, sf_dir, "events")
+    vi = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    feats = vi.groupBy("user_id", "d").agg(
+        F.count("*").cast("long").alias("feat_n"),
+        (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias(
+            "feat_mean"
+        ),
+    ).select(
+        "user_id",
+        F.date_add(F.col("d"), 1).cast("timestamp").alias("ts"),
+        F.date_format("d", "yyyy-MM-dd").alias("feat_day"),
+        "feat_n",
+        "feat_mean",
+        F.unix_date(F.col("d")).cast("long").alias("event_id"),
+    )
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = asof_join(
+        labels, feats, on="user_id", ts="ts",
+        right_value_cols=("feat_day", "feat_n", "feat_mean"),
+        direction="backward",
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("label_ts"),
+        F.round("value", 6).alias("label_value"),
+        F.col("feat_day_right").alias("feat_day"),
+        F.col("feat_n_right").alias("feat_n"),
+        (F.floor(F.col("feat_mean_right") * 1000000 + 0.5) / 1000000).alias("feat_mean"),
+    )

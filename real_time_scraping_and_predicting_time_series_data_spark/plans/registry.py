@@ -153,6 +153,7 @@ _FRONT = (
     "events_inter_arrival_stats",
     "text_keywords_topk",
     "funnel_conversion_lag",
+    "ml_point_in_time_features",
 )
 
 

@@ -467,3 +467,16 @@ def test_forecast_interval_coverage_invariant(spark):
         assert r.resid_p10 <= r.resid_p90
         if r.n_scored >= 10:
             assert 0.8 <= r.coverage <= 1.0
+
+
+def test_point_in_time_features_no_leakage(spark):
+    """Every matched feature snapshot comes from a day STRICTLY before the
+    label's day (completed-day availability); cold-start labels keep NULLs."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    rows = all_queries()["ml_point_in_time_features"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    matched = [r for r in rows if r.feat_day is not None]
+    assert matched
+    for r in matched:
+        assert r.feat_day < r.label_ts[:10]
