@@ -120,6 +120,9 @@ HEADLINE = [
     "text_keywords_topk",
     "funnel_conversion_lag",
     "ml_point_in_time_features",
+    "events_markov_stationary",
+    "corpus_bigram_pmi",
+    "dq_schema_profile",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -438,3 +438,92 @@ def q_corpus_mixture_fraction(spark, sf_dir):
     100 TB path (exact-count twin: ``corpus_source_mixture``)."""
     docs = load_table(spark, sf_dir, "documents")
     return source_mixture_fraction(docs)
+
+
+@register(
+    "corpus_bigram_pmi",
+    oracle="""
+    WITH t AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), uni AS (
+        SELECT unnest(w) AS tok FROM t
+    ), uc AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok
+    ), nu AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                      i -> {'a': w[i], 'b': w[i + 1]})) AS p
+        FROM t WHERE len(w) >= 2
+    ), bc AS (
+        SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab
+        FROM bg GROUP BY p.a, p.b
+    ), nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS np FROM bc),
+    scored AS (
+        SELECT bc.a, bc.b, bc.c_ab,
+               round(ln((CAST(bc.c_ab AS DOUBLE) / nb.np)
+                        / ((CAST(ua.c AS DOUBLE) / nu.n)
+                           * (CAST(ub.c AS DOUBLE) / nu.n))), 6) AS pmi
+        FROM bc
+        JOIN uc ua ON ua.tok = bc.a
+        JOIN uc ub ON ub.tok = bc.b
+        CROSS JOIN nu CROSS JOIN nb
+        WHERE bc.c_ab >= 5
+    )
+    SELECT a, b, c_ab, pmi FROM scored
+    ORDER BY pmi DESC, a, b LIMIT 20
+    """,
+    tags=("corpus", "text", "collocation"),
+)
+def q_corpus_bigram_pmi(spark, sf_dir):
+    """Top-20 collocations by pointwise mutual information:
+    PMI = ln(p(ab) / (p(a)·p(b))) over corpus bigram/unigram counts with a
+    min-support of 5 — the classic phrase detector (what should become one
+    token). Counts are exact BIGINTs from two grouped aggs over one token
+    explosion; the two corpus totals are one-row broadcasts; the single
+    ln() is applied to an exact count ratio and rounded (the `text_tfidf`
+    libm precedent). Top-k via TakeOrdered with the bigram itself as the
+    deterministic tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+    uni = t.select(F.explode("w").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    nu = uc.agg(F.sum("c").cast("long").alias("n"))
+    idx = F.when(
+        F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = t.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("a"),
+                    F.element_at("w", i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    bc = bg.groupBy("a", "b").agg(F.count("*").cast("long").alias("c_ab"))
+    nb = bc.agg(F.sum("c_ab").cast("long").alias("np"))
+    ua = uc.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    ub = uc.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    scored = (
+        bc.filter(F.col("c_ab") >= 5)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "a", "b", "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") / F.col("np"))
+                    / (
+                        (F.col("ca").cast("double") / F.col("n"))
+                        * (F.col("cb").cast("double") / F.col("n"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "a", "b").limit(20)

@@ -348,3 +348,69 @@ def q_funnel_conversion_lag(spark, sf_dir):
             "p50_lag_s", "p90_lag_s", "max_lag_s",
         )
     )
+
+
+@register(
+    "events_markov_stationary",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), pairs AS (
+        SELECT cur, nxt, count(*) AS n FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), p AS (
+        SELECT cur, nxt, n / (sum(n) OVER (PARTITION BY cur)) AS p
+        FROM pairs
+    ), states AS (
+        SELECT DISTINCT cur AS state FROM p
+    ), k AS (SELECT CAST(count(*) AS DOUBLE) AS kk FROM states),
+    pi0 AS (
+        SELECT state, 1.0 / (SELECT kk FROM k) AS pi FROM states
+    ), pi1 AS (
+        SELECT p.nxt AS state, sum(pi0.pi * p.p) AS pi
+        FROM p JOIN pi0 ON pi0.state = p.cur GROUP BY p.nxt
+    ), pi2 AS (
+        SELECT p.nxt AS state, sum(pi1.pi * p.p) AS pi
+        FROM p JOIN pi1 ON pi1.state = p.cur GROUP BY p.nxt
+    ), pi3 AS (
+        SELECT p.nxt AS state, sum(pi2.pi * p.p) AS pi
+        FROM p JOIN pi2 ON pi2.state = p.cur GROUP BY p.nxt
+    )
+    SELECT state, round(pi, 9) AS pi FROM pi3
+    """,
+    tags=("events", "markov", "iterative"),
+)
+def q_markov_stationary(spark, sf_dir):
+    """Three-step state distribution of the empirical event-type Markov
+    chain from a uniform start — the behavioral-equilibrium companion to
+    `events_markov_transitions` (where does user attention settle), built
+    exactly like PageRank: the |types|² probability matrix is the model
+    table, each iteration is one broadcast join + grouped sum (relational
+    matvec over a 25-row relation — the raw events are scanned ONCE for
+    the transition counts and never again). Fixed iterations + exact
+    count-ratio probabilities -> full round-9 value oracle."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("cur")
+    p = pairs.select(
+        "cur", "nxt", (F.col("n") / F.sum("n").over(wt)).alias("p")
+    ).localCheckpoint(eager=False)
+    states = p.select(F.col("cur").alias("state")).distinct()
+    k = states.agg(F.count("*").cast("double").alias("kk"))
+    pi = states.crossJoin(F.broadcast(k)).select(
+        "state", (F.lit(1.0) / F.col("kk")).alias("pi")
+    )
+    for _ in range(3):
+        pi = (
+            p.join(F.broadcast(pi.withColumnRenamed("state", "cur")), "cur")
+            .groupBy(F.col("nxt").alias("state"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
+        )
+    return pi.select("state", F.round("pi", 9).alias("pi"))

@@ -1001,3 +1001,95 @@ def q_stats_chi_square(spark, sf_dir):
             (F.floor((diff * diff) / exp * 1000000 + 0.5) / 1000000).alias("chi2_contrib"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass schema profile — the data-profiling staple
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_schema_profile",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(event_id) AS BIGINT) AS nn1,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS nd1,
+               CAST(min(event_id) AS DOUBLE) AS mn1, CAST(max(event_id) AS DOUBLE) AS mx1,
+               CAST(count(ts) AS BIGINT) AS nn2,
+               CAST(count(DISTINCT ts) AS BIGINT) AS nd2,
+               CAST(min(epoch_us(date_trunc('microseconds', ts))) AS DOUBLE) AS mn2,
+               CAST(max(epoch_us(date_trunc('microseconds', ts))) AS DOUBLE) AS mx2,
+               CAST(count(user_id) AS BIGINT) AS nn3,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS nd3,
+               CAST(min(user_id) AS DOUBLE) AS mn3, CAST(max(user_id) AS DOUBLE) AS mx3,
+               CAST(count(event_type) AS BIGINT) AS nn4,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS nd4,
+               CAST(count(value) AS BIGINT) AS nn5,
+               CAST(count(DISTINCT value) AS BIGINT) AS nd5,
+               min(value) AS mn5, max(value) AS mx5,
+               CAST(count(props) AS BIGINT) AS nn6,
+               CAST(count(DISTINCT props) AS BIGINT) AS nd6
+        FROM events
+    )
+    SELECT 'event_id' AS column_name, n AS n_rows, n - nn1 AS n_nulls, nd1 AS n_distinct, mn1 AS min_num, mx1 AS max_num FROM a
+    UNION ALL SELECT 'ts', n, n - nn2, nd2, mn2, mx2 FROM a
+    UNION ALL SELECT 'user_id', n, n - nn3, nd3, mn3, mx3 FROM a
+    UNION ALL SELECT 'event_type', n, n - nn4, nd4, NULL, NULL FROM a
+    UNION ALL SELECT 'value', n, n - nn5, nd5, mn5, mx5 FROM a
+    UNION ALL SELECT 'props', n, n - nn6, nd6, NULL, NULL FROM a
+    """,
+    tags=("dq", "profiling"),
+)
+def q_dq_schema_profile(spark, sf_dir):
+    """One-pass column profile of the events table: row count, null count,
+    exact distinct count, numeric min/max per column (timestamps profiled
+    as epoch microseconds; string columns get NULL bounds — double
+    FORMATTING is not cross-engine portable, numeric values are). All 21
+    aggregates ride ONE scan into one agg row, then unpivot to the 6-row
+    profile via a per-row explode (no re-scan per column — the mistake
+    naive profilers make at 100 TB). This is the ingest-gate scan run
+    before a new data drop is admitted."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("event_id").cast("long").alias("nn1"),
+        F.countDistinct("event_id").cast("long").alias("nd1"),
+        F.min("event_id").cast("double").alias("mn1"),
+        F.max("event_id").cast("double").alias("mx1"),
+        F.count("ts").cast("long").alias("nn2"),
+        F.countDistinct("ts").cast("long").alias("nd2"),
+        F.min(F.unix_micros("ts")).cast("double").alias("mn2"),
+        F.max(F.unix_micros("ts")).cast("double").alias("mx2"),
+        F.count("user_id").cast("long").alias("nn3"),
+        F.countDistinct("user_id").cast("long").alias("nd3"),
+        F.min("user_id").cast("double").alias("mn3"),
+        F.max("user_id").cast("double").alias("mx3"),
+        F.count("event_type").cast("long").alias("nn4"),
+        F.countDistinct("event_type").cast("long").alias("nd4"),
+        F.count("value").cast("long").alias("nn5"),
+        F.countDistinct("value").cast("long").alias("nd5"),
+        F.min("value").alias("mn5"),
+        F.max("value").alias("mx5"),
+        F.count("props").cast("long").alias("nn6"),
+        F.countDistinct("props").cast("long").alias("nd6"),
+    )
+    nulld = F.lit(None).cast("double")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column_name"),
+                F.col("n").alias("n_rows"),
+                (F.col("n") - F.col(f"nn{i}")).alias("n_nulls"),
+                F.col(f"nd{i}").alias("n_distinct"),
+                (F.col(f"mn{i}") if has_num else nulld).alias("min_num"),
+                (F.col(f"mx{i}") if has_num else nulld).alias("max_num"),
+            )
+            for i, (name, has_num) in enumerate(
+                [("event_id", True), ("ts", True), ("user_id", True),
+                 ("event_type", False), ("value", True), ("props", False)],
+                start=1,
+            )
+        ]
+    )
+    return a.select(F.explode(rows).alias("r")).select("r.*")

@@ -154,6 +154,9 @@ _FRONT = (
     "text_keywords_topk",
     "funnel_conversion_lag",
     "ml_point_in_time_features",
+    "events_markov_stationary",
+    "corpus_bigram_pmi",
+    "dq_schema_profile",
 )
 
 
