@@ -123,6 +123,8 @@ HEADLINE = [
     "events_markov_stationary",
     "corpus_bigram_pmi",
     "dq_schema_profile",
+    "orders_basket_lift",
+    "events_calendar_heatmap",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

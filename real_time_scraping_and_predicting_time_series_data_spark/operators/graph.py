@@ -211,3 +211,81 @@ def q_triangle_counts(spark, sf_dir):
     SURVEY.md §2.8)."""
     li = load_table(spark, sf_dir, "lineitem")
     return triangle_counts(strong_copurchase_half(li))
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules — support / confidence / lift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_basket_lift",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lineitem
+    ), item AS (
+        SELECT l_partkey AS part, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS c
+        FROM lineitem GROUP BY l_partkey
+    ), pair AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS c_ab
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= {_TRI_SUPPORT}
+    )
+    SELECT p.pa AS part_a, p.pb AS part_b, p.c_ab AS n_orders_both,
+           round(CAST(p.c_ab AS DOUBLE) / bk.n_orders, 9) AS support,
+           round(CAST(p.c_ab AS DOUBLE) / ia.c, 9) AS confidence_a_b,
+           round((CAST(p.c_ab AS DOUBLE) / bk.n_orders)
+                 / ((CAST(ia.c AS DOUBLE) / bk.n_orders)
+                    * (CAST(ib.c AS DOUBLE) / bk.n_orders)), 6) AS lift
+    FROM pair p
+    JOIN item ia ON ia.part = p.pa
+    JOIN item ib ON ib.part = p.pb
+    CROSS JOIN baskets bk
+    """,
+    tags=("graph", "basket", "association"),
+)
+def q_orders_basket_lift(spark, sf_dir):
+    """Association rules over order baskets: for every strong part pair
+    (co-occurring in >= 2 orders), exact support, confidence(A→B), and
+    lift — the transactional twin of `corpus_bigram_pmi` (lift is the PMI
+    exponential). All counts are exact order-distinct BIGINTs; the pair
+    generation is the same within-order self-join the co-purchase graph
+    uses (never a cross join); item counts broadcast onto the support-
+    filtered pair relation; the basket total is a one-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n_orders = li.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    item = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.countDistinct("l_orderkey").cast("long").alias("c")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.countDistinct("ok").cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= _TRI_SUPPORT)
+    )
+    ia = item.select(F.col("part").alias("pa"), F.col("c").alias("ca"))
+    ib = item.select(F.col("part").alias("pb"), F.col("c").alias("cb"))
+    j = (
+        pair.join(ia, "pa").join(ib, "pb").crossJoin(F.broadcast(n_orders))
+    )
+    sup = F.col("c_ab").cast("double") / F.col("n_orders")
+    return j.select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        F.col("c_ab").alias("n_orders_both"),
+        F.round(sup, 9).alias("support"),
+        F.round(F.col("c_ab").cast("double") / F.col("ca"), 9).alias("confidence_a_b"),
+        F.round(
+            sup
+            / (
+                (F.col("ca").cast("double") / F.col("n_orders"))
+                * (F.col("cb").cast("double") / F.col("n_orders"))
+            ),
+            6,
+        ).alias("lift"),
+    )

@@ -303,3 +303,38 @@ def q_inter_arrival_stats(spark, sf_dir):
         F.max("gap_us").cast("long").alias("max_gap_us"),
         F.round(F.stddev_samp("gap_s") / mean_s, 4).alias("burstiness"),
     )
+
+
+@register(
+    "events_calendar_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hr,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / (100.0 * count(*)) AS mean_value
+    FROM events
+    GROUP BY CAST(dayofweek(ts) AS INT), CAST(hour(ts) AS INT)
+    """,
+    tags=("events", "calendar", "profiling"),
+)
+def q_events_calendar_heatmap(spark, sf_dir):
+    """Day-of-week x hour activity heatmap: event count, distinct users,
+    exact mean value per calendar cell (168 rows max) — the seasonality-
+    profiling scan behind load forecasting and trigger scheduling. One
+    grouped agg over the scan; the mean uses the integer-cents exact form
+    (DuckDB dayofweek: Sunday=0, Spark dayofweek: Sunday=1 — aligned by
+    the -1 shift on the Spark side)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").cast("double")
+            / (F.lit(100.0) * F.count("*"))
+        ).alias("mean_value"),
+    )

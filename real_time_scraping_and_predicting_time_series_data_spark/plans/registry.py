@@ -157,6 +157,8 @@ _FRONT = (
     "events_markov_stationary",
     "corpus_bigram_pmi",
     "dq_schema_profile",
+    "orders_basket_lift",
+    "events_calendar_heatmap",
 )
 
 
