@@ -125,6 +125,8 @@ HEADLINE = [
     "dq_schema_profile",
     "orders_basket_lift",
     "events_calendar_heatmap",
+    "ts_week_over_week",
+    "text_readability_scores",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -526,3 +526,63 @@ def q_text_keywords(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("id", "term", "tfidf", "rank")
     )
+
+
+@register(
+    "text_readability_scores",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    w -> len(w) > 0)) AS BIGINT) AS n_words,
+               CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                    s -> len(trim(s)) > 0)) AS BIGINT) AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+                 AS n_vowel_groups
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+           floor(CAST(n_words AS DOUBLE) / n_sentences * 1000000 + 0.5)
+             / 1000000 AS words_per_sentence,
+           floor((206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                  - 84.6 * (CAST(n_vowel_groups AS DOUBLE) / n_words))
+                 * 1000000 + 0.5) / 1000000 AS flesch_proxy
+    FROM base WHERE n_words > 0 AND n_sentences > 0
+    """,
+    tags=("text", "quality", "readability"),
+)
+def q_text_readability(spark, sf_dir):
+    """Flesch-style readability proxy per document: words/sentence and a
+    vowel-group syllable proxy feed the classic 206.835 − 1.015·wps −
+    84.6·spw formula — the reading-level gate corpus pipelines run beside
+    the Gopher rules. All three counts are exact integers from portable
+    regex classes ([.!?]+ sentence split, [aeiouy]+ vowel groups — ASCII
+    character classes behave identically in Java regex and RE2, the
+    `corpus_pii_redact` precedent); the score is one fixed-shape
+    expression on exact counts, floor-canonicalized. One scan, zero
+    shuffles below the output."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
+    )
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]+"), lambda s: F.length(F.trim(s)) > 0
+    )
+    vg = F.size(
+        F.split(F.regexp_replace(F.lower(F.col("text")), r"[aeiouy]+", "\x01"), "\x01")
+    ) - 1
+    base = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(sents).cast("long").alias("n_sentences"),
+        vg.cast("long").alias("n_vowel_groups"),
+    ).filter((F.col("n_words") > 0) & (F.col("n_sentences") > 0))
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_vowel_groups").cast("double") / F.col("n_words")
+    score = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    return base.select(
+        "doc_id", "n_words", "n_sentences", "n_vowel_groups",
+        (F.floor(wps * 1000000 + 0.5) / 1000000).alias("words_per_sentence"),
+        (F.floor(score * 1000000 + 0.5) / 1000000).alias("flesch_proxy"),
+    )

@@ -338,3 +338,54 @@ def q_events_calendar_heatmap(spark, sf_dir):
             / (F.lit(100.0) * F.count("*"))
         ).alias("mean_value"),
     )
+
+
+@register(
+    "ts_week_over_week",
+    oracle="""
+    WITH wk AS (
+        SELECT user_id, date_trunc('week', ts) AS week_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY user_id, date_trunc('week', ts)
+    )
+    SELECT user_id, strftime(week_start, '%Y-%m-%d') AS week_start,
+           n_events, cents,
+           lag(cents) OVER (PARTITION BY user_id ORDER BY week_start) AS prev_cents,
+           CASE WHEN lag(cents) OVER (PARTITION BY user_id ORDER BY week_start) > 0
+                THEN floor((CAST(cents AS DOUBLE)
+                            / lag(cents) OVER (PARTITION BY user_id ORDER BY week_start)
+                            - 1.0) * 1000000 + 0.5) / 1000000
+           END AS wow_growth
+    FROM wk
+    """,
+    tags=("timeseries", "calendar", "growth"),
+)
+def q_week_over_week(spark, sf_dir):
+    """Per-key weekly totals with week-over-week growth — the reporting
+    staple. Weekly sums are exact integer cents; the growth ratio is one
+    fixed-shape division on two exact integers (floor-canonicalized,
+    NULL for a first week or a zero/negative base). The weekly agg and
+    the lag window share one user_id-rooted partitioning; weeks per key
+    are bounded by the time range, so the window state is tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week_start")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("week_start")
+    prev = F.lag("cents").over(w)
+    growth = F.when(
+        prev > 0,
+        F.floor((F.col("cents").cast("double") / prev - F.lit(1.0)) * 1000000 + 0.5)
+        / 1000000,
+    )
+    return wk.select(
+        "user_id",
+        F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
+        "n_events", "cents",
+        prev.alias("prev_cents"),
+        growth.alias("wow_growth"),
+    )

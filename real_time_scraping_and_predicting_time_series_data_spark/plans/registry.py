@@ -159,6 +159,8 @@ _FRONT = (
     "dq_schema_profile",
     "orders_basket_lift",
     "events_calendar_heatmap",
+    "ts_week_over_week",
+    "text_readability_scores",
 )
 
 
