@@ -165,10 +165,24 @@ def main() -> int:
         # embedding_pq_codebook ran 1.1s cold but 7-11s after pagerank's
         # accumulated checkpoints). A real pipeline unpersists after use;
         # the harness does it between queries so each median is isolated.
-        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-            rdd.unpersist()
+        # getPersistentRDDs is a private py4j surface with no public PySpark
+        # twin; if a Spark upgrade removes it, degrade to leaky-but-running.
+        try:
+            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                rdd.unpersist()
+        except Exception:
+            pass
 
     total = round(sum(timings.values()), 3)
+    # Per-sample detail goes to a local file, NOT stdout: round 4's stdout
+    # line with "all_runs" (3 samples x 92 queries) exceeded the driver's
+    # capture and BENCH_r04 recorded "parsed": null. The stdout contract is
+    # ONE compact line: metric / value / per-query medians / sf.
+    try:
+        with open("bench_runs_local.json", "w") as f:
+            json.dump({"runs_per_query": RUNS, "all_runs": runs, "sf": sf}, f)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -176,8 +190,6 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs_per_query": RUNS,
-                "all_runs": runs,
                 "sf": sf,
             }
         )

@@ -291,12 +291,13 @@ def q_funnel_conversion_lag(spark, sf_dir):
     """Click→purchase conversion-lag distribution: per converting user the
     first post-click purchase lag, then exact nearest-rank p50/p90/max and
     exact mean over all converters. The percentile trick is the KS/grid
-    one: lags are bucketed to integer SECONDS and the global cumulative
-    window runs over the bounded (distinct lag-second, count) grid — never
-    a single-partition sort of the per-user relation (millions of rows at
-    100 TB; the grid is bounded by the time range instead). Everything is
-    BIGINT microseconds until the one floor-canonicalized mean division."""
-    from pyspark.sql import Window
+    one: lags are bucketed to integer SECONDS and the cumulative count runs
+    over the (distinct lag-second, count) grid via the range-partitioned
+    `grid_cumsum` (stats.py) — never a single-partition sort of anything
+    unbounded (the per-user relation is millions of rows at 100 TB; even
+    the grid cumsum is bucket-parallel). Everything is BIGINT microseconds
+    until the one floor-canonicalized mean division."""
+    from .stats import grid_cumsum
 
     ev = _t(spark, sf_dir, "events")
     s1 = (
@@ -319,15 +320,13 @@ def q_funnel_conversion_lag(spark, sf_dir):
         F.count("*").cast("long").alias("c"),
         F.sum("gap_us").cast("long").alias("su"),
     )
-    wc = Window.orderBy("gap_s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = grid.select(
-        "gap_s", "c", F.sum("c").over(wc).cast("long").alias("cm")
+    cum = grid_cumsum(grid, ["c"], order_col="gap_s").select(
+        "gap_s", "c", F.col("cum_c").alias("cm")
     )
     tot = grid.agg(
         F.sum("c").cast("long").alias("n"), F.sum("su").cast("long").alias("sumu")
     )
     j = cum.crossJoin(F.broadcast(tot))
-    mean = F.max("sumu").cast("double") / (F.lit(1000000.0) * F.max("n"))
     return (
         j.groupBy("n", "sumu")
         .agg(

@@ -89,7 +89,7 @@ def q_value_histogram(spark, sf_dir):
     "collect_sorted_lists",
     oracle="""
     SELECT user_id,
-           list_sort(list(event_type)) AS types_sorted,
+           array_to_string(list_sort(list(event_type)), ',') AS types_sorted,
            string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
     FROM events GROUP BY user_id
     """,
@@ -98,10 +98,14 @@ def q_value_histogram(spark, sf_dir):
 def q_collect_sorted(spark, sf_dir):
     """Collection aggregation with deterministic ordering: collect_list is
     order-nondeterministic under parallelism, so results are sorted before
-    leaving the operator (the only hash-stable way to emit them)."""
+    leaving the operator (the only hash-stable way to emit them).  Both
+    collection columns are CSV-serialized: array-typed result columns crash
+    the driver's pandas-based canonicalizer (``unhashable type: 'list'`` in
+    CORRECTNESS_r04), so oracle-bearing queries emit scalars only — the same
+    pattern ``ts_sliding_features_arrays`` uses."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list("event_type")).alias("types_sorted"),
+        F.array_join(F.sort_array(F.collect_list("event_type")), ",").alias("types_sorted"),
         F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_csv"),
     )
 
@@ -547,21 +551,77 @@ def q_stats_ks_drift(spark, sf_dir):
     return ks_from_value_grid(g)
 
 
+def grid_cumsum(g, sum_cols, order_col="v", nbuckets=64):
+    """Running (inclusive) cumulative sums over a distinct-value grid
+    WITHOUT a global single-partition sort (VERDICT r4 item 5).
+
+    A bare ``Window.orderBy(v)`` funnels the whole grid through one task —
+    fine for bounded integer-cent grids, a scale-killer once the order
+    column is unbounded-cardinality doubles. Instead:
+
+    1. one tiny aggregate computes ``nbuckets-1`` approximate percentile
+       boundaries of the order column (broadcast, rows never move);
+    2. each row gets a bucket id = #boundaries <= v — monotone in v by
+       construction, so bucket ranges tile the sort order;
+    3. the running sum runs WITHIN each bucket (parallel across buckets);
+    4. per-bucket offsets come from the ``nbuckets``-row bucket-total
+       relation — its global window is bounded by construction — and are
+       broadcast-joined back.
+
+    Integer arithmetic throughout, so the result is bit-identical to the
+    single-partition form for any bucketing. Returns ``g`` plus a
+    ``cum_<c>`` long column per requested sum column."""
+    fracs = [i / nbuckets for i in range(1, nbuckets)]
+    bounds = g.agg(F.percentile_approx(order_col, fracs, 10000).alias("_bounds"))
+    b = g.crossJoin(F.broadcast(bounds)).withColumn(
+        "_blk", F.size(F.filter(F.col("_bounds"), lambda x: x <= F.col(order_col)))
+    )
+    w_in = (
+        Window.partitionBy("_blk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.select(
+        *g.columns,
+        "_blk",
+        *[F.sum(c).over(w_in).cast("long").alias(f"_loc_{c}") for c in sum_cols],
+    )
+    tot = b.groupBy("_blk").agg(
+        *[F.sum(c).cast("long").alias(f"_t_{c}") for c in sum_cols]
+    )
+    w_off = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = tot.select(
+        "_blk",
+        *[
+            F.coalesce(F.sum(f"_t_{c}").over(w_off), F.lit(0))
+            .cast("long")
+            .alias(f"_off_{c}")
+            for c in sum_cols
+        ],
+    )
+    out = local.join(F.broadcast(offs), "_blk")
+    return out.select(
+        *g.columns,
+        *[
+            (F.col(f"_loc_{c}") + F.col(f"_off_{c}")).alias(f"cum_{c}")
+            for c in sum_cols
+        ],
+    )
+
+
 def ks_from_value_grid(g):
     """Two-sample KS distance from a (v, ca, cb) distinct-value count grid
     — the shared core of `stats_ks_drift` and the streaming drift monitor
     (streaming/drift_stream.py). Count grids are MERGEABLE (grouped sums
     commute/associate), so an incrementally accumulated grid yields the
     EXACT batch statistic — the same mergeability argument as the CMS
-    counter tables."""
+    counter tables. The CDF running sums use the range-partitioned
+    `grid_cumsum` (no single-partition global sort)."""
     tot = g.agg(
         F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = g.select(
-        "v",
-        F.sum("ca").over(w).cast("long").alias("cuma"),
-        F.sum("cb").over(w).cast("long").alias("cumb"),
+    c = grid_cumsum(g, ["ca", "cb"]).select(
+        "v", F.col("cum_ca").alias("cuma"), F.col("cum_cb").alias("cumb")
     )
     j = c.crossJoin(F.broadcast(tot))
     num = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
@@ -727,15 +787,16 @@ def mann_whitney_from_value_grid(g):
     grid — the shared core of `stats_mann_whitney` and the streaming drift
     monitor. Like `ks_from_value_grid`, count grids are mergeable, so the
     incrementally accumulated statistic equals the batch one exactly
-    (cnt at a value is ca + cb by construction)."""
+    (cnt at a value is ca + cb by construction). The exclusive rank prefix
+    (``cumbefore``) is the range-partitioned inclusive cumsum minus the
+    row's own count — no single-partition global sort."""
     g = g.select("v", "ca", "cb", (F.col("ca") + F.col("cb")).alias("cnt"))
     tot = g.agg(
         F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
     )
-    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    c = g.select(
+    c = grid_cumsum(g, ["cnt"]).select(
         "v", "ca", "cb", "cnt",
-        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).cast("long").alias("cumbefore"),
+        (F.col("cum_cnt") - F.col("cnt")).cast("long").alias("cumbefore"),
     )
     s = (
         c.crossJoin(F.broadcast(tot))

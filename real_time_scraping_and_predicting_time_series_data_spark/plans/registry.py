@@ -94,61 +94,12 @@ _loaded = False
 # (d) the TPC-H deep shapes and remaining never-checked
 # rolling/reshape/stats/sampling queries.
 _FRONT = (
-    # (a) the one red r3 row, fixed this round (signed-zero canonicalization)
-    "ts_rolling_corr",
-    # (b) the 26 queries no driver round has ever sampled (all pass the
-    # in-repo parity harness; VERDICT r3 item 3 asks for driver rows)
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_excess_stock_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_rich_customers",
-    "reshape_pivot",
-    "reshape_unpivot",
-    "sample_hash_mod",
-    "sample_group_split",
-    "sample_weighted_systematic",
-    "sample_stratified_exact",
-    "sample_per_key_reservoir",
-    "stats_corr_covar",
-    "stats_linear_trend",
-    "stats_value_histogram",
-    "stats_median_mode",
-    "stats_ordered_string_agg",
+    # (a) the one red r4 row — arrays now CSV-serialized for the driver's
+    # pandas canonicalizer; re-check first so the fix lands a green row.
     "collect_sorted_lists",
-    "array_fns_embeddings",
-    # (c) r4 new surface (registered this round; names appended as built —
-    # unknown names in this tuple are skipped harmlessly)
-    "sim_ivf_topk_seeded",
-    "ts_kalman_filter_1d",
-    "ts_changepoint_cusum_segments",
-    "text_winnow_fingerprint",
-    "graph_copurchase_pagerank",
-    "embedding_pq_codebook",
-    "corpus_dedup_pipeline_report",
-    "sketch_bloom_membership",
-    "ml_ridge_closed_form",
-    "ml_pca_power_iteration",
-    "dedup_char_ngram_jaccard",
-    "dq_snapshot_diff",
-    "ts_acf",
-    "stats_ks_drift",
-    "ts_anomaly_stl_residual",
-    "text_normalize_dedup_uplift",
-    "ts_sax_words",
-    "events_top_paths",
-    "ts_lttb_downsample",
-    "ts_dtw_pairs",
-    "sim_pq_adc_topk",
-    "sim_ivfpq_topk",
-    "graph_triangle_counts",
-    "stats_mann_whitney",
-    "ts_theil_sen",
-    "dq_benford_totalprice",
-    "stats_chi_square_contingency",
-    "ml_forecast_intervals",
+    # (b) the 17 queries no driver round has ever sampled (r4's window
+    # stopped at ml_forecast_intervals; all 17 pass the in-repo parity
+    # harness — VERDICT r4 item 3 asks for driver rows).
     "dedup_containment_pairs",
     "events_inter_arrival_stats",
     "text_keywords_topk",
@@ -161,6 +112,13 @@ _FRONT = (
     "events_calendar_heatmap",
     "ts_week_over_week",
     "text_readability_scores",
+    "ts_quantiles_approx",
+    "sample_stratified",
+    "ml_linear_forecast_eval",
+    "ml_per_key_forecast_eval",
+    "ml_gbt_forecast_eval",
+    # (c) r5 new surface (names appended as built — unknown names in this
+    # tuple are skipped harmlessly until their module registers them).
 )
 
 

@@ -31,7 +31,17 @@ __all__ = ["DriftStreamMonitor"]
 
 class DriftStreamMonitor:
     """Accumulates (value, count_a, count_b) grids per micro-batch and
-    serves the exact two-sample KS distance over all data seen."""
+    serves the exact two-sample KS distance over all data seen.
+
+    Deployment assumption (ADVICE r4): ``ingest_batch`` publishes each
+    batch by a Spark parquet write into a staging path followed by a
+    DRIVER-LOCAL ``os.replace``/``shutil.rmtree`` — correct only when
+    ``store_dir`` is a filesystem shared by driver and executors (local
+    mode, NFS). On HDFS/S3 the driver-local rename would operate on the
+    wrong filesystem: port the staging-rename through the Hadoop
+    ``FileSystem`` API (``spark._jvm.org.apache.hadoop.fs.FileSystem``)
+    or publish via an atomic-commit table format (Delta/Iceberg) instead.
+    The grid math itself is storage-agnostic."""
 
     def __init__(
         self,

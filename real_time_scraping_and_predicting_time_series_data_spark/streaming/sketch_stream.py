@@ -9,6 +9,11 @@ in a ``batch_id=<id>`` directory via staging-rename, so an at-least-once
 replay overwrites its own directory instead of double-counting. At 100 TB
 the per-batch sketch is ≤ depth·width rows regardless of batch size — the
 merge cost never grows with history.
+
+Deployment assumption (same as DriftStreamMonitor): the staging-rename is
+a DRIVER-LOCAL ``os.replace`` — correct only when ``store_dir`` is shared
+by driver and executors (local mode, NFS). On HDFS/S3, route the rename
+through the Hadoop ``FileSystem`` API or an atomic-commit table format.
 """
 
 from __future__ import annotations

@@ -86,7 +86,30 @@ def compare_frames(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> ParityRes
 
 
 def run_query_parity(spark, con, name: str, fn, oracle: str | None, sf_dir: str) -> ParityResult:
-    sdf = fn(spark, sf_dir).toPandas()
+    df = fn(spark, sf_dir)
+    if oracle is not None:
+        # Strict driver-compatibility gate (VERDICT r4 item 6): the local
+        # canonicalizer serializes lists (_canon_value) and so PASSED the
+        # query whose array column crashed the driver's pandas-based hash
+        # (collect_sorted_lists, CORRECTNESS_r04). Refuse complex-typed
+        # output columns on oracle-bearing queries outright — CSV-serialize
+        # them in the operator instead (the ts_sliding_features_arrays
+        # pattern).
+        from pyspark.sql import types as T
+
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            return ParityResult(
+                name,
+                False,
+                f"complex-typed output columns {bad} would crash the driver "
+                "canonicalizer; serialize to scalars (array_join) instead",
+            )
+    sdf = df.toPandas()
     if oracle is None:
         ok = len(sdf) >= 0
         return ParityResult(name, ok, f"rows-only ({len(sdf)} rows)", len(sdf), -1)

@@ -353,3 +353,48 @@ def test_theil_sen_daily_grid_materialized_once(spark):
     plan = _plan(spark, "ts_theil_sen")
     args = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
     assert len(args) <= 2, args
+
+
+def test_grid_cumsum_value_window_is_bucket_partitioned(spark):
+    """VERDICT r4 item 5: KS / Mann-Whitney / conversion-lag cumulative
+    sums must run per range bucket (`_blk`), never as a single-partition
+    global sort over the value grid. Every window in the plan either
+    partitions by `_blk` (the parallel in-bucket cumsum) or runs over the
+    `_t_*` bucket-total relation (nbuckets rows — bounded by
+    construction)."""
+    for name in ("stats_ks_drift", "stats_mann_whitney", "funnel_conversion_lag"):
+        plan = _plan(spark, name)
+        wins = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+        assert wins, name
+        for l in wins:
+            assert ", [_blk#" in l or "_t_" in l, (name, l)
+
+
+def test_pagerank_no_forced_pernode_broadcast(spark):
+    """VERDICT r4 item 4: `deg` and `ranks` are per-NODE relations — a
+    forced broadcast OOMs on billion-node graphs, so the plan must not
+    hint them (AQE may still broadcast at runtime from measured sizes).
+    The only explicit hints are the 1-row count `n`: init + 3
+    iterations = 4 cross-join broadcasts."""
+    df = QUERIES["graph_copurchase_pagerank"].fn(spark, SF_SMOKE)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("strategy=broadcast") <= 4, optimized
+
+
+def test_no_complex_typed_outputs_on_oracle_queries(spark):
+    """VERDICT r4 item 6: the driver's pandas canonicalizer crashes on
+    array-typed result columns (collect_sorted_lists, CORRECTNESS_r04).
+    Every oracle-bearing query must emit scalars only — complex columns
+    are CSV-serialized inside the operator."""
+    from pyspark.sql import types as T
+
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue
+        schema = q.fn(spark, SF_SMOKE).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        assert not bad, (name, bad)
