@@ -127,6 +127,12 @@ HEADLINE = [
     "events_calendar_heatmap",
     "ts_week_over_week",
     "text_readability_scores",
+    # r5 additions: rank/resampling statistics, the Newton-step domain
+    # classifier, and cross-doc boilerplate detection.
+    "stats_spearman_corr",
+    "corpus_boilerplate_ngrams",
+    "ml_logistic_newton",
+    "stats_bootstrap_ci",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

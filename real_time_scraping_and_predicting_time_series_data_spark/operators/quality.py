@@ -546,3 +546,82 @@ def q_text_normalize_uplift(spark, sf_dir):
         .cast("long")
         .alias("dedup_uplift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate detection (corpus-frequent n-grams)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_boilerplate_ngrams",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                              || w[i+3] || ' ' || w[i+4]
+                              FOR i IN range(1, len(w) - 3)]) AS grams
+        FROM toks
+    ), inv AS (
+        SELECT doc_id, unnest(grams) AS gram FROM sh
+    ), df AS (
+        SELECT gram, count(*) AS nd FROM inv GROUP BY gram
+    ), boiler AS (
+        SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+        FROM inv i JOIN df ON df.gram = i.gram
+        WHERE df.nd >= 5 GROUP BY i.doc_id
+    ), base AS (
+        SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM sh
+    )
+    SELECT b.doc_id, b.n_grams,
+           coalesce(n.n_boiler, 0) AS n_boiler,
+           round(coalesce(n.n_boiler, 0) / greatest(b.n_grams, 1), 6)
+               AS boiler_frac,
+           coalesce(n.n_boiler, 0) / greatest(b.n_grams, 1) >= 0.5 AS flagged
+    FROM base b LEFT JOIN boiler n USING (doc_id)
+    """,
+    tags=("corpus", "quality", "boilerplate", "ngram"),
+)
+def q_corpus_boilerplate_ngrams(spark, sf_dir):
+    """Cross-document boilerplate share: the fraction of a document's
+    distinct word 5-grams that occur in >= 5 documents corpus-wide (the
+    C4/RefinedWeb-style "repeated template text" signal — headers, nav
+    bars, license blurbs — which within-doc repetition filters like
+    `text_repetition_filter` cannot see).
+
+    Scale shape: one explode to the (doc, gram) inverted index, one grouped
+    count for document frequency, one semi-join back keyed on the gram, one
+    per-doc count — cost is the posting-list volume, never doc x doc. The
+    df relation is Zipf-skewed; its groupBy key is the gram itself so AQE
+    skew-split applies, and hot grams (df >= threshold) are exactly the few
+    the semi-join fans out. Reuses `shingles` from the dedup module."""
+    from .dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingles(F.col("text"), 5).alias("grams")
+    )
+    inv = sh.select("doc_id", F.explode("grams").alias("gram"))
+    df_counts = inv.groupBy("gram").agg(F.count("*").alias("nd"))
+    boiler_grams = df_counts.filter(F.col("nd") >= 5).select("gram")
+    n_boiler = (
+        inv.join(boiler_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_boiler"))
+    )
+    base = sh.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+    frac = F.coalesce(F.col("n_boiler"), F.lit(0)) / F.greatest(
+        F.col("n_grams"), F.lit(1)
+    )
+    return (
+        base.join(n_boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+            F.round(frac, 6).alias("boiler_frac"),
+            (frac >= 0.5).alias("flagged"),
+        )
+    )

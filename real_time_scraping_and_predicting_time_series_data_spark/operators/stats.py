@@ -1154,3 +1154,367 @@ def q_dq_schema_profile(spark, sf_dir):
         ]
     )
     return a.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation — midranks from the distinct-value grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_spearman_corr",
+    oracle="""
+    WITH r AS (
+        SELECT l_quantity AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ), rk AS (
+        SELECT x, y,
+               rank() OVER (ORDER BY x)
+                 + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+               rank() OVER (ORDER BY y)
+                 + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+        FROM r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(corr(rx, ry), 6) AS spearman_rho
+    FROM rk
+    """,
+    tags=("stats", "rank", "correlation"),
+)
+def q_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation between quantity and price (integer
+    cents), tie-corrected via midranks. The monotone-association cousin of
+    `stats_corr_covar`'s Pearson — robust to the nonlinearity a price curve
+    actually has.
+
+    Scale shape: ranks are NEVER computed by sorting the fact table — each
+    variable reduces to its distinct-value count grid, the midrank of a
+    value is (rank of values before it) + (ties+1)/2 from the
+    range-partitioned `grid_cumsum`, and midranks join back to rows by
+    value (two value-key shuffles + one correlation aggregate). The oracle
+    ranks directly with window functions — fine at sf0.01, exactly the
+    single-partition sort the engine avoids."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+
+    def midranks(col):
+        g = d.groupBy(col).agg(F.count("*").cast("long").alias("cnt"))
+        return grid_cumsum(g, ["cnt"], order_col=col).select(
+            col,
+            (
+                (F.col("cum_cnt") - F.col("cnt") + 1).cast("double")
+                + (F.col("cnt") - 1) / F.lit(2.0)
+            ).alias(f"r_{col}"),
+        )
+
+    ranked = d.join(midranks("x"), "x").join(midranks("y"), "y")
+    return ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.corr("r_x", "r_y"), 6).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression via distributed Newton steps (domain classifier)
+# ---------------------------------------------------------------------------
+
+
+def _solve3(s11, s12, s13, s22, s23, s33, g1, g2, g3, scale):
+    """Apply the inverse of a symmetric 3x3 [[s11,s12,s13],[s12,s22,s23],
+    [s13,s23,s33]] to (g1,g2,g3) via the adjugate — pure Column arithmetic,
+    written with the exact parenthesization the SQL oracle uses so both
+    engines evaluate the same IEEE expression tree."""
+    det = (
+        s11 * (s22 * s33 - s23 * s23)
+        - s12 * (s12 * s33 - s13 * s23)
+        + s13 * (s12 * s23 - s13 * s22)
+    )
+    b0 = scale * (
+        (s22 * s33 - s23 * s23) * g1
+        + (s13 * s23 - s12 * s33) * g2
+        + (s12 * s23 - s13 * s22) * g3
+    ) / det
+    b1 = scale * (
+        (s13 * s23 - s12 * s33) * g1
+        + (s11 * s33 - s13 * s13) * g2
+        + (s12 * s13 - s11 * s23) * g3
+    ) / det
+    b2 = scale * (
+        (s12 * s23 - s13 * s22) * g1
+        + (s12 * s13 - s11 * s23) * g2
+        + (s11 * s22 - s12 * s12) * g3
+    ) / det
+    return b0, b1, b2
+
+
+_LOGISTIC_SOLVE_SQL = """
+        {scale} * ((s22*s33 - s23*s23) * g1
+                   + (s13*s23 - s12*s33) * g2
+                   + (s12*s23 - s13*s22) * g3)
+        / (s11 * (s22*s33 - s23*s23)
+           - s12 * (s12*s33 - s13*s23)
+           + s13 * (s12*s23 - s13*s22)) AS {c0},
+        {scale} * ((s13*s23 - s12*s33) * g1
+                   + (s11*s33 - s13*s13) * g2
+                   + (s12*s13 - s11*s23) * g3)
+        / (s11 * (s22*s33 - s23*s23)
+           - s12 * (s12*s33 - s13*s23)
+           + s13 * (s12*s23 - s13*s22)) AS {c1},
+        {scale} * ((s12*s23 - s13*s22) * g1
+                   + (s12*s13 - s11*s23) * g2
+                   + (s11*s22 - s12*s12) * g3)
+        / (s11 * (s22*s33 - s23*s23)
+           - s12 * (s12*s33 - s13*s23)
+           + s13 * (s12*s23 - s13*s22)) AS {c2}
+"""
+
+
+@register(
+    "ml_logistic_newton",
+    oracle=r"""
+    WITH d AS (
+        SELECT n_chars / 100.0 AS x1,
+               n_chars / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS x2,
+               CASE WHEN source = 'src1' THEN 1.0 ELSE 0.0 END AS z
+        FROM documents WHERE source IN ('src0', 'src1')
+    ), s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS s11,
+               sum(x1) AS s12, sum(x2) AS s13,
+               sum(x1*x1) AS s22, sum(x1*x2) AS s23, sum(x2*x2) AS s33,
+               sum(z - 0.5) AS g1,
+               sum(x1 * (z - 0.5)) AS g2,
+               sum(x2 * (z - 0.5)) AS g3
+        FROM d
+    ), b1 AS (
+        SELECT """ + _LOGISTIC_SOLVE_SQL.format(scale="4.0", c0="c0", c1="c1", c2="c2") + r"""
+        FROM s
+    ), rows2 AS (
+        SELECT d.x1, d.x2, d.z, b1.c0, b1.c1, b1.c2,
+               1.0 / (1.0 + exp(-(c0 + c1*x1 + c2*x2))) AS p
+        FROM d CROSS JOIN b1
+    ), h AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               min(c0) AS c0, min(c1) AS c1, min(c2) AS c2,
+               sum(p*(1.0-p)) AS s11,
+               sum(p*(1.0-p) * x1) AS s12,
+               sum(p*(1.0-p) * x2) AS s13,
+               sum(p*(1.0-p) * x1*x1) AS s22,
+               sum(p*(1.0-p) * x1*x2) AS s23,
+               sum(p*(1.0-p) * x2*x2) AS s33,
+               sum(z - p) AS g1,
+               sum(x1 * (z - p)) AS g2,
+               sum(x2 * (z - p)) AS g3
+        FROM rows2
+    ), fin AS (
+        SELECT n, c0, c1, c2, """
+    + _LOGISTIC_SOLVE_SQL.format(scale="1.0", c0="d0", c1="d1", c2="d2") + r"""
+        FROM h
+    )
+    SELECT n,
+           floor((c0 + d0) * 100000 + 0.5) / 100000 AS w0,
+           floor((c1 + d1) * 100000 + 0.5) / 100000 AS w1,
+           floor((c2 + d2) * 100000 + 0.5) / 100000 AS w2
+    FROM fin
+    """,
+    tags=("ml", "logistic", "newton", "classifier"),
+)
+def q_ml_logistic_newton(spark, sf_dir):
+    """Domain-classifier training: logistic regression of source src1 vs
+    src0 on (chars/100, mean word length) by TWO exact Newton-Raphson
+    steps — the CCNet/quality-classifier pattern ("train a cheap linear
+    classifier to tell reference corpus from crawl") executed entirely as
+    DataFrame aggregates.
+
+    Newton from b=0 has constant curvature (p=1/2, W=I/4), so step 1 is
+    b <- 4 * (X'X)^-1 X'(z - 1/2); step 2 re-scores every row with b1
+    (broadcast single-row coefficient relation, no shuffle), accumulates
+    the weighted Gram X'WX and gradient X'(z - p), and applies the 3x3
+    adjugate solve in closed form. Each step is ONE map-side-combined
+    aggregation over the fact table — at 100 TB, 2 scans + 2 one-row
+    broadcasts, no driver-side linear algebra, no MLlib iteration state.
+    Both engines evaluate the identical IEEE expression tree; the one
+    engine-order-dependent quantity (the Gram sums) is absorbed by the
+    5-dp floor-half-up canonicalization (z_score convention)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    d = docs.select(
+        (F.col("n_chars") / F.lit(100.0)).alias("x1"),
+        (
+            F.col("n_chars")
+            / F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+        ).alias("x2"),
+        F.when(F.col("source") == "src1", 1.0).otherwise(0.0).alias("z"),
+    )
+    s = d.agg(
+        F.count("*").cast("double").alias("s11"),
+        F.sum("x1").alias("s12"),
+        F.sum("x2").alias("s13"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s23"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s33"),
+        F.sum(F.col("z") - F.lit(0.5)).alias("g1"),
+        F.sum(F.col("x1") * (F.col("z") - F.lit(0.5))).alias("g2"),
+        F.sum(F.col("x2") * (F.col("z") - F.lit(0.5))).alias("g3"),
+    )
+    c0, c1, c2 = _solve3(
+        *[F.col(k) for k in ("s11", "s12", "s13", "s22", "s23", "s33", "g1", "g2", "g3")],
+        F.lit(4.0),
+    )
+    b1 = s.select(c0.alias("c0"), c1.alias("c1"), c2.alias("c2"))
+    r2 = d.crossJoin(F.broadcast(b1)).withColumn(
+        "p",
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(-(F.col("c0") + F.col("c1") * F.col("x1") + F.col("c2") * F.col("x2")))
+        ),
+    )
+    w = F.col("p") * (F.lit(1.0) - F.col("p"))
+    h = r2.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("c0").alias("c0"),
+        F.min("c1").alias("c1"),
+        F.min("c2").alias("c2"),
+        F.sum(w).alias("s11"),
+        F.sum(w * F.col("x1")).alias("s12"),
+        F.sum(w * F.col("x2")).alias("s13"),
+        F.sum(w * F.col("x1") * F.col("x1")).alias("s22"),
+        F.sum(w * F.col("x1") * F.col("x2")).alias("s23"),
+        F.sum(w * F.col("x2") * F.col("x2")).alias("s33"),
+        F.sum(F.col("z") - F.col("p")).alias("g1"),
+        F.sum(F.col("x1") * (F.col("z") - F.col("p"))).alias("g2"),
+        F.sum(F.col("x2") * (F.col("z") - F.col("p"))).alias("g3"),
+    )
+    d0, d1, d2 = _solve3(
+        *[F.col(k) for k in ("s11", "s12", "s13", "s22", "s23", "s33", "g1", "g2", "g3")],
+        F.lit(1.0),
+    )
+    canon = lambda c: F.floor(c * 100000 + F.lit(0.5)) / 100000  # noqa: E731
+    return h.select(
+        "n",
+        canon(F.col("c0") + d0).alias("w0"),
+        canon(F.col("c1") + d1).alias("w1"),
+        canon(F.col("c2") + d2).alias("w2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval — deterministic, single-pass
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+# Cumulative Poisson(1) CDF at k = 0..8: weight = #thresholds below u.
+_POISSON_CUM = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+    0.9999989771044268,
+]
+_TWO61 = 2305843009213693952.0  # 2^61, exactly representable
+
+
+def _boot_params():
+    import random
+
+    rng = random.Random(1105)
+    return [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(_BOOT_B)]
+
+
+_BOOT_PARAMS = _boot_params()
+
+
+def _bootstrap_oracle() -> str:
+    from ..functions.hashing import md5_60_sql, perm61_sql
+
+    h60 = md5_60_sql("CAST(event_id AS VARCHAR)")
+    wexprs = []
+    for i, (a, b) in enumerate(_BOOT_PARAMS):
+        u = f"({perm61_sql(a, b, 'h60')} / {_TWO61!r})"
+        cases = " ".join(
+            f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POISSON_CUM)
+        )
+        wexprs.append(f"(CASE {cases} ELSE 9 END) AS w{i}")
+    aggs = ", ".join(
+        f"sum(w{i} * value) AS sv{i}, CAST(sum(w{i}) AS DOUBLE) AS sw{i}"
+        for i in range(_BOOT_B)
+    )
+    means = ", ".join(f"sv{i} / sw{i}" for i in range(_BOOT_B))
+    return f"""
+    WITH h AS (
+        SELECT value, {h60} AS h60 FROM events
+    ), w AS (
+        SELECT value, {', '.join(wexprs)} FROM h
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, sum(value) AS sv, {aggs} FROM w
+    ), m AS (
+        SELECT n, sv / n AS mean, list_sort(list_value({means})) AS ms FROM s
+    )
+    SELECT n,
+           floor(mean * 1000000 + 0.5) / 1000000 AS mean_value,
+           floor(ms[4] * 1000000 + 0.5) / 1000000 AS boot_p10,
+           floor(ms[29] * 1000000 + 0.5) / 1000000 AS boot_p90
+    FROM m
+    """
+
+
+@register(
+    "stats_bootstrap_ci",
+    oracle=_bootstrap_oracle(),
+    tags=("stats", "bootstrap", "resampling"),
+)
+def q_stats_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap CI for the mean of events.value: 32 deterministic
+    replicates, each row's replicate-b multiplicity drawn as
+    Poisson(1) = invCDF(u_b) with u_b = perm_b(md5_60(event_id)) / 2^61 —
+    the 60-bit cross-engine hash family (functions/hashing.py), so both
+    engines draw BIT-IDENTICAL integer weights.
+
+    Scale shape — the reason Poisson bootstrap exists (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012): no
+    resampled copies of the data. ONE scan computes all 64 weighted sums
+    as map-side-combined aggregate expressions (no explode, no shuffle of
+    row data, a 1-row result); replicate means and the nearest-rank
+    p10/p90 band come from sorting the 32-element array driver-free. At
+    100 TB this is exactly one pass more than computing the mean itself.
+    The only engine-order-dependent step is double summation — absorbed by
+    the 6-dp floor-half-up canonicalization; replicate means differ by
+    O(1/sqrt(n)) so the sorted order itself is stable."""
+    from ..functions.hashing import md5_60, perm61
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select("value", md5_60(F.col("event_id").cast("string")).alias("h60"))
+
+    def weight(i):
+        a, b = _BOOT_PARAMS[i]
+        u = perm61(a, b, F.col("h60")) / F.lit(_TWO61)
+        expr = None
+        for k, c in enumerate(_POISSON_CUM):
+            expr = F.when(u < F.lit(c), k) if expr is None else expr.when(u < F.lit(c), k)
+        return expr.otherwise(9)
+
+    w = h.select("value", *[weight(i).alias(f"w{i}") for i in range(_BOOT_B)])
+    aggs = [F.count("*").cast("long").alias("n"), F.sum("value").alias("sv")]
+    for i in range(_BOOT_B):
+        aggs.append(F.sum(F.col(f"w{i}") * F.col("value")).alias(f"sv{i}"))
+        aggs.append(F.sum(f"w{i}").cast("double").alias(f"sw{i}"))
+    s = w.agg(*aggs)
+    ms = F.sort_array(
+        F.array(*[F.col(f"sv{i}") / F.col(f"sw{i}") for i in range(_BOOT_B)])
+    )
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return s.select(
+        "n",
+        canon(F.col("sv") / F.col("n")).alias("mean_value"),
+        canon(F.element_at(ms, 4)).alias("boot_p10"),
+        canon(F.element_at(ms, 29)).alias("boot_p90"),
+    )

@@ -119,6 +119,10 @@ _FRONT = (
     "ml_gbt_forecast_eval",
     # (c) r5 new surface (names appended as built — unknown names in this
     # tuple are skipped harmlessly until their module registers them).
+    "stats_spearman_corr",
+    "corpus_boilerplate_ngrams",
+    "ml_logistic_newton",
+    "stats_bootstrap_ci",
 )
 
 
