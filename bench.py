@@ -133,6 +133,8 @@ HEADLINE = [
     "corpus_boilerplate_ngrams",
     "ml_logistic_newton",
     "stats_bootstrap_ci",
+    "events_value_quantiles_grid",
+    "ml_calibration_bins",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

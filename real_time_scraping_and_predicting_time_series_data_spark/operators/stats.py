@@ -1273,9 +1273,12 @@ _LOGISTIC_SOLVE_SQL = """
 """
 
 
-@register(
-    "ml_logistic_newton",
-    oracle=r"""
+# Shared CTE chain: features -> step-1 solve -> re-score -> step-2 solve.
+# `fin` carries (n, c0..c2 [step-1], d0..d2 [step-2 delta]); final
+# coefficients are c_i + d_i. Reused by ml_logistic_newton and
+# ml_calibration_bins so both oracles train the identical classifier.
+_LOGISTIC_CTE_SQL = (
+    r"""
     WITH d AS (
         SELECT n_chars / 100.0 AS x1,
                n_chars / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS x2,
@@ -1290,7 +1293,9 @@ _LOGISTIC_SOLVE_SQL = """
                sum(x2 * (z - 0.5)) AS g3
         FROM d
     ), b1 AS (
-        SELECT """ + _LOGISTIC_SOLVE_SQL.format(scale="4.0", c0="c0", c1="c1", c2="c2") + r"""
+        SELECT """
+    + _LOGISTIC_SOLVE_SQL.format(scale="4.0", c0="c0", c1="c1", c2="c2")
+    + r"""
         FROM s
     ), rows2 AS (
         SELECT d.x1, d.x2, d.z, b1.c0, b1.c1, b1.c2,
@@ -1311,38 +1316,20 @@ _LOGISTIC_SOLVE_SQL = """
         FROM rows2
     ), fin AS (
         SELECT n, c0, c1, c2, """
-    + _LOGISTIC_SOLVE_SQL.format(scale="1.0", c0="d0", c1="d1", c2="d2") + r"""
+    + _LOGISTIC_SOLVE_SQL.format(scale="1.0", c0="d0", c1="d1", c2="d2")
+    + r"""
         FROM h
     )
-    SELECT n,
-           floor((c0 + d0) * 100000 + 0.5) / 100000 AS w0,
-           floor((c1 + d1) * 100000 + 0.5) / 100000 AS w1,
-           floor((c2 + d2) * 100000 + 0.5) / 100000 AS w2
-    FROM fin
-    """,
-    tags=("ml", "logistic", "newton", "classifier"),
+"""
 )
-def q_ml_logistic_newton(spark, sf_dir):
-    """Domain-classifier training: logistic regression of source src1 vs
-    src0 on (chars/100, mean word length) by TWO exact Newton-Raphson
-    steps — the CCNet/quality-classifier pattern ("train a cheap linear
-    classifier to tell reference corpus from crawl") executed entirely as
-    DataFrame aggregates.
 
-    Newton from b=0 has constant curvature (p=1/2, W=I/4), so step 1 is
-    b <- 4 * (X'X)^-1 X'(z - 1/2); step 2 re-scores every row with b1
-    (broadcast single-row coefficient relation, no shuffle), accumulates
-    the weighted Gram X'WX and gradient X'(z - p), and applies the 3x3
-    adjugate solve in closed form. Each step is ONE map-side-combined
-    aggregation over the fact table — at 100 TB, 2 scans + 2 one-row
-    broadcasts, no driver-side linear algebra, no MLlib iteration state.
-    Both engines evaluate the identical IEEE expression tree; the one
-    engine-order-dependent quantity (the Gram sums) is absorbed by the
-    5-dp floor-half-up canonicalization (z_score convention)."""
+
+def _logistic_rows(spark, sf_dir):
+    """(x1, x2, z) feature rows for the src1-vs-src0 domain classifier."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("source").isin("src0", "src1")
     )
-    d = docs.select(
+    return docs.select(
         (F.col("n_chars") / F.lit(100.0)).alias("x1"),
         (
             F.col("n_chars")
@@ -1350,6 +1337,12 @@ def q_ml_logistic_newton(spark, sf_dir):
         ).alias("x2"),
         F.when(F.col("source") == "src1", 1.0).otherwise(0.0).alias("z"),
     )
+
+
+def _logistic_coeffs(d):
+    """One-row (n, w0, w1, w2) coefficient relation after two exact Newton
+    steps — the Spark twin of `_LOGISTIC_CTE_SQL`'s `fin` (w_i = c_i+d_i,
+    un-rounded)."""
     s = d.agg(
         F.count("*").cast("double").alias("s11"),
         F.sum("x1").alias("s12"),
@@ -1394,12 +1387,111 @@ def q_ml_logistic_newton(spark, sf_dir):
         *[F.col(k) for k in ("s11", "s12", "s13", "s22", "s23", "s33", "g1", "g2", "g3")],
         F.lit(1.0),
     )
-    canon = lambda c: F.floor(c * 100000 + F.lit(0.5)) / 100000  # noqa: E731
     return h.select(
         "n",
-        canon(F.col("c0") + d0).alias("w0"),
-        canon(F.col("c1") + d1).alias("w1"),
-        canon(F.col("c2") + d2).alias("w2"),
+        (F.col("c0") + d0).alias("w0"),
+        (F.col("c1") + d1).alias("w1"),
+        (F.col("c2") + d2).alias("w2"),
+    )
+
+
+@register(
+    "ml_logistic_newton",
+    oracle=_LOGISTIC_CTE_SQL
+    + r"""
+    SELECT n,
+           floor((c0 + d0) * 100000 + 0.5) / 100000 AS w0,
+           floor((c1 + d1) * 100000 + 0.5) / 100000 AS w1,
+           floor((c2 + d2) * 100000 + 0.5) / 100000 AS w2
+    FROM fin
+    """,
+    tags=("ml", "logistic", "newton", "classifier"),
+)
+def q_ml_logistic_newton(spark, sf_dir):
+    """Domain-classifier training: logistic regression of source src1 vs
+    src0 on (chars/100, mean word length) by TWO exact Newton-Raphson
+    steps — the CCNet/quality-classifier pattern ("train a cheap linear
+    classifier to tell reference corpus from crawl") executed entirely as
+    DataFrame aggregates.
+
+    Newton from b=0 has constant curvature (p=1/2, W=I/4), so step 1 is
+    b <- 4 * (X'X)^-1 X'(z - 1/2); step 2 re-scores every row with b1
+    (broadcast single-row coefficient relation, no shuffle), accumulates
+    the weighted Gram X'WX and gradient X'(z - p), and applies the 3x3
+    adjugate solve in closed form. Each step is ONE map-side-combined
+    aggregation over the fact table — at 100 TB, 2 scans + 2 one-row
+    broadcasts, no driver-side linear algebra, no MLlib iteration state.
+    Both engines evaluate the identical IEEE expression tree; the one
+    engine-order-dependent quantity (the Gram sums) is absorbed by the
+    5-dp floor-half-up canonicalization (z_score convention)."""
+    coeffs = _logistic_coeffs(_logistic_rows(spark, sf_dir))
+    canon = lambda c: F.floor(c * 100000 + F.lit(0.5)) / 100000  # noqa: E731
+    return coeffs.select(
+        "n",
+        canon(F.col("w0")).alias("w0"),
+        canon(F.col("w1")).alias("w1"),
+        canon(F.col("w2")).alias("w2"),
+    )
+
+
+@register(
+    "ml_calibration_bins",
+    oracle=_LOGISTIC_CTE_SQL
+    + r"""
+    , scored AS (
+        SELECT d.z,
+               1.0 / (1.0 + exp(-((c0 + d0) + (c1 + d1)*x1 + (c2 + d2)*x2))) AS p
+        FROM d CROSS JOIN fin
+    )
+    SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+           CAST(count(*) AS BIGINT) AS n_bin,
+           floor((sum(p) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_p,
+           floor((sum(z) / count(*)) * 1000000 + 0.5) / 1000000 AS pos_rate
+    FROM scored
+    GROUP BY least(CAST(floor(p * 10) AS BIGINT), 9)
+    """,
+    tags=("ml", "calibration", "classifier"),
+)
+def q_ml_calibration_bins(spark, sf_dir):
+    """Reliability diagram of the Newton domain classifier: score every
+    document with the trained coefficients (third scan, 1-row broadcast),
+    bin predicted probability into deciles, and compare mean predicted p
+    to the observed positive rate per bin — the calibration audit every
+    classifier-based quality/domain filter needs before its scores gate a
+    corpus. Shares the exact training chain with `ml_logistic_newton`
+    (`_logistic_coeffs` / `_LOGISTIC_CTE_SQL`), so the two queries are
+    guaranteed to audit the same model. The bin id is floor(10p) capped at
+    9; pos_rate is an exact count ratio."""
+    d = _logistic_rows(spark, sf_dir)
+    coeffs = _logistic_coeffs(d).select("w0", "w1", "w2")
+    scored = d.crossJoin(F.broadcast(coeffs)).select(
+        "z",
+        (
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.col("w0")
+                        + F.col("w1") * F.col("x1")
+                        + F.col("w2") * F.col("x2")
+                    )
+                )
+            )
+        ).alias("p"),
+    )
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("p") * 10).cast("long"), F.lit(9).cast("long")).alias(
+                "bin"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_bin"),
+            canon(F.sum("p") / F.count("*")).alias("mean_p"),
+            canon(F.sum("z") / F.count("*")).alias("pos_rate"),
+        )
     )
 
 
@@ -1518,3 +1610,89 @@ def q_stats_bootstrap_ci(spark, sf_dir):
         canon(F.element_at(ms, 4)).alias("boot_p10"),
         canon(F.element_at(ms, 29)).alias("boot_p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped quantiles from mergeable integer-cent value grids
+# ---------------------------------------------------------------------------
+
+
+def quantiles_from_type_grid(g):
+    """Nearest-rank p50/p90/p99 (+ max) per event_type from a
+    (event_type, v, cnt) integer-cent value grid — shared by the batch
+    query and the streaming accumulator (streaming/quantile_stream.py).
+
+    Count grids are MERGEABLE (grouped sums commute/associate), so a grid
+    accumulated incrementally over micro-batches serves the EXACT batch
+    quantiles of everything ingested — same argument as the KS/CMS state.
+    The cumulative window partitions by event_type (parallel across
+    groups); within a group the grid is |distinct cents| rows, not
+    |ticks|."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "event_type", "v", "cnt", F.sum("cnt").over(w).cast("long").alias("cm")
+    )
+    tot = g.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n"))
+    j = c.join(F.broadcast(tot), "event_type")
+
+    def nearest(q):
+        return F.min(
+            F.when(F.col("cm") >= F.ceil(F.lit(q) * F.col("n")), F.col("v"))
+        ).cast("long")
+
+    return (
+        j.groupBy("event_type", "n")
+        .agg(
+            nearest(0.5).alias("p50_cents"),
+            nearest(0.9).alias("p90_cents"),
+            nearest(0.99).alias("p99_cents"),
+            F.max("v").cast("long").alias("max_cents"),
+        )
+        .select("event_type", "n", "p50_cents", "p90_cents", "p99_cents", "max_cents")
+    )
+
+
+@register(
+    "events_value_quantiles_grid",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type, CAST(round(value * 100) AS BIGINT)
+    ), c AS (
+        SELECT event_type, v, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+        FROM g
+    ), tot AS (
+        SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM g GROUP BY event_type
+    )
+    SELECT c.event_type, t.n,
+           CAST(min(CASE WHEN c.cm >= ceil(0.5 * t.n) THEN c.v END) AS BIGINT) AS p50_cents,
+           CAST(min(CASE WHEN c.cm >= ceil(0.9 * t.n) THEN c.v END) AS BIGINT) AS p90_cents,
+           CAST(min(CASE WHEN c.cm >= ceil(0.99 * t.n) THEN c.v END) AS BIGINT) AS p99_cents,
+           CAST(max(c.v) AS BIGINT) AS max_cents
+    FROM c JOIN tot t USING (event_type)
+    GROUP BY c.event_type, t.n
+    """,
+    tags=("events", "quantile", "grid", "mergeable"),
+)
+def q_events_value_quantiles_grid(spark, sf_dir):
+    """Exact per-type nearest-rank value quantiles via the integer-cent
+    grid — INTEGER-EXACT end-to-end (no interpolation, no fp), and the
+    grid is the mergeable state the streaming accumulator
+    (`QuantileStreamAccumulator`) persists per batch, so the streaming
+    serve is bit-identical to this query over the same ticks. Complements
+    `ts_quantiles` (exact interpolated, percentile sort) and
+    `ts_quantiles_approx` (KLL sketch): at 100 TB the grid path costs one
+    grouped count + a |grid|-row window, and bounded-cardinality domains
+    (prices in cents) make |grid| ≪ |ticks|."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    return quantiles_from_type_grid(g)

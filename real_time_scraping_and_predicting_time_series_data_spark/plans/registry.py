@@ -123,6 +123,8 @@ _FRONT = (
     "corpus_boilerplate_ngrams",
     "ml_logistic_newton",
     "stats_bootstrap_ci",
+    "events_value_quantiles_grid",
+    "ml_calibration_bins",
 )
 
 

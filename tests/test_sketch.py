@@ -197,3 +197,55 @@ def test_drift_stream_attach_availablenow(spark, tmp_path):
     want = q_stats_ks_drift(spark, sf).collect()[0].asDict()
     got = mon.serve_ks().collect()[0].asDict()
     assert got == want
+
+
+def test_quantile_stream_equals_batch_grid(spark, tmp_path):
+    """Incremental exact quantiles: per-batch value grids merged by sum
+    serve BIT-IDENTICAL per-type nearest-rank quantiles to
+    events_value_quantiles_grid on the same ticks (replay-safe)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_events_value_quantiles_grid,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.quantile_stream import (
+        QuantileStreamAccumulator,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    third = ev.count() // 3
+    acc = QuantileStreamAccumulator(spark, str(tmp_path / "q_store"))
+    acc.ingest_batch(ev.filter(F.col("event_id") % 3 == 0), batch_id=0)
+    acc.ingest_batch(ev.filter(F.col("event_id") % 3 == 1), batch_id=1)
+    acc.ingest_batch(ev.filter(F.col("event_id") % 3 == 2), batch_id=2)
+    # at-least-once replay must not double count
+    acc.ingest_batch(ev.filter(F.col("event_id") % 3 == 2), batch_id=2)
+    assert third > 0
+
+    want = sorted(tuple(r) for r in q_events_value_quantiles_grid(spark, sf).collect())
+    got = sorted(tuple(r) for r in acc.serve_quantiles().collect())
+    assert got == want
+
+
+def test_quantile_stream_attach_availablenow(spark, tmp_path):
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_events_value_quantiles_grid,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.quantile_stream import (
+        QuantileStreamAccumulator,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "src")
+    ev.coalesce(2).write.mode("overwrite").parquet(src)
+    acc = QuantileStreamAccumulator(spark, str(tmp_path / "store"))
+    q = acc.attach(
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    want = sorted(tuple(r) for r in q_events_value_quantiles_grid(spark, sf).collect())
+    got = sorted(tuple(r) for r in acc.serve_quantiles().collect())
+    assert got == want
