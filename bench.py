@@ -135,6 +135,10 @@ HEADLINE = [
     "stats_bootstrap_ci",
     "events_value_quantiles_grid",
     "ml_calibration_bins",
+    "ts_ewma_irregular",
+    "corpus_zipf_slope",
+    "corpus_temperature_mixture",
+    "graph_kcore_peel",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -527,3 +527,100 @@ def q_corpus_bigram_pmi(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("pmi"), "a", "b").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit + temperature-scaled source mixture (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_zipf_slope",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ), f AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token
+    ), v AS (
+        SELECT token, freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS r
+        FROM f ORDER BY r LIMIT 500
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+           round(regr_slope(ln(freq), ln(r)), 6) AS zipf_slope,
+           round(regr_r2(ln(freq), ln(r)), 6) AS zipf_r2
+    FROM v
+    """,
+    tags=("corpus", "zipf", "diagnostics"),
+)
+def q_corpus_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit of the corpus: OLS slope of ln(freq) on ln(rank)
+    over the top-500 vocabulary (natural text ~ -1; the word-salad
+    testdata is much flatter) — the one-number sanity check that a crawl
+    batch is language-like rather than log spam or base64. Rank
+    assignment rides the existing TakeOrdered vocabulary path (no global
+    sort); the fit is one regr_* aggregate over 500 rows. The only libm
+    ops (ln) hit both engines' last-ulp noise on identical integer inputs
+    — absorbed by the 6-dp round."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = build_vocabulary(docs, top_k=500)
+    return v.agg(
+        F.count("*").cast("long").alias("n_ranks"),
+        F.round(F.regr_slope(F.log("freq"), F.log("vocab_id")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("freq"), F.log("vocab_id")), 6).alias("zipf_r2"),
+    )
+
+
+@register(
+    "corpus_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_src,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(n_src) AS DOUBLE) AS nn FROM counts
+    ), pw AS (
+        SELECT source, n_src, sum_chars,
+               n_src / t.nn AS p,
+               pow(n_src / t.nn, 0.7) AS w
+        FROM counts, tot t
+    ), z AS (
+        SELECT sum(w) AS zz FROM pw
+    )
+    SELECT pw.source, pw.n_src, pw.sum_chars,
+           round(pw.p, 6) AS p_natural,
+           round(pw.w / z.zz, 6) AS p_temperature,
+           round((pw.w / z.zz) / pw.p, 6) AS boost
+    FROM pw, z
+    """,
+    tags=("corpus", "mixture", "sampling", "temperature"),
+)
+def q_corpus_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled source mixture (T=0.7): the multilingual-LM
+    sampling knob — q_s ∝ p_s^T flattens the natural source distribution
+    so small sources are up-sampled without drowning big ones
+    (`boost` = q/p > 1 for rare sources). Complements
+    `corpus_source_mixture_fraction` (equal-size rebalance): this emits
+    the RATES a weighted sampler would consume. Two tiny aggregates
+    (per-source counts, one-row totals) + broadcasts — nothing scales
+    with corpus size except the first grouped count."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_src"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    tot = counts.agg(F.sum("n_src").cast("double").alias("nn"))
+    pw = counts.crossJoin(F.broadcast(tot)).select(
+        "source", "n_src", "sum_chars",
+        (F.col("n_src") / F.col("nn")).alias("p"),
+        F.pow(F.col("n_src") / F.col("nn"), 0.7).alias("w"),
+    )
+    z = pw.agg(F.sum("w").alias("zz"))
+    return pw.crossJoin(F.broadcast(z)).select(
+        "source", "n_src", "sum_chars",
+        F.round(F.col("p"), 6).alias("p_natural"),
+        F.round(F.col("w") / F.col("zz"), 6).alias("p_temperature"),
+        F.round((F.col("w") / F.col("zz")) / F.col("p"), 6).alias("boost"),
+    )

@@ -914,3 +914,98 @@ def q_kalman_1d(spark, sf_dir):
         (F.floor(F.col("kalman_x") * 10000 + 0.5) / 10000).alias("kalman_x"),
         (F.floor(F.col("kalman_p") * 10000 + 0.5) / 10000).alias("kalman_p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Irregular-gap EWMA (time-decay smoothing)
+# ---------------------------------------------------------------------------
+
+
+def ewma_irregular(
+    df: DataFrame,
+    tau_s: float = 3600.0,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-key EWMA over IRREGULARLY spaced ticks: the smoothing weight of
+    each step scales with the actual elapsed gap, y += a*(z - y) with
+    a = dt/(dt + tau) — a pure RATIONAL decay law, chosen over the
+    textbook 1-exp(-dt/tau) because libm exp is not bit-portable across
+    engines while +,-,*,/ are IEEE-exact; both laws are monotone in dt
+    with a→0 for dense ticks and a→1 for long silences. Seeded y_1 = z_1.
+
+    Same scale shape as :func:`kalman_1d` directly above: one hash shuffle
+    on ``key`` + in-partition sort, one ``mapInPandas`` pass with O(1)
+    carried state; gaps are exact integer microseconds divided once, so
+    the oracle's recursive CTE replays the recurrence bit-identically."""
+    schema = StructType(
+        list(df.schema.fields) + [StructField("ewma_t", DoubleType())]
+    )
+    tau = float(tau_s)
+    part = df.repartition(key).sortWithinPartitions(key, ts, tiebreak)
+
+    def fold(batches):
+        last_key, y, last_us = object(), 0.0, 0
+        for pdf in batches:
+            vals = pdf[value].to_numpy(dtype="float64")
+            keys = pdf[key].to_numpy()
+            us = pdf[ts].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+            ys = [0.0] * len(vals)
+            for i in range(len(vals)):
+                kk = keys[i]
+                z = float(vals[i])
+                if kk != last_key:
+                    last_key, y = kk, z
+                else:
+                    dt = float(us[i] - last_us) / 1000000.0
+                    a = dt / (dt + tau)
+                    y = y + a * (z - y)
+                last_us = int(us[i])
+                ys[i] = y
+            yield pdf.assign(ewma_t=ys)
+
+    return part.mapInPandas(fold, schema=schema)
+
+
+__all__.append("ewma_irregular")
+
+
+@register(
+    "ts_ewma_irregular",
+    oracle="""
+    WITH RECURSIVE o AS (
+        SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), s AS (
+        SELECT user_id, event_id, ts, value, rn, value AS y
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+               s.y + (((epoch_us(o.ts) - epoch_us(s.ts)) / 1000000.0)
+                      / (((epoch_us(o.ts) - epoch_us(s.ts)) / 1000000.0) + 3600.0))
+                     * (o.value - s.y) AS y
+        FROM s JOIN o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+    )
+    SELECT user_id, event_id, value,
+           floor(y * 1000000 + 0.5) / 1000000 AS ewma_t
+    FROM s
+    """,
+    tags=("timeseries", "ewma", "irregular"),
+)
+def q_ewma_irregular(spark, sf_dir):
+    """Time-decay EWMA per key over irregular tick gaps — the smoothing
+    the fixed-alpha `ts_ewma` gets wrong when sampling is uneven (a tick
+    after an hour of silence should nearly reset; a burst should barely
+    move the average). Gap-proportional rational decay, bit-exact against
+    the recursive-CTE oracle."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = ewma_irregular(ev, tau_s=3600.0)
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.floor(F.col("ewma_t") * 1000000 + 0.5) / 1000000).alias("ewma_t"),
+    )

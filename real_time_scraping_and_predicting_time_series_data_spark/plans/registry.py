@@ -125,6 +125,10 @@ _FRONT = (
     "stats_bootstrap_ci",
     "events_value_quantiles_grid",
     "ml_calibration_bins",
+    "ts_ewma_irregular",
+    "corpus_zipf_slope",
+    "corpus_temperature_mixture",
+    "graph_kcore_peel",
 )
 
 
