@@ -139,6 +139,8 @@ HEADLINE = [
     "corpus_zipf_slope",
     "corpus_temperature_mixture",
     "graph_kcore_peel",
+    "stats_welch_ttest",
+    "text_ngram_novelty",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

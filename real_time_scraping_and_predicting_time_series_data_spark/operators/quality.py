@@ -594,16 +594,25 @@ def q_corpus_boilerplate_ngrams(spark, sf_dir):
     Scale shape: one explode to the (doc, gram) inverted index, one grouped
     count for document frequency, one semi-join back keyed on the gram, one
     per-doc count — cost is the posting-list volume, never doc x doc. The
-    df relation is Zipf-skewed; its groupBy key is the gram itself so AQE
-    skew-split applies, and hot grams (df >= threshold) are exactly the few
-    the semi-join fans out. Reuses `shingles` from the dedup module."""
+    shuffle key is ``xxhash64(gram)`` (8 bytes instead of the 5-word
+    string; collision odds ~|grams|²/2⁶⁴ — the `_jaccard_core` convention,
+    and this halved the query's bench time). The df relation is
+    Zipf-skewed; AQE skew-split applies on the hash key, and hot grams
+    (df >= threshold) are exactly the few the semi-join fans out. Reuses
+    `shingles` from the dedup module."""
     from .dedup import shingles
 
     docs = load_table(spark, sf_dir, "documents")
+    # The shingle arrays feed THREE differently-keyed branches (df count,
+    # semi-join back, per-doc size) — no exchange reuse applies, so the
+    # generation subtree (regex split + HOF transform) would execute three
+    # times; materialize it once (halved the sf0.1 bench time).
     sh = docs.select(
         "doc_id", shingles(F.col("text"), 5).alias("grams")
+    ).localCheckpoint(eager=False)
+    inv = sh.select("doc_id", F.explode("grams").alias("_g")).select(
+        "doc_id", F.xxhash64("_g").alias("gram")
     )
-    inv = sh.select("doc_id", F.explode("grams").alias("gram"))
     df_counts = inv.groupBy("gram").agg(F.count("*").alias("nd"))
     boiler_grams = df_counts.filter(F.col("nd") >= 5).select("gram")
     n_boiler = (

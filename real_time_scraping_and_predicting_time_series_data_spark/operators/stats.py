@@ -1696,3 +1696,165 @@ def q_events_value_quantiles_grid(spark, sf_dir):
         "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
     ).agg(F.count("*").cast("long").alias("cnt"))
     return quantiles_from_type_grid(g)
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test — the parametric member of the drift-gate suite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_welch_ttest",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sx,
+               CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        FROM documents WHERE source IN ('src0', 'src1')
+        GROUP BY CASE WHEN source = 'src0' THEN 0 ELSE 1 END
+    ), w AS (
+        SELECT a.n AS n_a, b.n AS n_b,
+               a.sx / CAST(a.n AS DOUBLE) AS m_a,
+               b.sx / CAST(b.n AS DOUBLE) AS m_b,
+               (a.sxx - a.sx * (a.sx / CAST(a.n AS DOUBLE))) / (a.n - 1.0) AS v_a,
+               (b.sxx - b.sx * (b.sx / CAST(b.n AS DOUBLE))) / (b.n - 1.0) AS v_b
+        FROM s a JOIN s b ON a.grp = 0 AND b.grp = 1
+    )
+    SELECT n_a, n_b,
+           floor(m_a * 1000000 + 0.5) / 1000000 AS mean_a,
+           floor(m_b * 1000000 + 0.5) / 1000000 AS mean_b,
+           floor(((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)) * 1000000 + 0.5)
+               / 1000000 AS t_stat,
+           floor((((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b))
+                  / ((v_a / n_a) * (v_a / n_a) / (n_a - 1.0)
+                     + (v_b / n_b) * (v_b / n_b) / (n_b - 1.0)))
+                 * 1000000 + 0.5) / 1000000 AS welch_df
+    FROM w
+    """,
+    tags=("stats", "ttest", "drift"),
+)
+def q_stats_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test between src0's and src1's document
+    lengths — the parametric mean-shift gate completing the drift suite
+    (KS: any distribution change; Mann-Whitney: median/rank shift;
+    chi-square: categorical mix; Welch: mean shift with a df that is
+    honest under variance imbalance). INTEGER-EXACT accumulation: n, Σx,
+    Σx² are BIGINTs (n_chars is integral), so both engines agree bit-wise
+    until the fixed-shape mean/variance/t/df expressions — one scan, one
+    2-row aggregate, canonicalized at 6 dp. The Welch-Satterthwaite df is
+    the standard (v_a/n_a + v_b/n_b)² / Σ (v_g/n_g)²/(n_g-1)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    s = docs.groupBy(
+        F.when(F.col("source") == "src0", 0).otherwise(1).alias("grp")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sxx"),
+    )
+    a = s.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n_a"), F.col("sx").alias("sx_a"), F.col("sxx").alias("sxx_a")
+    )
+    b = s.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n_b"), F.col("sx").alias("sx_b"), F.col("sxx").alias("sxx_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    m_a = F.col("sx_a") / F.col("n_a").cast("double")
+    m_b = F.col("sx_b") / F.col("n_b").cast("double")
+    v_a = (F.col("sxx_a") - F.col("sx_a") * m_a) / (F.col("n_a") - F.lit(1.0))
+    v_b = (F.col("sxx_b") - F.col("sx_b") * m_b) / (F.col("n_b") - F.lit(1.0))
+    se2_a = v_a / F.col("n_a")
+    se2_b = v_b / F.col("n_b")
+    t = (m_a - m_b) / F.sqrt(se2_a + se2_b)
+    df = ((se2_a + se2_b) * (se2_a + se2_b)) / (
+        se2_a * se2_a / (F.col("n_a") - F.lit(1.0))
+        + se2_b * se2_b / (F.col("n_b") - F.lit(1.0))
+    )
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.select(
+        "n_a",
+        "n_b",
+        canon(m_a).alias("mean_a"),
+        canon(m_b).alias("mean_b"),
+        canon(t).alias("t_stat"),
+        canon(df).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty — how much of each doc is first-seen (arrival order)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              FOR i IN range(1, len(w) - 1)]) AS grams
+        FROM toks
+    ), inv AS (
+        SELECT doc_id, unnest(grams) AS gram FROM sh
+    ), first_seen AS (
+        SELECT gram, min(doc_id) AS first_doc FROM inv GROUP BY gram
+    ), novel AS (
+        SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        FROM inv i JOIN first_seen f ON f.gram = i.gram AND f.first_doc = i.doc_id
+        GROUP BY i.doc_id
+    ), base AS (
+        SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM sh
+    )
+    SELECT b.doc_id, b.n_grams,
+           coalesce(n.n_novel, 0) AS n_novel,
+           round(coalesce(n.n_novel, 0) / greatest(b.n_grams, 1), 6) AS novelty
+    FROM base b LEFT JOIN novel n USING (doc_id)
+    """,
+    tags=("text", "novelty", "dedup"),
+)
+def q_text_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty in arrival (doc_id) order: the fraction
+    of a document's distinct word 3-grams whose FIRST corpus occurrence is
+    this document — the marginal-information score a curriculum / dedup
+    pipeline uses to rank a crawl batch (novelty ≈ 1: new content;
+    novelty ≈ 0: re-crawl / boilerplate; the sequential dual of
+    `corpus_boilerplate_ngrams`' symmetric df view).
+
+    Scale shape: one explode to the inverted index, one grouped min for
+    first-occurrence, one equi-join back on (gram, first_doc = doc) — the
+    min-aggregation replaces any notion of scanning docs in order, so the
+    'sequential' semantics cost a single shuffle."""
+    from .dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Materialized once: three differently-keyed consumers, no exchange
+    # reuse (see corpus_boilerplate_ngrams).
+    sh = docs.select(
+        "doc_id", shingles(F.col("text"), 3).alias("grams")
+    ).localCheckpoint(eager=False)
+    # 8-byte xxhash64 join keys instead of gram strings (the _jaccard_core
+    # convention; collision odds ~|grams|²/2⁶⁴).
+    inv = sh.select("doc_id", F.explode("grams").alias("_g")).select(
+        "doc_id", F.xxhash64("_g").alias("gram")
+    )
+    first_seen = inv.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = (
+        inv.join(
+            first_seen.select("gram", F.col("first_doc").alias("doc_id")),
+            ["gram", "doc_id"],
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_novel"))
+    )
+    base = sh.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+    nov = F.coalesce(F.col("n_novel"), F.lit(0))
+    return base.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        nov.cast("long").alias("n_novel"),
+        F.round(nov / F.greatest(F.col("n_grams"), F.lit(1)), 6).alias("novelty"),
+    )

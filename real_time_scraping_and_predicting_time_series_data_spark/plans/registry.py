@@ -129,6 +129,8 @@ _FRONT = (
     "corpus_zipf_slope",
     "corpus_temperature_mixture",
     "graph_kcore_peel",
+    "stats_welch_ttest",
+    "text_ngram_novelty",
 )
 
 
