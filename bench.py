@@ -141,6 +141,7 @@ HEADLINE = [
     "graph_kcore_peel",
     "stats_welch_ttest",
     "text_ngram_novelty",
+    "udf_arrow_batch_map",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

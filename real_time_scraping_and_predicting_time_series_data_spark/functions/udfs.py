@@ -108,3 +108,50 @@ def q_udf_grouped_map(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     out = grouped_zscore(ev)
     return out.select("user_id", "event_id", F.round("zscore", 6).alias("zscore"))
+
+
+@register(
+    "udf_arrow_batch_map",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(sqrt(list_aggregate(
+               list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 6)
+               AS l2_norm
+    FROM embeddings
+    """,
+    tags=("udf", "arrow", "map-in-arrow"),
+)
+def q_udf_arrow_batch(spark, sf_dir):
+    """``mapInArrow`` RecordBatch-level UDF (the lowest-overhead Python
+    crossing: no pandas conversion, zero-copy numpy views over the Arrow
+    list buffers): per-vector L2 norm + dimension over the embeddings
+    table. The segmented sum uses ``np.add.reduceat`` over the flat
+    float64 values at the list offsets — LEFT-TO-RIGHT within each
+    segment, the same order DuckDB's ``list_aggregate('sum')`` folds, so
+    the oracle verifies the Arrow path value-exactly. Completes the UDF
+    surface beside scalar/grouped-agg pandas UDFs and applyInPandas."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def batch_norms(batches):
+        for b in batches:
+            vid = b.column(0)
+            lists = b.column(1)
+            off = np.asarray(lists.offsets)
+            flat = np.asarray(lists.values, dtype=np.float64)
+            sq = flat * flat
+            dims = np.diff(off).astype(np.int32)
+            sums = np.add.reduceat(sq, off[:-1]) if len(off) > 1 else np.array([])
+            norms = np.sqrt(sums)
+            yield pa.RecordBatch.from_arrays(
+                [vid, pa.array(dims, type=pa.int32()), pa.array(norms, type=pa.float64())],
+                names=["vec_id", "dim", "l2_norm"],
+            )
+
+    out = emb.mapInArrow(
+        batch_norms, schema="vec_id long, dim int, l2_norm double"
+    )
+    return out.select("vec_id", "dim", F.round("l2_norm", 6).alias("l2_norm"))

@@ -131,6 +131,7 @@ _FRONT = (
     "graph_kcore_peel",
     "stats_welch_ttest",
     "text_ngram_novelty",
+    "udf_arrow_batch_map",
 )
 
 
