@@ -93,3 +93,71 @@ def test_point_in_time_stream_no_leakage(spark, tmp_path):
         .count()
     )
     assert bad == 0
+
+
+def test_point_in_time_state_survives_restart(spark, tmp_path):
+    """The (open-day aggregate, published snapshot) state must recover
+    from the checkpoint: a label ingested after a stop/restart must be
+    served the features accumulated BEFORE the restart, not re-seed."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    d1 = dt.datetime(2026, 3, 1, 10, 0)
+    d2 = dt.datetime(2026, 3, 2, 10, 0)
+    d3 = dt.datetime(2026, 3, 3, 10, 0)
+    src, ckpt, out = (
+        str(tmp_path / "src"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+
+    def run_batch(rows, fname):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        q = (
+            streaming_point_in_time_features(
+                spark.readStream.schema(schema).parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.event_id: r for r in spark.read.parquet(out).collect()}
+
+    # run 1: day1 builds features (n=2, mean=10.0); day2 purchase consumes
+    # them and day2 accumulates (purchase 5.0 + tick 7.0 -> mean 6.0)
+    first = run_batch(
+        [
+            (0, d1, 1, "click", 10.0, "{}"),
+            (1, d1 + dt.timedelta(hours=1), 1, "click", 10.0, "{}"),
+            (2, d2, 1, "purchase", 5.0, "{}"),
+            (3, d2 + dt.timedelta(hours=1), 1, "click", 7.0, "{}"),
+        ],
+        "b1",
+    )
+    assert set(first) == {2}
+    assert first[2].feat_day == "2026-03-01"
+    assert first[2].feat_n == 2
+    assert first[2].feat_mean == 10.0
+
+    # run 2 (fresh query, same checkpoint): a day3 label must be served the
+    # day2 snapshot accumulated before the restart
+    second = run_batch([(4, d3, 1, "purchase", 9.0, "{}")], "b2")
+    assert set(second) == {2, 4}
+    assert second[4].feat_day == "2026-03-02"
+    assert second[4].feat_n == 2
+    assert second[4].feat_mean == 6.0
