@@ -142,6 +142,8 @@ HEADLINE = [
     "stats_welch_ttest",
     "text_ngram_novelty",
     "udf_arrow_batch_map",
+    "ts_hampel_filter",
+    "stats_mutual_info",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

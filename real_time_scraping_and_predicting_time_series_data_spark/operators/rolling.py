@@ -1009,3 +1009,79 @@ def q_ewma_irregular(spark, sf_dir):
         "value",
         (F.floor(F.col("ewma_t") * 1000000 + 0.5) / 1000000).alias("ewma_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hampel filter — rolling-median robust despiking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_hampel_filter",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, event_id, value,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS arr
+        FROM events
+    ), m AS (
+        SELECT user_id, event_id, value, arr,
+               list_sort(arr)[CAST(ceil(len(arr) / 2.0) AS INT)] AS med
+        FROM w
+    ), d AS (
+        SELECT user_id, event_id, value, med,
+               list_sort(list_transform(arr, x -> abs(x - med)))
+                   [CAST(ceil(len(arr) / 2.0) AS INT)] AS mad
+        FROM m
+    )
+    SELECT user_id, event_id, value,
+           round(med, 6) AS window_median,
+           round(mad, 6) AS window_mad,
+           (abs(value - med) > 3.0 * 1.4826 * mad) AS is_spike,
+           round(CASE WHEN abs(value - med) > 3.0 * 1.4826 * mad
+                      THEN med ELSE value END, 6) AS despiked
+    FROM d
+    """,
+    tags=("timeseries", "hampel", "robust", "cleaning"),
+)
+def q_hampel_filter(spark, sf_dir):
+    """Hampel despiking: each tick is compared to the NEAREST-RANK median
+    of its centered 5-tick window; ticks more than 3 scaled MADs away are
+    flagged and replaced by the window median — the standard robust spike
+    cleaner (a z-score filter's threshold is itself corrupted by the spike;
+    median/MAD are not).
+
+    Scale shape: one key-partitioned window materializes the 5-element
+    neighborhood array; median and MAD are pure HOF sorts over 5 elements
+    (no second window, no shuffle). Nearest-rank (element at ceil(n/2)) is
+    an exact array element, so both engines agree bit-wise and the 6-dp
+    round is cosmetic. Edges keep their truncated (3/4-element) windows,
+    same on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    arr = F.collect_list("value").over(w)
+    base = ev.select("user_id", "event_id", "value", arr.alias("arr"))
+    nr = F.ceil(F.size("arr") / F.lit(2.0)).cast("int")
+    med = F.element_at(F.sort_array(F.col("arr")), nr)
+    m = base.select("user_id", "event_id", "value", "arr", med.alias("med"))
+    mad = F.element_at(
+        F.sort_array(F.transform(F.col("arr"), lambda x: F.abs(x - F.col("med")))),
+        F.ceil(F.size("arr") / F.lit(2.0)).cast("int"),
+    )
+    d = m.select("user_id", "event_id", "value", "med", mad.alias("mad"))
+    spike = F.abs(F.col("value") - F.col("med")) > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    return d.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round("med", 6).alias("window_median"),
+        F.round("mad", 6).alias("window_mad"),
+        spike.alias("is_spike"),
+        F.round(F.when(spike, F.col("med")).otherwise(F.col("value")), 6).alias(
+            "despiked"
+        ),
+    )

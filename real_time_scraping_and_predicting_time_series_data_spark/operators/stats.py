@@ -1858,3 +1858,105 @@ def q_text_ngram_novelty(spark, sf_dir):
         nov.cast("long").alias("n_novel"),
         F.round(nov / F.greatest(F.col("n_grams"), F.lit(1)), 6).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information — dependence strength from the contingency grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_mutual_info",
+    oracle="""
+    WITH c AS (
+        SELECT event_type AS x,
+               CASE WHEN hour(ts) < 6 THEN 'night' WHEN hour(ts) < 12 THEN 'morning'
+                    WHEN hour(ts) < 18 THEN 'afternoon' ELSE 'evening' END AS y,
+               CAST(count(*) AS BIGINT) AS nxy
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(sum(nxy) AS BIGINT) AS n FROM c
+    ), mx AS (
+        SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM c GROUP BY x
+    ), my AS (
+        SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM c GROUP BY y
+    ), mi AS (
+        SELECT sum((c.nxy / CAST(t.n AS DOUBLE))
+                   * ln((CAST(c.nxy AS DOUBLE) * t.n)
+                        / (CAST(mx.nx AS DOUBLE) * my.ny))) AS mi_nats,
+               min(t.n) AS n,
+               CAST(count(*) AS BIGINT) AS n_cells
+        FROM c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot t
+    ), hx AS (
+        SELECT -sum((nx / CAST(t.n AS DOUBLE)) * ln(nx / CAST(t.n AS DOUBLE))) AS h
+        FROM mx CROSS JOIN tot t
+    ), hy AS (
+        SELECT -sum((ny / CAST(t.n AS DOUBLE)) * ln(ny / CAST(t.n AS DOUBLE))) AS h
+        FROM my CROSS JOIN tot t
+    )
+    SELECT mi.n, mi.n_cells,
+           floor(mi.mi_nats * 1000000 + 0.5) / 1000000 AS mi_nats,
+           floor((mi.mi_nats / sqrt(hx.h * hy.h)) * 1000000 + 0.5) / 1000000
+               AS nmi
+    FROM mi, hx, hy
+    """,
+    tags=("stats", "entropy", "dependence"),
+)
+def q_stats_mutual_info(spark, sf_dir):
+    """Mutual information (and sqrt-normalized NMI) between event type and
+    day-part — the dependence-STRENGTH companion to
+    `stats_chi_square_contingency`'s significance test (chi-square grows
+    with n even for trivial dependence; MI answers "how many nats does
+    knowing the day-part tell you about the event type"). Everything
+    reduces to the |types|x4 contingency grid in ONE pass; marginals are
+    grid-sized grouped sums, the ln() hits exact integer-count ratios, and
+    the result is floor-canonicalized at 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.hour("ts")
+    c = ev.groupBy(
+        F.col("event_type").alias("x"),
+        F.when(h < 6, "night")
+        .when(h < 12, "morning")
+        .when(h < 18, "afternoon")
+        .otherwise("evening")
+        .alias("y"),
+    ).agg(F.count("*").cast("long").alias("nxy"))
+    tot = c.agg(F.sum("nxy").cast("long").alias("n"))
+    mx = c.groupBy("x").agg(F.sum("nxy").cast("long").alias("nx"))
+    my = c.groupBy("y").agg(F.sum("nxy").cast("long").alias("ny"))
+    nd = F.col("n").cast("double")
+    mi = (
+        c.join(mx, "x")
+        .join(my, "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("nxy") / nd)
+                * F.log(
+                    (F.col("nxy").cast("double") * F.col("n"))
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                )
+            ).alias("mi_nats"),
+            F.min("n").alias("n"),
+            F.count("*").cast("long").alias("n_cells"),
+        )
+    )
+    hx = (
+        mx.crossJoin(F.broadcast(tot))
+        .agg((-F.sum((F.col("nx") / nd) * F.log(F.col("nx") / nd))).alias("h"))
+    )
+    hy = (
+        my.crossJoin(F.broadcast(tot))
+        .agg((-F.sum((F.col("ny") / nd) * F.log(F.col("ny") / nd))).alias("h"))
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        mi.crossJoin(F.broadcast(hx.select(F.col("h").alias("hx"))))
+        .crossJoin(F.broadcast(hy.select(F.col("h").alias("hy"))))
+        .select(
+            "n",
+            "n_cells",
+            canon(F.col("mi_nats")).alias("mi_nats"),
+            canon(F.col("mi_nats") / F.sqrt(F.col("hx") * F.col("hy"))).alias("nmi"),
+        )
+    )

@@ -132,6 +132,8 @@ _FRONT = (
     "stats_welch_ttest",
     "text_ngram_novelty",
     "udf_arrow_batch_map",
+    "ts_hampel_filter",
+    "stats_mutual_info",
 )
 
 
