@@ -406,6 +406,16 @@ def _ivf_probe_rank(
     Both assignment and probing are projections against the broadcast
     one-row centroid model; the candidate join's build side is tiny."""
     c_cells = ivf_assign(c, cents, "v_c", ["neighbor_id"])
+    return _probe_rank_preassigned(c_cells, q, cents, k=k, nprobe=nprobe, query_id=query_id)
+
+
+def _probe_rank_preassigned(
+    c_cells: DataFrame, q: DataFrame, cents: DataFrame, k: int, nprobe: int, query_id: str
+) -> DataFrame:
+    """Probe + exact-rank against a corpus whose cell assignment is already
+    materialized — the serve half shared by :func:`_ivf_probe_rank` and the
+    streaming index (streaming/ann_ingest.py), where assignment was paid
+    once at ingest."""
     # Query probing is the same broadcast-model projection: sort the per-row
     # (distance, cell) structs, keep the nprobe nearest — no window, no
     # per-cell row explosion.
