@@ -144,6 +144,8 @@ HEADLINE = [
     "udf_arrow_batch_map",
     "ts_hampel_filter",
     "stats_mutual_info",
+    "orders_rfm_segments",
+    "events_poisson_burst",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

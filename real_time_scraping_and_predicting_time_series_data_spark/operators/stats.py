@@ -1196,10 +1196,13 @@ def q_spearman_corr(spark, sf_dir):
     ranks directly with window functions — fine at sf0.01, exactly the
     single-partition sort the engine avoids."""
     li = load_table(spark, sf_dir, "lineitem")
+    # The 2-long-column projection feeds FIVE branches (two grids, their
+    # bounds/total aggregates, and the rank join) — materialize it once
+    # instead of re-scanning the fact table per branch.
     d = li.select(
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
-    )
+    ).localCheckpoint(eager=False)
 
     def midranks(col):
         g = d.groupBy(col).agg(F.count("*").cast("long").alias("cnt"))
@@ -1959,4 +1962,192 @@ def q_stats_mutual_info(spark, sf_dir):
             canon(F.col("mi_nats")).alias("mi_nats"),
             canon(F.col("mi_nats") / F.sqrt(F.col("hx") * F.col("hy"))).alias("nmi"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation — grid-threshold quartiles, no global sort
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_rfm_segments",
+    oracle="""
+    WITH gmax AS (
+        SELECT max(o_orderdate) AS gd FROM orders
+    ), cust AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', max(o_orderdate), (SELECT gd FROM gmax)) AS BIGINT)
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS nn FROM cust
+    ),
+    gr AS (SELECT recency_days AS v, count(*) AS c FROM cust GROUP BY 1),
+    cr AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cm FROM gr),
+    tr AS (SELECT min(CASE WHEN cm >= ceil(0.25 * nn) THEN v END) AS t1,
+                  min(CASE WHEN cm >= ceil(0.5  * nn) THEN v END) AS t2,
+                  min(CASE WHEN cm >= ceil(0.75 * nn) THEN v END) AS t3
+           FROM cr, n),
+    gf AS (SELECT frequency AS v, count(*) AS c FROM cust GROUP BY 1),
+    cf AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cm FROM gf),
+    tf AS (SELECT min(CASE WHEN cm >= ceil(0.25 * nn) THEN v END) AS t1,
+                  min(CASE WHEN cm >= ceil(0.5  * nn) THEN v END) AS t2,
+                  min(CASE WHEN cm >= ceil(0.75 * nn) THEN v END) AS t3
+           FROM cf, n),
+    gm AS (SELECT monetary_cents AS v, count(*) AS c FROM cust GROUP BY 1),
+    cm2 AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cm FROM gm),
+    tm AS (SELECT min(CASE WHEN cm >= ceil(0.25 * nn) THEN v END) AS t1,
+                  min(CASE WHEN cm >= ceil(0.5  * nn) THEN v END) AS t2,
+                  min(CASE WHEN cm >= ceil(0.75 * nn) THEN v END) AS t3
+           FROM cm2, n)
+    SELECT c.o_custkey, c.recency_days, c.frequency, c.monetary_cents,
+           CAST(1 + (c.recency_days > tr.t1)::INT + (c.recency_days > tr.t2)::INT
+                  + (c.recency_days > tr.t3)::INT AS BIGINT) AS r_q,
+           CAST(1 + (c.frequency > tf.t1)::INT + (c.frequency > tf.t2)::INT
+                  + (c.frequency > tf.t3)::INT AS BIGINT) AS f_q,
+           CAST(1 + (c.monetary_cents > tm.t1)::INT + (c.monetary_cents > tm.t2)::INT
+                  + (c.monetary_cents > tm.t3)::INT AS BIGINT) AS m_q
+    FROM cust c, tr, tf, tm
+    """,
+    tags=("stats", "rfm", "segmentation"),
+)
+def q_orders_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: per-customer recency (days since last
+    order vs the corpus max date), frequency (order count) and monetary
+    (lifetime cents), each quartile-scored 1-4 against exact nearest-rank
+    thresholds — the standard audience-segmentation scan.
+
+    Scale shape: one grouped agg to the customer relation, then each
+    metric's quartile thresholds come from `grid_cumsum` over its
+    distinct-value grid (the monetary grid is ~|customers| rows —
+    unbounded — exactly why the range-partitioned cumsum exists; a
+    `ntile(4)` window here would be a single-task global sort). Scoring
+    is three broadcast 1-row threshold joins. Integer-exact end to end."""
+    o = load_table(spark, sf_dir, "orders")
+    gmax = o.agg(F.max("o_orderdate").alias("gd"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("md"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "o_custkey",
+            F.datediff("gd", "md").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+        .localCheckpoint(eager=False)  # feeds 3 grids + the final scoring
+    )
+    tot = cust.agg(F.count("*").cast("long").alias("nn"))
+
+    def thresholds(col, pfx):
+        g = cust.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        c = grid_cumsum(g, ["cnt"])
+        j = c.crossJoin(F.broadcast(tot))
+        return j.agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum_cnt") >= F.ceil(F.lit(q) * F.col("nn")), F.col("v")
+                    )
+                ).alias(f"{pfx}{i}")
+                for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+            ]
+        )
+
+    out = (
+        cust.crossJoin(F.broadcast(thresholds("recency_days", "tr")))
+        .crossJoin(F.broadcast(thresholds("frequency", "tf")))
+        .crossJoin(F.broadcast(thresholds("monetary_cents", "tm")))
+    )
+
+    def score(col, pfx):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(f"{pfx}1")).cast("int")
+            + (F.col(col) > F.col(f"{pfx}2")).cast("int")
+            + (F.col(col) > F.col(f"{pfx}3")).cast("int")
+        ).cast("long")
+
+    return out.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        score("recency_days", "tr").alias("r_q"),
+        score("frequency", "tf").alias("f_q"),
+        score("monetary_cents", "tm").alias("m_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson burst detection — daily rate anomalies per key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_poisson_burst",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), span AS (
+        SELECT user_id,
+               CAST(sum(c) AS BIGINT) AS total,
+               CAST(date_diff('day', min(d), max(d)) + 1 AS BIGINT) AS span_days
+        FROM daily GROUP BY user_id
+    )
+    SELECT d.user_id, strftime(d.d, '%Y-%m-%d') AS day, d.c,
+           floor((s.total / CAST(s.span_days AS DOUBLE)) * 1000000 + 0.5)
+               / 1000000 AS lambda_day,
+           floor(((d.c - s.total / CAST(s.span_days AS DOUBLE))
+                  / sqrt(s.total / CAST(s.span_days AS DOUBLE))) * 1000000 + 0.5)
+               / 1000000 AS z,
+           ((d.c - s.total / CAST(s.span_days AS DOUBLE))
+            / sqrt(s.total / CAST(s.span_days AS DOUBLE))) > 3.0 AS is_burst
+    FROM daily d JOIN span s USING (user_id)
+    """,
+    tags=("events", "anomaly", "poisson", "rate"),
+)
+def q_events_poisson_burst(spark, sf_dir):
+    """Per-key daily burst detection under a Poisson rate model: each
+    (user, day) count is scored z = (c - λ)/sqrt(λ) against the user's own
+    average daily rate λ = total/span — the scraper-health / bot-traffic
+    gate that complements `events_inter_arrival_stats`' gap view with a
+    rate view. Two grouped aggregations (day grid, per-key totals) + one
+    key join; λ is a ratio of exact BIGINTs so both engines agree to the
+    6-dp floor canonicalization."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("long").alias("c"))
+    span = daily.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("total"),
+        (F.datediff(F.max("d"), F.min("d")) + 1).cast("long").alias("span_days"),
+    )
+    j = daily.join(span, "user_id")
+    lam = F.col("total") / F.col("span_days").cast("double")
+    z = (F.col("c") - lam) / F.sqrt(lam)
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "c",
+        canon(lam).alias("lambda_day"),
+        canon(z).alias("z"),
+        (z > F.lit(3.0)).alias("is_burst"),
     )

@@ -134,6 +134,8 @@ _FRONT = (
     "udf_arrow_batch_map",
     "ts_hampel_filter",
     "stats_mutual_info",
+    "orders_rfm_segments",
+    "events_poisson_burst",
 )
 
 
