@@ -146,6 +146,9 @@ HEADLINE = [
     "stats_mutual_info",
     "orders_rfm_segments",
     "events_poisson_burst",
+    "ts_bollinger_bands",
+    "ts_rsi",
+    "ts_macd",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

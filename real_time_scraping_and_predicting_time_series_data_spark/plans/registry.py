@@ -72,6 +72,7 @@ _QUERY_MODULES = (
     "real_time_scraping_and_predicting_time_series_data_spark.operators.skew",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.rangejoin",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.tickbars",
+    "real_time_scraping_and_predicting_time_series_data_spark.operators.indicators",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.graph",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.quality",
     "real_time_scraping_and_predicting_time_series_data_spark.ml.forecast",
@@ -136,6 +137,9 @@ _FRONT = (
     "stats_mutual_info",
     "orders_rfm_segments",
     "events_poisson_burst",
+    "ts_bollinger_bands",
+    "ts_rsi",
+    "ts_macd",
 )
 
 
