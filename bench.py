@@ -149,6 +149,8 @@ HEADLINE = [
     "ts_bollinger_bands",
     "ts_rsi",
     "ts_macd",
+    "dedup_jaccard_prefix_filter",
+    "stats_psi_drift",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -1006,3 +1006,95 @@ def q_dedup_containment(spark, sf_dir):
         "contained_id", "container_id", "n_common",
         F.round("containment", 9).alias("containment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered similarity join (PPJoin-style) — r5
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                              FOR i IN range(1, len(words) - 1)]) AS grams
+        FROM toks
+    ), sized AS (
+        SELECT doc_id, grams, len(grams) AS sz FROM sh
+    ), inv AS (
+        SELECT doc_id, sz, unnest(grams) AS g FROM sized
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sz AS size_a, b.sz AS size_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common / (size_a + size_b - n_common), 9) AS jaccard
+    FROM common
+    WHERE n_common / (size_a + size_b - n_common) >= 0.5
+    """,
+    tags=("dedup", "jaccard", "prefix-filter", "scale-path"),
+)
+def q_jaccard_prefix_filter(spark, sf_dir):
+    """High-threshold (tau=0.5) exact Jaccard pairs via PREFIX FILTERING
+    (SSJoin/PPJoin): order every document's shingles by ascending global
+    document frequency (rarest first, deterministic df/hash tiebreak);
+    if J(A,B) >= tau then |A∩B| >= ceil(tau*|A|), and two sets with
+    overlap >= alpha MUST share a token inside their (len-alpha+1)
+    prefixes — so candidates are generated ONLY from prefix-token
+    collisions (~the rarest half of each set at tau=0.5), never from the
+    full posting lists, and verification is a per-candidate
+    array_intersect. Lossless by the prefix lemma, so the oracle is plain
+    brute-force Jaccard at the same threshold.
+
+    This is the standard scale path when the threshold is high enough to
+    bite: posting volume drops to the prefix fraction, and because
+    prefixes hold the RAREST tokens, the df^2 skew term collapses —
+    complementary to MinHash-LSH (probabilistic, any tau) and to the
+    blocked exact join (`dedup_jaccard_pairs`, low tau)."""
+    tau = 0.5
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingles(F.col("text"), 3).alias("grams")
+    ).localCheckpoint(eager=False)
+    inv = sh.select("doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("g"))
+    df_tok = inv.groupBy("g").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", F.xxhash64("g"), "g")
+    ranked = inv.join(df_tok, "g").withColumn("rn", F.row_number().over(w))
+    pref = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1
+    ).select("doc_id", F.xxhash64("g").alias("h"))
+    cands = (
+        pref.alias("a")
+        .join(pref.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ga = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    verified = (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("grams_a", "grams_b")).cast("long").alias("n_common"),
+            F.size("grams_a").alias("sa"),
+            F.size("grams_b").alias("sb"),
+        )
+    )
+    jac = F.col("n_common") / (F.col("sa") + F.col("sb") - F.col("n_common"))
+    return (
+        verified.filter(jac >= tau)
+        .select("id_a", "id_b", "n_common", F.round(jac, 9).alias("jaccard"))
+    )

@@ -2151,3 +2151,112 @@ def q_events_poisson_burst(spark, sf_dir):
         canon(z).alias("z"),
         (z > F.lit(3.0)).alias("is_burst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population stability index — binned score-drift gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_psi_drift",
+    oracle="""
+    WITH ref AS (
+        SELECT n_chars AS v FROM documents WHERE source = 'src0'
+    ), g AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS c FROM ref GROUP BY v
+    ), cum AS (
+        SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cm
+        FROM g
+    ), t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0 FROM ref
+    ), cuts AS (
+        SELECT min(CASE WHEN cm >= ceil(0.25 * n0) THEN v END) AS t1,
+               min(CASE WHEN cm >= ceil(0.5  * n0) THEN v END) AS t2,
+               min(CASE WHEN cm >= ceil(0.75 * n0) THEN v END) AS t3
+        FROM cum, t
+    ), binned AS (
+        SELECT CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS grp,
+               1 + (n_chars > c.t1)::INT + (n_chars > c.t2)::INT
+                 + (n_chars > c.t3)::INT AS bin
+        FROM documents, cuts c WHERE source IN ('src0', 'src1')
+    ), counts AS (
+        SELECT bin,
+               CAST(count(*) FILTER (WHERE grp = 0) AS BIGINT) AS c0,
+               CAST(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS c1
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1
+        FROM counts
+    )
+    SELECT t.n0, t.n1,
+           floor(sum(((c.c1 + 0.5) / (t.n1 + 2.0) - (c.c0 + 0.5) / (t.n0 + 2.0))
+                     * ln(((c.c1 + 0.5) / (t.n1 + 2.0))
+                          / ((c.c0 + 0.5) / (t.n0 + 2.0))))
+                 * 1000000 + 0.5) / 1000000 AS psi,
+           sum(((c.c1 + 0.5) / (t.n1 + 2.0) - (c.c0 + 0.5) / (t.n0 + 2.0))
+               * ln(((c.c1 + 0.5) / (t.n1 + 2.0))
+                    / ((c.c0 + 0.5) / (t.n0 + 2.0)))) > 0.2 AS drifted
+    FROM counts c CROSS JOIN tot t
+    GROUP BY t.n0, t.n1
+    """,
+    tags=("stats", "psi", "drift"),
+)
+def q_stats_psi_drift(spark, sf_dir):
+    """Population Stability Index between src0 (reference) and src1
+    (candidate) document-length distributions over quartile bins cut on
+    the REFERENCE — the industry-standard binned score-drift gate (PSI >
+    0.2 = act), complementing the exact-distribution KS / rank MW / mean
+    Welch views. Bin cuts are exact nearest-rank quartiles from the
+    reference's value grid (`grid_cumsum`); bin fractions are Laplace-
+    smoothed ((c+1/2)/(n+2)) so empty candidate bins stay finite and both
+    engines evaluate the identical expression. One scan to bin + one
+    4-row grid."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    ref = docs.filter(F.col("source") == "src0").select(F.col("n_chars").alias("v"))
+    g = ref.groupBy("v").agg(F.count("*").cast("long").alias("cnt"))
+    c = grid_cumsum(g, ["cnt"])
+    t = ref.agg(F.count("*").cast("long").alias("n0r"))
+    cuts = (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum_cnt") >= F.ceil(F.lit(q) * F.col("n0r")), F.col("v")
+                    )
+                ).alias(f"t{i}")
+                for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+            ]
+        )
+    )
+    binned = docs.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("source") == "src0", 0).otherwise(1).alias("grp"),
+        (
+            F.lit(1)
+            + (F.col("n_chars") > F.col("t1")).cast("int")
+            + (F.col("n_chars") > F.col("t2")).cast("int")
+            + (F.col("n_chars") > F.col("t3")).cast("int")
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+    )
+    tot = counts.agg(
+        F.sum("c0").cast("long").alias("n0"), F.sum("c1").cast("long").alias("n1")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p0 = (F.col("c0") + 0.5) / (F.col("n0") + 2.0)
+    p1 = (F.col("c1") + 0.5) / (F.col("n1") + 2.0)
+    term = (p1 - p0) * F.log(p1 / p0)
+    return (
+        j.groupBy("n0", "n1")
+        .agg(
+            (F.floor(F.sum(term) * 1000000 + F.lit(0.5)) / 1000000).alias("psi"),
+            (F.sum(term) > F.lit(0.2)).alias("drifted"),
+        )
+    )

@@ -140,6 +140,8 @@ _FRONT = (
     "ts_bollinger_bands",
     "ts_rsi",
     "ts_macd",
+    "dedup_jaccard_prefix_filter",
+    "stats_psi_drift",
 )
 
 
