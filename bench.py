@@ -151,6 +151,7 @@ HEADLINE = [
     "ts_macd",
     "dedup_jaccard_prefix_filter",
     "stats_psi_drift",
+    "events_kaplan_meier",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -413,3 +413,104 @@ def q_markov_stationary(spark, sf_dir):
             .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
         )
     return pi.select("state", F.round("pi", 9).alias("pi"))
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival — user-lifetime retention with right censoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_kaplan_meier",
+    oracle="""
+    WITH life AS (
+        SELECT user_id,
+               CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+                    AS BIGINT) AS t,
+               (max(CAST(ts AS DATE))
+                < (SELECT max(CAST(ts AS DATE)) FROM events)) AS died
+        FROM events GROUP BY user_id
+    ), ev AS (
+        SELECT t,
+               CAST(count(*) FILTER (WHERE died) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS leaving
+        FROM life GROUP BY t
+    ), risk AS (
+        SELECT t, d, leaving,
+               CAST(sum(leaving) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+        FROM ev
+    ), surv AS (
+        SELECT t, d, n_risk,
+               exp(sum(ln(1.0 - d / CAST(n_risk AS DOUBLE)))
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)) AS s
+        FROM risk WHERE d > 0
+    )
+    SELECT t AS day, d AS n_deaths, n_risk,
+           floor(s * 1000000 + 0.5) / 1000000 AS survival
+    FROM surv
+    """,
+    tags=("events", "survival", "retention"),
+)
+def q_events_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve of user LIFETIME (days between a
+    user's first and last observed event), right-censored at the corpus
+    end date (users still active on the final day are censored, not
+    deaths) — the churn/retention curve done correctly, where the naive
+    "fraction still active after t days" silently treats censored users
+    as churned.
+
+    Scale shape: everything reduces to the per-user lifetime relation
+    (one grouped agg) and then to the distinct-lifetime-day grid; n_risk
+    is a reverse cumulative sum over that bounded grid and the survival
+    product is exp of a cumulative sum of logs — both engine-portable
+    because each step's input (d/n_risk) is an exact integer ratio; the
+    floor canonicalization absorbs the libm ulp. The global windows run
+    over the ≤|distinct lifetimes| grid (bounded by the time range),
+    never over users."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    gmax = ev.agg(F.max(F.col("ts").cast("date")).alias("gd"))
+    life = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("d0"),
+            F.max(F.col("ts").cast("date")).alias("d1"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.datediff("d1", "d0").cast("long").alias("t"),
+            (F.col("d1") < F.col("gd")).alias("died"),
+        )
+    )
+    grid = life.groupBy("t").agg(
+        F.sum(F.when(F.col("died"), 1).otherwise(0)).cast("long").alias("d"),
+        F.count("*").cast("long").alias("leaving"),
+    )
+    w_rev = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.select(
+        "t", "d", F.sum("leaving").over(w_rev).cast("long").alias("n_risk")
+    )
+    w_fwd = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = risk.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_risk",
+        F.exp(
+            F.sum(F.log(F.lit(1.0) - F.col("d") / F.col("n_risk").cast("double"))).over(
+                w_fwd
+            )
+        ).alias("s"),
+    )
+    return surv.select(
+        F.col("t").alias("day"),
+        F.col("d").alias("n_deaths"),
+        "n_risk",
+        (F.floor(F.col("s") * 1000000 + F.lit(0.5)) / 1000000).alias("survival"),
+    )

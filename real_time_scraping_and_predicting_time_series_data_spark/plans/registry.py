@@ -142,6 +142,7 @@ _FRONT = (
     "ts_macd",
     "dedup_jaccard_prefix_filter",
     "stats_psi_drift",
+    "events_kaplan_meier",
 )
 
 
