@@ -2211,40 +2211,59 @@ def q_stats_psi_drift(spark, sf_dir):
     Welch views. Bin cuts are exact nearest-rank quartiles from the
     reference's value grid (`grid_cumsum`); bin fractions are Laplace-
     smoothed ((c+1/2)/(n+2)) so empty candidate bins stay finite and both
-    engines evaluate the identical expression. One scan to bin + one
-    4-row grid."""
+    engines evaluate the identical expression. Reduces to the SAME
+    (v, ca, cb) value grid as `stats_ks_drift`, so the streaming
+    DriftStreamMonitor serves the exact statistic from its mergeable
+    state (`psi_from_value_grid` is the shared core)."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("source").isin("src0", "src1")
     )
-    ref = docs.filter(F.col("source") == "src0").select(F.col("n_chars").alias("v"))
-    g = ref.groupBy("v").agg(F.count("*").cast("long").alias("cnt"))
-    c = grid_cumsum(g, ["cnt"])
-    t = ref.agg(F.count("*").cast("long").alias("n0r"))
+    tagged = docs.select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("a"),
+        F.when(F.col("source") == "src1", 1).otherwise(0).alias("b"),
+    )
+    g = tagged.groupBy("v").agg(
+        F.sum("a").cast("long").alias("ca"), F.sum("b").cast("long").alias("cb")
+    )
+    return psi_from_value_grid(g)
+
+
+def psi_from_value_grid(g):
+    """PSI from a (v, ca, cb) distinct-value count grid — the third
+    statistic served from the drift monitor's mergeable state (beside
+    `ks_from_value_grid` / `mann_whitney_from_value_grid`). Quartile cuts
+    come from the reference (ca) cumulative counts; a v present only in
+    the candidate side (ca = 0) can never be a cut (the cumulative count
+    does not advance there), so the grid cuts equal the raw-row cuts
+    exactly, and bin counts are grouped integer sums either way."""
+    c = grid_cumsum(g, ["ca"])
+    t = g.agg(F.sum("ca").cast("long").alias("n0r"))
     cuts = (
         c.crossJoin(F.broadcast(t))
         .agg(
             *[
                 F.min(
                     F.when(
-                        F.col("cum_cnt") >= F.ceil(F.lit(q) * F.col("n0r")), F.col("v")
+                        F.col("cum_ca") >= F.ceil(F.lit(q) * F.col("n0r")), F.col("v")
                     )
                 ).alias(f"t{i}")
                 for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
             ]
         )
     )
-    binned = docs.crossJoin(F.broadcast(cuts)).select(
-        F.when(F.col("source") == "src0", 0).otherwise(1).alias("grp"),
+    binned = g.crossJoin(F.broadcast(cuts)).select(
         (
             F.lit(1)
-            + (F.col("n_chars") > F.col("t1")).cast("int")
-            + (F.col("n_chars") > F.col("t2")).cast("int")
-            + (F.col("n_chars") > F.col("t3")).cast("int")
+            + (F.col("v") > F.col("t1")).cast("int")
+            + (F.col("v") > F.col("t2")).cast("int")
+            + (F.col("v") > F.col("t3")).cast("int")
         ).alias("bin"),
+        "ca",
+        "cb",
     )
     counts = binned.groupBy("bin").agg(
-        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("c0"),
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum("ca").cast("long").alias("c0"), F.sum("cb").cast("long").alias("c1")
     )
     tot = counts.agg(
         F.sum("c0").cast("long").alias("n0"), F.sum("c1").cast("long").alias("n1")

@@ -24,7 +24,11 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.stats import ks_from_value_grid, mann_whitney_from_value_grid
+from ..operators.stats import (
+    ks_from_value_grid,
+    mann_whitney_from_value_grid,
+    psi_from_value_grid,
+)
 
 __all__ = ["DriftStreamMonitor"]
 
@@ -118,3 +122,11 @@ class DriftStreamMonitor:
         bit-identical to `stats_mann_whitney` run as one batch (the same
         value grid feeds both statistics; one store serves both gates)."""
         return mann_whitney_from_value_grid(self.serve_grid())
+
+    def serve_psi(self) -> DataFrame:
+        """Exact quartile-binned PSI over all data seen — bit-identical to
+        `stats_psi_drift` run as one batch (third statistic off the same
+        mergeable grid; reference cuts re-derive from the merged ca
+        counts, so they move as reference data accumulates, exactly as a
+        batch recomputation would)."""
+        return psi_from_value_grid(self.serve_grid())

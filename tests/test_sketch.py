@@ -249,3 +249,24 @@ def test_quantile_stream_attach_availablenow(spark, tmp_path):
     want = sorted(tuple(r) for r in q_events_value_quantiles_grid(spark, sf).collect())
     got = sorted(tuple(r) for r in acc.serve_quantiles().collect())
     assert got == want
+
+
+def test_drift_stream_serves_psi(spark, tmp_path):
+    """The merged grid serves PSI bit-identically to the batch query."""
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_stats_psi_drift,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.drift_stream import (
+        DriftStreamMonitor,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    mon = DriftStreamMonitor(spark, str(tmp_path / "psi_store"))
+    mon.ingest_batch(docs.filter(F.col("doc_id") <= half), batch_id=0)
+    mon.ingest_batch(docs.filter(F.col("doc_id") > half), batch_id=1)
+    want = q_stats_psi_drift(spark, sf).collect()[0].asDict()
+    got = mon.serve_psi().collect()[0].asDict()
+    assert got == want
