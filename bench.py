@@ -152,6 +152,7 @@ HEADLINE = [
     "dedup_jaccard_prefix_filter",
     "stats_psi_drift",
     "events_kaplan_meier",
+    "orders_revenue_concentration",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -2279,3 +2279,102 @@ def psi_from_value_grid(g):
             (F.sum(term) > F.lit(0.2)).alias("drifted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Concentration analysis — Gini + top-decile share from the value grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_revenue_concentration",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        FROM orders GROUP BY o_custkey
+    ), g AS (
+        SELECT rev AS v, CAST(count(*) AS BIGINT) AS c FROM cust GROUP BY rev
+    ), cum AS (
+        SELECT v, c,
+               CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) - c AS BIGINT) AS cb
+        FROM g
+    ), t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS tot
+        FROM cust
+    ), s AS (
+        SELECT CAST(sum(v * (c * cb + c * (c + 1) / 2)) AS BIGINT) AS srank,
+               CAST(sum(v * greatest(0, least(c,
+                    (SELECT ceil(0.9 * n) FROM t)::BIGINT - cb))) AS BIGINT)
+                   AS below90
+        FROM cum
+    )
+    SELECT t.n, t.tot AS total_cents,
+           floor((2.0 * s.srank / (CAST(t.n AS DOUBLE) * t.tot)
+                  - (t.n + 1.0) / t.n) * 1000000 + 0.5) / 1000000 AS gini,
+           floor((1.0 - s.below90 / CAST(t.tot AS DOUBLE)) * 1000000 + 0.5)
+               / 1000000 AS top10_share
+    FROM s, t
+    """,
+    tags=("stats", "concentration", "gini"),
+)
+def q_orders_revenue_concentration(spark, sf_dir):
+    """Revenue concentration: exact Gini coefficient and top-decile share
+    of per-customer lifetime revenue — the "how skewed is this key" scan
+    that sizes salting and cap-per-contributor policies (the same math
+    profiles token-frequency concentration in a corpus).
+
+    INTEGER-EXACT via the value grid: for a revenue value v with count c
+    and cumulative count-before cb, its customers occupy ranks cb+1..cb+c,
+    so Σ rank·x = Σ v·(c·cb + c(c+1)/2) — all BIGINT; Gini =
+    2Σrank·x/(n·Σx) − (n+1)/n in one fixed-shape expression. The
+    top-decile share integrates the Lorenz curve below the ceil(0.9·n)
+    rank cut with a per-group greatest/least clip — again exact. One
+    grouped agg + the range-partitioned `grid_cumsum`; nothing sorts
+    customers."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    g = cust.groupBy(F.col("rev").alias("v")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    cum = grid_cumsum(g.withColumnRenamed("c", "cnt"), ["cnt"]).select(
+        "v",
+        F.col("cnt").alias("c"),
+        (F.col("cum_cnt") - F.col("cnt")).cast("long").alias("cb"),
+    )
+    t = cust.agg(
+        F.count("*").cast("long").alias("n"), F.sum("rev").cast("long").alias("tot")
+    )
+    j = cum.crossJoin(F.broadcast(t))
+    r90 = F.ceil(F.lit(0.9) * F.col("n")).cast("long")
+    s = j.groupBy("n", "tot").agg(
+        F.sum(
+            F.col("v") * (F.col("c") * F.col("cb") + F.col("c") * (F.col("c") + 1) / 2)
+        )
+        .cast("long")
+        .alias("srank"),
+        F.sum(
+            F.col("v")
+            * F.greatest(F.lit(0), F.least(F.col("c"), r90 - F.col("cb")))
+        )
+        .cast("long")
+        .alias("below90"),
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    nd = F.col("n").cast("double")
+    return s.select(
+        "n",
+        F.col("tot").alias("total_cents"),
+        canon(
+            F.lit(2.0) * F.col("srank") / (nd * F.col("tot"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n")
+        ).alias("gini"),
+        canon(F.lit(1.0) - F.col("below90") / F.col("tot").cast("double")).alias(
+            "top10_share"
+        ),
+    )

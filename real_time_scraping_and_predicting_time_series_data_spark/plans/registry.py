@@ -143,6 +143,7 @@ _FRONT = (
     "dedup_jaccard_prefix_filter",
     "stats_psi_drift",
     "events_kaplan_meier",
+    "orders_revenue_concentration",
 )
 
 
