@@ -153,6 +153,7 @@ HEADLINE = [
     "stats_psi_drift",
     "events_kaplan_meier",
     "orders_revenue_concentration",
+    "dq_referential_integrity",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

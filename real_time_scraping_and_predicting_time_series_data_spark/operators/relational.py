@@ -1068,3 +1068,77 @@ def dq_validation_suite(spark, sf_dir):
         .unionByName(check("orders_null_custkey", o.filter(F.col("o_custkey").isNull())))
         .unionByName(check("customer_unknown_nation", bad_nation))
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+               AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           CAST((SELECT count(*) FROM customer) AS BIGINT),
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    """,
+    tags=("dq", "referential", "integrity"),
+)
+def q_dq_referential_integrity(spark, sf_dir):
+    """Cross-table referential-integrity audit: orphan counts for the five
+    core foreign keys, each as one LEFT ANTI join (planned as
+    broadcast/shuffled hash anti joins — never a subquery-per-row). The
+    relationship-level complement of `dq_validation_suite`'s single-table
+    rules and `dq_schema_profile`'s column profile; on a 100 TB lake this
+    is the post-ingest gate that catches partial loads and late dimension
+    arrivals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    def audit(name, child, child_key, parent, parent_key):
+        orphans = child.join(
+            parent.select(F.col(parent_key).alias(child_key)), child_key, "left_anti"
+        )
+        return (
+            child.agg(F.count("*").cast("long").alias("n_child"))
+            .crossJoin(orphans.agg(F.count("*").cast("long").alias("n_orphans")))
+            .select(F.lit(name).alias("fk"), "n_child", "n_orphans")
+        )
+
+    return (
+        audit("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(audit("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey"))
+        .unionAll(audit("lineitem.l_partkey -> part", li, "l_partkey", p, "p_partkey"))
+        .unionAll(
+            audit("lineitem.l_suppkey -> supplier", li, "l_suppkey", s, "s_suppkey")
+        )
+        .unionAll(
+            audit("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey")
+        )
+    )

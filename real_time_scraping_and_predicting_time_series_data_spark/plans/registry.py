@@ -144,6 +144,7 @@ _FRONT = (
     "stats_psi_drift",
     "events_kaplan_meier",
     "orders_revenue_concentration",
+    "dq_referential_integrity",
 )
 
 

@@ -138,3 +138,55 @@ def test_stream_join_ledger_parity_sf001(spark, tmp_path):
     want = {(r.l_event_id, r.r_event_id) for r in batch.collect()}
     assert len(want) > 50
     assert got == want
+
+
+def test_stream_static_join_rereads_dimension_per_batch(spark, tmp_path):
+    """Stream-static join semantics: Spark re-evaluates the STATIC side on
+    every micro-batch, so a dimension table updated between batches
+    enriches later ticks with the new attributes — the slowly-changing-
+    dimension refresh pattern, with no restart and no broadcast pinning.
+    Pinned here because it is easy to break by caching the dim DataFrame."""
+    import json
+    import os
+
+    dim_dir = str(tmp_path / "dim")
+    os.makedirs(dim_dir)
+
+    def write_dim(rows, name):
+        spark.createDataFrame(rows, "user_id long, segment string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(dim_dir, "tbl"))
+
+    drop = str(tmp_path / "drop")
+    write_dim([(1, "bronze")], "v1")
+    _write_poll_file(drop, "poll_000.json", [(0, 0, 1, 100.0)])
+
+    dim = spark.read.parquet(os.path.join(dim_dir, "tbl"))  # re-read per batch
+    out_rows = []
+
+    def sink(df, bid):
+        out_rows.extend(
+            (r.event_id, r.segment)
+            for r in df.join(spark.read.parquet(os.path.join(dim_dir, "tbl")), "user_id").collect()
+        )
+        # after batch 0 lands, promote the user — batch 1 must see it
+        if bid == 0:
+            write_dim([(1, "gold")], "v2")
+            _write_poll_file(drop, "poll_001.json", [(1, 10, 1, 101.0)])
+
+    q = (
+        file_tick_stream(spark, drop)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 90
+    while time.time() < deadline and len(out_rows) < 2:
+        time.sleep(0.5)
+    q.stop()
+    got = dict(out_rows)
+    assert got[0] == "bronze"
+    assert got[1] == "gold", "dimension update not picked up by later micro-batch"
