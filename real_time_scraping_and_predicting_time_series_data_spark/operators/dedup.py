@@ -1064,13 +1064,18 @@ def q_jaccard_prefix_filter(spark, sf_dir):
     sh = docs.select(
         "doc_id", shingles(F.col("text"), 3).alias("grams")
     ).localCheckpoint(eager=False)
-    inv = sh.select("doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("g"))
-    df_tok = inv.groupBy("g").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", F.xxhash64("g"), "g")
-    ranked = inv.join(df_tok, "g").withColumn("rn", F.row_number().over(w))
+    # Postings carry only the 8-byte xxhash64 of the gram (the
+    # _jaccard_core convention) — the global order is (df, h), a total
+    # order up to 2^-64 hash ties, and gram strings never enter a shuffle.
+    inv = sh.select(
+        "doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("_g")
+    ).select("doc_id", "sz", F.xxhash64("_g").alias("h"))
+    df_tok = inv.groupBy("h").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    ranked = inv.join(df_tok, "h").withColumn("rn", F.row_number().over(w))
     pref = ranked.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1
-    ).select("doc_id", F.xxhash64("g").alias("h"))
+    ).select("doc_id", "h")
     cands = (
         pref.alias("a")
         .join(pref.alias("b"), "h")
