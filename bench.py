@@ -154,6 +154,7 @@ HEADLINE = [
     "events_kaplan_meier",
     "orders_revenue_concentration",
     "dq_referential_integrity",
+    "corpus_classifier_filter",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -634,3 +634,102 @@ def q_corpus_boilerplate_ngrams(spark, sf_dir):
             (frac >= 0.5).alias("flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier-filtered corpus selection (DSIR-style importance acceptance)
+# ---------------------------------------------------------------------------
+
+
+def _classifier_filter_oracle() -> str:
+    from .stats import _LOGISTIC_CTE_SQL
+
+    return (
+        _LOGISTIC_CTE_SQL
+        + r"""
+    , alldocs AS (
+        SELECT doc_id, source,
+               n_chars / 100.0 AS x1,
+               n_chars / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                   AS x2
+        FROM documents
+    ), scored2 AS (
+        SELECT a.doc_id, a.source,
+               1.0 / (1.0 + exp(-((c0 + d0) + (c1 + d1) * a.x1
+                                  + (c2 + d2) * a.x2))) AS p,
+               ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                   / 4294967296.0 AS u
+        FROM alldocs a CROSS JOIN fin
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE u < p) AS BIGINT) AS n_kept,
+           floor((sum(p) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_score,
+           round(count(*) FILTER (WHERE u < p) / CAST(count(*) AS DOUBLE), 6)
+               AS kept_frac
+    FROM scored2
+    GROUP BY source
+    """
+    )
+
+
+@register(
+    "corpus_classifier_filter",
+    oracle=_classifier_filter_oracle(),
+    tags=("corpus", "classifier", "sampling", "dsir"),
+)
+def q_corpus_classifier_filter(spark, sf_dir):
+    """Classifier-based corpus selection, DSIR/CCNet-style: train the
+    src1-vs-src0 domain classifier (two exact Newton steps — the
+    `ml_logistic_newton` chain), score EVERY document, and accept each doc
+    with probability equal to its score via the deterministic md5 uniform
+    (`hash_uniform`) — importance resampling toward the target domain as a
+    pure scan-side filter. Reports per-source doc counts, kept counts,
+    mean score and kept fraction — the audit a mixture owner reads before
+    committing the filtered corpus.
+
+    Scale shape: training is two map-side aggregations (zero exchanges);
+    scoring + acceptance is one scan with a 1-row coefficient broadcast —
+    nothing about the filter step shuffles, so it composes with any
+    downstream dedup/pack pipeline at 100 TB."""
+    from .corpus import hash_uniform
+    from .stats import _logistic_coeffs, _logistic_rows
+
+    coeffs = _logistic_coeffs(_logistic_rows(spark, sf_dir)).select("w0", "w1", "w2")
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") / F.lit(100.0)).alias("x1"),
+        (
+            F.col("n_chars")
+            / F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+        ).alias("x2"),
+    )
+    scored = feats.crossJoin(F.broadcast(coeffs)).select(
+        "doc_id",
+        "source",
+        (
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.col("w0")
+                        + F.col("w1") * F.col("x1")
+                        + F.col("w2") * F.col("x2")
+                    )
+                )
+            )
+        ).alias("p"),
+        hash_uniform("doc_id").alias("u"),
+    )
+    kept = F.when(F.col("u") < F.col("p"), 1).otherwise(0)
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        (F.floor((F.sum("p") / F.count("*")) * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "mean_score"
+        ),
+        F.round(F.sum(kept) / F.count("*").cast("double"), 6).alias("kept_frac"),
+    )

@@ -145,6 +145,7 @@ _FRONT = (
     "events_kaplan_meier",
     "orders_revenue_concentration",
     "dq_referential_integrity",
+    "corpus_classifier_filter",
 )
 
 
