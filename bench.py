@@ -155,6 +155,7 @@ HEADLINE = [
     "orders_revenue_concentration",
     "dq_referential_integrity",
     "corpus_classifier_filter",
+    "corpus_span_corruption",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -624,3 +624,94 @@ def q_corpus_temperature_mixture(spark, sf_dir):
         F.round(F.col("w") / F.col("zz"), 6).alias("p_temperature"),
         F.round((F.col("w") / F.col("zz")) / F.col("p"), 6).alias("boost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption masks (T5-style denoising objective prep) — r5
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_span_corruption",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS i
+        FROM documents
+    ), marked AS (
+        SELECT doc_id, i, tok,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                    || CAST(i AS VARCHAR)), 1, 8))::UBIGINT
+                / 4294967296.0) < 0.15 AS masked
+        FROM toks
+    ), islands AS (
+        SELECT doc_id, i, tok,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM marked WHERE masked
+    ), spans AS (
+        SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+               CAST(count(*) AS BIGINT) AS span_len,
+               array_to_string(list(tok ORDER BY i), ' ') AS span_text
+        FROM islands GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY span_start) AS BIGINT) AS mask_id,
+           span_start, span_len, span_text
+    FROM spans
+    """,
+    tags=("corpus", "masking", "denoising", "t5"),
+)
+def q_corpus_span_corruption(spark, sf_dir):
+    """T5/UL2-style span-corruption mask generation, DETERMINISTIC: each
+    token position draws the md5 uniform on (doc_id, position) and is
+    marked with p=0.15; contiguous marked runs merge into spans
+    (gaps-and-islands: position minus rank), each span gets a sentinel
+    mask_id in document order. This is the denoising-objective
+    preprocessing a seq2seq pretraining pipeline runs corpus-wide —
+    reproducible across engines, executors and retries, so the SAME
+    corruption can be regenerated for debugging (the reason hash-driven
+    beats rng-driven in a distributed pipeline).
+
+    Scale shape: posexplode → one per-doc window (rank) → one grouped agg;
+    row volume is the token count, keys are doc-local — one exchange on
+    doc_id serves both the window and the span rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("i0", "tok"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("i"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    marked = toks.filter(u < 0.15)
+    w = Window.partitionBy("doc_id").orderBy("i")
+    islands = marked.withColumn("grp", F.col("i") - F.row_number().over(w))
+    spans = islands.groupBy("doc_id", "grp").agg(
+        F.min("i").cast("long").alias("span_start"),
+        F.count("*").cast("long").alias("span_len"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("i"), F.col("tok")))
+                ),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("span_text"),
+    )
+    wr = Window.partitionBy("doc_id").orderBy("span_start")
+    return spans.select(
+        "doc_id",
+        F.row_number().over(wr).cast("long").alias("mask_id"),
+        "span_start",
+        "span_len",
+        "span_text",
+    )

@@ -146,6 +146,7 @@ _FRONT = (
     "orders_revenue_concentration",
     "dq_referential_integrity",
     "corpus_classifier_filter",
+    "corpus_span_corruption",
 )
 
 
