@@ -156,6 +156,7 @@ HEADLINE = [
     "dq_referential_integrity",
     "corpus_classifier_filter",
     "corpus_span_corruption",
+    "embedding_knn_probe",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

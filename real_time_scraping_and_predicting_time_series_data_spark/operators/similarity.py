@@ -1013,3 +1013,84 @@ def q_sim_ivfpq(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivfpq_adc_topk(emb, queries, k=_ADC_K, n_cells=16, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# kNN label probe — representation-quality evaluation (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_knn_probe",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+               n.label AS neighbor_label,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.v, n.v), 9) DESC,
+                            n.vec_id) AS rnk
+        FROM e q JOIN e n ON q.vec_id <> n.vec_id
+    ), votes AS (
+        SELECT query_id, true_label, neighbor_label,
+               CAST(count(*) AS BIGINT) AS n_votes
+        FROM scored WHERE rnk <= 5
+        GROUP BY query_id, true_label, neighbor_label
+    ), pred AS (
+        SELECT query_id, true_label, neighbor_label AS pred_label,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY n_votes DESC, neighbor_label) AS vr
+        FROM votes
+    )
+    SELECT true_label AS label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE pred_label = true_label) AS BIGINT)
+               AS n_correct,
+           round(count(*) FILTER (WHERE pred_label = true_label)
+                 / CAST(count(*) AS DOUBLE), 6) AS knn_accuracy
+    FROM pred WHERE vr = 1
+    GROUP BY true_label
+    """,
+    tags=("similarity", "knn", "evaluation", "probe"),
+)
+def q_embedding_knn_probe(spark, sf_dir):
+    """kNN label probe (k=5): classify every vector by the majority label
+    of its 5 exact nearest neighbors (cosine; self excluded; ties broken
+    by neighbor id, vote ties toward the smaller label) and report
+    per-class accuracy — the standard REPRESENTATION-QUALITY metric for
+    an embedding column (high probe accuracy = the geometry encodes the
+    labels; run it before trusting embedding dedup/ANN results).
+
+    At this scale the probe is the exact all-pairs score (the correctness
+    baseline); at 100 TB the identical vote/accuracy math runs over
+    `sim_ivfpq_topk`'s candidates instead — the probe's join input is the
+    only thing that changes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"), "embedding"
+    )
+    top = brute_force_topk(emb, queries.select("query_id", "embedding"), k=5)
+    nbr_labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neighbor_label")
+    )
+    votes = (
+        top.join(nbr_labels, "neighbor_id")
+        .groupBy("query_id", "neighbor_label")
+        .agg(F.count("*").cast("long").alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("neighbor_label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("neighbor_label").alias("pred_label"))
+    )
+    joined = pred.join(queries.select("query_id", "true_label"), "query_id")
+    correct = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return joined.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        F.round(F.sum(correct) / F.count("*").cast("double"), 6).alias("knn_accuracy"),
+    )

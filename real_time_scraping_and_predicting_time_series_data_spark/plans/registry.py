@@ -147,6 +147,7 @@ _FRONT = (
     "dq_referential_integrity",
     "corpus_classifier_filter",
     "corpus_span_corruption",
+    "embedding_knn_probe",
 )
 
 
