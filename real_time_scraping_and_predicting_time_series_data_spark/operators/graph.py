@@ -400,3 +400,179 @@ def q_graph_kcore_peel(spark, sf_dir):
             F.col("n").alias("deg_final"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction — Adamic-Adar over the strong co-purchase graph (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_adamic_adar",
+    oracle="""
+    WITH half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2
+    ), sym AS (
+        SELECT src, dst FROM half
+        UNION ALL SELECT dst AS src, src AS dst FROM half
+    ), deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM sym GROUP BY src
+    ), wedges AS (
+        SELECT e1.dst AS a, e2.dst AS c, e1.src AS b
+        FROM sym e1 JOIN sym e2
+          ON e1.src = e2.src AND e1.dst < e2.dst
+    ), scored AS (
+        SELECT w.a AS src, w.c AS dst,
+               CAST(count(*) AS BIGINT) AS common_neighbors,
+               sum(1.0 / ln(CAST(d.degree AS DOUBLE))) AS aa_raw
+        FROM wedges w JOIN deg d ON d.node = w.b
+        GROUP BY w.a, w.c
+    ), nonedge AS (
+        SELECT s.src, s.dst, s.common_neighbors,
+               floor(s.aa_raw * 1000000 + 0.5) / 1000000 AS aa_score
+        FROM scored s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM half h WHERE h.src = s.src AND h.dst = s.dst
+        )
+    )
+    SELECT src, dst, common_neighbors, aa_score
+    FROM nonedge
+    ORDER BY aa_score DESC, src, dst LIMIT 50
+    """,
+    tags=("graph", "linkpred", "similarity"),
+)
+def q_graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction on the strong (support>=2) co-purchase
+    graph: for every NON-adjacent pair with at least one common neighbor,
+    score = sum over common neighbors b of 1/ln(deg(b)) — rare shared
+    neighbors weigh more. Top-50 predicted links, deterministic order
+    (rounded score desc, then pair id).
+
+    Scale shape mirrors `graph_triangle_counts`: candidate pairs come only
+    from the wedge join on the shared center (cost sum deg(b)^2, the
+    node-iterator bound, with the support prefilter killing hub blowup) —
+    never an all-pairs product. The existing-edge exclusion is a left-anti
+    join on the oriented half relation; degrees broadcast when small via
+    AQE. Wedge centers have degree >= 2 by construction so ln(deg) never
+    hits zero; the 1/ln sum is the only float, floor-canonicalized at 1e-6
+    before the rank cut so both engines cut identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    half = strong_copurchase_half(li).localCheckpoint(eager=False)
+    sym = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    e1 = sym.select(F.col("src").alias("b"), F.col("dst").alias("a"))
+    e2 = sym.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "b").filter(F.col("a") < F.col("c"))
+    scored = (
+        wedges.join(deg.withColumnRenamed("node", "b"), "b")
+        .groupBy(F.col("a").alias("src"), F.col("c").alias("dst"))
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum(F.lit(1.0) / F.log(F.col("degree").cast("double"))).alias("aa_raw"),
+        )
+    )
+    nonedge = scored.join(half, ["src", "dst"], "left_anti").select(
+        "src", "dst", "common_neighbors",
+        (F.floor(F.col("aa_raw") * 1000000 + F.lit(0.5)) / 1000000).alias("aa_score"),
+    )
+    return nonedge.orderBy(F.desc("aa_score"), "src", "dst").limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS — bounded-hop reachability as iterative joins (r5)
+# ---------------------------------------------------------------------------
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Bounded multi-source BFS: hop distance from the seed set, as
+    ``max_hops`` rounds of (frontier join edges -> min per node). Each
+    round is one equi-join on ``src`` against the already-partitioned
+    edge relation plus a grouped min — the standard relational BFS whose
+    per-round cost is the frontier's edge volume, never the whole graph.
+    Integer-exact (hop counts), so the oracle is a full value hash."""
+    dist = seeds.select(F.col("node"), F.lit(0).cast("long").alias("hops"))
+    for _ in range(max_hops):
+        dist = dist.localCheckpoint(eager=False)
+        nxt = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = dist.union(nxt).groupBy("node").agg(F.min("hops").alias("hops"))
+    return dist
+
+
+@register(
+    "graph_bfs_hops",
+    oracle="""
+    WITH half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2
+    ), sym AS (
+        SELECT src, dst FROM half
+        UNION ALL SELECT dst AS src, src AS dst FROM half
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM sym
+    ), seeds AS (
+        SELECT node, CAST(0 AS BIGINT) AS hops
+        FROM nodes ORDER BY node LIMIT 5
+    ), d1 AS (
+        SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM (
+            SELECT node, hops FROM seeds
+            UNION ALL
+            SELECT e.dst AS node, s.hops + 1 AS hops
+            FROM sym e JOIN seeds s ON s.node = e.src
+        ) GROUP BY node
+    ), d2 AS (
+        SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM (
+            SELECT node, hops FROM d1
+            UNION ALL
+            SELECT e.dst AS node, s.hops + 1 AS hops
+            FROM sym e JOIN d1 s ON s.node = e.src
+        ) GROUP BY node
+    ), d3 AS (
+        SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM (
+            SELECT node, hops FROM d2
+            UNION ALL
+            SELECT e.dst AS node, s.hops + 1 AS hops
+            FROM sym e JOIN d2 s ON s.node = e.src
+        ) GROUP BY node
+    )
+    SELECT hops, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM d3 GROUP BY hops
+    """,
+    tags=("graph", "bfs", "iterative"),
+)
+def q_graph_bfs_hops(spark, sf_dir):
+    """3-hop multi-source BFS from the 5 smallest nodes of the strong
+    co-purchase graph: per-hop ring sizes (how much of the product network
+    is within k basket steps of the seed set) — the reachability primitive
+    under recommendation radii and taint propagation. Deterministic seeds
+    (smallest ids), fixed rounds, integer hop counts -> full value-hash
+    oracle; each round's cost is the frontier's edges only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    half = strong_copurchase_half(li).localCheckpoint(eager=False)
+    sym = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    seeds = (
+        sym.select(F.col("src").alias("node")).distinct()
+        .orderBy("node").limit(5)
+    )
+    dist = bfs_hops(sym, seeds, max_hops=3)
+    return dist.groupBy("hops").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )

@@ -2378,3 +2378,194 @@ def q_orders_revenue_concentration(spark, sf_dir):
             "top10_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence — symmetric, bounded distribution-drift gate (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_js_divergence",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), g AS (
+        SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+        FROM t GROUP BY v
+    ), tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+               CAST(count(*) AS BIGINT) AS n_support
+        FROM g
+    ), terms AS (
+        SELECT t.na, t.nb, t.n_support,
+               CASE WHEN g.ca > 0 THEN
+                   (g.ca / CAST(t.na AS DOUBLE))
+                   * ln((g.ca / CAST(t.na AS DOUBLE))
+                        / ((g.ca / CAST(t.na AS DOUBLE)
+                            + g.cb / CAST(t.nb AS DOUBLE)) / 2))
+               ELSE 0.0 END AS pa,
+               CASE WHEN g.cb > 0 THEN
+                   (g.cb / CAST(t.nb AS DOUBLE))
+                   * ln((g.cb / CAST(t.nb AS DOUBLE))
+                        / ((g.ca / CAST(t.na AS DOUBLE)
+                            + g.cb / CAST(t.nb AS DOUBLE)) / 2))
+               ELSE 0.0 END AS pb
+        FROM g CROSS JOIN tot t
+    )
+    SELECT na AS n_a, nb AS n_b, n_support,
+           floor((0.5 * sum(pa) + 0.5 * sum(pb)) * 1000000 + 0.5) / 1000000
+               AS js_divergence
+    FROM terms GROUP BY na, nb, n_support
+    """,
+    tags=("stats", "drift", "divergence"),
+)
+def q_stats_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence between the click and purchase `value`
+    distributions — the symmetric, [0, ln 2]-bounded drift measure that
+    (unlike KL) tolerates disjoint support, which is what a corpus/feature
+    monitor actually needs when a new source introduces unseen values.
+
+    Same scale shape as `stats_ks_drift`/`stats_psi_drift`: everything
+    reduces to the integer-cents distinct-value grid in ONE grouped pass
+    (grid rows = distinct cents, bounded); per-value JSD terms are a fixed
+    IEEE expression; the only cross-engine hazard is the final sum order,
+    canonicalized at 1e-6. Count grids are mergeable, so the streaming
+    drift monitor can serve the exact batch statistic from its accumulated
+    grid (drift_stream.py's mergeability argument applies verbatim)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("b"),
+    )
+    g = tagged.groupBy("v").agg(
+        F.sum("a").cast("long").alias("ca"), F.sum("b").cast("long").alias("cb")
+    )
+    tot = g.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count("*").cast("long").alias("n_support"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    p = F.col("ca") / F.col("na").cast("double")
+    q = F.col("cb") / F.col("nb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    terms = j.select(
+        "na", "nb", "n_support",
+        F.when(F.col("ca") > 0, p * F.log(p / m)).otherwise(F.lit(0.0)).alias("pa"),
+        F.when(F.col("cb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0)).alias("pb"),
+    )
+    jsd = F.lit(0.5) * F.sum("pa") + F.lit(0.5) * F.sum("pb")
+    return terms.groupBy("na", "nb", "n_support").agg(
+        (F.floor(jsd * 1000000 + F.lit(0.5)) / 1000000).alias("js_divergence")
+    ).select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "n_support",
+        "js_divergence",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b — integer-exact rank correlation on the per-key daily grid (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_kendall_tau",
+    oracle="""
+    WITH vi AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ), daily AS (
+        SELECT user_id, d, CAST(sum(v) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM vi GROUP BY user_id, d
+    ), pairs AS (
+        SELECT a.user_id,
+               CASE WHEN a.s * b.n < b.s * a.n THEN 1 ELSE 0 END AS conc,
+               CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS disc,
+               CASE WHEN a.s * b.n = b.s * a.n THEN 1 ELSE 0 END AS tie
+        FROM daily a JOIN daily b
+          ON a.user_id = b.user_id AND a.d < b.d
+    ), agg AS (
+        SELECT user_id,
+               CAST(sum(conc) AS BIGINT) AS concordant,
+               CAST(sum(disc) AS BIGINT) AS discordant,
+               CAST(sum(tie) AS BIGINT) AS ties_y,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY user_id
+    )
+    SELECT user_id, n_pairs, concordant, discordant, ties_y,
+           floor((concordant - discordant)
+                 / sqrt(CAST(n_pairs AS DOUBLE)
+                        * CAST(n_pairs - ties_y AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS tau_b
+    FROM agg WHERE n_pairs > ties_y
+    """,
+    tags=("stats", "rank", "robust", "timeseries"),
+)
+def q_stats_kendall_tau(spark, sf_dir):
+    """Per-user Kendall tau-b between day index and the daily mean value —
+    the rank-based monotone-trend test that complements `ts_theil_sen`
+    (same daily grid, same quadratic-confined-per-key shape): tau answers
+    "is the trend consistent", Sen answers "how steep".
+
+    INTEGER-EXACT concordance: day-pair (d1<d2) means are compared by the
+    cross-multiplied cents identity s1·n2 <=> s2·n1 (n>0), so concordant /
+    discordant / tie counts are BIGINT on both engines with zero float
+    divisions. Dates are strictly ordered within a key (no x-ties), so
+    tau-b = (C−D)/sqrt(n0·(n0−T_y)) with n0 = pair count; the one IEEE
+    sqrt+divide is floor-canonicalized at 1e-6. The pairwise self-join is
+    partitioned by user_id on the pre-aggregated daily grid (tens of rows
+    per key), never on raw ticks — one key-shuffle total."""
+    ev = load_table(spark, sf_dir, "events")
+    vi = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("user_id", "d").agg(
+        F.sum("v").cast("long").alias("s"), F.count("*").cast("long").alias("n")
+    )
+    daily = daily.localCheckpoint(eager=False)
+    a = daily.select(
+        "user_id", F.col("d").alias("d1"), F.col("s").alias("s1"), F.col("n").alias("n1")
+    )
+    b = daily.select(
+        "user_id", F.col("d").alias("d2"), F.col("s").alias("s2"), F.col("n").alias("n2")
+    )
+    lhs = F.col("s1") * F.col("n2")
+    rhs = F.col("s2") * F.col("n1")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "user_id",
+            F.when(lhs < rhs, 1).otherwise(0).alias("conc"),
+            F.when(lhs > rhs, 1).otherwise(0).alias("disc"),
+            F.when(lhs == rhs, 1).otherwise(0).alias("tie"),
+        )
+    )
+    agg = pairs.groupBy("user_id").agg(
+        F.sum("conc").cast("long").alias("concordant"),
+        F.sum("disc").cast("long").alias("discordant"),
+        F.sum("tie").cast("long").alias("ties_y"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    tau = (
+        (F.col("concordant") - F.col("discordant"))
+        / F.sqrt(
+            F.col("n_pairs").cast("double")
+            * (F.col("n_pairs") - F.col("ties_y")).cast("double")
+        )
+    )
+    return agg.filter(F.col("n_pairs") > F.col("ties_y")).select(
+        "user_id", "n_pairs", "concordant", "discordant", "ties_y",
+        (F.floor(tau * 1000000 + F.lit(0.5)) / 1000000).alias("tau_b"),
+    )
