@@ -715,3 +715,55 @@ def q_corpus_span_corruption(spark, sf_dir):
         "span_len",
         "span_text",
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota cap — domain-cap curation (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_domain_cap",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS rnk
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE rnk <= 15) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE rnk > 15) AS BIGINT) AS n_dropped,
+           CAST(sum(n_chars) FILTER (WHERE rnk <= 15) AS BIGINT) AS kept_chars,
+           round(count(*) FILTER (WHERE rnk <= 15)
+                 / CAST(count(*) AS DOUBLE), 6) AS retention
+    FROM ranked GROUP BY source
+    """,
+    tags=("corpus", "curation", "quota"),
+)
+def q_corpus_domain_cap(spark, sf_dir):
+    """Per-source quota cap — the domain-cap step every web-scale corpus
+    pipeline runs so one crawler-friendly domain cannot dominate the
+    training mixture: rank documents WITHIN each source by a deterministic
+    quality proxy (length desc, id tiebreak) and keep at most 15. Reports
+    the per-source kept/dropped audit the curation run logs.
+
+    One window partitioned by the source key — a single key-shuffle whose
+    per-partition state is the cap counter; at 100 TB this is the same
+    shape as `sample_per_key_reservoir` (hot domains skew, and the fix is
+    the same two-level cap: per-(source, shard) pre-cap then the exact
+    rank), no global ordering anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = docs.withColumn("rnk", F.row_number().over(w))
+    kept = F.col("rnk") <= 15
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_chars"))).cast("long").alias("kept_chars"),
+        F.round(
+            F.sum(F.when(kept, 1).otherwise(0)) / F.count("*").cast("double"), 6
+        ).alias("retention"),
+    )

@@ -1094,3 +1094,66 @@ def q_embedding_knn_probe(spark, sf_dir):
         F.sum(correct).cast("long").alias("n_correct"),
         F.round(F.sum(correct) / F.count("*").cast("double"), 6).alias("knn_accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hubness audit — k-occurrence distribution of the embedding space (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_hubness",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.v, n.v), 9) DESC,
+                            n.vec_id) AS rnk
+        FROM e q JOIN e n ON q.vec_id <> n.vec_id
+    ), occ AS (
+        SELECT e.vec_id,
+               CAST(count(s.query_id) AS BIGINT) AS k_occurrence
+        FROM e LEFT JOIN scored s
+          ON s.neighbor_id = e.vec_id AND s.rnk <= 10
+        GROUP BY e.vec_id
+    )
+    SELECT k_occurrence, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id
+    FROM occ GROUP BY k_occurrence
+    """,
+    tags=("similarity", "hubness", "evaluation", "probe"),
+)
+def q_embedding_hubness(spark, sf_dir):
+    """Hubness audit: the k-occurrence N_10(x) distribution — for every
+    vector, how many OTHER vectors list it in their exact cosine top-10.
+    A heavy right tail (hub vectors appearing in hundreds of lists) is the
+    classic high-dimensional pathology that silently corrupts embedding
+    dedup and ANN-based curation (hubs absorb every cluster), so this is
+    the audit to run next to `embedding_knn_probe` before trusting the
+    space. Output: histogram of k-occurrence values (antihubs land in the
+    k=0 bucket via the left join).
+
+    Exact all-pairs at this scale (the correctness baseline; same
+    deterministic round-9 + id tie-break as every kNN op here); at 100 TB
+    the identical occurrence-count/histogram math runs over
+    `sim_ivfpq_topk`'s candidate lists instead — only the join input
+    changes, as with the kNN probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    top = brute_force_topk(emb, queries, k=10)
+    occ = (
+        emb.select(F.col("vec_id"))
+        .join(
+            top.select(F.col("neighbor_id").alias("vec_id"), "query_id"),
+            "vec_id",
+            "left",
+        )
+        .groupBy("vec_id")
+        .agg(F.count("query_id").cast("long").alias("k_occurrence"))
+    )
+    return occ.groupBy("k_occurrence").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+    )

@@ -586,3 +586,148 @@ def q_text_readability(spark, sf_dir):
         (F.floor(wps * 1000000 + 0.5) / 1000000).alias("words_per_sentence"),
         (F.floor(score * 1000000 + 0.5) / 1000000).alias("flesch_proxy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes — the classic fast corpus classifier (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_naive_bayes_text",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ), dt AS (
+        SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS n_dw
+        FROM toks GROUP BY doc_id, lang, term
+    ), train AS (
+        SELECT * FROM dt WHERE doc_id % 5 <> 0
+    ), test AS (
+        SELECT * FROM dt WHERE doc_id % 5 = 0
+    ), wc AS (
+        SELECT lang AS cls, term, CAST(sum(n_dw) AS BIGINT) AS cnt
+        FROM train GROUP BY lang, term
+    ), classes AS (
+        SELECT cls, CAST(sum(cnt) AS BIGINT) AS tot FROM wc GROUP BY cls
+    ), priors AS (
+        SELECT lang AS cls, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        FROM train GROUP BY lang
+    ), v AS (
+        SELECT CAST(count(DISTINCT term) AS BIGINT) AS vsz FROM train
+    ), ntr AS (
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM train
+    ), scored AS (
+        SELECT t.doc_id, t.lang AS true_lang, c.cls,
+               sum(t.n_dw * ln(CAST(COALESCE(w.cnt, 0) + 1 AS DOUBLE))) AS s1,
+               CAST(sum(t.n_dw) AS BIGINT) AS td
+        FROM test t
+        CROSS JOIN (SELECT cls FROM classes) c
+        LEFT JOIN wc w ON w.cls = c.cls AND w.term = t.term
+        GROUP BY t.doc_id, t.lang, c.cls
+    ), sc AS (
+        SELECT s.doc_id, s.true_lang, s.cls,
+               floor((ln(p.nd / CAST(ntr.n AS DOUBLE)) + s.s1
+                      - s.td * ln(CAST(c.tot + v.vsz AS DOUBLE)))
+                     * 1000000 + 0.5) AS score
+        FROM scored s
+        JOIN classes c ON c.cls = s.cls
+        JOIN priors p ON p.cls = s.cls
+        CROSS JOIN v CROSS JOIN ntr
+    ), pred AS (
+        SELECT doc_id, true_lang, cls AS pred_lang,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, cls) AS r
+        FROM sc
+    )
+    SELECT true_lang AS lang,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(count(*) FILTER (WHERE pred_lang = true_lang) AS BIGINT)
+               AS n_correct,
+           round(count(*) FILTER (WHERE pred_lang = true_lang)
+                 / CAST(count(*) AS DOUBLE), 6) AS accuracy
+    FROM pred WHERE r = 1
+    GROUP BY true_lang
+    """,
+    tags=("ml", "text", "classifier", "naive-bayes"),
+)
+def q_ml_naive_bayes_text(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier, trained and evaluated
+    in one query: Laplace-smoothed per-class token log-likelihoods from
+    the doc_id%5!=0 training split, argmax scoring on the held-out fifth,
+    per-class accuracy out — the cheap high-throughput classifier (a la
+    fastText-style curation gates) that corpus pipelines run when the
+    Newton logistic model (`ml_logistic_newton`) is too heavy.
+
+    Entirely relational NB: the "model" IS two aggregate tables (per-class
+    term counts + class totals), training is one grouped sum over the
+    token relation, and inference is a left join of test tokens against
+    the model keyed on (class, term) — at 100 TB both sides partition on
+    the term key and the 5-row class list broadcasts; no parameter vector
+    ever leaves the cluster. Unseen-term mass folds into the closed form
+    sum n_dw*ln(cnt+1) - T_d*ln(tot_c+V), so the join stays sparse
+    (only seen (term, class) pairs carry rows). Scores are canonicalized
+    to 1e-6 log-units before the argmax so both engines pick identical
+    labels (ties break toward the smaller class label)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(words_of(F.col("text"))).alias("term")
+    )
+    dt = toks.groupBy("doc_id", "lang", "term").agg(
+        F.count("*").cast("long").alias("n_dw")
+    )
+    dt = dt.localCheckpoint(eager=False)
+    train = dt.filter(F.col("doc_id") % 5 != 0)
+    test = dt.filter(F.col("doc_id") % 5 == 0)
+    wc = train.groupBy(F.col("lang").alias("cls"), "term").agg(
+        F.sum("n_dw").cast("long").alias("cnt")
+    )
+    wc = wc.localCheckpoint(eager=False)
+    classes = wc.groupBy("cls").agg(F.sum("cnt").cast("long").alias("tot"))
+    priors = train.groupBy(F.col("lang").alias("cls")).agg(
+        F.countDistinct("doc_id").cast("long").alias("nd")
+    )
+    v = train.agg(F.countDistinct("term").cast("long").alias("vsz"))
+    ntr = train.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    scored = (
+        test.withColumnRenamed("lang", "true_lang")
+        .crossJoin(F.broadcast(classes.select("cls")))
+        .join(wc, ["cls", "term"], "left")
+        .groupBy("doc_id", "true_lang", "cls")
+        .agg(
+            F.sum(
+                F.col("n_dw")
+                * F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double"))
+            ).alias("s1"),
+            F.sum("n_dw").cast("long").alias("td"),
+        )
+    )
+    full = (
+        scored.join(F.broadcast(classes), "cls")
+        .join(F.broadcast(priors), "cls")
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(ntr))
+    )
+    score = F.floor(
+        (
+            F.log(F.col("nd") / F.col("n").cast("double"))
+            + F.col("s1")
+            - F.col("td") * F.log((F.col("tot") + F.col("vsz")).cast("double"))
+        )
+        * 1000000
+        + F.lit(0.5)
+    )
+    wp = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
+    pred = (
+        full.withColumn("score", score)
+        .withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") == 1)
+    )
+    correct = F.when(F.col("cls") == F.col("true_lang"), 1).otherwise(0)
+    return pred.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        F.round(F.sum(correct) / F.count("*").cast("double"), 6).alias("accuracy"),
+    )

@@ -148,6 +148,13 @@ _FRONT = (
     "corpus_classifier_filter",
     "corpus_span_corruption",
     "embedding_knn_probe",
+    "stats_js_divergence",
+    "stats_kendall_tau",
+    "graph_adamic_adar",
+    "graph_bfs_hops",
+    "embedding_hubness",
+    "corpus_domain_cap",
+    "ml_naive_bayes_text",
 )
 
 

@@ -262,3 +262,189 @@ def test_psi_bounds(spark):
     )
     r2 = psi_from_value_grid(shifted).collect()[0]
     assert r2.psi > 1.0 and r2.drifted
+
+
+# ---------------------------------------------------------------------------
+# JS divergence: identical distributions -> 0; disjoint -> ln 2
+# ---------------------------------------------------------------------------
+
+
+def _jsd_from_grid(spark, rows):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (  # noqa: PLC0415
+        q_stats_js_divergence,
+    )
+
+    # drive the registered query's core by building an events-shaped frame
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    tagged = df.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("b"),
+    )
+    g = tagged.groupBy("v").agg(
+        F.sum("a").cast("long").alias("ca"), F.sum("b").cast("long").alias("cb")
+    )
+    tot = g.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    p = F.col("ca") / F.col("na").cast("double")
+    q = F.col("cb") / F.col("nb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    terms = j.select(
+        F.when(F.col("ca") > 0, p * F.log(p / m)).otherwise(F.lit(0.0)).alias("pa"),
+        F.when(F.col("cb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0)).alias("pb"),
+    )
+    row = terms.agg(
+        (F.lit(0.5) * F.sum("pa") + F.lit(0.5) * F.sum("pb")).alias("jsd")
+    ).collect()[0]
+    return row.jsd
+
+
+def test_js_divergence_identical_is_zero(spark):
+    rows = [("click", float(v)) for v in (1, 2, 3)] + [
+        ("purchase", float(v)) for v in (1, 2, 3)
+    ]
+    assert abs(_jsd_from_grid(spark, rows)) < 1e-12
+
+
+def test_js_divergence_disjoint_is_ln2(spark):
+    rows = [("click", 1.0), ("click", 2.0), ("purchase", 5.0), ("purchase", 6.0)]
+    assert abs(_jsd_from_grid(spark, rows) - math.log(2)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau: perfectly monotone daily means -> tau_b = 1 / -1
+# ---------------------------------------------------------------------------
+
+
+def _tau_for(spark, daily_means):
+    rows = [
+        (1, BASE + dt.timedelta(days=i), float(m))
+        for i, m in enumerate(daily_means)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    vi = df.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("user_id", "d").agg(
+        F.sum("v").cast("long").alias("s"), F.count("*").cast("long").alias("n")
+    )
+    a = daily.select(
+        "user_id", F.col("d").alias("d1"), F.col("s").alias("s1"), F.col("n").alias("n1")
+    )
+    b = daily.select(
+        "user_id", F.col("d").alias("d2"), F.col("s").alias("s2"), F.col("n").alias("n2")
+    )
+    lhs, rhs = F.col("s1") * F.col("n2"), F.col("s2") * F.col("n1")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            F.when(lhs < rhs, 1).otherwise(0).alias("conc"),
+            F.when(lhs > rhs, 1).otherwise(0).alias("disc"),
+            F.when(lhs == rhs, 1).otherwise(0).alias("tie"),
+        )
+    )
+    r = pairs.agg(
+        F.sum("conc").alias("c"), F.sum("disc").alias("d"), F.sum("tie").alias("t"),
+        F.count("*").alias("n0"),
+    ).collect()[0]
+    denom = math.sqrt(r.n0 * (r.n0 - r.t))
+    return (r.c - r.d) / denom if denom else None
+
+
+def test_kendall_tau_monotone(spark):
+    assert _tau_for(spark, [1, 2, 3, 4, 5]) == pytest.approx(1.0)
+    assert _tau_for(spark, [5, 4, 3, 2, 1]) == pytest.approx(-1.0)
+
+
+def test_kendall_tau_alternating_near_zero(spark):
+    # 1,3,2,4: pairs = 6, discordant = 1 (3>2) -> tau = (5-1)/6
+    assert _tau_for(spark, [1, 3, 2, 4]) == pytest.approx(4 / 6)
+
+
+# ---------------------------------------------------------------------------
+# BFS hops: hand-built path graph
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_hops_path_graph(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5, symmetric edges
+    half = [(i, i + 1) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        half + [(b, a) for a, b in half], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # node 5 unreached in 3 hops
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes: separable two-class corpus classifies perfectly
+# ---------------------------------------------------------------------------
+
+
+def test_naive_bayes_separable(spark, tmp_path):
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.text import (
+        q_ml_naive_bayes_text,
+    )
+
+    # two languages with disjoint vocabularies; doc_id%5==0 rows are test
+    docs = []
+    for i in range(20):
+        lang = "aa" if i % 2 == 0 else "bb"
+        text = ("foo bar baz " if lang == "aa" else "qux quux corge ") * 3
+        docs.append((i, text.strip(), lang, "s0", len(text)))
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = {r.lang: r for r in q_ml_naive_bayes_text(spark, str(tmp_path)).collect()}
+    assert set(out) == {"aa", "bb"}
+    for r in out.values():
+        assert r.n_correct == r.n_test and r.accuracy == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Domain cap: a source with more than 15 docs is capped at 15
+# ---------------------------------------------------------------------------
+
+
+def test_domain_cap_caps_at_15(spark, tmp_path):
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+        q_corpus_domain_cap,
+    )
+
+    docs = [(i, "x" * (10 + i), "en", "big" if i < 30 else "small", 10 + i) for i in range(35)]
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = {r.source: r for r in q_corpus_domain_cap(spark, str(tmp_path)).collect()}
+    assert out["big"].n_kept == 15 and out["big"].n_dropped == 15
+    assert out["small"].n_kept == 5 and out["small"].n_dropped == 0
+    # kept docs are the LONGEST 15 of the big source: ids 15..29
+    assert out["big"].kept_chars == sum(10 + i for i in range(15, 30))
+
+
+# ---------------------------------------------------------------------------
+# Hubness: occurrence counts over all top-10 lists sum to 10 * n_queries
+# ---------------------------------------------------------------------------
+
+
+def test_hubness_mass_conservation(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        q_embedding_hubness,
+    )
+
+    rows = q_embedding_hubness(spark, "/root/testdata/sf0.001").collect()
+    n_vectors = sum(r.n_vectors for r in rows)
+    total_occurrences = sum(r.k_occurrence * r.n_vectors for r in rows)
+    assert total_occurrences == 10 * n_vectors  # every vector emits a top-10 list
