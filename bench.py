@@ -157,6 +157,18 @@ HEADLINE = [
     "corpus_classifier_filter",
     "corpus_span_corruption",
     "embedding_knn_probe",
+    # r5 wave 2: graph mining, hubness audit, relational Naive Bayes.
+    "graph_adamic_adar",
+    "graph_bfs_hops",
+    "embedding_hubness",
+    "ml_naive_bayes_text",
+    "stats_kendall_tau",
+    "stats_js_divergence",
+    "corpus_domain_cap",
+    "sim_mmr_select",
+    "embedding_centroid_drift",
+    "ts_cross_correlation",
+    "ts_granger_lag_f",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -43,20 +43,72 @@ def brute_force_topk(
     vec: str = "embedding",
     query_id: str = "query_id",
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast-join queries × corpus, window top-k.
+    """Exact cosine top-k: Arrow-batched GEMM scoring, window top-k merge.
 
     Output: (query_id, neighbor_id, cos, rank) excluding self-matches.
-    """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec)).alias("v_c"))
-    q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("v_q"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col(query_id))
-        .withColumn("cos", cosine(F.col("v_q"), F.col("v_c")))
+
+    The query set (the small side by contract) is collected once into a
+    unit-normalized float64 matrix and BROADCAST; each corpus Arrow batch
+    scores all queries with ONE numpy matrix multiply and emits only its
+    batch-local top-(k+32) per query, so the corpus never shuffles and the
+    final exact re-rank (round-9 cosine desc, neighbor id asc — the same
+    deterministic order the DuckDB oracles use) runs over k'·|queries|·
+    |batches| rows, not |corpus|·|queries|. This replaced a per-pair
+    Catalyst HOF fold that was 25× slower at sf0.1 (50 s → 2 s for the
+    5000×5000 kNN-probe/hubness scans): pairwise scoring IS a GEMM, and
+    BLAS beats one-expression-per-pair by orders of magnitude at any
+    scale.
+
+    The +32 local margin makes the batch-local cut safe against round-9
+    cosine TIES straddling the cut (the global re-rank is exact for
+    everything that survives): a wrong answer would need >32 tied-at-1e-9
+    candidates above the k-th inside one batch — duplicate-heavy corpora
+    where that can happen should dedup vectors first (operators/dedup.py)
+    or raise the margin."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    q_rows = queries.select(query_id, vec).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, qmat))
+    m_local = k + 32
+
+    def score(batches):
+        qids_, qn = bq.value
+        nq = len(qids_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            order = np.argsort(ids)  # id-ascending => stable sorts tie-break by id
+            ids = ids[order]
+            cmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec]])[order]
+            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            s9 = np.round(cmat @ qn.T, 9)  # (n_c, n_q), oracle-grade rounding
+            m = min(m_local, s9.shape[0])
+            if m < s9.shape[0]:
+                top = np.argpartition(-s9, m - 1, axis=0)[:m]
+            else:
+                top = np.broadcast_to(
+                    np.arange(s9.shape[0])[:, None], (s9.shape[0], nq)
+                )
+            yield pd.DataFrame(
+                {
+                    query_id: np.broadcast_to(qids_, top.shape).ravel(),
+                    "neighbor_id": ids[top].ravel(),
+                    "cos": np.take_along_axis(s9, top, axis=0).ravel(),
+                }
+            )
+
+    scored = corpus.select(id_col, vec).mapInPandas(
+        score, schema=f"{query_id} long, neighbor_id long, cos double"
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc(F.round("cos", 9)), F.asc("neighbor_id"))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.filter(F.col("neighbor_id") != F.col(query_id))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id, "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
     )
@@ -1156,4 +1208,245 @@ def q_embedding_hubness(spark, sf_dir):
     return occ.groupBy("k_occurrence").agg(
         F.count("*").cast("long").alias("n_vectors"),
         F.min("vec_id").cast("long").alias("min_vec_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Centroid drift — did the embedding geometry move between two cohorts? (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id % 2 AS half, label, embedding::DOUBLE[] AS v
+        FROM embeddings
+    ), ex AS (
+        SELECT half, label, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        FROM e
+    ), cents AS (
+        SELECT label, i,
+               avg(x) FILTER (WHERE half = 0) AS ma,
+               avg(x) FILTER (WHERE half = 1) AS mb
+        FROM ex GROUP BY label, i
+    ), sums AS (
+        SELECT label, sum(ma * mb) AS dotab, sum(ma * ma) AS na2,
+               sum(mb * mb) AS nb2, sum((ma - mb) * (ma - mb)) AS d2
+        FROM cents GROUP BY label
+    ), counts AS (
+        SELECT label,
+               CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS n_b
+        FROM e GROUP BY label
+    )
+    SELECT s.label, c.n_a, c.n_b,
+           floor(s.dotab / sqrt(s.na2 * s.nb2) * 1000000 + 0.5) / 1000000
+               AS centroid_cos,
+           floor(sqrt(s.d2) * 1000000 + 0.5) / 1000000 AS l2_shift
+    FROM sums s JOIN counts c ON c.label = s.label
+    """,
+    tags=("similarity", "drift", "centroid", "evaluation"),
+)
+def q_embedding_centroid_drift(spark, sf_dir):
+    """Per-label centroid drift between two deterministic cohorts
+    (vec_id parity stands in for before/after re-embedding): cosine and
+    L2 distance between each label's cohort centroids — the cheap audit
+    that catches a silently re-trained or mis-versioned embedding model
+    before ANN indexes and dedup thresholds go stale against it.
+
+    Scale shape: one posexplode + grouped avg builds both centroid tables
+    in a single pass (dims x labels rows); the drift math runs on that
+    tiny per-dim relation, never on the vectors again — at 100 TB this is
+    one scan + one (label, dim)-keyed shuffle. Means and the two closing
+    IEEE expressions are floor-canonicalized at 1e-6."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        (F.col("vec_id") % 2).alias("half"), "label",
+        as_double(F.col("embedding")).alias("v"),
+    )
+    ex = e.select("half", "label", F.posexplode("v").alias("i", "x"))
+    cents = ex.groupBy("label", "i").agg(
+        F.avg(F.when(F.col("half") == 0, F.col("x"))).alias("ma"),
+        F.avg(F.when(F.col("half") == 1, F.col("x"))).alias("mb"),
+    )
+    sums = cents.groupBy("label").agg(
+        F.sum(F.col("ma") * F.col("mb")).alias("dotab"),
+        F.sum(F.col("ma") * F.col("ma")).alias("na2"),
+        F.sum(F.col("mb") * F.col("mb")).alias("nb2"),
+        F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))).alias("d2"),
+    )
+    counts = e.groupBy("label").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return sums.join(counts, "label").select(
+        "label", "n_a", "n_b",
+        canon(F.col("dotab") / F.sqrt(F.col("na2") * F.col("nb2"))).alias("centroid_cos"),
+        canon(F.sqrt(F.col("d2"))).alias("l2_shift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR — maximal-marginal-relevance diversified top-k selection (r5)
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 20
+_MMR_K = 5
+
+
+def mmr_select(
+    cand: DataFrame, pair: DataFrame, k: int = _MMR_K, lam: float = _MMR_LAMBDA
+) -> DataFrame:
+    """Greedy MMR over a candidate pool: round r picks
+    argmax lam*rel(i) - (1-lam)*max_{j in selected} sim(i, j).
+
+    ``cand``: (cid, rel) with rel pre-rounded to 9; ``pair``: (i, j, s)
+    pairwise sims (i != j), also round-9. The selection key is
+    floor(score*1e9 + 0.5) with a cid tiebreak so both engines pick the
+    identical sequence. Each round is an anti-join + grouped max + top-1
+    over the POOL relation (bounded, broadcastable) — the expensive part
+    (candidate generation) stays in the ANN operators; MMR itself never
+    touches the corpus."""
+    sel = None
+    for r in range(1, k + 1):
+        remaining = cand if sel is None else cand.join(sel, "cid", "left_anti")
+        if sel is None:
+            scored = remaining.select(
+                "cid", "rel", (F.lit(lam) * F.col("rel")).alias("score")
+            )
+        else:
+            ms = (
+                pair.withColumnRenamed("i", "cid")
+                .join(sel.select(F.col("cid").alias("j")), "j")
+                .groupBy("cid")
+                .agg(F.max("s").alias("maxsim"))
+            )
+            scored = remaining.join(ms, "cid", "left").select(
+                "cid", "rel",
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1 - lam) * F.coalesce(F.col("maxsim"), F.lit(0.0))
+                ).alias("score"),
+            )
+        key = F.floor(F.col("score") * 1000000000 + F.lit(0.5))
+        pick = (
+            scored.orderBy(key.desc(), F.asc("cid"))
+            .limit(1)
+            .select(
+                "cid", "rel",
+                F.lit(r).cast("long").alias("pick_order"),
+                (F.floor(F.col("score") * 1000000 + F.lit(0.5)) / 1000000).alias(
+                    "mmr_score"
+                ),
+            )
+            # EAGER: each pick is 1 row but feeds both the selected-set
+            # union and the next round's anti-join; a lazy checkpoint
+            # would re-execute every earlier round once per reference.
+            .localCheckpoint(eager=True)
+        )
+        sel = pick if sel is None else sel.union(pick)
+    return sel
+
+
+def _mmr_oracle() -> str:
+    rounds = []
+    sel_union = "SELECT cid FROM p1"
+    for r in range(2, _MMR_K + 1):
+        rounds.append(f"""
+    , sel{r - 1} AS ({sel_union})
+    , p{r} AS (
+        SELECT c.cid, c.rel, {r} AS pick_order,
+               floor((0.7 * c.rel - 0.3 * (
+                   SELECT max(s) FROM pair
+                   WHERE pair.i = c.cid AND pair.j IN (SELECT cid FROM sel{r - 1})
+               )) * 1000000 + 0.5) / 1000000 AS mmr_score
+        FROM cand c WHERE c.cid NOT IN (SELECT cid FROM sel{r - 1})
+        ORDER BY floor((0.7 * c.rel - 0.3 * (
+                   SELECT max(s) FROM pair
+                   WHERE pair.i = c.cid AND pair.j IN (SELECT cid FROM sel{r - 1})
+               )) * 1000000000 + 0.5) DESC, c.cid LIMIT 1
+    )""")
+        sel_union += f" UNION ALL SELECT cid FROM p{r}"
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST(pick_order AS BIGINT) AS pick_order, cid AS cand_id,"
+        f" round(rel, 6) AS relevance, mmr_score FROM p{r}"
+        for r in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (SELECT v FROM e WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+        SELECT n.vec_id AS cid,
+               round(list_cosine_similarity(n.v, q.v), 9) AS rel, n.v
+        FROM e n, q WHERE n.vec_id <> 0
+        ORDER BY rel DESC, cid LIMIT {_MMR_POOL}
+    ),
+    pair AS MATERIALIZED (
+        SELECT a.cid AS i, b.cid AS j,
+               round(list_cosine_similarity(a.v, b.v), 9) AS s
+        FROM cand a JOIN cand b ON a.cid <> b.cid
+    ),
+    p1 AS (
+        SELECT cid, rel, 1 AS pick_order,
+               floor(0.7 * rel * 1000000 + 0.5) / 1000000 AS mmr_score
+        FROM cand
+        ORDER BY floor(0.7 * rel * 1000000000 + 0.5) DESC, cid LIMIT 1
+    ){"".join(rounds)}
+    {unions}
+    """
+
+
+@register(
+    "sim_mmr_select",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "mmr", "diversity", "retrieval"),
+)
+def q_sim_mmr_select(spark, sf_dir):
+    """Maximal-marginal-relevance selection: from query vector 0's exact
+    cosine top-20 pool, greedily pick 5 results balancing relevance against
+    redundancy (lambda=0.7) — the diversified-retrieval operator behind
+    few-shot example selection and dedup-aware RAG serving, where plain
+    top-k returns five near-copies of the same document.
+
+    Candidate generation is the ANN stack's job (here the exact top-20 —
+    the correctness baseline; at scale `sim_ivfpq_topk`'s pool); MMR then
+    runs entirely on the bounded pool relation: per round one anti-join,
+    one grouped max over the precomputed pool-pair sims, one top-1. Greedy
+    selection is genuinely sequential (each pick changes the next round's
+    penalty), so the oracle unrolls the 5 rounds as CTE stages, the same
+    pattern as `graph_kcore_peel`. Round-9 sims + 1e-9 selection keys +
+    cid tiebreaks make the pick sequence identical on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("vq"))
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.round(cosine(F.col("v"), F.col("vq")), 9).alias("rel"),
+            "v",
+        )
+        .orderBy(F.desc("rel"), F.asc("cid"))
+        .limit(_MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(F.col("cid").alias("i"), F.col("v").alias("va"))
+    b = cand.select(F.col("cid").alias("j"), F.col("v").alias("vb"))
+    pair = (
+        a.crossJoin(b)
+        .filter(F.col("i") != F.col("j"))
+        .select("i", "j", F.round(cosine(F.col("va"), F.col("vb")), 9).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    sel = mmr_select(cand.select("cid", "rel"), pair)
+    return sel.select(
+        "pick_order",
+        F.col("cid").alias("cand_id"),
+        F.round("rel", 6).alias("relevance"),
+        "mmr_score",
     )

@@ -2447,6 +2447,15 @@ def q_stats_js_divergence(spark, sf_dir):
     g = tagged.groupBy("v").agg(
         F.sum("a").cast("long").alias("ca"), F.sum("b").cast("long").alias("cb")
     )
+    return jsd_from_value_grid(g)
+
+
+def jsd_from_value_grid(g):
+    """Jensen-Shannon divergence from a (v, ca, cb) distinct-value count
+    grid — the shared core of `stats_js_divergence` and the streaming
+    drift monitor's `serve_jsd` (count grids are mergeable, so the
+    incrementally accumulated grid serves the EXACT batch statistic, the
+    same argument as `ks_from_value_grid`)."""
     tot = g.agg(
         F.sum("ca").cast("long").alias("na"),
         F.sum("cb").cast("long").alias("nb"),
@@ -2568,4 +2577,238 @@ def q_stats_kendall_tau(spark, sf_dir):
     return agg.filter(F.col("n_pairs") > F.col("ties_y")).select(
         "user_id", "n_pairs", "concordant", "discordant", "ties_y",
         (F.floor(tau * 1000000 + F.lit(0.5)) / 1000000).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation — lead/lag discovery between two series (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_cross_correlation",
+    oracle="""
+    WITH vi AS (
+        SELECT event_type AS t,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), daily AS (
+        SELECT t, day,
+               CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / (100.0 * count(*)) AS m
+        FROM vi GROUP BY t, day
+    ), x AS (SELECT day AS dx, m AS mx FROM daily WHERE t = 'click'),
+    y AS (SELECT day AS dy, m AS my FROM daily WHERE t = 'purchase'),
+    lags AS (SELECT unnest(range(-5, 6)) AS lag),
+    joined AS (
+        SELECT l.lag, x.mx, y.my
+        FROM x CROSS JOIN lags l JOIN y ON y.dy = x.dx + l.lag
+    ), agg AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+               sum(mx) AS sx, sum(my) AS sy, sum(mx * my) AS sxy,
+               sum(mx * mx) AS sxx, sum(my * my) AS syy
+        FROM joined GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_days,
+           floor((n_days * sxy - sx * sy)
+                 / sqrt((n_days * sxx - sx * sx) * (n_days * syy - sy * sy))
+                 * 1000000 + 0.5) / 1000000 AS xcorr
+    FROM agg WHERE n_days >= 3
+    """,
+    tags=("stats", "timeseries", "correlation", "leadlag"),
+)
+def q_ts_cross_correlation(spark, sf_dir):
+    """Lagged cross-correlation between the click and purchase daily-mean
+    series at lags -5..+5 days — the lead/lag discovery scan ("does click
+    volume value lead purchases?") that precedes any causal-feature claim
+    in forecasting. Positive lag correlates today's clicks with purchases
+    `lag` days LATER.
+
+    Scale shape: raw ticks collapse to the per-type daily grid first (one
+    grouped agg — the only pass over the data); the 11-row lag relation
+    broadcasts onto the tiny grid and the per-lag Pearson terms are exact
+    sums over the aligned join. Daily means use the exact-cents
+    `sum/100n` convention; the one float formula per lag is
+    floor-canonicalized at 1e-6."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    vi = ev.select(
+        F.col("event_type").alias("t"),
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("t", "day").agg(
+        (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
+    )
+    daily = daily.localCheckpoint(eager=False)
+    x = daily.filter(F.col("t") == "click").select(
+        F.col("day").alias("dx"), F.col("m").alias("mx")
+    )
+    y = daily.filter(F.col("t") == "purchase").select(
+        F.col("day").alias("dy"), F.col("m").alias("my")
+    )
+    lags = spark.range(-5, 6).select(F.col("id").cast("int").alias("lag"))
+    joined = (
+        x.crossJoin(F.broadcast(lags))
+        .withColumn("dy", F.col("dx") + F.col("lag"))
+        .join(y, "dy")
+    )
+    agg = joined.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("mx").alias("sx"), F.sum("my").alias("sy"),
+        F.sum(F.col("mx") * F.col("my")).alias("sxy"),
+        F.sum(F.col("mx") * F.col("mx")).alias("sxx"),
+        F.sum(F.col("my") * F.col("my")).alias("syy"),
+    )
+    n = F.col("n_days")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.filter(n >= 3).select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_days",
+        (F.floor(r * 1000000 + F.lit(0.5)) / 1000000).alias("xcorr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Granger-style lag regression — does series X help predict series Y? (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_granger_lag_f",
+    oracle="""
+    WITH vi AS (
+        SELECT event_type AS t,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), daily AS (
+        SELECT t, day,
+               CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / (100.0 * count(*)) AS m
+        FROM vi GROUP BY t, day
+    ), x AS (SELECT day, m AS mx FROM daily WHERE t = 'click'),
+    y AS (SELECT day, m AS my FROM daily WHERE t = 'purchase'),
+    rows_ AS (
+        SELECT y1.my AS z, y0.my AS u, x0.mx AS w
+        FROM y y1
+        JOIN y y0 ON y0.day = y1.day - 1
+        JOIN x x0 ON x0.day = y1.day - 1
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(u) AS su, sum(w) AS sw, sum(z) AS sz,
+               sum(u * u) AS suu, sum(w * w) AS sww, sum(z * z) AS szz,
+               sum(u * w) AS suw, sum(u * z) AS suz, sum(w * z) AS swz
+        FROM rows_
+    ), c AS (
+        SELECT n,
+               suu - su * su / n AS cuu, sww - sw * sw / n AS cww,
+               szz - sz * sz / n AS czz, suw - su * sw / n AS cuw,
+               suz - su * sz / n AS cuz, swz - sw * sz / n AS cwz
+        FROM s
+    ), fit AS (
+        SELECT n, czz - cuz * cuz / cuu AS rss_r,
+               czz - ((cuz * cww - cwz * cuw) * cuz
+                      + (cwz * cuu - cuz * cuw) * cwz)
+                     / (cuu * cww - cuw * cuw) AS rss_f
+        FROM c
+    )
+    SELECT n,
+           floor(rss_r * 1000000 + 0.5) / 1000000 AS rss_restricted,
+           floor(rss_f * 1000000 + 0.5) / 1000000 AS rss_full,
+           CASE WHEN rss_f > 0 THEN
+               floor((rss_r - rss_f) / (rss_f / (n - 3)) * 1000000 + 0.5) / 1000000
+           END AS f_stat
+    FROM fit
+    """,
+    tags=("stats", "timeseries", "causality", "regression"),
+)
+def q_ts_granger_lag_f(spark, sf_dir):
+    """Granger-style lag test (order 1): does yesterday's click level add
+    predictive power for today's purchase level beyond purchases' own
+    lag? F-statistic comparing the restricted AR(1) fit against the full
+    fit with the exogenous lag — the causal-screening companion to
+    `ts_cross_correlation` (correlation finds the lag; this asks whether
+    it survives the autoregressive control).
+
+    Both OLS fits come CLOSED-FORM from one pass of raw sums over the
+    aligned daily grid (n, Σu, Σw, Σz and the 6 second moments), solved
+    via 2x2 centered normal equations — no iteration, no driver math, and
+    the identical fixed-shape IEEE expression tree on both engines
+    (floor-canon 1e-6). Scale shape is `ts_cross_correlation`'s: one
+    grouped agg over the ticks builds the grids; everything after runs on
+    days-sized relations."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    vi = ev.select(
+        F.col("event_type").alias("t"),
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("t", "day").agg(
+        (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
+    )
+    daily = daily.localCheckpoint(eager=False)
+    x = daily.filter(F.col("t") == "click").select("day", F.col("m").alias("mx"))
+    y = daily.filter(F.col("t") == "purchase").select("day", F.col("m").alias("my"))
+    y1 = y.select(F.col("day").alias("d"), F.col("my").alias("z"))
+    y0 = y.select((F.col("day") + 1).alias("d"), F.col("my").alias("u"))
+    x0 = x.select((F.col("day") + 1).alias("d"), F.col("mx").alias("w"))
+    rows = y1.join(y0, "d").join(x0, "d")
+    s = rows.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("u").alias("su"), F.sum("w").alias("sw"), F.sum("z").alias("sz"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("u") * F.col("w")).alias("suw"),
+        F.sum(F.col("u") * F.col("z")).alias("suz"),
+        F.sum(F.col("w") * F.col("z")).alias("swz"),
+    )
+    n = F.col("n")
+    c = s.select(
+        "n",
+        (F.col("suu") - F.col("su") * F.col("su") / n).alias("cuu"),
+        (F.col("sww") - F.col("sw") * F.col("sw") / n).alias("cww"),
+        (F.col("szz") - F.col("sz") * F.col("sz") / n).alias("czz"),
+        (F.col("suw") - F.col("su") * F.col("sw") / n).alias("cuw"),
+        (F.col("suz") - F.col("su") * F.col("sz") / n).alias("cuz"),
+        (F.col("swz") - F.col("sw") * F.col("sz") / n).alias("cwz"),
+    )
+    # keep the expression tree IDENTICAL to the oracle SQL (numerators
+    # dotted first, ONE division by det) so both engines run the same
+    # IEEE operation sequence
+    det = F.col("cuu") * F.col("cww") - F.col("cuw") * F.col("cuw")
+    num_b = F.col("cuz") * F.col("cww") - F.col("cwz") * F.col("cuw")
+    num_c = F.col("cwz") * F.col("cuu") - F.col("cuz") * F.col("cuw")
+    fit = c.select(
+        "n",
+        (F.col("czz") - F.col("cuz") * F.col("cuz") / F.col("cuu")).alias("rss_r"),
+        (
+            F.col("czz")
+            - (num_b * F.col("cuz") + num_c * F.col("cwz")) / det
+        ).alias("rss_f"),
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return fit.select(
+        "n",
+        canon(F.col("rss_r")).alias("rss_restricted"),
+        canon(F.col("rss_f")).alias("rss_full"),
+        # rss_f == 0 (exact functional dependence) -> F undefined, emit
+        # NULL instead of an ANSI divide-by-zero on both engines
+        F.when(
+            F.col("rss_f") > 0,
+            canon(
+                (F.col("rss_r") - F.col("rss_f"))
+                / (F.col("rss_f") / (F.col("n") - 3))
+            ),
+        ).alias("f_stat"),
     )

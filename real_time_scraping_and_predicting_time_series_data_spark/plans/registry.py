@@ -155,6 +155,10 @@ _FRONT = (
     "embedding_hubness",
     "corpus_domain_cap",
     "ml_naive_bayes_text",
+    "sim_mmr_select",
+    "embedding_centroid_drift",
+    "ts_cross_correlation",
+    "ts_granger_lag_f",
 )
 
 

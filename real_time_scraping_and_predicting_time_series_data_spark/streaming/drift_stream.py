@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.stats import (
+    jsd_from_value_grid,
     ks_from_value_grid,
     mann_whitney_from_value_grid,
     psi_from_value_grid,
@@ -130,3 +131,11 @@ class DriftStreamMonitor:
         counts, so they move as reference data accumulates, exactly as a
         batch recomputation would)."""
         return psi_from_value_grid(self.serve_grid())
+
+    def serve_jsd(self) -> DataFrame:
+        """Exact Jensen-Shannon divergence over all data seen —
+        bit-identical to `stats_js_divergence` run as one batch (fourth
+        statistic off the same mergeable grid; JSD\'s per-value terms are
+        pure functions of the merged counts, so mergeability carries over
+        unchanged)."""
+        return jsd_from_value_grid(self.serve_grid())

@@ -448,3 +448,127 @@ def test_hubness_mass_conservation(spark):
     n_vectors = sum(r.n_vectors for r in rows)
     total_occurrences = sum(r.k_occurrence * r.n_vectors for r in rows)
     assert total_occurrences == 10 * n_vectors  # every vector emits a top-10 list
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation: y = x shifted by 2 days -> xcorr(lag=2) = 1
+# ---------------------------------------------------------------------------
+
+
+def test_cross_correlation_detects_shift(spark, tmp_path):
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_ts_cross_correlation,
+    )
+
+    rows = []
+    eid = 0
+    # period-101 cubic-residue sequence: no shift inside the +-5-day lag
+    # window re-aligns it with itself (a %7 square pattern did at lag -5)
+    sig = lambda i: float((i * i * i) % 101 + 1)  # noqa: E731
+    for i in range(30):
+        rows.append((eid, BASE + dt.timedelta(days=i), 1, "click", sig(i), "{}"))
+        eid += 1
+        if i >= 2:
+            # purchase mirrors click 2 days later
+            rows.append((eid, BASE + dt.timedelta(days=i), 1, "purchase", sig(i - 2), "{}"))
+            eid += 1
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    out = {r.lag: r.xcorr for r in q_ts_cross_correlation(spark, str(tmp_path)).collect()}
+    assert out[2] == pytest.approx(1.0)
+    assert all(v < 0.999 for lag, v in out.items() if lag != 2)
+
+
+# ---------------------------------------------------------------------------
+# Centroid drift: identical halves -> cos = 1, shift = 0
+# ---------------------------------------------------------------------------
+
+
+def test_centroid_drift_identical_halves(spark, tmp_path):
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        q_embedding_centroid_drift,
+    )
+
+    vecs = []
+    for i in range(8):
+        base = [float(i % 2), 1.0, 2.0, float(i % 2) * 3]
+        # even ids (half A) and odd ids (half B) get identical vectors per label
+        vecs.append((2 * i, base, i % 2))
+        vecs.append((2 * i + 1, base, i % 2))
+    pd.DataFrame(vecs, columns=["vec_id", "embedding", "label"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+    out = {r.label: r for r in q_embedding_centroid_drift(spark, str(tmp_path)).collect()}
+    for r in out.values():
+        assert r.centroid_cos == pytest.approx(1.0)
+        assert r.l2_shift == pytest.approx(0.0)
+        assert r.n_a == r.n_b
+
+
+# ---------------------------------------------------------------------------
+# MMR: diversity beats a marginally-more-relevant near-duplicate
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_prefers_diverse_pick(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    cand = spark.createDataFrame(
+        [(1, 0.99), (2, 0.98), (3, 0.97), (4, 0.60), (5, 0.40)], "cid long, rel double"
+    )
+    # 1,2,3 are near-copies of each other; 4,5 orthogonal to everything
+    dup = [(a, b, 0.999) for a in (1, 2, 3) for b in (1, 2, 3) if a != b]
+    rest = [
+        (a, b, 0.0)
+        for a in range(1, 6)
+        for b in range(1, 6)
+        if a != b and not (a in (1, 2, 3) and b in (1, 2, 3))
+    ]
+    pair = spark.createDataFrame(dup + rest, "i long, j long, s double")
+    picks = [
+        r.cid for r in mmr_select(cand, pair, k=3).orderBy("pick_order").collect()
+    ]
+    # greedy: 1 first (max rel); then 4 (0.7*0.6 beats 0.7*0.98-0.3*0.999); then 2
+    assert picks == [1, 4, 2]
+
+
+# ---------------------------------------------------------------------------
+# Granger lag F: y driven by yesterday's x -> full model wins decisively
+# ---------------------------------------------------------------------------
+
+
+def test_granger_detects_exogenous_driver(spark, tmp_path):
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_ts_granger_lag_f,
+    )
+
+    rows = []
+    eid = 0
+    sig = lambda i: float((i * i * i) % 101 + 1)  # noqa: E731
+    for i in range(40):
+        rows.append((eid, BASE + dt.timedelta(days=i), 1, "click", sig(i), "{}"))
+        eid += 1
+        if i >= 1:
+            # purchases today = clicks yesterday: the exogenous lag explains
+            # everything the AR(1) term cannot
+            rows.append((eid, BASE + dt.timedelta(days=i), 1, "purchase", sig(i - 1), "{}"))
+            eid += 1
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    r = q_ts_granger_lag_f(spark, str(tmp_path)).collect()[0]
+    assert r.rss_full <= r.rss_restricted
+    assert r.rss_full == pytest.approx(0.0, abs=1e-4)  # exact functional dependence
+    # exact dependence drives RSS_full to 0: F is either enormous or the
+    # guarded NULL (division by exactly-zero RSS)
+    assert r.f_stat is None or r.f_stat > 1000
+    assert r.rss_restricted > 1.0  # the AR(1)-only fit is genuinely worse

@@ -270,3 +270,29 @@ def test_drift_stream_serves_psi(spark, tmp_path):
     want = q_stats_psi_drift(spark, sf).collect()[0].asDict()
     got = mon.serve_psi().collect()[0].asDict()
     assert got == want
+
+
+def test_drift_stream_serves_jsd(spark, tmp_path):
+    """The merged grid serves Jensen-Shannon divergence bit-identically to
+    the batch computation over the same rows (fourth statistic off the one
+    mergeable store)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        jsd_from_value_grid,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.drift_stream import (
+        DriftStreamMonitor,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    mon = DriftStreamMonitor(spark, str(tmp_path / "jsd_store"))
+    mon.ingest_batch(docs.filter(F.col("doc_id") <= half), batch_id=0)
+    mon.ingest_batch(docs.filter(F.col("doc_id") > half), batch_id=1)
+    # replay must not double-count
+    mon.ingest_batch(docs.filter(F.col("doc_id") > half), batch_id=1)
+    want = jsd_from_value_grid(mon.batch_grid(docs)).collect()[0].asDict()
+    got = mon.serve_jsd().collect()[0].asDict()
+    assert got == want
+    assert 0.0 <= got["js_divergence"] <= 0.6931472
