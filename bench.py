@@ -169,6 +169,10 @@ HEADLINE = [
     "embedding_centroid_drift",
     "ts_cross_correlation",
     "ts_granger_lag_f",
+    "ts_ljung_box",
+    "ts_periodogram",
+    "ts_var_es",
+    "ml_learning_curve",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -2812,3 +2812,116 @@ def q_ts_granger_lag_f(spark, sf_dir):
             ),
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Learning curve — forecast error vs training-window size (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_learning_curve",
+    oracle="""
+    WITH vi AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ), daily AS (
+        SELECT user_id, day,
+               CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / (100.0 * count(*)) AS m
+        FROM vi GROUP BY user_id, day
+    ), bounds AS (
+        SELECT CAST(min(day) AS BIGINT) AS lo,
+               CAST(max(day) - 7 AS BIGINT) AS ts_start
+        FROM daily
+    ), fr AS (SELECT unnest([20, 40, 60, 80, 100]) AS pct),
+    train AS (
+        SELECT f.pct, d.user_id, avg(d.m) AS mean_m,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily d CROSS JOIN bounds b CROSS JOIN fr f
+        WHERE d.day <= b.ts_start
+          AND d.day > b.ts_start - CAST(floor(f.pct * (b.ts_start - b.lo + 1)
+                                               / 100.0) AS BIGINT)
+        GROUP BY f.pct, d.user_id
+    ), tot AS (
+        SELECT pct, CAST(sum(n_days) AS BIGINT) AS n_train_days
+        FROM train GROUP BY pct
+    ), test AS (
+        SELECT d.user_id, d.m FROM daily d CROSS JOIN bounds b
+        WHERE d.day > b.ts_start
+    ), err AS (
+        SELECT t.pct, CAST(count(*) AS BIGINT) AS n_test_points,
+               floor(sqrt(avg((e.m - t.mean_m) * (e.m - t.mean_m)))
+                     * 1000000 + 0.5) / 1000000 AS rmse
+        FROM test e JOIN train t ON t.user_id = e.user_id
+        GROUP BY t.pct
+    )
+    SELECT CAST(err.pct AS BIGINT) AS fraction_pct, tot.n_train_days,
+           err.n_test_points, err.rmse
+    FROM err JOIN tot ON tot.pct = err.pct
+    """,
+    tags=("ml", "evaluation", "learning-curve"),
+)
+def q_ml_learning_curve(spark, sf_dir):
+    """Learning curve of the per-user mean-level forecaster: hold out the
+    last 30 days, then train on the most recent 20/40/60/80/100% of the
+    remaining history and report held-out RMSE per training fraction —
+    the sample-efficiency audit (does more history still buy accuracy?)
+    that decides data-retention and retrain-window policy, the same
+    question scaling-law fits answer for pretraining corpora.
+
+    All window arithmetic is integer epoch-day math (exact on both
+    engines); the 5-row fraction relation broadcasts onto the per-user
+    daily grid, so the 5 training variants come from ONE pass over the
+    grid (a grouped agg per (fraction, user)), not 5 scans of the ticks;
+    the final RMSE is the only canonicalized float."""
+    ev = load_table(spark, sf_dir, "events")
+    vi = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("user_id", "day").agg(
+        (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
+    )
+    daily = daily.localCheckpoint(eager=False)
+    bounds = daily.agg(
+        F.min("day").cast("long").alias("lo"),
+        # the synthetic events table spans ~30 distinct days: hold out the
+        # final week, learn from growing suffixes of the preceding span
+        (F.max("day") - 7).cast("long").alias("ts_start"),
+    )
+    fr = spark.range(1, 6).select((F.col("id") * 20).cast("int").alias("pct"))
+    span = F.col("ts_start") - F.col("lo") + 1
+    cutoff = F.col("ts_start") - F.floor(F.col("pct") * span / F.lit(100.0)).cast("long")
+    train = (
+        daily.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(fr))
+        .filter((F.col("day") <= F.col("ts_start")) & (F.col("day") > cutoff))
+        .groupBy("pct", "user_id")
+        .agg(F.avg("m").alias("mean_m"), F.count("*").cast("long").alias("n_days"))
+    )
+    test = (
+        daily.crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") > F.col("ts_start"))
+        .select("user_id", "m")
+    )
+    tot = train.groupBy("pct").agg(
+        F.sum("n_days").cast("long").alias("n_train_days")
+    )
+    err2 = (F.col("m") - F.col("mean_m")) * (F.col("m") - F.col("mean_m"))
+    err = (
+        test.join(train, "user_id")
+        .groupBy("pct")
+        .agg(
+            F.count("*").cast("long").alias("n_test_points"),
+            (F.floor(F.sqrt(F.avg(err2)) * 1000000 + F.lit(0.5)) / 1000000).alias("rmse"),
+        )
+    )
+    return err.join(tot, "pct").select(
+        F.col("pct").cast("long").alias("fraction_pct"),
+        "n_train_days",
+        "n_test_points",
+        "rmse",
+    )

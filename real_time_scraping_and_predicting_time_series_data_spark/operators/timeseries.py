@@ -1321,3 +1321,201 @@ def q_ts_dtw_pairs(spark, sf_dir):
     as 1 + t//nb and 1 + t%nb."""
     ev = load_table(spark, sf_dir, "events")
     return dtw_pair_distances(ev, _DTW_PAIRS, max_len=_DTW_LEN)
+
+
+@register(
+    "ts_ljung_box",
+    oracle="""
+    WITH l AS (
+        SELECT user_id, value,
+               lag(value, 1) OVER w AS v1, lag(value, 2) OVER w AS v2,
+               lag(value, 3) OVER w AS v3, lag(value, 4) OVER w AS v4,
+               lag(value, 5) OVER w AS v5
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), a AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               round(corr(value, v1), 9) AS r1, round(corr(value, v2), 9) AS r2,
+               round(corr(value, v3), 9) AS r3, round(corr(value, v4), 9) AS r4,
+               round(corr(value, v5), 9) AS r5
+        FROM l GROUP BY user_id
+    )
+    SELECT user_id, n,
+           floor(n * (n + 2) * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+                 + r3 * r3 / (n - 3) + r4 * r4 / (n - 4) + r5 * r5 / (n - 5))
+                 * 1000000 + 0.5) / 1000000 AS q_stat
+    FROM a WHERE n > 5
+    """,
+    tags=("timeseries", "acf", "stats", "diagnostic"),
+)
+def q_ts_ljung_box(spark, sf_dir):
+    """Per-key Ljung-Box portmanteau statistic over lags 1..5 — the "is
+    there ANY autocorrelation left" gate run on forecast residuals (a
+    white-noise residual stream means the model captured the structure;
+    a large Q means refit). Companion to `ts_acf`: same single window
+    pass + one grouped aggregation, with the five lag correlations
+    (round-9 on both engines before squaring) folded into
+    Q = n(n+2)·Σ ρ_k²/(n−k) as one fixed IEEE expression, canon 1e-6."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "value",
+        *[F.lag("value", k).over(w).alias(f"v{k}") for k in range(1, 6)],
+    )
+    a = lagged.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        *[F.round(F.corr("value", f"v{k}"), 9).alias(f"r{k}") for k in range(1, 6)],
+    )
+    n = F.col("n")
+    s = sum(
+        (F.col(f"r{k}") * F.col(f"r{k}") / (n - k) for k in range(2, 6)),
+        F.col("r1") * F.col("r1") / (n - 1),
+    )
+    return a.filter(n > 5).select(
+        "user_id", "n",
+        (F.floor(n * (n + 2) * s * 1000000 + F.lit(0.5)) / 1000000).alias("q_stat"),
+    )
+
+
+@register(
+    "ts_periodogram",
+    oracle="""
+    WITH vi AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), daily AS (
+        SELECT day,
+               CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / (100.0 * count(*)) AS m
+        FROM vi GROUP BY day
+    ), idx AS (
+        SELECT m, row_number() OVER (ORDER BY day) - 1 AS t,
+               CAST(count(*) OVER () AS BIGINT) AS n,
+               avg(m) OVER () AS mu
+        FROM daily
+    ), per AS (SELECT unnest(range(2, 15)) AS p),
+    terms AS (
+        SELECT p.p, i.n,
+               (i.m - i.mu) * cos(2 * pi() * i.t / p.p) AS c,
+               (i.m - i.mu) * sin(2 * pi() * i.t / p.p) AS s
+        FROM idx i CROSS JOIN per p
+    )
+    SELECT CAST(p AS BIGINT) AS period, n AS n_days,
+           floor((sum(c) * sum(c) + sum(s) * sum(s)) * (2.0 / n)
+                 * 1000000 + 0.5) / 1000000 AS power
+    FROM terms GROUP BY p, n
+    """,
+    tags=("timeseries", "seasonality", "spectral"),
+)
+def q_ts_periodogram(spark, sf_dir):
+    """Periodogram of the purchase daily-mean series at candidate periods
+    2..14 days — the spectral seasonality detector (a weekly cycle shows
+    up as a power spike at period 7) that picks the season length
+    `ts_holt_winters` / `ts_seasonal_decompose` then consume.
+
+    One grouped agg collapses ticks to the daily grid; the windowed
+    index/mean run over that bounded grid (the acceptable global window);
+    the 13-row period relation broadcasts, and each period's DFT power is
+    two plain sums of cos/sin-weighted centered values — no FFT machinery
+    needed at 13 candidate periods, and every term is the identical IEEE
+    expression on both engines (libm cos/sin last-ulp skew absorbed by the
+    1e-6 canon)."""
+    import math  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    vi = ev.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("day").agg(
+        (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
+    )
+    w_all = Window.orderBy("day")
+    idx = daily.select(
+        "m",
+        (F.row_number().over(w_all) - 1).alias("t"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+        F.avg("m").over(Window.partitionBy()).alias("mu"),
+    )
+    per = spark.range(2, 15).select(F.col("id").cast("int").alias("p"))
+    tau = F.lit(2 * math.pi)
+    terms = idx.crossJoin(F.broadcast(per)).select(
+        "p", "n",
+        ((F.col("m") - F.col("mu")) * F.cos(tau * F.col("t") / F.col("p"))).alias("c"),
+        ((F.col("m") - F.col("mu")) * F.sin(tau * F.col("t") / F.col("p"))).alias("s"),
+    )
+    pw = (F.sum("c") * F.sum("c") + F.sum("s") * F.sum("s")) * (F.lit(2.0) / F.col("n"))
+    return terms.groupBy("p", "n").agg(
+        (F.floor(pw * 1000000 + F.lit(0.5)) / 1000000).alias("power")
+    ).select(
+        F.col("p").cast("long").alias("period"), F.col("n").alias("n_days"), "power"
+    )
+
+
+@register(
+    "ts_var_es",
+    oracle="""
+    WITH vi AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), daily AS (
+        SELECT day,
+               CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / (100.0 * count(*)) AS m
+        FROM vi GROUP BY day
+    ), ret AS (
+        SELECT day, m / lag(m) OVER (ORDER BY day) - 1 AS r
+        FROM daily
+    ), ranked AS (
+        SELECT day, r,
+               row_number() OVER (ORDER BY r, day) AS rnk,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM ret WHERE r IS NOT NULL
+    ), cut AS (
+        SELECT n, CAST(ceil(0.05 * n) AS BIGINT) AS k FROM ranked LIMIT 1
+    )
+    SELECT c.n AS n_days, c.k AS tail_n,
+           floor(max(CASE WHEN rk.rnk = c.k THEN rk.r END) * 1000000 + 0.5)
+               / 1000000 AS var_95,
+           floor(avg(CASE WHEN rk.rnk <= c.k THEN rk.r END) * 1000000 + 0.5)
+               / 1000000 AS es_95,
+           floor(min(rk.r) * 1000000 + 0.5) / 1000000 AS worst_return
+    FROM ranked rk CROSS JOIN cut c
+    GROUP BY c.n, c.k
+    """,
+    tags=("timeseries", "risk", "quantile", "finance"),
+)
+def q_ts_var_es(spark, sf_dir):
+    """Historical 95% Value-at-Risk and Expected Shortfall of the purchase
+    daily-mean return series — the risk summary a trading pipeline (the
+    reference's domain: live-scraped LVMH prices, `asyncio scraping.py`)
+    reports next to its forecasts. VaR = the exact nearest-rank 5th
+    percentile of daily simple returns; ES = the mean of the tail at or
+    below that rank; both from ONE ranking of the bounded daily-return
+    grid (deterministic day tie-break), the exact-quantile convention of
+    `events_value_quantiles_grid`. Returns derive from exact-cents daily
+    means, so both engines rank identical doubles."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    vi = ev.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("day").agg(
+        (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
+    )
+    w_day = Window.orderBy("day")
+    ret = daily.select(
+        "day", (F.col("m") / F.lag("m").over(w_day) - 1).alias("r")
+    ).filter(F.col("r").isNotNull())
+    ranked = ret.select(
+        "day", "r",
+        F.row_number().over(Window.orderBy("r", "day")).cast("long").alias("rnk"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    ranked = ranked.withColumn("k", F.ceil(F.lit(0.05) * F.col("n")).cast("long"))
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return ranked.groupBy(F.col("n").alias("n_days"), F.col("k").alias("tail_n")).agg(
+        canon(F.max(F.when(F.col("rnk") == F.col("k"), F.col("r")))).alias("var_95"),
+        canon(F.avg(F.when(F.col("rnk") <= F.col("k"), F.col("r")))).alias("es_95"),
+        canon(F.min("r")).alias("worst_return"),
+    )

@@ -159,6 +159,10 @@ _FRONT = (
     "embedding_centroid_drift",
     "ts_cross_correlation",
     "ts_granger_lag_f",
+    "ts_ljung_box",
+    "ts_periodogram",
+    "ts_var_es",
+    "ml_learning_curve",
 )
 
 

@@ -572,3 +572,109 @@ def test_granger_detects_exogenous_driver(spark, tmp_path):
     # guarded NULL (division by exactly-zero RSS)
     assert r.f_stat is None or r.f_stat > 1000
     assert r.rss_restricted > 1.0  # the AR(1)-only fit is genuinely worse
+
+
+# ---------------------------------------------------------------------------
+# Periodogram: exact 7-day cycle -> power peaks at period 7
+# ---------------------------------------------------------------------------
+
+
+def test_periodogram_finds_weekly_cycle(spark, tmp_path):
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries import (
+        q_ts_periodogram,
+    )
+
+    rows = []
+    for i in range(70):
+        v = 10.0 + (3.0 if i % 7 == 0 else 0.0)  # weekly spike
+        rows.append((i, BASE + dt.timedelta(days=i), 1, "purchase", v, "{}"))
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    out = {r.period: r.power for r in q_ts_periodogram(spark, str(tmp_path)).collect()}
+    assert max(out, key=out.get) == 7
+
+
+# ---------------------------------------------------------------------------
+# VaR / ES: hand-computed nearest-rank tail
+# ---------------------------------------------------------------------------
+
+
+def test_var_es_hand_computed(spark, tmp_path):
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries import (
+        q_ts_var_es,
+    )
+
+    # 41 daily values -> 40 returns -> k = ceil(0.05*40) = 2:
+    # var = 2nd-smallest return, es = mean of the two smallest
+    vals = [100.0]
+    for i in range(40):
+        vals.append(vals[-1] * (1.0 + [0.01, -0.02, 0.005, -0.01][i % 4]))
+    rows = [
+        (i, BASE + dt.timedelta(days=i), 1, "purchase", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    r = q_ts_var_es(spark, str(tmp_path)).collect()[0]
+    assert r.n_days == 40 and r.tail_n == 2
+    # the two most-negative returns are both ~-0.02 (cents-rounded)
+    assert r.var_95 == pytest.approx(-0.02, abs=1e-3)
+    assert r.es_95 <= r.var_95 <= 0
+    assert r.worst_return <= r.es_95
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box: trending series shows far more autocorrelation than noise
+# ---------------------------------------------------------------------------
+
+
+def test_ljung_box_orders_trend_above_noise(spark, tmp_path):
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries import (
+        q_ts_ljung_box,
+    )
+
+    rows = []
+    eid = 0
+    for i in range(100):
+        rows.append((eid, BASE + dt.timedelta(hours=i), 1, "view", float(i), "{}"))
+        eid += 1
+        rows.append(
+            (eid, BASE + dt.timedelta(hours=i), 2, "view",
+             float((i * i * i) % 101), "{}")
+        )
+        eid += 1
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    out = {r.user_id: r.q_stat for r in q_ts_ljung_box(spark, str(tmp_path)).collect()}
+    assert out[1] > 100  # linear trend: near-1 ACF at every lag
+    assert out[1] > 10 * out[2]  # pseudo-random residue sequence is far whiter
+
+
+# ---------------------------------------------------------------------------
+# Learning curve: window accounting invariants
+# ---------------------------------------------------------------------------
+
+
+def test_learning_curve_window_accounting(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_ml_learning_curve,
+    )
+
+    rows = sorted(
+        q_ml_learning_curve(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.fraction_pct,
+    )
+    assert [r.fraction_pct for r in rows] == [20, 40, 60, 80, 100]
+    nds = [r.n_train_days for r in rows]
+    assert nds == sorted(nds)  # more fraction -> no fewer train days
+    assert len({r.n_test_points for r in rows}) == 1  # same held-out week
+    assert all(r.rmse > 0 for r in rows)
