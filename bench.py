@@ -173,6 +173,7 @@ HEADLINE = [
     "ts_periodogram",
     "ts_var_es",
     "ml_learning_curve",
+    "text_duplicate_spans",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

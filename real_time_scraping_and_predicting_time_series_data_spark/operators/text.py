@@ -731,3 +731,108 @@ def q_ml_naive_bayes_text(spark, sf_dir):
         F.sum(correct).cast("long").alias("n_correct"),
         F.round(F.sum(correct) / F.count("*").cast("double"), 6).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-doc duplicate spans — exact substring-dedup marking (r5)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8  # shingle width in tokens
+
+
+@register(
+    "text_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS term
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents)
+    ), sh AS (
+        SELECT doc_id, pos,
+               concat_ws(' ', term,
+                   {", ".join(f"lead(term, {i}) OVER (PARTITION BY doc_id ORDER BY pos)" for i in range(1, _SPAN_W))}
+               ) AS gram,
+               lead(term, {_SPAN_W - 1})
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS last_tok
+        FROM toks
+    ), full_sh AS (
+        SELECT doc_id, pos, gram FROM sh WHERE last_tok IS NOT NULL
+    ), dup AS (
+        SELECT gram FROM full_sh
+        GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+    ), marks AS (
+        SELECT f.doc_id, f.pos AS s, f.pos + {_SPAN_W - 1} AS e
+        FROM full_sh f JOIN dup d ON d.gram = f.gram
+    ), isl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+                        ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) THEN 1 ELSE 0 END AS brk
+        FROM marks
+    ), grp AS (
+        SELECT doc_id, s, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM isl
+    )
+    SELECT doc_id, CAST(island AS BIGINT) AS span_id,
+           CAST(min(s) AS BIGINT) AS start_pos,
+           CAST(max(e) AS BIGINT) AS end_pos,
+           CAST(max(e) - min(s) + 1 AS BIGINT) AS span_tokens
+    FROM grp GROUP BY doc_id, island
+    """,
+    tags=("text", "dedup", "substring", "spans"),
+)
+def q_text_duplicate_spans(spark, sf_dir):
+    """Cross-document duplicate SPANS: every maximal token interval covered
+    by some 8-token shingle that also appears in another document — the
+    marking pass of exact substring deduplication (the deduplicate-text-
+    datasets approach: find long repeated substrings across the corpus and
+    cut them, not whole near-dup docs). Output is the per-doc merged
+    interval list a redaction pass would splice out.
+
+    Shape: one posexplode + an 8-lead window builds every shingle in a
+    single per-doc sort; cross-doc duplication is one grouped HAVING on
+    the shingle (grouped by the raw 8-gram here for an exact oracle — at
+    100 TB group on `functions/hashing.py`'s 60-bit md5 instead, same
+    plan); interval merging is the gaps-and-islands running max, integer
+    arithmetic end to end (full value-hash oracle, no canon needed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(words_of(F.col("text"))).alias("pos", "term")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("term"), *[F.lead("term", i).over(wd) for i in range(1, _SPAN_W)]
+    )
+    sh = toks.select(
+        "doc_id", "pos", gram.alias("gram"),
+        F.lead("term", _SPAN_W - 1).over(wd).alias("last_tok"),
+    ).filter(F.col("last_tok").isNotNull())
+    dup = sh.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("nd")
+    ).filter(F.col("nd") > 1).select("gram")
+    marks = sh.join(dup, "gram").select(
+        "doc_id", F.col("pos").alias("s"), (F.col("pos") + _SPAN_W - 1).alias("e")
+    )
+    wprev = (
+        Window.partitionBy("doc_id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = marks.withColumn(
+        "brk",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)), 1
+        ).otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy("doc_id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = isl.withColumn("island", F.sum("brk").over(wrun))
+    return grp.groupBy("doc_id", F.col("island").cast("long").alias("span_id")).agg(
+        F.min("s").cast("long").alias("start_pos"),
+        F.max("e").cast("long").alias("end_pos"),
+        (F.max("e") - F.min("s") + 1).cast("long").alias("span_tokens"),
+    )

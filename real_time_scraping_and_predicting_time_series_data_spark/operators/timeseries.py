@@ -1430,6 +1430,18 @@ def q_ts_periodogram(spark, sf_dir):
     daily = vi.groupBy("day").agg(
         (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
     )
+    return periodogram_from_daily(daily)
+
+
+def periodogram_from_daily(daily):
+    """Periodogram powers from a (day, m) daily-mean grid — the shared core
+    of `ts_periodogram` and the streaming seasonality monitor
+    (streaming/seasonality_stream.py): (day, cents-sum, count) grids are
+    MERGEABLE, daily means re-derive from merged sums, so the served
+    spectrum is bit-identical to the batch query over the same ticks."""
+    import math  # noqa: PLC0415
+
+    spark = daily.sparkSession
     w_all = Window.orderBy("day")
     idx = daily.select(
         "m",

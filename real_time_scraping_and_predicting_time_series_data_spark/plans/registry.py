@@ -163,6 +163,7 @@ _FRONT = (
     "ts_periodogram",
     "ts_var_es",
     "ml_learning_curve",
+    "text_duplicate_spans",
 )
 
 

@@ -678,3 +678,32 @@ def test_learning_curve_window_accounting(spark):
     assert nds == sorted(nds)  # more fraction -> no fewer train days
     assert len({r.n_test_points for r in rows}) == 1  # same held-out week
     assert all(r.rmse > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate spans: shared 12-token run -> one merged island, exact bounds
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_spans_merged_island(spark, tmp_path):
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.text import (
+        q_text_duplicate_spans,
+    )
+
+    shared = " ".join(f"dup{i}" for i in range(12))  # 12 shared tokens
+    docs = [
+        (0, f"alpha beta {shared} gamma", "en", "s0", 1),
+        (1, f"{shared} delta epsilon zeta", "en", "s0", 1),
+        (2, "totally different words here nothing shared at all ok fine", "en", "s0", 1),
+    ]
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = {r.doc_id: r for r in q_text_duplicate_spans(spark, str(tmp_path)).collect()}
+    # doc 0: shared run at positions 2..13; its 5 overlapping 8-shingles
+    # merge into ONE island
+    assert set(out) == {0, 1}
+    assert (out[0].start_pos, out[0].end_pos, out[0].span_tokens) == (2, 13, 12)
+    assert (out[1].start_pos, out[1].end_pos, out[1].span_tokens) == (0, 11, 12)

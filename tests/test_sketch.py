@@ -296,3 +296,27 @@ def test_drift_stream_serves_jsd(spark, tmp_path):
     got = mon.serve_jsd().collect()[0].asDict()
     assert got == want
     assert 0.0 <= got["js_divergence"] <= 0.6931472
+
+
+def test_seasonality_stream_serves_periodogram(spark, tmp_path):
+    """Per-day (cents-sum, count) grids merged by sum serve a spectrum
+    BIT-IDENTICAL to ts_periodogram on the same ticks (replay-safe)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries import (
+        q_ts_periodogram,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.seasonality_stream import (
+        SeasonalityStreamMonitor,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    mon = SeasonalityStreamMonitor(spark, str(tmp_path / "season_store"))
+    mon.ingest_batch(ev.filter(F.col("event_id") % 3 == 0), batch_id=0)
+    mon.ingest_batch(ev.filter(F.col("event_id") % 3 == 1), batch_id=1)
+    mon.ingest_batch(ev.filter(F.col("event_id") % 3 == 2), batch_id=2)
+    # at-least-once replay must not double-count
+    mon.ingest_batch(ev.filter(F.col("event_id") % 3 == 1), batch_id=1)
+    want = sorted(tuple(r) for r in q_ts_periodogram(spark, sf).collect())
+    got = sorted(tuple(r) for r in mon.serve_periodogram().collect())
+    assert got == want
