@@ -500,7 +500,10 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> DataFrame
     Integer-exact (hop counts), so the oracle is a full value hash."""
     dist = seeds.select(F.col("node"), F.lit(0).cast("long").alias("hops"))
     for _ in range(max_hops):
-        dist = dist.localCheckpoint(eager=False)
+        # EAGER: each round references dist twice (carry-over union + the
+        # frontier join); a lazy checkpoint would re-execute every earlier
+        # round 2^r times. The materialized relation is per-reached-node.
+        dist = dist.localCheckpoint(eager=True)
         nxt = (
             edges.join(dist.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
