@@ -174,6 +174,8 @@ HEADLINE = [
     "ts_var_es",
     "ml_learning_curve",
     "text_duplicate_spans",
+    "ts_forecast_reconciliation",
+    "dq_freshness_lag",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -1531,3 +1531,151 @@ def q_ts_var_es(spark, sf_dir):
         canon(F.avg(F.when(F.col("rnk") <= F.col("k"), F.col("r")))).alias("es_95"),
         canon(F.min("r")).alias("worst_return"),
     )
+
+
+@register(
+    "ts_forecast_reconciliation",
+    oracle="""
+    WITH vi AS (
+        SELECT event_type AS t,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ), daily AS (
+        SELECT t, day, CAST(sum(v) AS BIGINT) AS sv
+        FROM vi GROUP BY t, day
+    ), mx AS (SELECT CAST(max(day) AS BIGINT) AS hi FROM daily),
+    test AS (
+        SELECT d.t, d.day, d.sv / 100.0 AS actual
+        FROM daily d CROSS JOIN mx WHERE d.day > mx.hi - 7
+    ), base AS (
+        SELECT d.t, d.day + 7 AS day, d.sv / 100.0 AS fc_base
+        FROM daily d CROSS JOIN mx
+        WHERE d.day + 7 > mx.hi - 7 AND d.day + 7 <= mx.hi
+    ), totals AS (
+        SELECT day,
+               CAST(sum(CAST(round(fc_base * 100) AS BIGINT)) AS BIGINT) AS bu
+        FROM base GROUP BY day
+    ), direct AS (
+        SELECT d.day + 7 AS day, CAST(sum(d.sv) AS BIGINT) AS td
+        FROM daily d CROSS JOIN mx
+        WHERE d.day + 7 > mx.hi - 7 AND d.day + 7 <= mx.hi
+        GROUP BY d.day + 7
+    )
+    SELECT b.t AS event_type, b.day, b.fc_base,
+           floor(b.fc_base * t2.td / t1.bu * 1000000 + 0.5) / 1000000
+               AS fc_reconciled,
+           e.actual,
+           floor(abs(e.actual - b.fc_base) * 1000000 + 0.5) / 1000000
+               AS abs_err_base,
+           floor(abs(e.actual - b.fc_base * t2.td / t1.bu) * 1000000 + 0.5)
+               / 1000000 AS abs_err_reconciled
+    FROM base b
+    JOIN totals t1 ON t1.day = b.day
+    JOIN direct t2 ON t2.day = b.day
+    JOIN test e ON e.t = b.t AND e.day = b.day
+    """,
+    tags=("timeseries", "forecast", "hierarchy", "reconciliation"),
+)
+def q_ts_forecast_reconciliation(spark, sf_dir):
+    """Hierarchy-coherent forecasting: seasonal-naive (lag-7) per-type
+    daily revenue forecasts reconciled TOP-DOWN so the children sum to the
+    directly-forecast total — the coherence step every hierarchical
+    forecasting stack (product→category→total) runs so downstream
+    consumers never see children disagreeing with their parent.
+
+    Per-type base forecasts and the direct total forecast both come from
+    the one (type, day) cents grid; reconciliation multiplies each child
+    by (direct total / bottom-up total) per day — a broadcast of two
+    7-row day relations, zero extra passes. Exact-cents sums keep the
+    scale factors' inputs integer; the two IEEE ops per row are
+    floor-canonicalized at 1e-6."""
+    ev = load_table(spark, sf_dir, "events")
+    vi = ev.select(
+        F.col("event_type").alias("t"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("t", "day").agg(F.sum("v").cast("long").alias("sv"))
+    daily = daily.localCheckpoint(eager=False)
+    mx = daily.agg(F.max("day").cast("long").alias("hi"))
+    test = (
+        daily.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") > F.col("hi") - 7)
+        .select("t", "day", (F.col("sv") / 100.0).alias("actual"))
+    )
+    base = (
+        daily.crossJoin(F.broadcast(mx))
+        .filter(
+            ((F.col("day") + 7) > F.col("hi") - 7) & ((F.col("day") + 7) <= F.col("hi"))
+        )
+        .select("t", (F.col("day") + 7).alias("day"), (F.col("sv") / 100.0).alias("fc_base"))
+    )
+    totals = base.groupBy("day").agg(
+        F.sum(F.round(F.col("fc_base") * 100).cast("long")).cast("long").alias("bu")
+    )
+    direct = (
+        daily.crossJoin(F.broadcast(mx))
+        .filter(
+            ((F.col("day") + 7) > F.col("hi") - 7) & ((F.col("day") + 7) <= F.col("hi"))
+        )
+        .groupBy((F.col("day") + 7).alias("day"))
+        .agg(F.sum("sv").cast("long").alias("td"))
+    )
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    rec = F.col("fc_base") * F.col("td") / F.col("bu")
+    return (
+        base.join(F.broadcast(totals), "day")
+        .join(F.broadcast(direct), "day")
+        .join(test, ["t", "day"])
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("day").cast("long").alias("day"),
+            "fc_base",
+            canon(rec).alias("fc_reconciled"),
+            "actual",
+            canon(F.abs(F.col("actual") - F.col("fc_base"))).alias("abs_err_base"),
+            canon(F.abs(F.col("actual") - rec)).alias("abs_err_reconciled"),
+        )
+    )
+
+
+@register(
+    "dq_freshness_lag",
+    oracle="""
+    WITH g AS (SELECT max(ts) AS hi FROM events),
+    per AS (
+        SELECT event_type, max(ts) AS latest,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM events GROUP BY event_type
+    )
+    SELECT p.event_type,
+           CAST(date_diff('second', p.latest, g.hi) AS BIGINT) AS staleness_s,
+           p.n_total,
+           CAST((SELECT count(*) FROM events e
+                 WHERE e.event_type = p.event_type
+                   AND e.ts > g.hi - INTERVAL 1 DAY) AS BIGINT) AS n_last_day
+    FROM per p CROSS JOIN g
+    """,
+    tags=("dq", "freshness", "monitoring"),
+)
+def q_dq_freshness_lag(spark, sf_dir):
+    """Per-stream freshness audit: how stale is each event type relative
+    to the newest tick anywhere, and how much volume arrived in the
+    trailing day — the "did a feed silently die" gate that runs before
+    every downstream aggregation window closes. Two grouped aggregations
+    over one scan (per-type max/count + trailing-day count as a
+    conditional sum against the broadcast global max); integer seconds,
+    full value-hash oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("hi"))
+    j = ev.crossJoin(F.broadcast(g))
+    return j.groupBy("event_type").agg(
+        (
+            F.unix_timestamp(F.max("hi")) - F.unix_timestamp(F.max("ts"))
+        ).cast("long").alias("staleness_s"),
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(
+            F.when(F.col("ts") > F.col("hi") - F.expr("INTERVAL 1 DAY"), 1).otherwise(0)
+        ).cast("long").alias("n_last_day"),
+    )

@@ -164,6 +164,8 @@ _FRONT = (
     "ts_var_es",
     "ml_learning_curve",
     "text_duplicate_spans",
+    "ts_forecast_reconciliation",
+    "dq_freshness_lag",
 )
 
 

@@ -707,3 +707,43 @@ def test_duplicate_spans_merged_island(spark, tmp_path):
     assert set(out) == {0, 1}
     assert (out[0].start_pos, out[0].end_pos, out[0].span_tokens) == (2, 13, 12)
     assert (out[1].start_pos, out[1].end_pos, out[1].span_tokens) == (0, 11, 12)
+
+
+# ---------------------------------------------------------------------------
+# Forecast reconciliation: children sum exactly to the direct total
+# ---------------------------------------------------------------------------
+
+
+def test_reconciled_forecasts_sum_to_direct_total(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries import (
+        q_ts_forecast_reconciliation,
+    )
+
+    rows = q_ts_forecast_reconciliation(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r.day, []).append(r)
+        assert r.fc_reconciled >= 0 and r.fc_base >= 0
+    for day, rs in by_day.items():
+        bu = sum(r.fc_base for r in rs)
+        rec = sum(r.fc_reconciled for r in rs)
+        # coherence: reconciled children sum to fc_base * td/bu summed =
+        # td (the direct total), up to the 1e-6 canon per row
+        scale = rs[0].fc_reconciled / rs[0].fc_base if rs[0].fc_base else 1.0
+        assert rec == pytest.approx(bu * scale, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Freshness lag: the globally newest type has zero staleness
+# ---------------------------------------------------------------------------
+
+
+def test_freshness_lag_newest_is_zero(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries import (
+        q_dq_freshness_lag,
+    )
+
+    rows = q_dq_freshness_lag(spark, "/root/testdata/sf0.001").collect()
+    assert min(r.staleness_s for r in rows) == 0
+    assert all(r.staleness_s >= 0 and 0 <= r.n_last_day <= r.n_total for r in rows)
