@@ -176,6 +176,7 @@ HEADLINE = [
     "text_duplicate_spans",
     "ts_forecast_reconciliation",
     "dq_freshness_lag",
+    "stats_xi_correlation",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

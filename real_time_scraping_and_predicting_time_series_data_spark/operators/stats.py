@@ -2925,3 +2925,91 @@ def q_ml_learning_curve(spark, sf_dir):
         "n_test_points",
         "rmse",
     )
+
+
+# ---------------------------------------------------------------------------
+# Chatterjee's xi — modern rank-based dependence measure (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_xi_correlation",
+    oracle="""
+    WITH vi AS (
+        SELECT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ), daily AS (
+        SELECT user_id, day,
+               CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / (100.0 * count(*)) AS m
+        FROM vi GROUP BY user_id, day
+    ), rk AS (
+        SELECT user_id, day,
+               CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY m, day) AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        FROM daily
+    ), dif AS (
+        SELECT user_id, n,
+               abs(r - lag(r) OVER (PARTITION BY user_id ORDER BY day)) AS d
+        FROM rk
+    )
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_days,
+           CAST(sum(d) AS BIGINT) AS sum_rank_jumps,
+           floor((1.0 - 3.0 * sum(d) / (max(n) * max(n) - 1.0)) * 1000000 + 0.5)
+               / 1000000 AS xi
+    FROM dif WHERE d IS NOT NULL
+    GROUP BY user_id HAVING max(n) > 2
+    """,
+    tags=("stats", "rank", "dependence", "timeseries"),
+)
+def q_stats_xi_correlation(spark, sf_dir):
+    """Chatterjee's xi dependence coefficient (2020) between day and the
+    daily mean, per user: xi = 1 − 3·Σ|r_{i+1} − r_i|/(n²−1) with y-ranks
+    walked in x (time) order — unlike Pearson/Spearman/Kendall it detects
+    ANY functional dependence (oscillating seasonality scores high where
+    tau ~ 0), converging to 0 for independence and 1 for y = f(x). The
+    modern screen to run beside `stats_kendall_tau`.
+
+    Ranks come from one per-key window over the daily grid (ties broken
+    by day on both engines, the practical tied-variant convention); the
+    rank-jump sum is pure integers; one IEEE expression at the end,
+    canon 1e-6. Same single key-shuffle shape as the tau/Sen family."""
+    ev = load_table(spark, sf_dir, "events")
+    vi = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("user_id", "day").agg(
+        (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
+    )
+    wy = Window.partitionBy("user_id").orderBy("m", "day")
+    wn = Window.partitionBy("user_id")
+    wx = Window.partitionBy("user_id").orderBy("day")
+    rk = daily.select(
+        "user_id", "day",
+        F.row_number().over(wy).cast("long").alias("r"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    dif = rk.select(
+        "user_id", "n",
+        F.abs(F.col("r") - F.lag("r").over(wx)).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    n = F.max("n")
+    return (
+        dif.groupBy("user_id")
+        .agg(
+            n.cast("long").alias("n_days"),
+            F.sum("d").cast("long").alias("sum_rank_jumps"),
+            (
+                F.floor(
+                    (F.lit(1.0) - F.lit(3.0) * F.sum("d") / (n * n - F.lit(1.0)))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("xi"),
+        )
+        .filter(F.col("n_days") > 2)
+    )

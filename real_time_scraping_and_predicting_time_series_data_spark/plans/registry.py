@@ -166,6 +166,7 @@ _FRONT = (
     "text_duplicate_spans",
     "ts_forecast_reconciliation",
     "dq_freshness_lag",
+    "stats_xi_correlation",
 )
 
 

@@ -747,3 +747,34 @@ def test_freshness_lag_newest_is_zero(spark):
     rows = q_dq_freshness_lag(spark, "/root/testdata/sf0.001").collect()
     assert min(r.staleness_s for r in rows) == 0
     assert all(r.staleness_s >= 0 and 0 <= r.n_last_day <= r.n_total for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Chatterjee xi: strictly monotone -> exactly 1 - 3/(n+1)
+# ---------------------------------------------------------------------------
+
+
+def test_xi_monotone_exact(spark, tmp_path):
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_stats_xi_correlation,
+    )
+
+    n = 29
+    rows = [
+        (i, BASE + dt.timedelta(days=i), 1, "view", float(i + 1), "{}")
+        for i in range(n)
+    ] + [
+        # user 2: period-7 seasonal pattern — functionally dependent on day,
+        # so xi should remain clearly positive even though it's non-monotone
+        (100 + i, BASE + dt.timedelta(days=i), 2, "view", float(i % 7), "{}")
+        for i in range(n)
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    out = {r.user_id: r for r in q_stats_xi_correlation(spark, str(tmp_path)).collect()}
+    want = 1.0 - 3.0 / (n + 1)
+    assert out[1].xi == pytest.approx(want, abs=1e-6)
+    assert out[1].sum_rank_jumps == n - 1
