@@ -177,6 +177,7 @@ HEADLINE = [
     "ts_forecast_reconciliation",
     "dq_freshness_lag",
     "stats_xi_correlation",
+    "ts_hurst_rs",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -1679,3 +1679,131 @@ def q_dq_freshness_lag(spark, sf_dir):
             F.when(F.col("ts") > F.col("hi") - F.expr("INTERVAL 1 DAY"), 1).otherwise(0)
         ).cast("long").alias("n_last_day"),
     )
+
+
+@register(
+    "ts_hurst_rs",
+    oracle="""
+    WITH vi AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), daily AS (
+        SELECT day,
+               CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / (100.0 * count(*)) AS m
+        FROM vi GROUP BY day
+    ), idx AS (
+        SELECT m, row_number() OVER (ORDER BY day) - 1 AS t,
+               CAST(count(*) OVER () AS BIGINT) AS tt
+        FROM daily
+    ), sizes AS (SELECT unnest([4, 8, 16, 32]) AS w),
+    blocks AS (
+        SELECT s.w, i.t // s.w AS blk, i.t % s.w AS pos, i.m
+        FROM idx i CROSS JOIN sizes s
+        WHERE i.t // s.w < i.tt // s.w
+    ), bstat AS (
+        SELECT w, blk, avg(m) AS mu,
+               sqrt(avg(m * m) - avg(m) * avg(m)) AS sd
+        FROM blocks GROUP BY w, blk
+    ), z AS (
+        SELECT b.w, b.blk,
+               sum(b.m - s.mu) OVER (PARTITION BY b.w, b.blk ORDER BY b.pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM blocks b JOIN bstat s ON s.w = b.w AND s.blk = b.blk
+    ), rs AS (
+        SELECT z.w, z.blk,
+               (max(z.cum) - min(z.cum)) / max(s.sd) AS ratio
+        FROM z JOIN bstat s ON s.w = z.w AND s.blk = z.blk
+        WHERE s.sd > 0
+        GROUP BY z.w, z.blk
+    ), per_w AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+               ln(avg(ratio)) AS y, ln(CAST(w AS DOUBLE)) AS x,
+               avg(ratio) AS mean_rs
+        FROM rs GROUP BY w
+    ), fit AS (
+        SELECT (count(*) * sum(x * y) - sum(x) * sum(y))
+               / (count(*) * sum(x * x) - sum(x) * sum(x)) AS h
+        FROM per_w
+    )
+    SELECT p.w AS window_size, p.n_blocks,
+           floor(p.mean_rs * 1000000 + 0.5) / 1000000 AS mean_rs,
+           floor(f.h * 1000000 + 0.5) / 1000000 AS hurst
+    FROM per_w p CROSS JOIN fit f
+    """,
+    tags=("timeseries", "hurst", "finance", "longmemory"),
+)
+def q_ts_hurst_rs(spark, sf_dir):
+    """Hurst exponent by rescaled-range (R/S) analysis of the purchase
+    daily-mean series: split the series into blocks of 4/8/16/32 days,
+    compute each block's range-of-cumulative-deviations over its std, and
+    fit ln(mean R/S) against ln(window) — H>0.5 = trending/long-memory,
+    H<0.5 = mean-reverting, the classic regime diagnostic for the
+    reference's price-forecasting domain (is an AR window even the right
+    model class?).
+
+    Everything is windowed WITHIN (size, block) partitions over the
+    bounded daily grid (the one global window is the day indexing); the
+    4-row log-log fit is a closed-form slope. Incomplete trailing blocks
+    are dropped (t/w < T/w integer arithmetic — identical on both
+    engines); zero-variance blocks are excluded before the ratio."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    vi = ev.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("day").agg(
+        (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
+    )
+    idx = daily.select(
+        "m",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("tt"),
+    )
+    sizes = spark.createDataFrame([(4,), (8,), (16,), (32,)], "w int")
+    blocks = (
+        idx.crossJoin(F.broadcast(sizes))
+        .filter(
+            F.floor(F.col("t") / F.col("w")) < F.floor(F.col("tt") / F.col("w"))
+        )
+        .select(
+            "w",
+            F.floor(F.col("t") / F.col("w")).cast("long").alias("blk"),
+            (F.col("t") % F.col("w")).alias("pos"),
+            "m",
+        )
+    )
+    bstat = blocks.groupBy("w", "blk").agg(
+        F.avg("m").alias("mu"),
+        F.sqrt(F.avg(F.col("m") * F.col("m")) - F.avg("m") * F.avg("m")).alias("sd"),
+    )
+    wz = (
+        Window.partitionBy("w", "blk").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    z = blocks.join(bstat, ["w", "blk"]).withColumn(
+        "cum", F.sum(F.col("m") - F.col("mu")).over(wz)
+    )
+    rs = (
+        z.filter(F.col("sd") > 0)
+        .groupBy("w", "blk")
+        .agg(((F.max("cum") - F.min("cum")) / F.max("sd")).alias("ratio"))
+    )
+    per_w = rs.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.log(F.avg("ratio")).alias("y"),
+        F.avg("ratio").alias("mean_rs"),
+    ).withColumn("x", F.log(F.col("w").cast("double")))
+    fit = per_w.agg(
+        (
+            (F.count("*") * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (F.count("*") * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        ).alias("h")
+    )
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return per_w.crossJoin(F.broadcast(fit)).select(
+        F.col("w").cast("long").alias("window_size"),
+        "n_blocks",
+        canon(F.col("mean_rs")).alias("mean_rs"),
+        canon(F.col("h")).alias("hurst"),
+    )

@@ -167,6 +167,7 @@ _FRONT = (
     "ts_forecast_reconciliation",
     "dq_freshness_lag",
     "stats_xi_correlation",
+    "ts_hurst_rs",
 )
 
 

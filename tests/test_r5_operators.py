@@ -778,3 +778,39 @@ def test_xi_monotone_exact(spark, tmp_path):
     want = 1.0 - 3.0 / (n + 1)
     assert out[1].xi == pytest.approx(want, abs=1e-6)
     assert out[1].sum_rank_jumps == n - 1
+
+
+# ---------------------------------------------------------------------------
+# Hurst R/S: trending series scores higher than mean-reverting
+# ---------------------------------------------------------------------------
+
+
+def _hurst_of(spark, tmp_path, vals):
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries import (
+        q_ts_hurst_rs,
+    )
+
+    rows = [
+        (i, BASE + dt.timedelta(days=i), 1, "purchase", float(v), "{}")
+        for i, v in enumerate(vals)
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    out = q_ts_hurst_rs(spark, str(tmp_path)).collect()
+    (tmp_path / "events.parquet").unlink()
+    return out[0].hurst, {r.window_size: r.n_blocks for r in out}
+
+
+def test_hurst_trend_vs_meanreverting(spark, tmp_path):
+    n = 64
+    trend = [10.0 + 0.5 * i for i in range(n)]  # persistent: H -> 1
+    flip = [10.0 + (1.0 if i % 2 else -1.0) for i in range(n)]  # antipersistent
+    h_trend, blocks = _hurst_of(spark, tmp_path, trend)
+    h_flip, _ = _hurst_of(spark, tmp_path, flip)
+    assert blocks == {4: 16, 8: 8, 16: 4, 32: 2}  # exact block accounting
+    assert h_trend > 0.9
+    assert h_flip < 0.3
+    assert h_trend > h_flip
