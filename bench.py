@@ -178,6 +178,9 @@ HEADLINE = [
     "dq_freshness_lag",
     "stats_xi_correlation",
     "ts_hurst_rs",
+    "events_session_likelihood",
+    "events_dau_wau_stickiness",
+    "orders_price_elasticity",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -514,3 +514,125 @@ def q_events_kaplan_meier(spark, sf_dir):
         "n_risk",
         (F.floor(F.col("s") * 1000000 + F.lit(0.5)) / 1000000).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov session likelihood — behavioral anomaly scoring (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_session_likelihood",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), pairs AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), model AS (
+        SELECT cur, nxt, round(n / (sum(n) OVER (PARTITION BY cur)), 9) AS p
+        FROM pairs
+    ), walk AS (
+        SELECT s.user_id, ln(m.p) AS lp
+        FROM seq s JOIN model m ON m.cur = s.cur AND m.nxt = s.nxt
+        WHERE s.nxt IS NOT NULL
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_steps,
+           floor(sum(lp) * 1000000 + 0.5) / 1000000 AS log_likelihood,
+           floor(exp(-avg(lp)) * 1000000 + 0.5) / 1000000 AS perplexity
+    FROM walk GROUP BY user_id
+    """,
+    tags=("events", "sequence", "markov", "anomaly"),
+)
+def q_events_session_likelihood(spark, sf_dir):
+    """Per-user behavioral likelihood under the corpus-wide first-order
+    Markov model: fit P(next|cur) from ALL transitions (the
+    `events_markov_transitions` model), then score every user's own
+    event walk — low likelihood / high perplexity = behavior the
+    population model does not explain (bots, broken clients, fraud).
+    The sequence-model twin of `corpus_lm_perplexity`.
+
+    The |types|² model relation broadcasts onto the transition stream, so
+    scoring is one window pass + one broadcast join + one grouped sum at
+    any scale; probabilities are round-9 pinned before ln on both
+    engines, and every transition that occurs has model mass by
+    construction (the model was fit on the same stream — no zero-prob
+    guard needed in-sample)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    seq = seq.localCheckpoint(eager=False)
+    pairs = seq.groupBy("cur", "nxt").agg(F.count("*").cast("long").alias("n"))
+    wc = Window.partitionBy("cur")
+    model = pairs.select(
+        "cur", "nxt", F.round(F.col("n") / F.sum("n").over(wc), 9).alias("p")
+    )
+    walk = seq.join(F.broadcast(model), ["cur", "nxt"]).select(
+        "user_id", F.log("p").alias("lp")
+    )
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return walk.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_steps"),
+        canon(F.sum("lp")).alias("log_likelihood"),
+        canon(F.exp(-F.avg("lp"))).alias("perplexity"),
+    )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), days AS (SELECT DISTINCT d FROM ud),
+    dau AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    ), wau AS (
+        SELECT g.d, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+        FROM days g JOIN ud u ON u.d BETWEEN g.d - 6 AND g.d
+        GROUP BY g.d
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           round(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d
+    """,
+    tags=("events", "engagement", "rangejoin"),
+)
+def q_events_dau_wau_stickiness(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    triple every product-analytics pipeline serves. The trailing-window
+    distinct count is a bounded RANGE JOIN of the day spine against the
+    deduplicated (user, day) relation (days x active-users volume — the
+    user-day grid, never raw ticks); at 100 TB the spine join partitions
+    by day block exactly like `range_join_purchase_errors`. Integer
+    counts; one rounded ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    ud = ud.localCheckpoint(eager=False)
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+    g = days.select(F.col("d").alias("day"))
+    wau = (
+        g.join(
+            ud,
+            (F.col("d") >= F.date_sub(F.col("day"), 6)) & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.withColumnRenamed("d", "day")
+        .join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau", "wau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias("stickiness"),
+        )
+    )

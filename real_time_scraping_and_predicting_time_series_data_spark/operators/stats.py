@@ -3013,3 +3013,47 @@ def q_stats_xi_correlation(spark, sf_dir):
         )
         .filter(F.col("n_days") > 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity — log-log demand regression per brand (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_price_elasticity",
+    oracle="""
+    WITH obs AS (
+        SELECT p.p_brand,
+               ln(l.l_quantity) AS lq,
+               ln(l.l_extendedprice / l.l_quantity) AS lp
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(lq, lp), 6) AS elasticity,
+           round(regr_r2(lq, lp), 6) AS r2,
+           round(regr_intercept(lq, lp), 6) AS log_intercept
+    FROM obs GROUP BY p_brand
+    """,
+    tags=("stats", "regression", "pricing"),
+)
+def q_orders_price_elasticity(spark, sf_dir):
+    """Per-brand price elasticity of demand: OLS slope of ln(quantity) on
+    ln(unit price) — the log-log demand curve whose slope IS the
+    elasticity, straight from the `regr_*` aggregate family (the same
+    closed-form machinery as `stats_linear_trend`). One broadcast join of
+    the part dimension onto lineitem, one grouped aggregate; nothing else
+    moves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    obs = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.log("l_quantity").alias("lq"),
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("lp"),
+    )
+    return obs.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.regr_slope("lq", "lp"), 6).alias("elasticity"),
+        F.round(F.regr_r2("lq", "lp"), 6).alias("r2"),
+        F.round(F.regr_intercept("lq", "lp"), 6).alias("log_intercept"),
+    )

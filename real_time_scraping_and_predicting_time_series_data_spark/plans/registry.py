@@ -168,6 +168,9 @@ _FRONT = (
     "dq_freshness_lag",
     "stats_xi_correlation",
     "ts_hurst_rs",
+    "events_session_likelihood",
+    "events_dau_wau_stickiness",
+    "orders_price_elasticity",
 )
 
 

@@ -814,3 +814,46 @@ def test_hurst_trend_vs_meanreverting(spark, tmp_path):
     assert h_trend > 0.9
     assert h_flip < 0.3
     assert h_trend > h_flip
+
+
+# ---------------------------------------------------------------------------
+# Session likelihood / DAU-WAU / elasticity invariants
+# ---------------------------------------------------------------------------
+
+
+def test_session_likelihood_bounds(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.funnel import (
+        q_events_session_likelihood,
+    )
+
+    rows = q_events_session_likelihood(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.log_likelihood <= 0  # product of probabilities
+        # bounded below by 1; above by 1/min(model prob), not |types| —
+        # a user who repeatedly takes globally-rare transitions scores high
+        assert r.perplexity >= 1.0
+    import statistics
+    # the population as a whole is near the uniform 5-state baseline
+    assert statistics.median(r.perplexity for r in rows) < 6.0
+
+
+def test_dau_wau_stickiness_bounds(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.funnel import (
+        q_events_dau_wau_stickiness,
+    )
+
+    rows = q_events_dau_wau_stickiness(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.dau <= r.wau  # a day's actives are a subset of the week's
+        assert 0 < r.stickiness <= 1.0
+
+
+def test_price_elasticity_full_rank(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_orders_price_elasticity,
+    )
+
+    rows = q_orders_price_elasticity(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.n > 0 and r.r2 is not None and 0 <= r.r2 <= 1 for r in rows)
