@@ -181,6 +181,8 @@ HEADLINE = [
     "events_session_likelihood",
     "events_dau_wau_stickiness",
     "orders_price_elasticity",
+    "ts_wavelet_energy",
+    "events_cohort_ltv",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -636,3 +636,78 @@ def q_events_dau_wau_stickiness(spark, sf_dir):
             F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias("stickiness"),
         )
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), sizes AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+        FROM first_seen GROUP BY cohort_week
+    ), rev AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT)
+                   AS week_offset,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY f.cohort_week, 2
+    ), cum AS (
+        SELECT cohort_week, week_offset, rev_cents,
+               CAST(sum(rev_cents) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_rev_cents
+        FROM rev
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week, c.week_offset,
+           s.cohort_users, c.rev_cents, c.cum_rev_cents,
+           round(c.cum_rev_cents / (100.0 * s.cohort_users), 6) AS ltv_per_user
+    FROM cum c JOIN sizes s ON s.cohort_week = c.cohort_week
+    """,
+    tags=("events", "cohort", "ltv", "revenue"),
+)
+def q_events_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curve: cumulative purchase revenue per
+    first-seen-week cohort by week offset, normalized per cohort user —
+    the LTV companion to `retention_cohorts` (retention counts who comes
+    back; LTV sums what they spend). Revenue accumulates as exact integer
+    cents; the running sum windows over the bounded cohort x offset grid
+    (weeks², never ticks); cohort sizes join from the one grouped-min
+    first-seen relation."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("rev_cents"))
+    )
+    wc = (
+        Window.partitionBy("cohort_week").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn(
+        "cum_rev_cents", F.sum("rev_cents").over(wc).cast("long")
+    )
+    return cum.join(sizes, "cohort_week").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset", "cohort_users", "rev_cents", "cum_rev_cents",
+        F.round(
+            F.col("cum_rev_cents") / (F.lit(100.0) * F.col("cohort_users")), 6
+        ).alias("ltv_per_user"),
+    )

@@ -1807,3 +1807,100 @@ def q_ts_hurst_rs(spark, sf_dir):
         canon(F.col("mean_rs")).alias("mean_rs"),
         canon(F.col("h")).alias("hurst"),
     )
+
+
+def _haar_level_sql(src: str, lvl: int) -> str:
+    """One Haar step: exact pairwise (avg, diff/2) over even/odd positions
+    of ``src``; trailing unpaired element dropped (count=2 guard)."""
+    return f"""
+    h{lvl} AS (
+        SELECT t // 2 AS t,
+               sum(CASE WHEN t % 2 = 0 THEN v ELSE 0 END) / 2.0
+                 + sum(CASE WHEN t % 2 = 1 THEN v ELSE 0 END) / 2.0 AS v,
+               sum(CASE WHEN t % 2 = 0 THEN v ELSE 0 END) / 2.0
+                 - sum(CASE WHEN t % 2 = 1 THEN v ELSE 0 END) / 2.0 AS d
+        FROM {src} GROUP BY t // 2 HAVING count(*) = 2
+    )"""
+
+
+@register(
+    "ts_wavelet_energy",
+    oracle=f"""
+    WITH vi AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), daily AS (
+        SELECT day,
+               CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / (100.0 * count(*)) AS m
+        FROM vi GROUP BY day
+    ), h0 AS (
+        SELECT row_number() OVER (ORDER BY day) - 1 AS t, m AS v FROM daily
+    ),{_haar_level_sql("h0", 1)},{_haar_level_sql("h1", 2)},{_haar_level_sql("h2", 3)}
+    SELECT CAST(1 AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS n_coeffs,
+           floor(sum(d * d) * 1000000 + 0.5) / 1000000 AS detail_energy
+    FROM h1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+           floor(sum(d * d) * 1000000 + 0.5) / 1000000 FROM h2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+           floor(sum(d * d) * 1000000 + 0.5) / 1000000 FROM h3
+    """,
+    tags=("timeseries", "wavelet", "spectral", "multiresolution"),
+)
+def q_ts_wavelet_energy(spark, sf_dir):
+    """Haar wavelet detail energy at scales 2/4/8 days for the purchase
+    daily-mean series — the multiresolution complement to
+    `ts_periodogram`: the periodogram localizes periodicity in frequency,
+    the wavelet energies localize VOLATILITY by scale (is the variance
+    day-to-day jitter or week-scale swings?), which decides smoothing
+    windows and anomaly thresholds.
+
+    Three exact pairwise-reduction rounds over the bounded daily grid
+    (each a grouped agg on t//2, trailing odd element dropped by the
+    count=2 guard; the per-round relation HALVES so later rounds are
+    nearly free); the oracle unrolls the recursion as CTE stages exactly
+    like `graph_kcore_peel`. Spark rounds eager-checkpoint 2-consumer
+    outputs per the MMR/BFS lesson."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    vi = ev.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("day").agg(
+        (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
+    )
+    cur = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+        F.col("m").alias("v"),
+    )
+    even = F.sum(F.when(F.col("t") % 2 == 0, F.col("v")).otherwise(0.0)) / 2.0
+    odd = F.sum(F.when(F.col("t") % 2 == 1, F.col("v")).otherwise(0.0)) / 2.0
+    levels = []
+    for lvl in (1, 2, 3):
+        nxt = (
+            cur.groupBy(F.floor(F.col("t") / 2).alias("t"))
+            .agg(
+                (even + odd).alias("v"),
+                (even - odd).alias("d"),
+                F.count("*").alias("_n"),
+            )
+            .filter(F.col("_n") == 2)
+            .select("t", "v", "d")
+            .localCheckpoint(eager=True)
+        )
+        levels.append(
+            nxt.agg(
+                F.lit(lvl).cast("long").alias("level"),
+                F.count("*").cast("long").alias("n_coeffs"),
+                (F.floor(F.sum(F.col("d") * F.col("d")) * 1000000 + F.lit(0.5)) / 1000000).alias(
+                    "detail_energy"
+                ),
+            )
+        )
+        cur = nxt.select("t", "v")
+    out = levels[0]
+    for more in levels[1:]:
+        out = out.union(more)
+    return out

@@ -171,6 +171,8 @@ _FRONT = (
     "events_session_likelihood",
     "events_dau_wau_stickiness",
     "orders_price_elasticity",
+    "ts_wavelet_energy",
+    "events_cohort_ltv",
 )
 
 

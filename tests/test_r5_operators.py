@@ -857,3 +857,54 @@ def test_price_elasticity_full_rank(spark):
 
     rows = q_orders_price_elasticity(spark, "/root/testdata/sf0.001").collect()
     assert rows and all(r.n > 0 and r.r2 is not None and 0 <= r.r2 <= 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Wavelet energy: a pure 2-day alternation concentrates at level 1
+# ---------------------------------------------------------------------------
+
+
+def test_wavelet_energy_concentrates_at_matching_scale(spark, tmp_path):
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries import (
+        q_ts_wavelet_energy,
+    )
+
+    rows = [
+        (i, BASE + dt.timedelta(days=i), 1, "purchase",
+         10.0 + (1.0 if i % 2 == 0 else -1.0), "{}")
+        for i in range(32)
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    out = {r.level: r for r in q_ts_wavelet_energy(spark, str(tmp_path)).collect()}
+    # +-1 alternation: every level-1 pair differs by exactly 2 -> d = 1,
+    # energy = n_pairs; coarser levels see constant averages -> 0
+    assert out[1].n_coeffs == 16 and out[1].detail_energy == pytest.approx(16.0)
+    assert out[2].detail_energy == pytest.approx(0.0)
+    assert out[3].detail_energy == pytest.approx(0.0)
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV: cumulative revenue is nondecreasing within each cohort
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_ltv_monotone(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.funnel import (
+        q_events_cohort_ltv,
+    )
+
+    rows = q_events_cohort_ltv(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r.week_offset)
+        cums = [r.cum_rev_cents for r in rs]
+        assert cums == sorted(cums)
+        assert cums[-1] == sum(r.rev_cents for r in rs)
+        assert all(r.ltv_per_user > 0 for r in rs)
