@@ -183,6 +183,8 @@ HEADLINE = [
     "orders_price_elasticity",
     "ts_wavelet_energy",
     "events_cohort_ltv",
+    "stats_hill_tail_index",
+    "orders_fulfillment_cycle",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

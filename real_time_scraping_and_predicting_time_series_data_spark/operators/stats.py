@@ -3057,3 +3057,150 @@ def q_orders_price_elasticity(spark, sf_dir):
         F.round(F.regr_r2("lq", "lp"), 6).alias("r2"),
         F.round(F.regr_intercept("lq", "lp"), 6).alias("log_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator — how heavy is the heavy tail? (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_hill_tail_index",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_totalprice AS x,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+    ), kth AS (
+        SELECT x AS xk FROM ranked WHERE rnk = 101
+    )
+    SELECT CAST(100 AS BIGINT) AS k,
+           floor(avg(ln(r.x / k2.xk)) * 1000000 + 0.5) / 1000000 AS hill_h,
+           floor(1.0 / avg(ln(r.x / k2.xk)) * 1000000 + 0.5) / 1000000
+               AS tail_alpha,
+           floor(max(r.x) * 100 + 0.5) / 100 AS x_max,
+           floor(k2.xk * 100 + 0.5) / 100 AS x_k
+    FROM ranked r CROSS JOIN kth k2
+    WHERE r.rnk <= 100
+    GROUP BY k2.xk
+    """,
+    tags=("stats", "tail", "heavytail", "risk"),
+)
+def q_stats_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the order-value tail index over the top-100 order
+    statistics: H = mean ln(x_(i)/x_(k+1)), alpha = 1/H — the standard
+    "is this distribution power-law and how heavy" diagnostic that
+    decides whether mean-based capacity planning is even meaningful
+    (alpha <= 2: infinite variance) and that sizes the salting needed for
+    skewed keys.
+
+    The global sort is a top-(k+1) TakeOrdered (deterministic orderkey
+    tie-break), never a full sort; the estimator is one aggregate over
+    k rows against the broadcast (k+1)-th statistic. Canon 1e-6."""
+    orders = load_table(spark, sf_dir, "orders")
+    # TakeOrdered: orderBy+limit compiles to distributed partial top-k per
+    # partition + a k-row merge — NOT a global single-task window sort;
+    # the rank window below runs over the 101 surviving rows only
+    top = (
+        orders.select(F.col("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.desc("x"), F.asc("o_orderkey"))
+        .limit(101)
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy(F.desc("x"), F.asc("o_orderkey"))
+    ranked = top.withColumn("rnk", F.row_number().over(w))
+    kth = ranked.filter(F.col("rnk") == 101).select(F.col("x").alias("xk"))
+    top = ranked.filter(F.col("rnk") <= 100)
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    h = F.avg(F.log(F.col("x") / F.col("xk")))
+    return (
+        top.crossJoin(F.broadcast(kth))
+        .groupBy("xk")
+        .agg(
+            F.lit(100).cast("long").alias("k"),
+            canon(h).alias("hill_h"),
+            canon(F.lit(1.0) / h).alias("tail_alpha"),
+            (F.floor(F.max("x") * 100 + F.lit(0.5)) / 100).alias("x_max"),
+            (F.floor(F.col("xk") * 100 + F.lit(0.5)) / 100).alias("x_k"),
+        )
+        .select("k", "hill_h", "tail_alpha", "x_max", "x_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order fulfillment cycle — operational latency percentiles (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_fulfillment_cycle",
+    oracle="""
+    WITH cyc AS (
+        SELECT o.o_orderpriority,
+               CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              max(CAST(l.l_shipdate AS DATE))) AS BIGINT) AS days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    ), g AS (
+        SELECT o_orderpriority, days, CAST(count(*) AS BIGINT) AS c
+        FROM cyc GROUP BY o_orderpriority, days
+    ), cum AS (
+        SELECT o_orderpriority, days, c,
+               CAST(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cm,
+               CAST(sum(c) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        FROM g
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(min(CASE WHEN cm >= ceil(0.5 * n) THEN days END) AS BIGINT)
+               AS p50_days,
+           CAST(min(CASE WHEN cm >= ceil(0.9 * n) THEN days END) AS BIGINT)
+               AS p90_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM cum GROUP BY o_orderpriority
+    """,
+    tags=("orders", "operational", "quantile"),
+)
+def q_orders_fulfillment_cycle(spark, sf_dir):
+    """Order fulfillment cycle time (order date → LAST line shipped) with
+    exact nearest-rank P50/P90 per order priority — the operational-
+    latency SLA readout. Per-order cycle is one grouped max over the
+    order join; the percentiles come from the bounded (priority, days)
+    count grid exactly like `events_value_quantiles_grid` — integer days,
+    full value-hash oracle, no canon."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cyc = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.col("o_orderdate").cast("date"),
+            ).cast("long").alias("days")
+        )
+    )
+    g = cyc.groupBy("o_orderpriority", "days").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority").orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    cum = g.select(
+        "o_orderpriority", "days", "c",
+        F.sum("c").over(wcum).cast("long").alias("cm"),
+        F.sum("c").over(wn).cast("long").alias("n"),
+    )
+    pick = lambda q: F.min(  # noqa: E731
+        F.when(F.col("cm") >= F.ceil(F.lit(q) * F.col("n")), F.col("days"))
+    ).cast("long")
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        pick(0.5).alias("p50_days"),
+        pick(0.9).alias("p90_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )

@@ -173,6 +173,8 @@ _FRONT = (
     "orders_price_elasticity",
     "ts_wavelet_energy",
     "events_cohort_ltv",
+    "stats_hill_tail_index",
+    "orders_fulfillment_cycle",
 )
 
 

@@ -908,3 +908,50 @@ def test_cohort_ltv_monotone(spark):
         assert cums == sorted(cums)
         assert cums[-1] == sum(r.rev_cents for r in rs)
         assert all(r.ltv_per_user > 0 for r in rs)
+
+
+# ---------------------------------------------------------------------------
+# Hill estimator: exact Pareto(alpha) tail recovers alpha
+# ---------------------------------------------------------------------------
+
+
+def test_hill_recovers_pareto_alpha(spark, tmp_path):
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_stats_hill_tail_index,
+    )
+
+    # deterministic Pareto(alpha=2) sample via inverse CDF on a uniform grid
+    alpha = 2.0
+    n = 2000
+    xs = [(1.0 - (i + 0.5) / n) ** (-1.0 / alpha) * 100.0 for i in range(n)]
+    rows = [(i, i % 500, "O", x, "2024-01-01", "1-URGENT") for i, x in enumerate(xs)]
+    pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    ).to_parquet(tmp_path / "orders.parquet")
+    r = q_stats_hill_tail_index(spark, str(tmp_path)).collect()[0]
+    assert r.k == 100
+    assert r.tail_alpha == pytest.approx(alpha, rel=0.15)  # Hill is consistent
+    assert r.x_max >= r.x_k > 0
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment cycle: rank percentiles ordered, bounded by max
+# ---------------------------------------------------------------------------
+
+
+def test_fulfillment_cycle_percentile_order(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_orders_fulfillment_cycle,
+    )
+
+    rows = q_orders_fulfillment_cycle(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.p50_days <= r.p90_days <= r.max_days
+        assert r.n_orders > 0
