@@ -185,6 +185,7 @@ HEADLINE = [
     "events_cohort_ltv",
     "stats_hill_tail_index",
     "orders_fulfillment_cycle",
+    "events_markov_attribution",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..plans.registry import register
+from ..session import SHUFFLE_PARTITIONS
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -710,4 +711,233 @@ def q_events_cohort_ltv(spark, sf_dir):
         F.round(
             F.col("cum_rev_cents") / (F.lit(100.0) * F.col("cohort_users")), 6
         ).alias("ltv_per_user"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (r5)
+# ---------------------------------------------------------------------------
+
+
+def _attribution_oracle() -> str:
+    square = lambda src, dst: f"""
+    {dst} AS (
+        SELECT a.scenario, a.i, b.j, sum(a.p * b.p) AS p
+        FROM {src} a JOIN {src} b
+          ON b.scenario = a.scenario AND b.i = a.j
+        GROUP BY a.scenario, a.i, b.j
+    )"""  # noqa: E731
+    return f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN 'CONV'
+                    ELSE event_type END AS st,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), firstconv AS (
+        SELECT user_id, min(rn) AS crn FROM seq WHERE st = 'CONV' GROUP BY user_id
+    ), kept AS (
+        SELECT s.user_id, s.st, s.rn,
+               max(s.rn) OVER (PARTITION BY s.user_id) AS lastrn
+        FROM seq s LEFT JOIN firstconv f ON f.user_id = s.user_id
+        WHERE f.crn IS NULL OR s.rn <= f.crn
+    ), moves AS (
+        SELECT user_id, st AS cur,
+               lead(st) OVER (PARTITION BY user_id ORDER BY rn) AS nxt,
+               rn, lastrn
+        FROM kept
+    ), raw AS (
+        SELECT cur, nxt FROM moves WHERE nxt IS NOT NULL
+        UNION ALL
+        SELECT 'START' AS cur, st AS nxt FROM kept WHERE rn = 1
+        UNION ALL
+        SELECT cur, 'NULL' AS nxt FROM moves
+        WHERE rn = lastrn AND cur <> 'CONV'
+    ), counts AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n FROM raw GROUP BY cur, nxt
+    ), probs AS (
+        SELECT cur, nxt, round(n / (sum(n) OVER (PARTITION BY cur)), 9) AS p
+        FROM counts
+    ), scen AS (
+        SELECT unnest(['baseline', 'click', 'error', 'signup', 'view']) AS scenario
+    ), t0 AS MATERIALIZED (
+        SELECT s.scenario, p.cur AS i,
+               CASE WHEN p.nxt = s.scenario THEN 'NULL' ELSE p.nxt END AS j,
+               sum(p.p) AS p
+        FROM probs p CROSS JOIN scen s
+        WHERE p.cur <> s.scenario
+        GROUP BY s.scenario, p.cur, 3
+        UNION ALL
+        SELECT s.scenario, a.s AS i, a.s AS j, 1.0 AS p
+        FROM (SELECT unnest(['CONV', 'NULL']) AS s) a CROSS JOIN scen s
+    ),{square("t0", "t2")},{square("t2", "t4")},{square("t4", "t8")},{square("t8", "t16")},
+    conv AS (
+        -- a scenario whose removal kills EVERY conversion has no
+        -- (START, CONV) mass row at all: left-join the scenario list and
+        -- coalesce to 0 so the channel still reports (with effect 1)
+        SELECT s.scenario, coalesce(c.pc, 0.0) AS pc
+        FROM scen s LEFT JOIN (
+            SELECT scenario, sum(p) AS pc FROM t16
+            WHERE i = 'START' AND j = 'CONV' GROUP BY scenario
+        ) c ON c.scenario = s.scenario
+    ), base AS (SELECT pc AS pb FROM conv WHERE scenario = 'baseline'),
+    eff AS (
+        SELECT c.scenario AS channel,
+               floor(c.pc * 1000000 + 0.5) / 1000000 AS p_conv_without,
+               floor((1.0 - c.pc / b.pb) * 1000000 + 0.5) / 1000000
+                   AS removal_effect,
+               (1.0 - c.pc / b.pb) AS re_raw
+        FROM conv c CROSS JOIN base b WHERE c.scenario <> 'baseline'
+    )
+    SELECT channel, p_conv_without, removal_effect,
+           CASE WHEN sum(re_raw) OVER () > 0 THEN
+               floor(re_raw / (sum(re_raw) OVER ()) * 1000000 + 0.5) / 1000000
+           END AS attribution_share
+    FROM eff
+    """
+
+
+@register(
+    "events_markov_attribution",
+    oracle=_attribution_oracle(),
+    tags=("events", "markov", "attribution", "iterative"),
+)
+def q_events_markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution: which pre-purchase channel
+    actually DRIVES conversions? Build the first-order journey chain
+    (START → events → CONV at first purchase / NULL at drop-off), then
+    for each channel re-run the chain with that channel's inbound edges
+    redirected to NULL and measure how much conversion probability
+    disappears — the data-driven alternative to last-touch attribution.
+
+    Absorption probabilities come from FOUR matrix squarings (T→T¹⁶ with
+    CONV/NULL absorbing), not a solver: each squaring is one self-join +
+    grouped sum on the (scenario, i, j) relation — ~6 scenarios × |states|²
+    rows TOTAL, with all scenarios advancing in the same join (scenario is
+    just a key). The journey scan is the only pass over the data; the
+    chain algebra never touches it. Probabilities round-9 before the
+    power; absorbed mass canon 1e-6."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type")).alias("st"),
+        F.row_number().over(w).alias("rn"),
+    )
+    firstconv = seq.filter(F.col("st") == "CONV").groupBy("user_id").agg(
+        F.min("rn").alias("crn")
+    )
+    kept = (
+        seq.join(firstconv, "user_id", "left")
+        .filter(F.col("crn").isNull() | (F.col("rn") <= F.col("crn")))
+        .select(
+            "user_id", "st", "rn",
+            F.max("rn").over(Window.partitionBy("user_id")).alias("lastrn"),
+        )
+    )
+    # pin a sane partition layout before freezing: the checkpointed RDD's
+    # raw partitioning (pre-AQE) otherwise leaks into the 3-branch union
+    # below as a 1000-task stage
+    kept = kept.repartition(SHUFFLE_PARTITIONS, "user_id").localCheckpoint(eager=False)
+    wk = Window.partitionBy("user_id").orderBy("rn")
+    moves = kept.select(
+        "user_id", F.col("st").alias("cur"),
+        F.lead("st").over(wk).alias("nxt"), "rn", "lastrn",
+    )
+    raw = (
+        moves.filter(F.col("nxt").isNotNull()).select("cur", "nxt")
+        .union(
+            kept.filter(F.col("rn") == 1).select(
+                F.lit("START").alias("cur"), F.col("st").alias("nxt")
+            )
+        )
+        .union(
+            moves.filter(
+                (F.col("rn") == F.col("lastrn")) & (F.col("cur") != "CONV")
+            ).select("cur", F.lit("NULL").alias("nxt"))
+        )
+    )
+    counts = raw.groupBy("cur", "nxt").agg(F.count("*").cast("long").alias("n"))
+    probs = counts.select(
+        "cur", "nxt",
+        F.round(F.col("n") / F.sum("n").over(Window.partitionBy("cur")), 9).alias("p"),
+    )
+    scen = spark.createDataFrame(
+        [("baseline",), ("click",), ("error",), ("signup",), ("view",)],
+        "scenario string",
+    )
+    t = (
+        probs.crossJoin(F.broadcast(scen))
+        .filter(F.col("cur") != F.col("scenario"))
+        .groupBy(
+            "scenario",
+            F.col("cur").alias("i"),
+            F.when(F.col("nxt") == F.col("scenario"), "NULL")
+            .otherwise(F.col("nxt")).alias("j"),
+        )
+        .agg(F.sum("p").alias("p"))
+        .union(
+            # one literal frame, NOT createDataFrame(2 rows) crossJoined
+            # with the 5-row scenario frame: that unbroadcast 2x5
+            # cartesian inherits 32x32 = 1024 RDD partitions and, once
+            # unioned and checkpointed, drags a 1025-task stage through
+            # every downstream job (measured: ~12 s of pure task overhead
+            # to carry 10 rows)
+            spark.createDataFrame(
+                [(sc, st, st, 1.0)
+                 for sc in ("baseline", "click", "error", "signup", "view")
+                 for st in ("CONV", "NULL")],
+                "scenario string, i string, j string, p double",
+            )
+        )
+        # the chain relation is ~scenarios x |states|^2 rows forever:
+        # repartition(1) (a real shuffle boundary — coalesce(1) would
+        # collapse the whole upstream journey scan into one task through
+        # the narrow union) before freezing it
+        .repartition(1)
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(4):  # T -> T^16
+        a = t.select("scenario", "i", F.col("j").alias("m"), F.col("p").alias("pa"))
+        b = t.select("scenario", F.col("i").alias("m"), "j", F.col("p").alias("pb"))
+        t = (
+            a.join(b, ["scenario", "m"])
+            .groupBy("scenario", "i", "j")
+            .agg(F.sum(F.col("pa") * F.col("pb")).alias("p"))
+            .repartition(1)
+            .localCheckpoint(eager=True)
+        )
+    conv_raw = (
+        t.filter((F.col("i") == "START") & (F.col("j") == "CONV"))
+        .groupBy("scenario")
+        .agg(F.sum("p").alias("pc"))
+    )
+    # a scenario whose removal kills EVERY conversion has no mass row:
+    # left-join the scenario list, coalesce to 0 (effect = 1)
+    conv = scen.join(conv_raw, "scenario", "left").select(
+        "scenario", F.coalesce(F.col("pc"), F.lit(0.0)).alias("pc")
+    )
+    base = conv.filter(F.col("scenario") == "baseline").select(
+        F.col("pc").alias("pb")
+    )
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    eff = (
+        conv.filter(F.col("scenario") != "baseline")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("scenario").alias("channel"),
+            canon(F.col("pc")).alias("p_conv_without"),
+            canon(F.lit(1.0) - F.col("pc") / F.col("pb")).alias("removal_effect"),
+            (F.lit(1.0) - F.col("pc") / F.col("pb")).alias("re_raw"),
+        )
+    )
+    tot_re = F.sum("re_raw").over(Window.partitionBy())
+    return eff.select(
+        "channel", "p_conv_without", "removal_effect",
+        F.when(tot_re > 0, canon(F.col("re_raw") / tot_re)).alias(
+            "attribution_share"
+        ),
     )

@@ -175,6 +175,7 @@ _FRONT = (
     "events_cohort_ltv",
     "stats_hill_tail_index",
     "orders_fulfillment_cycle",
+    "events_markov_attribution",
 )
 
 

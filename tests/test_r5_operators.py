@@ -955,3 +955,42 @@ def test_fulfillment_cycle_percentile_order(spark):
     for r in rows:
         assert r.p50_days <= r.p90_days <= r.max_days
         assert r.n_orders > 0
+
+
+# ---------------------------------------------------------------------------
+# Markov attribution: removal effects on a crafted two-path funnel
+# ---------------------------------------------------------------------------
+
+
+def test_markov_attribution_gating_channel_dominates(spark, tmp_path):
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.funnel import (
+        q_events_markov_attribution,
+    )
+
+    rows = []
+    eid = 0
+
+    def add(u, types):
+        nonlocal eid
+        for j, t in enumerate(types):
+            rows.append((eid, BASE + dt.timedelta(minutes=j), u, t, 1.0, "{}"))
+            eid += 1
+
+    # every conversion passes through 'signup'; 'view' never leads anywhere
+    for u in range(20):
+        add(u, ["click", "signup", "purchase"])
+    for u in range(20, 40):
+        add(u, ["view", "error"])
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    out = {r.channel: r for r in q_events_markov_attribution(spark, str(tmp_path)).collect()}
+    # removing the gating channels kills ALL conversions
+    assert out["signup"].removal_effect == pytest.approx(1.0)
+    assert out["click"].removal_effect == pytest.approx(1.0)
+    # channels off the converting path contribute nothing
+    assert out["view"].removal_effect == pytest.approx(0.0)
+    assert out["error"].removal_effect == pytest.approx(0.0)
+    assert out["signup"].attribution_share == pytest.approx(0.5)
