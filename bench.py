@@ -186,6 +186,8 @@ HEADLINE = [
     "stats_hill_tail_index",
     "orders_fulfillment_cycle",
     "events_markov_attribution",
+    "sim_rrf_fusion",
+    "ml_conformal_forecast",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -1450,3 +1450,134 @@ def q_sim_mmr_select(spark, sf_dir):
         F.round("rel", 6).alias("relevance"),
         "mmr_score",
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion — combining two retrieval rankers (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_rrf_fusion",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10
+    ), cosr AS (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(q.v, n.v), 9) DESC,
+                            n.vec_id) AS r
+        FROM q JOIN e n ON n.vec_id <> q.query_id
+    ), dotr AS (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round(list_inner_product(q.v, n.v), 9) DESC,
+                            n.vec_id) AS r
+        FROM q JOIN e n ON n.vec_id <> q.query_id
+    ), fused AS (
+        SELECT coalesce(c.query_id, d.query_id) AS query_id,
+               coalesce(c.neighbor_id, d.neighbor_id) AS neighbor_id,
+               floor((coalesce(1.0 / (60 + c.r), 0.0)
+                      + coalesce(1.0 / (60 + d.r), 0.0)) * 1000000000 + 0.5)
+                   / 1000000000 AS rrf
+        FROM (SELECT * FROM cosr WHERE r <= 20) c
+        FULL OUTER JOIN (SELECT * FROM dotr WHERE r <= 20) d
+          ON d.query_id = c.query_id AND d.neighbor_id = c.neighbor_id
+    ), final AS (
+        SELECT query_id, neighbor_id, rrf,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf DESC, neighbor_id) AS rank
+        FROM fused
+    )
+    SELECT query_id, neighbor_id, rrf, CAST(rank AS BIGINT) AS rank
+    FROM final WHERE rank <= 10
+    """,
+    tags=("similarity", "fusion", "retrieval", "rrf"),
+)
+def q_sim_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two retrieval rankers — cosine (length-
+    normalized) and raw inner product (magnitude-sensitive) — per query:
+    rrf = Σ 1/(60 + rank_i) over the rankers that returned the candidate
+    in their top-20, re-ranked to a fused top-10. RRF is the standard
+    scoreless way to combine heterogeneous rankers (BM25 + dense, or here
+    two vector geometries) without calibrating their score scales.
+
+    Both constituent rankings reuse the GEMM top-k core (corpus never
+    shuffles); fusion is a full-outer join of two k·|queries|-row lists +
+    one window — candidate-volume work only. Ranks are integers, so the
+    only float is the fixed 1/(60+r) sum, canonicalized at 1e-9."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cosr = brute_force_topk(emb, queries, k=20).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_cos")
+    )
+    # inner-product ranker: same GEMM shape, unnormalized
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    q_rows = queries.select("query_id", "embedding").collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    bq = emb.sparkSession.sparkContext.broadcast((qids, qmat))
+
+    def score(batches):
+        qids_, qm = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            cmat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )[order]
+            s9 = np.round(cmat @ qm.T, 9)
+            m = min(52, s9.shape[0])
+            if m < s9.shape[0]:
+                top = np.argpartition(-s9, m - 1, axis=0)[:m]
+            else:
+                top = np.broadcast_to(
+                    np.arange(s9.shape[0])[:, None], (s9.shape[0], len(qids_))
+                )
+            yield pd.DataFrame(
+                {
+                    "query_id": np.broadcast_to(qids_, top.shape).ravel(),
+                    "neighbor_id": ids[top].ravel(),
+                    "dp": np.take_along_axis(s9, top, axis=0).ravel(),
+                }
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, neighbor_id long, dp double"
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("dp"), F.asc("neighbor_id"))
+    dotr = (
+        scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("r_dot", F.row_number().over(wd).cast("long"))
+        .filter(F.col("r_dot") <= 20)
+        .select("query_id", "neighbor_id", "r_dot")
+    )
+    fused = cosr.join(dotr, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id", "neighbor_id",
+        (
+            F.floor(
+                (
+                    F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_cos")), F.lit(0.0))
+                    + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_dot")), F.lit(0.0))
+                )
+                * 1000000000
+                + F.lit(0.5)
+            )
+            / 1000000000
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rrf", "rank")
+    )

@@ -3204,3 +3204,139 @@ def q_orders_fulfillment_cycle(spark, sf_dir):
         pick(0.9).alias("p90_days"),
         F.max("days").cast("long").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal forecast intervals — distribution-free coverage (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_conformal_forecast",
+    oracle="""
+    WITH vi AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ), daily AS (
+        SELECT user_id, day,
+               CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / (100.0 * count(*)) AS m
+        FROM vi GROUP BY user_id, day
+    ), bounds AS (
+        SELECT CAST(max(day) - 14 AS BIGINT) AS cal_start,
+               CAST(max(day) - 7 AS BIGINT) AS test_start
+        FROM daily
+    ), model AS (
+        SELECT d.user_id, avg(d.m) AS mu
+        FROM daily d CROSS JOIN bounds b
+        WHERE d.day <= b.cal_start GROUP BY d.user_id
+    ), cal AS (
+        SELECT CAST(floor(abs(d.m - mo.mu) * 100 + 0.5) AS BIGINT) AS rc
+        FROM daily d CROSS JOIN bounds b JOIN model mo ON mo.user_id = d.user_id
+        WHERE d.day > b.cal_start AND d.day <= b.test_start
+    ), grid AS (
+        SELECT rc, CAST(count(*) AS BIGINT) AS c FROM cal GROUP BY rc
+    ), cum AS (
+        SELECT rc,
+               CAST(sum(c) OVER (ORDER BY rc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cm,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM grid
+    ), qhat AS (
+        SELECT CAST(min(CASE WHEN cm >= ceil(0.9 * (n + 1)) THEN rc END)
+                    AS BIGINT) AS q_cents,
+               CAST(max(n) AS BIGINT) AS n_cal
+        FROM cum
+    ), test AS (
+        SELECT d.user_id, d.m, mo.mu
+        FROM daily d CROSS JOIN bounds b JOIN model mo ON mo.user_id = d.user_id
+        WHERE d.day > b.test_start
+    )
+    SELECT q.n_cal, round(q.q_cents / 100.0, 2) AS interval_halfwidth,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(count(*) FILTER (
+               WHERE CAST(floor(abs(t.m - t.mu) * 100 + 0.5) AS BIGINT)
+                     <= q.q_cents) AS BIGINT) AS n_covered,
+           round(count(*) FILTER (
+               WHERE CAST(floor(abs(t.m - t.mu) * 100 + 0.5) AS BIGINT)
+                     <= q.q_cents) / CAST(count(*) AS DOUBLE), 6) AS coverage
+    FROM test t CROSS JOIN qhat q
+    GROUP BY q.n_cal, q.q_cents
+    """,
+    tags=("ml", "conformal", "intervals", "evaluation"),
+)
+def q_ml_conformal_forecast(spark, sf_dir):
+    """Split-conformal prediction intervals for the per-user mean-level
+    forecaster: fit on days <= T-14, take the ceil(0.9(n+1))-rank absolute
+    residual on the T-14..T-7 calibration week as the half-width q, then
+    measure empirical coverage of mu +/- q on the held-out final week —
+    the DISTRIBUTION-FREE intervals (finite-sample >=90% marginal
+    coverage guarantee, no normality assumption) that `ml_forecast_
+    intervals`' Gaussian bands don't give.
+
+    Residuals are rounded to integer cents so the conformal quantile is
+    an exact nearest-rank pick from a bounded count grid — the
+    `events_value_quantiles_grid` machinery; coverage is then pure
+    integer counting. All window arithmetic in epoch days."""
+    ev = load_table(spark, sf_dir, "events")
+    vi = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("user_id", "day").agg(
+        (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
+    )
+    daily = daily.localCheckpoint(eager=False)
+    bounds = daily.agg(
+        (F.max("day") - 14).cast("long").alias("cal_start"),
+        (F.max("day") - 7).cast("long").alias("test_start"),
+    )
+    model = (
+        daily.crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") <= F.col("cal_start"))
+        .groupBy("user_id")
+        .agg(F.avg("m").alias("mu"))
+    )
+    rc = F.floor(F.abs(F.col("m") - F.col("mu")) * 100 + F.lit(0.5)).cast("long")
+    cal = (
+        daily.crossJoin(F.broadcast(bounds))
+        .filter((F.col("day") > F.col("cal_start")) & (F.col("day") <= F.col("test_start")))
+        .join(model, "user_id")
+        .select(rc.alias("rc"))
+    )
+    grid = cal.groupBy("rc").agg(F.count("*").cast("long").alias("c"))
+    wcum = Window.orderBy("rc").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grid.select(
+        "rc",
+        F.sum("c").over(wcum).cast("long").alias("cm"),
+        F.sum("c").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    qhat = cum.agg(
+        F.min(
+            F.when(F.col("cm") >= F.ceil(F.lit(0.9) * (F.col("n") + 1)), F.col("rc"))
+        ).cast("long").alias("q_cents"),
+        F.max("n").cast("long").alias("n_cal"),
+    )
+    test = (
+        daily.crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") > F.col("test_start"))
+        .join(model, "user_id")
+    )
+    covered = F.when(rc <= F.col("q_cents"), 1).otherwise(0)
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .groupBy("n_cal", "q_cents")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(covered).cast("long").alias("n_covered"),
+            F.round(F.sum(covered) / F.count("*").cast("double"), 6).alias("coverage"),
+        )
+        .select(
+            "n_cal",
+            F.round(F.col("q_cents") / 100.0, 2).alias("interval_halfwidth"),
+            "n_test", "n_covered", "coverage",
+        )
+    )

@@ -176,6 +176,8 @@ _FRONT = (
     "stats_hill_tail_index",
     "orders_fulfillment_cycle",
     "events_markov_attribution",
+    "sim_rrf_fusion",
+    "ml_conformal_forecast",
 )
 
 

@@ -994,3 +994,46 @@ def test_markov_attribution_gating_channel_dominates(spark, tmp_path):
     assert out["view"].removal_effect == pytest.approx(0.0)
     assert out["error"].removal_effect == pytest.approx(0.0)
     assert out["signup"].attribution_share == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion: candidates in both top-20 lists outrank single-list ones
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fusion_ranks_and_bounds(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        q_sim_rrf_fusion,
+    )
+
+    rows = q_sim_rrf_fusion(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        # rrf of a candidate in both lists is in (1/80+1/80, 2/61];
+        # single-list membership caps at 1/61
+        assert 0 < r.rrf <= 2 / 61 + 1e-9
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        vals = [r.rrf for r in rs]
+        assert vals == sorted(vals, reverse=True)
+        assert len(rs) == 10 and rs[0].rank == 1
+
+
+# ---------------------------------------------------------------------------
+# Conformal: guaranteed >= 90% marginal coverage on exchangeable splits
+# ---------------------------------------------------------------------------
+
+
+def test_conformal_coverage_guarantee(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_ml_conformal_forecast,
+    )
+
+    r = q_ml_conformal_forecast(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r.n_cal > 0 and r.n_test > 0
+    assert r.interval_halfwidth > 0
+    # finite-sample conformal guarantee holds under exchangeability; the
+    # synthetic per-user series are stationary, so allow small slack only
+    assert r.coverage >= 0.85
