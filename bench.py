@@ -188,6 +188,9 @@ HEADLINE = [
     "events_markov_attribution",
     "sim_rrf_fusion",
     "ml_conformal_forecast",
+    "graph_assortativity",
+    "orders_open_backlog",
+    "stats_runs_test",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

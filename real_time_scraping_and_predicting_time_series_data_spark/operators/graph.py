@@ -579,3 +579,77 @@ def q_graph_bfs_hops(spark, sf_dir):
         F.min("node").cast("long").alias("min_node"),
         F.max("node").cast("long").alias("max_node"),
     )
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+    WITH half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2
+    ), sym AS (
+        SELECT src, dst FROM half
+        UNION ALL SELECT dst AS src, src AS dst FROM half
+    ), deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY src
+    ), pairs AS (
+        SELECT CAST(da.d AS DOUBLE) AS x, CAST(db.d AS DOUBLE) AS y
+        FROM sym e JOIN deg da ON da.node = e.src JOIN deg db ON db.node = e.dst
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS m, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM pairs
+    )
+    SELECT m AS n_directed_edges,
+           floor((m * sxy - sx * sy)
+                 / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+                 * 1000000 + 0.5) / 1000000 AS assortativity
+    FROM s
+    """,
+    tags=("graph", "structure", "assortativity"),
+)
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the strong co-purchase graph: the Pearson
+    correlation of endpoint degrees over every directed edge — positive
+    means hubs prefer hubs (social-network-like), negative means
+    hub-and-spoke (typical for catalogs and for dedup graphs dominated by
+    template clusters). One grouped degree count + one edge-to-degree
+    join + one closed-form correlation from raw sums; the symmetric edge
+    relation makes the directed-edge Pearson equal the undirected
+    definition. Canon 1e-6 on the single float expression."""
+    li = load_table(spark, sf_dir, "lineitem")
+    half = strong_copurchase_half(li).localCheckpoint(eager=False)
+    sym = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    pairs = (
+        sym.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("d", "dx")
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("d").alias("dy")), "dst"
+        )
+        .select(
+            F.col("dx").cast("double").alias("x"), F.col("dy").cast("double").alias("y")
+        )
+    )
+    s = pairs.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    m = F.col("m")
+    r = (m * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (m * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (m * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("m").alias("n_directed_edges"),
+        (F.floor(r * 1000000 + F.lit(0.5)) / 1000000).alias("assortativity"),
+    )

@@ -3340,3 +3340,178 @@ def q_ml_conformal_forecast(spark, sf_dir):
             "n_test", "n_covered", "coverage",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog — interval stabbing counts via +1/-1 deltas (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_open_backlog",
+    oracle="""
+    WITH span AS (
+        SELECT o.o_orderkey,
+               date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+                   AS d_open,
+               date_diff('day', DATE '1970-01-01', max(CAST(l.l_shipdate AS DATE)))
+                   AS d_close
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ), deltas AS (
+        SELECT d_open AS day, 1 AS delta FROM span
+        UNION ALL
+        SELECT d_close + 1 AS day, -1 AS delta FROM span
+    ), g AS (
+        SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY day
+    ), cum AS (
+        SELECT day, net,
+               CAST(sum(net) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS open_orders
+        FROM g
+    )
+    SELECT CAST(day AS BIGINT) AS day, net AS net_change, open_orders
+    FROM cum WHERE open_orders > 0 OR net <> 0
+    """,
+    tags=("orders", "operational", "intervals", "timeseries"),
+)
+def q_orders_open_backlog(spark, sf_dir):
+    """Open-order backlog over time: how many orders are open (placed but
+    not fully shipped) on each day — the interval-stabbing COUNT computed
+    the scale-right way: each order contributes exactly two +1/−1 delta
+    events, one grouped sum collapses deltas to the bounded day grid, and
+    a running sum turns deltas into the standing count. The naive form
+    (join every order interval against every day) is |orders|×|days|;
+    this is 2 rows per order then calendar-sized everything. The running
+    sum is over the day grid — at unbounded calendar scale it range-
+    partitions exactly like `grid_cumsum`. Integer end to end."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    epoch = lambda c: F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date"))  # noqa: E731
+    span = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max(epoch(F.col("l_shipdate"))).alias("d_close"))
+        .select(epoch(F.col("o_orderdate")).alias("d_open"), "d_close")
+    )
+    deltas = span.select(F.col("d_open").alias("day"), F.lit(1).alias("delta")).union(
+        span.select((F.col("d_close") + 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    g = deltas.groupBy("day").agg(F.sum("delta").cast("long").alias("net"))
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = g.select(
+        "day", "net", F.sum("net").over(wcum).cast("long").alias("open_orders")
+    )
+    return cum.filter((F.col("open_orders") > 0) | (F.col("net") != 0)).select(
+        F.col("day").cast("long").alias("day"),
+        F.col("net").alias("net_change"),
+        "open_orders",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test — residual-sign randomness (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_runs_test",
+    oracle="""
+    WITH vi AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), daily AS (
+        SELECT day,
+               CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / (100.0 * count(*)) AS m
+        FROM vi GROUP BY day
+    ), med AS (
+        SELECT m AS mv FROM (
+            SELECT m, row_number() OVER (ORDER BY m, day) AS rn,
+                   count(*) OVER () AS n
+            FROM daily
+        ) WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    ), signs AS (
+        SELECT d.day, CASE WHEN d.m > x.mv THEN 1 ELSE 0 END AS s
+        FROM daily d CROSS JOIN med x WHERE d.m <> x.mv
+    ), flagged AS (
+        SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                       OR lag(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END AS brk
+        FROM signs
+    ), agg AS (
+        SELECT CAST(sum(brk) AS BIGINT) AS runs,
+               CAST(sum(s) AS BIGINT) AS n_pos,
+               CAST(count(*) - sum(s) AS BIGINT) AS n_neg
+        FROM flagged
+    )
+    SELECT runs, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+               floor((runs - (2.0 * n_pos * n_neg / (n_pos + n_neg) + 1))
+                     / sqrt(2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n_pos - n_neg)
+                            / ((n_pos + n_neg) * (n_pos + n_neg) * (n_pos + n_neg - 1)))
+                     * 1000000 + 0.5) / 1000000
+           END AS z_stat
+    FROM agg
+    """,
+    tags=("stats", "randomness", "runs", "diagnostic"),
+)
+def q_stats_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the purchase daily-mean series against
+    its median: too FEW sign-runs means positive serial dependence
+    (trending), too MANY means oscillation — the nonparametric randomness
+    gate that complements `ts_ljung_box` (which needs moments) with a
+    purely ordinal statistic. Median by exact nearest rank (day
+    tie-break), runs counted by one lag comparison over the bounded daily
+    grid, z from the closed-form run-count moments; ties at the median
+    are dropped per the classical definition. Canon 1e-6."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    vi = ev.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("day").agg(
+        (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
+    )
+    daily = daily.localCheckpoint(eager=False)
+    ranked = daily.select(
+        "m",
+        F.row_number().over(Window.orderBy("m", "day")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") / F.lit(2.0)).cast("int")
+    ).select(F.col("m").alias("mv"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("m") != F.col("mv"))
+        .select("day", F.when(F.col("m") > F.col("mv"), 1).otherwise(0).alias("s"))
+    )
+    wl = Window.orderBy("day")
+    flagged = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(wl).isNull() | (F.lag("s").over(wl) != F.col("s")), 1
+        ).otherwise(0).alias("brk"),
+    )
+    agg = flagged.agg(
+        F.sum("brk").cast("long").alias("runs"),
+        F.sum("s").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("s")).cast("long").alias("n_neg"),
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    n = np_ + nn
+    mu = F.lit(2.0) * np_ * nn / n + 1
+    var = (
+        F.lit(2.0) * np_ * nn * (F.lit(2.0) * np_ * nn - np_ - nn)
+        / (n * n * (n - 1))
+    )
+    # a one-sided sign distribution (all above/below the median after tie
+    # drops) has zero run variance: z undefined -> NULL on both engines
+    return agg.select(
+        "runs", "n_pos", "n_neg",
+        F.when(
+            (np_ > 0) & (nn > 0),
+            F.floor((F.col("runs") - mu) / F.sqrt(var) * 1000000 + F.lit(0.5)) / 1000000,
+        ).alias("z_stat"),
+    )

@@ -178,6 +178,9 @@ _FRONT = (
     "events_markov_attribution",
     "sim_rrf_fusion",
     "ml_conformal_forecast",
+    "graph_assortativity",
+    "orders_open_backlog",
+    "stats_runs_test",
 )
 
 

@@ -1037,3 +1037,60 @@ def test_conformal_coverage_guarantee(spark):
     # finite-sample conformal guarantee holds under exchangeability; the
     # synthetic per-user series are stationary, so allow small slack only
     assert r.coverage >= 0.85
+
+
+# ---------------------------------------------------------------------------
+# Backlog: conservation — deltas sum to zero, peak positive
+# ---------------------------------------------------------------------------
+
+
+def test_backlog_conservation(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_orders_open_backlog,
+    )
+
+    rows = sorted(
+        q_orders_open_backlog(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    assert sum(r.net_change for r in rows) == 0  # every open closes
+    running = 0
+    for r in rows:
+        running += r.net_change
+        assert r.open_orders == running
+        assert running >= 0
+    assert max(r.open_orders for r in rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# Runs test: oscillating series -> strongly positive z; trending -> negative
+# ---------------------------------------------------------------------------
+
+
+def test_runs_test_detects_oscillation_and_trend(spark, tmp_path):
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_stats_runs_test,
+    )
+
+    def z_of(vals):
+        rows = [
+            (i, BASE + dt.timedelta(days=i), 1, "purchase", float(v), "{}")
+            for i, v in enumerate(vals)
+        ]
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).to_parquet(tmp_path / "events.parquet")
+        out = q_stats_runs_test(spark, str(tmp_path)).collect()[0]
+        (tmp_path / "events.parquet").unlink()
+        return out
+
+    # 8/12 alternation plus a single 10 sitting exactly at the median
+    # (median ties are dropped, so both sign classes stay populated)
+    osc = z_of([10] + [8 + 4 * (i % 2) for i in range(40)])
+    trend = z_of(list(range(1, 41)))
+    assert osc.z_stat > 3  # alternating: maximum number of runs
+    assert trend.z_stat < -3  # monotone: exactly 2 runs
+    assert trend.runs == 2
