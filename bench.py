@@ -191,6 +191,7 @@ HEADLINE = [
     "graph_assortativity",
     "orders_open_backlog",
     "stats_runs_test",
+    "corpus_tokenizer_fertility",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -836,3 +836,52 @@ def q_text_duplicate_spans(spark, sf_dir):
         F.max("e").cast("long").alias("end_pos"),
         (F.max("e") - F.min("s") + 1).cast("long").alias("span_tokens"),
     )
+
+
+@register(
+    "corpus_tokenizer_fertility",
+    oracle="""
+    WITH d AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS n_chars_txt,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           round(sum(n_bytes) / CAST(sum(n_tokens) AS DOUBLE), 6)
+               AS bytes_per_token,
+           round(sum(n_chars_txt) / CAST(sum(n_tokens) AS DOUBLE), 6)
+               AS chars_per_token
+    FROM d GROUP BY lang
+    """,
+    tags=("corpus", "tokenizer", "multilingual", "diagnostics"),
+)
+def q_corpus_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: bytes and characters consumed per
+    whitespace token — the multilingual-budget diagnostic (languages with
+    high bytes/token get fewer effective tokens per storage byte, which
+    skews both cost accounting and mixture weights; real pipelines run
+    this per tokenizer before fixing sampling rates). One grouped sum of
+    three per-row integers; exact until the two final divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars_txt"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.size(words_of(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.round(F.sum("n_bytes") / F.sum("n_tokens").cast("double"), 6).alias(
+            "bytes_per_token"
+        ),
+        F.round(F.sum("n_chars_txt") / F.sum("n_tokens").cast("double"), 6).alias(
+            "chars_per_token"
+        ),
+    )

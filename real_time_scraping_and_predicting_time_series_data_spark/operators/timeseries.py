@@ -1515,6 +1515,15 @@ def q_ts_var_es(spark, sf_dir):
     daily = vi.groupBy("day").agg(
         (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
     )
+    return var_es_from_daily(daily)
+
+
+def var_es_from_daily(daily):
+    """Historical VaR95/ES from a (day, m) daily-mean grid — the shared
+    core of `ts_var_es` and the streaming seasonality/risk monitor: the
+    per-day (cents-sum, count) grid is mergeable, means re-derive exactly
+    from merged sums, so the served risk numbers are bit-identical to the
+    batch query over everything ingested."""
     w_day = Window.orderBy("day")
     ret = daily.select(
         "day", (F.col("m") / F.lag("m").over(w_day) - 1).alias("r")

@@ -181,6 +181,7 @@ _FRONT = (
     "graph_assortativity",
     "orders_open_backlog",
     "stats_runs_test",
+    "corpus_tokenizer_fertility",
 )
 
 

@@ -27,7 +27,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.timeseries import periodogram_from_daily
+from ..operators.timeseries import periodogram_from_daily, var_es_from_daily
 
 __all__ = ["SeasonalityStreamMonitor"]
 
@@ -108,3 +108,10 @@ class SeasonalityStreamMonitor:
         """Exact periodogram over all data seen — bit-identical to
         `ts_periodogram` run as one batch on the same ticks."""
         return periodogram_from_daily(self.serve_daily())
+
+    def serve_var_es(self) -> DataFrame:
+        """Exact historical VaR95/ES over all data seen — bit-identical to
+        `ts_var_es` run as one batch (second statistic off the same
+        mergeable per-day store; returns re-derive from merged daily
+        means, so mergeability carries over)."""
+        return var_es_from_daily(self.serve_daily())

@@ -320,3 +320,24 @@ def test_seasonality_stream_serves_periodogram(spark, tmp_path):
     want = sorted(tuple(r) for r in q_ts_periodogram(spark, sf).collect())
     got = sorted(tuple(r) for r in mon.serve_periodogram().collect())
     assert got == want
+
+
+def test_seasonality_stream_serves_var_es(spark, tmp_path):
+    """The same per-day store serves VaR/ES bit-identically to ts_var_es."""
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries import (
+        q_ts_var_es,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.seasonality_stream import (
+        SeasonalityStreamMonitor,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    mon = SeasonalityStreamMonitor(spark, str(tmp_path / "risk_store"))
+    mon.ingest_batch(ev.filter(F.col("event_id") % 2 == 0), batch_id=0)
+    mon.ingest_batch(ev.filter(F.col("event_id") % 2 == 1), batch_id=1)
+    mon.ingest_batch(ev.filter(F.col("event_id") % 2 == 1), batch_id=1)  # replay
+    want = q_ts_var_es(spark, sf).collect()[0].asDict()
+    got = mon.serve_var_es().collect()[0].asDict()
+    assert got == want
