@@ -192,6 +192,8 @@ HEADLINE = [
     "orders_open_backlog",
     "stats_runs_test",
     "corpus_tokenizer_fertility",
+    "ml_naive_bayes_confusion",
+    "corpus_inspection_pack",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

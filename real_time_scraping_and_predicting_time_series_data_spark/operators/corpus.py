@@ -767,3 +767,57 @@ def q_corpus_domain_cap(spark, sf_dir):
             F.sum(F.when(kept, 1).otherwise(0)) / F.count("*").cast("double"), 6
         ).alias("retention"),
     )
+
+
+@register(
+    "corpus_inspection_pack",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS r_best,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars ASC, doc_id) AS r_worst,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT source, role, doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM (
+        SELECT source, 'best' AS role, doc_id, n_chars FROM ranked WHERE r_best = 1
+        UNION ALL
+        SELECT source, 'worst' AS role, doc_id, n_chars FROM ranked WHERE r_worst = 1
+        UNION ALL
+        SELECT source, 'median' AS role, doc_id, n_chars FROM ranked
+        WHERE r_best = CAST(ceil(n / 2.0) AS BIGINT)
+    )
+    """,
+    tags=("corpus", "curation", "inspection"),
+)
+def q_corpus_inspection_pack(spark, sf_dir):
+    """Human-QA inspection pack: for every source, the best / worst /
+    median document by the deterministic quality proxy — the artifact a
+    curation run attaches to its report so a reviewer can eyeball each
+    source's extremes instead of random samples. One window pass per
+    ordering over the per-source partitions; exact median by nearest rank.
+    Integer output, full value-hash oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    wb = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ww = Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    wn = Window.partitionBy("source")
+    ranked = docs.select(
+        "source", "doc_id", "n_chars",
+        F.row_number().over(wb).alias("r_best"),
+        F.row_number().over(ww).alias("r_worst"),
+        F.count("*").over(wn).alias("n"),
+    ).localCheckpoint(eager=False)
+    best = ranked.filter(F.col("r_best") == 1).select(
+        "source", F.lit("best").alias("role"), "doc_id", "n_chars"
+    )
+    worst = ranked.filter(F.col("r_worst") == 1).select(
+        "source", F.lit("worst").alias("role"), "doc_id", "n_chars"
+    )
+    med = ranked.filter(
+        F.col("r_best") == F.ceil(F.col("n") / F.lit(2.0)).cast("int")
+    ).select("source", F.lit("median").alias("role"), "doc_id", "n_chars")
+    return best.union(worst).union(med).select(
+        "source", "role", "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )

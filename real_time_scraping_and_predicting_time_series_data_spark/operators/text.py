@@ -593,9 +593,7 @@ def q_text_readability(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "ml_naive_bayes_text",
-    oracle="""
+_NB_ORACLE_PREFIX = """
     WITH toks AS (
         SELECT doc_id, lang,
                unnest(string_split_regex(trim(text), '\\s+')) AS term
@@ -642,35 +640,13 @@ def q_text_readability(spark, sf_dir):
                    ORDER BY score DESC, cls) AS r
         FROM sc
     )
-    SELECT true_lang AS lang,
-           CAST(count(*) AS BIGINT) AS n_test,
-           CAST(count(*) FILTER (WHERE pred_lang = true_lang) AS BIGINT)
-               AS n_correct,
-           round(count(*) FILTER (WHERE pred_lang = true_lang)
-                 / CAST(count(*) AS DOUBLE), 6) AS accuracy
-    FROM pred WHERE r = 1
-    GROUP BY true_lang
-    """,
-    tags=("ml", "text", "classifier", "naive-bayes"),
-)
-def q_ml_naive_bayes_text(spark, sf_dir):
-    """Multinomial Naive Bayes language classifier, trained and evaluated
-    in one query: Laplace-smoothed per-class token log-likelihoods from
-    the doc_id%5!=0 training split, argmax scoring on the held-out fifth,
-    per-class accuracy out — the cheap high-throughput classifier (a la
-    fastText-style curation gates) that corpus pipelines run when the
-    Newton logistic model (`ml_logistic_newton`) is too heavy.
+"""
 
-    Entirely relational NB: the "model" IS two aggregate tables (per-class
-    term counts + class totals), training is one grouped sum over the
-    token relation, and inference is a left join of test tokens against
-    the model keyed on (class, term) — at 100 TB both sides partition on
-    the term key and the 5-row class list broadcasts; no parameter vector
-    ever leaves the cluster. Unseen-term mass folds into the closed form
-    sum n_dw*ln(cnt+1) - T_d*ln(tot_c+V), so the join stays sparse
-    (only seen (term, class) pairs carry rows). Scores are canonicalized
-    to 1e-6 log-units before the argmax so both engines pick identical
-    labels (ties break toward the smaller class label)."""
+
+def _nb_predictions(spark, sf_dir):
+    """Shared NB train+score core: (doc_id, true_lang, cls, score, r) with
+    r = 1 marking the argmax row per test doc — feeds both the per-class
+    accuracy rollup and the confusion matrix."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.explode(words_of(F.col("text"))).alias("term")
@@ -720,11 +696,42 @@ def q_ml_naive_bayes_text(spark, sf_dir):
         + F.lit(0.5)
     )
     wp = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
-    pred = (
-        full.withColumn("score", score)
-        .withColumn("r", F.row_number().over(wp))
-        .filter(F.col("r") == 1)
-    )
+    return full.withColumn("score", score).withColumn("r", F.row_number().over(wp))
+
+
+@register(
+    "ml_naive_bayes_text",
+    oracle=_NB_ORACLE_PREFIX + """
+    SELECT true_lang AS lang,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(count(*) FILTER (WHERE pred_lang = true_lang) AS BIGINT)
+               AS n_correct,
+           round(count(*) FILTER (WHERE pred_lang = true_lang)
+                 / CAST(count(*) AS DOUBLE), 6) AS accuracy
+    FROM pred WHERE r = 1
+    GROUP BY true_lang
+    """,
+    tags=("ml", "text", "classifier", "naive-bayes"),
+)
+def q_ml_naive_bayes_text(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier, trained and evaluated
+    in one query: Laplace-smoothed per-class token log-likelihoods from
+    the doc_id%5!=0 training split, argmax scoring on the held-out fifth,
+    per-class accuracy out — the cheap high-throughput classifier (a la
+    fastText-style curation gates) that corpus pipelines run when the
+    Newton logistic model (`ml_logistic_newton`) is too heavy.
+
+    Entirely relational NB: the "model" IS two aggregate tables (per-class
+    term counts + class totals), training is one grouped sum over the
+    token relation, and inference is a left join of test tokens against
+    the model keyed on (class, term) — at 100 TB both sides partition on
+    the term key and the 5-row class list broadcasts; no parameter vector
+    ever leaves the cluster. Unseen-term mass folds into the closed form
+    sum n_dw*ln(cnt+1) - T_d*ln(tot_c+V), so the join stays sparse
+    (only seen (term, class) pairs carry rows). Scores are canonicalized
+    to 1e-6 log-units before the argmax so both engines pick identical
+    labels (ties break toward the smaller class label)."""
+    pred = _nb_predictions(spark, sf_dir).filter(F.col("r") == 1)
     correct = F.when(F.col("cls") == F.col("true_lang"), 1).otherwise(0)
     return pred.groupBy(F.col("true_lang").alias("lang")).agg(
         F.count("*").cast("long").alias("n_test"),
@@ -885,3 +892,24 @@ def q_corpus_tokenizer_fertility(spark, sf_dir):
             "chars_per_token"
         ),
     )
+
+
+@register(
+    "ml_naive_bayes_confusion",
+    oracle=_NB_ORACLE_PREFIX + """
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pred WHERE r = 1
+    GROUP BY true_lang, pred_lang
+    """,
+    tags=("ml", "text", "classifier", "evaluation", "confusion"),
+)
+def q_ml_naive_bayes_confusion(spark, sf_dir):
+    """Confusion matrix of the Naive Bayes language classifier on the
+    held-out fifth — WHICH languages get mistaken for which (the accuracy
+    rollup in `ml_naive_bayes_text` hides the error structure; confusable
+    language pairs like es/fr drive the actual cleanup decisions). Same
+    shared train+score core; one extra grouped count."""
+    pred = _nb_predictions(spark, sf_dir).filter(F.col("r") == 1)
+    return pred.groupBy(
+        "true_lang", F.col("cls").alias("pred_lang")
+    ).agg(F.count("*").cast("long").alias("n"))

@@ -182,6 +182,8 @@ _FRONT = (
     "orders_open_backlog",
     "stats_runs_test",
     "corpus_tokenizer_fertility",
+    "ml_naive_bayes_confusion",
+    "corpus_inspection_pack",
 )
 
 

@@ -1094,3 +1094,46 @@ def test_runs_test_detects_oscillation_and_trend(spark, tmp_path):
     assert osc.z_stat > 3  # alternating: maximum number of runs
     assert trend.z_stat < -3  # monotone: exactly 2 runs
     assert trend.runs == 2
+
+
+# ---------------------------------------------------------------------------
+# NB confusion: diagonal equals the accuracy rollup's correct counts
+# ---------------------------------------------------------------------------
+
+
+def test_nb_confusion_consistent_with_accuracy(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.text import (
+        q_ml_naive_bayes_confusion,
+        q_ml_naive_bayes_text,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    acc = {r.lang: r for r in q_ml_naive_bayes_text(spark, sf).collect()}
+    conf = q_ml_naive_bayes_confusion(spark, sf).collect()
+    diag = {r.true_lang: r.n for r in conf if r.true_lang == r.pred_lang}
+    row_tot = {}
+    for r in conf:
+        row_tot[r.true_lang] = row_tot.get(r.true_lang, 0) + r.n
+    for lang, a in acc.items():
+        assert row_tot[lang] == a.n_test
+        assert diag.get(lang, 0) == a.n_correct
+
+
+# ---------------------------------------------------------------------------
+# Inspection pack: per source best >= median >= worst
+# ---------------------------------------------------------------------------
+
+
+def test_inspection_pack_ordering(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+        q_corpus_inspection_pack,
+    )
+
+    rows = q_corpus_inspection_pack(spark, "/root/testdata/sf0.001").collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, {})[r.role] = r.n_chars
+    assert per_src
+    for roles in per_src.values():
+        assert set(roles) == {"best", "worst", "median"}
+        assert roles["best"] >= roles["median"] >= roles["worst"]
