@@ -194,6 +194,9 @@ HEADLINE = [
     "corpus_tokenizer_fertility",
     "ml_naive_bayes_confusion",
     "corpus_inspection_pack",
+    "orders_abc_classes",
+    "corpus_oov_rate",
+    "graph_rich_club",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -821,3 +821,63 @@ def q_corpus_inspection_pack(spark, sf_dir):
     return best.union(worst).union(med).select(
         "source", "role", "doc_id", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+@register(
+    "corpus_oov_rate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ), train_vocab AS (
+        SELECT DISTINCT term FROM toks WHERE doc_id % 5 <> 0
+    ), test_toks AS (
+        SELECT t.term, CAST(count(*) AS BIGINT) AS n
+        FROM toks t WHERE doc_id % 5 = 0 GROUP BY t.term
+    ), tagged AS (
+        SELECT tt.term, tt.n,
+               CASE WHEN tv.term IS NULL THEN 1 ELSE 0 END AS oov
+        FROM test_toks tt LEFT JOIN train_vocab tv ON tv.term = tt.term
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS test_tokens,
+           CAST(sum(CASE WHEN oov = 1 THEN n ELSE 0 END) AS BIGINT)
+               AS oov_tokens,
+           CAST(count(*) AS BIGINT) AS test_types,
+           CAST(sum(oov) AS BIGINT) AS oov_types,
+           round(sum(CASE WHEN oov = 1 THEN n ELSE 0 END)
+                 / CAST(sum(n) AS DOUBLE), 6) AS oov_token_rate,
+           round(sum(oov) / CAST(count(*) AS DOUBLE), 6) AS oov_type_rate
+    FROM tagged
+    """,
+    tags=("corpus", "vocabulary", "oov", "diagnostics"),
+)
+def q_corpus_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate of the held-out fifth against the training
+    split's vocabulary, by token and by type — the vocabulary-coverage
+    diagnostic that sizes tokenizer vocab and flags domain shift (a
+    rising token-OOV rate on fresh crawl data is the first sign the
+    tokenizer needs retraining). Test tokens aggregate to per-type counts
+    BEFORE the vocab anti-join, so the join carries |types| rows, not
+    |tokens|; the vocab side is a distinct-term relation partitioned on
+    the same term key."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(words_of(F.col("text"))).alias("term"))
+    toks = toks.localCheckpoint(eager=False)
+    train_vocab = toks.filter(F.col("doc_id") % 5 != 0).select("term").distinct()
+    test_toks = (
+        toks.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tagged = test_toks.join(
+        train_vocab.withColumn("_in", F.lit(1)), "term", "left"
+    ).select("term", "n", F.when(F.col("_in").isNull(), 1).otherwise(0).alias("oov"))
+    oov_n = F.sum(F.when(F.col("oov") == 1, F.col("n")).otherwise(0))
+    return tagged.agg(
+        F.sum("n").cast("long").alias("test_tokens"),
+        oov_n.cast("long").alias("oov_tokens"),
+        F.count("*").cast("long").alias("test_types"),
+        F.sum("oov").cast("long").alias("oov_types"),
+        F.round(oov_n / F.sum("n").cast("double"), 6).alias("oov_token_rate"),
+        F.round(F.sum("oov") / F.count("*").cast("double"), 6).alias("oov_type_rate"),
+    )

@@ -653,3 +653,120 @@ def q_graph_assortativity(spark, sf_dir):
         F.col("m").alias("n_directed_edges"),
         (F.floor(r * 1000000 + F.lit(0.5)) / 1000000).alias("assortativity"),
     )
+
+
+@register(
+    "graph_rich_club",
+    oracle="""
+    WITH half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT src AS node FROM half UNION ALL SELECT dst AS node FROM half
+        ) GROUP BY node
+    ), cuts AS (
+        SELECT q, CAST(min(CASE WHEN cm >= ceil(q * n) THEN d END) AS BIGINT) AS k
+        FROM (
+            SELECT g.d, CAST(sum(g.c) OVER (ORDER BY g.d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS cm,
+                   CAST(sum(g.c) OVER () AS BIGINT) AS n
+            FROM (SELECT d, CAST(count(*) AS BIGINT) AS c FROM deg GROUP BY d) g
+        ) cum CROSS JOIN (SELECT unnest([0.5, 0.75, 0.9]) AS q) qs
+        GROUP BY q
+    ), club AS (
+        SELECT c.q, c.k, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg CROSS JOIN cuts c WHERE deg.d > c.k
+        GROUP BY c.q, c.k
+    ), club_edges AS (
+        SELECT c.q, CAST(count(*) AS BIGINT) AS n_edges
+        FROM half h
+        JOIN cuts c ON TRUE
+        JOIN deg da ON da.node = h.src AND da.d > c.k
+        JOIN deg db ON db.node = h.dst AND db.d > c.k
+        GROUP BY c.q
+    )
+    SELECT cl.q AS degree_quantile, cl.k AS k_cut, cl.n_nodes,
+           coalesce(ce.n_edges, 0) AS n_edges,
+           CASE WHEN cl.n_nodes > 1 THEN
+               floor(2.0 * coalesce(ce.n_edges, 0)
+                     / (cl.n_nodes * (cl.n_nodes - 1)) * 1000000 + 0.5) / 1000000
+           END AS phi
+    FROM club cl LEFT JOIN club_edges ce ON ce.q = cl.q
+    """,
+    tags=("graph", "structure", "richclub"),
+)
+def q_graph_rich_club(spark, sf_dir):
+    """Rich-club coefficient phi(k) of the strong co-purchase graph at the
+    P50/P75/P90 degree cuts: the edge density among nodes of degree > k —
+    rising phi with k means the hubs form their own densely-wired club
+    (the structure behind hub-dominated dedup clusters and popularity-
+    biased recommenders); flat phi means hubs connect outward. Degree
+    cuts come from the bounded degree-value grid (exact nearest rank);
+    club membership is two semi-join-shaped degree joins on the oriented
+    half relation; integer counts, one guarded density division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    half = strong_copurchase_half(li).localCheckpoint(eager=False)
+    deg = (
+        half.select(F.col("src").alias("node"))
+        .union(half.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    g = deg.groupBy("d").agg(F.count("*").cast("long").alias("c"))
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = g.select(
+        "d",
+        F.sum("c").over(wcum).cast("long").alias("cm"),
+        F.sum("c").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.75,), (0.9,)], "q double")
+    cuts = (
+        cum.crossJoin(F.broadcast(qs))
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.when(F.col("cm") >= F.ceil(F.col("q") * F.col("n")), F.col("d"))
+            ).cast("long").alias("k")
+        )
+        .localCheckpoint(eager=True)
+    )
+    club = (
+        deg.crossJoin(F.broadcast(cuts))
+        .filter(F.col("d") > F.col("k"))
+        .groupBy("q", "k")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("db"))
+    club_edges = (
+        half.join(da, "src").join(db, "dst")
+        .crossJoin(F.broadcast(cuts))
+        .filter((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("q")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    phi = F.when(
+        F.col("n_nodes") > 1,
+        F.floor(
+            F.lit(2.0) * F.coalesce(F.col("n_edges"), F.lit(0))
+            / (F.col("n_nodes") * (F.col("n_nodes") - 1))
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000,
+    )
+    return (
+        club.join(club_edges, "q", "left")
+        .select(
+            F.col("q").alias("degree_quantile"),
+            F.col("k").alias("k_cut"),
+            "n_nodes",
+            F.coalesce(F.col("n_edges"), F.lit(0)).alias("n_edges"),
+            phi.alias("phi"),
+        )
+    )

@@ -3515,3 +3515,77 @@ def q_stats_runs_test(spark, sf_dir):
             F.floor((F.col("runs") - mu) / F.sqrt(var) * 1000000 + F.lit(0.5)) / 1000000,
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto revenue classes — inventory classification (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_abc_classes",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+        SELECT l_partkey, cents,
+               CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_cents,
+               CAST(sum(cents) OVER () AS BIGINT) AS tot
+        FROM rev
+    ), classed AS (
+        SELECT l_partkey, cents,
+               CASE WHEN cum_cents <= CAST(0.8 * tot AS BIGINT) THEN 'A'
+                    WHEN cum_cents <= CAST(0.95 * tot AS BIGINT) THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM ranked
+    )
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           round(sum(cents) / CAST(max(t.tot) AS DOUBLE), 6) AS revenue_share
+    FROM classed CROSS JOIN (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM rev) t
+    GROUP BY abc
+    """,
+    tags=("orders", "pareto", "inventory", "classification"),
+)
+def q_orders_abc_classes(spark, sf_dir):
+    """ABC (Pareto) classification of parts by revenue: A = parts covering
+    the first 80% of cumulative revenue, B = next 15%, C = the long tail —
+    the inventory-prioritization classic, and the categorical face of
+    `orders_revenue_concentration`'s Gini. Revenue is exact integer cents;
+    the cumulative ranking runs over the per-part aggregate (|parts| rows,
+    range-partitionable exactly like `grid_cumsum` at catalog scale);
+    class boundaries are integer comparisons against 0.8/0.95 of the
+    total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long").alias("cents")
+    )
+    rev = rev.localCheckpoint(eager=False)
+    wcum = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_w = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey", "cents",
+        F.sum("cents").over(wcum).cast("long").alias("cum_cents"),
+        F.sum("cents").over(tot_w).cast("long").alias("tot"),
+    )
+    abc = (
+        F.when(F.col("cum_cents") <= (F.lit(0.8) * F.col("tot")).cast("long"), "A")
+        .when(F.col("cum_cents") <= (F.lit(0.95) * F.col("tot")).cast("long"), "B")
+        .otherwise("C")
+    )
+    classed = ranked.select("l_partkey", "cents", "tot", abc.alias("abc"))
+    return classed.groupBy("abc").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.round(F.sum("cents") / F.max("tot").cast("double"), 6).alias(
+            "revenue_share"
+        ),
+    )

@@ -184,6 +184,9 @@ _FRONT = (
     "corpus_tokenizer_fertility",
     "ml_naive_bayes_confusion",
     "corpus_inspection_pack",
+    "orders_abc_classes",
+    "corpus_oov_rate",
+    "graph_rich_club",
 )
 
 

@@ -1137,3 +1137,71 @@ def test_inspection_pack_ordering(spark):
     for roles in per_src.values():
         assert set(roles) == {"best", "worst", "median"}
         assert roles["best"] >= roles["median"] >= roles["worst"]
+
+
+# ---------------------------------------------------------------------------
+# ABC classes: shares sum to 1, A share ~0.8 boundary respected
+# ---------------------------------------------------------------------------
+
+
+def test_abc_classes_partition_revenue(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_orders_abc_classes,
+    )
+
+    rows = {r.abc: r for r in q_orders_abc_classes(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"A", "B", "C"}
+    assert sum(r.revenue_share for r in rows.values()) == pytest.approx(1.0, abs=1e-5)
+    assert rows["A"].revenue_share <= 0.8 + 0.05  # boundary part may straddle
+    assert rows["A"].n_parts < rows["C"].n_parts or rows["A"].revenue_share > rows["C"].revenue_share
+
+
+# ---------------------------------------------------------------------------
+# OOV: disjoint-vocab test split -> 100% OOV; identical -> 0%
+# ---------------------------------------------------------------------------
+
+
+def test_oov_rate_extremes(spark, tmp_path):
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+        q_corpus_oov_rate,
+    )
+
+    docs = []
+    for i in range(1, 11):  # train docs (ids not divisible by 5)
+        if i % 5 == 0:
+            continue
+        docs.append((i, "alpha beta gamma", "en", "s0", 10))
+    docs.append((5, "delta epsilon", "en", "s0", 10))   # test: fully OOV
+    docs.append((10, "alpha alpha beta", "en", "s0", 10))  # test: fully in-vocab
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    r = q_corpus_oov_rate(spark, str(tmp_path)).collect()[0]
+    assert r.test_tokens == 5 and r.oov_tokens == 2
+    assert r.oov_token_rate == pytest.approx(0.4)
+    assert r.oov_types == 2 and r.test_types == 4
+
+
+# ---------------------------------------------------------------------------
+# Rich club: density bounded, cuts increase with quantile
+# ---------------------------------------------------------------------------
+
+
+def test_rich_club_bounds(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.graph import (
+        q_graph_rich_club,
+    )
+
+    rows = sorted(
+        q_graph_rich_club(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.degree_quantile,
+    )
+    assert [r.degree_quantile for r in rows] == [0.5, 0.75, 0.9]
+    ks = [r.k_cut for r in rows]
+    assert ks == sorted(ks)
+    for r in rows:
+        if r.phi is not None:
+            assert 0.0 <= r.phi <= 1.0
+        assert r.n_edges <= r.n_nodes * (r.n_nodes - 1) / 2
