@@ -253,6 +253,9 @@ def main() -> int:
             json.dump({"runs_per_query": RUNS, "all_runs": runs, "sf": sf}, f)
     except OSError:
         pass
+    # compact separators: the per-query map is ~160 entries now and the
+    # driver's stdout capture has a finite tail (BENCH_r04 lost a bloated
+    # line); no spaces keeps the single line ~15% shorter
     print(
         json.dumps(
             {
@@ -261,7 +264,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     return 0
