@@ -197,6 +197,8 @@ HEADLINE = [
     "orders_abc_classes",
     "corpus_oov_rate",
     "graph_rich_club",
+    "corpus_diversity_indices",
+    "graph_brand_modularity",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

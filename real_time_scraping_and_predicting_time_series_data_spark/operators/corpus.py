@@ -881,3 +881,63 @@ def q_corpus_oov_rate(spark, sf_dir):
         F.round(oov_n / F.sum("n").cast("double"), 6).alias("oov_token_rate"),
         F.round(F.sum("oov") / F.count("*").cast("double"), 6).alias("oov_type_rate"),
     )
+
+
+@register(
+    "corpus_diversity_indices",
+    oracle="""
+    WITH bylang AS (
+        SELECT lang AS grp, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang
+    ), bysrc AS (
+        SELECT source AS grp, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY source
+    ), f AS (
+        SELECT 'lang' AS dimension, grp, c, CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM bylang
+        UNION ALL
+        SELECT 'source' AS dimension, grp, c, CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM bysrc
+    )
+    , fp AS (
+        SELECT dimension, c, n, c / CAST(n AS DOUBLE) AS p FROM f
+    )
+    SELECT dimension, CAST(count(*) AS BIGINT) AS n_groups,
+           floor((1.0 - sum(c * c) / CAST(max(n) * max(n) AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS simpson_diversity,
+           floor(-sum(p * ln(p)) * 1000000 + 0.5) / 1000000 AS shannon_entropy,
+           floor(exp(-sum(p * ln(p))) * 1000000 + 0.5) / 1000000
+               AS effective_groups
+    FROM fp GROUP BY dimension
+    """,
+    tags=("corpus", "diversity", "mixture", "diagnostics"),
+)
+def q_corpus_diversity_indices(spark, sf_dir):
+    """Mixture diversity of the corpus along language and source: Simpson
+    index (1 − Σp²), Shannon entropy, and the effective number of groups
+    (exp H) — the one-row-per-dimension summary a curation report leads
+    with ("are we really multilingual, or 90% English with garnish?").
+    Two grouped counts over one scan; every index is a fixed expression
+    over the bounded group-count grid, canon 1e-6."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = []
+    for dim, col in (("lang", "lang"), ("source", "source")):
+        g = docs.groupBy(F.col(col).alias("grp")).agg(
+            F.count("*").cast("long").alias("c")
+        )
+        frames.append(g.select(F.lit(dim).alias("dimension"), "grp", "c"))
+    f = frames[0].union(frames[1])
+    wn = Window.partitionBy("dimension")
+    f = f.withColumn("n", F.sum("c").over(wn).cast("long")).withColumn(
+        "p", F.col("c") / F.col("n").cast("double")
+    )
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    h = -F.sum(F.col("p") * F.log("p"))
+    return f.groupBy("dimension").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        canon(
+            F.lit(1.0)
+            - F.sum(F.col("c") * F.col("c"))
+            / (F.max("n") * F.max("n")).cast("double")
+        ).alias("simpson_diversity"),
+        canon(h).alias("shannon_entropy"),
+        canon(F.exp(h)).alias("effective_groups"),
+    )

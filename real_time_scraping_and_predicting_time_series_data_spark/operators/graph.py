@@ -770,3 +770,86 @@ def q_graph_rich_club(spark, sf_dir):
             phi.alias("phi"),
         )
     )
+
+
+@register(
+    "graph_brand_modularity",
+    oracle="""
+    WITH half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2
+    ), m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM half),
+    brand AS (
+        SELECT p_partkey AS node, p_brand FROM part
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT src AS node FROM half UNION ALL SELECT dst AS node FROM half
+        ) GROUP BY node
+    ), dsum AS (
+        SELECT b.p_brand, CAST(sum(g.d) AS BIGINT) AS d_sum
+        FROM deg g JOIN brand b ON b.node = g.node
+        GROUP BY b.p_brand
+    ), ein AS (
+        SELECT ba.p_brand, CAST(count(*) AS BIGINT) AS e_in
+        FROM half h
+        JOIN brand ba ON ba.node = h.src
+        JOIN brand bb ON bb.node = h.dst AND bb.p_brand = ba.p_brand
+        GROUP BY ba.p_brand
+    )
+    SELECT d.p_brand, coalesce(e.e_in, 0) AS e_in, d.d_sum,
+           floor((coalesce(e.e_in, 0) / CAST(m.m AS DOUBLE)
+                  - (d.d_sum / (2.0 * m.m)) * (d.d_sum / (2.0 * m.m)))
+                 * 1000000 + 0.5) / 1000000 AS q_contrib
+    FROM dsum d LEFT JOIN ein e ON e.p_brand = d.p_brand CROSS JOIN m
+    """,
+    tags=("graph", "modularity", "community"),
+)
+def q_graph_brand_modularity(spark, sf_dir):
+    """Newman modularity contribution of each BRAND on the strong
+    co-purchase graph: q_c = e_c/m − (d_c/2m)² — does the catalog's brand
+    partition explain the basket structure (positive contributions:
+    baskets stay within brands) or is co-purchase brand-agnostic
+    (contributions ≈ 0)? The modularity-of-a-GIVEN-partition primitive
+    that community-detection algorithms optimize, usable relationally for
+    any dimension column. Within-community edges are one two-sided
+    broadcast dimension join; degree mass is one grouped sum; m is a
+    1-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    half = strong_copurchase_half(li).localCheckpoint(eager=False)
+    m = half.agg(F.count("*").cast("long").alias("m"))
+    brand = part.select(F.col("p_partkey").alias("node"), "p_brand")
+    deg = (
+        half.select(F.col("src").alias("node"))
+        .union(half.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    dsum = deg.join(F.broadcast(brand), "node").groupBy("p_brand").agg(
+        F.sum("d").cast("long").alias("d_sum")
+    )
+    ba = brand.select(F.col("node").alias("src"), F.col("p_brand").alias("brand_a"))
+    bb = brand.select(F.col("node").alias("dst"), F.col("p_brand").alias("brand_b"))
+    ein = (
+        half.join(F.broadcast(ba), "src")
+        .join(F.broadcast(bb), "dst")
+        .filter(F.col("brand_a") == F.col("brand_b"))
+        .groupBy(F.col("brand_a").alias("p_brand"))
+        .agg(F.count("*").cast("long").alias("e_in"))
+    )
+    j = dsum.join(ein, "p_brand", "left").crossJoin(F.broadcast(m))
+    e_in = F.coalesce(F.col("e_in"), F.lit(0))
+    frac = F.col("d_sum") / (F.lit(2.0) * F.col("m"))
+    return j.select(
+        "p_brand",
+        e_in.alias("e_in"),
+        "d_sum",
+        (
+            F.floor(
+                (e_in / F.col("m").cast("double") - frac * frac) * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("q_contrib"),
+    )

@@ -187,6 +187,8 @@ _FRONT = (
     "orders_abc_classes",
     "corpus_oov_rate",
     "graph_rich_club",
+    "corpus_diversity_indices",
+    "graph_brand_modularity",
 )
 
 

@@ -1205,3 +1205,45 @@ def test_rich_club_bounds(spark):
         if r.phi is not None:
             assert 0.0 <= r.phi <= 1.0
         assert r.n_edges <= r.n_nodes * (r.n_nodes - 1) / 2
+
+
+# ---------------------------------------------------------------------------
+# Diversity: uniform groups maximize entropy; effective groups = exp(H)
+# ---------------------------------------------------------------------------
+
+
+def test_diversity_indices_bounds(spark):
+    import math
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+        q_corpus_diversity_indices,
+    )
+
+    rows = {r.dimension: r for r in q_corpus_diversity_indices(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"lang", "source"}
+    for r in rows.values():
+        assert 0 <= r.simpson_diversity < 1
+        assert 0 <= r.shannon_entropy <= math.log(r.n_groups) + 1e-9
+        assert 1 <= r.effective_groups <= r.n_groups + 1e-6
+        assert abs(r.effective_groups - math.exp(r.shannon_entropy)) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Modularity: per-brand contributions bounded; random-ish partition ~ 0
+# ---------------------------------------------------------------------------
+
+
+def test_brand_modularity_accounting(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.graph import (
+        q_graph_brand_modularity,
+    )
+
+    rows = q_graph_brand_modularity(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    total_ein = sum(r.e_in for r in rows)
+    q_total = sum(r.q_contrib for r in rows)
+    for r in rows:
+        assert 0 <= r.e_in and r.d_sum > 0
+        assert -1.0 <= r.q_contrib <= 1.0
+    assert -1.0 <= q_total <= 1.0
+    assert total_ein >= 0
