@@ -199,6 +199,7 @@ HEADLINE = [
     "graph_rich_club",
     "corpus_diversity_indices",
     "graph_brand_modularity",
+    "stats_jarque_bera",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

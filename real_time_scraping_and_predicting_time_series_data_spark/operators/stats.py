@@ -3589,3 +3589,99 @@ def q_orders_abc_classes(spark, sf_dir):
             "revenue_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test — residual-diagnostics panel closer (r5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_jarque_bera",
+    oracle="""
+    WITH vi AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), daily AS (
+        SELECT day,
+               CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / (100.0 * count(*)) AS m
+        FROM vi GROUP BY day
+    ), ret AS (
+        SELECT m / lag(m) OVER (ORDER BY day) - 1 AS r FROM daily
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, sum(r) AS s1,
+               sum(r * r) AS s2, sum(r * r * r) AS s3,
+               sum(r * r * r * r) AS s4
+        FROM ret WHERE r IS NOT NULL
+    ), mom AS (
+        SELECT n,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)
+                   AS m3,
+               s4 / n - 4 * (s1 / n) * (s3 / n)
+                   + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                   - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM s
+    )
+    SELECT n,
+           floor(m3 / (m2 * sqrt(m2)) * 1000000 + 0.5) / 1000000 AS skewness,
+           floor((m4 / (m2 * m2) - 3) * 1000000 + 0.5) / 1000000
+               AS excess_kurtosis,
+           floor(n / 6.0 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                 + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4.0)
+                 * 1000000 + 0.5) / 1000000 AS jb_stat
+    FROM mom
+    """,
+    tags=("stats", "normality", "diagnostic", "finance"),
+)
+def q_stats_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality test on the purchase daily-return series:
+    JB = n/6·(S² + K²/4) from exact raw-moment sums — the fat-tails /
+    skew gate that decides whether Gaussian forecast intervals
+    (`ml_forecast_intervals`) are even admissible, completing the
+    residual-diagnostics panel next to `ts_ljung_box` (serial
+    correlation) and `stats_runs_test` (ordinal randomness). One pass of
+    four power sums over the bounded daily-return relation; central
+    moments by the closed-form raw→central identities, identical
+    expression tree on both engines, canon 1e-6."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    vi = ev.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("day").agg(
+        (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
+    )
+    ret = daily.select(
+        (F.col("m") / F.lag("m").over(Window.orderBy("day")) - 1).alias("r")
+    ).filter(F.col("r").isNotNull())
+    s = ret.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r").alias("s1"),
+        F.sum(F.col("r") * F.col("r")).alias("s2"),
+        F.sum(F.col("r") * F.col("r") * F.col("r")).alias("s3"),
+        F.sum(F.col("r") * F.col("r") * F.col("r") * F.col("r")).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    mom = s.select("n", m2.alias("m2"), m3.alias("m3"), m4.alias("m4"))
+    skew = F.col("m3") / (F.col("m2") * F.sqrt("m2"))
+    exk = F.col("m4") / (F.col("m2") * F.col("m2")) - 3
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return mom.select(
+        "n",
+        canon(skew).alias("skewness"),
+        canon(exk).alias("excess_kurtosis"),
+        canon(
+            F.col("n") / F.lit(6.0) * (skew * skew + exk * exk / F.lit(4.0))
+        ).alias("jb_stat"),
+    )

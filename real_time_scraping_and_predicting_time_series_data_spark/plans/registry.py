@@ -189,6 +189,7 @@ _FRONT = (
     "graph_rich_club",
     "corpus_diversity_indices",
     "graph_brand_modularity",
+    "stats_jarque_bera",
 )
 
 

@@ -1247,3 +1247,35 @@ def test_brand_modularity_accounting(spark):
         assert -1.0 <= r.q_contrib <= 1.0
     assert -1.0 <= q_total <= 1.0
     assert total_ein >= 0
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera: symmetric two-point returns -> JB dominated by kurtosis
+# ---------------------------------------------------------------------------
+
+
+def test_jarque_bera_hand_values(spark, tmp_path):
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_stats_jarque_bera,
+    )
+
+    # prices alternating +1%/-1%: returns are a symmetric two-point
+    # distribution -> skewness 0, excess kurtosis exactly -2 (Bernoulli)
+    vals = [100.0]
+    for i in range(60):
+        vals.append(vals[-1] * (1.01 if i % 2 == 0 else 0.99))
+    rows = [
+        (i, BASE + dt.timedelta(days=i), 1, "purchase", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    r = q_stats_jarque_bera(spark, str(tmp_path)).collect()[0]
+    assert r.n == 60
+    assert abs(r.skewness) < 0.01
+    assert r.excess_kurtosis == pytest.approx(-2.0, abs=0.01)
+    # JB = n/6 * (K^2/4) = 60/6 * 1 = 10
+    assert r.jb_stat == pytest.approx(10.0, abs=0.2)
