@@ -200,6 +200,7 @@ HEADLINE = [
     "corpus_diversity_indices",
     "graph_brand_modularity",
     "stats_jarque_bera",
+    "ts_pacf",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

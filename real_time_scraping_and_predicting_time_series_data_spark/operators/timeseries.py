@@ -1913,3 +1913,74 @@ def q_ts_wavelet_energy(spark, sf_dir):
     for more in levels[1:]:
         out = out.union(more)
     return out
+
+
+@register(
+    "ts_pacf",
+    oracle="""
+    WITH l AS (
+        SELECT user_id, value,
+               lag(value, 1) OVER w AS v1, lag(value, 2) OVER w AS v2,
+               lag(value, 3) OVER w AS v3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), a AS (
+        SELECT user_id,
+               round(corr(value, v1), 9) AS r1,
+               round(corr(value, v2), 9) AS r2,
+               round(corr(value, v3), 9) AS r3
+        FROM l GROUP BY user_id
+    ), d AS (
+        SELECT user_id, r1, r2, r3,
+               (r2 - r1 * r1) / (1 - r1 * r1) AS p2,
+               r1 * (1 - r2) / (1 - r1 * r1) AS f21
+        FROM a
+    )
+    SELECT user_id, lag, pacf FROM (
+        SELECT user_id, CAST(1 AS BIGINT) AS lag,
+               floor(r1 * 1000000 + 0.5) / 1000000 AS pacf FROM d
+        UNION ALL
+        SELECT user_id, CAST(2 AS BIGINT),
+               floor(p2 * 1000000 + 0.5) / 1000000 FROM d
+        UNION ALL
+        SELECT user_id, CAST(3 AS BIGINT),
+               floor((r3 - f21 * r2 - p2 * r1)
+                     / (1 - f21 * r1 - p2 * r2) * 1000000 + 0.5) / 1000000
+        FROM d
+    )
+    """,
+    tags=("timeseries", "pacf", "stats", "diagnostic"),
+)
+def q_ts_pacf(spark, sf_dir):
+    """Per-key partial autocorrelation at lags 1..3 by the closed-form
+    Durbin-Levinson recursion over the lag correlations — the diagnostic
+    `ts_acf` cannot replace: PACF cuts off sharply at the true AR order
+    (the reference hard-codes window 10, `lvmh_forecaster2.py:30`; PACF is
+    how you READ the right order off the data), while ACF only decays.
+    Fixed recursion depth → one fixed IEEE expression tree per lag, no
+    iteration; lag correlations round-9 pinned on both engines before the
+    recursion, outputs canon 1e-6. Same single window pass + grouped agg
+    shape as `ts_acf`/`ts_ljung_box`."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "value",
+        *[F.lag("value", k).over(w).alias(f"v{k}") for k in range(1, 4)],
+    )
+    a = lagged.groupBy("user_id").agg(
+        *[F.round(F.corr("value", f"v{k}"), 9).alias(f"r{k}") for k in range(1, 4)]
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    d = a.select(
+        "user_id", "r1", "r2", "r3",
+        ((r2 - r1 * r1) / (1 - r1 * r1)).alias("p2"),
+        (r1 * (1 - r2) / (1 - r1 * r1)).alias("f21"),
+    )
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    p3 = (F.col("r3") - F.col("f21") * F.col("r2") - F.col("p2") * F.col("r1")) / (
+        1 - F.col("f21") * F.col("r1") - F.col("p2") * F.col("r2")
+    )
+    out1 = d.select("user_id", F.lit(1).cast("long").alias("lag"), canon(F.col("r1")).alias("pacf"))
+    out2 = d.select("user_id", F.lit(2).cast("long").alias("lag"), canon(F.col("p2")).alias("pacf"))
+    out3 = d.select("user_id", F.lit(3).cast("long").alias("lag"), canon(p3).alias("pacf"))
+    return out1.union(out2).union(out3)

@@ -190,6 +190,7 @@ _FRONT = (
     "corpus_diversity_indices",
     "graph_brand_modularity",
     "stats_jarque_bera",
+    "ts_pacf",
 )
 
 

@@ -1279,3 +1279,30 @@ def test_jarque_bera_hand_values(spark, tmp_path):
     assert r.excess_kurtosis == pytest.approx(-2.0, abs=0.01)
     # JB = n/6 * (K^2/4) = 60/6 * 1 = 10
     assert r.jb_stat == pytest.approx(10.0, abs=0.2)
+
+
+# ---------------------------------------------------------------------------
+# PACF: a pure AR(1) series has pacf(1) ~ phi and pacf(2), pacf(3) ~ 0
+# ---------------------------------------------------------------------------
+
+
+def test_pacf_ar1_cutoff(spark, tmp_path):
+    import pandas as pd
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries import (
+        q_ts_pacf,
+    )
+
+    # deterministic AR(1)-like sequence: x_t = 0.8 x_{t-1} + pseudo-noise
+    # from a fixed integer residue generator (no RNG in tests)
+    x, rows = 10.0, []
+    for i in range(300):
+        noise = ((i * i * 7919) % 97 - 48) / 97.0
+        x = 0.8 * x + noise
+        rows.append((i, BASE + dt.timedelta(hours=i), 1, "view", float(x), "{}"))
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    out = {r.lag: r.pacf for r in q_ts_pacf(spark, str(tmp_path)).collect()}
+    assert out[1] == pytest.approx(0.8, abs=0.12)  # phi recovered at lag 1
+    assert abs(out[2]) < 0.2 and abs(out[3]) < 0.2  # cutoff after the AR order
