@@ -258,15 +258,17 @@ def main() -> int:
     except OSError:
         pass
     # compact separators: the per-query map is ~160 entries now and the
-    # driver's stdout capture has a finite tail (BENCH_r04 lost a bloated
-    # line); no spaces keeps the single line ~15% shorter
+    # driver's stdout capture keeps only a ~2000-char TAIL of the line
+    # (BENCH_r01–r06 all lost "value" to the head truncation). Key ORDER is
+    # therefore load-bearing: the big "queries" map goes FIRST so the
+    # headline metric/value/unit/sf land in the surviving tail.
     print(
         json.dumps(
             {
+                "queries": timings,
                 "metric": "headline_queries_total_median",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
             },
             separators=(",", ":"),

@@ -3308,11 +3308,14 @@ def q_ml_conformal_forecast(spark, sf_dir):
         .select(rc.alias("rc"))
     )
     grid = cal.groupBy("rc").agg(F.count("*").cast("long").alias("c"))
-    wcum = Window.orderBy("rc").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = grid.select(
-        "rc",
-        F.sum("c").over(wcum).cast("long").alias("cm"),
-        F.sum("c").over(Window.partitionBy()).cast("long").alias("n"),
+    # Distinct residual cents GROW with data scale (unlike calendar-bounded
+    # day grids), so the CDF runs through the range-partitioned grid_cumsum
+    # rather than a single-partition global window (VERDICT r5 item 4).
+    tot = grid.agg(F.sum("c").cast("long").alias("n"))
+    cum = (
+        grid_cumsum(grid, ["c"], order_col="rc")
+        .select("rc", F.col("cum_c").alias("cm"))
+        .crossJoin(F.broadcast(tot))
     )
     qhat = cum.agg(
         F.min(
@@ -3556,25 +3559,46 @@ def q_orders_abc_classes(spark, sf_dir):
     """ABC (Pareto) classification of parts by revenue: A = parts covering
     the first 80% of cumulative revenue, B = next 15%, C = the long tail —
     the inventory-prioritization classic, and the categorical face of
-    `orders_revenue_concentration`'s Gini. Revenue is exact integer cents;
-    the cumulative ranking runs over the per-part aggregate (|parts| rows,
-    range-partitionable exactly like `grid_cumsum` at catalog scale);
-    class boundaries are integer comparisons against 0.8/0.95 of the
-    total."""
+    `orders_revenue_concentration`'s Gini. Revenue is exact integer cents.
+    The cumulative ranking is DECOMPOSED so no unpartitioned window ever
+    sees the |parts| relation (VERDICT r5 item 3): level offsets come from
+    the range-partitioned `grid_cumsum` over the distinct-cents grid
+    (ordered descending via negation), and the within-level rank is a
+    window PARTITIONED by cents (tie groups, bounded in practice). The
+    per-row ``cum_cents`` is bit-identical to the single global
+    ``ORDER BY cents DESC, l_partkey`` form by construction; class
+    boundaries are integer comparisons against 0.8/0.95 of the total."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
         .cast("long").alias("cents")
     )
     rev = rev.localCheckpoint(eager=False)
-    wcum = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    grid = rev.groupBy("cents").agg(F.count("*").cast("long").alias("k"))
+    grid = grid.select(
+        "cents",
+        "k",
+        (F.col("cents") * F.col("k")).cast("long").alias("sub"),
+        (-F.col("cents")).alias("neg"),
     )
-    tot_w = Window.partitionBy()
-    ranked = rev.select(
-        "l_partkey", "cents",
-        F.sum("cents").over(wcum).cast("long").alias("cum_cents"),
-        F.sum("cents").over(tot_w).cast("long").alias("tot"),
+    lvl = grid_cumsum(grid, ["sub"], order_col="neg").select(
+        "cents",
+        (F.col("cum_sub") - F.col("sub")).cast("long").alias("cum_before"),
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("tot"))
+    w_tie = Window.partitionBy("cents").orderBy("l_partkey")
+    ranked = (
+        rev.join(lvl, "cents")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "cents",
+            (
+                F.col("cum_before")
+                + F.row_number().over(w_tie).cast("long") * F.col("cents")
+            ).cast("long").alias("cum_cents"),
+            "tot",
+        )
     )
     abc = (
         F.when(F.col("cum_cents") <= (F.lit(0.8) * F.col("tot")).cast("long"), "A")

@@ -95,63 +95,12 @@ _loaded = False
 # (d) the TPC-H deep shapes and remaining never-checked
 # rolling/reshape/stats/sampling queries.
 _FRONT = (
-    # (a) the one red r4 row — arrays now CSV-serialized for the driver's
-    # pandas canonicalizer; re-check first so the fix lands a green row.
-    "collect_sorted_lists",
-    # (b) the 17 queries no driver round has ever sampled (r4's window
-    # stopped at ml_forecast_intervals; all 17 pass the in-repo parity
-    # harness — VERDICT r4 item 3 asks for driver rows).
-    "dedup_containment_pairs",
-    "events_inter_arrival_stats",
-    "text_keywords_topk",
-    "funnel_conversion_lag",
-    "ml_point_in_time_features",
-    "events_markov_stationary",
-    "corpus_bigram_pmi",
-    "dq_schema_profile",
-    "orders_basket_lift",
-    "events_calendar_heatmap",
-    "ts_week_over_week",
-    "text_readability_scores",
-    "ts_quantiles_approx",
-    "sample_stratified",
-    "ml_linear_forecast_eval",
-    "ml_per_key_forecast_eval",
-    "ml_gbt_forecast_eval",
-    # (c) r5 new surface (names appended as built — unknown names in this
-    # tuple are skipped harmlessly until their module registers them).
-    "stats_spearman_corr",
-    "corpus_boilerplate_ngrams",
-    "ml_logistic_newton",
-    "stats_bootstrap_ci",
-    "events_value_quantiles_grid",
-    "ml_calibration_bins",
-    "ts_ewma_irregular",
-    "corpus_zipf_slope",
-    "corpus_temperature_mixture",
-    "graph_kcore_peel",
-    "stats_welch_ttest",
-    "text_ngram_novelty",
-    "udf_arrow_batch_map",
-    "ts_hampel_filter",
-    "stats_mutual_info",
-    "orders_rfm_segments",
-    "events_poisson_burst",
-    "ts_bollinger_bands",
-    "ts_rsi",
-    "ts_macd",
-    "dedup_jaccard_prefix_filter",
-    "stats_psi_drift",
-    "events_kaplan_meier",
-    "orders_revenue_concentration",
-    "dq_referential_integrity",
-    "corpus_classifier_filter",
-    "corpus_span_corruption",
-    "embedding_knn_probe",
-    "stats_js_divergence",
-    "stats_kendall_tau",
-    "graph_adamic_adar",
-    "graph_bfs_hops",
+    # (a) ROUND 7: the 39 oracle-bearing queries no driver round (r1–r6)
+    # has ever sampled — all late-r5 waves, all green in the in-repo
+    # value-exact parity harness.  The driver's ~50-query window walks the
+    # registry in order, so these must occupy the head; the 51 r5 names
+    # that used to lead this tuple earned green rows in r5/r6 and move
+    # behind them (their green rows are already on record).
     "embedding_hubness",
     "corpus_domain_cap",
     "ml_naive_bayes_text",
@@ -191,6 +140,59 @@ _FRONT = (
     "graph_brand_modularity",
     "stats_jarque_bera",
     "ts_pacf",
+    # (b) round-7 additions land here as built (unknown names are skipped
+    # harmlessly until their module registers them).
+    "corpus_df_index_serve",
+    # (c) re-checks filling out the ~50-query window: queries whose
+    # implementation changed this round (grid_cumsum conversions, shared
+    # TF-IDF reuse) so the fix lands a fresh green row.
+    "text_keywords_topk",
+    "funnel_conversion_lag",
+    "stats_mann_whitney",
+    "stats_ks_drift",
+    "events_inter_arrival_stats",
+    "stats_spearman_corr",
+    "corpus_boilerplate_ngrams",
+    "text_ngram_novelty",
+    "dedup_jaccard_prefix_filter",
+    "embedding_knn_probe",
+    "collect_sorted_lists",
+    "ml_point_in_time_features",
+    "corpus_bigram_pmi",
+    "dq_schema_profile",
+    "orders_basket_lift",
+    "events_calendar_heatmap",
+    "ts_week_over_week",
+    "text_readability_scores",
+    "stats_bootstrap_ci",
+    "events_value_quantiles_grid",
+    "ml_calibration_bins",
+    "ts_ewma_irregular",
+    "corpus_zipf_slope",
+    "corpus_temperature_mixture",
+    "graph_kcore_peel",
+    "stats_welch_ttest",
+    "udf_arrow_batch_map",
+    "ts_hampel_filter",
+    "stats_mutual_info",
+    "orders_rfm_segments",
+    "events_poisson_burst",
+    "ts_bollinger_bands",
+    "ts_rsi",
+    "ts_macd",
+    "stats_psi_drift",
+    "events_kaplan_meier",
+    "orders_revenue_concentration",
+    "dq_referential_integrity",
+    "corpus_classifier_filter",
+    "corpus_span_corruption",
+    "stats_js_divergence",
+    "stats_kendall_tau",
+    "graph_adamic_adar",
+    "graph_bfs_hops",
+    "events_markov_stationary",
+    "ml_logistic_newton",
+    "dedup_containment_pairs",
 )
 
 
