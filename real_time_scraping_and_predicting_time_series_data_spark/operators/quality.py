@@ -25,6 +25,7 @@ count-of-counts) shapes with full DuckDB oracles.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import ensure_min_partitions, load_table
@@ -553,6 +554,40 @@ def q_text_normalize_uplift(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def boilerplate_scores(
+    inv: DataFrame, base: DataFrame, df_counts: DataFrame | None = None, threshold: int = 5
+) -> DataFrame:
+    """Shared scoring core of `corpus_boilerplate_ngrams` and the streaming
+    df-index serve (streaming/dfindex_stream.py): given the (doc_id, gram)
+    inverted index and the per-doc (doc_id, n_grams) base relation, flag
+    each document by the fraction of its distinct grams whose corpus-wide
+    document frequency reaches ``threshold``. ``df_counts`` lets the
+    streaming twin inject its incrementally merged (gram, nd) grid instead
+    of recounting the full postings store — counts are mergeable, so the
+    result is bit-identical either way."""
+    if df_counts is None:
+        df_counts = inv.groupBy("gram").agg(F.count("*").alias("nd"))
+    boiler_grams = df_counts.filter(F.col("nd") >= threshold).select("gram")
+    n_boiler = (
+        inv.join(boiler_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_boiler"))
+    )
+    frac = F.coalesce(F.col("n_boiler"), F.lit(0)) / F.greatest(
+        F.col("n_grams"), F.lit(1)
+    )
+    return (
+        base.join(n_boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+            F.round(frac, 6).alias("boiler_frac"),
+            (frac >= 0.5).alias("flagged"),
+        )
+    )
+
+
 @register(
     "corpus_boilerplate_ngrams",
     oracle=r"""
@@ -613,27 +648,70 @@ def q_corpus_boilerplate_ngrams(spark, sf_dir):
     inv = sh.select("doc_id", F.explode("grams").alias("_g")).select(
         "doc_id", F.xxhash64("_g").alias("gram")
     )
-    df_counts = inv.groupBy("gram").agg(F.count("*").alias("nd"))
-    boiler_grams = df_counts.filter(F.col("nd") >= 5).select("gram")
-    n_boiler = (
-        inv.join(boiler_grams, "gram", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_boiler"))
-    )
     base = sh.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
-    frac = F.coalesce(F.col("n_boiler"), F.lit(0)) / F.greatest(
-        F.col("n_grams"), F.lit(1)
+    return boilerplate_scores(inv, base)
+
+
+@register(
+    "corpus_df_index_serve",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                              || w[i+3] || ' ' || w[i+4]
+                              FOR i IN range(1, len(w) - 3)]) AS grams
+        FROM toks
+    ), inv AS (
+        SELECT doc_id, unnest(grams) AS gram FROM sh
+    ), df AS (
+        SELECT gram, count(*) AS nd FROM inv GROUP BY gram
+    ), boiler AS (
+        SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+        FROM inv i JOIN df ON df.gram = i.gram
+        WHERE df.nd >= 5 GROUP BY i.doc_id
+    ), base AS (
+        SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM sh
     )
-    return (
-        base.join(n_boiler, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
-            F.round(frac, 6).alias("boiler_frac"),
-            (frac >= 0.5).alias("flagged"),
+    SELECT b.doc_id, b.n_grams,
+           coalesce(n.n_boiler, 0) AS n_boiler,
+           round(coalesce(n.n_boiler, 0) / greatest(b.n_grams, 1), 6)
+               AS boiler_frac,
+           coalesce(n.n_boiler, 0) / greatest(b.n_grams, 1) >= 0.5 AS flagged
+    FROM base b LEFT JOIN boiler n USING (doc_id)
+    """,
+    tags=("corpus", "quality", "boilerplate", "streaming", "incremental"),
+)
+def q_corpus_df_index_serve(spark, sf_dir):
+    """INCREMENTAL twin of `corpus_boilerplate_ngrams`, exercised as a
+    batch-callable query: the documents table is ingested in three
+    deterministic micro-batches (split on pmod(xxhash64(doc_id), 3))
+    through `NgramDfStreamIndex` — per-batch (gram, nd) df grids +
+    postings published under batch_id directories — and the SERVED
+    boilerplate share is returned. The oracle is the plain one-batch SQL:
+    passing value-hash-exact proves the merge-of-grids serve is
+    bit-identical to batch, including the retroactive re-flagging of
+    early documents whose grams crossed the df threshold only in a later
+    batch. The store lives in a process-scoped temp dir reclaimed at
+    interpreter exit — Spark 4's lazy analyzer re-resolves file sources on
+    later actions, so the store must outlive the returned DataFrame (an
+    eager checkpoint + delete logged FileNotFound on re-analysis)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.dfindex_stream import NgramDfStreamIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="dfindex_serve_")
+    atexit.register(shutil.rmtree, store, ignore_errors=True)
+    idx = NgramDfStreamIndex(spark, store)
+    for bid in range(3):
+        idx.ingest_batch(
+            docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == bid), bid
         )
-    )
+    return idx.serve_boilerplate()
 
 
 # ---------------------------------------------------------------------------
