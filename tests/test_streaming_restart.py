@@ -159,3 +159,94 @@ def test_kalman_state_survives_restart(spark, tmp_path):
     }
     assert len(got) == len(want) == 12
     assert got == want
+
+
+def test_quantile_store_survives_restart(spark, tmp_path):
+    """Grid-store monitors recover through the CHECKPOINT, not their own
+    state: a restarted attach from the same checkpoint must ingest only
+    the new file (batch_id advances past the recovered offset, no re-count
+    of already-published grids) and then serve the exact full-batch
+    quantiles."""
+    from pyspark.sql import functions as F
+
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_events_value_quantiles_grid,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.quantile_stream import (
+        QuantileStreamAccumulator,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    acc = QuantileStreamAccumulator(spark, str(tmp_path / "store"))
+
+    def attach_once():
+        q = acc.attach(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    attach_once()
+    half = sorted(tuple(r) for r in acc.serve_quantiles().collect())
+
+    # restart: new query object, same checkpoint, one new file
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    attach_once()
+
+    want = sorted(tuple(r) for r in q_events_value_quantiles_grid(spark, sf).collect())
+    got = sorted(tuple(r) for r in acc.serve_quantiles().collect())
+    assert got == want
+    assert got != half  # the second run really ingested the new file
+
+
+def test_seasonality_store_survives_restart(spark, tmp_path):
+    """Same restart contract for the per-day seasonality store: the
+    recovered offset skips the already-ingested file and the served
+    spectrum equals the one-batch periodogram."""
+    from pyspark.sql import functions as F
+
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries import (
+        q_ts_periodogram,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.seasonality_stream import (
+        SeasonalityStreamMonitor,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    mon = SeasonalityStreamMonitor(spark, str(tmp_path / "store"))
+
+    def attach_once():
+        q = mon.attach(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    attach_once()
+    n_batches_first = len(
+        [d for d in __import__("os").listdir(str(tmp_path / "store")) if d.startswith("batch_id=")]
+    )
+
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    attach_once()
+    n_batches_second = len(
+        [d for d in __import__("os").listdir(str(tmp_path / "store")) if d.startswith("batch_id=")]
+    )
+    # exactly one new batch directory: the restart did not re-ingest file 1
+    assert n_batches_second == n_batches_first + 1
+
+    want = sorted(tuple(r) for r in q_ts_periodogram(spark, sf).collect())
+    got = sorted(tuple(r) for r in mon.serve_periodogram().collect())
+    assert got == want
