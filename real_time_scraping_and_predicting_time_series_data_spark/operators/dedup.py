@@ -1059,14 +1059,16 @@ def q_jaccard_prefix_filter(spark, sf_dir):
     prefixes hold the RAREST tokens, the df^2 skew term collapses —
     complementary to MinHash-LSH (probabilistic, any tau) and to the
     blocked exact join (`dedup_jaccard_pairs`, low tau)."""
-    tau = 0.5
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", shingles(F.col("text"), 3).alias("grams")
-    ).localCheckpoint(eager=False)
-    # Postings carry only the 8-byte xxhash64 of the gram (the
-    # _jaccard_core convention) — the global order is (df, h), a total
-    # order up to 2^-64 hash ties, and gram strings never enter a shuffle.
+    return jaccard_prefix_filter_pairs(docs, tau=0.5, n=3)
+
+
+def prefix_filter_candidates(sh: DataFrame, tau: float) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from prefix-token collisions over a
+    (doc_id, grams) relation — the PPJoin generation stage, exposed so the
+    skew-stress suite can assert candidate volume directly (a corpus-wide
+    hot shingle must NOT quadratically blow up candidates: its df ranks it
+    LAST in the rarest-first order, outside every prefix)."""
     inv = sh.select(
         "doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("_g")
     ).select("doc_id", "sz", F.xxhash64("_g").alias("h"))
@@ -1076,15 +1078,28 @@ def q_jaccard_prefix_filter(spark, sf_dir):
     pref = ranked.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1
     ).select("doc_id", "h")
-    cands = (
+    return (
         pref.alias("a")
         .join(pref.alias("b"), "h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+
+
+def jaccard_prefix_filter_pairs(
+    docs: DataFrame, tau: float = 0.5, n: int = 3
+) -> DataFrame:
+    """Exact Jaccard >= tau pairs of ``docs`` (doc_id, text) via prefix
+    filtering — see `q_jaccard_prefix_filter` for the lemma and scale
+    argument."""
+    sh = docs.select(
+        "doc_id", shingles(F.col("text"), n).alias("grams")
+    ).localCheckpoint(eager=False)
+    # Postings carry only the 8-byte xxhash64 of the gram (the
+    # _jaccard_core convention) — the global order is (df, h), a total
+    # order up to 2^-64 hash ties, and gram strings never enter a shuffle.
+    cands = prefix_filter_candidates(sh, tau)
     ga = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
     verified = (

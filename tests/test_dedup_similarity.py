@@ -320,3 +320,53 @@ def test_containment_detects_subset_duplicate(spark):
     assert got == {(1, 2): 1.0}
     jac = jaccard_pairs(docs, block="source", n=3, threshold=0.0).collect()
     assert all(r.jaccard < 0.1 for r in jac)
+
+
+def test_prefix_filter_hot_shingle_skew_stress(spark):
+    """Skew stress for the PPJoin path: a boilerplate shingle present in
+    EVERY document must not explode candidate volume — its corpus-wide df
+    ranks it LAST in the rarest-first prefix order, so it never enters a
+    prefix and the hot-token df² term collapses. Candidates stay exactly
+    the planted near-dup pairs; the join remains lossless vs brute force."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_prefix_filter_pairs,
+        prefix_filter_candidates,
+        shingles,
+    )
+
+    # 120 docs all sharing the same leading boilerplate (every 3-gram of
+    # which is corpus-hot), each followed by enough unique filler that the
+    # rarest-first prefix (floor(sz/2)+1 grams at tau=0.5) is covered by
+    # rare grams alone — the prefix lemma then guarantees the hot grams
+    # stay OUT of every prefix. 3 planted near-dup pairs share their
+    # filler too (J = 13/15), so they still collide in-prefix.
+    boiler = "terms of service apply to all users"
+    uniq = lambda i: " ".join(f"unique{i}{c}" for c in "abcdefgh")  # noqa: E731
+    rows = [(i, f"{boiler} {uniq(i)}") for i in range(120)]
+    for j, base in enumerate((200, 210, 220)):
+        filler = " ".join(f"shared{j}{c}" for c in "abcdefgh")
+        rows.append((base, f"{boiler} {filler} x{j}"))
+        rows.append((base + 1, f"{boiler} {filler} y{j}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("grams"))
+    n_cands = prefix_filter_candidates(sh, tau=0.5).count()
+    n_docs = docs.count()
+    all_pairs = n_docs * (n_docs - 1) // 2  # 7875
+    # the hot boilerplate grams would have produced ~all_pairs candidates;
+    # prefix filtering must keep candidates within a few dozen
+    assert n_cands < 50, (n_cands, all_pairs)
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in jaccard_prefix_filter_pairs(docs, tau=0.5, n=3).collect()
+    }
+    want = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in jaccard_pairs(
+            docs, block=None, n=3, threshold=0.5
+        ).collect()
+    }
+    assert want, "planted near-dups must be above threshold"
+    assert got == want  # lossless under skew

@@ -400,6 +400,50 @@ def test_no_complex_typed_outputs_on_oracle_queries(spark):
         assert not bad, (name, bad)
 
 
+def test_no_unbounded_global_windows_anywhere(spark):
+    """VERDICT r5 items 3-4 sweep: across EVERY oracle-bearing query, an
+    unpartitioned window (single-partition global sort at scale) is only
+    acceptable over a relation bounded by construction. Enumerated and
+    pinned: `_blk` is `grid_cumsum`'s nbuckets-row bucket-total offset
+    relation; calendar columns (day/month/t) ride grids bounded by the
+    calendar, not the data; the rest are post-limit top-k reranks or
+    degree/threshold-bounded grids. A NEW query whose plan orders an
+    unbounded relation globally must either convert to `grid_cumsum` or
+    argue its bound here."""
+    import re
+
+    allowed = {
+        # top-k / post-limit reranks (WindowGroupLimit or limit-bounded)
+        "corpus_deterministic_shuffle": {"shuffle_key"},
+        "corpus_vocabulary": {"freq"},
+        "corpus_zipf_slope": {"freq"},
+        "events_top_paths": {"n"},
+        "flagship_top_movers": {"max_abs_variation"},
+        "stats_hill_tail_index": {"x"},  # TakeOrdered-101 tail
+        # calendar-bounded day/month grids
+        "events_kaplan_meier": {"t"},
+        "monthly_revenue_trend": {"month"},
+        "orders_open_backlog": {"day"},
+        "stats_jarque_bera": {"day"},
+        "stats_runs_test": {"day", "m"},
+        "ts_hurst_rs": {"day"},
+        "ts_periodogram": {"day"},
+        "ts_var_es": {"day", "r"},  # r = daily-return grid (calendar-bounded)
+    }
+    pat = re.compile(r"windowspecdefinition\(\s*([A-Za-z0-9_]+)#\d+L?\s+(?:ASC|DESC)")
+    offenders = []
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue
+        plan = q.fn(spark, SF_SMOKE)._jdf.queryExecution().optimizedPlan().toString()
+        for col in pat.findall(plan):
+            if col == "_blk":  # grid_cumsum internal (nbuckets rows)
+                continue
+            if col not in allowed.get(name, ()):
+                offenders.append((name, col))
+    assert not offenders, offenders
+
+
 def test_brute_force_topk_is_gemm_not_nested_loop(spark):
     """The exact-kNN path scores via Arrow-batched GEMM (mapInPandas), not
     a broadcast nested-loop cross join of corpus x queries: the physical
