@@ -250,3 +250,42 @@ def test_seasonality_store_survives_restart(spark, tmp_path):
     want = sorted(tuple(r) for r in q_ts_periodogram(spark, sf).collect())
     got = sorted(tuple(r) for r in mon.serve_periodogram().collect())
     assert got == want
+
+
+def test_drift_store_survives_restart(spark, tmp_path):
+    """Restart contract for the KS/MW/PSI/JSD drift store, completing the
+    pattern across all four grid stores (drift, quantile, seasonality,
+    df-index): recovered offsets skip ingested files; serve stays
+    batch-exact."""
+    from pyspark.sql import functions as F
+
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_stats_ks_drift,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.drift_stream import (
+        DriftStreamMonitor,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    mon = DriftStreamMonitor(spark, str(tmp_path / "store"))
+
+    def attach_once():
+        q = mon.attach(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    attach_once()
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    attach_once()
+
+    want = q_stats_ks_drift(spark, sf).collect()[0].asDict()
+    got = mon.serve_ks().collect()[0].asDict()
+    assert got == want
