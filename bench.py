@@ -201,6 +201,12 @@ HEADLINE = [
     "graph_brand_modularity",
     "stats_jarque_bera",
     "ts_pacf",
+    # r7 additions: stationarity/regime diagnostics + the incremental
+    # df-index serve demo.
+    "ts_spectral_entropy",
+    "ts_permutation_entropy",
+    "ts_adf_unit_root",
+    "ts_turning_points",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -1543,6 +1543,328 @@ def var_es_from_daily(daily):
 
 
 @register(
+    "ts_spectral_entropy",
+    oracle="""
+    WITH vi AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), daily AS (
+        SELECT day,
+               CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / (100.0 * count(*)) AS m
+        FROM vi GROUP BY day
+    ), idx AS (
+        SELECT m, row_number() OVER (ORDER BY day) - 1 AS t,
+               CAST(count(*) OVER () AS BIGINT) AS n,
+               avg(m) OVER () AS mu
+        FROM daily
+    ), per AS (SELECT unnest(range(2, 15)) AS p),
+    terms AS (
+        SELECT p.p, i.n,
+               (i.m - i.mu) * cos(2 * pi() * i.t / p.p) AS c,
+               (i.m - i.mu) * sin(2 * pi() * i.t / p.p) AS s
+        FROM idx i CROSS JOIN per p
+    ), pw AS (
+        SELECT p, n,
+               floor((sum(c) * sum(c) + sum(s) * sum(s)) * (2.0 / n)
+                     * 1000000 + 0.5) / 1000000 AS power
+        FROM terms GROUP BY p, n
+    ), tot AS (SELECT sum(power) AS tp FROM pw)
+    SELECT max(pw.n) AS n_days,
+           round(max(t.tp), 6) AS total_power,
+           floor(-sum(CASE WHEN pw.power > 0 AND t.tp > 0
+                           THEN (pw.power / t.tp) * ln(pw.power / t.tp)
+                           ELSE 0 END) * 1000000 + 0.5) / 1000000
+               AS spectral_entropy,
+           floor(-sum(CASE WHEN pw.power > 0 AND t.tp > 0
+                           THEN (pw.power / t.tp) * ln(pw.power / t.tp)
+                           ELSE 0 END) / ln(13) * 1000000 + 0.5) / 1000000
+               AS normalized_entropy
+    FROM pw CROSS JOIN tot t
+    """,
+    tags=("timeseries", "seasonality", "spectral", "entropy"),
+)
+def q_ts_spectral_entropy(spark, sf_dir):
+    """Spectral (Shannon) entropy of the purchase daily-mean periodogram
+    over candidate periods 2..14 — the one-number "how concentrated is the
+    seasonality" summary: entropy near 0 means one dominant cycle (use
+    `ts_holt_winters` with that season), entropy near ln(13) means a flat
+    spectrum (don't bother with a seasonal model). Rides the SAME
+    `periodogram_from_daily` core as `ts_periodogram` — and therefore the
+    same mergeable per-day grid the streaming seasonality monitor
+    maintains, so `serve_spectral_entropy` is bit-identical to this batch
+    query. Entropy terms are pure functions of the 13 canonicalized
+    powers; the 13-term sum is 1e-6-floor-canonicalized."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    vi = ev.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("day").agg(
+        (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
+    )
+    return spectral_entropy_from_daily(daily)
+
+
+def spectral_entropy_from_daily(daily):
+    """Spectral entropy from a (day, m) daily-mean grid — shared by
+    `ts_spectral_entropy` and the streaming seasonality monitor's
+    `serve_spectral_entropy` (the periodogram's mergeability carries over:
+    entropy is a pure function of the served powers)."""
+    import math  # noqa: PLC0415
+
+    pw = periodogram_from_daily(daily)
+    tot = pw.agg(F.sum("power").alias("tp"))
+    frac = F.col("power") / F.col("tp")
+    term = F.when(
+        (F.col("power") > 0) & (F.col("tp") > 0), frac * F.log(frac)
+    ).otherwise(F.lit(0.0))
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.round(F.max("tp"), 6).alias("total_power"),
+            canon(-F.sum(term)).alias("spectral_entropy"),
+            canon(-F.sum(term) / F.lit(math.log(13))).alias("normalized_entropy"),
+        )
+    )
+
+
+@register(
+    "ts_permutation_entropy",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, value AS x1,
+               lead(value, 1) OVER w AS x2,
+               lead(value, 2) OVER w AS x3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), pat AS (
+        SELECT user_id,
+               (1 + CASE WHEN x2 < x1 THEN 1 ELSE 0 END
+                  + CASE WHEN x3 < x1 THEN 1 ELSE 0 END) * 100
+             + (1 + CASE WHEN x1 <= x2 THEN 1 ELSE 0 END
+                  + CASE WHEN x3 < x2 THEN 1 ELSE 0 END) * 10
+             + (1 + CASE WHEN x1 <= x3 THEN 1 ELSE 0 END
+                  + CASE WHEN x2 <= x3 THEN 1 ELSE 0 END) AS pattern
+        FROM t WHERE x3 IS NOT NULL
+    ), counts AS (
+        SELECT user_id, pattern, CAST(count(*) AS BIGINT) AS c
+        FROM pat GROUP BY user_id, pattern
+    ), tot AS (
+        SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY user_id
+    ), per_user AS (
+        SELECT c.user_id, max(t.n) AS n,
+               -sum((c.c / CAST(t.n AS DOUBLE))
+                    * ln(c.c / CAST(t.n AS DOUBLE))) AS h
+        FROM counts c JOIN tot t USING (user_id) GROUP BY c.user_id
+    )
+    SELECT user_id, n AS n_triples,
+           floor(h * 1000000 + 0.5) / 1000000 AS perm_entropy,
+           floor(h / ln(6) * 1000000 + 0.5) / 1000000 AS normalized_entropy
+    FROM per_user WHERE n >= 10
+    """,
+    tags=("timeseries", "entropy", "complexity", "diagnostic"),
+)
+def q_ts_permutation_entropy(spark, sf_dir):
+    """Per-key order-3 permutation entropy (Bandt-Pompe) of the tick
+    series: every consecutive value triple maps to one of 6 ordinal
+    patterns (ties broken by position, so both engines classify equal
+    doubles identically), and the Shannon entropy of the pattern
+    histogram measures series complexity — near ln(6) = indistinguishable
+    from noise (don't fit an AR model), low = strong ordinal structure.
+    The standard cheap complexity gate beside `ts_hurst_rs` (long-memory)
+    and `stats_runs_test` (sign randomness).
+
+    Scale shape: one per-key window pass builds the triples (two leads),
+    one grouped count per (key, pattern) — at most 6 rows per key — and
+    one per-key aggregate folds the entropy; no global relation anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        F.col("value").alias("x1"),
+        F.lead("value", 1).over(w).alias("x2"),
+        F.lead("value", 2).over(w).alias("x3"),
+    ).filter(F.col("x3").isNotNull())
+    b = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    pattern = (
+        (F.lit(1) + b(F.col("x2") < F.col("x1")) + b(F.col("x3") < F.col("x1"))) * 100
+        + (F.lit(1) + b(F.col("x1") <= F.col("x2")) + b(F.col("x3") < F.col("x2"))) * 10
+        + (F.lit(1) + b(F.col("x1") <= F.col("x3")) + b(F.col("x2") <= F.col("x3")))
+    )
+    counts = t.select("user_id", pattern.alias("pattern")).groupBy(
+        "user_id", "pattern"
+    ).agg(F.count("*").cast("long").alias("c"))
+    w_u = Window.partitionBy("user_id")
+    frac = F.col("c") / F.sum("c").over(w_u).cast("double")
+    per_user = counts.select(
+        "user_id", "c", (frac * F.log(frac)).alias("term")
+    ).groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"), (-F.sum("term")).alias("h")
+    )
+    import math  # noqa: PLC0415
+
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return per_user.filter(F.col("n") >= 10).select(
+        "user_id",
+        F.col("n").alias("n_triples"),
+        canon(F.col("h")).alias("perm_entropy"),
+        canon(F.col("h") / F.lit(math.log(6))).alias("normalized_entropy"),
+    )
+
+
+@register(
+    "ts_adf_unit_root",
+    oracle="""
+    WITH vi AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), daily AS (
+        SELECT day,
+               CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / (100.0 * count(*)) AS m
+        FROM vi GROUP BY day
+    ), d AS (
+        SELECT m - lag(m) OVER (ORDER BY day) AS y,
+               lag(m) OVER (ORDER BY day) AS x
+        FROM daily
+    ), a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               regr_slope(y, x) AS beta,
+               regr_r2(y, x) AS r2,
+               var_samp(y) AS vy, var_samp(x) AS vx
+        FROM d WHERE x IS NOT NULL
+    )
+    SELECT n AS n_obs, round(beta, 9) AS beta,
+           floor(beta / sqrt((1 - r2) * vy / ((n - 2) * vx))
+                 * 1000000 + 0.5) / 1000000 AS t_stat,
+           beta / sqrt((1 - r2) * vy / ((n - 2) * vx)) < -2.86 AS stationary
+    FROM a
+    """,
+    tags=("timeseries", "stationarity", "unit-root", "diagnostic"),
+)
+def q_ts_adf_unit_root(spark, sf_dir):
+    """Dickey-Fuller unit-root test (constant, no lag augmentation) on the
+    purchase daily-mean series: regress delta_m on m_{t-1}; beta near 0
+    (t above -2.86, the 5% critical value with constant) means a unit
+    root — difference the series before fitting the AR forecaster
+    (`ml_linear_ar`), the standard pre-modeling stationarity gate beside
+    `ts_acf`/`ts_hurst_rs`. Closed form off regr_slope/regr_r2/var_samp
+    on the bounded daily grid: se(beta)^2 = (1-r^2)*Syy/((n-2)*Sxx) with
+    the (n-1) factors cancelling — one aggregate, zero extra shuffles,
+    the identical IEEE expression on both engines (canon 1e-6)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    vi = ev.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("day").agg(
+        (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
+    )
+    w_day = Window.orderBy("day")
+    d = daily.select(
+        (F.col("m") - F.lag("m").over(w_day)).alias("y"),
+        F.lag("m").over(w_day).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    a = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.regr_slope("y", "x").alias("beta"),
+        F.regr_r2("y", "x").alias("r2"),
+        F.var_samp("y").alias("vy"),
+        F.var_samp("x").alias("vx"),
+    )
+    se = F.sqrt(
+        (1 - F.col("r2")) * F.col("vy") / ((F.col("n") - 2) * F.col("vx"))
+    )
+    t = F.col("beta") / se
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return a.select(
+        F.col("n").alias("n_obs"),
+        F.round("beta", 9).alias("beta"),
+        canon(t).alias("t_stat"),
+        (t < -2.86).alias("stationary"),
+    )
+
+
+@register(
+    "ts_turning_points",
+    oracle="""
+    WITH vi AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), daily AS (
+        SELECT day,
+               CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / (100.0 * count(*)) AS m
+        FROM vi GROUP BY day
+    ), tri AS (
+        SELECT lag(m) OVER (ORDER BY day) AS p, m,
+               lead(m) OVER (ORDER BY day) AS nx,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ), tp AS (
+        SELECT n, CAST(count(*) FILTER (
+                   WHERE (m > p AND m > nx) OR (m < p AND m < nx))
+               AS BIGINT) AS t
+        FROM tri WHERE p IS NOT NULL AND nx IS NOT NULL
+        GROUP BY n
+    )
+    SELECT n AS n_days, t AS turning_points,
+           round(2.0 * (n - 2) / 3, 6) AS expected,
+           floor((t - 2.0 * (n - 2) / 3) / sqrt((16.0 * n - 29) / 90)
+                 * 1000000 + 0.5) / 1000000 AS z_score,
+           abs((t - 2.0 * (n - 2) / 3) / sqrt((16.0 * n - 29) / 90)) < 1.96
+               AS consistent_with_random
+    FROM tp
+    """,
+    tags=("timeseries", "randomness", "diagnostic"),
+)
+def q_ts_turning_points(spark, sf_dir):
+    """Turning-points randomness test on the purchase daily-mean series:
+    count strict local extrema among interior days; under iid the count
+    is ~N(2(n-2)/3, (16n-29)/90), so the z-score flags serial structure
+    the runs test (signs) can miss — and vice versa; the two cover each
+    other in the residual-diagnostics panel. Strict inequalities mean
+    ties (equal doubles — both engines derive them from identical cents)
+    are never extrema. One pass over the bounded daily grid."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    vi = ev.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    daily = vi.groupBy("day").agg(
+        (F.sum("v").cast("long").cast("double") / (F.lit(100.0) * F.count("*"))).alias("m")
+    )
+    w_day = Window.orderBy("day")
+    tri = daily.select(
+        F.lag("m").over(w_day).alias("p"),
+        "m",
+        F.lead("m").over(w_day).alias("nx"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+    ).filter(F.col("p").isNotNull() & F.col("nx").isNotNull())
+    is_tp = ((F.col("m") > F.col("p")) & (F.col("m") > F.col("nx"))) | (
+        (F.col("m") < F.col("p")) & (F.col("m") < F.col("nx"))
+    )
+    tp = tri.groupBy("n").agg(
+        F.sum(F.when(is_tp, 1).otherwise(0)).cast("long").alias("t")
+    )
+    n, t = F.col("n"), F.col("t")
+    exp = F.lit(2.0) * (n - 2) / 3
+    z = (t - exp) / F.sqrt((F.lit(16.0) * n - 29) / 90)
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return tp.select(
+        n.alias("n_days"),
+        t.alias("turning_points"),
+        F.round(exp, 6).alias("expected"),
+        canon(z).alias("z_score"),
+        (F.abs(z) < 1.96).alias("consistent_with_random"),
+    )
+
+
+@register(
     "ts_forecast_reconciliation",
     oracle="""
     WITH vi AS (

@@ -143,6 +143,10 @@ _FRONT = (
     # (b) round-7 additions land here as built (unknown names are skipped
     # harmlessly until their module registers them).
     "corpus_df_index_serve",
+    "ts_spectral_entropy",
+    "ts_permutation_entropy",
+    "ts_adf_unit_root",
+    "ts_turning_points",
     # (c) re-checks filling out the ~50-query window: queries whose
     # implementation changed this round (grid_cumsum conversions, shared
     # TF-IDF reuse) so the fix lands a fresh green row.

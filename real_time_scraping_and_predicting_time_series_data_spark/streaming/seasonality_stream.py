@@ -27,7 +27,11 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.timeseries import periodogram_from_daily, var_es_from_daily
+from ..operators.timeseries import (
+    periodogram_from_daily,
+    spectral_entropy_from_daily,
+    var_es_from_daily,
+)
 
 __all__ = ["SeasonalityStreamMonitor"]
 
@@ -115,3 +119,10 @@ class SeasonalityStreamMonitor:
         mergeable per-day store; returns re-derive from merged daily
         means, so mergeability carries over)."""
         return var_es_from_daily(self.serve_daily())
+
+    def serve_spectral_entropy(self) -> DataFrame:
+        """Exact spectral entropy over all data seen — bit-identical to
+        `ts_spectral_entropy` run as one batch (third statistic off the
+        same per-day store: entropy is a pure function of the served
+        periodogram powers)."""
+        return spectral_entropy_from_daily(self.serve_daily())

@@ -429,6 +429,9 @@ def test_no_unbounded_global_windows_anywhere(spark):
         "ts_hurst_rs": {"day"},
         "ts_periodogram": {"day"},
         "ts_var_es": {"day", "r"},  # r = daily-return grid (calendar-bounded)
+        "ts_spectral_entropy": {"day"},
+        "ts_adf_unit_root": {"day"},
+        "ts_turning_points": {"day"},
     }
     pat = re.compile(r"windowspecdefinition\(\s*([A-Za-z0-9_]+)#\d+L?\s+(?:ASC|DESC)")
     offenders = []

@@ -341,3 +341,25 @@ def test_seasonality_stream_serves_var_es(spark, tmp_path):
     want = q_ts_var_es(spark, sf).collect()[0].asDict()
     got = mon.serve_var_es().collect()[0].asDict()
     assert got == want
+
+
+def test_seasonality_stream_serves_spectral_entropy(spark, tmp_path):
+    """Third statistic off the per-day store: served spectral entropy is
+    bit-identical to ts_spectral_entropy over the same ticks."""
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries import (
+        q_ts_spectral_entropy,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.seasonality_stream import (
+        SeasonalityStreamMonitor,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    mon = SeasonalityStreamMonitor(spark, str(tmp_path / "se_store"))
+    mon.ingest_batch(ev.filter(F.col("event_id") % 2 == 0), batch_id=0)
+    mon.ingest_batch(ev.filter(F.col("event_id") % 2 == 1), batch_id=1)
+    want = q_ts_spectral_entropy(spark, sf).collect()[0].asDict()
+    got = mon.serve_spectral_entropy().collect()[0].asDict()
+    assert got == want
+    assert 0.0 <= got["normalized_entropy"] <= 1.0
