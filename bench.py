@@ -231,7 +231,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name in names:
+    for qi, name in enumerate(names):
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
@@ -252,6 +252,16 @@ def main() -> int:
                 rdd.unpersist()
         except Exception:
             pass
+        # Spark's ContextCleaner reclaims accumulated broadcasts/shuffle
+        # files only after JVM GC notices the weak refs; across a 160+
+        # query session that lag inflated mid-run queries ~2x (r7:
+        # dedup_embedding_cosine 11.6 s in-bench vs 5.9 s isolated, back
+        # to 6.3 s with this). Nudge the collector every 10 queries.
+        if (qi + 1) % 10 == 0:
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
 
     total = round(sum(timings.values()), 3)
     # Per-sample detail goes to a local file, NOT stdout: round 4's stdout
