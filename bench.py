@@ -207,6 +207,7 @@ HEADLINE = [
     "ts_permutation_entropy",
     "ts_adf_unit_root",
     "ts_turning_points",
+    "dedup_semantic_clusters",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

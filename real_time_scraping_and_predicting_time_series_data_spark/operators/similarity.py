@@ -529,6 +529,72 @@ def ivf_topk_seeded(
     return _ivf_probe_rank(c, q, cents, k=k, nprobe=nprobe, query_id=query_id)
 
 
+@register(
+    "dedup_semantic_clusters",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+          FROM e),
+    cents AS (SELECT CAST(vec_id AS INT) AS cell, nv AS c_nvec
+              FROM n WHERE vec_id < 16),
+    assign AS (
+        SELECT vec_id, nv, cell FROM (
+            SELECT n.vec_id, n.nv, c.cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round(-list_dot_product(n.nv, c.c_nvec), 9), c.cell
+                   ) AS rn
+            FROM n CROSS JOIN cents c)
+        WHERE rn = 1
+    )
+    SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.nv, b.nv), 6) AS cos
+    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.nv, b.nv), 9) >= 0.3
+    """,
+    tags=("dedup", "semantic", "embedding", "cluster", "scale-path"),
+)
+def q_dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup-style cluster-pruned semantic near-dup pairs (Abbas et al.
+    2023, public): assign every embedding to its nearest of 16
+    deterministic seed centroids (the seeded-IVF convention — cell j =
+    unit vector of corpus id j, so the whole pipeline carries a bit-exact
+    oracle), then search for cosine >= tau pairs ONLY within each
+    cluster. The pairwise term collapses from |corpus|^2 to
+    sum(|cluster|^2) — at sf0.01 that is 7,781 scored pairs vs 124,750
+    all-pairs (16x), and at 100 TB it is the difference between
+    impossible and routine, the entire point of semantic dedup by
+    clustering. tau=0.3 is calibrated to the synthetic embeddings (max
+    observed intra-cluster cosine 0.49; real text embeddings would use
+    ~0.95). Assignment is the zero-shuffle broadcast-centroid projection
+    (`ivf_assign`); the self-join shuffles on `cell` only.
+
+    Complementary to `dedup_embedding_cosine` (SRP banding: probabilistic
+    recall, any pair) — clustering gives deterministic within-cluster
+    exactness and is the shape used for corpus-level semantic pruning
+    rather than pair discovery."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    c = c.withColumn("_n", norm(F.col("v"))).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("_n")).alias("v")
+    )
+    cents = c.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("c_nvec")
+    )
+    assigned = ivf_assign(c, cents, "v", ["vec_id"]).localCheckpoint(eager=False)
+    a = assigned.select("cell", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = assigned.select("cell", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = dot(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", cos)
+        .filter(F.round("_cos", 9) >= 0.3)
+        .select("cell", "id_a", "id_b", F.round("_cos", 6).alias("cos"))
+    )
+
+
 @register("sim_ivf_topk", oracle=None, tags=("similarity", "ivf", "ann"))
 def q_sim_ivf(spark, sf_dir):
     """IVF ANN top-5 for the same query set as the brute-force baseline

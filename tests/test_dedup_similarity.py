@@ -370,3 +370,62 @@ def test_prefix_filter_hot_shingle_skew_stress(spark):
     }
     assert want, "planted near-dups must be above threshold"
     assert got == want  # lossless under skew
+
+
+def test_semantic_clusters_catch_planted_dups_within_cluster(spark):
+    """Cluster-pruned semantic dedup: a planted near-duplicate of a
+    centroid-adjacent vector must be caught (same cluster, cosine above
+    tau); two vectors near DIFFERENT centroids must never be paired even
+    if moderately similar — the deliberate recall boundary of cluster
+    pruning."""
+    import math
+
+    from real_time_scraping_and_predicting_time_series_data_spark.functions.vector import (
+        as_double,
+        norm,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    dim = 8
+    e = lambda i: [1.0 if j == i else 0.0 for j in range(dim)]  # noqa: E731
+    rows = [(i, e(i)) for i in range(4)]  # 4 seed centroids (vec_id < 4)
+    # 100: near-dup of axis-0 (cos ~0.995 with centroid 0 axis)
+    rows.append((100, [1.0, 0.1] + [0.0] * (dim - 2)))
+    # 101: second vector in cluster 0, nearly identical to 100
+    rows.append((101, [1.0, 0.11] + [0.0] * (dim - 2)))
+    # 200: belongs to cluster 1, moderately similar to 100/101 but pruned
+    rows.append((200, [0.5, 1.0] + [0.0] * (dim - 2)))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    c = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    c = c.withColumn("_n", norm(F.col("v"))).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("_n")).alias("v")
+    )
+    cents = c.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("c_nvec")
+    )
+    assigned = {r.vec_id: r.cell for r in ivf_assign(c, cents, "v", ["vec_id"]).collect()}
+    assert assigned[100] == 0 and assigned[101] == 0
+    assert assigned[200] == 1
+
+    from real_time_scraping_and_predicting_time_series_data_spark.functions.vector import dot
+
+    a = ivf_assign(c, cents, "v", ["vec_id"])
+    pairs = (
+        a.select("cell", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+        .join(a.select("cell", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.9)
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (100, 101) in got          # planted near-dup caught in-cluster
+    assert all(200 not in p for p in got)  # cross-cluster pair pruned
+    # sanity: 100 vs 200 raw cosine is actually moderately high
+    v100 = [1.0, 0.1] + [0.0] * 6
+    v200 = [0.5, 1.0] + [0.0] * 6
+    num = sum(x * y for x, y in zip(v100, v200))
+    cos = num / (math.sqrt(sum(x * x for x in v100)) * math.sqrt(sum(x * x for x in v200)))
+    assert cos > 0.5
