@@ -208,6 +208,7 @@ HEADLINE = [
     "ts_adf_unit_root",
     "ts_turning_points",
     "dedup_semantic_clusters",
+    "ts_seasonal_strength",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -787,6 +787,77 @@ def q_ts_seasonal_decompose(spark, sf_dir):
 
 
 @register(
+    "ts_seasonal_strength",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, CAST(hour(ts) AS INTEGER) AS season_idx, value,
+               CAST(value AS DECIMAL(18,6)) AS dv
+        FROM events
+    ), m AS (
+        SELECT user_id, value,
+               CAST(sum(dv) OVER (PARTITION BY user_id) AS DOUBLE)
+                   / count(value) OVER (PARTITION BY user_id) AS km,
+               CAST(sum(dv) OVER (PARTITION BY user_id, season_idx) AS DOUBLE)
+                   / count(value) OVER (PARTITION BY user_id, season_idx) AS sm
+        FROM base
+    ), a AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               var_samp(value - km) AS vd, var_samp(value - sm) AS vr
+        FROM m GROUP BY user_id
+    )
+    SELECT user_id, n,
+           floor(vd * 1000 + 0.5) / 1000 AS var_detrended,
+           floor(vr * 1000 + 0.5) / 1000 AS var_residual,
+           floor(greatest(0, 1 - vr / vd) * 1000000 + 0.5) / 1000000
+               AS seasonal_strength
+    FROM a WHERE vd > 0
+    """,
+    tags=("timeseries", "seasonal", "diagnostic"),
+)
+def q_ts_seasonal_strength(spark, sf_dir):
+    """Seasonal strength F_S = max(0, 1 − Var(R)/Var(S+R)) (Hyndman's
+    STL-feature definition) per key, over the SAME hour-of-day additive
+    decomposition as `ts_seasonal_decompose`: detrended = value − key
+    mean, residual = value − hour-of-day mean. F_S near 1 = the hourly
+    profile explains the variance (a seasonal model is worth fitting),
+    near 0 = no usable within-day cycle — the one-number triage that
+    decides whether `ts_holt_winters` gets a season term. Means ride the
+    DECIMAL(18,6) sums (cross-engine exact — the decompose convention);
+    the variance ratio is 1e-6-floor-canonicalized. One per-key window
+    pass + one grouped aggregate — the two windows and the aggregate all
+    hash on user_id."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.hour("ts").cast("int").alias("season_idx"), "value"
+    )
+    w_u = Window.partitionBy("user_id")
+    w_us = Window.partitionBy("user_id", "season_idx")
+    dv = F.col("value").cast("decimal(18,6)")
+    m = ev.select(
+        "user_id",
+        "value",
+        (F.sum(dv).over(w_u).cast("double") / F.count("value").over(w_u)).alias("km"),
+        (F.sum(dv).over(w_us).cast("double") / F.count("value").over(w_us)).alias("sm"),
+    )
+    a = m.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.var_samp(F.col("value") - F.col("km")).alias("vd"),
+        F.var_samp(F.col("value") - F.col("sm")).alias("vr"),
+    )
+    fs = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("vr") / F.col("vd"))
+    # floor canon at 1e-3 for the raw variances (values O(10^3): Welford
+    # merge-order skew reaches the 6th decimal; the ratio stays 1e-6-safe)
+    canon3 = lambda c: F.floor(c * 1000 + F.lit(0.5)) / 1000  # noqa: E731
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return a.filter(F.col("vd") > 0).select(
+        "user_id",
+        "n",
+        canon3(F.col("vd")).alias("var_detrended"),
+        canon3(F.col("vr")).alias("var_residual"),
+        canon(fs).alias("seasonal_strength"),
+    )
+
+
+@register(
     "ts_changepoint_cusum_segments",
     oracle="""
     WITH c AS (
