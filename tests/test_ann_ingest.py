@@ -71,3 +71,33 @@ def test_ivf_stream_store_is_cell_partitioned(spark, tmp_path):
         if d.startswith("cell=")
     ]
     assert len(cells) > 1  # layout prunes by cell for pinned probe sets
+
+
+def test_ivf_store_survives_restart(spark, tmp_path):
+    """Restart contract for the IVF store (completing the pattern across
+    all grid/index stores): a new attach from the same checkpoint ingests
+    only new files, and serve equals the batch seeded-IVF query over all
+    vectors."""
+    emb = load_table(spark, SF, "embeddings")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    idx = IvfStreamIndex(spark, str(tmp_path / "store"), seed_centroids(emb))
+
+    def attach_once():
+        q = idx.attach(
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    attach_once()
+    half = sorted(tuple(r) for r in idx.serve_topk(_queries(emb), k=5, nprobe=4).collect())
+
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    attach_once()
+
+    got = sorted(tuple(r) for r in idx.serve_topk(_queries(emb), k=5, nprobe=4).collect())
+    assert got == _want(spark, emb)
+    assert got != half
