@@ -209,6 +209,7 @@ HEADLINE = [
     "ts_turning_points",
     "dedup_semantic_clusters",
     "ts_seasonal_strength",
+    "corpus_bpe_first_merges",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -210,6 +210,71 @@ def pack_budget_bins(
 
 
 @register(
+    "corpus_bpe_first_merges",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ), wf AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM tok WHERE length(w) >= 2 GROUP BY w
+    ), pairs AS (
+        SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, c
+        FROM wf, unnest(range(1, length(w))) AS t(i)
+    ), agg AS (
+        SELECT pair,
+               CAST(sum(c) AS BIGINT) AS occurrences,
+               CAST(count(*) AS BIGINT) AS n_word_types
+        FROM pairs GROUP BY pair
+    )
+    SELECT pair, occurrences, n_word_types,
+           CAST(row_number() OVER (ORDER BY occurrences DESC, pair) AS BIGINT)
+               AS merge_rank
+    FROM agg ORDER BY merge_rank LIMIT 30
+    """,
+    tags=("corpus", "tokenizer", "bpe"),
+)
+def q_corpus_bpe_first_merges(spark, sf_dir):
+    """First-iteration BPE merge statistics: the corpus-weighted counts of
+    adjacent character pairs inside words — exactly the table the first
+    byte-pair-encoding merge step maximizes over when inducing a
+    tokenizer from a corpus (Sennrich et al. 2016, public). Top-30 merge
+    candidates, deterministic (count DESC, pair ASC) rank.
+
+    Scale shape: the word explosion collapses to the word-TYPE frequency
+    table first (Zipf: |types| << |tokens|), so the per-character pair
+    explode runs over types weighted by counts, not over the raw corpus —
+    the same types-not-tokens trick a real BPE trainer uses. One explode
+    + two grouped aggs + a top-30 rank (post-limit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(words_of(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("c").cast("long").alias("occurrences"),
+        F.count("*").cast("long").alias("n_word_types"),
+    )
+    w = Window.orderBy(F.desc("occurrences"), F.asc("pair"))
+    return (
+        agg.withColumn("merge_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("merge_rank") <= 30)
+        .orderBy("merge_rank")
+    )
+
+
+@register(
     "corpus_vocabulary",
     oracle="""
     WITH tok AS (

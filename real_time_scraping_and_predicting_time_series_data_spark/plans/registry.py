@@ -149,6 +149,7 @@ _FRONT = (
     "ts_turning_points",
     "dedup_semantic_clusters",
     "ts_seasonal_strength",
+    "corpus_bpe_first_merges",
     # (c) re-checks filling out the ~50-query window: queries whose
     # implementation changed this round (grid_cumsum conversions, shared
     # TF-IDF reuse) so the fix lands a fresh green row.
