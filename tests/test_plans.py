@@ -420,6 +420,8 @@ def test_no_unbounded_global_windows_anywhere(spark):
         "events_top_paths": {"n"},
         "flagship_top_movers": {"max_abs_variation"},
         "stats_hill_tail_index": {"x"},  # TakeOrdered-101 tail
+        # distinct 2-char pairs: bounded by |charset|^2, not by the corpus
+        "corpus_bpe_first_merges": {"occurrences"},
         # calendar-bounded day/month grids
         "events_kaplan_meier": {"t"},
         "monthly_revenue_trend": {"month"},
