@@ -570,7 +570,12 @@ def grid_cumsum(g, sum_cols, order_col="v", nbuckets=64):
 
     Integer arithmetic throughout, so the result is bit-identical to the
     single-partition form for any bucketing. Returns ``g`` plus a
-    ``cum_<c>`` long column per requested sum column."""
+    ``cum_<c>`` long column per requested sum column. ``nbuckets`` is
+    clamped to >= 2: at 1 the percentile-fraction list is empty and
+    ``percentile_approx(col, [])`` poisons the bounds row (the whole
+    result came back EMPTY — caught by the hypothesis equivalence
+    property, not by any fixture)."""
+    nbuckets = max(2, nbuckets)
     fracs = [i / nbuckets for i in range(1, nbuckets)]
     bounds = g.agg(F.percentile_approx(order_col, fracs, 10000).alias("_bounds"))
     b = g.crossJoin(F.broadcast(bounds)).withColumn(

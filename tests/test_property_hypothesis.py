@@ -146,3 +146,49 @@ def test_asof_nearest_matches_pandas_merge_asof(spark, left_offsets, right_offse
         for _, row in merged.iterrows():
             want = None if pd.isna(row["rv"]) else row["rv"]
             assert got[row["event_id"]] == want, (row["event_id"], got[row["event_id"]], want)
+
+
+# grids: duplicate-free order values with counts, including negative order
+# values, single buckets, and count spikes
+grid_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=1, max_value=1000),
+        st.integers(min_value=0, max_value=1000),
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=grid_rows, nbuckets=st.sampled_from([1, 2, 3, 64]))
+@SLOW
+def test_grid_cumsum_bit_identical_to_global_window(spark, rows, nbuckets):
+    """The range-partitioned `grid_cumsum` must be BIT-IDENTICAL to the
+    single-partition global running sum for ANY grid and ANY bucketing —
+    the claim every converted query (KS, Mann-Whitney, Spearman, ABC,
+    conformal, RFM...) rests on. Integer arithmetic end to end, so
+    equality is exact, including multi-column sums and nbuckets=1
+    (degenerate single bucket) and nbuckets > |grid|."""
+    from pyspark.sql import Window
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        grid_cumsum,
+    )
+
+    g = spark.createDataFrame(rows, "v long, ca long, cb long")
+    got = {
+        (r.v, r.cum_ca, r.cum_cb)
+        for r in grid_cumsum(g, ["ca", "cb"], nbuckets=nbuckets).collect()
+    }
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        (r.v, r.cum_ca, r.cum_cb)
+        for r in g.select(
+            "v",
+            F.sum("ca").over(w).cast("long").alias("cum_ca"),
+            F.sum("cb").over(w).cast("long").alias("cum_cb"),
+        ).collect()
+    }
+    assert got == want
