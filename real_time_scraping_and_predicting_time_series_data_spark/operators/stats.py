@@ -628,7 +628,11 @@ def ks_from_value_grid(g):
     c = grid_cumsum(g, ["ca", "cb"]).select(
         "v", F.col("cum_ca").alias("cuma"), F.col("cum_cb").alias("cumb")
     )
-    j = c.crossJoin(F.broadcast(tot))
+    # KS is undefined when either sample is empty — emit no row instead of
+    # an ANSI divide-by-zero (degenerate merged grids reach here via the
+    # streaming monitor before both sources have data; caught by the
+    # hypothesis mergeability property).
+    j = c.crossJoin(F.broadcast(tot)).filter((F.col("na") > 0) & (F.col("nb") > 0))
     num = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
     return j.groupBy("na", "nb").agg(
         F.max(num).alias("ks_num"),

@@ -192,3 +192,61 @@ def test_grid_cumsum_bit_identical_to_global_window(spark, rows, nbuckets):
         ).collect()
     }
     assert got == want
+
+
+@given(rows=grid_rows, split=st.integers(min_value=0, max_value=100))
+@SLOW
+def test_value_grid_merge_equals_whole(spark, rows, split):
+    """Mergeability — the claim every streaming grid store rests on:
+    splitting the rows into two batches, reducing each to its own value
+    grid, and grouped-sum merging equals the one-batch grid, hence every
+    statistic computed from it (KS here) is bit-identical."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        ks_from_value_grid,
+    )
+
+    g = spark.createDataFrame(rows, "v long, ca long, cb long")
+    a = g.filter((F.col("v") % 7) <= (split % 7))
+    b = g.filter((F.col("v") % 7) > (split % 7))
+    merged = a.unionByName(b).groupBy("v").agg(
+        F.sum("ca").cast("long").alias("ca"), F.sum("cb").cast("long").alias("cb")
+    )
+    # degenerate grids (one side empty) legitimately yield no KS row on
+    # both sides — equality still must hold
+    got = sorted(tuple(r) for r in ks_from_value_grid(merged).collect())
+    want = sorted(tuple(r) for r in ks_from_value_grid(g).collect())
+    assert got == want
+
+
+# tiny-alphabet corpora: heavy shingle collisions, duplicate docs, empty-ish docs
+tiny_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f"]), min_size=3, max_size=8),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(docs=tiny_docs)
+@SLOW
+def test_prefix_filter_lossless_vs_bruteforce(spark, docs):
+    """PPJoin losslessness (the prefix lemma) on adversarial tiny-alphabet
+    corpora — every Jaccard >= 0.5 pair found by the brute-force
+    inverted-index join must be found by the prefix-filtered join, and
+    vice versa, including duplicate documents and all-shared-token
+    corpora where every prefix collides."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_prefix_filter_pairs,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.n_common, r.jaccard)
+        for r in jaccard_prefix_filter_pairs(df, tau=0.5, n=2).collect()
+    }
+    want = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b), r.n_common, round(r.jaccard, 9))
+        for r in jaccard_pairs(df, block=None, n=2, threshold=0.5).collect()
+    }
+    assert got == want
