@@ -808,7 +808,11 @@ def mann_whitney_from_value_grid(g):
         (F.col("cum_cnt") - F.col("cnt")).cast("long").alias("cumbefore"),
     )
     s = (
+        # U needs both samples and n >= 2 (the tie correction divides by
+        # n(n-1)) — emit no row on degenerate grids instead of an ANSI
+        # divide-by-zero (hypothesis degenerate-grid audit).
         c.crossJoin(F.broadcast(tot))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0) & (F.col("na") + F.col("nb") >= 2))
         .groupBy("na", "nb")
         .agg(
             (
@@ -833,7 +837,8 @@ def mann_whitney_from_value_grid(g):
         F.col("nb").alias("n_b"),
         F.col("u2").alias("u_twice"),
         (u2d / F.lit(2.0)).alias("u_stat"),
-        (F.floor(z * 1000000 + 0.5) / 1000000).alias("z_score"),
+        # all-ties grids have zero rank variance: U is defined, z is not
+        F.when(var > 0, F.floor(z * 1000000 + 0.5) / 1000000).alias("z_score"),
     )
 
 
@@ -2470,7 +2475,9 @@ def jsd_from_value_grid(g):
         F.sum("cb").cast("long").alias("nb"),
         F.count("*").cast("long").alias("n_support"),
     )
-    j = g.crossJoin(F.broadcast(tot))
+    # JSD needs both distributions — no row on an empty side instead of an
+    # ANSI divide-by-zero (hypothesis degenerate-grid audit)
+    j = g.crossJoin(F.broadcast(tot)).filter((F.col("na") > 0) & (F.col("nb") > 0))
     p = F.col("ca") / F.col("na").cast("double")
     q = F.col("cb") / F.col("nb").cast("double")
     m = (p + q) / F.lit(2.0)

@@ -250,3 +250,33 @@ def test_prefix_filter_lossless_vs_bruteforce(spark, docs):
         for r in jaccard_pairs(df, block=None, n=2, threshold=0.5).collect()
     }
     assert got == want
+
+
+def test_drift_statistics_degenerate_grids(spark):
+    """Degenerate merged grids (one side empty, all-ties, single value)
+    must yield a well-defined result — no row where the statistic is
+    undefined, NULL z where only the normal approximation is — never an
+    ANSI divide-by-zero. These states are REACHABLE: the streaming drift
+    monitor serves from the merged grid before both sources have data."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        jsd_from_value_grid,
+        ks_from_value_grid,
+        mann_whitney_from_value_grid,
+        psi_from_value_grid,
+    )
+
+    def grid(rows):
+        return spark.createDataFrame(rows, "v long, ca long, cb long")
+
+    for rows in ([(1, 5, 0), (2, 3, 0)], [(1, 0, 5)], [(1, 0, 0)]):
+        g = grid(rows)
+        assert ks_from_value_grid(g).count() == 0
+        assert mann_whitney_from_value_grid(g).count() == 0
+        assert jsd_from_value_grid(g).count() <= 1  # both-empty folds to 0 rows via filter
+        psi_from_value_grid(g).collect()  # defined via smoothing; must not raise
+
+    # all values tie: U is defined, the z normal approximation is not
+    r = mann_whitney_from_value_grid(grid([(7, 3, 4)])).collect()
+    assert len(r) == 1
+    assert r[0].u_stat == 3 * 4 / 2  # midrank U under complete ties
+    assert r[0].z_score is None
