@@ -280,3 +280,36 @@ def test_drift_statistics_degenerate_grids(spark):
     assert len(r) == 1
     assert r[0].u_stat == 3 * 4 / 2  # midrank U under complete ties
     assert r[0].z_score is None
+
+
+type_grid_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["click", "purchase"]),
+        st.integers(min_value=-100, max_value=100),
+        st.integers(min_value=1, max_value=50),
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(rows=type_grid_rows, split=st.integers(min_value=0, max_value=6))
+@SLOW
+def test_quantile_grid_merge_equals_whole(spark, rows, split):
+    """Mergeability of the per-type quantile grid (the streaming
+    QuantileStreamAccumulator claim): split + grouped-sum merge serves
+    the exact whole-grid nearest-rank quantiles."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        quantiles_from_type_grid,
+    )
+
+    g = spark.createDataFrame(rows, "event_type string, v long, cnt long")
+    a = g.filter((F.col("v") % 7) <= split)
+    b = g.filter((F.col("v") % 7) > split)
+    merged = a.unionByName(b).groupBy("event_type", "v").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    got = sorted(tuple(r) for r in quantiles_from_type_grid(merged).collect())
+    want = sorted(tuple(r) for r in quantiles_from_type_grid(g).collect())
+    assert got == want
