@@ -116,9 +116,18 @@ class NgramDfStreamIndex:
 
     # -- serve ----------------------------------------------------------
 
+    _EMPTY = {
+        "df": "gram bigint, nd bigint",
+        "postings": "doc_id bigint, gram bigint",
+        "docs": "doc_id bigint, n_grams bigint",
+    }
+
     def _read(self, sub: str) -> DataFrame:
         root = os.path.join(self.store_dir, sub)
-        return self.spark.read.option("basePath", root).parquet(root + "/batch_id=*")
+        try:
+            return self.spark.read.option("basePath", root).parquet(root + "/batch_id=*")
+        except Exception:  # empty store: serve empty relations, not PATH_NOT_FOUND
+            return self.spark.createDataFrame([], self._EMPTY[sub])
 
     def serve_df(self) -> DataFrame:
         """The merged (gram, nd) document-frequency grid — identical to

@@ -105,10 +105,17 @@ class DriftStreamMonitor:
 
     def serve_grid(self) -> DataFrame:
         """The merged value grid: union of per-batch grids + one grouped
-        sum — identical to the batch grid of everything ingested."""
-        merged = self.spark.read.option("basePath", self.store_dir).parquet(
-            self.store_dir + "/batch_id=*"
-        )
+        sum — identical to the batch grid of everything ingested. Before
+        the first batch publishes, serve an EMPTY grid (long-typed value,
+        the default n_chars config) instead of raising PATH_NOT_FOUND —
+        a dashboard may poll the monitor before ingest starts; the
+        downstream statistics already define the degenerate-grid case."""
+        try:
+            merged = self.spark.read.option("basePath", self.store_dir).parquet(
+                self.store_dir + "/batch_id=*"
+            )
+        except Exception:
+            merged = self.spark.createDataFrame([], "v bigint, ca bigint, cb bigint")
         return merged.groupBy("v").agg(
             F.sum("ca").cast("long").alias("ca"), F.sum("cb").cast("long").alias("cb")
         )

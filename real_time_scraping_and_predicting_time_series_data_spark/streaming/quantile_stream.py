@@ -88,10 +88,17 @@ class QuantileStreamAccumulator:
 
     def serve_grid(self) -> DataFrame:
         """The merged value grid: union of per-batch grids + one grouped
-        sum — identical to the batch grid of everything ingested."""
-        merged = self.spark.read.option("basePath", self.store_dir).parquet(
-            self.store_dir + "/batch_id=*"
-        )
+        sum — identical to the batch grid of everything ingested. An
+        empty store (no batch published yet) serves an empty grid, not
+        PATH_NOT_FOUND."""
+        try:
+            merged = self.spark.read.option("basePath", self.store_dir).parquet(
+                self.store_dir + "/batch_id=*"
+            )
+        except Exception:
+            merged = self.spark.createDataFrame(
+                [], "event_type string, v bigint, cnt bigint"
+            )
         return merged.groupBy("event_type", "v").agg(
             F.sum("cnt").cast("long").alias("cnt")
         )

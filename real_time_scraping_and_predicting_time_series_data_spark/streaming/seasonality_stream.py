@@ -97,9 +97,12 @@ class SeasonalityStreamMonitor:
         """The merged daily-mean grid: grouped-sum merge of per-batch
         grids, means re-derived from the EXACT merged integer sums —
         identical doubles to the batch query's daily means."""
-        merged = self.spark.read.option("basePath", self.store_dir).parquet(
-            self.store_dir + "/batch_id=*"
-        )
+        try:
+            merged = self.spark.read.option("basePath", self.store_dir).parquet(
+                self.store_dir + "/batch_id=*"
+            )
+        except Exception:  # empty store: serve an empty grid, not PATH_NOT_FOUND
+            merged = self.spark.createDataFrame([], "day int, sv bigint, n bigint")
         g = merged.groupBy("day").agg(
             F.sum("sv").cast("long").alias("sv"), F.sum("n").cast("long").alias("n")
         )

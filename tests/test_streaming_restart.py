@@ -289,3 +289,38 @@ def test_drift_store_survives_restart(spark, tmp_path):
     want = q_stats_ks_drift(spark, sf).collect()[0].asDict()
     got = mon.serve_ks().collect()[0].asDict()
     assert got == want
+
+
+def test_all_grid_stores_serve_before_first_batch(spark, tmp_path):
+    """A dashboard may poll serve() before ingest starts: every grid
+    store must serve an empty/degenerate result, never PATH_NOT_FOUND."""
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.dfindex_stream import (
+        NgramDfStreamIndex,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.drift_stream import (
+        DriftStreamMonitor,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.quantile_stream import (
+        QuantileStreamAccumulator,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.seasonality_stream import (
+        SeasonalityStreamMonitor,
+    )
+
+    drift = DriftStreamMonitor(spark, str(tmp_path / "d"))
+    assert drift.serve_ks().count() == 0
+    assert drift.serve_mann_whitney().count() == 0
+    drift.serve_psi().collect()  # smoothing-defined; must not raise
+    drift.serve_jsd().collect()
+
+    quant = QuantileStreamAccumulator(spark, str(tmp_path / "q"))
+    assert quant.serve_quantiles().count() == 0
+
+    season = SeasonalityStreamMonitor(spark, str(tmp_path / "s"))
+    assert season.serve_periodogram().count() == 0
+    assert season.serve_var_es().count() == 0
+    season.serve_spectral_entropy().collect()  # global agg: 1 null row ok
+
+    dfx = NgramDfStreamIndex(spark, str(tmp_path / "n"))
+    assert dfx.serve_df().count() == 0
+    assert dfx.serve_boilerplate().count() == 0
