@@ -100,10 +100,17 @@ class IvfStreamIndex:
 
     def corpus(self) -> DataFrame:
         """Everything ingested: (cell, neighbor_id, v_c) with cell read
-        back from the partition layout."""
-        return self.spark.read.option("basePath", self.store_dir).parquet(
-            self.store_dir + "/batch_id=*"
-        ).select(F.col("cell").cast("int").alias("cell"), "neighbor_id", "v_c")
+        back from the partition layout. An empty store (no batch yet)
+        serves an empty corpus — a query against it returns no neighbors
+        instead of PATH_NOT_FOUND."""
+        try:
+            return self.spark.read.option("basePath", self.store_dir).parquet(
+                self.store_dir + "/batch_id=*"
+            ).select(F.col("cell").cast("int").alias("cell"), "neighbor_id", "v_c")
+        except Exception:
+            return self.spark.createDataFrame(
+                [], "cell int, neighbor_id bigint, v_c array<double>"
+            )
 
     def serve_topk(self, queries: DataFrame, k: int = 5, nprobe: int = 4,
                    query_id: str = "query_id", vec: str = "embedding") -> DataFrame:

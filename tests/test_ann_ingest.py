@@ -101,3 +101,10 @@ def test_ivf_store_survives_restart(spark, tmp_path):
     got = sorted(tuple(r) for r in idx.serve_topk(_queries(emb), k=5, nprobe=4).collect())
     assert got == _want(spark, emb)
     assert got != half
+
+
+def test_ivf_serve_before_first_batch(spark, tmp_path):
+    """Pre-ingest serve: empty corpus, zero neighbors, no PATH_NOT_FOUND."""
+    emb = load_table(spark, SF, "embeddings")
+    idx = IvfStreamIndex(spark, str(tmp_path / "store"), seed_centroids(emb))
+    assert idx.serve_topk(_queries(emb), k=5, nprobe=4).count() == 0
