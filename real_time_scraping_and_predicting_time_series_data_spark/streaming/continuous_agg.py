@@ -117,8 +117,16 @@ class ContinuousAggregate:
 
     def partials(self) -> DataFrame:
         """The current generation's partial rows (without the batch_id
-        partition-discovery column)."""
-        df = self.spark.read.parquet(self._gen_dir())
+        partition-discovery column). An empty store (no batch published
+        yet) serves empty partials, not PATH_NOT_FOUND."""
+        try:
+            df = self.spark.read.parquet(self._gen_dir())
+        except Exception:
+            return self.spark.createDataFrame(
+                [],
+                f"{self.key} bigint, bucket timestamp, n bigint, s double, "
+                "mn double, mx double",
+            )
         return df.drop("batch_id") if "batch_id" in df.columns else df
 
     def serve(self, resolution: str = "minute") -> DataFrame:

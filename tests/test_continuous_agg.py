@@ -134,3 +134,11 @@ def test_streaming_attach_feeds_store(spark, tmp_path):
     q.awaitTermination(120)
 
     assert _served(agg, "hour") == _expected(spark, "hour")
+
+
+def test_serve_before_first_batch(spark, tmp_path):
+    """Pre-ingest serve at every resolution: empty result, not
+    PATH_NOT_FOUND."""
+    agg = ContinuousAggregate(spark, str(tmp_path / "empty_store"))
+    for res in ("minute", "hour", "day"):
+        assert agg.serve(res).count() == 0
