@@ -1,0 +1,164 @@
+"""Streaming semantic-dedup admission — SemDeDup as a stream: the
+embedding-space twin of the MinHash near-dup store (neardup_ingest.py),
+completing the ingest matrix {exact hash, MinHash-LSH, embedding cosine}
+× {batch, streaming}.
+
+First-seen-wins admission over a cell-partitioned vector store:
+
+- **assign**: every incoming embedding is unit-normalized and assigned to
+  its nearest seed centroid by the zero-shuffle broadcast projection
+  (`ivf_assign` — the model ships to tasks, vectors never shuffle to
+  assign);
+- **within-batch collapse**: cosine >= tau pairs WITHIN a cell form
+  edges; connected components keep the min-id representative per
+  component (the `neardup_ingest` representative rule, so chains collapse
+  to one vector instead of order-dependent survivors);
+- **ledger probe**: representatives are compared against the ALREADY
+  ACCEPTED vectors of the SAME cells only (equi-join on ``cell`` — the
+  SemDeDup cluster pruning: candidate volume is Σ|cell|², never
+  |corpus|²); anything within tau of an accepted vector is rejected
+  (first-seen-wins);
+- **publish**: survivors land under ``batch_id=<id>`` via
+  staging-rename — at-least-once replays overwrite their own directory
+  (the corpus_ingest idempotence pattern), and a replay excludes its own
+  earlier attempt from the ledger probe so it reaches the same verdicts.
+
+The served invariant (test-pinned): no two served vectors in the same
+cell have cosine >= tau. Cross-cell near-dups are the deliberate recall
+boundary of cluster pruning — the same tradeoff the batch
+`dedup_semantic_clusters` documents.
+
+Deployment assumption (shared with the other stores): driver-local
+staging-rename — correct on a driver-visible filesystem; on HDFS/S3 use
+the Hadoop FileSystem API or an atomic-commit table format.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double, dot, norm
+from ..operators.dedup import connected_components
+from ..operators.similarity import ivf_assign
+
+__all__ = ["SemanticDedupStore"]
+
+
+class SemanticDedupStore:
+    """First-seen-wins semantically-deduplicated vector store over columns
+    ``(vec_id, embedding)``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        centroids: DataFrame,
+        threshold: float = 0.3,
+    ) -> None:
+        self.spark = spark
+        self.root = os.path.join(store_dir, "accepted")
+        self.threshold = threshold
+        # (cell, c_nvec) seed centroids, normalized — kept as a plain local
+        # relation; every use broadcasts it
+        self.centroids = centroids.localCheckpoint(eager=True)
+        os.makedirs(self.root, exist_ok=True)
+
+    # -- store access -------------------------------------------------------
+
+    def _batch_dirs(self, exclude_batch_id: int | None = None) -> list[str]:
+        out = []
+        for d in os.listdir(self.root):
+            if not d.startswith("batch_id="):
+                continue
+            if exclude_batch_id is not None and d == f"batch_id={exclude_batch_id}":
+                continue
+            out.append(os.path.join(self.root, d))
+        return sorted(out)
+
+    def _ledger(self, exclude_batch_id: int | None = None) -> DataFrame | None:
+        dirs = self._batch_dirs(exclude_batch_id)
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    def serve(self) -> DataFrame:
+        """Everything accepted: (cell, vec_id, v) — empty before the first
+        batch, never PATH_NOT_FOUND."""
+        led = self._ledger()
+        if led is None:
+            return self.spark.createDataFrame(
+                [], "cell int, vec_id bigint, v array<double>"
+            )
+        return led
+
+    # -- ingest -------------------------------------------------------------
+
+    def _assign(self, df: DataFrame) -> DataFrame:
+        c = df.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        c = c.withColumn("_n", norm(F.col("v"))).select(
+            "vec_id", F.transform("v", lambda x: x / F.col("_n")).alias("v")
+        )
+        return ivf_assign(c, self.centroids, "v", ["vec_id"]).select(
+            F.col("cell").cast("int").alias("cell"), "vec_id", "v"
+        )
+
+    def ingest_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch hook: admit semantically-novel vectors,
+        idempotently per batch_id."""
+        assigned = self._assign(batch_df).localCheckpoint(eager=True)
+
+        # within-batch: cos >= tau edges inside a cell -> min-id component
+        # representatives (chains collapse to one survivor)
+        a = assigned.select("cell", F.col("vec_id").alias("src"), F.col("v").alias("va"))
+        b = assigned.select("cell", F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+        edges = (
+            a.join(b, "cell")
+            .filter(F.col("src") < F.col("dst"))
+            .filter(F.round(dot(F.col("va"), F.col("vb")), 9) >= self.threshold)
+            .select("src", "dst")
+        )
+        labels = connected_components(edges, assigned.select("vec_id"))
+        reps = assigned.join(
+            labels.filter(F.col("node") == F.col("label")).select(
+                F.col("node").alias("vec_id")
+            ),
+            "vec_id",
+            "left_semi",
+        )
+
+        # ledger probe: same-cell comparison against already-accepted
+        # vectors (a replay excludes its own earlier attempt so it reaches
+        # the same verdicts)
+        led = self._ledger(exclude_batch_id=batch_id)
+        if led is not None:
+            hits = (
+                reps.alias("n")
+                .join(led.alias("o"), "cell")
+                .filter(
+                    F.round(dot(F.col("n.v"), F.col("o.v")), 9) >= self.threshold
+                )
+                .select(F.col("n.vec_id").alias("vec_id"))
+                .distinct()
+            )
+            reps = reps.join(hits, "vec_id", "left_anti")
+
+        staging = os.path.join(self.root, f"_staging_{batch_id}")
+        reps.coalesce(1).write.mode("overwrite").parquet(staging)
+        final = os.path.join(self.root, f"batch_id={batch_id}")
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(staging, final)
+
+    def attach(self, stream_df: DataFrame, checkpoint: str):
+        return (
+            stream_df.writeStream.foreachBatch(
+                lambda df, bid: self.ingest_batch(df, bid)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
