@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+import math
 import random
 
 from ..catalog import ensure_min_partitions, load_table
@@ -1068,7 +1069,33 @@ def prefix_filter_candidates(sh: DataFrame, tau: float) -> DataFrame:
     (doc_id, grams) relation — the PPJoin generation stage, exposed so the
     skew-stress suite can assert candidate volume directly (a corpus-wide
     hot shingle must NOT quadratically blow up candidates: its df ranks it
-    LAST in the rarest-first order, outside every prefix)."""
+    LAST in the rarest-first order, outside every prefix).
+
+    Beyond the prefix lemma, two further LOSSLESS PPJoin prunes run before
+    a pair ever reaches the gram-array verify joins:
+
+    - length filter: Jaccard >= tau forces tau·max(|A|,|B|) <= min(|A|,|B|),
+      applied inside the posting self-join so disqualified pairs never
+      enter the pair aggregation;
+    - positional filter: with every doc's tokens ranked in ONE global
+      (df, h) order, a common token at ranks (i, j) bounds the total
+      overlap by min(i,j) − 1 + 1 + min(|A|−i, |B|−j) (common tokens
+      before it precede it in BOTH orders; after it, follow in both).
+      The pair survives only if the best such bound over its matched
+      prefix tokens reaches the equivalent-overlap threshold
+      alpha = ceil(tau/(1+tau)·(|A|+|B|)).
+
+    Both bounds use exact integer arithmetic on the Jaccard inequality
+    (n_common·(1+tau) >= tau·(sa+sb) with tau rational) via a 1e-9-scaled
+    integer tau, so no float rounding can drop a true pair. The aggregation
+    replaces the former DISTINCT — same single pair-keyed exchange, strictly
+    fewer rows out.
+    """
+    # tau as an exact integer ratio (tau_i / SCALE), floored so tau_i/scale
+    # <= tau: the prune inequalities then stay in BIGINT arithmetic and err
+    # only on the KEEP side — lossless for any tau.
+    scale = 1_000_000_000
+    tau_i = int(math.floor(tau * scale))
     inv = sh.select(
         "doc_id", F.size("grams").alias("sz"), F.explode("grams").alias("_g")
     ).select("doc_id", "sz", F.xxhash64("_g").alias("h"))
@@ -1077,14 +1104,42 @@ def prefix_filter_candidates(sh: DataFrame, tau: float) -> DataFrame:
     ranked = inv.join(df_tok, "h").withColumn("rn", F.row_number().over(w))
     pref = ranked.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1
-    ).select("doc_id", "h")
-    return (
+    ).select(
+        "doc_id",
+        F.col("sz").cast("long").alias("sz"),  # BIGINT: the tau_i products below
+        F.col("rn").cast("long").alias("rn"),  # overflow 32-bit under ANSI
+        "h",
+    )
+    sa, sb = F.col("a.sz"), F.col("b.sz")
+    ra, rb = F.col("a.rn"), F.col("b.rn")
+    # overlap upper bound contributed by this matched token (global-order
+    # positional argument above); the pair's bound is the MIN over matches.
+    ub = F.least(ra, rb) + F.least(sa - ra, sb - rb)
+    pairs = (
         pref.alias("a")
         .join(pref.alias("b"), "h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+        # length filter: tau·max <= min, in integers.
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(sa, sb) * scale >= F.greatest(sa, sb) * tau_i)
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(
+            F.min(ub).alias("_ub"),
+            F.first(sa).alias("_sa"),
+            F.first(sb).alias("_sb"),
+        )
+        # positional filter: need overlap o with o >= tau·(sa+sb−o), i.e.
+        # o·(scale+tau_i) >= tau_i·(sa+sb); prune when even _ub fails it.
+        .filter(
+            F.col("_ub") * (scale + tau_i) >= (F.col("_sa") + F.col("_sb")) * tau_i
+        )
+        .select("id_a", "id_b")
     )
+    return pairs
 
 
 def jaccard_prefix_filter_pairs(
