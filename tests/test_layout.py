@@ -97,3 +97,65 @@ def test_rank_scale_bounds(spark):
     from collections import Counter
     counts = Counter(vals)
     assert max(counts.values()) <= 3 * (1024 // 256)
+
+
+def test_compaction_merges_small_files_losslessly(spark, tmp_path):
+    """64 tiny files -> ~target-size files; row set identical; coalesce
+    plans NO exchange while shuffle+sort restores per-file min/max stats."""
+    from real_time_scraping_and_predicting_time_series_data_spark.sources.compaction import (
+        compact,
+        file_census,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", "value"
+    )
+    src = str(tmp_path / "small")
+    ev.repartition(64).write.parquet(src)
+    census = file_census(spark, src)
+    assert census["n_files"] == 64
+    target = max(1, census["total_bytes"] // 4)  # aim for ~4 output files
+
+    # shuffle-free merge
+    dst = str(tmp_path / "compact")
+    rep = compact(spark, src, dst, target_bytes=target, mode="coalesce")
+    # writer skips empty partitions, so after <= n_target; the point is the
+    # 64-file census collapsed to ~target-count files
+    assert rep["after"]["n_files"] <= rep["n_target"] <= 6
+    assert rep["after"]["n_files"] >= 1
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    # re-clustering compaction: sorted output files must carry
+    # non-overlapping user_id ranges (footer stats prune again)
+    dst2 = str(tmp_path / "clustered")
+    compact(spark, src, dst2, target_bytes=target, mode="shuffle", sort_by=("user_id",))
+    spans = []
+    for f in glob.glob(dst2 + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = float("inf"), float("-inf")
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                c = row.column(ci)
+                if c.path_in_schema == "user_id" and c.statistics is not None:
+                    lo = min(lo, c.statistics.min)
+                    hi = max(hi, c.statistics.max)
+        spans.append((lo, hi))
+    spans.sort()
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next  # ranges disjoint up to the boundary key
+    c = spark.read.parquet(dst2)
+    assert a.count() == c.count()
+
+    # the cheap path really is shuffle-free: no Exchange in the coalesce plan
+    plan = (
+        spark.read.parquet(src)
+        .coalesce(4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
