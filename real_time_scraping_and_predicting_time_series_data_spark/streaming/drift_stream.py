@@ -19,7 +19,6 @@ the reference corpus" gates.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,8 +29,15 @@ from ..operators.stats import (
     mann_whitney_from_value_grid,
     psi_from_value_grid,
 )
+from .store_compaction import (
+    compact_grid_store,
+    is_compacted,
+    publish_dir,
+    read_store_grid,
+)
 
 __all__ = ["DriftStreamMonitor"]
+
 
 
 class DriftStreamMonitor:
@@ -56,6 +62,7 @@ class DriftStreamMonitor:
         group_col: str = "source",
         group_a: str = "src0",
         group_b: str = "src1",
+        value_type: str = "bigint",
     ) -> None:
         self.spark = spark
         self.store_dir = store_dir
@@ -63,6 +70,10 @@ class DriftStreamMonitor:
         self.group_col = group_col
         self.group_a = group_a
         self.group_b = group_b
+        # explicit grid schema: typed-empty serves pre-ingest AND a stable
+        # read schema for the compacted/live union (value_type follows the
+        # configured value column; counts are always long)
+        self.grid_schema = f"v {value_type}, ca bigint, cb bigint"
         os.makedirs(store_dir, exist_ok=True)
 
     def _batch_dir(self, batch_id: int) -> str:
@@ -84,14 +95,12 @@ class DriftStreamMonitor:
 
     def ingest_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch hook: publish this batch's grid under its batch_id
-        (staging-rename → replays overwrite, never double-count)."""
-        grid = self.batch_grid(batch_df)
-        staging = os.path.join(self.store_dir, f"_staging_{batch_id}")
-        grid.coalesce(1).write.mode("overwrite").parquet(staging)
-        final = self._batch_dir(batch_id)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(staging, final)
+        (staging-rename → replays overwrite, never double-count). A replay
+        of a batch already folded by `compact()` is DROPPED — its rows are
+        inside the compacted grid and re-publishing would double-count."""
+        if is_compacted(self.store_dir, batch_id):
+            return
+        publish_dir(self.batch_grid(batch_df), self.store_dir, f"batch_id={batch_id}")
 
     def attach(self, stream_df: DataFrame, checkpoint: str):
         return (
@@ -103,19 +112,25 @@ class DriftStreamMonitor:
             .start()
         )
 
+    def compact(self) -> dict:
+        """Fold every published batch grid into one `compacted_upto=<id>`
+        dir (associative grouped-sum merge → every serve statistic is
+        bit-identical before/after); bounds directory growth for
+        long-lived streams. See streaming/store_compaction.py for the
+        replay/crash-safety argument."""
+        return compact_grid_store(
+            self.spark, self.store_dir, self.grid_schema, ("v",), ("ca", "cb")
+        )
+
     def serve_grid(self) -> DataFrame:
-        """The merged value grid: union of per-batch grids + one grouped
-        sum — identical to the batch grid of everything ingested. Before
-        the first batch publishes, serve an EMPTY grid (long-typed value,
-        the default n_chars config) instead of raising PATH_NOT_FOUND —
-        a dashboard may poll the monitor before ingest starts; the
-        downstream statistics already define the degenerate-grid case."""
-        try:
-            merged = self.spark.read.option("basePath", self.store_dir).parquet(
-                self.store_dir + "/batch_id=*"
-            )
-        except Exception:
-            merged = self.spark.createDataFrame([], "v bigint, ca bigint, cb bigint")
+        """The merged value grid: union of the compacted grid (if any) and
+        newer per-batch grids + one grouped sum — identical to the batch
+        grid of everything ingested. Before the first batch publishes,
+        serve an EMPTY grid (long-typed value, the default n_chars config)
+        instead of raising PATH_NOT_FOUND — a dashboard may poll the
+        monitor before ingest starts; the downstream statistics already
+        define the degenerate-grid case."""
+        merged = read_store_grid(self.spark, self.store_dir, self.grid_schema)
         return merged.groupBy("v").agg(
             F.sum("ca").cast("long").alias("ca"), F.sum("cb").cast("long").alias("cb")
         )

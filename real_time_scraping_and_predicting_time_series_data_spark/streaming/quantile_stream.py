@@ -27,14 +27,21 @@ through the Hadoop ``FileSystem`` API or an atomic-commit table format.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.stats import quantiles_from_type_grid
+from .store_compaction import (
+    compact_grid_store,
+    is_compacted,
+    publish_dir,
+    read_store_grid,
+)
 
 __all__ = ["QuantileStreamAccumulator"]
+
+_GRID_SCHEMA = "event_type string, v bigint, cnt bigint"
 
 
 class QuantileStreamAccumulator:
@@ -67,14 +74,21 @@ class QuantileStreamAccumulator:
 
     def ingest_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch hook: publish this batch's grid under its batch_id
-        (staging-rename → replays overwrite, never double-count)."""
-        grid = self.batch_grid(batch_df)
-        staging = os.path.join(self.store_dir, f"_staging_{batch_id}")
-        grid.coalesce(1).write.mode("overwrite").parquet(staging)
-        final = self._batch_dir(batch_id)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(staging, final)
+        (staging-rename → replays overwrite, never double-count). A replay
+        of a batch already folded by `compact()` is DROPPED — its rows are
+        inside the compacted grid and re-publishing would double-count."""
+        if is_compacted(self.store_dir, batch_id):
+            return
+        publish_dir(self.batch_grid(batch_df), self.store_dir, f"batch_id={batch_id}")
+
+    def compact(self) -> dict:
+        """Fold every published batch grid into one `compacted_upto=<id>`
+        dir (associative grouped-sum merge → served quantiles are
+        bit-identical before/after); bounds directory growth for
+        long-lived streams. See streaming/store_compaction.py."""
+        return compact_grid_store(
+            self.spark, self.store_dir, _GRID_SCHEMA, ("event_type", "v"), ("cnt",)
+        )
 
     def attach(self, stream_df: DataFrame, checkpoint: str):
         return (
@@ -87,18 +101,11 @@ class QuantileStreamAccumulator:
         )
 
     def serve_grid(self) -> DataFrame:
-        """The merged value grid: union of per-batch grids + one grouped
-        sum — identical to the batch grid of everything ingested. An
-        empty store (no batch published yet) serves an empty grid, not
-        PATH_NOT_FOUND."""
-        try:
-            merged = self.spark.read.option("basePath", self.store_dir).parquet(
-                self.store_dir + "/batch_id=*"
-            )
-        except Exception:
-            merged = self.spark.createDataFrame(
-                [], "event_type string, v bigint, cnt bigint"
-            )
+        """The merged value grid: union of the compacted grid (if any) and
+        newer per-batch grids + one grouped sum — identical to the batch
+        grid of everything ingested. An empty store (no batch published
+        yet) serves an empty grid, not PATH_NOT_FOUND."""
+        merged = read_store_grid(self.spark, self.store_dir, _GRID_SCHEMA)
         return merged.groupBy("event_type", "v").agg(
             F.sum("cnt").cast("long").alias("cnt")
         )

@@ -22,10 +22,16 @@ atomic-commit table format.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .store_compaction import (
+    compact_grid_store,
+    is_compacted,
+    publish_dir,
+    read_store_grid,
+)
 
 from ..operators.timeseries import (
     periodogram_from_daily,
@@ -34,6 +40,8 @@ from ..operators.timeseries import (
 )
 
 __all__ = ["SeasonalityStreamMonitor"]
+
+_GRID_SCHEMA = "day int, sv bigint, n bigint"
 
 
 class SeasonalityStreamMonitor:
@@ -75,13 +83,18 @@ class SeasonalityStreamMonitor:
         """foreachBatch hook: publish this batch's grid under its batch_id
         (staging-rename → at-least-once replays overwrite, never
         double-count)."""
-        grid = self.batch_grid(batch_df)
-        staging = os.path.join(self.store_dir, f"_staging_{batch_id}")
-        grid.coalesce(1).write.mode("overwrite").parquet(staging)
-        final = os.path.join(self.store_dir, f"batch_id={batch_id}")
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(staging, final)
+        if is_compacted(self.store_dir, batch_id):
+            return  # replay of a folded batch: rows already in the fold
+        publish_dir(self.batch_grid(batch_df), self.store_dir, f"batch_id={batch_id}")
+
+    def compact(self) -> dict:
+        """Fold every published batch grid into one `compacted_upto=<id>`
+        dir (associative sum merge -> served spectrum/VaR/entropy all
+        bit-identical); bounds directory growth for long-lived streams.
+        See streaming/store_compaction.py."""
+        return compact_grid_store(
+            self.spark, self.store_dir, _GRID_SCHEMA, ("day",), ("sv", "n")
+        )
 
     def attach(self, stream_df: DataFrame, checkpoint: str):
         return (
@@ -97,12 +110,7 @@ class SeasonalityStreamMonitor:
         """The merged daily-mean grid: grouped-sum merge of per-batch
         grids, means re-derived from the EXACT merged integer sums —
         identical doubles to the batch query's daily means."""
-        try:
-            merged = self.spark.read.option("basePath", self.store_dir).parquet(
-                self.store_dir + "/batch_id=*"
-            )
-        except Exception:  # empty store: serve an empty grid, not PATH_NOT_FOUND
-            merged = self.spark.createDataFrame([], "day int, sv bigint, n bigint")
+        merged = read_store_grid(self.spark, self.store_dir, _GRID_SCHEMA)
         g = merged.groupBy("day").agg(
             F.sum("sv").cast("long").alias("sv"), F.sum("n").cast("long").alias("n")
         )

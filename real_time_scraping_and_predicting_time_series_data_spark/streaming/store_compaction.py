@@ -1,0 +1,173 @@
+"""Grid-store compaction — bounded directory growth for the mergeable-grid
+streaming stores (drift, quantile, and any `batch_id=<id>`-per-micro-batch
+grid family).
+
+Every store in the family publishes one tiny (keys → counts) grid per
+micro-batch under ``batch_id=<id>`` (staging-rename, replay-overwrite).
+Serves merge ALL batch grids with a grouped sum — correct at any moment,
+but the directory count grows with stream lifetime: a 2-second trigger is
+~43k directories/day, and at object-store scale the LISTING cost (not the
+grid bytes) eventually dominates every serve. Compaction folds everything
+published so far into ONE ``compacted_upto=<max_batch_id>`` directory.
+The grouped-sum merge is associative, so the folded grid is the same
+relation the per-batch union would have produced, and every downstream
+serve statistic is unchanged — bit-identical, for the same reason the
+stores' streaming/batch parity holds.
+
+Correctness under the streaming failure model:
+
+- **Replay safety** — after a fold, serves read the compacted grid plus
+  only batch dirs with ``id > compacted_upto``; a late at-least-once
+  replay of an already-folded batch must be DROPPED at ingest
+  (``is_compacted``), because its rows are inside the fold already and a
+  fresh ``batch_id=<id>`` dir would double-count.
+- **Crash safety** — the new compacted dir is staged and renamed BEFORE
+  folded batch dirs are removed; a crash in the window leaves stale batch
+  dirs that serves already ignore (``id <= upto``) and the next
+  compaction sweeps. Two compacted dirs can coexist after a crash for the
+  same reason; readers take the max ``upto`` and the sweep removes the
+  older.
+
+Same deployment assumption as the stores themselves: staging-rename is a
+driver-local ``os.replace`` — correct when ``store_dir`` is shared by
+driver and executors (local mode, NFS); on HDFS/S3 route renames through
+the Hadoop ``FileSystem`` API or an atomic-commit table format.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "compacted_upto",
+    "is_compacted",
+    "publish_dir",
+    "read_store_grid",
+    "compact_grid_store",
+]
+
+_BATCH_RE = re.compile(r"^batch_id=(\d+)$")
+_COMPACT_RE = re.compile(r"^compacted_upto=(\d+)$")
+
+
+def _batch_ids(store_dir: str) -> list[int]:
+    out = []
+    for name in os.listdir(store_dir):
+        m = _BATCH_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def compacted_upto(store_dir: str) -> int:
+    """Highest batch_id folded into a compacted dir; -1 if never compacted.
+    Multiple compacted dirs (crash window) resolve to the max."""
+    if not os.path.isdir(store_dir):
+        return -1
+    upto = -1
+    for name in os.listdir(store_dir):
+        m = _COMPACT_RE.match(name)
+        if m:
+            upto = max(upto, int(m.group(1)))
+    return upto
+
+
+def is_compacted(store_dir: str, batch_id: int) -> bool:
+    """True when ``batch_id``'s rows are already inside the compacted grid —
+    an at-least-once replay of it must be dropped at ingest."""
+    return batch_id <= compacted_upto(store_dir)
+
+
+def publish_dir(df: DataFrame, store_dir: str, dirname: str) -> None:
+    """Stage + rename ``df`` (coalesced to one file) as ``store_dir/dirname``
+    — the idempotent publish every store in the family uses."""
+    staging = os.path.join(store_dir, f"_staging_{dirname.replace('=', '_')}")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    final = os.path.join(store_dir, dirname)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(staging, final)
+
+
+def _live_parts(store_dir: str) -> list[str]:
+    """The directories a serve should read: the newest compacted grid (if
+    any) + batch dirs NEWER than it. Stale dirs (older compacted grids,
+    batch dirs at or below the fold) are excluded — they are crash debris."""
+    upto = compacted_upto(store_dir)
+    parts = []
+    if upto >= 0:
+        parts.append(os.path.join(store_dir, f"compacted_upto={upto}"))
+    parts.extend(
+        os.path.join(store_dir, f"batch_id={i}")
+        for i in _batch_ids(store_dir)
+        if i > upto
+    )
+    return parts
+
+
+def read_store_grid(spark: SparkSession, store_dir: str, schema: str) -> DataFrame:
+    """Union of every live part's rows (NOT aggregated — callers own the
+    grouped-sum merge, exactly as before compaction existed). Typed-empty
+    when nothing has published."""
+    parts = _live_parts(store_dir) if os.path.isdir(store_dir) else []
+    if not parts:
+        return spark.createDataFrame([], schema)
+    dfs = [spark.read.schema(schema).parquet(p) for p in parts]
+    return reduce(DataFrame.unionByName, dfs)
+
+
+def compact_grid_store(
+    spark: SparkSession,
+    store_dir: str,
+    schema: str,
+    key_cols: tuple[str, ...],
+    sum_cols: tuple[str, ...],
+) -> dict:
+    """Fold all live parts into one ``compacted_upto=<max_id>`` grid, then
+    sweep the folded batch dirs, older compacted dirs, and crash debris.
+    Returns ``{"folded_batches", "upto", "dirs_before", "dirs_after"}``."""
+    upto = compacted_upto(store_dir)
+    live_ids = [i for i in _batch_ids(store_dir) if i > upto]
+    dirs_before = len(os.listdir(store_dir))
+    if not live_ids:
+        # nothing new to fold — still sweep crash debris (stale batch dirs
+        # at or below the fold, older compacted grids, leftover staging)
+        for name in os.listdir(store_dir):
+            if name == f"compacted_upto={upto}":
+                continue
+            m_b, m_c = _BATCH_RE.match(name), _COMPACT_RE.match(name)
+            if m_b or m_c or name.startswith("_staging_"):
+                shutil.rmtree(os.path.join(store_dir, name), ignore_errors=True)
+        return {
+            "folded_batches": 0,
+            "upto": upto,
+            "dirs_before": dirs_before,
+            "dirs_after": len(os.listdir(store_dir)),
+        }
+    new_upto = max(live_ids)
+    merged = (
+        read_store_grid(spark, store_dir, schema)
+        .groupBy(*key_cols)
+        .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
+    )
+    publish_dir(merged, store_dir, f"compacted_upto={new_upto}")
+    # sweep AFTER the rename: everything except the new compacted dir is
+    # now stale (folded batches, older compacted grids, leftover staging)
+    for name in os.listdir(store_dir):
+        if name == f"compacted_upto={new_upto}":
+            continue
+        m_b, m_c = _BATCH_RE.match(name), _COMPACT_RE.match(name)
+        if (m_b and int(m_b.group(1)) <= new_upto) or m_c or name.startswith("_staging_"):
+            shutil.rmtree(os.path.join(store_dir, name), ignore_errors=True)
+    return {
+        "folded_batches": len(live_ids),
+        "upto": new_upto,
+        "dirs_before": dirs_before,
+        "dirs_after": len(os.listdir(store_dir)),
+    }

@@ -1,0 +1,134 @@
+"""Grid-store compaction: folding per-batch grids into one compacted dir
+keeps every serve bit-identical, drops replays of folded batches, ignores
+crash debris, and actually bounds directory growth."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _dirs(store):
+    return sorted(os.listdir(store))
+
+
+def test_quantile_store_compaction_serves_identical(spark, tmp_path):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_events_value_quantiles_grid,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.quantile_stream import (
+        QuantileStreamAccumulator,
+    )
+
+    ev = load_table(spark, SF, "events")
+    store = str(tmp_path / "store")
+    acc = QuantileStreamAccumulator(spark, store)
+    for i in range(3):
+        acc.ingest_batch(ev.filter(F.col("event_id") % 3 == i), batch_id=i)
+
+    before = sorted(tuple(r) for r in acc.serve_quantiles().collect())
+    rep = acc.compact()
+    assert rep["folded_batches"] == 3 and rep["upto"] == 2
+    assert _dirs(store) == ["compacted_upto=2"]
+    after = sorted(tuple(r) for r in acc.serve_quantiles().collect())
+    assert after == before  # bit-identical fold
+
+    # replay of a FOLDED batch must be dropped (it is inside the fold)
+    acc.ingest_batch(ev.filter(F.col("event_id") % 3 == 1), batch_id=1)
+    assert _dirs(store) == ["compacted_upto=2"]
+    assert sorted(tuple(r) for r in acc.serve_quantiles().collect()) == before
+
+    # ingest continues after compaction; serve == whole-batch query
+    # (the 3 planted batches + nothing missing)
+    want = sorted(tuple(r) for r in q_events_value_quantiles_grid(spark, SF).collect())
+    assert before == want
+
+    # second-generation fold: new batches + old compacted grid fold again
+    acc.ingest_batch(ev.filter(F.col("event_id") % 3 == 1), batch_id=7)
+    rep2 = acc.compact()
+    assert rep2["folded_batches"] == 1 and rep2["upto"] == 7
+    assert _dirs(store) == ["compacted_upto=7"]
+    # the %3==1 rows are now counted twice — same as a batch query over
+    # the union; check against the grid built from the duplicated rows
+    dup = ev.union(ev.filter(F.col("event_id") % 3 == 1))
+    got_cnt = acc.serve_grid().agg(F.sum("cnt")).collect()[0][0]
+    assert got_cnt == dup.count()
+
+
+def test_drift_store_compaction_serves_identical_and_ignores_debris(spark, tmp_path):
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.drift_stream import (
+        DriftStreamMonitor,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    store = str(tmp_path / "store")
+    mon = DriftStreamMonitor(spark, store)
+    mon.ingest_batch(docs.filter(F.col("doc_id") <= half), batch_id=0)
+    mon.ingest_batch(docs.filter(F.col("doc_id") > half), batch_id=1)
+
+    before_ks = mon.serve_ks().collect()[0].asDict()
+    before_psi = mon.serve_psi().collect()[0].asDict()
+    # keep a copy of a batch dir to simulate the crash window below
+    debris_src = os.path.join(store, "batch_id=1")
+    debris_copy = str(tmp_path / "debris")
+    shutil.copytree(debris_src, debris_copy)
+
+    rep = mon.compact()
+    assert rep["folded_batches"] == 2 and _dirs(store) == ["compacted_upto=1"]
+    assert mon.serve_ks().collect()[0].asDict() == before_ks
+    assert mon.serve_mann_whitney().collect()[0] is not None
+    assert mon.serve_psi().collect()[0].asDict() == before_psi
+
+    # crash window: fold renamed but a folded batch dir was not yet
+    # removed — serves must IGNORE it (id <= upto), not double-count
+    shutil.copytree(debris_copy, os.path.join(store, "batch_id=1"))
+    assert mon.serve_ks().collect()[0].asDict() == before_ks
+    # and the next compaction sweeps the debris without changing the fold
+    rep2 = mon.compact()
+    assert rep2["folded_batches"] == 0
+    assert _dirs(store) == ["compacted_upto=1"]
+    assert mon.serve_ks().collect()[0].asDict() == before_ks
+
+
+def test_compaction_bounds_directory_count(spark, tmp_path):
+    """The operational point: N batches -> N dirs without compaction, 1
+    after — and the serve cost stays one-file-per-part, not one per batch."""
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.quantile_stream import (
+        QuantileStreamAccumulator,
+    )
+
+    ev = load_table(spark, SF, "events").limit(500)
+    store = str(tmp_path / "store")
+    acc = QuantileStreamAccumulator(spark, store)
+    for i in range(8):
+        acc.ingest_batch(ev.filter(F.col("event_id") % 8 == i), batch_id=i)
+    assert len(_dirs(store)) == 8
+    total = acc.serve_grid().agg(F.sum("cnt")).collect()[0][0]
+    acc.compact()
+    assert len(_dirs(store)) == 1
+    assert acc.serve_grid().agg(F.sum("cnt")).collect()[0][0] == total
+
+
+def test_seasonality_store_compaction_spectrum_identical(spark, tmp_path):
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.seasonality_stream import (
+        SeasonalityStreamMonitor,
+    )
+
+    ev = load_table(spark, SF, "events")
+    store = str(tmp_path / "store")
+    mon = SeasonalityStreamMonitor(spark, store)
+    mon.ingest_batch(ev.filter(F.col("event_id") % 2 == 0), batch_id=0)
+    mon.ingest_batch(ev.filter(F.col("event_id") % 2 == 1), batch_id=1)
+    before = sorted(tuple(r) for r in mon.serve_periodogram().collect())
+    before_se = mon.serve_spectral_entropy().collect()
+    rep = mon.compact()
+    assert rep["folded_batches"] == 2 and _dirs(store) == ["compacted_upto=1"]
+    assert sorted(tuple(r) for r in mon.serve_periodogram().collect()) == before
+    assert mon.serve_spectral_entropy().collect() == before_se
