@@ -132,3 +132,49 @@ def test_seasonality_store_compaction_spectrum_identical(spark, tmp_path):
     assert rep["folded_batches"] == 2 and _dirs(store) == ["compacted_upto=1"]
     assert sorted(tuple(r) for r in mon.serve_periodogram().collect()) == before
     assert mon.serve_spectral_entropy().collect() == before_se
+
+
+def test_compaction_between_checkpointed_restarts(spark, tmp_path):
+    """THE production sequence: stream → stop → compact → restart from the
+    same checkpoint → stream more. The restarted query must ingest only
+    new files (recovered offsets), the fold must absorb pre-restart
+    batches, and the final serve must equal the whole-batch quantiles."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        q_events_value_quantiles_grid,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.quantile_stream import (
+        QuantileStreamAccumulator,
+    )
+
+    ev = load_table(spark, SF, "events")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    acc = QuantileStreamAccumulator(spark, store)
+
+    def attach_once():
+        q = acc.attach(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    attach_once()
+    rep = acc.compact()
+    assert rep["folded_batches"] >= 1
+    assert _dirs(store) == [f"compacted_upto={rep['upto']}"]
+
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    attach_once()  # restart: same checkpoint, ingests ONLY the new file
+
+    want = sorted(tuple(r) for r in q_events_value_quantiles_grid(spark, SF).collect())
+    got = sorted(tuple(r) for r in acc.serve_quantiles().collect())
+    assert got == want
+    # post-restart batch dirs sit ABOVE the fold (ids advanced past it)
+    assert any(d.startswith("batch_id=") for d in _dirs(store))
+    # fold again: one dir, same serve
+    acc.compact()
+    assert len(_dirs(store)) == 1
+    assert sorted(tuple(r) for r in acc.serve_quantiles().collect()) == want
