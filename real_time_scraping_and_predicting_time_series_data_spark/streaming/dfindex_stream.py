@@ -35,13 +35,19 @@ grid math is storage-agnostic.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import shingles
 from ..operators.quality import boilerplate_scores
+from .store_compaction import (
+    compact_grid_store,
+    compact_union_store,
+    is_compacted,
+    publish_dir,
+    read_store_grid,
+)
 
 __all__ = ["NgramDfStreamIndex"]
 
@@ -87,12 +93,10 @@ class NgramDfStreamIndex:
         return inv, base
 
     def _publish(self, df: DataFrame, sub: str, batch_id: int) -> None:
-        staging = os.path.join(self.store_dir, sub, f"_staging_{batch_id}")
-        df.coalesce(1).write.mode("overwrite").parquet(staging)
-        final = os.path.join(self.store_dir, sub, f"batch_id={batch_id}")
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(staging, final)
+        sub_dir = os.path.join(self.store_dir, sub)
+        if is_compacted(sub_dir, batch_id):
+            return  # replay of a folded batch: rows already in the fold
+        publish_dir(df, sub_dir, f"batch_id={batch_id}")
 
     def ingest_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch hook: publish this batch's df grid, postings, and
@@ -123,11 +127,35 @@ class NgramDfStreamIndex:
     }
 
     def _read(self, sub: str) -> DataFrame:
-        root = os.path.join(self.store_dir, sub)
-        try:
-            return self.spark.read.option("basePath", root).parquet(root + "/batch_id=*")
-        except Exception:  # empty store: serve empty relations, not PATH_NOT_FOUND
-            return self.spark.createDataFrame([], self._EMPTY[sub])
+        return read_store_grid(
+            self.spark, os.path.join(self.store_dir, sub), self._EMPTY[sub]
+        )
+
+    def compact(self) -> dict:
+        """Fold all three sub-stores: the df grid by grouped sum (the
+        associative merge the serve already performs), postings and doc
+        bases by pure union (append-only, rows disjoint across batches by
+        the replay-overwrite contract). Served df AND boilerplate flags are
+        bit-identical before/after; directory growth is bounded for
+        long-lived streams. Each sub-store folds independently — a crash
+        between folds leaves one folded and one not, which is fine: every
+        sub-store is complete (fold + live tail) at all times, and
+        `_publish` drops replays per sub-store."""
+        return {
+            "df": compact_grid_store(
+                self.spark,
+                os.path.join(self.store_dir, "df"),
+                self._EMPTY["df"],
+                ("gram",),
+                ("nd",),
+            ),
+            "postings": compact_union_store(
+                self.spark, os.path.join(self.store_dir, "postings"), self._EMPTY["postings"]
+            ),
+            "docs": compact_union_store(
+                self.spark, os.path.join(self.store_dir, "docs"), self._EMPTY["docs"]
+            ),
+        }
 
     def serve_df(self) -> DataFrame:
         """The merged (gram, nd) document-frequency grid — identical to

@@ -50,6 +50,7 @@ __all__ = [
     "publish_dir",
     "read_store_grid",
     "compact_grid_store",
+    "compact_union_store",
 ]
 
 _BATCH_RE = re.compile(r"^batch_id=(\d+)$")
@@ -122,28 +123,27 @@ def read_store_grid(spark: SparkSession, store_dir: str, schema: str) -> DataFra
     return reduce(DataFrame.unionByName, dfs)
 
 
-def compact_grid_store(
-    spark: SparkSession,
-    store_dir: str,
-    schema: str,
-    key_cols: tuple[str, ...],
-    sum_cols: tuple[str, ...],
-) -> dict:
-    """Fold all live parts into one ``compacted_upto=<max_id>`` grid, then
-    sweep the folded batch dirs, older compacted dirs, and crash debris.
-    Returns ``{"folded_batches", "upto", "dirs_before", "dirs_after"}``."""
+def _sweep(store_dir: str, keep: str) -> None:
+    """Remove every batch/compacted/staging dir except ``keep`` — safe
+    post-rename (those rows are in the fold) and for crash debris (serves
+    already ignore ids at or below the fold)."""
+    for name in os.listdir(store_dir):
+        if name == keep:
+            continue
+        if _BATCH_RE.match(name) or _COMPACT_RE.match(name) or name.startswith("_staging_"):
+            shutil.rmtree(os.path.join(store_dir, name), ignore_errors=True)
+
+
+def _fold(spark: SparkSession, store_dir: str, schema: str, transform) -> dict:
+    """Shared fold core: merge live parts via ``transform``, publish as
+    ``compacted_upto=<max live id>``, sweep everything else. A no-op fold
+    (no live batches) still sweeps crash debris."""
     upto = compacted_upto(store_dir)
     live_ids = [i for i in _batch_ids(store_dir) if i > upto]
-    dirs_before = len(os.listdir(store_dir))
+    dirs_before = len(os.listdir(store_dir)) if os.path.isdir(store_dir) else 0
     if not live_ids:
-        # nothing new to fold — still sweep crash debris (stale batch dirs
-        # at or below the fold, older compacted grids, leftover staging)
-        for name in os.listdir(store_dir):
-            if name == f"compacted_upto={upto}":
-                continue
-            m_b, m_c = _BATCH_RE.match(name), _COMPACT_RE.match(name)
-            if m_b or m_c or name.startswith("_staging_"):
-                shutil.rmtree(os.path.join(store_dir, name), ignore_errors=True)
+        if upto >= 0 or dirs_before:
+            _sweep(store_dir, f"compacted_upto={upto}")
         return {
             "folded_batches": 0,
             "upto": upto,
@@ -151,23 +151,46 @@ def compact_grid_store(
             "dirs_after": len(os.listdir(store_dir)),
         }
     new_upto = max(live_ids)
-    merged = (
-        read_store_grid(spark, store_dir, schema)
-        .groupBy(*key_cols)
-        .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
-    )
+    merged = transform(read_store_grid(spark, store_dir, schema))
     publish_dir(merged, store_dir, f"compacted_upto={new_upto}")
-    # sweep AFTER the rename: everything except the new compacted dir is
-    # now stale (folded batches, older compacted grids, leftover staging)
-    for name in os.listdir(store_dir):
-        if name == f"compacted_upto={new_upto}":
-            continue
-        m_b, m_c = _BATCH_RE.match(name), _COMPACT_RE.match(name)
-        if (m_b and int(m_b.group(1)) <= new_upto) or m_c or name.startswith("_staging_"):
-            shutil.rmtree(os.path.join(store_dir, name), ignore_errors=True)
+    _sweep(store_dir, f"compacted_upto={new_upto}")
     return {
         "folded_batches": len(live_ids),
         "upto": new_upto,
         "dirs_before": dirs_before,
         "dirs_after": len(os.listdir(store_dir)),
     }
+
+
+def compact_grid_store(
+    spark: SparkSession,
+    store_dir: str,
+    schema: str,
+    key_cols: tuple[str, ...],
+    sum_cols: tuple[str, ...],
+) -> dict:
+    """Fold all live parts into one ``compacted_upto=<max_id>`` grid by the
+    associative grouped-sum merge, then sweep folded batch dirs, older
+    compacted dirs, and crash debris. Returns ``{"folded_batches", "upto",
+    "dirs_before", "dirs_after"}``."""
+    return _fold(
+        spark,
+        store_dir,
+        schema,
+        lambda df: df.groupBy(*key_cols).agg(
+            *[F.sum(c).cast("long").alias(c) for c in sum_cols]
+        ),
+    )
+
+
+def compact_union_store(
+    spark: SparkSession,
+    store_dir: str,
+    schema: str,
+) -> dict:
+    """Fold an APPEND-ONLY store (rows disjoint across batch dirs by the
+    replay-overwrite publish contract — e.g. postings, per-doc bases) by
+    pure union, no aggregation: the fold is the same multiset the per-batch
+    union served, just in one directory. Same rename-then-sweep crash
+    window and `is_compacted` replay contract as `compact_grid_store`."""
+    return _fold(spark, store_dir, schema, lambda df: df)

@@ -178,3 +178,49 @@ def test_compaction_between_checkpointed_restarts(spark, tmp_path):
     acc.compact()
     assert len(_dirs(store)) == 1
     assert sorted(tuple(r) for r in acc.serve_quantiles().collect()) == want
+
+
+def test_dfindex_store_compaction_flags_identical(spark, tmp_path):
+    """Folding the df grid (sum) + postings/docs (union) keeps the served
+    boilerplate flags bit-identical — including the RETROACTIVE re-flag
+    property: a post-fold batch can still push a folded gram over the
+    threshold and re-flag folded documents."""
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.dfindex_stream import (
+        NgramDfStreamIndex,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    store = str(tmp_path / "store")
+    idx = NgramDfStreamIndex(spark, store, n=5, threshold=5)
+    idx.ingest_batch(docs.filter(F.col("doc_id") % 2 == 0), batch_id=0)
+    idx.ingest_batch(docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 != 0)), batch_id=1)
+
+    before = sorted(tuple(r) for r in idx.serve_boilerplate().collect())
+    rep = idx.compact()
+    assert rep["df"]["folded_batches"] == 2
+    assert rep["postings"]["folded_batches"] == 2
+    for sub in ("df", "postings", "docs"):
+        assert sorted(os.listdir(os.path.join(store, sub))) == ["compacted_upto=1"]
+    assert sorted(tuple(r) for r in idx.serve_boilerplate().collect()) == before
+
+    # replay of folded batch 1 is dropped in every sub-store
+    idx.ingest_batch(docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 != 0)), batch_id=1)
+    for sub in ("df", "postings", "docs"):
+        assert sorted(os.listdir(os.path.join(store, sub))) == ["compacted_upto=1"]
+
+    # post-fold ingest: serve == batch query over ALL docs (retroactive
+    # re-flags included), exactly the existing batch-parity contract
+    idx.ingest_batch(docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 == 0)), batch_id=2)
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.quality import (
+        boilerplate_scores,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import shingles
+
+    sh = docs.select("doc_id", shingles(F.col("text"), 5).alias("grams"))
+    inv = sh.select("doc_id", F.explode("grams").alias("_g")).select(
+        "doc_id", F.xxhash64("_g").alias("gram")
+    )
+    base = sh.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+    want = sorted(tuple(r) for r in boilerplate_scores(inv, base, threshold=5).collect())
+    got = sorted(tuple(r) for r in idx.serve_boilerplate().collect())
+    assert got == want
