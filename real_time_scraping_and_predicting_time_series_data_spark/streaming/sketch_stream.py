@@ -19,14 +19,21 @@ through the Hadoop ``FileSystem`` API or an atomic-commit table format.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketch import cms_build
+from .store_compaction import (
+    compact_grid_store,
+    is_compacted,
+    publish_dir,
+    read_store_grid,
+)
 
 __all__ = ["CmsStreamAccumulator"]
+
+_CMS_SCHEMA = "seed int, bucket bigint, n bigint"
 
 
 class CmsStreamAccumulator:
@@ -55,13 +62,10 @@ class CmsStreamAccumulator:
         tokens = batch_df.select(
             F.explode(F.split(F.trim(F.col(self.text_col)), r"\s+")).alias("token")
         )
+        if is_compacted(self.store_dir, batch_id):
+            return  # replay of a folded batch: counts already in the fold
         sketch = cms_build(tokens, depth=self.depth, width=self.width)
-        staging = os.path.join(self.store_dir, f"_staging_{batch_id}")
-        sketch.coalesce(1).write.mode("overwrite").parquet(staging)
-        final = self._batch_dir(batch_id)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(staging, final)
+        publish_dir(sketch, self.store_dir, f"batch_id={batch_id}")
 
     def attach(self, stream_df: DataFrame, checkpoint: str):
         return (
@@ -73,10 +77,20 @@ class CmsStreamAccumulator:
             .start()
         )
 
-    def serve(self) -> DataFrame:
-        """The merged sketch: union of per-batch counters + one grouped
-        sum — identical to the batch-built sketch of everything ingested."""
-        merged = self.spark.read.option("basePath", self.store_dir).parquet(
-            self.store_dir + "/batch_id=*"
+    def compact(self) -> dict:
+        """Fold every published per-batch counter table into one
+        `compacted_upto=<id>` dir — CMS cells merge by cell-wise sum, the
+        same associative merge `serve` performs, so served estimates are
+        bit-identical; bounds directory growth for long-lived streams."""
+        return compact_grid_store(
+            self.spark, self.store_dir, _CMS_SCHEMA, ("seed", "bucket"), ("n",)
         )
-        return merged.groupBy("seed", "bucket").agg(F.sum("n").alias("n"))
+
+    def serve(self) -> DataFrame:
+        """The merged sketch: union of the compacted counters (if any) and
+        newer per-batch counters + one grouped sum — identical to the
+        batch-built sketch of everything ingested."""
+        merged = read_store_grid(self.spark, self.store_dir, _CMS_SCHEMA)
+        return merged.groupBy("seed", "bucket").agg(
+            F.sum("n").cast("long").alias("n")
+        )

@@ -224,3 +224,24 @@ def test_dfindex_store_compaction_flags_identical(spark, tmp_path):
     want = sorted(tuple(r) for r in boilerplate_scores(inv, base, threshold=5).collect())
     got = sorted(tuple(r) for r in idx.serve_boilerplate().collect())
     assert got == want
+
+
+def test_cms_store_compaction_estimates_identical(spark, tmp_path):
+    """CMS counters fold by cell-wise sum — served heavy-hitter estimates
+    bit-identical across the fold; post-fold ingest keeps accumulating."""
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.sketch_stream import (
+        CmsStreamAccumulator,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    store = str(tmp_path / "store")
+    acc = CmsStreamAccumulator(spark, store)
+    acc.ingest_batch(docs.filter(F.col("doc_id") % 2 == 0), batch_id=0)
+    acc.ingest_batch(docs.filter(F.col("doc_id") % 2 == 1), batch_id=1)
+    before = sorted(tuple(r) for r in acc.serve().collect())
+    rep = acc.compact()
+    assert rep["folded_batches"] == 2 and _dirs(store) == ["compacted_upto=1"]
+    assert sorted(tuple(r) for r in acc.serve().collect()) == before
+    # replay of a folded batch is dropped
+    acc.ingest_batch(docs.filter(F.col("doc_id") % 2 == 1), batch_id=1)
+    assert sorted(tuple(r) for r in acc.serve().collect()) == before
