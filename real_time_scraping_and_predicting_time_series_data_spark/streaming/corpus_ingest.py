@@ -35,6 +35,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .store_compaction import compacted_upto, is_compacted
+
 __all__ = ["IncrementalCorpusStore"]
 
 
@@ -48,14 +50,56 @@ class IncrementalCorpusStore:
         os.makedirs(self.root, exist_ok=True)
 
     def _batch_dirs(self, exclude_batch_id: int | None = None) -> list[str]:
+        """Live parts: the newest compacted fold (if any) + batch dirs
+        newer than it. Batch dirs at or below the fold are crash debris
+        (their rows are inside the fold) and are ignored."""
+        upto = compacted_upto(self.root)
         out = []
+        if upto >= 0:
+            out.append(os.path.join(self.root, f"compacted_upto={upto}"))
         for d in os.listdir(self.root):
             if not d.startswith("batch_id="):
                 continue
             if exclude_batch_id is not None and d == f"batch_id={exclude_batch_id}":
                 continue
+            if int(d.split("=", 1)[1]) <= upto:
+                continue
             out.append(os.path.join(self.root, d))
         return sorted(out)
+
+    def compact(self) -> dict:
+        """Fold every accepted ``batch_id=<i>`` directory into one
+        ``compacted_upto=<max>`` directory. Accepted rows are DISJOINT
+        across batches (the ledger anti-join guarantees it), so the fold
+        is a pure union — ``serve()`` and the ledger probe see the same
+        corpus, now behind one directory instead of one per micro-batch.
+        A replay of a folded batch is dropped at ingest: its verdicts are
+        already in the fold, which is exactly what the replay's
+        exclude-own-batch recomputation would have reproduced."""
+        upto = compacted_upto(self.root)
+        live = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.root)
+            if d.startswith("batch_id=") and int(d.split("=", 1)[1]) > upto
+        )
+        if not live:
+            return {"folded_batches": 0, "upto": upto}
+        new_upto = max(live)
+        merged = self.spark.read.parquet(*self._batch_dirs())
+        staging = os.path.join(self.root, f".staging_compacted_upto={new_upto}")
+        shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(staging)
+        os.rename(staging, os.path.join(self.root, f"compacted_upto={new_upto}"))
+        for d in os.listdir(self.root):
+            keep = d == f"compacted_upto={new_upto}"
+            stale = (
+                (d.startswith("batch_id=") and int(d.split("=", 1)[1]) <= new_upto)
+                or d.startswith("compacted_upto=")
+                or d.startswith(".staging")
+            )
+            if stale and not keep:
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        return {"folded_batches": len(live), "upto": new_upto}
 
     def _ledger_hashes(self, exclude_batch_id: int | None = None) -> DataFrame | None:
         dirs = self._batch_dirs(exclude_batch_id)
@@ -68,6 +112,8 @@ class IncrementalCorpusStore:
 
     def ingest_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch hook: admit first-seen content, idempotently."""
+        if is_compacted(self.root, batch_id):
+            return  # replay of a folded batch: its verdicts are in the fold
         hashed = batch_df.withColumn("content_hash", F.sha2(F.col("text"), 256))
         w = Window.partitionBy("content_hash").orderBy("doc_id")
         survivors = (

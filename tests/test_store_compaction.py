@@ -245,3 +245,42 @@ def test_cms_store_compaction_estimates_identical(spark, tmp_path):
     # replay of a folded batch is dropped
     acc.ingest_batch(docs.filter(F.col("doc_id") % 2 == 1), batch_id=1)
     assert sorted(tuple(r) for r in acc.serve().collect()) == before
+
+
+def test_corpus_store_compaction_first_seen_wins_preserved(spark, tmp_path):
+    """Folding the accepted corpus keeps serve() and the dedup ledger
+    identical: post-fold batches still anti-join against folded content,
+    and a replay of a folded batch is dropped (its verdicts are the fold)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.corpus_ingest import (
+        IncrementalCorpusStore,
+    )
+
+    store = IncrementalCorpusStore(spark, str(tmp_path / "store"))
+    b0 = spark.createDataFrame(
+        [(1, "alpha text", "s"), (2, "beta text", "s"), (3, "alpha text", "s")],
+        "doc_id long, text string, source string",
+    )
+    b1 = spark.createDataFrame(
+        [(4, "alpha text", "s"), (5, "gamma text", "s")],
+        "doc_id long, text string, source string",
+    )
+    store.ingest_batch(b0, batch_id=0)
+    store.ingest_batch(b1, batch_id=1)
+    before = sorted(r.doc_id for r in store.serve().collect())
+    assert before == [1, 2, 5]  # first-seen-wins, min-id within batch
+
+    rep = store.compact()
+    assert rep["folded_batches"] == 2 and rep["upto"] == 1
+    assert sorted(r.doc_id for r in store.serve().collect()) == before
+
+    # replay of folded batch 1 is dropped (no re-publish, no dup dirs)
+    store.ingest_batch(b1, batch_id=1)
+    assert sorted(r.doc_id for r in store.serve().collect()) == before
+
+    # post-fold ingest dedups against the FOLDED ledger
+    b2 = spark.createDataFrame(
+        [(6, "gamma text", "s"), (7, "delta text", "s")],
+        "doc_id long, text string, source string",
+    )
+    store.ingest_batch(b2, batch_id=2)
+    assert sorted(r.doc_id for r in store.serve().collect()) == [1, 2, 5, 7]
