@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, norm
 from ..operators.similarity import _probe_rank_preassigned, ivf_assign
+from .store_compaction import compacted_upto, is_compacted
 
 __all__ = ["IvfStreamIndex", "seed_centroids"]
 
@@ -71,6 +72,8 @@ class IvfStreamIndex:
                      id_col: str = "vec_id", vec: str = "embedding") -> None:
         """foreachBatch hook: normalize, assign (zero-shuffle broadcast
         projection), publish under batch_id via staging-rename."""
+        if is_compacted(self.store_dir, batch_id):
+            return  # replay of a folded batch: vectors already in the fold
         c = batch_df.select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec)).alias("v_c")
         )
@@ -98,19 +101,75 @@ class IvfStreamIndex:
             .start()
         )
 
+    def compact(self) -> dict:
+        """Union-fold every `batch_id=<i>/cell=<c>` dir into ONE
+        `compacted_upto=<max>/cell=<c>` layout — vectors are disjoint
+        across batches (each arrives once per batch_id; replays overwrite),
+        so the fold is the same corpus behind one directory, still
+        cell-partitioned for pruned probes. Folded-batch replays are
+        dropped at ingest; crash debris (batch dirs at or below the fold)
+        is ignored by `corpus()` and swept by the next compact."""
+        upto = compacted_upto(self.store_dir)
+        live = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.store_dir)
+            if d.startswith("batch_id=") and int(d.split("=", 1)[1]) > upto
+        )
+        if not live:
+            return {"folded_batches": 0, "upto": upto}
+        new_upto = max(live)
+        merged = self.corpus()
+        staging = os.path.join(self.store_dir, f"_staging_compacted_{new_upto}")
+        merged.write.mode("overwrite").partitionBy("cell").parquet(staging)
+        final = os.path.join(self.store_dir, f"compacted_upto={new_upto}")
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(staging, final)
+        for d in os.listdir(self.store_dir):
+            keep = d == f"compacted_upto={new_upto}"
+            stale = (
+                (d.startswith("batch_id=") and int(d.split("=", 1)[1]) <= new_upto)
+                or d.startswith("compacted_upto=")
+                or d.startswith("_staging_")
+            )
+            if stale and not keep:
+                shutil.rmtree(os.path.join(self.store_dir, d), ignore_errors=True)
+        return {"folded_batches": len(live), "upto": new_upto}
+
     def corpus(self) -> DataFrame:
         """Everything ingested: (cell, neighbor_id, v_c) with cell read
-        back from the partition layout. An empty store (no batch yet)
-        serves an empty corpus — a query against it returns no neighbors
-        instead of PATH_NOT_FOUND."""
-        try:
-            return self.spark.read.option("basePath", self.store_dir).parquet(
-                self.store_dir + "/batch_id=*"
-            ).select(F.col("cell").cast("int").alias("cell"), "neighbor_id", "v_c")
-        except Exception:
+        back from the partition layout — the newest compacted fold (if
+        any) + batch dirs newer than it, each read under its OWN basePath
+        so only `cell` is partition-discovered. An empty store (no batch
+        yet) serves an empty corpus — a query against it returns no
+        neighbors instead of PATH_NOT_FOUND."""
+        upto = compacted_upto(self.store_dir)
+        parts = []
+        if upto >= 0:
+            parts.append(os.path.join(self.store_dir, f"compacted_upto={upto}"))
+        parts.extend(
+            os.path.join(self.store_dir, d)
+            for d in sorted(os.listdir(self.store_dir))
+            if d.startswith("batch_id=") and int(d.split("=", 1)[1]) > upto
+        )
+        dfs = []
+        for p in parts:
+            try:
+                dfs.append(
+                    self.spark.read.option("basePath", p).parquet(p).select(
+                        F.col("cell").cast("int").alias("cell"), "neighbor_id", "v_c"
+                    )
+                )
+            except Exception:
+                continue  # empty/unreadable part: nothing published there yet
+        if not dfs:
             return self.spark.createDataFrame(
                 [], "cell int, neighbor_id bigint, v_c array<double>"
             )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def serve_topk(self, queries: DataFrame, k: int = 5, nprobe: int = 4,
                    query_id: str = "query_id", vec: str = "embedding") -> DataFrame:

@@ -41,6 +41,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .store_compaction import compacted_upto, is_compacted
+
 from ..functions.vector import as_double, dot, norm
 from ..operators.dedup import connected_components
 from ..operators.similarity import ivf_assign
@@ -70,14 +72,52 @@ class SemanticDedupStore:
     # -- store access -------------------------------------------------------
 
     def _batch_dirs(self, exclude_batch_id: int | None = None) -> list[str]:
+        """Live parts: the newest compacted fold (if any) + batch dirs
+        newer than it (at-or-below-fold dirs are crash debris, ignored)."""
+        upto = compacted_upto(self.root)
         out = []
+        if upto >= 0:
+            out.append(os.path.join(self.root, f"compacted_upto={upto}"))
         for d in os.listdir(self.root):
             if not d.startswith("batch_id="):
                 continue
             if exclude_batch_id is not None and d == f"batch_id={exclude_batch_id}":
                 continue
+            if int(d.split("=", 1)[1]) <= upto:
+                continue
             out.append(os.path.join(self.root, d))
         return sorted(out)
+
+    def compact(self) -> dict:
+        """Union-fold every accepted batch dir into one
+        ``compacted_upto=<max>`` dir (accepted rows are disjoint across
+        batches by the admission anti-join); serve() and the ledger probe
+        are unchanged, folded-batch replays are dropped at ingest. Same
+        rename-then-sweep crash window as store_compaction."""
+        upto = compacted_upto(self.root)
+        live = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.root)
+            if d.startswith("batch_id=") and int(d.split("=", 1)[1]) > upto
+        )
+        if not live:
+            return {"folded_batches": 0, "upto": upto}
+        new_upto = max(live)
+        merged = self.spark.read.parquet(*self._batch_dirs())
+        staging = os.path.join(self.root, f".staging_compacted_upto={new_upto}")
+        shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(staging)
+        os.rename(staging, os.path.join(self.root, f"compacted_upto={new_upto}"))
+        for d in os.listdir(self.root):
+            keep = d == f"compacted_upto={new_upto}"
+            stale = (
+                (d.startswith("batch_id=") and int(d.split("=", 1)[1]) <= new_upto)
+                or d.startswith("compacted_upto=")
+                or d.startswith(".staging")
+            )
+            if stale and not keep:
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        return {"folded_batches": len(live), "upto": new_upto}
 
     def _ledger(self, exclude_batch_id: int | None = None) -> DataFrame | None:
         dirs = self._batch_dirs(exclude_batch_id)
@@ -109,6 +149,8 @@ class SemanticDedupStore:
     def ingest_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch hook: admit semantically-novel vectors,
         idempotently per batch_id."""
+        if is_compacted(self.root, batch_id):
+            return  # replay of a folded batch: its verdicts are in the fold
         assigned = self._assign(batch_df).localCheckpoint(eager=True)
 
         # within-batch: cos >= tau edges inside a cell -> min-id component

@@ -284,3 +284,130 @@ def test_corpus_store_compaction_first_seen_wins_preserved(spark, tmp_path):
     )
     store.ingest_batch(b2, batch_id=2)
     assert sorted(r.doc_id for r in store.serve().collect()) == [1, 2, 5, 7]
+
+
+def test_ivf_index_compaction_serves_identical_topk(spark, tmp_path):
+    """Folding batch_id=*/cell=* into compacted_upto=<id>/cell=* keeps the
+    served top-k bit-identical to the batch seeded-IVF query, the layout
+    cell-partitioned, and post-fold ingest + folded-replay-drop working."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        ivf_topk_seeded,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.ann_ingest import (
+        IvfStreamIndex,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    store = str(tmp_path / "store")
+    idx = IvfStreamIndex(spark, store, seed_centroids(emb, 16))
+    idx.ingest_batch(emb.filter(F.col("vec_id") % 3 == 0), batch_id=0)
+    idx.ingest_batch(emb.filter(F.col("vec_id") % 3 == 1), batch_id=1)
+
+    rep = idx.compact()
+    assert rep["folded_batches"] == 2
+    assert _dirs(store) == ["compacted_upto=1"]
+    # still cell-partitioned under the fold
+    assert any(
+        d.startswith("cell=") for d in os.listdir(os.path.join(store, "compacted_upto=1"))
+    )
+
+    # folded replay dropped; post-fold ingest completes the corpus
+    idx.ingest_batch(emb.filter(F.col("vec_id") % 3 == 1), batch_id=1)
+    assert _dirs(store) == ["compacted_upto=1"]
+    idx.ingest_batch(emb.filter(F.col("vec_id") % 3 == 2), batch_id=2)
+
+    got = sorted(tuple(r) for r in idx.serve_topk(queries, k=5, nprobe=4).collect())
+    want = sorted(
+        tuple(r)
+        for r in ivf_topk_seeded(emb, queries, k=5, n_cells=16, nprobe=4).collect()
+    )
+    assert len(want) > 0 and got == want
+
+
+def test_neardup_store_compaction_admission_unchanged(spark, tmp_path):
+    """Union-folding the accepted near-dup store keeps the band ledger
+    working: a post-fold near-duplicate of a folded doc is still rejected,
+    a novel doc admitted, and a folded replay dropped."""
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.neardup_ingest import (
+        NearDupCorpusStore,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " tokX"
+    other = " ".join(f"zzz{i}" for i in range(40))
+    store = NearDupCorpusStore(spark, str(tmp_path / "store"), threshold=0.5, bands=8)
+    store.ingest_batch(
+        spark.createDataFrame([(1, base, "s")], "doc_id long, text string, source string"),
+        batch_id=0,
+    )
+    rep = store.compact()
+    assert rep["folded_batches"] == 1
+    # folded replay dropped
+    store.ingest_batch(
+        spark.createDataFrame([(1, base, "s")], "doc_id long, text string, source string"),
+        batch_id=0,
+    )
+    # near-dup of FOLDED content rejected; novel admitted
+    store.ingest_batch(
+        spark.createDataFrame(
+            [(2, near, "s"), (3, other, "s")], "doc_id long, text string, source string"
+        ),
+        batch_id=1,
+    )
+    assert sorted(r.doc_id for r in store.serve().collect()) == [1, 3]
+
+
+def test_semantic_store_compaction_ledger_unchanged(spark, tmp_path):
+    """Union-folding the semantic-dedup ledger: a post-fold vector
+    semantically near a FOLDED acceptee is still rejected; the serve
+    invariant (no same-cell pair above tau) holds across the fold."""
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.ann_ingest import (
+        seed_centroids,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.semantic_ingest import (
+        SemanticDedupStore,
+    )
+
+    import math
+
+    def _e(axis, eps):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 4) % 8] = eps
+        n = math.sqrt(1 + eps * eps)
+        return [x / n for x in v]
+
+    rows = [(i, _e(i, 0.0), 0) for i in range(4)]
+    seeds = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    store_dir = str(tmp_path / "store")
+    store = SemanticDedupStore(
+        spark, store_dir, seed_centroids(seeds, n_cells=4), threshold=0.9
+    )
+    b0 = rows + [(100, _e(0, 0.10), 0)]
+    store.ingest_batch(
+        spark.createDataFrame(b0, "vec_id long, embedding array<double>, label int"),
+        batch_id=0,
+    )
+    before = sorted(r.vec_id for r in store.serve().collect())
+    rep = store.compact()
+    assert rep["folded_batches"] == 1
+    assert sorted(r.vec_id for r in store.serve().collect()) == before
+
+    # near-dups of FOLDED acceptees (cos 0.999 to seed 0, 0.98 to seed 1)
+    # rejected against the folded ledger; a genuinely novel direction in
+    # cell 1 (cos 0.707 to seed 1, below tau) admitted
+    store.ingest_batch(
+        spark.createDataFrame(
+            [(200, _e(0, 0.05), 0), (201, _e(1, 0.2), 0), (202, _e(1, 1.0), 0)],
+            "vec_id long, embedding array<double>, label int",
+        ),
+        batch_id=1,
+    )
+    after = sorted(r.vec_id for r in store.serve().collect())
+    assert after == before + [202]
