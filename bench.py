@@ -210,6 +210,7 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "ts_seasonal_strength",
     "corpus_bpe_first_merges",
+    "ml_kmeans_summary",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -1647,3 +1647,154 @@ def q_sim_rrf_fusion(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "rrf", "rank")
     )
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB twin of the exact-arithmetic Lloyd loop: same seed cells,
+    same ordered squared-distance fold, same round(d2, 9) + min-cell
+    tie-break argmin, same integer-quantized (1e-9) component sums — so
+    the centroid doubles, member counts, and quantized inertia are
+    bit-identical, not merely close."""
+    d2 = "round(list_sum(list_transform(list_zip(e.v, {c}.c), p -> (p[1] - p[2]) * (p[1] - p[2]))), 9)"
+
+    def assign(cent: str, out: str) -> str:
+        return f"""{out} AS (
+        SELECT e.vec_id, e.v, m.cell, m.d FROM e, LATERAL (
+            SELECT {cent}.cell AS cell, {d2.format(c=cent)} AS d
+            FROM {cent} ORDER BY 2, 1 LIMIT 1
+        ) m
+    )"""
+
+    def update(a: str, out: str) -> str:
+        return f"""{out}_g AS (
+        SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM {a}
+    ), {out} AS (
+        SELECT cell,
+               list(CAST(s AS DOUBLE) / (1000000000.0 * n) ORDER BY pos) AS c
+        FROM (SELECT cell, pos,
+                     SUM(CAST(round(x * 1000000000) AS BIGINT)) AS s,
+                     COUNT(*) AS n
+              FROM {out}_g GROUP BY cell, pos)
+        GROUP BY cell
+    )"""
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e WHERE vec_id < {k})",
+    ]
+    cur = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(assign(cur, f"a{i}"))
+        ctes.append(update(f"a{i}", f"c{i}"))
+        cur = f"c{i}"
+    ctes.append(assign(cur, "af"))
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT af.cell,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           round(sqrt(list_sum(list_transform(any_value({cur}.c), x -> x * x))), 6)
+               AS centroid_norm,
+           CAST(SUM(CAST(round(af.d * 1000000) AS BIGINT)) AS BIGINT) AS inertia_micros
+    FROM af JOIN {cur} ON af.cell = {cur}.cell
+    GROUP BY af.cell
+    """
+
+
+def _kmeans_sqdist(v, c):
+    """Ordered (x−y)² fold — term-for-term the oracle's
+    list_sum(list_transform(list_zip(...)))."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Zero-shuffle Lloyd assignment: K centroids collapse to ONE broadcast
+    row; argmin is a per-row array_min over struct(round(d2,9), cell) — the
+    `ivf_assign` / `embedding_pq_codebook` model-broadcast shape (one
+    expression tree; sibling nested-HOF trees miscompile in Spark 4.1)."""
+    model = cents.agg(F.collect_list(F.struct("cell", "c")).alias("_cents"))
+    scored = e.crossJoin(F.broadcast(model))
+    best = F.array_min(
+        F.transform(
+            "_cents",
+            lambda t: F.struct(
+                F.round(_kmeans_sqdist(F.col("v"), t["c"]), 9).alias("d"),
+                t["cell"].alias("cell"),
+            ),
+        )
+    )
+    return scored.select(
+        "vec_id", "v", best.getField("cell").alias("cell"), best.getField("d").alias("d")
+    )
+
+
+def kmeans_lloyd_exact(
+    emb: DataFrame, k: int = 4, iters: int = 2, dim: int = 64
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed Lloyd k-means with EXACT-arithmetic centroid updates:
+    component sums are 1e-9-quantized BIGINTs (associative — any partition
+    order gives the same centroid doubles), so unlike `ivf_train`'s fp
+    `avg` path this loop is value-hash-verifiable against a SQL oracle.
+    Returns (final centroids, final assignment with per-row round(d2,9)).
+
+    Scale shape per iteration: one zero-shuffle broadcast-model assignment
+    + ONE grouped aggregation of dim sum-buffers (the `_cell_means`
+    single-exchange shape) — the data never moves; only K×dim partial sums
+    shuffle. Seeds are the vec_id < k vectors (deterministic, same
+    convention as `seed_centroids`)."""
+    e = emb.select(
+        F.col("vec_id"), as_double(F.col("embedding")).alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("c")
+    )
+    for _ in range(iters):
+        assigned = _kmeans_assign(e, cents)
+        sums = assigned.groupBy("cell").agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.round(F.col("v")[i] * 1e9).cast("long")).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        cents = sums.select(
+            "cell",
+            F.array(
+                *[
+                    F.col(f"s{i}").cast("double") / (F.lit(1_000_000_000.0) * F.col("n"))
+                    for i in range(dim)
+                ]
+            ).alias("c"),
+        ).localCheckpoint(eager=False)
+    return cents, _kmeans_assign(e, cents)
+
+
+@register(
+    "ml_kmeans_summary",
+    oracle=_kmeans_oracle(k=4, iters=2, dim=64),
+    tags=("ml", "clustering", "embedding"),
+)
+def q_ml_kmeans_summary(spark, sf_dir):
+    """Lloyd k-means (k=4, 2 iterations) over the embeddings with
+    exact-arithmetic updates: per final cell, member count, centroid norm,
+    and 1e-6-quantized inertia — the oracle-checkable twin of `ivf_train`
+    (whose fp-mean path backs the rows-only `sim_ivf_topk`). Trains the
+    coarse quantizer the IVF/SemDeDup stores assume exists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assigned = kmeans_lloyd_exact(emb, k=4, iters=2, dim=64)
+    cnorm = cents.select(
+        "cell",
+        F.round(
+            F.sqrt(F.aggregate("c", F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("centroid_norm"),
+    )
+    agg = assigned.groupBy("cell").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.round(F.col("d") * 1e6).cast("long")).alias("inertia_micros"),
+    )
+    return agg.join(cnorm, "cell").select(
+        "cell", "n_members", "centroid_norm", "inertia_micros"
+    )

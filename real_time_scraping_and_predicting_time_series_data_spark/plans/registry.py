@@ -150,6 +150,7 @@ _FRONT = (
     "dedup_semantic_clusters",
     "ts_seasonal_strength",
     "corpus_bpe_first_merges",
+    "ml_kmeans_summary",
     # (c) re-checks filling out the ~50-query window: queries whose
     # implementation changed this round (grid_cumsum conversions, shared
     # TF-IDF reuse) so the fix lands a fresh green row.

@@ -429,3 +429,29 @@ def test_semantic_clusters_catch_planted_dups_within_cluster(spark):
     num = sum(x * y for x, y in zip(v100, v200))
     cos = num / (math.sqrt(sum(x * x for x in v100)) * math.sqrt(sum(x * x for x in v200)))
     assert cos > 0.5
+
+
+def test_kmeans_lloyd_exact_recovers_planted_clusters(spark):
+    """Two tight planted clusters + seeds inside each: Lloyd converges to
+    the cluster means (exact-arithmetic update), every point lands with
+    its own cluster, and inertia is the within-cluster spread."""
+    import random
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        kmeans_lloyd_exact,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        center = 5.0 if i % 2 else -5.0
+        v = [center + rng.uniform(-0.1, 0.1) for _ in range(8)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, assigned = kmeans_lloyd_exact(emb, k=2, iters=3, dim=8)
+    got = {r.vec_id: r.cell for r in assigned.collect()}
+    # seeds: vec 0 (center -5) -> cell 0, vec 1 (center +5) -> cell 1
+    for i, cell in got.items():
+        assert cell == (1 if i % 2 else 0)
+    cs = {r.cell: r.c for r in cents.collect()}
+    assert abs(cs[0][0] + 5.0) < 0.2 and abs(cs[1][0] - 5.0) < 0.2
