@@ -211,6 +211,19 @@ HEADLINE = [
     "ts_seasonal_strength",
     "corpus_bpe_first_merges",
     "ml_kmeans_summary",
+    # r7 session waves: classifier-eval panel, group-comparison suite,
+    # schema-discovery profilers.
+    "ml_roc_auc",
+    "ml_pr_auc",
+    "ml_isotonic_calibration",
+    "stats_anova_oneway",
+    "stats_levene_brown_forsythe",
+    "stats_cramers_v",
+    "dq_inclusion_dependencies",
+    "dq_functional_dependencies",
+    "orders_frequent_triples",
+    "sql_lateral_topk",
+    "ml_roc_auc_stream_serve",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -853,3 +853,85 @@ def q_graph_brand_modularity(spark, sf_dir):
             / 1000000
         ).alias("q_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Apriori 3-itemsets — candidate-pruned frequent triples (r7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_frequent_triples",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem
+    ), baskets AS (
+        SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM op
+    ), tri AS (
+        SELECT a.part AS pa, b.part AS pb, c.part AS pc,
+               CAST(count(*) AS BIGINT) AS c_abc
+        FROM op a JOIN op b ON a.ok = b.ok AND a.part < b.part
+                  JOIN op c ON a.ok = c.ok AND b.part < c.part
+        GROUP BY 1, 2, 3 HAVING count(*) >= {_TRI_SUPPORT}
+    )
+    SELECT t.pa AS part_a, t.pb AS part_b, t.pc AS part_c,
+           t.c_abc AS n_orders_all3,
+           round(CAST(t.c_abc AS DOUBLE) / bk.n_orders, 9) AS support
+    FROM tri t CROSS JOIN baskets bk
+    """,
+    tags=("graph", "basket", "association", "apriori"),
+)
+def q_orders_frequent_triples(spark, sf_dir):
+    """Frequent 3-itemsets over order baskets — the Apriori step above
+    `orders_basket_lift`'s pairs.  The SCALE device is the Apriori
+    candidate prune: only parts that appear in some frequent PAIR can
+    appear in a frequent triple (downward closure), so the (ok, part)
+    relation is LEFT SEMI-filtered against the frequent-pair part set
+    BEFORE the three-way within-order self-join — on a heavy-tailed
+    catalog this collapses the join input from every part ever ordered
+    to the tiny co-purchase core, and the per-order triple expansion
+    C(|basket|,3) only runs over pruned baskets.  Counts are exact
+    order-distinct BIGINTs ((ok, part) is pre-deduped, so count(*)
+    counts orders); support is one final division, round 1e-9.
+
+    The prune is lossless by the Apriori property, and the semi-join is
+    pinned in the plan (tests/test_r7_operators.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")).distinct()
+    # frequent-pair part universe (downward closure): a part outside every
+    # frequent pair cannot be in any frequent triple.
+    a = op.select(F.col("ok"), F.col("part").alias("pa"))
+    b = op.select(F.col("ok"), F.col("part").alias("pb"))
+    fp = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= _TRI_SUPPORT)
+    )
+    fp_parts = (
+        fp.select(F.col("pa").alias("part"))
+        .unionAll(fp.select(F.col("pb").alias("part")))
+        .distinct()
+    )
+    pruned = op.join(fp_parts, "part", "left_semi")
+    ta = pruned.select("ok", F.col("part").alias("pa"))
+    tb = pruned.select("ok", F.col("part").alias("pb"))
+    tc = pruned.select("ok", F.col("part").alias("pc"))
+    tri = (
+        ta.join(tb, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .join(tc, "ok")
+        .filter(F.col("pb") < F.col("pc"))
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count("*").cast("long").alias("c_abc"))
+        .filter(F.col("c_abc") >= _TRI_SUPPORT)
+    )
+    n_orders = op.agg(F.countDistinct("ok").cast("long").alias("n_orders"))
+    return tri.crossJoin(F.broadcast(n_orders)).select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        F.col("pc").alias("part_c"),
+        F.col("c_abc").alias("n_orders_all3"),
+        F.round(F.col("c_abc").cast("double") / F.col("n_orders"), 9).alias("support"),
+    )

@@ -1142,3 +1142,253 @@ def q_dq_referential_integrity(spark, sf_dir):
             audit("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-discovery profiling — inclusion + functional dependencies (r7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_inclusion_dependencies",
+    oracle="""
+    WITH pairs AS (
+        SELECT 'orders.o_custkey in customer.c_custkey' AS candidate,
+               (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS n_lhs,
+               (SELECT CAST(count(DISTINCT o.o_custkey) AS BIGINT) FROM orders o
+                WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                   AS n_contained
+        UNION ALL
+        SELECT 'customer.c_custkey in orders.o_custkey',
+               (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer),
+               (SELECT CAST(count(DISTINCT c.c_custkey) AS BIGINT) FROM customer c
+                WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        UNION ALL
+        SELECT 'lineitem.l_partkey in part.p_partkey',
+               (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem),
+               (SELECT CAST(count(DISTINCT l.l_partkey) AS BIGINT) FROM lineitem l
+                WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'part.p_partkey in lineitem.l_partkey',
+               (SELECT CAST(count(DISTINCT p_partkey) AS BIGINT) FROM part),
+               (SELECT CAST(count(DISTINCT p.p_partkey) AS BIGINT) FROM part p
+                WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))
+        UNION ALL
+        SELECT 'events.user_id in customer.c_custkey',
+               (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events),
+               (SELECT CAST(count(DISTINCT e.user_id) AS BIGINT) FROM events e
+                WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey in customer.c_custkey',
+               (SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) FROM lineitem),
+               (SELECT CAST(count(DISTINCT l.l_suppkey) AS BIGINT) FROM lineitem l
+                WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = l.l_suppkey))
+    )
+    SELECT candidate, n_lhs, n_contained,
+           floor(n_contained / CAST(n_lhs AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS inclusion
+    FROM pairs
+    """,
+    tags=("dq", "profiling", "discovery", "inclusion"),
+)
+def q_dq_inclusion_dependencies(spark, sf_dir):
+    """Foreign-key DISCOVERY: inclusion coefficients |distinct(A) ∩ B| /
+    |distinct(A)| for six candidate column pairs — the true FKs score 1.0,
+    the reversed directions report dimension coverage (how many customers
+    ever ordered), and one deliberately spurious cross-domain candidate
+    (l_suppkey vs c_custkey) shows why numeric-overlap alone must not
+    promote a join key.  The profiling complement to
+    `dq_referential_integrity`, which VERIFIES keys already declared.
+    Each pair is distinct(A) → LEFT SEMI join distinct(B) → two counts:
+    the fact table contributes one distinct-shuffle per pair and the
+    semi join prunes to key columns only — `.explain` shows ReadSchema
+    with exactly one column per side."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ev = load_table(spark, sf_dir, "events")
+
+    def incl(name, lhs, lcol, rhs, rcol):
+        a = lhs.select(F.col(lcol).alias("k")).distinct()
+        b = rhs.select(F.col(rcol).alias("k")).distinct()
+        contained = a.join(b, "k", "left_semi")
+        return (
+            a.agg(F.count("*").cast("long").alias("n_lhs"))
+            .crossJoin(contained.agg(F.count("*").cast("long").alias("n_contained")))
+            .select(
+                F.lit(name).alias("candidate"),
+                "n_lhs",
+                "n_contained",
+                (
+                    F.floor(
+                        F.col("n_contained") / F.col("n_lhs").cast("double") * 1000000
+                        + F.lit(0.5)
+                    )
+                    / 1000000
+                ).alias("inclusion"),
+            )
+        )
+
+    return (
+        incl("orders.o_custkey in customer.c_custkey", o, "o_custkey", c, "c_custkey")
+        .unionAll(
+            incl("customer.c_custkey in orders.o_custkey", c, "c_custkey", o, "o_custkey")
+        )
+        .unionAll(
+            incl("lineitem.l_partkey in part.p_partkey", li, "l_partkey", p, "p_partkey")
+        )
+        .unionAll(
+            incl("part.p_partkey in lineitem.l_partkey", p, "p_partkey", li, "l_partkey")
+        )
+        .unionAll(
+            incl("events.user_id in customer.c_custkey", ev, "user_id", c, "c_custkey")
+        )
+        .unionAll(
+            incl(
+                "lineitem.l_suppkey in customer.c_custkey",
+                li,
+                "l_suppkey",
+                c,
+                "c_custkey",
+            )
+        )
+    )
+
+
+@register(
+    "dq_functional_dependencies",
+    oracle="""
+    WITH cands AS (
+        SELECT 'part.p_brand -> part.p_type' AS candidate, g.*
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n_lhs,
+                     CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_violating,
+                     CAST(max(nd) AS BIGINT) AS max_rhs
+              FROM (SELECT p_brand, count(DISTINCT p_type) AS nd
+                    FROM part GROUP BY p_brand)) g
+        UNION ALL
+        SELECT 'part.p_name -> part.p_brand', g.*
+        FROM (SELECT CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(max(nd) AS BIGINT)
+              FROM (SELECT p_name, count(DISTINCT p_brand) AS nd
+                    FROM part GROUP BY p_name)) g
+        UNION ALL
+        SELECT 'orders.o_custkey -> orders.o_orderpriority', g.*
+        FROM (SELECT CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(max(nd) AS BIGINT)
+              FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+                    FROM orders GROUP BY o_custkey)) g
+        UNION ALL
+        SELECT 'documents.source -> documents.lang', g.*
+        FROM (SELECT CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(max(nd) AS BIGINT)
+              FROM (SELECT source, count(DISTINCT lang) AS nd
+                    FROM documents GROUP BY source)) g
+        UNION ALL
+        SELECT 'events.user_id -> events.event_type', g.*
+        FROM (SELECT CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(max(nd) AS BIGINT)
+              FROM (SELECT user_id, count(DISTINCT event_type) AS nd
+                    FROM events GROUP BY user_id)) g
+    )
+    SELECT candidate, n_lhs, n_violating, max_rhs,
+           floor(n_violating / CAST(n_lhs AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS violation_rate
+    FROM cands
+    """,
+    tags=("dq", "profiling", "discovery", "functional-dependency"),
+)
+def q_dq_functional_dependencies(spark, sf_dir):
+    """Functional-dependency profiling: for five candidate A → B rules,
+    the share of A-groups holding more than one distinct B — 0.0 means
+    the FD holds exactly (a denormalization / dedup-key candidate), small
+    means dirty, large means the columns are simply independent.  Each
+    candidate is one (A → countDistinct B) grouped aggregation followed
+    by a constant-size rollup: map-side partial aggregation does the
+    heavy lifting and nothing but (A, B) columns are read.  The
+    single-table complement to `dq_inclusion_dependencies`' cross-table
+    discovery; together they recover a star schema's join graph from the
+    data alone."""
+
+    def fd(name, df, lhs, rhs):
+        g = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
+        return g.agg(
+            F.count("*").cast("long").alias("n_lhs"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long").alias(
+                "n_violating"
+            ),
+            F.max("nd").cast("long").alias("max_rhs"),
+        ).select(
+            F.lit(name).alias("candidate"),
+            "n_lhs",
+            "n_violating",
+            "max_rhs",
+            (
+                F.floor(
+                    F.col("n_violating") / F.col("n_lhs").cast("double") * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("violation_rate"),
+        )
+
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+    d = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        fd("part.p_brand -> part.p_type", p, "p_brand", "p_type")
+        .unionAll(fd("part.p_name -> part.p_brand", p, "p_name", "p_brand"))
+        .unionAll(
+            fd(
+                "orders.o_custkey -> orders.o_orderpriority",
+                o,
+                "o_custkey",
+                "o_orderpriority",
+            )
+        )
+        .unionAll(fd("documents.source -> documents.lang", d, "source", "lang"))
+        .unionAll(fd("events.user_id -> events.event_type", ev, "user_id", "event_type"))
+    )
+
+
+@register(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    tags=("sql", "lateral", "topk"),
+)
+def q_sql_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery surface: each BUILDING-segment
+    customer's top-2 orders by totalprice, written as SQL `, LATERAL
+    (... ORDER BY ... LIMIT 2)` — the "top-N related rows per outer row"
+    idiom users port from Postgres/DuckDB.  Catalyst decorrelates the
+    lateral into a per-key window/limit over the join (never a
+    subquery-per-row), so the physical plan is the same one-shuffle
+    shape as `window_rank_orders_per_customer`; the deterministic
+    o_orderkey tiebreak makes the LIMIT well-defined on both engines.
+    Registered to pin that the LATERAL SQL surface itself stays
+    supported, not just its window-function rewrite."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"_lat_{t}")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+        FROM _lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM _lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )

@@ -1341,12 +1341,10 @@ _LOGISTIC_CTE_SQL = (
 )
 
 
-def _logistic_rows(spark, sf_dir):
-    """(x1, x2, z) feature rows for the src1-vs-src0 domain classifier."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("source").isin("src0", "src1")
-    )
-    return docs.select(
+def _logistic_features(docs):
+    """(x1, x2, z) feature rows for the src1-vs-src0 domain classifier,
+    from any documents-shaped relation (batch table or micro-batch)."""
+    return docs.filter(F.col("source").isin("src0", "src1")).select(
         (F.col("n_chars") / F.lit(100.0)).alias("x1"),
         (
             F.col("n_chars")
@@ -1354,6 +1352,11 @@ def _logistic_rows(spark, sf_dir):
         ).alias("x2"),
         F.when(F.col("source") == "src1", 1.0).otherwise(0.0).alias("z"),
     )
+
+
+def _logistic_rows(spark, sf_dir):
+    """(x1, x2, z) feature rows for the src1-vs-src0 domain classifier."""
+    return _logistic_features(load_table(spark, sf_dir, "documents"))
 
 
 def _logistic_coeffs(d):
@@ -3725,3 +3728,610 @@ def q_stats_jarque_bera(spark, sf_dir):
             F.col("n") / F.lit(6.0) * (skew * skew + exk * exk / F.lit(4.0))
         ).alias("jb_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation — ROC AUC / PR AUC / isotonic calibration (r7)
+# ---------------------------------------------------------------------------
+# The reference's eval loop (lvmh_forecaster2.py:169-208) scores a model and
+# reports error metrics; a corpus-filter classifier needs the ranking-metric
+# equivalents.  All three queries ride the SAME trained Newton classifier as
+# `ml_logistic_newton` / `ml_calibration_bins` (shared `_logistic_coeffs` /
+# `_LOGISTIC_CTE_SQL`), so the whole model-audit panel provably audits one
+# model.
+
+_SCORED_CTE_SQL = _LOGISTIC_CTE_SQL + r"""
+    , scored AS (
+        SELECT CAST(d.z AS BIGINT) AS y,
+               CAST(floor(1000000.0 / (1.0 + exp(-((c0 + d0) + (c1 + d1)*x1
+                    + (c2 + d2)*x2))) + 0.5) AS BIGINT) AS pc
+        FROM d CROSS JOIN fin
+    ), roc_g AS (
+        SELECT pc, CAST(sum(y) AS BIGINT) AS pos,
+               CAST(count(*) - sum(y) AS BIGINT) AS neg
+        FROM scored GROUP BY pc
+    )
+"""
+
+
+def _scored_grid(spark, sf_dir):
+    """(pc, pos, neg) quantized-score grid of the Newton domain classifier.
+
+    pc = floor(1e6·sigmoid(w·x) + 0.5) — a BIGINT cell id, so the grid is
+    bounded by min(n_docs, 1e6+1) rows regardless of corpus size and every
+    downstream ranking metric is integer-exact arithmetic over it. This is
+    the mergeable state a streaming model-quality monitor would persist
+    per batch (same contract as the KS/quantile value grids)."""
+    d = _logistic_rows(spark, sf_dir)
+    coeffs = _logistic_coeffs(d).select("w0", "w1", "w2")
+    p = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")))
+    )
+    scored = d.crossJoin(F.broadcast(coeffs)).select(
+        F.col("z").cast("long").alias("y"),
+        F.floor(F.lit(1000000.0) * p + F.lit(0.5)).cast("long").alias("pc"),
+    )
+    return scored.groupBy("pc").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count("*") - F.sum("y")).cast("long").alias("neg"),
+    )
+
+
+def score_grid_from_documents(docs, w0: float, w1: float, w2: float):
+    """(pc, pos, neg) quantized score grid from a documents-shaped
+    relation and FROZEN scalar coefficients — the per-batch reduction the
+    streaming model-quality monitor (streaming/model_quality_stream.py)
+    persists.  Identical expression tree to `_scored_grid` with the
+    coefficients inlined as double literals, so a serve over the merged
+    grids is bit-identical to the batch query whenever the frozen
+    coefficients equal the trained ones."""
+    d = _logistic_features(docs)
+    p = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.lit(w0) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")))
+    )
+    scored = d.select(
+        F.col("z").cast("long").alias("y"),
+        F.floor(F.lit(1000000.0) * p + F.lit(0.5)).cast("long").alias("pc"),
+    )
+    return scored.groupBy("pc").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count("*") - F.sum("y")).cast("long").alias("neg"),
+    )
+
+
+def roc_auc_from_grid(g):
+    """(n_pos, n_neg, auc_num2, auc) from a (pc, pos, neg) score grid —
+    tie-aware Mann-Whitney AUC with a BIGINT numerator (2U).  Shared by
+    `ml_roc_auc` and any streaming model-quality serve over the same
+    mergeable grid."""
+    c = grid_cumsum(g, ["neg"], order_col="pc")
+    tot = g.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.groupBy("n_pos", "n_neg").agg(
+        F.sum(
+            F.col("pos") * (2 * (F.col("cum_neg") - F.col("neg")) + F.col("neg"))
+        )
+        .cast("long")
+        .alias("auc_num2"),
+        canon(
+            F.sum(
+                F.col("pos")
+                * (2.0 * (F.col("cum_neg") - F.col("neg")) + F.col("neg"))
+            )
+            / (2.0 * F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
+@register(
+    "ml_roc_auc",
+    oracle=_SCORED_CTE_SQL
+    + r"""
+    , c AS (
+        SELECT pc, pos, neg,
+               CAST(sum(neg) OVER (ORDER BY pc) AS BIGINT) AS cum_neg
+        FROM roc_g
+    ), tot AS (
+        SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(neg) AS BIGINT) AS n_neg
+        FROM roc_g
+    )
+    SELECT t.n_pos, t.n_neg,
+           CAST(sum(c.pos * (2 * (c.cum_neg - c.neg) + c.neg)) AS BIGINT)
+               AS auc_num2,
+           floor(sum(c.pos * (2.0 * (c.cum_neg - c.neg) + c.neg))
+                 / (2.0 * t.n_pos * t.n_neg) * 1000000 + 0.5) / 1000000 AS auc
+    FROM c CROSS JOIN tot t
+    GROUP BY t.n_pos, t.n_neg
+    """,
+    tags=("ml", "classifier", "eval", "grid", "mergeable"),
+)
+def q_ml_roc_auc(spark, sf_dir):
+    """Tie-aware ROC AUC of the Newton domain classifier — the ranking
+    companion to `ml_calibration_bins` (a filter can be calibrated yet
+    rank poorly, and vice versa).  AUC is computed as the normalized
+    Mann-Whitney U over the QUANTIZED score grid: group scores into
+    pc = floor(1e6·p + 0.5) cells, take the running negative count via
+    `grid_cumsum` (range-partitioned — the fact table is never globally
+    sorted), then 2U = Σ_cells pos·(2·neg_below + neg_ties) stays BIGINT
+    end-to-end, so both engines agree bit-wise up to the single final
+    division.  At 100 TB: one scoring scan (1-row coefficient broadcast),
+    one grid groupBy bounded at 1e6+1 cells, one bounded cumsum — the
+    same mergeable-grid shape as the KS drift gate."""
+    return roc_auc_from_grid(_scored_grid(spark, sf_dir))
+
+
+def average_precision_from_grid(g):
+    """(n_pos, n_neg, pr_auc, best_f1) from a (pc, pos, neg) score grid —
+    step-wise average precision (ties grouped per threshold, descending)
+    and the best achievable F1 over all thresholds."""
+    g = g.withColumn("npc", -F.col("pc"))
+    c = grid_cumsum(g, ["pos", "neg"], order_col="npc")
+    tot = g.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.groupBy("n_pos", "n_neg").agg(
+        canon(
+            F.sum(
+                (F.col("pos") / F.col("n_pos").cast("double"))
+                * (
+                    F.col("cum_pos")
+                    / (F.col("cum_pos") + F.col("cum_neg")).cast("double")
+                )
+            )
+        ).alias("pr_auc"),
+        canon(
+            F.max(
+                2.0
+                * F.col("cum_pos")
+                / (F.col("n_pos") + F.col("cum_pos") + F.col("cum_neg"))
+            )
+        ).alias("best_f1"),
+    )
+
+
+@register(
+    "ml_pr_auc",
+    oracle=_SCORED_CTE_SQL
+    + r"""
+    , c AS (
+        SELECT pc, pos, neg,
+               CAST(sum(pos) OVER (ORDER BY pc DESC) AS BIGINT) AS cum_pos,
+               CAST(sum(neg) OVER (ORDER BY pc DESC) AS BIGINT) AS cum_neg
+        FROM roc_g
+    ), tot AS (
+        SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(neg) AS BIGINT) AS n_neg
+        FROM roc_g
+    )
+    SELECT t.n_pos, t.n_neg,
+           floor(sum((c.pos / CAST(t.n_pos AS DOUBLE))
+                     * (c.cum_pos / CAST(c.cum_pos + c.cum_neg AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS pr_auc,
+           floor(max(2.0 * c.cum_pos / (t.n_pos + c.cum_pos + c.cum_neg))
+                 * 1000000 + 0.5) / 1000000 AS best_f1
+    FROM c CROSS JOIN tot t
+    GROUP BY t.n_pos, t.n_neg
+    """,
+    tags=("ml", "classifier", "eval", "grid", "mergeable"),
+)
+def q_ml_pr_auc(spark, sf_dir):
+    """Average precision (step-wise PR AUC, sklearn definition: ties share
+    one threshold) and best achievable F1 of the Newton domain classifier
+    — the metrics that matter when positives are rare, as they are for a
+    quality filter admitting a small high-value slice of a crawl.  Over
+    the same quantized score grid as `ml_roc_auc`, thresholds descend:
+    cumulative TP/FP come from `grid_cumsum` over NEGATED pc (range-
+    partitioned descending cumsum), precision and recall at each cell are
+    ratios of BIGINTs, AP = Σ ΔR·P.  F1 maximization is a grid max of an
+    integer ratio — no sort.  One scan + one bounded-grid pass."""
+    return average_precision_from_grid(_scored_grid(spark, sf_dir))
+
+
+def isotonic_fit_bins(bins):
+    """PAV isotonic fit over a tiny ordered (bin, w, sy) relation via the
+    closed minimax identity iso(i) = max_{j<=i} min_{k>=i} wavg(y, j..k)
+    (Barlow et al. 1972) — no sequential pooling, just prefix sums and two
+    grouped aggregates over |bins|(|bins|+1)/2 segment rows.  Emits
+    (bin, n_bin, pos_rate, iso_p), canon 1e-6.  The caller must ensure
+    |bins| is bounded by construction (deciles here)."""
+    w_pre = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin",
+        "w",
+        "sy",
+        F.sum("w").over(w_pre).cast("long").alias("cw"),
+        F.sum("sy").over(w_pre).cast("long").alias("cy"),
+    )
+    jj = pre.select(
+        F.col("bin").alias("j"),
+        (F.col("cy") - F.col("sy")).alias("cy0"),
+        (F.col("cw") - F.col("w")).alias("cw0"),
+    )
+    kk = pre.select(F.col("bin").alias("k"), "cy", "cw")
+    seg = jj.join(kk, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        ((F.col("cy") - F.col("cy0")) / (F.col("cw") - F.col("cw0")).cast("double")).alias(
+            "avg_jk"
+        ),
+    )
+    b_ids = pre.select("bin")
+    inner = (
+        b_ids.join(seg, (F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin")))
+        .groupBy("bin", "j")
+        .agg(F.min("avg_jk").alias("m"))
+    )
+    iso = inner.groupBy("bin").agg(F.max("m").alias("iso_raw"))
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        bins.join(iso, "bin")
+        .select(
+            "bin",
+            F.col("w").alias("n_bin"),
+            canon(F.col("sy") / F.col("w").cast("double")).alias("pos_rate"),
+            canon(F.col("iso_raw")).alias("iso_p"),
+        )
+    )
+
+
+@register(
+    "ml_isotonic_calibration",
+    oracle=_SCORED_CTE_SQL
+    + r"""
+    , bins AS (
+        SELECT least(CAST(floor(pc / 100000.0) AS BIGINT), 9) AS bin,
+               CAST(sum(pos) + sum(neg) AS BIGINT) AS w,
+               CAST(sum(pos) AS BIGINT) AS sy
+        FROM roc_g GROUP BY least(CAST(floor(pc / 100000.0) AS BIGINT), 9)
+    ), pre AS (
+        SELECT bin, w, sy,
+               CAST(sum(w) OVER (ORDER BY bin) AS BIGINT) AS cw,
+               CAST(sum(sy) OVER (ORDER BY bin) AS BIGINT) AS cy
+        FROM bins
+    ), seg AS (
+        SELECT j.bin AS j, k.bin AS k,
+               (k.cy - (j.cy - j.sy)) / CAST(k.cw - (j.cw - j.w) AS DOUBLE)
+                   AS avg_jk
+        FROM pre j JOIN pre k ON j.bin <= k.bin
+    ), inner_min AS (
+        SELECT b.bin, s.j, min(s.avg_jk) AS m
+        FROM pre b JOIN seg s ON s.j <= b.bin AND s.k >= b.bin
+        GROUP BY b.bin, s.j
+    ), iso AS (
+        SELECT bin, max(m) AS iso_raw FROM inner_min GROUP BY bin
+    )
+    SELECT b.bin, b.w AS n_bin,
+           floor(b.sy / CAST(b.w AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS pos_rate,
+           floor(i.iso_raw * 1000000 + 0.5) / 1000000 AS iso_p
+    FROM bins b JOIN iso i USING (bin)
+    """,
+    tags=("ml", "classifier", "calibration", "isotonic"),
+)
+def q_ml_isotonic_calibration(spark, sf_dir):
+    """Isotonic recalibration of the Newton domain classifier's decile
+    reliability curve — pool-adjacent-violators computed by the closed
+    minimax identity iso(i) = max_{j<=i} min_{k>=i} wavg(y, j..k), which
+    needs no sequential pooling loop: over the 10-row bin relation the
+    (j,k) segment averages are ratios of BIGINT prefix sums (55 rows),
+    and two tiny grouped aggregates take the inner min and outer max.
+    Monotone by construction; equals PAV exactly (Barlow et al. 1972).
+    At 100 TB the fact table contributes ONE scoring scan into the decile
+    histogram; everything after is constant-size.  The decile windows are
+    bounded at 10 rows by construction."""
+    g = _scored_grid(spark, sf_dir)
+    # <= 10 rows, branched four ways inside the PAV minimax (prefix sums,
+    # both sides of the segment join, final output) — materialize so the
+    # 3-scan scoring chain runs ONCE, not once per branch.
+    bins = (
+        g.groupBy(
+            F.least(
+                F.floor(F.col("pc") / 100000.0).cast("long"), F.lit(9).cast("long")
+            ).alias("bin")
+        )
+        .agg(
+            (F.sum("pos") + F.sum("neg")).cast("long").alias("w"),
+            F.sum("pos").cast("long").alias("sy"),
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    return isotonic_fit_bins(bins)
+
+
+# ---------------------------------------------------------------------------
+# Group-comparison suite — one-way ANOVA / Brown-Forsythe / Cramer's V (r7)
+# ---------------------------------------------------------------------------
+
+
+def oneway_f_from_group_sums(s):
+    """One-way ANOVA (k, n, f_stat, eta_sq) from a per-group BIGINT
+    moment relation (n, sx, sxx) — SSB/SSW via the closed raw-sum
+    identities, canon 1e-6.  Shared by `stats_anova_oneway` (raw values)
+    and `stats_levene_brown_forsythe` (|x − median| deviations)."""
+    agg = s.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum(F.col("sx").cast("double") * F.col("sx") / F.col("n")).alias("sb_raw"),
+        F.sum("sx").cast("long").alias("sx_all"),
+        F.sum(
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+        ).alias("ssw"),
+    )
+    ssb = F.col("sb_raw") - F.col("sx_all").cast("double") * F.col("sx_all") / F.col("n")
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return agg.select(
+        "k",
+        "n",
+        canon(ssb / (F.col("k") - 1) / (F.col("ssw") / (F.col("n") - F.col("k")))).alias(
+            "f_stat"
+        ),
+        canon(ssb / (ssb + F.col("ssw"))).alias("eta_sq"),
+    )
+
+
+@register(
+    "stats_anova_oneway",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sx,
+               CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        FROM documents GROUP BY source
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n,
+               sum(CAST(sx AS DOUBLE) * sx / n) AS sb_raw,
+               CAST(sum(sx) AS BIGINT) AS sx_all,
+               sum(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS ssw
+        FROM s
+    )
+    SELECT k, n,
+           floor((sb_raw - CAST(sx_all AS DOUBLE) * sx_all / n) / (k - 1)
+                 / (ssw / (n - k)) * 1000000 + 0.5) / 1000000 AS f_stat,
+           floor((sb_raw - CAST(sx_all AS DOUBLE) * sx_all / n)
+                 / (sb_raw - CAST(sx_all AS DOUBLE) * sx_all / n + ssw)
+                 * 1000000 + 0.5) / 1000000 AS eta_sq
+    FROM agg
+    """,
+    tags=("stats", "anova", "drift"),
+)
+def q_stats_anova_oneway(spark, sf_dir):
+    """One-way ANOVA of document length across ALL five corpus sources —
+    the k-group generalization of `stats_welch_ttest`'s two-group gate
+    (does ANY source deviate in mean length?), plus eta² effect size so a
+    significant-but-negligible shift can't page anyone.  INTEGER-EXACT
+    accumulation: per-group (n, Σx, Σx²) are BIGINTs off ONE map-side-
+    combined scan; SSB/SSW come from the closed raw-sum identities
+    SSB = Σ s_g²/n_g − S²/N, SSW = Σ (ss_g − s_g²/n_g) over the 5-row
+    group relation, identical IEEE tree both engines, canon 1e-6."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sxx"),
+    )
+    out = oneway_f_from_group_sums(s)
+    return out.select("k", "n", "f_stat", "eta_sq")
+
+
+@register(
+    "stats_levene_brown_forsythe",
+    oracle="""
+    WITH g AS (
+        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY source, n_chars
+    ), c AS (
+        SELECT source, v, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum
+        FROM g
+    ), tot AS (
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM g GROUP BY source
+    ), med AS (
+        SELECT c.source, CAST(min(CASE WHEN c.cum * 2 >= t.n THEN c.v END) AS BIGINT) AS med
+        FROM c JOIN tot t USING (source) GROUP BY c.source
+    ), dev AS (
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(abs(d.n_chars - m.med)) AS BIGINT) AS sx,
+               CAST(sum(abs(d.n_chars - m.med) * abs(d.n_chars - m.med)) AS BIGINT) AS sxx
+        FROM documents d JOIN med m USING (source)
+        GROUP BY d.source
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n,
+               sum(CAST(sx AS DOUBLE) * sx / n) AS sb_raw,
+               CAST(sum(sx) AS BIGINT) AS sx_all,
+               sum(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS ssw
+        FROM dev
+    )
+    SELECT k, n,
+           floor((sb_raw - CAST(sx_all AS DOUBLE) * sx_all / n) / (k - 1)
+                 / (ssw / (n - k)) * 1000000 + 0.5) / 1000000 AS bf_stat
+    FROM agg
+    """,
+    tags=("stats", "levene", "variance", "drift"),
+)
+def q_stats_levene_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe homogeneity-of-variance test across the five corpus
+    sources: one-way ANOVA on |x − group median| — the robust member the
+    ANOVA gate needs, since `stats_anova_oneway` assumes equal variances
+    and a SCALE shift (not a mean shift) is what a re-crawled source
+    usually does.  Medians are exact nearest-rank (cum·2 >= n — lower
+    median) off the per-source value grid via a PARTITIONED cumsum (the
+    fact table is never globally sorted); the deviation pass re-scans
+    documents once against the broadcast 5-row median relation, and every
+    deviation is a BIGINT so the ANOVA sums stay integer-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = g.select("source", "v", "cnt", F.sum("cnt").over(w).cast("long").alias("cum"))
+    tot = g.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
+    med = (
+        c.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("v")))
+            .cast("long")
+            .alias("med")
+        )
+    )
+    dev = (
+        docs.join(F.broadcast(med), "source")
+        .select("source", F.abs(F.col("n_chars") - F.col("med")).alias("a"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("a").cast("long").alias("sx"),
+            F.sum(F.col("a") * F.col("a")).cast("long").alias("sxx"),
+        )
+    )
+    out = oneway_f_from_group_sums(dev)
+    return out.select("k", "n", F.col("f_stat").alias("bf_stat"))
+
+
+@register(
+    "stats_cramers_v",
+    oracle="""
+    WITH ct AS (
+        SELECT event_type AS r, CAST(dayofweek(ts) AS BIGINT) AS c,
+               CAST(count(*) AS BIGINT) AS n_rc
+        FROM events GROUP BY event_type, dayofweek(ts)
+    ), rm AS (
+        SELECT r, CAST(sum(n_rc) AS BIGINT) AS n_r FROM ct GROUP BY r
+    ), cm AS (
+        SELECT c, CAST(sum(n_rc) AS BIGINT) AS n_c FROM ct GROUP BY c
+    ), tot AS (
+        SELECT CAST(sum(n_rc) AS BIGINT) AS n,
+               CAST(count(DISTINCT r) AS BIGINT) AS nr,
+               CAST(count(DISTINCT c) AS BIGINT) AS nc
+        FROM ct
+    ), chi AS (
+        SELECT sum((ct.n_rc - CAST(rm.n_r AS DOUBLE) * cm.n_c / t.n)
+                   * (ct.n_rc - CAST(rm.n_r AS DOUBLE) * cm.n_c / t.n)
+                   / (CAST(rm.n_r AS DOUBLE) * cm.n_c / t.n)) AS chi2,
+               min(t.n) AS n, min(t.nr) AS nr, min(t.nc) AS nc
+        FROM ct JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN tot t
+    )
+    SELECT n, nr, nc,
+           floor(chi2 * 1000000 + 0.5) / 1000000 AS chi2,
+           floor(sqrt(chi2 / (n * (least(nr, nc) - 1))) * 1000000 + 0.5)
+               / 1000000 AS cramers_v
+    FROM chi
+    """,
+    tags=("stats", "contingency", "effect-size"),
+)
+def q_stats_cramers_v(spark, sf_dir):
+    """Cramer's V effect size for the event-type × day-of-week association
+    — the [0,1]-normalized companion to `stats_chi_square_contingency`,
+    so a chi² that is merely large-because-n-is-large can't gate a
+    pipeline (the 100 TB failure mode of every unnormalized test).  ONE
+    scan builds the integer contingency grid (|types|·7 cells); margins,
+    chi², and V = sqrt(chi² / (n·(min(r,c)−1))) are fixed-shape
+    arithmetic over it, canon 1e-6.  DuckDB's dayofweek() is 0-6
+    (Sunday=0) while Spark's dayofweek() is 1-7 (Sunday=1) — the Spark
+    side subtracts 1 so the grid keys agree bit-wise."""
+    ev = load_table(spark, sf_dir, "events")
+    ct = ev.groupBy(
+        F.col("event_type").alias("r"),
+        (F.dayofweek("ts") - 1).cast("long").alias("c"),
+    ).agg(F.count("*").cast("long").alias("n_rc"))
+    rm = ct.groupBy("r").agg(F.sum("n_rc").cast("long").alias("n_r"))
+    cm = ct.groupBy("c").agg(F.sum("n_rc").cast("long").alias("n_c"))
+    tot = ct.agg(
+        F.sum("n_rc").cast("long").alias("n"),
+        F.countDistinct("r").cast("long").alias("nr"),
+        F.countDistinct("c").cast("long").alias("nc"),
+    )
+    e = F.col("n_r").cast("double") * F.col("n_c") / F.col("n")
+    chi = (
+        ct.join(F.broadcast(rm), "r")
+        .join(F.broadcast(cm), "c")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum((F.col("n_rc") - e) * (F.col("n_rc") - e) / e).alias("chi2"),
+            F.min("n").alias("n"),
+            F.min("nr").alias("nr"),
+            F.min("nc").alias("nc"),
+        )
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return chi.select(
+        "n",
+        "nr",
+        "nc",
+        canon(F.col("chi2")).alias("chi2"),
+        canon(
+            F.sqrt(F.col("chi2") / (F.col("n") * (F.least("nr", "nc") - 1)))
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "ml_roc_auc_stream_serve",
+    oracle=_SCORED_CTE_SQL
+    + r"""
+    , c AS (
+        SELECT pc, pos, neg,
+               CAST(sum(neg) OVER (ORDER BY pc) AS BIGINT) AS cum_neg
+        FROM roc_g
+    ), tot AS (
+        SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(neg) AS BIGINT) AS n_neg
+        FROM roc_g
+    )
+    SELECT t.n_pos, t.n_neg,
+           CAST(sum(c.pos * (2 * (c.cum_neg - c.neg) + c.neg)) AS BIGINT)
+               AS auc_num2,
+           floor(sum(c.pos * (2.0 * (c.cum_neg - c.neg) + c.neg))
+                 / (2.0 * t.n_pos * t.n_neg) * 1000000 + 0.5) / 1000000 AS auc
+    FROM c CROSS JOIN tot t
+    GROUP BY t.n_pos, t.n_neg
+    """,
+    tags=("ml", "classifier", "eval", "streaming", "incremental"),
+)
+def q_ml_roc_auc_stream_serve(spark, sf_dir):
+    """INCREMENTAL twin of `ml_roc_auc`, exercised as a batch-callable
+    query: the Newton classifier is trained once, its coefficients frozen
+    (one bounded 1-row collect — the deploy step), then the documents
+    table is ingested in three deterministic micro-batches (split on
+    pmod(xxhash64(doc_id), 3)) through `ModelQualityStreamMonitor`, whose
+    per-batch state is the quantized (pc, pos, neg) score grid.  The
+    SERVED AUC over the merged grids is returned; the oracle is the plain
+    one-batch SQL — passing value-hash-exact proves the merge-of-grids
+    serve is bit-identical to batch scoring (grouped-sum merge is
+    associative; 2U stays BIGINT).  Store in a process-scoped temp dir
+    (Spark's lazy analyzer re-resolves file sources on later actions, so
+    the store must outlive the returned DataFrame)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.model_quality_stream import ModelQualityStreamMonitor
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = _logistic_coeffs(_logistic_rows(spark, sf_dir)).select("w0", "w1", "w2").collect()[0]
+    store = tempfile.mkdtemp(prefix="mq_serve_")
+    atexit.register(shutil.rmtree, store, ignore_errors=True)
+    mon = ModelQualityStreamMonitor(spark, store, w.w0, w.w1, w.w2)
+    for bid in range(3):
+        mon.ingest_batch(
+            docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == bid), bid
+        )
+    return mon.serve_roc_auc()

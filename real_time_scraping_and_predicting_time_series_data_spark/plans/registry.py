@@ -151,6 +151,20 @@ _FRONT = (
     "ts_seasonal_strength",
     "corpus_bpe_first_merges",
     "ml_kmeans_summary",
+    # (b') round-7 session waves: classifier-eval panel, group-comparison
+    # suite, schema-discovery profilers.  Placed AFTER the never-checked
+    # block so they fill window slots 49+ without displacing it.
+    "ml_roc_auc",
+    "ml_pr_auc",
+    "ml_isotonic_calibration",
+    "stats_anova_oneway",
+    "stats_levene_brown_forsythe",
+    "stats_cramers_v",
+    "dq_inclusion_dependencies",
+    "dq_functional_dependencies",
+    "orders_frequent_triples",
+    "sql_lateral_topk",
+    "ml_roc_auc_stream_serve",
     # (c) re-checks filling out the ~50-query window: queries whose
     # implementation changed this round (grid_cumsum conversions, shared
     # TF-IDF reuse) so the fix lands a fresh green row.

@@ -422,6 +422,9 @@ def test_no_unbounded_global_windows_anywhere(spark):
         "stats_hill_tail_index": {"x"},  # TakeOrdered-101 tail
         # distinct 2-char pairs: bounded by |charset|^2, not by the corpus
         "corpus_bpe_first_merges": {"occurrences"},
+        # PAV prefix sums over the decile-bin relation: 10 rows by
+        # construction (bin = least(floor(pc/1e5), 9))
+        "ml_isotonic_calibration": {"bin"},
         # calendar-bounded day/month grids
         "events_kaplan_meier": {"t"},
         "monthly_revenue_trend": {"month"},

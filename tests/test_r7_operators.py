@@ -1,0 +1,261 @@
+"""Crafted-input invariants for the round-7 operators: known answers and
+boundary behavior for the classifier-eval metrics (ROC/PR/isotonic), the
+group-comparison suite, and the schema-discovery profilers (the sf-table
+oracles verify cross-engine parity; these verify the MATH)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+    average_precision_from_grid,
+    isotonic_fit_bins,
+    oneway_f_from_group_sums,
+    roc_auc_from_grid,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _grid(spark, rows):
+    return spark.createDataFrame(rows, "pc long, pos long, neg long")
+
+
+# ---------------------------------------------------------------------------
+# ROC AUC — tie-aware Mann-Whitney over the score grid
+# ---------------------------------------------------------------------------
+
+
+def test_roc_auc_perfect_separation_is_one(spark):
+    g = _grid(spark, [(10, 0, 7), (90, 5, 0)])
+    row = roc_auc_from_grid(g).collect()[0]
+    assert (row.n_pos, row.n_neg) == (5, 7)
+    assert row.auc == 1.0
+    assert row.auc_num2 == 2 * 5 * 7
+
+
+def test_roc_auc_all_tied_is_half(spark):
+    g = _grid(spark, [(42, 5, 7)])
+    row = roc_auc_from_grid(g).collect()[0]
+    assert row.auc == 0.5
+    assert row.auc_num2 == 5 * 7  # 2U = pos*neg under complete ties
+
+
+def test_roc_auc_hand_computed(spark):
+    # scores: neg at 1,2; pos at 2,3  ->  pairs: (pos=2 vs neg=1: win),
+    # (pos=2 vs neg=2: tie), (pos=3 vs neg=1: win), (pos=3 vs neg=2: win)
+    # U = 3 + 0.5 = 3.5 of 4 -> AUC = 0.875
+    g = _grid(spark, [(1, 0, 1), (2, 1, 1), (3, 1, 0)])
+    row = roc_auc_from_grid(g).collect()[0]
+    assert row.auc_num2 == 7  # 2U
+    assert row.auc == 0.875
+
+
+def test_roc_auc_inverted_ranker_is_zero(spark):
+    g = _grid(spark, [(10, 5, 0), (90, 0, 7)])
+    assert roc_auc_from_grid(g).collect()[0].auc == 0.0
+
+
+# ---------------------------------------------------------------------------
+# PR AUC — step-wise average precision, descending thresholds
+# ---------------------------------------------------------------------------
+
+
+def test_average_precision_perfect_ranker(spark):
+    g = _grid(spark, [(10, 0, 7), (90, 5, 0)])
+    row = average_precision_from_grid(g).collect()[0]
+    assert row.pr_auc == 1.0
+    assert row.best_f1 == 1.0
+
+
+def test_average_precision_hand_computed(spark):
+    # descending cells: (3: 1 pos), (2: 1 pos 1 neg), (1: 1 neg)
+    # cell 3: dR=1/2, P=1/1;  cell 2: dR=1/2, P=2/3;  cell 1: dR=0
+    # AP = 0.5*1 + 0.5*(2/3) = 5/6
+    g = _grid(spark, [(1, 0, 1), (2, 1, 1), (3, 1, 0)])
+    row = average_precision_from_grid(g).collect()[0]
+    assert abs(row.pr_auc - 5 / 6) < 2e-6
+    # F1 at cell 3: 2*1/(2+1)=2/3; at cell 2: 2*2/(2+3)=4/5; at cell 1:
+    # 2*2/(2+4)=2/3 -> best 0.8
+    assert abs(row.best_f1 - 0.8) < 2e-6
+
+
+def test_average_precision_all_negative_ranked_top_has_low_ap(spark):
+    # one pos ranked below all 9 negs: AP = 1/10 at its threshold
+    g = _grid(spark, [(1, 1, 0), (2, 0, 9)])
+    row = average_precision_from_grid(g).collect()[0]
+    assert abs(row.pr_auc - 0.1) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Isotonic (PAV via minimax) — pooling and monotonicity
+# ---------------------------------------------------------------------------
+
+
+def _bins(spark, rows):
+    return spark.createDataFrame(rows, "bin long, w long, sy long")
+
+
+def test_isotonic_monotone_input_is_unchanged(spark):
+    b = _bins(spark, [(0, 4, 0), (1, 4, 1), (2, 4, 2), (3, 4, 4)])
+    out = {r.bin: r for r in isotonic_fit_bins(b).collect()}
+    for i in range(4):
+        assert out[i].iso_p == out[i].pos_rate
+
+
+def test_isotonic_pools_adjacent_violators(spark):
+    # pos_rate: 0.0, 0.75, 0.25, 1.0 -> bins 1,2 violate; pooled to 0.5
+    b = _bins(spark, [(0, 4, 0), (1, 4, 3), (2, 4, 1), (3, 4, 4)])
+    out = {r.bin: r.iso_p for r in isotonic_fit_bins(b).collect()}
+    assert out[0] == 0.0
+    assert out[1] == 0.5
+    assert out[2] == 0.5
+    assert out[3] == 1.0
+
+
+def test_isotonic_weighted_pooling(spark):
+    # y=1 (w=1) then y=0 (w=3): pooled weighted avg = 1/4 for both
+    b = _bins(spark, [(0, 1, 1), (1, 3, 0)])
+    out = {r.bin: r.iso_p for r in isotonic_fit_bins(b).collect()}
+    assert out[0] == 0.25
+    assert out[1] == 0.25
+
+
+def test_isotonic_output_is_nondecreasing_on_sf(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    q = all_queries()["ml_isotonic_calibration"]
+    rows = sorted(q.fn(spark, SF_SMOKE).collect(), key=lambda r: r.bin)
+    for a, b in zip(rows, rows[1:]):
+        assert a.iso_p <= b.iso_p + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# One-way F — zero between-group variance and a hand example
+# ---------------------------------------------------------------------------
+
+
+def _groups(spark, rows):
+    return spark.createDataFrame(rows, "g string, n long, sx long, sxx long")
+
+
+def test_oneway_f_identical_groups_is_zero(spark):
+    # two groups with identical sums -> SSB = 0 -> F = 0
+    s = _groups(spark, [("a", 4, 20, 120), ("b", 4, 20, 120)])
+    row = oneway_f_from_group_sums(s.drop("g")).collect()[0]
+    assert row.f_stat == 0.0
+    assert row.eta_sq == 0.0
+
+
+def test_oneway_f_hand_computed(spark):
+    # group a: values 1,2,3 (n=3, sx=6, sxx=14); group b: 4,5,6 (15, 77)
+    # means 2, 5; grand 3.5; SSB = 3*(2-3.5)^2 + 3*(5-3.5)^2 = 13.5
+    # SSW = 2 + 2 = 4; F = (13.5/1)/(4/4) = 13.5; eta2 = 13.5/17.5
+    s = _groups(spark, [("a", 3, 6, 14), ("b", 3, 15, 77)])
+    row = oneway_f_from_group_sums(s.drop("g")).collect()[0]
+    assert abs(row.f_stat - 13.5) < 2e-6
+    assert abs(row.eta_sq - 13.5 / 17.5) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Schema discovery — ground truth on the generated star schema
+# ---------------------------------------------------------------------------
+
+
+def test_inclusion_dependencies_true_fk_is_one(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    q = all_queries()["dq_inclusion_dependencies"]
+    rows = {r.candidate: r for r in q.fn(spark, SF_SMOKE).collect()}
+    assert rows["orders.o_custkey in customer.c_custkey"].inclusion == 1.0
+    assert rows["lineitem.l_partkey in part.p_partkey"].inclusion == 1.0
+    for r in rows.values():
+        assert 0.0 <= r.inclusion <= 1.0
+        assert r.n_contained <= r.n_lhs
+
+
+def test_functional_dependencies_rates_are_rates(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    q = all_queries()["dq_functional_dependencies"]
+    rows = {r.candidate: r for r in q.fn(spark, SF_SMOKE).collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert 0.0 <= r.violation_rate <= 1.0
+        assert r.n_violating <= r.n_lhs
+        assert r.max_rhs >= 1
+
+
+def test_cramers_v_bounds_on_sf(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    q = all_queries()["stats_cramers_v"]
+    row = q.fn(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= row.cramers_v <= 1.0
+    assert row.chi2 >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# Apriori triples — crafted baskets + the lossless-prune plan pin
+# ---------------------------------------------------------------------------
+
+
+def test_frequent_triples_crafted_baskets(spark, tmp_path):
+    # orders: 1..3 contain {1,2,3}; order 4 contains {1,2,4}; order 5 {5,6,7}
+    rows = []
+    for ok, parts in [(1, [1, 2, 3]), (2, [1, 2, 3]), (3, [1, 2, 3]),
+                      (4, [1, 2, 4]), (5, [5, 6, 7])]:
+        for i, p in enumerate(parts):
+            rows.append((ok, p, i, 1.0, 10.0, 0.0, 0.0, "N", "O", "2024-01-01"))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/lineitem.parquet")
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    q = all_queries()["orders_frequent_triples"]
+    out = {(r.part_a, r.part_b, r.part_c): r for r in q.fn(spark, d).collect()}
+    # only {1,2,3} reaches support 2 (3 orders); {1,2,4} and {5,6,7} are 1-offs
+    assert set(out) == {(1, 2, 3)}
+    assert out[(1, 2, 3)].n_orders_all3 == 3
+    assert abs(out[(1, 2, 3)].support - 3 / 5) < 1e-9
+
+
+def test_frequent_triples_plan_has_apriori_semi_join(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    q = all_queries()["orders_frequent_triples"]
+    plan = q.fn(spark, SF_SMOKE)._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan, plan
+
+
+def test_lateral_topk_matches_window_form(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+    from pyspark.sql import Window
+
+    q = all_queries()["sql_lateral_topk"]
+    got = {
+        (r.c_custkey, r.o_orderkey) for r in q.fn(spark, SF_SMOKE).collect()
+    }
+    c = load_table(spark, SF_SMOKE, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, SF_SMOKE, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    want = {
+        (r.c_custkey, r.o_orderkey)
+        for r in c.join(o, c.c_custkey == o.o_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .collect()
+    }
+    assert got == want and got
