@@ -224,6 +224,11 @@ HEADLINE = [
     "orders_frequent_triples",
     "sql_lateral_topk",
     "ml_roc_auc_stream_serve",
+    "dedup_cdc_chunks",
+    "corpus_bigram_llr",
+    "embedding_silhouette",
+    "stats_two_proportion_z",
+    "stats_fdr_bh",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -1006,3 +1006,103 @@ def q_corpus_diversity_indices(spark, sf_dir):
         canon(h).alias("shannon_entropy"),
         canon(F.exp(h)).alias("effective_groups"),
     )
+
+
+@register(
+    "corpus_bigram_llr",
+    oracle=r"""
+    WITH t AS (
+        SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), bg AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                      i -> {'a': w[i], 'b': w[i + 1]})) AS p
+        FROM t WHERE len(w) >= 2
+    ), bc AS (
+        SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab
+        FROM bg GROUP BY p.a, p.b
+    ), ra AS (
+        SELECT a, CAST(sum(c_ab) AS BIGINT) AS r FROM bc GROUP BY a
+    ), cb AS (
+        SELECT b, CAST(sum(c_ab) AS BIGINT) AS c FROM bc GROUP BY b
+    ), nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM bc),
+    scored AS (
+        SELECT bc.a, bc.b, bc.c_ab,
+               round(2.0 * (
+                   bc.c_ab * ln(CAST(bc.c_ab AS DOUBLE) * nb.n
+                                / (CAST(ra.r AS DOUBLE) * cb.c))
+                 + CASE WHEN ra.r - bc.c_ab > 0
+                        THEN (ra.r - bc.c_ab)
+                             * ln(CAST(ra.r - bc.c_ab AS DOUBLE) * nb.n
+                                  / (CAST(ra.r AS DOUBLE) * (nb.n - cb.c)))
+                        ELSE 0.0 END
+                 + CASE WHEN cb.c - bc.c_ab > 0
+                        THEN (cb.c - bc.c_ab)
+                             * ln(CAST(cb.c - bc.c_ab AS DOUBLE) * nb.n
+                                  / (CAST(nb.n - ra.r AS DOUBLE) * cb.c))
+                        ELSE 0.0 END
+                 + CASE WHEN nb.n - ra.r - cb.c + bc.c_ab > 0
+                        THEN (nb.n - ra.r - cb.c + bc.c_ab)
+                             * ln(CAST(nb.n - ra.r - cb.c + bc.c_ab AS DOUBLE)
+                                  * nb.n
+                                  / (CAST(nb.n - ra.r AS DOUBLE) * (nb.n - cb.c)))
+                        ELSE 0.0 END), 6) AS llr
+        FROM bc JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nb
+        WHERE bc.c_ab >= 5
+    )
+    SELECT a, b, c_ab, llr FROM scored
+    ORDER BY llr DESC, a, b LIMIT 20
+    """,
+    tags=("corpus", "text", "collocation"),
+)
+def q_corpus_bigram_llr(spark, sf_dir):
+    """Top-20 collocations by Dunning's log-likelihood ratio — the
+    collocation statistic that, unlike PMI (`corpus_bigram_pmi`), does not
+    over-reward rare pairs: LLR = 2·Σ_ij k_ij·ln(k_ij·N / (r_i·c_j)) over
+    the 2×2 contingency of (first word = a) × (second word = b), zero
+    cells contributing zero.  All four cells derive from exact BIGINT
+    bigram counts and margins (one explode, three grouped aggs, margins
+    broadcast); ln() applies to exact count ratios, round 1e-6; top-k via
+    TakeOrdered with the bigram tiebreak — same shape and min-support 5
+    as the PMI query, so the two rankings are directly comparable."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+    idx = F.when(
+        F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = t.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("a"),
+                    F.element_at("w", i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    bc = bg.groupBy("a", "b").agg(F.count("*").cast("long").alias("c_ab"))
+    ra = bc.groupBy("a").agg(F.sum("c_ab").cast("long").alias("r"))
+    cb = bc.groupBy("b").agg(F.sum("c_ab").cast("long").alias("c"))
+    nb = bc.agg(F.sum("c_ab").cast("long").alias("n"))
+    k11 = F.col("c_ab").cast("double")
+    k12 = (F.col("r") - F.col("c_ab")).cast("double")
+    k21 = (F.col("c") - F.col("c_ab")).cast("double")
+    k22 = (F.col("n") - F.col("r") - F.col("c") + F.col("c_ab")).cast("double")
+    n = F.col("n").cast("double")
+    r = F.col("r").cast("double")
+    c = F.col("c").cast("double")
+    term = lambda k, e: F.when(k > 0, k * F.log(k * n / e)).otherwise(F.lit(0.0))  # noqa: E731
+    llr = 2.0 * (
+        k11 * F.log(k11 * n / (r * c))
+        + term(k12, r * (n - c))
+        + term(k21, (n - r) * c)
+        + term(k22, (n - r) * (n - c))
+    )
+    scored = (
+        bc.filter(F.col("c_ab") >= 5)
+        .join(ra, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(nb))
+        .select("a", "b", "c_ab", F.round(llr, 6).alias("llr"))
+    )
+    return scored.orderBy(F.desc("llr"), "a", "b").limit(20)

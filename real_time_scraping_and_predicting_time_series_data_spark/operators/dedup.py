@@ -1173,3 +1173,98 @@ def jaccard_prefix_filter_pairs(
         verified.filter(jac >= tau)
         .select("id_a", "id_b", "n_common", F.round(jac, 9).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup — storage-dedup primitive (r7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+    ), toks AS (
+        SELECT doc_id, unnest(range(0, len(ws))) AS pos, unnest(ws) AS w FROM t
+    ), marked AS (
+        SELECT doc_id, pos, w,
+               CASE WHEN {md5_60_sql('w')} % 8 = 0 THEN 1 ELSE 0 END AS bnd
+        FROM toks
+    ), cids AS (
+        SELECT doc_id, pos, w,
+               CAST(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+                   AS cid
+        FROM marked
+    ), chunks AS (
+        SELECT doc_id, cid,
+               substr(md5(string_agg(w, ' ' ORDER BY pos)), 1, 16) AS chunk_hash
+        FROM cids GROUP BY doc_id, cid
+    )
+    SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+    tags=("dedup", "cdc", "chunking", "storage"),
+)
+def q_dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup — the storage/content-addressable
+    primitive (FastCDC/LBFS family) beside the similarity dedups: chunk
+    boundaries are declared wherever md5_60(word) % 8 == 0, so they are a
+    pure function of LOCAL content and survive insertions/deletions
+    elsewhere in the document (a fixed-width chunker would shift every
+    boundary after an edit — the property that makes CDC the right
+    primitive for delta storage and shared-prefix/suffix detection).
+    Expected chunk length is 8 words; emitted are the chunks shared by
+    >= 2 documents with exact occurrence counts.
+
+    Shape at 100 TB: one token explosion, a PARTITIONED per-doc running
+    sum for chunk ids (never a global sort), one grouped string-agg per
+    (doc, chunk), one grouped count per chunk hash — all map-side-
+    combinable aggregations keyed by doc or hash.  The 60-bit md5 base
+    hash (`functions/hashing.py`) makes boundaries and chunk hashes
+    bit-identical across engines.
+
+    Complements `text_duplicate_spans` (which finds arbitrary-offset
+    shared substrings via shingle postings): CDC answers the storage
+    question — which content-addressed blocks does a dedup store keep
+    once? — in one pass without a pairwise stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w")
+    )
+    marked = toks.withColumn(
+        "bnd", F.when(md5_60(F.col("w")) % 8 == 0, 1).otherwise(0)
+    )
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cids = marked.withColumn("cid", F.sum("bnd").over(w_doc).cast("long"))
+    chunks = cids.groupBy("doc_id", "cid").agg(
+        F.substring(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                        lambda s: s.w,
+                    ),
+                    " ",
+                )
+            ),
+            1,
+            16,
+        ).alias("chunk_hash")
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

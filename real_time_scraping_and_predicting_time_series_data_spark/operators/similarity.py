@@ -1798,3 +1798,97 @@ def q_ml_kmeans_summary(spark, sf_dir):
     return agg.join(cnorm, "cell").select(
         "cell", "n_members", "centroid_norm", "inertia_micros"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality audit — simplified silhouette over seeded cells (r7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_silhouette",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+          FROM e),
+    cents AS (SELECT CAST(vec_id AS INT) AS cell, nv AS c_nvec
+              FROM n WHERE vec_id < 16),
+    d AS (
+        SELECT n.vec_id, c.cell,
+               1.0 - list_dot_product(n.nv, c.c_nvec) AS d
+        FROM n CROSS JOIN cents c
+    ), own AS (
+        SELECT vec_id, cell, d FROM (
+            SELECT vec_id, cell, d,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY round(d, 9), cell) AS rn
+            FROM d)
+        WHERE rn = 1
+    ), nearest_other AS (
+        SELECT d.vec_id, min(d.d) AS b
+        FROM d JOIN own o ON d.vec_id = o.vec_id AND d.cell <> o.cell
+        GROUP BY d.vec_id
+    ), sil AS (
+        SELECT o.cell,
+               (t.b - o.d) / greatest(o.d, t.b) AS s
+        FROM own o JOIN nearest_other t ON t.vec_id = o.vec_id
+    )
+    SELECT cell, CAST(count(*) AS BIGINT) AS n,
+           floor(sum(s) / count(*) * 1000000 + 0.5) / 1000000 AS mean_sil
+    FROM sil GROUP BY cell
+    """,
+    tags=("similarity", "clustering", "audit"),
+)
+def q_embedding_silhouette(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per cell over the seeded
+    16-cell partition — the cluster-quality audit for the IVF/SemDeDup
+    cell structure: s = (b − a)/max(a, b) with a = cosine distance to the
+    OWN centroid and b = distance to the nearest OTHER centroid (the
+    O(n·k) medoid-free form; full silhouette's O(n²) pairwise term is
+    exactly what a 100 TB audit cannot afford).  Near-zero or negative
+    mean s in a cell says its members sit closer to a neighboring
+    centroid — the signal to re-train the coarse quantizer or raise
+    nprobe.  Same deterministic seeding as `sim_ivf_topk_seeded` (cell j
+    = normalized corpus vector j), so the audit covers the exact
+    partition the seeded serving queries use.  Shape: one k-row centroid
+    broadcast, per-row distance array (zero shuffles), one grouped mean;
+    assignment tiebreak round(d,9)+cell matches the IVF convention."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    c = c.withColumn("_n", norm(F.col("v"))).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("_n")).alias("nv")
+    )
+    cents = c.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("nv").alias("c_nvec")
+    )
+    cents_row = cents.agg(F.collect_list(F.struct("cell", "c_nvec")).alias("_cents"))
+    # one HOF instance per projection (Spark 4.1 sibling-nested-lambda
+    # hazard — see pq_assign): distances first, then argmin, then b.
+    withd = c.crossJoin(F.broadcast(cents_row)).withColumn(
+        "_ds",
+        F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                F.round(F.lit(1.0) - dot(F.col("nv"), s.c_nvec), 9).alias("d9"),
+                s.cell.alias("cell"),
+                (F.lit(1.0) - dot(F.col("nv"), s.c_nvec)).alias("d"),
+            ),
+        ),
+    )
+    withown = withd.withColumn("_own", F.array_min("_ds"))
+    sil = withown.withColumn(
+        "_b",
+        F.array_min(
+            F.filter(F.col("_ds"), lambda x: x.cell != F.col("_own.cell"))
+        ),
+    ).select(
+        F.col("_own.cell").alias("cell"),
+        ((F.col("_b.d") - F.col("_own.d")) / F.greatest("_own.d", "_b.d")).alias("s"),
+    )
+    return sil.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.floor(F.sum("s") / F.count("*") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "mean_sil"
+        ),
+    )

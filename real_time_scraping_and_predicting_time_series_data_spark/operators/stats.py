@@ -4335,3 +4335,236 @@ def q_ml_roc_auc_stream_serve(spark, sf_dir):
             docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == bid), bid
         )
     return mon.serve_roc_auc()
+
+
+# ---------------------------------------------------------------------------
+# Normal-tail p-values — A&S 7.1.26 erf, identical expression both engines
+# ---------------------------------------------------------------------------
+# p_two(z) = 2·(1 − Φ(|z|)) = 1 − erf(|z|/√2).  The Abramowitz-Stegun
+# 7.1.26 polynomial (|error| < 1.5e-7, far inside the 1e-6 canon) is a
+# fixed-shape IEEE expression, so Spark and DuckDB agree bit-for-bit given
+# bit-identical z.  Coefficients are spelled as full-precision literals on
+# both sides.
+
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_SQRT2 = 1.4142135623730951
+
+
+def p_two_sided(z):
+    """Two-sided normal p-value column from a z column (A&S 7.1.26)."""
+    x = F.abs(z) / F.lit(_SQRT2)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ERF_P) * x)
+    a1, a2, a3, a4, a5 = (F.lit(a) for a in _ERF_A)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return poly * F.exp(-x * x)
+
+
+def p_two_sided_sql(zexpr: str) -> str:
+    """DuckDB twin of :func:`p_two_sided` (same nesting order)."""
+    x = f"(abs({zexpr}) / {_SQRT2!r})"
+    t = f"(1.0 / (1.0 + {_ERF_P!r} * {x}))"
+    a1, a2, a3, a4, a5 = (repr(a) for a in _ERF_A)
+    poly = f"({t} * ({a1} + {t} * ({a2} + {t} * ({a3} + {t} * ({a4} + {t} * {a5})))))"
+    return f"({poly} * exp(-{x} * {x}))"
+
+
+@register(
+    "stats_two_proportion_z",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id % 2 AS cohort,
+               max(CASE WHEN event_type = 'purchase' AND value >= 200.0
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ), s AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(conv) AS BIGINT) AS c
+        FROM u GROUP BY cohort
+    ), w AS (
+        SELECT a.n AS n0, a.c AS c0, b.n AS n1, b.c AS c1,
+               a.c / CAST(a.n AS DOUBLE) AS p0,
+               b.c / CAST(b.n AS DOUBLE) AS p1,
+               (a.c + b.c) / CAST(a.n + b.n AS DOUBLE) AS pp
+        FROM s a JOIN s b ON a.cohort = 0 AND b.cohort = 1
+    )
+    SELECT n0, n1, c0, c1,
+           floor(p0 * 1000000 + 0.5) / 1000000 AS conv0,
+           floor(p1 * 1000000 + 0.5) / 1000000 AS conv1,
+           CASE WHEN pp * (1.0 - pp) > 0
+                THEN floor(((p1 - p0) / sqrt(pp * (1.0 - pp) * (1.0/n0 + 1.0/n1))) * 1000000 + 0.5) / 1000000 END AS z,
+           CASE WHEN pp * (1.0 - pp) > 0
+                THEN floor({p_two_sided_sql('((p1 - p0) / sqrt(pp * (1.0 - pp) * (1.0/n0 + 1.0/n1)))')} * 1000000 + 0.5) / 1000000 END AS p_value
+    FROM w
+    """,
+    tags=("stats", "ab-test", "proportion"),
+)
+def q_stats_two_proportion_z(spark, sf_dir):
+    """Two-proportion z-test of HIGH-VALUE purchase conversion (a
+    purchase with value >= 200 — plain purchase is degenerate on this
+    data: every user converts, pooled variance 0) between the two
+    deterministic user cohorts (user_id parity — the split an A/B
+    assignment would produce): the experiment-readout primitive next to
+    the drift gates.  Per-user conversion collapses to one bit (max over
+    events), cohort counts are BIGINTs off two grouped aggs, and the
+    pooled-variance z plus its two-sided normal p-value (A&S 7.1.26 erf
+    polynomial — |err| < 1.5e-7, inside the 1e-6 canon) are fixed-shape
+    IEEE expressions both engines evaluate identically; z/p are NULL when
+    pooled variance is 0 (all or none convert — the Mann-Whitney
+    degenerate-grid convention) instead of an ANSI divide-by-zero.  At
+    100 TB: one user-keyed shuffle, then constant-size arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy((F.col("user_id") % 2).alias("cohort"), F.col("user_id")).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 200.0), 1
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    s = u.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n"), F.sum("conv").cast("long").alias("c")
+    )
+    a = s.filter(F.col("cohort") == 0).select(
+        F.col("n").alias("n0"), F.col("c").alias("c0")
+    )
+    b = s.filter(F.col("cohort") == 1).select(
+        F.col("n").alias("n1"), F.col("c").alias("c1")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    p0 = F.col("c0") / F.col("n0").cast("double")
+    p1 = F.col("c1") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1")).cast("double")
+    ok = pp * (F.lit(1.0) - pp) > 0
+    z = F.when(
+        ok,
+        (p1 - p0)
+        / F.sqrt(
+            pp
+            * (F.lit(1.0) - pp)
+            * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+        ),
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return w.select(
+        "n0",
+        "n1",
+        "c0",
+        "c1",
+        canon(p0).alias("conv0"),
+        canon(p1).alias("conv1"),
+        canon(z).alias("z"),
+        canon(p_two_sided(z)).alias("p_value"),
+    )
+
+
+@register(
+    "stats_fdr_bh",
+    oracle=f"""
+    WITH li AS (
+        SELECT p.p_brand AS brand,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(v) AS BIGINT) AS s_g,
+               sum(CAST(v AS DOUBLE) * v) AS ss_g
+        FROM li
+    ), b AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(v) AS BIGINT) AS s_b
+        FROM li GROUP BY brand
+    ), zs AS (
+        SELECT b.brand, b.n_b,
+               (CAST(b.s_b AS DOUBLE) / b.n_b - CAST(g.s_g AS DOUBLE) / g.n_g)
+               / sqrt((g.ss_g / g.n_g
+                       - (CAST(g.s_g AS DOUBLE) / g.n_g)
+                         * (CAST(g.s_g AS DOUBLE) / g.n_g)) / b.n_b) AS z
+        FROM b CROSS JOIN g
+    ), ps AS (
+        SELECT brand, n_b, z, {p_two_sided_sql('z')} AS p FROM zs
+    ), ranked AS (
+        SELECT brand, n_b, z, p,
+               CAST(row_number() OVER (ORDER BY p, brand) AS BIGINT) AS rnk,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM ps
+    ), thr AS (
+        SELECT coalesce(max(CASE WHEN p <= 0.10 * rnk / m THEN rnk END), 0)
+                   AS t
+        FROM ranked
+    )
+    SELECT r.brand, r.n_b,
+           floor(r.z * 1000000 + 0.5) / 1000000 AS z,
+           floor(r.p * 1000000 + 0.5) / 1000000 AS p_value,
+           r.rnk, r.rnk <= t.t AS rejected
+    FROM ranked r CROSS JOIN thr t
+    """,
+    tags=("stats", "multiple-testing", "fdr"),
+)
+def q_stats_fdr_bh(spark, sf_dir):
+    """Benjamini-Hochberg FDR control over a FAMILY of tests — per-brand
+    price-deviation z-tests (brand mean vs catalog mean, catalog variance,
+    integer-cents sums) corrected at q = 0.10.  Running 25 brand gates
+    uncorrected fires ~2.5 false alarms per healthy scan; BH is the
+    standard fix every monitoring suite needs once it has more than one
+    gate.  Mechanics: z and the A&S-7.1.26 two-sided p are fixed-shape
+    IEEE expressions off BIGINT sums (bit-identical both engines, so the
+    p-RANKS agree exactly); p(i) is ranked ascending with the brand
+    tiebreak; the step-up threshold is the largest i with
+    p(i) <= q·i/m, and every rank at or below it is rejected.  The rank
+    window runs over the |brands|-row relation — bounded by the catalog's
+    25 brands, not the data (allowlisted in the plan sweep); the fact
+    table contributes ONE scan into the per-brand moment aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rows = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    g = rows.agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("v").cast("long").alias("s_g"),
+        F.sum(F.col("v").cast("double") * F.col("v")).alias("ss_g"),
+    )
+    b = rows.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.sum("v").cast("long").alias("s_b"),
+    )
+    mg = F.col("s_g").cast("double") / F.col("n_g")
+    var_g = F.col("ss_g") / F.col("n_g") - mg * mg
+    zs = b.crossJoin(F.broadcast(g)).select(
+        "brand",
+        "n_b",
+        (
+            (F.col("s_b").cast("double") / F.col("n_b") - mg)
+            / F.sqrt(var_g / F.col("n_b"))
+        ).alias("z"),
+    )
+    ps = zs.select("brand", "n_b", "z", p_two_sided(F.col("z")).alias("p"))
+    w_rank = Window.orderBy("p", "brand")
+    ranked = ps.select(
+        "brand",
+        "n_b",
+        "z",
+        "p",
+        F.row_number().over(w_rank).cast("long").alias("rnk"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    thr = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p") <= 0.10 * F.col("rnk") / F.col("m"), F.col("rnk")
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("t")
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return ranked.crossJoin(F.broadcast(thr)).select(
+        "brand",
+        "n_b",
+        canon(F.col("z")).alias("z"),
+        canon(F.col("p")).alias("p_value"),
+        "rnk",
+        (F.col("rnk") <= F.col("t")).alias("rejected"),
+    )

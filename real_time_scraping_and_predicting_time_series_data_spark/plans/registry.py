@@ -165,6 +165,11 @@ _FRONT = (
     "orders_frequent_triples",
     "sql_lateral_topk",
     "ml_roc_auc_stream_serve",
+    "dedup_cdc_chunks",
+    "corpus_bigram_llr",
+    "embedding_silhouette",
+    "stats_two_proportion_z",
+    "stats_fdr_bh",
     # (c) re-checks filling out the ~50-query window: queries whose
     # implementation changed this round (grid_cumsum conversions, shared
     # TF-IDF reuse) so the fix lands a fresh green row.

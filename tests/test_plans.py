@@ -425,6 +425,9 @@ def test_no_unbounded_global_windows_anywhere(spark):
         # PAV prefix sums over the decile-bin relation: 10 rows by
         # construction (bin = least(floor(pc/1e5), 9))
         "ml_isotonic_calibration": {"bin"},
+        # BH rank window over the per-brand p-value relation: bounded by
+        # the catalog's 25 brands, not the data
+        "stats_fdr_bh": {"p"},
         # calendar-bounded day/month grids
         "events_kaplan_meier": {"t"},
         "monthly_revenue_trend": {"month"},

@@ -259,3 +259,160 @@ def test_lateral_topk_matches_window_form(spark):
         .collect()
     }
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# CDC chunking — the insertion-shift robustness that defines CDC
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/documents.parquet")
+    return d
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark, tmp_path):
+    """Two documents sharing a long tail, one with extra words prepended:
+    content-defined boundaries re-synchronize after the edit, so shared
+    chunks are still detected (a fixed-width chunker would find none)."""
+    shared = " ".join(f"tok{i}" for i in range(200))
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [(1, shared), (2, "INSERTED WORDS AT FRONT " + shared)],
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    out = all_queries()["dedup_cdc_chunks"].fn(spark, d).collect()
+    assert len(out) >= 5  # many interior chunks shared despite the shift
+    for r in out:
+        assert r.n_docs == 2
+
+
+def test_cdc_chunks_disjoint_docs_share_nothing(spark, tmp_path):
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [(1, " ".join(f"aa{i}" for i in range(100))),
+         (2, " ".join(f"bb{i}" for i in range(100)))],
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    assert all_queries()["dedup_cdc_chunks"].fn(spark, d).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# LLR collocations — hand-computed Dunning statistic
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_llr_hand_computed(spark, tmp_path):
+    # corpus bigrams: "a b" x 6, "a c" x 6, "d b" x 6, "d c" x 6, "e f" x 6
+    # For (a,b): k11=6, r=12, c=12, N=30
+    rows = []
+    did = 0
+    for pair in [("a", "b"), ("a", "c"), ("d", "b"), ("d", "c"), ("e", "f")]:
+        for _ in range(6):
+            rows.append((did, f"{pair[0]} {pair[1]}"))
+            did += 1
+    d = _write_docs(spark, tmp_path, rows)
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    out = {(r.a, r.b): r.llr for r in all_queries()["corpus_bigram_llr"].fn(spark, d).collect()}
+    k11, r, c, n = 6.0, 12.0, 12.0, 30.0
+    k12, k21 = r - k11, c - k11
+    k22 = n - r - c + k11
+    want = 2.0 * (
+        k11 * math.log(k11 * n / (r * c))
+        + k12 * math.log(k12 * n / (r * (n - c)))
+        + k21 * math.log(k21 * n / ((n - r) * c))
+        + k22 * math.log(k22 * n / ((n - r) * (n - c)))
+    )
+    assert abs(out[("a", "b")] - want) < 2e-6
+    # (e,f) is a perfect collocation: r = c = k11 = 6 -> k12 = k21 = 0
+    k11, r, c = 6.0, 6.0, 6.0
+    k22 = n - r - c + k11
+    want_ef = 2.0 * (
+        k11 * math.log(k11 * n / (r * c))
+        + k22 * math.log(k22 * n / ((n - r) * (n - c)))
+    )
+    assert abs(out[("e", "f")] - want_ef) < 2e-6
+    assert out[("e", "f")] > out[("a", "b")]  # LLR prefers the pure pair
+
+
+# ---------------------------------------------------------------------------
+# Normal-tail p-values — A&S polynomial vs math.erfc
+# ---------------------------------------------------------------------------
+
+
+def test_p_two_sided_matches_erfc(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import p_two_sided
+
+    zs = [0.0, 0.5, 1.0, 1.96, 2.575, 4.0, -1.96]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {r.z: r.p for r in df.select("z", p_two_sided(F.col("z")).alias("p")).collect()}
+    for z in zs:
+        want = math.erfc(abs(z) / math.sqrt(2.0))
+        assert abs(got[z] - want) < 3e-7  # A&S 7.1.26 bound is 1.5e-7 on erf
+
+
+def test_two_proportion_z_hand_computed(spark, tmp_path):
+    # cohort 0 (even users): 2 of 4 convert; cohort 1 (odd): 3 of 4
+    rows = []
+    eid = 0
+    for uid in range(8):
+        converts = (uid % 2 == 0 and uid < 4) or (uid % 2 == 1 and uid < 7)
+        val = 250.0 if converts else 10.0
+        rows.append((eid, "2024-01-01 00:00:00", uid, "purchase", val, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/events.parquet")
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    row = all_queries()["stats_two_proportion_z"].fn(spark, d).collect()[0]
+    assert (row.n0, row.n1, row.c0, row.c1) == (4, 4, 2, 3)
+    p0, p1, pp = 0.5, 0.75, 5 / 8
+    want_z = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1 / 4 + 1 / 4))
+    assert abs(row.z - want_z) < 2e-6
+    assert abs(row.p_value - math.erfc(abs(want_z) / math.sqrt(2))) < 1e-5
+
+
+def test_fdr_bh_rejections_are_a_rank_prefix(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    rows = sorted(
+        all_queries()["stats_fdr_bh"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    # p nondecreasing in rank; rejected set is a prefix
+    for a, b in zip(rows, rows[1:]):
+        assert a.p_value <= b.p_value + 1e-9
+        assert a.rejected or not b.rejected
+    # BH step-up definition holds on the emitted values
+    m = len(rows)
+    thr = max((r.rnk for r in rows if r.p_value <= 0.10 * r.rnk / m), default=0)
+    for r in rows:
+        assert r.rejected == (r.rnk <= thr)
+
+
+def test_silhouette_bounds_and_coverage(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    rows = all_queries()["embedding_silhouette"].fn(spark, SF_SMOKE).collect()
+    n_emb = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n for r in rows) == n_emb
+    for r in rows:
+        assert -1.0 <= r.mean_sil <= 1.0
