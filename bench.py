@@ -229,6 +229,8 @@ HEADLINE = [
     "embedding_silhouette",
     "stats_two_proportion_z",
     "stats_fdr_bh",
+    "stats_permutation_test",
+    "dedup_fuzzy_orders",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -1268,3 +1268,82 @@ def q_dedup_cdc_chunks(spark, sf_dir):
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy record linkage — blocked tolerance join over orders (r7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_fuzzy_orders",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               date_trunc('month', o_orderdate) AS blk,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           CAST(strftime(a.blk, '%Y-%m') AS VARCHAR) AS month,
+           a.o_orderkey AS ok_a, b.o_orderkey AS ok_b,
+           a.pc AS price_a_cents, b.pc AS price_b_cents,
+           CAST(abs(a.pc - b.pc) AS BIGINT) AS diff_cents
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.blk = b.blk
+     AND a.o_orderkey < b.o_orderkey
+    WHERE 100 * abs(a.pc - b.pc) <= greatest(a.pc, b.pc)
+    """,
+    tags=("dedup", "entity-resolution", "fuzzy", "blocking"),
+)
+def q_dedup_fuzzy_orders(spark, sf_dir):
+    """Fuzzy duplicate-order detection (record linkage over NUMERIC
+    fields — the entity-resolution flavor the text dedups don't cover):
+    two orders are suspected duplicates when they share customer and
+    calendar month and their totals agree within 1%.  Classic
+    double-billing / replayed-submission audit.
+
+    Blocking-then-verify, the canonical linkage shape: the self-join is
+    keyed on (custkey, month) — candidates are per-block, never |orders|²
+    — and the 1% tolerance is INTEGER-EXACT (100·|Δcents| <=
+    max(cents): no fp in the predicate, so both engines keep identical
+    pairs).  At 100 TB the blocked join is one shuffle on the block key;
+    skewed mega-customers are AQE's skew-join case, and tighter blocks
+    (day, amount bucket) are one-line narrowings."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("blk"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("blk"),
+        F.col("o_orderkey").alias("ok_a"),
+        F.col("pc").alias("price_a_cents"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("blk"),
+        F.col("o_orderkey").alias("ok_b"),
+        F.col("pc").alias("price_b_cents"),
+    )
+    return (
+        a.join(b, ["custkey", "blk"])
+        .filter(F.col("ok_a") < F.col("ok_b"))
+        .filter(
+            100 * F.abs(F.col("price_a_cents") - F.col("price_b_cents"))
+            <= F.greatest("price_a_cents", "price_b_cents")
+        )
+        .select(
+            "custkey",
+            F.date_format("blk", "yyyy-MM").alias("month"),
+            "ok_a",
+            "ok_b",
+            "price_a_cents",
+            "price_b_cents",
+            F.abs(F.col("price_a_cents") - F.col("price_b_cents"))
+            .cast("long")
+            .alias("diff_cents"),
+        )
+    )

@@ -4568,3 +4568,128 @@ def q_stats_fdr_bh(spark, sf_dir):
         "rnk",
         (F.col("rnk") <= F.col("t")).alias("rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic permutation test — one-scan random-relabeling inference (r7)
+# ---------------------------------------------------------------------------
+
+_PERM_B = 32
+
+
+def _perm_test_oracle() -> str:
+    from ..functions.hashing import md5_60_sql
+
+    h60 = md5_60_sql("CAST(doc_id AS VARCHAR)")
+    aggs = ", ".join(
+        f"CAST(sum(CASE WHEN (h >> {b}) & 1 = 1 THEN x ELSE 0 END) AS BIGINT) AS s1_{b}, "
+        f"CAST(sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_{b}"
+        for b in range(_PERM_B)
+    )
+    diffs = ", ".join(
+        f"(CAST(s1_{b} AS DOUBLE) / n1_{b}"
+        f" - CAST(sx - s1_{b} AS DOUBLE) / (n - n1_{b})) AS d{b}"
+        for b in range(_PERM_B)
+    )
+    exceed = " + ".join(
+        f"CASE WHEN abs(d{b}) >= abs(obs) THEN 1 ELSE 0 END" for b in range(_PERM_B)
+    )
+    return f"""
+    WITH r AS (
+        SELECT n_chars AS x,
+               CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS z,
+               {h60} AS h
+        FROM documents WHERE source IN ('src0', 'src1')
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(CASE WHEN z = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+               CAST(sum(z) AS BIGINT) AS n1,
+               {aggs}
+        FROM r
+    ), d AS (
+        SELECT n,
+               (CAST(sx1 AS DOUBLE) / n1 - CAST(sx - sx1 AS DOUBLE) / (n - n1))
+                   AS obs,
+               {diffs}
+        FROM s
+    )
+    SELECT n,
+           floor(obs * 1000000 + 0.5) / 1000000 AS obs_diff,
+           CAST({exceed} AS BIGINT) AS n_exceed,
+           floor((1.0 + ({exceed})) / {_PERM_B + 1}.0 * 1000000 + 0.5) / 1000000
+               AS p_mc
+    FROM d
+    """
+
+
+@register(
+    "stats_permutation_test",
+    oracle=_perm_test_oracle(),
+    tags=("stats", "resampling", "permutation"),
+)
+def q_stats_permutation_test(spark, sf_dir):
+    """Monte-Carlo permutation test for the src1-vs-src0 mean length
+    shift — the distribution-free companion to `stats_welch_ttest` (no
+    normality or variance model; the null is built by relabeling).  The
+    100 TB trick is the same as the Poisson bootstrap: 32 deterministic
+    relabelings are NOT 32 shuffles — bit b of md5_60(doc_id) assigns the
+    row's group in permutation b, so ONE scan accumulates all 32
+    (Σx, n)-per-group pairs as map-side-combined conditional sums
+    (BIGINT-exact), and the add-one Monte-Carlo p-value
+    p = (1 + #{b: |Δ_b| >= |Δ_obs|}) / 33 is closed-form arithmetic over
+    the one-row result.  Relabeling is i.i.d. fair-coin (group sizes
+    binomial, not fixed-margin — the standard MC approximation,
+    documented), and every |Δ| comparison is on bit-identical doubles."""
+    from ..functions.hashing import md5_60
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    r = docs.select(
+        F.col("n_chars").alias("x"),
+        F.when(F.col("source") == "src1", 1).otherwise(0).alias("z"),
+        md5_60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.when(F.col("z") == 1, F.col("x")).otherwise(0)).cast("long").alias("sx1"),
+        F.sum("z").cast("long").alias("n1"),
+    ]
+    for b in range(_PERM_B):
+        g = F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(F.when(g == 1, F.col("x")).otherwise(0)).cast("long").alias(f"s1_{b}")
+        )
+        aggs.append(F.sum(F.when(g == 1, 1).otherwise(0)).cast("long").alias(f"n1_{b}"))
+    s = r.agg(*aggs)
+    obs = F.col("sx1").cast("double") / F.col("n1") - (
+        F.col("sx") - F.col("sx1")
+    ).cast("double") / (F.col("n") - F.col("n1"))
+    d = s.select(
+        "n",
+        obs.alias("obs"),
+        *[
+            (
+                F.col(f"s1_{b}").cast("double") / F.col(f"n1_{b}")
+                - (F.col("sx") - F.col(f"s1_{b}")).cast("double")
+                / (F.col("n") - F.col(f"n1_{b}"))
+            ).alias(f"d{b}")
+            for b in range(_PERM_B)
+        ],
+    )
+    exceed = sum(
+        [
+            F.when(F.abs(F.col(f"d{b}")) >= F.abs(F.col("obs")), 1).otherwise(0)
+            for b in range(_PERM_B)
+        ],
+        F.lit(0),
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return d.select(
+        "n",
+        canon(F.col("obs")).alias("obs_diff"),
+        exceed.cast("long").alias("n_exceed"),
+        canon((F.lit(1.0) + exceed) / F.lit(float(_PERM_B + 1))).alias("p_mc"),
+    )

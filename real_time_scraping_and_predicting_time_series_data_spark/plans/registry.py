@@ -170,6 +170,8 @@ _FRONT = (
     "embedding_silhouette",
     "stats_two_proportion_z",
     "stats_fdr_bh",
+    "stats_permutation_test",
+    "dedup_fuzzy_orders",
     # (c) re-checks filling out the ~50-query window: queries whose
     # implementation changed this round (grid_cumsum conversions, shared
     # TF-IDF reuse) so the fix lands a fresh green row.

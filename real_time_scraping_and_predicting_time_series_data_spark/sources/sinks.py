@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["write_csv", "write_json", "write_parquet", "write_bucketed_table"]
+__all__ = ["write_csv", "write_json", "write_orc", "write_parquet", "write_bucketed_table"]
 
 
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
@@ -30,6 +30,13 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
 
 def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """Columnar ORC sink — Spark-native alternative to Parquet for
+    Hive-ecosystem interchange (predicate pushdown + column pruning work
+    the same way; `spark.read.orc` round-trips the schema)."""
+    df.write.mode("overwrite").orc(path)
 
 
 def write_parquet(

@@ -416,3 +416,69 @@ def test_silhouette_bounds_and_coverage(spark):
     assert sum(r.n for r in rows) == n_emb
     for r in rows:
         assert -1.0 <= r.mean_sil <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Permutation test / fuzzy linkage / ORC round-trip
+# ---------------------------------------------------------------------------
+
+
+def test_permutation_test_separated_groups_min_p(spark, tmp_path):
+    # src0 docs ~ length 10, src1 ~ length 1000: no fair-coin relabeling
+    # comes near the observed gap -> n_exceed = 0, p = 1/33
+    rows = [(i, "x" * 10, "en", "src0", 10) for i in range(40)]
+    rows += [(100 + i, "x" * 1000, "en", "src1", 1000) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/documents.parquet")
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    row = all_queries()["stats_permutation_test"].fn(spark, d).collect()[0]
+    assert row.n == 80
+    assert row.n_exceed == 0
+    assert abs(row.p_mc - 1 / 33) < 2e-6
+    assert abs(row.obs_diff - 990.0) < 1e-9
+
+
+def test_fuzzy_orders_tolerance_and_blocking(spark, tmp_path):
+    rows = [
+        # same cust, same month, within 1% -> pair
+        (1, 10, "O", 10000.00, "2024-03-05 00:00:00", "1-URGENT"),
+        (2, 10, "O", 10050.00, "2024-03-20 00:00:00", "1-URGENT"),
+        # same cust, same month, 5% apart -> no pair
+        (3, 10, "O", 20000.00, "2024-03-07 00:00:00", "1-URGENT"),
+        (4, 10, "O", 21000.00, "2024-03-08 00:00:00", "1-URGENT"),
+        # same cust, within 1% but different months -> blocked out
+        (5, 11, "O", 5000.00, "2024-01-31 00:00:00", "1-URGENT"),
+        (6, 11, "O", 5000.00, "2024-02-01 00:00:00", "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/orders.parquet")
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    out = all_queries()["dedup_fuzzy_orders"].fn(spark, d).collect()
+    assert [(r.ok_a, r.ok_b, r.month, r.diff_cents) for r in out] == [
+        (1, 2, "2024-03", 5000)
+    ]
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+    from real_time_scraping_and_predicting_time_series_data_spark.sources.sinks import write_orc
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    p = str(tmp_path / "docs_orc")
+    write_orc(docs, p)
+    back = spark.read.orc(p)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    a = {tuple(r) for r in docs.select("doc_id", "n_chars").collect()}
+    b = {tuple(r) for r in back.select("doc_id", "n_chars").collect()}
+    assert a == b
