@@ -231,6 +231,7 @@ HEADLINE = [
     "stats_fdr_bh",
     "stats_permutation_test",
     "dedup_fuzzy_orders",
+    "sketch_hll_md5",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -300,3 +300,129 @@ def q_bloom_membership(spark, sf_dir):
         "bloom_maybe",
         F.coalesce(F.col("_present"), F.lit(False)).alias("actually_present"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog with md5 registers — full cross-engine oracle (r7)
+# ---------------------------------------------------------------------------
+
+_HLL_P = 12                      # register index bits
+_HLL_M = 1 << _HLL_P             # 4096 registers
+_HLL_TAIL_BITS = 60 - _HLL_P     # 48-bit rho tail
+
+
+def hll_registers(df: DataFrame, expr) -> DataFrame:
+    """(idx, M) register relation of a deterministic HLL sketch: idx = top
+    12 bits of md5_60(value), rho = 49 − bit_length(48-bit tail) (all-zero
+    tail → 49), M = max rho per register.  MERGEABLE by grouped max —
+    the property the streaming sketches build on."""
+    h = md5_60(expr)
+    tail = h.bitwiseAND(F.lit((1 << _HLL_TAIL_BITS) - 1))
+    rho = F.lit(_HLL_TAIL_BITS + 1) - F.length(F.ltrim(F.bin(tail), F.lit("0")))
+    return (
+        df.select(
+            F.shiftrightunsigned(h, _HLL_TAIL_BITS).alias("idx"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy("idx")
+        .agg(F.max("rho").cast("long").alias("M"))
+    )
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """(n_registers, hll_estimate) from an (idx, M) register relation —
+    the standard Flajolet raw estimator with the small-range
+    linear-counting correction, as fixed-shape IEEE arithmetic."""
+    m = float(_HLL_M)
+    s = regs.agg(
+        F.count("*").cast("long").alias("present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("s_present"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(m))
+    raw = alpha * F.lit(m) * F.lit(m) / (
+        F.col("s_present") + (F.lit(m) - F.col("present"))
+    )
+    v0 = F.lit(m) - F.col("present")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v0 > 0), F.lit(m) * F.log(F.lit(m) / v0)
+    ).otherwise(raw)
+    return s.select(
+        F.col("present").alias("n_registers"),
+        (F.floor(est * 1000000 + F.lit(0.5)) / 1000000).alias("hll_estimate"),
+    )
+
+
+@register(
+    "sketch_hll_md5",
+    oracle=f"""
+    WITH v AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), h AS (
+        SELECT {md5_60_sql("CAST(l_partkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)")}
+                   AS h60,
+               l_partkey, l_suppkey
+        FROM v
+    ), r AS (
+        SELECT h60 >> {_HLL_TAIL_BITS} AS idx,
+               CAST({_HLL_TAIL_BITS + 1}
+                    - length(ltrim(bin(h60 & {(1 << _HLL_TAIL_BITS) - 1}), '0'))
+                    AS BIGINT) AS rho
+        FROM h
+    ), regs AS (
+        SELECT idx, CAST(max(rho) AS BIGINT) AS M FROM r GROUP BY idx
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS present,
+               sum(power(2.0, -M)) AS s_present,
+               (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_exact
+        FROM regs
+    ), e AS (
+        SELECT n_exact, present,
+               CASE WHEN (0.7213 / (1.0 + 1.079 / {float(_HLL_M)!r}))
+                         * {float(_HLL_M)!r} * {float(_HLL_M)!r}
+                         / (s_present + ({float(_HLL_M)!r} - present))
+                         <= {2.5 * _HLL_M!r}
+                     AND {float(_HLL_M)!r} - present > 0
+                    THEN {float(_HLL_M)!r}
+                         * ln({float(_HLL_M)!r} / ({float(_HLL_M)!r} - present))
+                    ELSE (0.7213 / (1.0 + 1.079 / {float(_HLL_M)!r}))
+                         * {float(_HLL_M)!r} * {float(_HLL_M)!r}
+                         / (s_present + ({float(_HLL_M)!r} - present))
+               END AS est
+        FROM s
+    )
+    SELECT n_exact, present AS n_registers,
+           floor(est * 1000000 + 0.5) / 1000000 AS hll_estimate,
+           floor((floor(est * 1000000 + 0.5) / 1000000 - n_exact) / n_exact
+                 * 1000000 + 0.5) / 1000000 AS rel_err
+    FROM e
+    """,
+    tags=("sketch", "hll", "approx-distinct", "oracle"),
+)
+def q_sketch_hll_md5(spark, sf_dir):
+    """HyperLogLog distinct-count of (part, supplier) supply pairs with a
+    FULL value-hash oracle — upgrading the HLL family from the rows-only
+    `sketch_hll_distinct` (Spark's approx_count_distinct, whose internal
+    hash is engine-specific): registers derive from md5_60, so idx, rho,
+    every register max, the raw Flajolet estimator, and the small-range
+    linear-counting correction are bit-identical across engines.  The
+    register relation is MERGEABLE by grouped max (pinned by the split ∪
+    merge pytest), which is what makes HLL the right distinct-counter for
+    a 100 TB union-of-partitions or a streaming store: 4096 longs of
+    state regardless of input size.  One scan → one 4096-row grouped max
+    → constant-size arithmetic; rel_err lands inside the ~1.04/√4096
+    ≈ 1.6% envelope on the ~50k-pair universe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select("l_partkey", "l_suppkey").distinct()
+    expr = F.concat_ws(":", F.col("l_partkey").cast("string"), F.col("l_suppkey").cast("string"))
+    regs = hll_registers(v, expr)
+    est = hll_estimate_from_registers(regs)
+    exact = v.agg(F.count("*").cast("long").alias("n_exact"))
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_exact",
+        "n_registers",
+        "hll_estimate",
+        canon(
+            (F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact")
+        ).alias("rel_err"),
+    )

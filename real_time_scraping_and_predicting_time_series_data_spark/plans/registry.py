@@ -172,6 +172,7 @@ _FRONT = (
     "stats_fdr_bh",
     "stats_permutation_test",
     "dedup_fuzzy_orders",
+    "sketch_hll_md5",
     # (c) re-checks filling out the ~50-query window: queries whose
     # implementation changed this round (grid_cumsum conversions, shared
     # TF-IDF reuse) so the fix lands a fresh green row.

@@ -482,3 +482,38 @@ def test_orc_round_trip(spark, tmp_path):
     a = {tuple(r) for r in docs.select("doc_id", "n_chars").collect()}
     b = {tuple(r) for r in back.select("doc_id", "n_chars").collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# md5-register HLL — mergeability + accuracy envelope
+# ---------------------------------------------------------------------------
+
+
+def test_hll_registers_merge_by_max(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    df = spark.range(0, 20000).select(F.col("id").cast("string").alias("s"))
+    whole = hll_registers(df, F.col("s"))
+    h1 = hll_registers(df.filter(F.col("s").cast("long") % 2 == 0), F.col("s"))
+    h2 = hll_registers(df.filter(F.col("s").cast("long") % 2 == 1), F.col("s"))
+    merged = (
+        h1.unionAll(h2).groupBy("idx").agg(F.max("M").cast("long").alias("M"))
+    )
+    a = {(r.idx, r.M) for r in whole.collect()}
+    b = {(r.idx, r.M) for r in merged.collect()}
+    assert a == b
+    est_whole = hll_estimate_from_registers(whole).collect()[0]
+    est_merged = hll_estimate_from_registers(merged).collect()[0]
+    assert tuple(est_whole) == tuple(est_merged)
+    assert abs(est_whole.hll_estimate - 20000) / 20000 < 0.05  # ~3 sigma
+
+
+def test_hll_md5_query_error_envelope(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    row = all_queries()["sketch_hll_md5"].fn(spark, SF_SMOKE).collect()[0]
+    assert row.n_registers <= 4096
+    assert abs(row.rel_err) < 0.08  # small-range regime at sf0.001
