@@ -232,6 +232,8 @@ HEADLINE = [
     "stats_permutation_test",
     "dedup_fuzzy_orders",
     "sketch_hll_md5",
+    "ml_harmonic_regression",
+    "graph_clustering_coefficient",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -935,3 +935,74 @@ def q_orders_frequent_triples(spark, sf_dir):
         F.col("c_abc").alias("n_orders_all3"),
         F.round(F.col("c_abc").cast("double") / F.col("n_orders"), 9).alias("support"),
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= {_TRI_SUPPORT}
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT src AS node FROM half UNION ALL SELECT dst FROM half
+        ) GROUP BY node
+    ), tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_tri
+        FROM half e1
+        JOIN half e2 ON e1.dst = e2.src
+        JOIN half e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+               CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+        FROM deg
+    )
+    SELECT a.n_nodes, a.n_edges, a.n_wedges, t.n_tri AS n_triangles,
+           floor(3.0 * t.n_tri / a.n_wedges * 1000000 + 0.5) / 1000000
+               AS global_coeff
+    FROM agg a CROSS JOIN tri t
+    """,
+    tags=("graph", "structure", "clustering"),
+)
+def q_graph_clustering_coefficient(spark, sf_dir):
+    """Global clustering coefficient (transitivity) of the strong
+    co-purchase graph: C = 3·triangles / wedges — the one-number summary
+    of how much the catalog's co-purchase structure closes into cliques
+    (bundle-able product families) vs stars (hub accessories).  Reuses
+    `strong_copurchase_half` / the id-oriented triangle join; wedges are
+    Σ d(d−1)/2 over the exact BIGINT degree relation.  All counts
+    integer-exact; the single division is canon 1e-6.  One support-
+    filtered pair agg + two equi-joins — the same scale shape as
+    `graph_triangle_counts`, reduced to its 1-row global summary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    half = strong_copurchase_half(li).localCheckpoint(eager=False)
+    deg = (
+        half.select(F.col("src").alias("node"))
+        .unionAll(half.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    agg = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    wedges = half.select(F.col("src").alias("a"), F.col("dst").alias("b")).join(
+        half.select(F.col("src").alias("b"), F.col("dst").alias("c")), "b"
+    )
+    tri = wedges.join(
+        half.select(F.col("src").alias("a"), F.col("dst").alias("c")), ["a", "c"]
+    ).agg(F.count("*").cast("long").alias("n_tri"))
+    return agg.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        F.col("n_tri").alias("n_triangles"),
+        (
+            F.floor(3.0 * F.col("n_tri") / F.col("n_wedges") * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("global_coeff"),
+    )

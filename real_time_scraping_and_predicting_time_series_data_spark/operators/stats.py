@@ -4693,3 +4693,115 @@ def q_stats_permutation_test(spark, sf_dir):
         exceed.cast("long").alias("n_exceed"),
         canon((F.lit(1.0) + exceed) / F.lit(float(_PERM_B + 1))).alias("p_mc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic (Fourier-feature) regression — closed-form seasonal fit (r7)
+# ---------------------------------------------------------------------------
+
+_TWO_PI_OVER_7 = 0.8975979010256552  # 2*pi/7, full-precision double literal
+
+
+@register(
+    "ml_harmonic_regression",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                   AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+    ), feats AS (
+        SELECT y,
+               floor(sin({_TWO_PI_OVER_7!r} * (day % 7)) * 1000000000000 + 0.5)
+                   / 1000000000000 AS x1,
+               floor(cos({_TWO_PI_OVER_7!r} * (day % 7)) * 1000000000000 + 0.5)
+                   / 1000000000000 AS x2
+        FROM daily
+    ), s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS s11,
+               sum(x1) AS s12, sum(x2) AS s13,
+               sum(x1*x1) AS s22, sum(x1*x2) AS s23, sum(x2*x2) AS s33,
+               sum(y) AS g1, sum(x1*y) AS g2, sum(x2*y) AS g3,
+               sum(y*y) AS syy
+        FROM feats
+    ), b AS (
+        SELECT s11, g1, g2, g3, syy,
+        {_LOGISTIC_SOLVE_SQL.format(scale="1.0", c0="b0", c1="b1", c2="b2")}
+        FROM s
+    )
+    SELECT CAST(s11 AS BIGINT) AS n,
+           floor(b0 * 100000 + 0.5) / 100000 AS b0,
+           floor(b1 * 100000 + 0.5) / 100000 AS b1,
+           floor(b2 * 100000 + 0.5) / 100000 AS b2,
+           floor((b0*g1 + b1*g2 + b2*g3 - g1*g1/s11)
+                 / (syy - g1*g1/s11) * 1000000 + 0.5) / 1000000 AS r2
+    FROM b
+    """,
+    tags=("ml", "regression", "seasonality", "forecast"),
+)
+def q_ml_harmonic_regression(spark, sf_dir):
+    """Closed-form harmonic (Fourier-feature) regression of daily purchase
+    revenue on the weekly cycle: y_d = b0 + b1·sin(2πd/7) + b2·cos(2πd/7)
+    by exact 3×3 normal equations — the seasonality-aware forecaster the
+    reference's LSTM implicitly learns, as ONE aggregation plus the
+    adjugate solve (`_solve3`, shared with the Newton classifier).
+    sin/cos features are quantized at 1e-12 so both engines build
+    bit-identical design sums despite libm last-ulp differences; y is
+    exact integer-cents/100.  R² from the same sums:
+    (b'X'y − nȳ²)/(Σy² − nȳ²).  At 100 TB the fact table contributes one
+    grouped-cents scan into the calendar-bounded day grid; everything
+    after is constant-size.  Amplitude/phase of the weekly cycle follow
+    from (b1, b2) — the deseasonalization companion to
+    `ts_seasonal_strength` and `ts_periodogram`."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day")
+    ).agg(
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias(
+            "y"
+        )
+    )
+    q12 = lambda c: F.floor(c * F.lit(1000000000000.0) + F.lit(0.5)) / F.lit(  # noqa: E731
+        1000000000000.0
+    )
+    ang = F.lit(_TWO_PI_OVER_7) * (F.col("day") % 7)
+    feats = daily.select(
+        "y", q12(F.sin(ang)).alias("x1"), q12(F.cos(ang)).alias("x2")
+    )
+    s = feats.agg(
+        F.count("*").cast("double").alias("s11"),
+        F.sum("x1").alias("s12"),
+        F.sum("x2").alias("s13"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s23"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s33"),
+        F.sum("y").alias("g1"),
+        F.sum(F.col("x1") * F.col("y")).alias("g2"),
+        F.sum(F.col("x2") * F.col("y")).alias("g3"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    b0, b1, b2 = _solve3(
+        *[F.col(k) for k in ("s11", "s12", "s13", "s22", "s23", "s33", "g1", "g2", "g3")],
+        F.lit(1.0),
+    )
+    withb = s.select(
+        "s11", "g1", "g2", "g3", "syy", b0.alias("b0"), b1.alias("b1"), b2.alias("b2")
+    )
+    sse_part = (
+        F.col("b0") * F.col("g1") + F.col("b1") * F.col("g2") + F.col("b2") * F.col("g3")
+    )
+    sst = F.col("syy") - F.col("g1") * F.col("g1") / F.col("s11")
+    canon5 = lambda c: F.floor(c * 100000 + F.lit(0.5)) / 100000  # noqa: E731
+    canon6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return withb.select(
+        F.col("s11").cast("long").alias("n"),
+        canon5(F.col("b0")).alias("b0"),
+        canon5(F.col("b1")).alias("b1"),
+        canon5(F.col("b2")).alias("b2"),
+        canon6(
+            (sse_part - F.col("g1") * F.col("g1") / F.col("s11")) / sst
+        ).alias("r2"),
+    )

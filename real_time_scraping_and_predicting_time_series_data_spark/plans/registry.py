@@ -173,6 +173,8 @@ _FRONT = (
     "stats_permutation_test",
     "dedup_fuzzy_orders",
     "sketch_hll_md5",
+    "ml_harmonic_regression",
+    "graph_clustering_coefficient",
     # (c) re-checks filling out the ~50-query window: queries whose
     # implementation changed this round (grid_cumsum conversions, shared
     # TF-IDF reuse) so the fix lands a fresh green row.

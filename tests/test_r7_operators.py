@@ -517,3 +517,72 @@ def test_hll_md5_query_error_envelope(spark):
     row = all_queries()["sketch_hll_md5"].fn(spark, SF_SMOKE).collect()[0]
     assert row.n_registers <= 4096
     assert abs(row.rel_err) < 0.08  # small-range regime at sf0.001
+
+
+# ---------------------------------------------------------------------------
+# Harmonic regression — exact recovery of a planted weekly cycle
+# ---------------------------------------------------------------------------
+
+
+def test_harmonic_regression_recovers_planted_cycle(spark, tmp_path):
+    # y_d = 100 + 40*sin(2*pi*d/7) + 20*cos(2*pi*d/7), 70 days, one purchase
+    # per day whose value is y_d -> the fit must recover (100, 40, 20), R²=1
+    rows = []
+    for d in range(70):
+        ang = 2 * math.pi * (d % 7) / 7
+        y = 100.0 + 40.0 * math.sin(ang) + 20.0 * math.cos(ang)
+        y = round(y * 100) / 100  # integer cents like the engine
+        ts = f"2024-01-{(d % 28) + 1:02d} 12:00:00" if d < 28 else None
+        rows.append((d, d, y))
+    df = spark.createDataFrame(rows, "event_id long, day long, value double").select(
+        "event_id",
+        (F.lit("2024-01-01 12:00:00").cast("timestamp") + F.make_dt_interval(F.col("day"))).alias("ts"),
+        F.col("event_id").alias("user_id"),
+        F.lit("purchase").alias("event_type"),
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/events.parquet")
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    row = all_queries()["ml_harmonic_regression"].fn(spark, d).collect()[0]
+    assert row.n == 70
+    assert abs(row.b0 - 100.0) < 0.01
+    # the query's day index is days-since-epoch, so (b1, b2) is a phase
+    # ROTATION of the planted (40, 20); the amplitude is invariant
+    amp = math.hypot(row.b1, row.b2)
+    assert abs(amp - math.hypot(40.0, 20.0)) < 0.01
+    assert row.r2 > 0.999
+
+
+def test_clustering_coefficient_triangle_plus_star(spark, tmp_path):
+    # orders making: triangle {1,2,3} (each pair co-ordered twice) and a
+    # star 10-{11,12,13} (each pair twice, no closure)
+    rows = []
+    ok = 0
+    def add_order(parts):
+        nonlocal ok
+        ok += 1
+        for i, p in enumerate(parts):
+            rows.append((ok, p, i, 1.0, 10.0, 0.0, 0.0, "N", "O", "2024-01-01"))
+    for _ in range(2):
+        add_order([1, 2, 3])
+        add_order([10, 11])
+        add_order([10, 12])
+        add_order([10, 13])
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/lineitem.parquet")
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    row = all_queries()["graph_clustering_coefficient"].fn(spark, d).collect()[0]
+    # triangle: 3 nodes deg 2 -> 3 wedges, 1 triangle; star: hub deg 3 ->
+    # 3 wedges, leaves deg 1 -> 0.  total wedges 6, triangles 1, C = 0.5
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (7, 6, 6, 1)
+    assert abs(row.global_coeff - 0.5) < 1e-9
