@@ -234,6 +234,9 @@ HEADLINE = [
     "sketch_hll_md5",
     "ml_harmonic_regression",
     "graph_clustering_coefficient",
+    "ml_ks_separation",
+    "ml_cumulative_gains",
+    "stats_experiment_stream_serve",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

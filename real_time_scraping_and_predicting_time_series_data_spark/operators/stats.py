@@ -4369,6 +4369,66 @@ def p_two_sided_sql(zexpr: str) -> str:
     return f"({poly} * exp(-{x} * {x}))"
 
 
+def conversion_bits(events_df):
+    """(cohort, user_id, conv) per-user conversion-bit relation: cohort =
+    user_id parity, conv = 1 iff the user has any high-value purchase
+    (value >= 200) among these events.  IDEMPOTENT under re-aggregation —
+    bits merge by grouped MAX — which is what makes this the per-batch
+    state of the streaming experiment monitor
+    (streaming/experiment_stream.py)."""
+    return events_df.groupBy(
+        (F.col("user_id") % 2).alias("cohort"), F.col("user_id")
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 200.0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv")
+    )
+
+
+def two_proportion_from_bits(bits):
+    """(n0, n1, c0, c1, conv0, conv1, z, p_value) one-rower from a
+    (cohort, user_id, conv) bit relation — pooled-variance two-proportion
+    z with the shared A&S p-value; z/p NULL when pooled variance is 0."""
+    s = bits.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n"), F.sum("conv").cast("long").alias("c")
+    )
+    a = s.filter(F.col("cohort") == 0).select(
+        F.col("n").alias("n0"), F.col("c").alias("c0")
+    )
+    b = s.filter(F.col("cohort") == 1).select(
+        F.col("n").alias("n1"), F.col("c").alias("c1")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    p0 = F.col("c0") / F.col("n0").cast("double")
+    p1 = F.col("c1") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1")).cast("double")
+    ok = pp * (F.lit(1.0) - pp) > 0
+    z = F.when(
+        ok,
+        (p1 - p0)
+        / F.sqrt(
+            pp
+            * (F.lit(1.0) - pp)
+            * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+        ),
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return w.select(
+        "n0",
+        "n1",
+        "c0",
+        "c1",
+        canon(p0).alias("conv0"),
+        canon(p1).alias("conv1"),
+        canon(z).alias("z"),
+        canon(p_two_sided(z)).alias("p_value"),
+    )
+
+
 @register(
     "stats_two_proportion_z",
     oracle=f"""
@@ -4414,47 +4474,7 @@ def q_stats_two_proportion_z(spark, sf_dir):
     degenerate-grid convention) instead of an ANSI divide-by-zero.  At
     100 TB: one user-keyed shuffle, then constant-size arithmetic."""
     ev = load_table(spark, sf_dir, "events")
-    u = ev.groupBy((F.col("user_id") % 2).alias("cohort"), F.col("user_id")).agg(
-        F.max(
-            F.when(
-                (F.col("event_type") == "purchase") & (F.col("value") >= 200.0), 1
-            ).otherwise(0)
-        ).alias("conv")
-    )
-    s = u.groupBy("cohort").agg(
-        F.count("*").cast("long").alias("n"), F.sum("conv").cast("long").alias("c")
-    )
-    a = s.filter(F.col("cohort") == 0).select(
-        F.col("n").alias("n0"), F.col("c").alias("c0")
-    )
-    b = s.filter(F.col("cohort") == 1).select(
-        F.col("n").alias("n1"), F.col("c").alias("c1")
-    )
-    w = a.crossJoin(F.broadcast(b))
-    p0 = F.col("c0") / F.col("n0").cast("double")
-    p1 = F.col("c1") / F.col("n1").cast("double")
-    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1")).cast("double")
-    ok = pp * (F.lit(1.0) - pp) > 0
-    z = F.when(
-        ok,
-        (p1 - p0)
-        / F.sqrt(
-            pp
-            * (F.lit(1.0) - pp)
-            * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
-        ),
-    )
-    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
-    return w.select(
-        "n0",
-        "n1",
-        "c0",
-        "c1",
-        canon(p0).alias("conv0"),
-        canon(p1).alias("conv1"),
-        canon(z).alias("z"),
-        canon(p_two_sided(z)).alias("p_value"),
-    )
+    return two_proportion_from_bits(conversion_bits(ev))
 
 
 @register(
@@ -4805,3 +4825,165 @@ def q_ml_harmonic_regression(spark, sf_dir):
             (sse_part - F.col("g1") * F.col("g1") / F.col("s11")) / sst
         ).alias("r2"),
     )
+
+
+@register(
+    "ml_ks_separation",
+    oracle=_SCORED_CTE_SQL
+    + r"""
+    , c AS (
+        SELECT pc,
+               CAST(sum(pos) OVER (ORDER BY pc) AS BIGINT) AS cuma,
+               CAST(sum(neg) OVER (ORDER BY pc) AS BIGINT) AS cumb
+        FROM roc_g
+    ), tot AS (
+        SELECT CAST(sum(pos) AS BIGINT) AS na, CAST(sum(neg) AS BIGINT) AS nb
+        FROM roc_g
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           max(abs(c.cuma * t.nb - c.cumb * t.na)) AS ks_num,
+           max(abs(c.cuma * t.nb - c.cumb * t.na)) / CAST(t.na * t.nb AS DOUBLE)
+               AS ks_d
+    FROM c CROSS JOIN tot t
+    GROUP BY t.na, t.nb
+    """,
+    tags=("ml", "classifier", "eval", "ks"),
+)
+def q_ml_ks_separation(spark, sf_dir):
+    """KS separation statistic of the Newton domain classifier — the
+    credit-scoring standard: sup |CDF_pos − CDF_neg| over the score axis,
+    i.e. how far apart the classifier pushes the two classes (AUC's
+    worst-point companion; a model can have decent AUC but a thin
+    separation everywhere).  Pure reuse of the drift suite's
+    INTEGER-EXACT KS core (`ks_from_value_grid` — max |cumA·n_B −
+    cumB·n_A| over the quantized score grid, BIGINT end-to-end), applied
+    to the (pc, pos, neg) grid instead of a value grid: model-eval and
+    drift-detection are literally the same statistic over different
+    grids, and at 100 TB both cost one grid groupBy + one bounded
+    cumsum."""
+    g = _scored_grid(spark, sf_dir)
+    return ks_from_value_grid(
+        g.select(F.col("pc").alias("v"), F.col("pos").alias("ca"), F.col("neg").alias("cb"))
+    )
+
+
+@register(
+    "ml_cumulative_gains",
+    oracle=_SCORED_CTE_SQL
+    + r"""
+    , c AS (
+        SELECT pc, pos, neg,
+               CAST(sum(pos) OVER (ORDER BY pc DESC) AS BIGINT) AS cum_pos,
+               CAST(sum(pos + neg) OVER (ORDER BY pc DESC) AS BIGINT) AS cum_all
+        FROM roc_g
+    ), tot AS (
+        SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(pos) + sum(neg) AS BIGINT) AS n_all
+        FROM roc_g
+    ), deciles AS (
+        SELECT unnest(range(1, 11)) AS decile
+    )
+    SELECT d.decile,
+           coalesce(max(CASE WHEN c.cum_all * 10 <= d.decile * t.n_all
+                             THEN c.cum_pos END), 0) AS pos_captured,
+           t.n_pos,
+           floor(coalesce(max(CASE WHEN c.cum_all * 10 <= d.decile * t.n_all
+                                   THEN c.cum_pos END), 0)
+                 / CAST(t.n_pos AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS capture_rate
+    FROM deciles d CROSS JOIN tot t LEFT JOIN c ON TRUE
+    GROUP BY d.decile, t.n_pos
+    """,
+    tags=("ml", "classifier", "eval", "gains"),
+)
+def q_ml_cumulative_gains(spark, sf_dir):
+    """Cumulative-gains table of the Newton domain classifier: how many of
+    all positives are captured in the top 10%/20%/…/100% of the scored
+    population — THE operational question for a quality filter with a
+    fixed token budget ("if I can only keep 20% of the crawl, how much
+    src1 do I get?").  Over the same quantized score grid: descending
+    cumulative positives/population, then per decile the largest exact
+    integer capture with cum_all·10 <= decile·n_all (no fp in the
+    threshold test).  The grid-to-10-rows reduction is a broadcast cross
+    join + grouped max — constant-size after the one scoring scan."""
+    g = _scored_grid(spark, sf_dir).withColumn("npc", -F.col("pc"))
+    c = grid_cumsum(
+        g.withColumn("all_c", F.col("pos") + F.col("neg")), ["pos", "all_c"], order_col="npc"
+    )
+    tot = g.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.sum("pos") + F.sum("neg")).cast("long").alias("n_all"),
+    )
+    deciles = spark.range(1, 11).select(F.col("id").cast("long").alias("decile"))
+    j = c.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(deciles))
+    captured = F.max(
+        F.when(
+            F.col("cum_all_c") * 10 <= F.col("decile") * F.col("n_all"),
+            F.col("cum_pos"),
+        )
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.groupBy("decile", "n_pos").agg(
+        F.coalesce(captured, F.lit(0).cast("long")).alias("pos_captured"),
+        canon(
+            F.coalesce(captured, F.lit(0).cast("long")) / F.col("n_pos").cast("double")
+        ).alias("capture_rate"),
+    ).select("decile", "pos_captured", "n_pos", "capture_rate")
+
+
+@register(
+    "stats_experiment_stream_serve",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id % 2 AS cohort,
+               max(CASE WHEN event_type = 'purchase' AND value >= 200.0
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ), s AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(conv) AS BIGINT) AS c
+        FROM u GROUP BY cohort
+    ), w AS (
+        SELECT a.n AS n0, a.c AS c0, b.n AS n1, b.c AS c1,
+               a.c / CAST(a.n AS DOUBLE) AS p0,
+               b.c / CAST(b.n AS DOUBLE) AS p1,
+               (a.c + b.c) / CAST(a.n + b.n AS DOUBLE) AS pp
+        FROM s a JOIN s b ON a.cohort = 0 AND b.cohort = 1
+    )
+    SELECT n0, n1, c0, c1,
+           floor(p0 * 1000000 + 0.5) / 1000000 AS conv0,
+           floor(p1 * 1000000 + 0.5) / 1000000 AS conv1,
+           CASE WHEN pp * (1.0 - pp) > 0
+                THEN floor(((p1 - p0) / sqrt(pp * (1.0 - pp) * (1.0/n0 + 1.0/n1))) * 1000000 + 0.5) / 1000000 END AS z,
+           CASE WHEN pp * (1.0 - pp) > 0
+                THEN floor({p_two_sided_sql('((p1 - p0) / sqrt(pp * (1.0 - pp) * (1.0/n0 + 1.0/n1)))')} * 1000000 + 0.5) / 1000000 END AS p_value
+    FROM w
+    """,
+    tags=("stats", "ab-test", "streaming", "incremental"),
+)
+def q_stats_experiment_stream_serve(spark, sf_dir):
+    """INCREMENTAL twin of `stats_two_proportion_z`, exercised as a
+    batch-callable query: events are ingested in three micro-batches
+    split on pmod(xxhash64(event_id), 3) — so most USERS appear in
+    several batches, exercising exactly the property the store exists
+    for: per-user conversion bits merge by grouped MAX, never
+    double-counting a user.  The SERVED readout over the merged bits is
+    returned; the oracle is the plain one-batch SQL — value-hash parity
+    proves the idempotent merge serves the batch statistic bit-exactly.
+    Store in a process-scoped temp dir (lazy-analyzer lifetime rule, as
+    `ml_roc_auc_stream_serve`)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.experiment_stream import ExperimentStreamMonitor
+
+    ev = load_table(spark, sf_dir, "events")
+    store = tempfile.mkdtemp(prefix="exp_serve_")
+    atexit.register(shutil.rmtree, store, ignore_errors=True)
+    mon = ExperimentStreamMonitor(spark, store)
+    for bid in range(3):
+        mon.ingest_batch(
+            ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == bid), bid
+        )
+    return mon.serve_readout()

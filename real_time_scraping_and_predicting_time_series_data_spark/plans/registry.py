@@ -175,6 +175,9 @@ _FRONT = (
     "sketch_hll_md5",
     "ml_harmonic_regression",
     "graph_clustering_coefficient",
+    "ml_ks_separation",
+    "ml_cumulative_gains",
+    "stats_experiment_stream_serve",
     # (c) re-checks filling out the ~50-query window: queries whose
     # implementation changed this round (grid_cumsum conversions, shared
     # TF-IDF reuse) so the fix lands a fresh green row.

@@ -194,3 +194,25 @@ def compact_union_store(
     union served, just in one directory. Same rename-then-sweep crash
     window and `is_compacted` replay contract as `compact_grid_store`."""
     return _fold(spark, store_dir, schema, lambda df: df)
+
+
+def compact_max_store(
+    spark: SparkSession,
+    store_dir: str,
+    schema: str,
+    key_cols: tuple[str, ...],
+    max_cols: tuple[str, ...],
+) -> dict:
+    """Fold all live parts by a grouped-MAX merge — for stores whose
+    per-key state is an idempotent bit/watermark (per-user conversion
+    bits, per-register HLL maxima) rather than an additive count.  Max is
+    associative, commutative AND idempotent, so this fold tolerates even
+    row-level duplication across parts, a strictly weaker requirement
+    than the sum fold's disjointness contract."""
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy(*key_cols).agg(
+            *[F.max(c).cast("long").alias(c) for c in max_cols]
+        )
+
+    return _fold(spark, store_dir, schema, merge)
