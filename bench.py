@@ -237,6 +237,7 @@ HEADLINE = [
     "ml_ks_separation",
     "ml_cumulative_gains",
     "stats_experiment_stream_serve",
+    "ts_croston_forecast",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -1085,3 +1085,143 @@ def q_hampel_filter(spark, sf_dir):
             "despiked"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Croston's method — intermittent-demand forecasting (r7)
+# ---------------------------------------------------------------------------
+
+
+def croston_states(
+    df: DataFrame,
+    alpha: float = 0.1,
+    key: str = "user_id",
+    day: str = "day",
+    demand: str = "d",
+) -> DataFrame:
+    """Per-key Croston recursion over ordered NONZERO demand periods:
+    z ← z + α(d − z) (demand level), p ← p + α(q − p) (inter-demand
+    interval), seeded z₁ = d₁, p₁ = 1.  Input must carry one row per
+    nonzero-demand day with ``q`` = days since the previous one (first
+    row q = 1).  Same scale shape as :func:`ewma_irregular`: one hash
+    shuffle on ``key`` + in-partition sort, one ``mapInPandas`` pass with
+    O(1) carried state; all updates are +,-,*,/ on exact inputs so the
+    recursive-CTE oracle replays them bit-identically."""
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("z", DoubleType()), StructField("p", DoubleType())]
+    )
+    a = float(alpha)
+    part = df.repartition(key).sortWithinPartitions(key, day)
+
+    def fold(batches):
+        last_key, z, p = object(), 0.0, 0.0
+        for pdf in batches:
+            keys = pdf[key].to_numpy()
+            ds = pdf[demand].to_numpy(dtype="float64")
+            qs = pdf["q"].to_numpy(dtype="float64")
+            zs = [0.0] * len(ds)
+            ps = [0.0] * len(ds)
+            for i in range(len(ds)):
+                kk = keys[i]
+                if kk != last_key:
+                    last_key, z, p = kk, float(ds[i]), 1.0
+                else:
+                    z = z + a * (float(ds[i]) - z)
+                    p = p + a * (float(qs[i]) - p)
+                zs[i] = z
+                ps[i] = p
+            yield pdf.assign(z=zs, p=ps)
+
+    return part.mapInPandas(fold, schema=schema)
+
+
+__all__.append("croston_states")
+
+
+@register(
+    "ts_croston_forecast",
+    oracle="""
+    WITH RECURSIVE nz AS (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                   AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS d
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ), o AS (
+        SELECT user_id, day, d,
+               CAST(coalesce(day - lag(day) OVER (PARTITION BY user_id ORDER BY day),
+                             1) AS DOUBLE) AS q,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM nz
+    ), s AS (
+        SELECT user_id, day, d, q, rn, d AS z, CAST(1.0 AS DOUBLE) AS p
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.day, o.d, o.q, o.rn,
+               s.z + 0.1 * (o.d - s.z) AS z,
+               s.p + 0.1 * (o.q - s.p) AS p
+        FROM s JOIN o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+    ), fin AS (
+        SELECT user_id, rn, z, p,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rr
+        FROM s
+    )
+    SELECT user_id, CAST(rn AS BIGINT) AS n_periods,
+           floor(z * 1000000 + 0.5) / 1000000 AS level,
+           floor(p * 1000000 + 0.5) / 1000000 AS interval,
+           floor(z / p * 1000000 + 0.5) / 1000000 AS croston_forecast
+    FROM fin WHERE rr = 1
+    """,
+    tags=("timeseries", "forecast", "intermittent", "croston"),
+)
+def q_ts_croston_forecast(spark, sf_dir):
+    """Croston's method per user over intermittent daily purchase demand —
+    the forecasting standard when a series is MOSTLY ZEROS (separate
+    exponential smoothing of the nonzero demand level z and of the
+    inter-demand interval p; the demand-rate forecast is z/p).  Naive
+    smoothing on such series decays toward zero between purchases and
+    spikes after each one; Croston's interval state is the fix.
+
+    Shape: the fact table reduces to the per-(user, day) nonzero-demand
+    grid (integer cents), intervals come from one key-partitioned lag,
+    and the recursion is the same O(1)-state Arrow fold as
+    `ewma_irregular`/`kalman_1d` — one shuffle on user_id, all updates
+    +,-,*,/ on exact inputs, verified bit-exactly against the
+    recursive-CTE oracle replaying every step.  Output: final (level,
+    interval, forecast) per user."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    nz = ev.groupBy(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias(
+            "d"
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    o = nz.select(
+        "user_id",
+        "day",
+        "d",
+        F.coalesce(F.col("day") - F.lag("day").over(w), F.lit(1))
+        .cast("double")
+        .alias("q"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+    states = croston_states(o.select("user_id", "day", "d", "q", "rn"))
+    w_last = Window.partitionBy("user_id").orderBy(F.desc("rn"))
+    last = states.withColumn("rr", F.row_number().over(w_last)).filter(
+        F.col("rr") == 1
+    )
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return last.select(
+        "user_id",
+        F.col("rn").alias("n_periods"),
+        canon(F.col("z")).alias("level"),
+        canon(F.col("p")).alias("interval"),
+        canon(F.col("z") / F.col("p")).alias("croston_forecast"),
+    )

@@ -178,6 +178,7 @@ _FRONT = (
     "ml_ks_separation",
     "ml_cumulative_gains",
     "stats_experiment_stream_serve",
+    "ts_croston_forecast",
     # (c) re-checks filling out the ~50-query window: queries whose
     # implementation changed this round (grid_cumsum conversions, shared
     # TF-IDF reuse) so the fix lands a fresh green row.

@@ -586,3 +586,30 @@ def test_clustering_coefficient_triangle_plus_star(spark, tmp_path):
     # 3 wedges, leaves deg 1 -> 0.  total wedges 6, triangles 1, C = 0.5
     assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (7, 6, 6, 1)
     assert abs(row.global_coeff - 0.5) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Croston — hand recursion on a crafted intermittent series
+# ---------------------------------------------------------------------------
+
+
+def test_croston_hand_recursion(spark, tmp_path):
+    # user 1 demand: day 0 -> 10.0, day 5 -> 20.0, day 6 -> 30.0
+    # z: 10 -> 11 -> 12.9 ; p: 1 -> 1 + .1*(5-1)=1.4 -> 1.4 + .1*(1-1.4)=1.36
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "purchase", 10.0, "{}"),
+        (2, "2024-01-06 10:00:00", 1, "purchase", 20.0, "{}"),
+        (3, "2024-01-07 10:00:00", 1, "purchase", 30.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/events.parquet")
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    row = all_queries()["ts_croston_forecast"].fn(spark, d).collect()[0]
+    assert row.n_periods == 3
+    assert abs(row.level - 12.9) < 2e-6
+    assert abs(row.interval - 1.36) < 2e-6
+    assert abs(row.croston_forecast - 12.9 / 1.36) < 2e-6
