@@ -613,3 +613,85 @@ def test_croston_hand_recursion(spark, tmp_path):
     assert abs(row.level - 12.9) < 2e-6
     assert abs(row.interval - 1.36) < 2e-6
     assert abs(row.croston_forecast - 12.9 / 1.36) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis properties for the metric cores
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SLOW
+def test_roc_auc_complement_symmetry(spark, cells):
+    """Swapping the class labels must complement the AUC: 2U' = 2ab − 2U.
+    Holds exactly in the BIGINT numerator for any grid."""
+    seen = {}
+    for pc, pos, neg in cells:
+        seen[pc] = (pos, neg)
+    rows = [(pc, p, n) for pc, (p, n) in seen.items()]
+    if sum(p for _, p, _ in rows) == 0 or sum(n for _, _, n in rows) == 0:
+        return  # degenerate: one class empty
+    g = _grid(spark, rows)
+    gswap = _grid(spark, [(pc, n, p) for pc, p, n in rows])
+    a = roc_auc_from_grid(g).collect()[0]
+    b = roc_auc_from_grid(gswap).collect()[0]
+    assert a.auc_num2 + b.auc_num2 == 2 * a.n_pos * a.n_neg
+    assert (a.n_pos, a.n_neg) == (b.n_neg, b.n_pos)
+
+
+@given(
+    bins=st.lists(
+        st.tuples(st.integers(1, 20), st.integers(0, 20)), min_size=1, max_size=8
+    )
+)
+@SLOW
+def test_isotonic_is_monotone_and_mean_preserving(spark, bins):
+    """For ANY bin histogram: the PAV fit is nondecreasing in bin order and
+    preserves the weighted total (Σ w·iso == Σ sy — the projection
+    property of isotonic regression)."""
+    rows = [(i, w, min(sy, w)) for i, (w, sy) in enumerate(bins)]
+    b = spark.createDataFrame(rows, "bin long, w long, sy long")
+    out = sorted(isotonic_fit_bins(b).collect(), key=lambda r: r.bin)
+    for x, y in zip(out, out[1:]):
+        assert x.iso_p <= y.iso_p + 1e-9
+    got_total = sum(r.iso_p * r.n_bin for r in out)
+    want_total = sum(sy for _, _, sy in rows)
+    # iso_p is canonicalized at 1e-6, so the preserved total is within
+    # Σw ulps of that quantization
+    assert abs(got_total - want_total) <= 1e-6 * sum(w for _, w, _ in rows) + 1e-9
+
+
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SLOW
+def test_average_precision_in_unit_interval(spark, cells):
+    seen = {}
+    for pc, pos, neg in cells:
+        seen[pc] = (pos, neg)
+    rows = [(pc, p, n) for pc, (p, n) in seen.items()]
+    if sum(p for _, p, _ in rows) == 0 or sum(n for _, _, n in rows) == 0:
+        return
+    g = _grid(spark, rows)
+    row = average_precision_from_grid(g).collect()[0]
+    assert 0.0 <= row.pr_auc <= 1.0 + 1e-9
+    assert 0.0 <= row.best_f1 <= 1.0 + 1e-9
