@@ -238,6 +238,7 @@ HEADLINE = [
     "ml_cumulative_gains",
     "stats_experiment_stream_serve",
     "ts_croston_forecast",
+    "source_tick_batch",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

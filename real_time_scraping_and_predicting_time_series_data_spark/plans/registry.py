@@ -59,6 +59,7 @@ _QUERY_MODULES = (
     "real_time_scraping_and_predicting_time_series_data_spark.operators.text",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.multimodal",
     "real_time_scraping_and_predicting_time_series_data_spark.sources.json_extract",
+    "real_time_scraping_and_predicting_time_series_data_spark.sources.tick_source",
     "real_time_scraping_and_predicting_time_series_data_spark.functions.udfs",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.sketch",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.funnel",
@@ -179,6 +180,7 @@ _FRONT = (
     "ml_cumulative_gains",
     "stats_experiment_stream_serve",
     "ts_croston_forecast",
+    "source_tick_batch",
     # (c) re-checks filling out the ~50-query window: queries whose
     # implementation changed this round (grid_cumsum conversions, shared
     # TF-IDF reuse) so the fix lands a fresh green row.
