@@ -239,6 +239,7 @@ HEADLINE = [
     "stats_experiment_stream_serve",
     "ts_croston_forecast",
     "source_tick_batch",
+    "source_tick_stream_serve",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

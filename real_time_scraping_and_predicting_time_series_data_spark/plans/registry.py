@@ -181,6 +181,7 @@ _FRONT = (
     "stats_experiment_stream_serve",
     "ts_croston_forecast",
     "source_tick_batch",
+    "source_tick_stream_serve",
     # (c) re-checks filling out the ~50-query window: queries whose
     # implementation changed this round (grid_cumsum conversions, shared
     # TF-IDF reuse) so the fix lands a fresh green row.

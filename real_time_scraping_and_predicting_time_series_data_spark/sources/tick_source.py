@@ -200,3 +200,59 @@ def q_source_tick_batch(spark, sf_dir):
     prices.  ``sf_dir`` is unused (the source is its own data)."""
     register_tick_source(spark)
     return spark.read.format("tick").option("n_ticks", 200).load()
+
+
+@register(
+    "source_tick_stream_serve",
+    oracle=f"""
+    WITH k AS (
+        SELECT unnest(range(1, 201)) AS k
+    ), s AS (
+        SELECT k,
+               CASE (('0x' || substr(md5('tick:' || CAST(k AS VARCHAR)), 1, 8))::UBIGINT % 3)
+                    WHEN 0 THEN -1 WHEN 1 THEN 0 ELSE 25 END AS step
+        FROM k
+    ), c AS (
+        SELECT k, step,
+               {round(_BASE_PRICE * 100)} + CAST(sum(step) OVER (ORDER BY k) AS BIGINT)
+                   AS cents
+        FROM s
+    )
+    SELECT CAST(k AS BIGINT) AS poll_id,
+           make_timestamp(({_EPOCH_S} + 5 * k) * 1000000) AS ts,
+           cents / 100.0 AS price,
+           step / 100.0 AS variation
+    FROM c WHERE step != 0
+    """,
+    tags=("source", "datasource-api", "streaming", "incremental"),
+)
+def q_source_tick_stream_serve(spark, sf_dir):
+    """The STREAMING path of the custom tick source exercised end-to-end
+    as a batch-callable query: readStream.format("tick") drains 200 polls
+    through micro-batches of 45 into a parquet sink under a checkpoint,
+    and the sink contents are returned — the oracle is the same DuckDB
+    md5-walk replay as `source_tick_batch`, so value-hash parity proves
+    offset-ranged micro-batch emission reassembles the batch relation
+    exactly (no dropped, duplicated, or reordered polls across batch
+    boundaries).  Store/checkpoint in a process-scoped temp dir."""
+    import atexit
+    import shutil
+    import tempfile
+
+    register_tick_source(spark)
+    root = tempfile.mkdtemp(prefix="tick_serve_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    q = (
+        spark.readStream.format("tick")
+        .option("max_polls", 200)
+        .option("poll_batch", 45)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", root + "/out")
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.schema(TICK_SCHEMA_DDL).parquet(root + "/out")
