@@ -240,6 +240,7 @@ HEADLINE = [
     "ts_croston_forecast",
     "source_tick_batch",
     "source_tick_stream_serve",
+    "udtf_word_chunks",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

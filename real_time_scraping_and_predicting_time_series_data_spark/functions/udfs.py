@@ -155,3 +155,73 @@ def q_udf_arrow_batch(spark, sf_dir):
         batch_norms, schema="vec_id long, dim int, l2_norm double"
     )
     return out.select("vec_id", "dim", F.round("l2_norm", 6).alias("l2_norm"))
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF — table-function surface (r7)
+# ---------------------------------------------------------------------------
+
+
+def make_word_chunks_udtf():
+    """A Python UDTF chunking a document into fixed-size word windows —
+    the one-row-to-many-rows surface (pyspark.sql.functions.udtf,
+    Spark 4) complementing the scalar / grouped-agg / grouped-map /
+    mapInArrow UDF set.  Chunk = 16 consecutive whitespace tokens (the
+    RAG-chunker shape of `corpus_chunk_overlap`, overlap 0 here), emitted
+    with a per-doc ordinal.  Deterministic and row-local: Catalyst plans
+    it as a Generate, partition-parallel, no state."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id INT, n_words INT, chunk STRING")
+    class WordChunks:
+        def eval(self, text: str):
+            if text is None:
+                return
+            words = text.split()
+            for i in range(0, len(words), 16):
+                piece = words[i : i + 16]
+                yield i // 16, len(piece), " ".join(piece)
+
+    return WordChunks
+
+
+@register(
+    "udtf_word_chunks",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents WHERE doc_id < 50
+    ), chunks AS (
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_id,
+               CAST(len(ws[i * 16 + 1 : i * 16 + 16]) AS INT) AS n_words,
+               array_to_string(ws[i * 16 + 1 : i * 16 + 16], ' ') AS chunk
+        FROM w, unnest(range(0, CAST(ceil(len(ws) / 16.0) AS BIGINT))) AS t(i)
+    )
+    SELECT doc_id, chunk_id, n_words,
+           CAST(length(chunk) AS BIGINT) AS n_chars
+    FROM chunks
+    """,
+    tags=("udf", "udtf", "text", "chunking"),
+)
+def q_udtf_word_chunks(spark, sf_dir):
+    """The UDTF exercised through the SQL lateral-table-function surface:
+    ``SELECT ... FROM documents, LATERAL word_chunks(text)`` — every
+    document fans out to its 16-word chunks with a per-doc ordinal (docs
+    here average ~30 words, so a genuine 1:N Generate).  The oracle
+    re-chunks with DuckDB list slicing; the compared columns (doc_id,
+    chunk_id, n_words, chunk length) pin both the chunk boundaries and
+    the emission order.  Restricted to doc_id < 50 to keep the per-row
+    Python fan-out a deliberate, bounded demo — the engine's hot-path
+    chunker stays JVM-side (`corpus_chunk_overlap`); the UDTF exists for
+    the API surface and for logic that genuinely needs Python."""
+    spark.udtf.register("word_chunks", make_word_chunks_udtf())
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.n_words,
+               CAST(length(c.chunk) AS BIGINT) AS n_chars
+        FROM _udtf_docs d, LATERAL word_chunks(d.text) c
+        """
+    )
