@@ -58,18 +58,11 @@ def _hash_u32(seed: str, i: int) -> int:
     return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
 
 
-def _price_cents_at(seed: str, i: int) -> int:
-    """Deterministic price at poll i: base + sum of hash-signed cent steps.
-    THE swap point for a real HTTP fetch.  Computed incrementally by the
-    generators below (never O(i) per row); unchanged-price polls happen
-    whenever the step is 0 (prob 1/3), exercising the change-dedup."""
-    c = round(_BASE_PRICE * 100)
-    for k in range(1, i + 1):
-        c += _step(seed, k)
-    return c
-
-
 def _step(seed: str, k: int) -> int:
+    """Deterministic per-poll price step — THE swap point for a real HTTP
+    fetch (a live poller would return fetched_price - last_price here).
+    Step 0 (prob 1/3) models an unchanged poll, exercising the
+    change-dedup."""
     r = _hash_u32(seed, k) % 3  # -1 / 0 / +1 cents, 0 => unchanged poll
     return (-1, 0, 25)[r]
 
