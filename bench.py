@@ -241,6 +241,7 @@ HEADLINE = [
     "source_tick_batch",
     "source_tick_stream_serve",
     "udtf_word_chunks",
+    "ml_boosted_stumps",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -4987,3 +4987,263 @@ def q_stats_experiment_stream_serve(spark, sf_dir):
             ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == bid), bid
         )
     return mon.serve_readout()
+
+
+# ---------------------------------------------------------------------------
+# Gradient-boosted stumps — exact-arithmetic GBM, fully oracle-checked (r7)
+# ---------------------------------------------------------------------------
+#
+# MLlib's GBT (`ml_gbt_forecast_eval`) is rows-only by design: its split
+# search and subsampling are engine-internal.  This is the same algorithm
+# class made VALUE-HASH-VERIFIABLE: squared-loss boosting with depth-1
+# trees on one integer feature, where every split score derives from
+# BIGINT prefix sums — so DuckDB reproduces the whole model bit-for-bit.
+#
+#   f0        = mean(z)                       (exact ratio of BIGINTs)
+#   stump m   = argmin_v SSE_L(v) + SSE_R(v)  (v over the value grid)
+#   f_{m}     = f_{m-1} + lr * gamma_side(x)
+#
+# With z in {0,1}, Σz² = Σz, and residuals r = z − pred are AFFINE in z
+# with piecewise-constant coefficients, so per-cell Σr and Σr² are exact
+# closed forms of (cnt, Σz) and the broadcast model constants — the split
+# scores are identical IEEE expressions on both engines, hence the ARGMIN
+# (tiebreak: smallest v) agrees exactly.  The per-round cost is one
+# `grid_cumsum` over the bounded value grid; the fact table is scanned
+# once to build the grid — the classic histogram-GBM shape (LightGBM's
+# binning, here with the exact distinct-value grid).
+
+_GBM_LR = 0.5
+
+
+@register(
+    "ml_boosted_stumps",
+    oracle="""
+    WITH r AS (
+        SELECT n_chars AS x, CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS z
+        FROM documents WHERE source IN ('src0', 'src1')
+    ), g AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(z) AS BIGINT) AS sz
+        FROM r GROUP BY x
+    ), c AS (
+        SELECT x, cnt, sz,
+               CAST(sum(cnt) OVER (ORDER BY x) AS BIGINT) AS cum_cnt,
+               CAST(sum(sz) OVER (ORDER BY x) AS BIGINT) AS cum_sz
+        FROM g
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(sz) AS BIGINT) AS szt
+        FROM g
+    ), s1 AS (
+        SELECT c.x AS v1,
+               c.cum_cnt AS nl1, c.cum_sz AS szl1,
+               t.n, t.szt,
+               (c.cum_sz - CAST(c.cum_sz AS DOUBLE) * c.cum_sz / c.cum_cnt)
+             + ((t.szt - c.cum_sz)
+                - CAST(t.szt - c.cum_sz AS DOUBLE) * (t.szt - c.cum_sz)
+                  / (t.n - c.cum_cnt)) AS sse,
+               row_number() OVER (ORDER BY
+                   (c.cum_sz - CAST(c.cum_sz AS DOUBLE) * c.cum_sz / c.cum_cnt)
+                 + ((t.szt - c.cum_sz)
+                    - CAST(t.szt - c.cum_sz AS DOUBLE) * (t.szt - c.cum_sz)
+                      / (t.n - c.cum_cnt)), c.x) AS rn
+        FROM c CROSS JOIN tot t WHERE c.cum_cnt < t.n
+    ), m1 AS (
+        SELECT v1, n, szt,
+               CAST(szt AS DOUBLE) / n AS f0,
+               CAST(szl1 AS DOUBLE) / nl1 - CAST(szt AS DOUBLE) / n AS g1l,
+               CAST(szt - szl1 AS DOUBLE) / (n - nl1)
+                   - CAST(szt AS DOUBLE) / n AS g1r
+        FROM s1 WHERE rn = 1
+    ), cells AS (
+        SELECT c.x, c.cnt, c.sz, c.cum_cnt,
+               m1.f0 + 0.5 * (CASE WHEN c.x <= m1.v1 THEN m1.g1l ELSE m1.g1r END)
+                   AS p1,
+               m1.v1, m1.f0, m1.g1l, m1.g1r, m1.n, m1.szt
+        FROM c CROSS JOIN m1
+    ), rc AS (
+        SELECT x, cnt, cum_cnt, v1, f0, g1l, g1r, n, szt,
+               sz * (1.0 - 2.0 * p1) + cnt * p1 * p1 AS s2,
+               sz - cnt * p1 AS s1r
+        FROM cells
+    ), rcum AS (
+        SELECT x, cnt, cum_cnt, v1, f0, g1l, g1r, n, szt,
+               sum(s1r) OVER (ORDER BY x) AS cum_s1,
+               sum(s2) OVER (ORDER BY x) AS cum_s2,
+               sum(s1r) OVER () AS tot_s1,
+               sum(s2) OVER () AS tot_s2
+        FROM rc
+    ), s2q AS (
+        SELECT x AS v2, v1, f0, g1l, g1r, n, szt, cum_cnt, cum_s1, tot_s1,
+               (cum_s2 - cum_s1 * cum_s1 / cum_cnt)
+             + ((tot_s2 - cum_s2)
+                - (tot_s1 - cum_s1) * (tot_s1 - cum_s1) / (n - cum_cnt)) AS sse,
+               row_number() OVER (ORDER BY
+                   (cum_s2 - cum_s1 * cum_s1 / cum_cnt)
+                 + ((tot_s2 - cum_s2)
+                    - (tot_s1 - cum_s1) * (tot_s1 - cum_s1) / (n - cum_cnt)),
+                   x) AS rn
+        FROM rcum WHERE cum_cnt < n
+    ), m2 AS (
+        SELECT v1, v2, f0, g1l, g1r, n,
+               cum_s1 / cum_cnt AS g2l,
+               (tot_s1 - cum_s1) / (n - cum_cnt) AS g2r,
+               sse AS sse2
+        FROM s2q WHERE rn = 1
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(v1 AS BIGINT) AS split1,
+           floor(f0 * 1000000 + 0.5) / 1000000 AS f0,
+           floor(0.5 * g1l * 1000000 + 0.5) / 1000000 AS leaf1_l,
+           floor(0.5 * g1r * 1000000 + 0.5) / 1000000 AS leaf1_r,
+           CAST(v2 AS BIGINT) AS split2,
+           floor(0.5 * g2l * 1000000 + 0.5) / 1000000 AS leaf2_l,
+           floor(0.5 * g2r * 1000000 + 0.5) / 1000000 AS leaf2_r,
+           floor(sse2 / n * 1000000 + 0.5) / 1000000 AS train_mse_proxy
+    FROM m2
+    """,
+    tags=("ml", "boosting", "gbm", "stumps"),
+)
+def q_ml_boosted_stumps(spark, sf_dir):
+    """Two rounds of squared-loss gradient boosting with depth-1 stumps on
+    document length (predicting src1 membership), lr = 0.5 — the
+    histogram-GBM algorithm made fully ORACLE-CHECKED: every split score
+    is a closed form of BIGINT prefix sums over the value grid (z∈{0,1}
+    ⇒ Σz² = Σz; residuals are affine in z with broadcast piecewise
+    constants), so both engines agree bit-wise on every SSE and therefore
+    on every argmin.  The per-round work is one `grid_cumsum` over the
+    bounded grid; the fact table is scanned once.  train_mse_proxy is the
+    stage-2 split's SSE/n — the quantity the NEXT round would shrink.
+    Complements the rows-only MLlib GBT (`ml_gbt_forecast_eval`) with a
+    verifiable twin of the same algorithm class."""
+    r = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    ).select(
+        F.col("n_chars").alias("x"),
+        F.when(F.col("source") == "src1", 1).otherwise(0).alias("z"),
+    )
+    g = r.groupBy("x").agg(
+        F.count("*").cast("long").alias("cnt"), F.sum("z").cast("long").alias("sz")
+    )
+    c = grid_cumsum(g, ["cnt", "sz"], order_col="x")
+    tot = g.agg(
+        F.sum("cnt").cast("long").alias("n"), F.sum("sz").cast("long").alias("szt")
+    )
+    cj = c.crossJoin(F.broadcast(tot)).filter(F.col("cum_cnt") < F.col("n"))
+    sse1 = (
+        F.col("cum_sz")
+        - F.col("cum_sz").cast("double") * F.col("cum_sz") / F.col("cum_cnt")
+    ) + (
+        (F.col("szt") - F.col("cum_sz"))
+        - (F.col("szt") - F.col("cum_sz")).cast("double")
+        * (F.col("szt") - F.col("cum_sz"))
+        / (F.col("n") - F.col("cum_cnt"))
+    )
+    best1 = (
+        cj.select(
+            F.struct(
+                sse1.alias("sse"),
+                F.col("x").alias("v1"),
+                F.col("cum_cnt").alias("nl1"),
+                F.col("cum_sz").alias("szl1"),
+                F.col("n").alias("n"),
+                F.col("szt").alias("szt"),
+            ).alias("s")
+        )
+        .agg(F.min("s").alias("s"))
+        .select("s.*")
+    )
+    m1 = best1.select(
+        "v1",
+        "n",
+        "szt",
+        (F.col("szt").cast("double") / F.col("n")).alias("f0"),
+        (
+            F.col("szl1").cast("double") / F.col("nl1")
+            - F.col("szt").cast("double") / F.col("n")
+        ).alias("g1l"),
+        (
+            (F.col("szt") - F.col("szl1")).cast("double") / (F.col("n") - F.col("nl1"))
+            - F.col("szt").cast("double") / F.col("n")
+        ).alias("g1r"),
+    )
+    cells = c.crossJoin(F.broadcast(m1)).withColumn(
+        "p1",
+        F.col("f0")
+        + F.lit(_GBM_LR)
+        * F.when(F.col("x") <= F.col("v1"), F.col("g1l")).otherwise(F.col("g1r")),
+    )
+    rc = cells.select(
+        "x",
+        "cnt",
+        "v1",
+        "f0",
+        "g1l",
+        "g1r",
+        "n",
+        "szt",
+        (F.col("sz") * (F.lit(1.0) - 2.0 * F.col("p1")) + F.col("cnt") * F.col("p1") * F.col("p1")).alias("s2"),
+        (F.col("sz") - F.col("cnt") * F.col("p1")).alias("s1r"),
+    )
+    # second-round cumulative sums: the residual grids are DOUBLE-valued
+    # (exact expressions of integers), so reuse grid_cumsum's partitioned
+    # shape manually via a per-bucket pattern — the grid is the same
+    # bounded distinct-x relation, and the SUM columns being double does
+    # not change the bit-identity argument (both engines fold the same
+    # per-cell exact values in ascending-x order).
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(1))
+    rcum = rc.select(
+        "x",
+        "cnt",
+        "v1",
+        "f0",
+        "g1l",
+        "g1r",
+        "n",
+        "szt",
+        F.sum("s1r").over(wx).alias("cum_s1"),
+        F.sum("s2").over(wx).alias("cum_s2"),
+        F.sum("s1r").over(wall).alias("tot_s1"),
+        F.sum("s2").over(wall).alias("tot_s2"),
+        F.sum("cnt").over(wx).cast("long").alias("cum_cnt"),
+    ).filter(F.col("cum_cnt") < F.col("n"))
+    sse2 = (
+        F.col("cum_s2") - F.col("cum_s1") * F.col("cum_s1") / F.col("cum_cnt")
+    ) + (
+        (F.col("tot_s2") - F.col("cum_s2"))
+        - (F.col("tot_s1") - F.col("cum_s1"))
+        * (F.col("tot_s1") - F.col("cum_s1"))
+        / (F.col("n") - F.col("cum_cnt"))
+    )
+    best2 = (
+        rcum.select(
+            F.struct(
+                sse2.alias("sse2"),
+                F.col("x").alias("v2"),
+                F.col("cum_s1").alias("cs1"),
+                F.col("cum_cnt").alias("nl2"),
+                F.col("tot_s1").alias("ts1"),
+                F.col("v1"),
+                F.col("f0"),
+                F.col("g1l"),
+                F.col("g1r"),
+                F.col("n"),
+            ).alias("s")
+        )
+        .agg(F.min("s").alias("s"))
+        .select("s.*")
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return best2.select(
+        F.col("n"),
+        F.col("v1").alias("split1"),
+        canon(F.col("f0")).alias("f0"),
+        canon(F.lit(_GBM_LR) * F.col("g1l")).alias("leaf1_l"),
+        canon(F.lit(_GBM_LR) * F.col("g1r")).alias("leaf1_r"),
+        F.col("v2").alias("split2"),
+        canon(F.lit(_GBM_LR) * (F.col("cs1") / F.col("nl2"))).alias("leaf2_l"),
+        canon(
+            F.lit(_GBM_LR)
+            * ((F.col("ts1") - F.col("cs1")) / (F.col("n") - F.col("nl2")))
+        ).alias("leaf2_r"),
+        canon(F.col("sse2") / F.col("n")).alias("train_mse_proxy"),
+    )

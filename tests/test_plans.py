@@ -428,6 +428,11 @@ def test_no_unbounded_global_windows_anywhere(spark):
         # BH rank window over the per-brand p-value relation: bounded by
         # the catalog's 25 brands, not the data
         "stats_fdr_bh": {"p"},
+        # boosting round 2 cumsums over the distinct document-length grid
+        # (domain-bounded, same relation round 1 runs grid_cumsum over;
+        # round 2's sums are double-valued residual moments, which
+        # grid_cumsum's long-typed fold can't carry)
+        "ml_boosted_stumps": {"x"},
         # calendar-bounded day/month grids
         "events_kaplan_meier": {"t"},
         "monthly_revenue_trend": {"month"},

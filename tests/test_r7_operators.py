@@ -695,3 +695,36 @@ def test_average_precision_in_unit_interval(spark, cells):
     row = average_precision_from_grid(g).collect()[0]
     assert 0.0 <= row.pr_auc <= 1.0 + 1e-9
     assert 0.0 <= row.best_f1 <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Boosted stumps — hand-computed two-round fit on a separable grid
+# ---------------------------------------------------------------------------
+
+
+def test_boosted_stumps_hand_computed(spark, tmp_path):
+    # x in {10, 20}: z = 0 (2 docs each); x in {30, 40}: z = 1 (2 docs each)
+    # f0 = 0.5; stage-1 split at x=20 (SSE 0): leaves ±0.5, lr 0.5 -> ±0.25
+    # residuals ±0.25 piecewise constant -> stage-2 split x=20 again,
+    # leaves ±0.125, train mse proxy 0
+    rows = []
+    did = 0
+    for x, z in [(10, 0), (20, 0), (30, 1), (40, 1)]:
+        for _ in range(2):
+            rows.append((did, "w " * 3, "en", "src1" if z else "src0", x))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/documents.parquet")
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    row = all_queries()["ml_boosted_stumps"].fn(spark, d).collect()[0]
+    assert row.n == 8
+    assert row.split1 == 20
+    assert row.f0 == 0.5
+    assert row.leaf1_l == -0.25 and row.leaf1_r == 0.25
+    assert row.split2 == 20
+    assert row.leaf2_l == -0.125 and row.leaf2_r == 0.125
+    assert row.train_mse_proxy == 0.0
