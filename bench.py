@@ -242,6 +242,7 @@ HEADLINE = [
     "source_tick_stream_serve",
     "udtf_word_chunks",
     "ml_boosted_stumps",
+    "ts_theta_forecast",
 ]
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
 
 from ..catalog import load_table
 from ..operators.asof import asof_join
@@ -1224,4 +1224,138 @@ def q_ts_croston_forecast(spark, sf_dir):
         canon(F.col("z")).alias("level"),
         canon(F.col("p")).alias("interval"),
         canon(F.col("z") / F.col("p")).alias("croston_forecast"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theta method — the M3-winning two-line forecaster (r7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_theta_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                   AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ), idx AS (
+        SELECT day, y,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM daily
+    ), fit AS (
+        SELECT regr_intercept(y, t) AS a, regr_slope(y, t) AS b,
+               CAST(count(*) AS BIGINT) AS n
+        FROM idx
+    ), th AS (
+        SELECT i.t, 2.0 * i.y - (f.a + f.b * i.t) AS z, f.a, f.b, f.n
+        FROM idx i CROSS JOIN fit f
+    ), s AS (
+        SELECT t, z, a, b, n, z AS lvl FROM th WHERE t = 1
+        UNION ALL
+        SELECT th.t, th.z, th.a, th.b, th.n,
+               s.lvl + 0.2 * (th.z - s.lvl) AS lvl
+        FROM s JOIN th ON th.t = s.t + 1
+    ), last AS (
+        SELECT n, a, b, lvl FROM s WHERE t = n
+    )
+    SELECT n,
+           floor(a * 1000000 + 0.5) / 1000000 AS trend_intercept,
+           floor(b * 1000000 + 0.5) / 1000000 AS trend_slope,
+           floor(lvl * 1000000 + 0.5) / 1000000 AS theta2_level,
+           floor((0.5 * (a + b * (n + 1)) + 0.5 * lvl) * 1000000 + 0.5) / 1000000
+               AS forecast_h1,
+           floor((0.5 * (a + b * (n + 2)) + 0.5 * lvl) * 1000000 + 0.5) / 1000000
+               AS forecast_h2,
+           floor((0.5 * (a + b * (n + 3)) + 0.5 * lvl) * 1000000 + 0.5) / 1000000
+               AS forecast_h3
+    FROM last
+    """,
+    tags=("timeseries", "forecast", "theta"),
+)
+def q_ts_theta_forecast(spark, sf_dir):
+    """The Theta method (Assimakopoulos & Nikolopoulos 2000, the M3
+    competition winner) on daily purchase revenue: decompose into the
+    θ=0 line (the OLS trend, capturing long-run direction) and the θ=2
+    line z_t = 2y_t − trend_t (double-curvature residual series), smooth
+    the θ=2 line with SES (α=0.2), and forecast each horizon as the
+    equal-weight combination ½·trend(T+h) + ½·level — the simple
+    combination that beat every sophisticated method in M3.
+
+    Shape: the fact table reduces once to the calendar-bounded day grid;
+    the OLS line is regr_intercept/regr_slope (one aggregate); the SES
+    recursion is the shared O(1)-state Arrow fold over the SINGLE bounded
+    series (constant key — the day grid, not the fact table, crosses the
+    fold).  Bit-exact vs the recursive-CTE oracle replaying every SES
+    step; trend/theta arithmetic is the identical IEEE tree."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day")
+    ).agg(
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias(
+            "y"
+        )
+    )
+    w = Window.orderBy("day")
+    idx = daily.select(
+        "day", "y", F.row_number().over(w).cast("long").alias("t")
+    )
+    fit = idx.agg(
+        F.expr("regr_intercept(y, t)").alias("a"),
+        F.expr("regr_slope(y, t)").alias("b"),
+        F.count("*").cast("long").alias("n"),
+    )
+    th = idx.crossJoin(F.broadcast(fit)).select(
+        F.lit(0).alias("k"),
+        "t",
+        (2.0 * F.col("y") - (F.col("a") + F.col("b") * F.col("t"))).alias("z"),
+        "a",
+        "b",
+        "n",
+    )
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("t", LongType()),
+            StructField("z", DoubleType()),
+            StructField("a", DoubleType()),
+            StructField("b", DoubleType()),
+            StructField("n", LongType()),
+            StructField("lvl", DoubleType()),
+        ]
+    )
+
+    def fold(batches):
+        started, lvl = False, 0.0
+        for pdf in batches:
+            zs = pdf["z"].to_numpy(dtype="float64")
+            out = [0.0] * len(zs)
+            for i in range(len(zs)):
+                if not started:
+                    started, lvl = True, float(zs[i])
+                else:
+                    lvl = lvl + 0.2 * (float(zs[i]) - lvl)
+                out[i] = lvl
+            yield pdf.assign(lvl=out)
+
+    states = th.repartition("k").sortWithinPartitions("k", "t").mapInPandas(
+        fold, schema=schema
+    )
+    last = states.filter(F.col("t") == F.col("n"))
+    canon = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    fc = lambda h: canon(  # noqa: E731
+        0.5 * (F.col("a") + F.col("b") * (F.col("n") + h)) + 0.5 * F.col("lvl")
+    )
+    return last.select(
+        "n",
+        canon(F.col("a")).alias("trend_intercept"),
+        canon(F.col("b")).alias("trend_slope"),
+        canon(F.col("lvl")).alias("theta2_level"),
+        fc(1).alias("forecast_h1"),
+        fc(2).alias("forecast_h2"),
+        fc(3).alias("forecast_h3"),
     )

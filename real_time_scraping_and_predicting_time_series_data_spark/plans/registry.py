@@ -184,6 +184,7 @@ _FRONT = (
     "source_tick_stream_serve",
     "udtf_word_chunks",
     "ml_boosted_stumps",
+    "ts_theta_forecast",
     # (c) re-checks filling out the ~50-query window: queries whose
     # implementation changed this round (grid_cumsum conversions, shared
     # TF-IDF reuse) so the fix lands a fresh green row.

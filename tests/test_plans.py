@@ -433,6 +433,8 @@ def test_no_unbounded_global_windows_anywhere(spark):
         # round 2's sums are double-valued residual moments, which
         # grid_cumsum's long-typed fold can't carry)
         "ml_boosted_stumps": {"x"},
+        # theta row index over the daily grid (calendar-bounded)
+        "ts_theta_forecast": {"day"},
         # calendar-bounded day/month grids
         "events_kaplan_meier": {"t"},
         "monthly_revenue_trend": {"month"},

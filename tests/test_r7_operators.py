@@ -728,3 +728,43 @@ def test_boosted_stumps_hand_computed(spark, tmp_path):
     assert row.split2 == 20
     assert row.leaf2_l == -0.125 and row.leaf2_r == 0.125
     assert row.train_mse_proxy == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Theta method — replicated recursion on a crafted series
+# ---------------------------------------------------------------------------
+
+
+def test_theta_forecast_replicates_hand_recursion(spark, tmp_path):
+    # one purchase per day, values 10, 14, 12, 20, 16, 22
+    vals = [10.0, 14.0, 12.0, 20.0, 16.0, 22.0]
+    rows = [
+        (i, f"2024-01-{i+1:02d} 12:00:00", i, "purchase", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/events.parquet")
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
+
+    row = all_queries()["ts_theta_forecast"].fn(spark, d).collect()[0]
+    n = len(vals)
+    tbar = (n + 1) / 2
+    ybar = sum(vals) / n
+    b = sum((t + 1 - tbar) * (y - ybar) for t, y in enumerate(vals)) / sum(
+        (t + 1 - tbar) ** 2 for t in range(n)
+    )
+    a = ybar - b * tbar
+    lvl = None
+    for t, y in enumerate(vals, start=1):
+        z = 2 * y - (a + b * t)
+        lvl = z if lvl is None else lvl + 0.2 * (z - lvl)
+    assert row.n == n
+    assert abs(row.trend_slope - b) < 1e-4
+    assert abs(row.theta2_level - lvl) < 1e-4
+    want_h1 = 0.5 * (a + b * (n + 1)) + 0.5 * lvl
+    assert abs(row.forecast_h1 - want_h1) < 1e-4
+    # horizon spacing follows the trend: f(h+1) - f(h) = b/2
+    assert abs((row.forecast_h2 - row.forecast_h1) - b / 2) < 1e-4
