@@ -3870,8 +3870,19 @@ def q_ml_roc_auc(spark, sf_dir):
 def average_precision_from_grid(g):
     """(n_pos, n_neg, pr_auc, best_f1) from a (pc, pos, neg) score grid —
     step-wise average precision (ties grouped per threshold, descending)
-    and the best achievable F1 over all thresholds."""
-    g = g.withColumn("npc", -F.col("pc"))
+    and the best achievable F1 over all thresholds.
+
+    Zero-count cells (pos=0 AND neg=0) are dropped up front: a grid
+    whose highest-score cell is empty would make the leading cumulative
+    precision term cum_pos/(cum_pos+cum_neg) an ANSI divide-by-zero,
+    and such cells contribute nothing to either statistic (their AP term
+    is 0·precision and they leave every cumulative count unchanged) —
+    the same degenerate-grid guard as ks/mw/jsd_from_value_grid.
+    Grids built by groupBy counts never contain them; hand-built or
+    merged-then-differenced grids can."""
+    g = g.filter((F.col("pos") + F.col("neg")) > 0).withColumn(
+        "npc", -F.col("pc")
+    )
     c = grid_cumsum(g, ["pos", "neg"], order_col="npc")
     tot = g.agg(
         F.sum("pos").cast("long").alias("n_pos"),

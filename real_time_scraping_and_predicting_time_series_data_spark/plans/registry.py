@@ -96,145 +96,72 @@ _loaded = False
 # (d) the TPC-H deep shapes and remaining never-checked
 # rolling/reshape/stats/sampling queries.
 _FRONT = (
-    # (a) ROUND 7: the 39 oracle-bearing queries no driver round (r1–r6)
-    # has ever sampled — all late-r5 waves, all green in the in-repo
-    # value-exact parity harness.  The driver's ~50-query window walks the
-    # registry in order, so these must occupy the head; the 51 r5 names
-    # that used to lead this tuple earned green rows in r5/r6 and move
-    # behind them (their green rows are already on record).
-    "embedding_hubness",
-    "corpus_domain_cap",
-    "ml_naive_bayes_text",
-    "sim_mmr_select",
-    "embedding_centroid_drift",
-    "ts_cross_correlation",
-    "ts_granger_lag_f",
-    "ts_ljung_box",
-    "ts_periodogram",
-    "ts_var_es",
-    "ml_learning_curve",
-    "text_duplicate_spans",
-    "ts_forecast_reconciliation",
-    "dq_freshness_lag",
-    "stats_xi_correlation",
-    "ts_hurst_rs",
-    "events_session_likelihood",
-    "events_dau_wau_stickiness",
-    "orders_price_elasticity",
-    "ts_wavelet_energy",
-    "events_cohort_ltv",
-    "stats_hill_tail_index",
-    "orders_fulfillment_cycle",
-    "events_markov_attribution",
-    "sim_rrf_fusion",
-    "ml_conformal_forecast",
-    "graph_assortativity",
-    "orders_open_backlog",
-    "stats_runs_test",
-    "corpus_tokenizer_fertility",
-    "ml_naive_bayes_confusion",
-    "corpus_inspection_pack",
-    "orders_abc_classes",
-    "corpus_oov_rate",
-    "graph_rich_club",
-    "corpus_diversity_indices",
-    "graph_brand_modularity",
-    "stats_jarque_bera",
-    "ts_pacf",
-    # (b) round-7 additions land here as built (unknown names are skipped
-    # harmlessly until their module registers them).
-    "corpus_df_index_serve",
-    "ts_spectral_entropy",
-    "ts_permutation_entropy",
-    "ts_adf_unit_root",
-    "ts_turning_points",
-    "dedup_semantic_clusters",
-    "ts_seasonal_strength",
-    "corpus_bpe_first_merges",
-    "ml_kmeans_summary",
-    # (b') round-7 session waves: classifier-eval panel, group-comparison
-    # suite, schema-discovery profilers.  Placed AFTER the never-checked
-    # block so they fill window slots 49+ without displacing it.
-    "ml_roc_auc",
-    "ml_pr_auc",
-    "ml_isotonic_calibration",
-    "stats_anova_oneway",
-    "stats_levene_brown_forsythe",
-    "stats_cramers_v",
-    "dq_inclusion_dependencies",
-    "dq_functional_dependencies",
-    "orders_frequent_triples",
-    "sql_lateral_topk",
-    "ml_roc_auc_stream_serve",
-    "dedup_cdc_chunks",
+    # (a) ROUND 8: the 28 oracle-bearing queries no driver round (r1–r7)
+    # has ever sampled — all late-r7 waves, all green in the in-repo
+    # value-exact parity harness AND in the r7 judge's independent rerun
+    # (VERDICT.md "run_parity: ALL OK").  The driver's ~50-query window
+    # walks the registry in order, so these occupy the head; the 39 r7
+    # names that used to lead earned green rows in CORRECTNESS_r07 and
+    # drop out entirely (their green rows are on record).
     "corpus_bigram_llr",
-    "embedding_silhouette",
-    "stats_two_proportion_z",
-    "stats_fdr_bh",
-    "stats_permutation_test",
+    "dedup_cdc_chunks",
     "dedup_fuzzy_orders",
-    "sketch_hll_md5",
-    "ml_harmonic_regression",
+    "dq_functional_dependencies",
+    "dq_inclusion_dependencies",
+    "embedding_silhouette",
     "graph_clustering_coefficient",
-    "ml_ks_separation",
+    "ml_boosted_stumps",
     "ml_cumulative_gains",
-    "stats_experiment_stream_serve",
-    "ts_croston_forecast",
+    "ml_harmonic_regression",
+    "ml_isotonic_calibration",
+    "ml_ks_separation",
+    "ml_roc_auc_stream_serve",
+    "orders_frequent_triples",
+    "sketch_hll_md5",
     "source_tick_batch",
     "source_tick_stream_serve",
-    "udtf_word_chunks",
-    "ml_boosted_stumps",
+    "sql_lateral_topk",
+    "stats_anova_oneway",
+    "stats_cramers_v",
+    "stats_experiment_stream_serve",
+    "stats_fdr_bh",
+    "stats_levene_brown_forsythe",
+    "stats_permutation_test",
+    "stats_two_proportion_z",
+    "ts_croston_forecast",
     "ts_theta_forecast",
-    # (c) re-checks filling out the ~50-query window: queries whose
-    # implementation changed this round (grid_cumsum conversions, shared
-    # TF-IDF reuse) so the fix lands a fresh green row.
-    "text_keywords_topk",
-    "funnel_conversion_lag",
-    "stats_mann_whitney",
-    "stats_ks_drift",
-    "events_inter_arrival_stats",
+    "udtf_word_chunks",
+    # (b) round-8 additions land here as built (unknown names are skipped
+    # harmlessly until their module registers them).
+    "sim_topk_relation",
+    "sim_rabitq_topk",
+    "dedup_semantic_drift_serve",
+    # (c) queries whose implementation changed THIS round (the
+    # average_precision_from_grid degenerate-cell guard) so the fix lands
+    # a fresh green row on top of its r7 one.
+    "ml_pr_auc",
+    # (d) re-checks filling out the remainder of the ~50-query window:
+    # high-value families whose latest green row is oldest.
+    "ml_roc_auc",
     "stats_spearman_corr",
-    "corpus_boilerplate_ngrams",
-    "text_ngram_novelty",
     "dedup_jaccard_prefix_filter",
-    "embedding_knn_probe",
-    "collect_sorted_lists",
-    "ml_point_in_time_features",
-    "corpus_bigram_pmi",
-    "dq_schema_profile",
-    "orders_basket_lift",
-    "events_calendar_heatmap",
-    "ts_week_over_week",
-    "text_readability_scores",
-    "stats_bootstrap_ci",
-    "events_value_quantiles_grid",
-    "ml_calibration_bins",
-    "ts_ewma_irregular",
-    "corpus_zipf_slope",
-    "corpus_temperature_mixture",
-    "graph_kcore_peel",
-    "stats_welch_ttest",
-    "udf_arrow_batch_map",
-    "ts_hampel_filter",
-    "stats_mutual_info",
-    "orders_rfm_segments",
-    "events_poisson_burst",
-    "ts_bollinger_bands",
-    "ts_rsi",
-    "ts_macd",
-    "stats_psi_drift",
-    "events_kaplan_meier",
-    "orders_revenue_concentration",
-    "dq_referential_integrity",
-    "corpus_classifier_filter",
-    "corpus_span_corruption",
-    "stats_js_divergence",
-    "stats_kendall_tau",
-    "graph_adamic_adar",
-    "graph_bfs_hops",
-    "events_markov_stationary",
-    "ml_logistic_newton",
     "dedup_containment_pairs",
+    "dedup_embedding_cosine",
+    "sim_bruteforce_topk",
+    "sim_ivfpq_topk",
+    "text_keywords_topk",
+    "corpus_boilerplate_ngrams",
+    "ml_point_in_time_features",
+    "ml_logistic_newton",
+    "ml_calibration_bins",
+    "stats_ks_drift",
+    "stats_psi_drift",
+    "events_markov_attribution",
+    "graph_copurchase_pagerank",
+    "orders_abc_classes",
+    "ml_conformal_forecast",
+    "events_value_quantiles_grid",
+    "corpus_classifier_filter",
 )
 
 

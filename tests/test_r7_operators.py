@@ -697,6 +697,24 @@ def test_average_precision_in_unit_interval(spark, cells):
     assert 0.0 <= row.best_f1 <= 1.0 + 1e-9
 
 
+def test_average_precision_tolerates_empty_leading_cell(spark):
+    """r7 verdict regression pin: a grid whose HIGHEST-score cell holds
+    zero rows (pos=0, neg=0) used to make the leading cumulative
+    precision term an ANSI divide-by-zero.  The falsifying hypothesis
+    example, frozen so the fix is seed-independent: one real cell at
+    pc=0 (1 pos, 1 neg) plus an empty cell at pc=1.  Expected values:
+    precision at the single non-empty threshold = 1/2, so AP = 1·(1/2)
+    and best F1 = 2·1/(1+1+1) = 2/3."""
+    g = _grid(spark, [(0, 1, 1), (1, 0, 0)])
+    row = average_precision_from_grid(g).collect()[0]
+    assert (row.n_pos, row.n_neg) == (1, 1)
+    assert abs(row.pr_auc - 0.5) < 2e-6
+    assert abs(row.best_f1 - 2.0 / 3.0) < 2e-6
+    # and the empty cell is a true no-op: same grid without it agrees
+    base = average_precision_from_grid(_grid(spark, [(0, 1, 1)])).collect()[0]
+    assert (base.pr_auc, base.best_f1) == (row.pr_auc, row.best_f1)
+
+
 # ---------------------------------------------------------------------------
 # Boosted stumps — hand-computed two-round fit on a separable grid
 # ---------------------------------------------------------------------------
