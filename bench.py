@@ -244,12 +244,72 @@ HEADLINE = [
     "ml_boosted_stumps",
     "ts_theta_forecast",
 ]
+# r8: the curated list above is the ORDER; coverage is by construction —
+# main() appends every oracle-bearing registry query not already listed
+# (alphabetical), so bench count == oracle count permanently (the r7
+# verdict found 114 oracle-bearing queries, mostly sub-second relational
+# shapes, absent from the headline set; a hand-maintained list drifts).
 
 # Per-query repetitions: single runs at ~1-second magnitudes smear with
 # environment noise (r3's uniform +9% drift); the median of N runs makes
 # real regressions stand out. First run of each query additionally absorbs
 # its plan compilation.
 RUNS = 3
+
+# r8: queries that get 5 runs instead of 3.  The intra-session environment
+# drift band (SCALE.md r7: 1.2-1.9x on untouched queries) is the dominant
+# error on every cross-round trend claim, and it is concentrated where
+# medians are large.  Selection rule, mechanical, from the r7 driver
+# samples in bench_runs_local.json: top-20 by excess-spread impact
+# (spread-1)*median, plus every query with median >= 2.5 s, plus the r7
+# verdict's named movers.  Re-derive each round from the round-stamped
+# samples file.
+HIGH_VARIANCE = frozenset({
+    "corpus_boilerplate_ngrams",
+    "corpus_dedup_pipeline_report",
+    "dedup_char_ngram_jaccard",
+    "dedup_containment_pairs",
+    "dedup_embedding_cosine",
+    "dedup_jaccard_pairs",
+    "dedup_jaccard_prefix_filter",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "events_markov_attribution",
+    "graph_adamic_adar",
+    "graph_assortativity",
+    "graph_bfs_hops",
+    "graph_brand_modularity",
+    "graph_clustering_coefficient",
+    "graph_copurchase_pagerank",
+    "graph_kcore_peel",
+    "graph_rich_club",
+    "ml_conformal_forecast",
+    "ml_kmeans_summary",
+    "ml_ks_separation",
+    "ml_roc_auc_stream_serve",
+    "orders_basket_lift",
+    "orders_frequent_triples",
+    "orders_fulfillment_cycle",
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "sim_pq_adc_topk",
+    "source_tick_batch",
+    "source_tick_stream_serve",
+    "stats_bootstrap_ci",
+    "stats_permutation_test",
+    "stats_spearman_corr",
+    "text_keywords_topk",
+    "text_ngram_novelty",
+    "text_normalize_dedup_uplift",
+    "ts_dtw_pairs",
+    "ts_lttb_downsample",
+})
+RUNS_HV = 5
+
+# Round stamp for the durable samples copy (see SCALE.md audit-trail
+# correction: bench_runs_local.json is last-writer-wins scratch; the
+# round-stamped copy is the audit trail BASELINE.md points at).
+ROUND = 8
 
 
 def main() -> int:
@@ -261,6 +321,11 @@ def main() -> int:
 
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
+    # Coverage by construction: every oracle-bearing query is benched.
+    listed = set(names)
+    names += sorted(
+        n for n, q in qs.items() if q.oracle is not None and n not in listed
+    )
 
     # Warmup: JVM + codegen + parquet footer reads, not counted.
     qs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -269,7 +334,7 @@ def main() -> int:
     runs: dict[str, list[float]] = {}
     for qi, name in enumerate(names):
         samples = []
-        for _ in range(RUNS):
+        for _ in range(RUNS_HV if name in HIGH_VARIANCE else RUNS):
             t0 = time.perf_counter()
             qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
@@ -304,9 +369,37 @@ def main() -> int:
     # line with "all_runs" (3 samples x 92 queries) exceeded the driver's
     # capture and BENCH_r04 recorded "parsed": null. The stdout contract is
     # ONE compact line: metric / value / per-query medians / sf.
+    # r8: also emit each query's max/min spread so SCALE.md's "noise, not
+    # regression" calls are mechanical (threshold in BASELINE.md), and copy
+    # the samples to a round-stamped file nothing overwrites.
+    spread = {
+        n: round(max(v) / min(v), 3) if min(v) > 0 else None
+        for n, v in runs.items()
+    }
+    payload = {
+        "runs_per_query": RUNS,
+        "runs_high_variance": RUNS_HV,
+        "all_runs": runs,
+        "spread": spread,
+        "sf": sf,
+    }
     try:
         with open("bench_runs_local.json", "w") as f:
-            json.dump({"runs_per_query": RUNS, "all_runs": runs, "sf": sf}, f)
+            json.dump(payload, f)
+    except OSError:
+        pass
+    # Round-stamped copies never clobber (r7 lesson: the driver's post-
+    # session run overwrote the builder's final samples, orphaning the
+    # number SCALE.md cites) — each run of a round gets the next suffix.
+    try:
+        k = 0
+        while True:
+            path = f"bench_runs_r{ROUND}.json" if k == 0 else f"bench_runs_r{ROUND}_{k}.json"
+            if not os.path.exists(path):
+                break
+            k += 1
+        with open(path, "w") as f:
+            json.dump(payload, f)
     except OSError:
         pass
     # compact separators: the per-query map is ~160 entries now and the

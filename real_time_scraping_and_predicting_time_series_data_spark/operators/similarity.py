@@ -595,6 +595,82 @@ def q_dedup_semantic_clusters(spark, sf_dir):
     )
 
 
+def ivf_topk_relation(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF ANN top-k where the QUERY SIDE IS A RELATION — the
+    millions-of-queries / corpus-vs-corpus shape (VERDICT r7 item 5).
+
+    ``brute_force_topk`` and the broadcast IVF serve treat the query set
+    as a bounded panel: the GEMM path collects it to the driver and the
+    IVF path broadcasts ``queries × nprobe`` probe rows.  Both are right
+    for top-k serving of a dashboard's query list and wrong when the
+    query side is itself a 100 TB-scale relation (join every new crawl
+    shard against the corpus; kNN self-join for dedup graphs).  This path
+    keeps every step executor-side:
+
+    - the ONLY broadcast is the K-row centroid model (assignment and
+      probing are per-row projections against it, exactly as in
+      :func:`ivf_topk_seeded`);
+    - the candidate join is a SHUFFLE hash join on ``cell``
+      (``hint("shuffle_hash")`` pins it so a small test relation doesn't
+      silently take the broadcast plan the production shape can't use) —
+      both sides exchange once on the cell key, candidate volume is
+      ~nprobe/n_cells of the cross product;
+    - per-query ranking is a window over the ``query_id`` exchange.
+
+    No ``.collect()``, no Python-side materialization anywhere: |Q| rides
+    the shuffle machinery, so 10 rows and 10 million rows take the same
+    plan.  Same deterministic seed centroids (cell j = normalized corpus
+    vector j) and identical fold arithmetic as ``ivf_topk_seeded`` — the
+    two paths are bit-identical on the same inputs (pinned by
+    tests/test_r8_operators.py) and this one carries the same full DuckDB
+    oracle."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec)).alias("v_c"))
+    c = c.withColumn("_n", norm(F.col("v_c"))).select(
+        "neighbor_id", F.transform("v_c", lambda x: x / F.col("_n")).alias("v_c")
+    )
+    q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("v_q"))
+    q = q.withColumn("_n", norm(F.col("v_q"))).select(
+        query_id, F.transform("v_q", lambda x: x / F.col("_n")).alias("v_q")
+    )
+    cents = c.filter(F.col("neighbor_id") < n_cells).select(
+        F.col("neighbor_id").cast("int").alias("cell"), F.col("v_c").alias("c_nvec")
+    )
+    c_cells = ivf_assign(c, cents, "v_c", ["neighbor_id"])
+    q_cells = (
+        q.crossJoin(F.broadcast(_centroid_row(cents)))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(_nearest_cells("v_q")), 1, nprobe),
+                    lambda s: s.getField("cell"),
+                )
+            ),
+        )
+        .select(query_id, "v_q", "cell")
+    )
+    scored = (
+        c_cells.join(q_cells.hint("shuffle_hash"), "cell")
+        .filter(F.col("neighbor_id") != F.col(query_id))
+        .withColumn("cos", dot(F.col("v_q"), F.col("v_c")))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc(F.round("cos", 9)), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 @register("sim_ivf_topk", oracle=None, tags=("similarity", "ivf", "ann"))
 def q_sim_ivf(spark, sf_dir):
     """IVF ANN top-5 for the same query set as the brute-force baseline
@@ -659,6 +735,60 @@ def q_sim_ivf_seeded(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk_seeded(emb, queries, k=5, n_cells=16, nprobe=4)
+
+
+_TOPK_RELATION_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+          FROM e),
+    cents AS (SELECT CAST(vec_id AS INT) AS cell, nv AS c_nvec
+              FROM n WHERE vec_id < 16),
+    assign AS (
+        SELECT vec_id, nv, cell FROM (
+            SELECT n.vec_id, n.nv, c.cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round(-list_dot_product(n.nv, c.c_nvec), 9), c.cell
+                   ) AS rn
+            FROM n CROSS JOIN cents c)
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, v_q, cell FROM (
+            SELECT n.vec_id AS query_id, n.nv AS v_q, c.cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round(-list_dot_product(n.nv, c.c_nvec), 9), c.cell
+                   ) AS rn
+            FROM n CROSS JOIN cents c)
+        WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_dot_product(p.v_q, a.nv) AS cos
+        FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY round(cos, 9) DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 3
+    """
+
+
+@register("sim_topk_relation", oracle=_TOPK_RELATION_ORACLE, tags=("similarity", "ivf", "ann", "relation"))
+def q_sim_topk_relation(spark, sf_dir):
+    """Corpus-vs-corpus kNN join (every embedding row is a query; top-3
+    neighbors within its 2 probed IVF cells) through the
+    QUERY-SIDE-AS-RELATION path: no driver collect, no query broadcast —
+    the candidate join shuffles both sides on the cell key, the shape
+    that survives a query side of millions of rows.  Same seeded
+    deterministic centroids and fold arithmetic as `sim_ivf_topk_seeded`,
+    so the full assign → probe → shuffle-join → rank pipeline is
+    value-hash-checked against DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk_relation(emb, queries, k=3, n_cells=16, nprobe=2)
 
 
 # ---------------------------------------------------------------------------

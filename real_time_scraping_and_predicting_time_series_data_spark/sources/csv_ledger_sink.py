@@ -15,7 +15,18 @@ transactional contract the reference lacks:
   readers who resolve files through the manifest never see output from
   failed/speculated tasks (``abort`` leaves only unmanifested debris);
 - a REPLAYED batch id overwrites its own manifest line idempotently, the
-  same at-least-once contract as the engine's grid stores.
+  same at-least-once contract as the engine's grid stores;
+- ``compact(path)`` (r8) folds every manifested part into ONE consolidated
+  CSV part with a single ``compacted_upto=<max batch id>`` manifest entry
+  — the same bounded-directory-growth story as the grid stores'
+  `streaming/store_compaction.py` (one part per partition per micro-batch
+  is ~43k files/day at a 2-second trigger; listing cost eventually
+  dominates).  The fold preserves the exact row multiset (pure
+  concatenation in manifest order), the manifest rewrite is a staging
+  ``os.replace`` (crash before the part sweep leaves orphan folded parts
+  that are unmanifested, hence invisible), and a replayed batch id at or
+  below ``compacted_upto`` is DROPPED at commit — its rows are inside the
+  fold already, the same `is_compacted` ingest guard as the grid stores.
 
 Same deployment assumption as the grid stores: paths are driver+executor
 visible (local/NFS); on object stores the staging-rename becomes the
@@ -34,7 +45,40 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-__all__ = ["CsvLedgerDataSource", "register_csv_ledger_sink", "read_ledger_rows"]
+__all__ = [
+    "CsvLedgerDataSource",
+    "register_csv_ledger_sink",
+    "read_ledger_rows",
+    "ledger_compacted_upto",
+    "compact_ledger",
+]
+
+
+def _read_manifest(path: str) -> list[dict]:
+    manifest = os.path.join(path, "_manifest.jsonl")
+    if not os.path.exists(manifest):
+        return []
+    with open(manifest) as f:
+        return [json.loads(ln) for ln in f if ln.strip()]
+
+
+def _write_manifest(path: str, entries: list[dict]) -> None:
+    manifest = os.path.join(path, "_manifest.jsonl")
+    staging = manifest + ".staging"
+    with open(staging, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+    os.replace(staging, manifest)
+
+
+def ledger_compacted_upto(path: str) -> int:
+    """Highest batch id folded into a compacted manifest entry; -1 if the
+    ledger was never compacted."""
+    upto = -1
+    for e in _read_manifest(path):
+        if "compacted_upto" in e:
+            upto = max(upto, e["compacted_upto"])
+    return upto
 
 
 class _PartMessage(WriterCommitMessage):
@@ -68,13 +112,23 @@ class _CsvLedgerStreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId: int) -> None:
         # one manifest line per committed batch; a replayed batchId
-        # replaces its own line (idempotent at-least-once)
-        manifest = os.path.join(self.path, "_manifest.jsonl")
-        lines = []
-        if os.path.exists(manifest):
-            with open(manifest) as f:
-                lines = [json.loads(ln) for ln in f if ln.strip()]
-        lines = [e for e in lines if e["batch_id"] != batchId]
+        # replaces its own line (idempotent at-least-once).  A batchId at
+        # or below compacted_upto was already FOLDED — its rows live in
+        # the consolidated part, so the replay is dropped and its freshly
+        # written parts removed (same is_compacted guard as the grid
+        # stores' ingest path).
+        lines = _read_manifest(self.path)
+        if batchId <= max(
+            (e["compacted_upto"] for e in lines if "compacted_upto" in e), default=-1
+        ):
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.path, m.filename))
+                    except OSError:
+                        pass
+            return
+        lines = [e for e in lines if e.get("batch_id") != batchId]
         lines.append(
             {
                 "batch_id": batchId,
@@ -82,11 +136,10 @@ class _CsvLedgerStreamWriter(DataSourceStreamWriter):
                 "rows": sum(m.n_rows for m in messages if m is not None),
             }
         )
-        staging = manifest + ".staging"
-        with open(staging, "w") as f:
-            for e in sorted(lines, key=lambda e: e["batch_id"]):
-                f.write(json.dumps(e) + "\n")
-        os.replace(staging, manifest)
+        _write_manifest(
+            self.path,
+            sorted(lines, key=lambda e: e.get("batch_id", e.get("compacted_upto"))),
+        )
 
     def abort(self, messages, batchId: int) -> None:
         # unmanifested parts are invisible to readers; best-effort sweep
@@ -115,15 +168,75 @@ def register_csv_ledger_sink(spark) -> None:
 
 def read_ledger_rows(path: str) -> list[list[str]]:
     """Rows of every MANIFESTED part (reader-side contract: resolve files
-    through the manifest, never by listing)."""
-    manifest = os.path.join(path, "_manifest.jsonl")
+    through the manifest, never by listing).  Compacted entries are just
+    entries whose parts happen to be consolidated — same loop."""
     out: list[list[str]] = []
-    if not os.path.exists(manifest):
-        return out
-    with open(manifest) as f:
-        entries = [json.loads(ln) for ln in f if ln.strip()]
-    for e in entries:
+    for e in _read_manifest(path):
         for part in e["parts"]:
             with open(os.path.join(path, part), newline="") as pf:
                 out.extend(list(csv.reader(pf)))
     return out
+
+
+def compact_ledger(path: str) -> dict:
+    """Fold every manifested part into ONE consolidated CSV part under a
+    single ``compacted_upto=<max batch id>`` manifest entry, then sweep
+    the folded parts — the CSV-ledger twin of
+    ``streaming/store_compaction.py``'s union fold.
+
+    The fold preserves the exact row MULTISET (concatenation in manifest
+    order: prior fold first, then batches ascending), so
+    ``read_ledger_rows`` before and after agree up to row order within the
+    file — the same bit-identity contract the grid stores' folds carry.
+
+    Crash-window safety, in write order: (1) consolidated part written under a
+    fresh uuid name — unmanifested, invisible; (2) manifest atomically
+    replaced (``os.replace``) with the single compacted entry — the fold
+    becomes visible and the old parts become unmanifested in the same
+    instant; (3) old parts removed — pure debris sweep, a crash before it
+    leaves orphans no reader resolves.  Replays of folded batch ids are
+    dropped at ``commit`` via the ``compacted_upto`` guard.
+
+    Returns ``{"folded_entries", "upto", "files_before", "files_after",
+    "rows"}``; a ledger with nothing new to fold (or no manifest) is a
+    no-op that still reports counts."""
+    import uuid
+
+    entries = _read_manifest(path)
+    files_before = len(os.listdir(path)) if os.path.isdir(path) else 0
+    if not entries:
+        return {
+            "folded_entries": 0,
+            "upto": -1,
+            "files_before": files_before,
+            "files_after": files_before,
+            "rows": 0,
+        }
+    prior_upto = max((e["compacted_upto"] for e in entries if "compacted_upto" in e), default=-1)
+    batch_ids = [e["batch_id"] for e in entries if "batch_id" in e]
+    new_upto = max([prior_upto, *batch_ids])
+    ordered = sorted(entries, key=lambda e: (0 if "compacted_upto" in e else 1, e.get("batch_id", -1)))
+    old_parts = [p for e in ordered for p in e["parts"]]
+    name = f"compacted-upto{new_upto}-{uuid.uuid4().hex[:8]}.csv"
+    n_rows = 0
+    with open(os.path.join(path, name), "w", newline="") as out:
+        for part in old_parts:
+            with open(os.path.join(path, part), newline="") as pf:
+                for chunk in iter(lambda: pf.read(1 << 20), ""):
+                    out.write(chunk)
+                    n_rows += chunk.count("\n")
+    _write_manifest(
+        path, [{"compacted_upto": new_upto, "parts": [name], "rows": n_rows}]
+    )
+    for part in old_parts:
+        try:
+            os.remove(os.path.join(path, part))
+        except OSError:
+            pass
+    return {
+        "folded_entries": len(entries),
+        "upto": new_upto,
+        "files_before": files_before,
+        "files_after": len(os.listdir(path)),
+        "rows": n_rows,
+    }

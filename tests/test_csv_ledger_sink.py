@@ -76,3 +76,100 @@ def test_replayed_batch_commit_is_idempotent(spark, tmp_path):
     with open(os.path.join(led, "_manifest.jsonl")) as f:
         entries = [json.loads(ln) for ln in f]
     assert len(entries) == 1 and entries[0]["parts"] == ["p0r.csv"]
+
+
+def test_compact_ledger_fold_bit_identity_and_replay_guard(spark, tmp_path):
+    """r8 (VERDICT r7 item 6): the ledger's compact() mirrors the grid
+    stores' union fold — same row multiset before/after, bounded file
+    count, replay-after-fold dropped, crash debris invisible."""
+    from real_time_scraping_and_predicting_time_series_data_spark.sources.csv_ledger_sink import (
+        compact_ledger,
+        ledger_compacted_upto,
+    )
+
+    led = str(tmp_path / "led4")
+    os.makedirs(led)
+    w = _CsvLedgerStreamWriter({"path": led})
+    for b in range(5):
+        for p in range(2):  # two "partitions" per batch
+            name = f"b{b}p{p}.csv"
+            with open(os.path.join(led, name), "w") as f:
+                f.write(f"{b},{p}\n")
+        w.commit([_PartMessage(f"b{b}p0.csv", 1), _PartMessage(f"b{b}p1.csv", 1)], batchId=b)
+    before = sorted(map(tuple, read_ledger_rows(led)))
+    assert len(before) == 10
+
+    rep = compact_ledger(led)
+    assert rep["folded_entries"] == 5 and rep["upto"] == 4 and rep["rows"] == 10
+    # one consolidated part + the manifest
+    assert rep["files_after"] == 2
+    assert ledger_compacted_upto(led) == 4
+    # fold bit-identity: exact same row multiset through the reader
+    assert sorted(map(tuple, read_ledger_rows(led))) == before
+
+    # at-least-once REPLAY of a folded batch: dropped, parts swept
+    with open(os.path.join(led, "replay.csv"), "w") as f:
+        f.write("3,0\n3,1\n")
+    w.commit([_PartMessage("replay.csv", 2)], batchId=3)
+    assert sorted(map(tuple, read_ledger_rows(led))) == before
+    assert not os.path.exists(os.path.join(led, "replay.csv"))
+
+    # NEW batches after the fold commit normally and a second fold
+    # absorbs fold + new parts into one entry again
+    with open(os.path.join(led, "b5.csv"), "w") as f:
+        f.write("5,0\n")
+    w.commit([_PartMessage("b5.csv", 1)], batchId=5)
+    assert len(read_ledger_rows(led)) == 11
+    rep2 = compact_ledger(led)
+    assert rep2["upto"] == 5 and rep2["rows"] == 11 and rep2["files_after"] == 2
+    assert len(read_ledger_rows(led)) == 11
+    # idempotent no-op fold keeps everything
+    rep3 = compact_ledger(led)
+    assert rep3["upto"] == 5 and len(read_ledger_rows(led)) == 11
+
+
+def test_compact_ledger_streaming_end_to_end(spark, tmp_path):
+    """Fold under a real streaming drain + restart: rows served by the
+    manifest reader are identical across (stream, compact, resume-stream,
+    compact) — the checkpoint-restart x compaction matrix of
+    test_store_compaction.py applied to the CSV ledger."""
+    from real_time_scraping_and_predicting_time_series_data_spark.sources.csv_ledger_sink import (
+        compact_ledger,
+    )
+
+    register_tick_source(spark)
+    register_csv_ledger_sink(spark)
+    led = str(tmp_path / "led5")
+    ckpt = str(tmp_path / "ckpt5")
+
+    def drain(max_polls):
+        q = (
+            spark.readStream.format("tick")
+            .option("max_polls", max_polls)
+            .option("poll_batch", 20)
+            .load()
+            .writeStream.format("csvledger")
+            .option("path", led)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def batch_ids(n):
+        return sorted(
+            r.poll_id
+            for r in spark.read.format("tick").option("n_ticks", n).load().collect()
+        )
+
+    drain(60)
+    first = sorted(int(r[0]) for r in read_ledger_rows(led))
+    assert first == batch_ids(60)
+    compact_ledger(led)
+    assert sorted(int(r[0]) for r in read_ledger_rows(led)) == first
+    # resume from checkpoint past the fold; offsets continue, no re-emit
+    drain(100)
+    assert sorted(int(r[0]) for r in read_ledger_rows(led)) == batch_ids(100)
+    compact_ledger(led)
+    assert sorted(int(r[0]) for r in read_ledger_rows(led)) == batch_ids(100)
