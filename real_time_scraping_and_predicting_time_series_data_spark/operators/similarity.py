@@ -1264,6 +1264,295 @@ def q_sim_ivfpq(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Compressed-domain serving completions (r8): 1-bit binary codes and int8
+# scalar quantization beside PQ-ADC — the remaining rows of the embedding
+# compression matrix (VERDICT r7 item 8b; public literature: sign-quantized
+# codes with Hamming search are the SimHash/ITQ/RaBitQ family's storage
+# format, SQ8-ADC is the FAISS `SQ8` scalar quantizer).
+# ---------------------------------------------------------------------------
+
+_BIN_DIM = 64
+_BIN_QUERIES = 8
+_BIN_POOL = 15  # candidate pool per query before exact re-rank
+
+
+def binary_sign_codes(df: DataFrame, vec: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """1-bit-per-dimension sign quantization packed into two BIGINT words:
+    bit_i = (v_i > per-vector mean), bits 0–31 in ``w0``, 32–63 in ``w1``.
+    64 float32 dims (256 bytes) become 16 bytes — the storage format the
+    compressed-domain Hamming scan reads.  The threshold is the vector's
+    OWN mean (rounded to 1e-6 so the > comparison can't flip between
+    engines on a last-ulp disagreement in the fold), making the code a
+    pure per-row projection: zero shuffles, embarrassingly scan-parallel
+    at any corpus size."""
+    v = as_double(F.col(vec))
+    thr = F.round(
+        F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.lit(float(_BIN_DIM)), 6
+    )
+    d = df.select(F.col(id_col), v.alias("v"), thr.alias("thr"))
+
+    def word(lo: int) -> F.Column:
+        w = F.lit(0).cast("long")
+        for i in range(lo, lo + 32):
+            w = w + F.when(
+                F.col("v")[i] > F.col("thr"), F.lit(1 << (i - lo)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return w
+
+    return d.select(id_col, "v", word(0).alias("w0"), word(32).alias("w1"))
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    pool: int = _BIN_POOL,
+    n_queries: int = _BIN_QUERIES,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Symmetric compressed-domain ANN: rank candidates by the Hamming
+    distance between PACKED sign codes — two 64-bit XOR+popcounts per
+    pair instead of a 64-float fold (the integer ops FAISS/ScaNN run over
+    binary codes) — then exact-cosine re-rank only the ``pool`` best.
+
+    The scale story is IO + compute: the candidate scan touches 16 bytes
+    per corpus vector (16× less than float32) and the exact fold runs on
+    ``pool/|corpus|`` of the rows.  Candidate generation here is a full
+    scan against a bounded broadcast query panel (the serving shape); at
+    100 TB compose with the IVF cell join exactly as `sim_ivfpq_topk`
+    does — the Hamming ranker only changes the per-candidate estimator.
+    Fully deterministic (integer Hamming, fixed fold order, id
+    tie-breaks) → full DuckDB oracle."""
+    coded = binary_sign_codes(corpus, vec=vec, id_col=id_col)
+    coded = coded.withColumn("_n", norm(F.col("v"))).select(
+        id_col,
+        F.transform("v", lambda x: x / F.col("_n")).alias("nv"),
+        "w0",
+        "w1",
+    )
+    q = coded.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("nv").alias("qnv"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    cand = (
+        coded.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "ham",
+            (
+                F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+                + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+            ).cast("long"),
+        )
+    )
+    wpool = Window.partitionBy("query_id").orderBy(F.asc("ham"), F.asc("neighbor_id"))
+    pooled = cand.withColumn("crn", F.row_number().over(wpool)).filter(
+        F.col("crn") <= pool
+    )
+    rr = pooled.withColumn("cos", dot(F.col("qnv"), F.col("nv")))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 9)), F.asc("neighbor_id")
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "ham", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def _binary_oracle() -> str:
+    w0 = " + ".join(
+        f"CASE WHEN v[{i + 1}] > thr THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(32)
+    )
+    w1 = " + ".join(
+        f"CASE WHEN v[{i + 33}] > thr THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(32)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT vec_id, v, round(list_sum(v) / {float(_BIN_DIM)}, 6) AS thr FROM e),
+    coded AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
+               CAST({w0} AS BIGINT) AS w0, CAST({w1} AS BIGINT) AS w1
+        FROM m
+    ),
+    q AS (SELECT vec_id AS query_id, nv AS qnv, w0 AS qw0, w1 AS qw1
+          FROM coded WHERE vec_id < {_BIN_QUERIES}),
+    cand AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, q.qnv, c.nv,
+               bit_count(xor(q.qw0, c.w0)) + bit_count(xor(q.qw1, c.w1)) AS ham,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY bit_count(xor(q.qw0, c.w0)) + bit_count(xor(q.qw1, c.w1)),
+                            c.vec_id) AS crn
+        FROM q JOIN coded c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(ham AS BIGINT) AS ham,
+           round(list_dot_product(qnv, nv), 6) AS cos,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_dot_product(qnv, nv), 9) DESC, neighbor_id)
+             AS BIGINT) AS rank
+    FROM cand WHERE crn <= {_BIN_POOL}
+    QUALIFY rank <= 5
+    """
+
+
+@register(
+    "sim_binary_code_topk",
+    oracle=_binary_oracle(),
+    tags=("similarity", "ann", "quantization", "binary"),
+)
+def q_sim_binary_code_topk(spark, sf_dir):
+    """Top-5 ANN through 1-bit sign codes: candidates ranked by packed
+    64-bit XOR+popcount Hamming (16 bytes/vector touched instead of 256),
+    exact cosine re-rank of the 15-candidate pool.  Completes the
+    compression matrix's binary row beside `sim_pq_adc_topk` (4-byte PQ)
+    and `sim_sq8_adc_topk` (64-byte SQ8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return binary_hamming_topk(emb, k=5)
+
+
+_SQ8_QUERIES = 8
+_SQ8_POOL = 15
+
+
+def sq8_adc_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    pool: int = _SQ8_POOL,
+    n_queries: int = _SQ8_QUERIES,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Asymmetric scalar-quantized serving (FAISS SQ8 shape): the corpus
+    is stored as per-vector affine uint8 codes (same `floor(+0.5)`
+    convention as `embedding_int8_quantize`); queries stay full-precision
+    and candidates are ranked by the DEQUANTIZED dot product
+    Σ qᵢ·(mn + codeᵢ·scale) — the asymmetric distance computation — then
+    the top ``pool`` are re-ranked by exact cosine over the original
+    vectors.  Storage is 64 bytes + 2 doubles per vector (4× smaller than
+    float32); constant vectors (scale 0) keep code 0 and dequantize to
+    ``mn`` exactly.  Deterministic end-to-end (integer codes, fixed fold
+    order, rounded comparisons, id tie-breaks) → full DuckDB oracle."""
+    v = as_double(F.col(vec))
+    base = corpus.select(
+        F.col(id_col),
+        v.alias("v"),
+        F.array_min(v).alias("mn"),
+        ((F.array_max(v) - F.array_min(v)) / 255.0).alias("scale"),
+    )
+    coded = base.withColumn(
+        "qv",
+        F.when(
+            F.col("scale") > 0,
+            F.transform(
+                "v", lambda x: F.floor((x - F.col("mn")) / F.col("scale") + 0.5)
+            ),
+        ).otherwise(F.transform("v", lambda x: F.lit(0).cast("bigint"))),
+    )
+    coded = coded.withColumn("_n", norm(F.col("v"))).select(
+        id_col,
+        F.transform("v", lambda x: x / F.col("_n")).alias("nv"),
+        "mn",
+        "scale",
+        "qv",
+    )
+    q = coded.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("nv").alias("qnv")
+    )
+    # ADC estimate against the dequantized code; the query side is the
+    # normalized vector so the estimate approximates cosine directly.
+    cand = (
+        coded.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "est",
+            dot(
+                F.col("qnv"),
+                F.transform("qv", lambda c: F.col("mn") + c * F.col("scale")),
+            ),
+        )
+    )
+    wpool = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("est", 9)), F.asc("neighbor_id")
+    )
+    pooled = cand.withColumn("crn", F.row_number().over(wpool)).filter(
+        F.col("crn") <= pool
+    )
+    rr = pooled.withColumn("cos", dot(F.col("qnv"), F.col("nv")))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 9)), F.asc("neighbor_id")
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("est", 6).alias("est_dot"),
+            F.round("cos", 6).alias("cos"),
+            "rank",
+        )
+    )
+
+
+_SQ8_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v, list_min(v) AS mn,
+                 (list_max(v) - list_min(v)) / 255.0 AS scale
+          FROM e),
+    coded AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
+               mn, scale,
+               CASE WHEN scale > 0
+                    THEN list_transform(v, x -> floor((x - mn) / scale + 0.5))
+                    ELSE list_transform(v, x -> 0.0) END AS qv
+        FROM s
+    ),
+    q AS (SELECT vec_id AS query_id, nv AS qnv
+          FROM coded WHERE vec_id < {_SQ8_QUERIES}),
+    cand AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, q.qnv, c.nv,
+               list_dot_product(q.qnv,
+                   list_transform(c.qv, x -> c.mn + x * c.scale)) AS est,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_dot_product(q.qnv,
+                       list_transform(c.qv, x -> c.mn + x * c.scale)), 9) DESC,
+                            c.vec_id) AS crn
+        FROM q JOIN coded c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, round(est, 6) AS est_dot,
+           round(list_dot_product(qnv, nv), 6) AS cos,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_dot_product(qnv, nv), 9) DESC, neighbor_id)
+             AS BIGINT) AS rank
+    FROM cand WHERE crn <= {_SQ8_POOL}
+    QUALIFY rank <= 5
+    """
+
+
+@register(
+    "sim_sq8_adc_topk",
+    oracle=_SQ8_ORACLE,
+    tags=("similarity", "ann", "quantization", "sq8"),
+)
+def q_sim_sq8_adc_topk(spark, sf_dir):
+    """Top-5 ANN through int8 scalar-quantized codes with asymmetric
+    (full-precision query vs dequantized corpus) candidate ranking and
+    exact re-rank — the SQ8 row of the compression matrix."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_adc_topk(emb, k=5)
+
+
+# ---------------------------------------------------------------------------
 # kNN label probe — representation-quality evaluation (r5)
 # ---------------------------------------------------------------------------
 
@@ -2021,4 +2310,194 @@ def q_embedding_silhouette(spark, sf_dir):
         (F.floor(F.sum("s") / F.count("*") * 1000000 + F.lit(0.5)) / 1000000).alias(
             "mean_sil"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic-dedup drift serve (r8) — the silhouette audit joined to
+# the admission store: both halves existed (embedding_silhouette,
+# SemanticDedupStore); this query is the one serve between them.
+# ---------------------------------------------------------------------------
+
+_SEM_DRIFT_TAU = 0.3
+
+
+def _sem_drift_oracle() -> str:
+    from ..functions.hashing import md5_60_sql  # noqa: PLC0415
+
+    bid = f"{md5_60_sql('CAST(vec_id AS VARCHAR)')} % 3"
+    return f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
+                 {bid} AS bid
+          FROM e),
+    cents AS (SELECT CAST(vec_id AS INT) AS cell, nv AS c_nvec
+              FROM n WHERE vec_id < 16),
+    assign AS (
+        SELECT vec_id, nv, bid, cell, a_d FROM (
+            SELECT n.vec_id, n.nv, n.bid, c.cell,
+                   1.0 - list_dot_product(n.nv, c.c_nvec) AS a_d,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round(-list_dot_product(n.nv, c.c_nvec), 9), c.cell
+                   ) AS rn
+            FROM n CROSS JOIN cents c)
+        WHERE rn = 1
+    ),
+    edges AS (
+        SELECT a.bid, a.vec_id AS src, b.vec_id AS dst
+        FROM assign a JOIN assign b
+          ON a.bid = b.bid AND a.cell = b.cell AND a.vec_id <> b.vec_id
+        WHERE round(list_dot_product(a.nv, b.nv), 9) >= {_SEM_DRIFT_TAU}
+    ),
+    reach(bid, a, b) AS (
+        SELECT bid, src, dst FROM edges
+        UNION
+        SELECT r.bid, r.a, ed.dst
+        FROM reach r JOIN edges ed ON ed.bid = r.bid AND ed.src = r.b
+    ),
+    rep AS (
+        SELECT a.vec_id,
+               least(a.vec_id, coalesce(min(r.b), a.vec_id)) AS rep_id
+        FROM assign a LEFT JOIN reach r ON r.a = a.vec_id
+        GROUP BY a.vec_id
+    ),
+    reps AS (
+        SELECT s.* FROM assign s
+        JOIN rep ON rep.vec_id = s.vec_id AND rep.rep_id = s.vec_id
+    ),
+    acc0 AS (SELECT * FROM reps WHERE bid = 0),
+    acc1 AS (
+        SELECT r.* FROM reps r WHERE r.bid = 1 AND NOT EXISTS (
+            SELECT 1 FROM acc0 o WHERE o.cell = r.cell
+              AND round(list_dot_product(r.nv, o.nv), 9) >= {_SEM_DRIFT_TAU})
+    ),
+    acc01 AS (SELECT * FROM acc0 UNION ALL SELECT * FROM acc1),
+    acc2 AS (
+        SELECT r.* FROM reps r WHERE r.bid = 2 AND NOT EXISTS (
+            SELECT 1 FROM acc01 o WHERE o.cell = r.cell
+              AND round(list_dot_product(r.nv, o.nv), 9) >= {_SEM_DRIFT_TAU})
+    ),
+    accepted AS (SELECT vec_id FROM acc01 UNION ALL SELECT vec_id FROM acc2),
+    od AS (
+        SELECT n.vec_id, c.cell,
+               1.0 - list_dot_product(n.nv, c.c_nvec) AS d,
+               round(-list_dot_product(n.nv, c.c_nvec), 9) AS d9
+        FROM n CROSS JOIN cents c
+    ),
+    bsel AS (
+        SELECT vec_id, d AS b FROM (
+            SELECT o.vec_id, o.d,
+                   row_number() OVER (
+                       PARTITION BY o.vec_id ORDER BY o.d9, o.cell) AS rn
+            FROM od o JOIN assign s
+              ON s.vec_id = o.vec_id AND o.cell <> s.cell)
+        WHERE rn = 1
+    ),
+    sil AS (
+        SELECT s.cell, s.vec_id,
+               (b.b - s.a_d) / greatest(s.a_d, b.b) AS sv
+        FROM assign s JOIN bsel b ON b.vec_id = s.vec_id
+    )
+    SELECT s.cell,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(a.vec_id) AS BIGINT) AS n_accepted,
+           floor(sum(sv) / count(*) * 1000000 + 0.5) / 1000000 AS mean_sil_all,
+           floor(sum(CASE WHEN a.vec_id IS NOT NULL THEN sv END)
+                 / count(a.vec_id) * 1000000 + 0.5) / 1000000
+               AS mean_sil_accepted,
+           floor((sum(CASE WHEN a.vec_id IS NOT NULL THEN sv END) / count(a.vec_id)
+                  - sum(sv) / count(*)) * 1000000 + 0.5) / 1000000 AS sil_drift
+    FROM sil s LEFT JOIN accepted a ON a.vec_id = s.vec_id
+    GROUP BY s.cell
+    """
+
+
+@register(
+    "dedup_semantic_drift_serve",
+    oracle=_sem_drift_oracle(),
+    tags=("dedup", "semantic", "streaming", "audit", "incremental"),
+)
+def q_dedup_semantic_drift_serve(spark, sf_dir):
+    """Cluster-quality DRIFT under streaming semantic dedup: the
+    embeddings are ingested in three deterministic micro-batches (split
+    on the cross-engine md5-60 hash so the DuckDB oracle replays the
+    SAME batch membership) through `SemanticDedupStore` — first-seen-wins
+    admission with within-batch component collapse — and the serve joins
+    the admission verdicts to the simplified-silhouette audit: per cell,
+    total vs accepted counts and mean silhouette over all vs over the
+    admitted survivors.  ``sil_drift`` answers the operational question
+    semantic dedup raises at 100 TB: does pruning near-dups sharpen the
+    cell structure (drift > 0 — survivors sit closer to their own
+    centroid than the average member) or is a cell's apparent coherence
+    an artifact of duplicate mass?
+
+    Unlike the grid-merge serves (`ml_roc_auc_stream_serve`), the
+    admitted SET is order-dependent (first-seen-wins over chains), so the
+    oracle is not the plain one-batch SQL — it REPLAYS the admission:
+    same hash split, same assignment tiebreak (round(-dot,9), cell — the
+    `ivf_assign` convention), within-batch min-label components via a
+    recursive transitive closure, and the 3-stage ledger probe unrolled.
+    Value-hash parity therefore pins the entire streaming pipeline's
+    verdict sequence, not just the readout arithmetic.
+
+    Scale shape: assignment and silhouette are zero-shuffle broadcast
+    projections; admission joins are cell-keyed (Σ|cell|², never
+    |corpus|²); the readout is one grouped agg over a per-row flag
+    semi-join."""
+    import atexit  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..functions.hashing import md5_60  # noqa: PLC0415
+    from ..streaming.semantic_ingest import SemanticDedupStore  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    c = c.withColumn("_n", norm(F.col("v"))).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("_n")).alias("nv")
+    )
+    cents = c.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("nv").alias("c_nvec")
+    )
+    store_dir = tempfile.mkdtemp(prefix="sem_drift_serve_")
+    atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
+    store = SemanticDedupStore(spark, store_dir, cents, threshold=_SEM_DRIFT_TAU)
+    bid_col = F.pmod(md5_60(F.col("vec_id").cast("string")), F.lit(3))
+    for bid in range(3):
+        store.ingest_batch(emb.filter(bid_col == F.lit(bid)), bid)
+    accepted = store.serve().select("vec_id", F.lit(1).alias("_acc"))
+
+    cents_row = cents.agg(F.collect_list(F.struct("cell", "c_nvec")).alias("_cents"))
+    withd = c.crossJoin(F.broadcast(cents_row)).withColumn(
+        "_ds",
+        F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                F.round(-dot(F.col("nv"), s.c_nvec), 9).alias("d9"),
+                s.cell.alias("cell"),
+                (F.lit(1.0) - dot(F.col("nv"), s.c_nvec)).alias("d"),
+            ),
+        ),
+    )
+    withown = withd.withColumn("_own", F.array_min("_ds"))
+    sil = withown.withColumn(
+        "_b",
+        F.array_min(F.filter(F.col("_ds"), lambda x: x.cell != F.col("_own.cell"))),
+    ).select(
+        "vec_id",
+        F.col("_own.cell").alias("cell"),
+        ((F.col("_b.d") - F.col("_own.d")) / F.greatest("_own.d", "_b.d")).alias("s"),
+    )
+    flagged = sil.join(accepted, "vec_id", "left")
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    acc_sum = F.sum(F.when(F.col("_acc") == 1, F.col("s")))
+    acc_n = F.count("_acc")
+    return flagged.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_total"),
+        acc_n.cast("long").alias("n_accepted"),
+        canon(F.sum("s") / F.count("*")).alias("mean_sil_all"),
+        canon(acc_sum / acc_n).alias("mean_sil_accepted"),
+        canon(acc_sum / acc_n - F.sum("s") / F.count("*")).alias("sil_drift"),
     )

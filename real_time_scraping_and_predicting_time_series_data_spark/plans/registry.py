@@ -134,7 +134,8 @@ _FRONT = (
     # (b) round-8 additions land here as built (unknown names are skipped
     # harmlessly until their module registers them).
     "sim_topk_relation",
-    "sim_rabitq_topk",
+    "sim_binary_code_topk",
+    "sim_sq8_adc_topk",
     "dedup_semantic_drift_serve",
     # (c) queries whose implementation changed THIS round (the
     # average_precision_from_grid degenerate-cell guard) so the fix lands

@@ -82,3 +82,136 @@ def test_relation_path_plan_has_no_broadcast_of_queries(spark):
     for ln in plan.splitlines():
         if "BroadcastHashJoin" in ln:
             assert "cell" not in ln.split("BroadcastHashJoin")[1].split("," )[0]
+
+
+# ---------------------------------------------------------------------------
+# Compressed-domain serving: 1-bit sign codes and SQ8 ADC
+# ---------------------------------------------------------------------------
+
+
+def test_binary_sign_codes_pack_exactly(spark):
+    """The two packed BIGINT words must reconstruct the per-dimension sign
+    pattern bit for bit (bit_i set iff v_i > per-vector rounded mean)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        binary_sign_codes,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(50)
+    rows = binary_sign_codes(emb).collect()
+    assert len(rows) == 50
+    for r in rows:
+        v = list(r["v"])
+        thr = round(sum(v) / len(v), 6)
+        for i in range(32):
+            assert ((r["w0"] >> i) & 1) == (1 if v[i] > thr else 0)
+        for i in range(32):
+            assert ((r["w1"] >> i) & 1) == (1 if v[32 + i] > thr else 0)
+
+
+def test_binary_hamming_topk_recall_vs_exact(spark):
+    """The Hamming-pooled, exact-re-ranked top-1 must match the exact
+    brute-force top-1 for a solid majority of queries (1-bit codes are a
+    coarse but serviceable pre-filter); every query returns exactly k
+    rows with monotone cosine down the ranks."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        binary_hamming_topk,
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    out = binary_hamming_topk(emb, k=5).collect()
+    nq = len({r["query_id"] for r in out})
+    assert len(out) == nq * 5
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        coss = [r["cos"] for r in rs]
+        assert all(coss[i] >= coss[i + 1] - 1e-9 for i in range(len(coss) - 1))
+
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(emb, queries, k=1).collect()
+    }
+    hits = sum(
+        1 for q, rs in by_q.items() if rs[0]["neighbor_id"] == exact.get(q)
+    )
+    assert hits >= nq // 2
+
+
+def test_sq8_dequantization_error_bounded(spark):
+    """Affine uint8 codes: |v_i - (mn + code_i*scale)| <= scale/2 + eps for
+    every dimension; constant vectors take scale 0 / code 0."""
+    from real_time_scraping_and_predicting_time_series_data_spark.functions.vector import (
+        as_double,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(40)
+    v = as_double(F.col("embedding"))
+    base = emb.select(
+        v.alias("v"),
+        F.array_min(v).alias("mn"),
+        ((F.array_max(v) - F.array_min(v)) / 255.0).alias("scale"),
+    )
+    rows = base.collect()
+    for r in rows:
+        mn, scale = r["mn"], r["scale"]
+        for x in r["v"]:
+            code = 0 if scale == 0 else int((x - mn) / scale + 0.5)
+            assert 0 <= code <= 255
+            assert abs(x - (mn + code * scale)) <= scale / 2 + 1e-9
+
+
+def test_sq8_adc_topk_recall_vs_exact(spark):
+    """SQ8 at 64 dims is a fine quantizer: the ADC-pooled exact-re-ranked
+    top-1 should match exact brute force for nearly all queries."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_adc_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    out = sq8_adc_topk(emb, k=5).collect()
+    nq = len({r["query_id"] for r in out})
+    assert len(out) == nq * 5
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(emb, queries, k=1).collect()
+    }
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    hits = sum(1 for q, n in top1.items() if n == exact.get(q))
+    assert hits >= nq - 1
+
+
+# ---------------------------------------------------------------------------
+# Semantic-drift stream serve
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_drift_serve_invariants(spark):
+    """Every cell serves 1 <= n_accepted <= n_total (the first arrival in
+    a nonempty cell is always admitted), counts reconcile with the corpus
+    size, and the drift column equals the quantized difference of the two
+    served means."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        q_dedup_semantic_drift_serve,
+    )
+
+    rows = q_dedup_semantic_drift_serve(spark, SF).collect()
+    n_corpus = load_table(spark, SF, "embeddings").count()
+    assert sum(r["n_total"] for r in rows) == n_corpus
+    for r in rows:
+        assert 1 <= r["n_accepted"] <= r["n_total"]
+        assert -1.0 <= r["mean_sil_all"] <= 1.0
+        assert -1.0 <= r["mean_sil_accepted"] <= 1.0
+        # quantization: drift is within one 1e-6 ulp of the mean difference
+        assert abs(
+            r["sil_drift"] - (r["mean_sil_accepted"] - r["mean_sil_all"])
+        ) <= 2e-6
