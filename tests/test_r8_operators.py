@@ -215,3 +215,104 @@ def test_semantic_drift_serve_invariants(spark):
         assert abs(
             r["sil_drift"] - (r["mean_sil_accepted"] - r["mean_sil_all"])
         ) <= 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis properties for the r8 cores (adversarial synthetic vectors:
+# constant, negative, tiny-magnitude — shapes the real embeddings table
+# never exercises)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# 64-dim vectors from a tiny value alphabet; nonzero guaranteed by always
+# bumping one coordinate (zero vectors are outside the embedding contract
+# repo-wide: every path unit-normalizes).
+_vecs = st.lists(
+    st.lists(st.sampled_from([-2.0, -0.5, 0.0, 0.25, 1.0, 3.0]), min_size=64, max_size=64)
+    .map(lambda v: v if any(x != 0 for x in v) else ([1.0] + v[1:])),
+    min_size=3,
+    max_size=8,
+)
+
+
+def _vec_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+@given(vecs=_vecs)
+@_SLOW
+def test_binary_sign_codes_match_python_reference(spark, vecs):
+    """Packed words equal the plain-python sign pattern for arbitrary
+    vectors, including all-negative and near-constant ones."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        binary_sign_codes,
+    )
+
+    rows = {r["vec_id"]: r for r in binary_sign_codes(_vec_df(spark, vecs)).collect()}
+    for i, v in enumerate(vecs):
+        thr = round(sum(v) / 64.0, 6)
+        w0 = sum((1 << j) for j in range(32) if v[j] > thr)
+        w1 = sum((1 << j) for j in range(32) if v[32 + j] > thr)
+        assert rows[i]["w0"] == w0 and rows[i]["w1"] == w1
+
+
+@given(vecs=_vecs)
+@_SLOW
+def test_sq8_codes_in_range_for_arbitrary_vectors(spark, vecs):
+    """SQ8 codes stay in [0, 255] and dequantize within scale/2 for any
+    input, including constant vectors (scale 0 → code 0 → dequantizes to
+    mn exactly)."""
+    from pyspark.sql import functions as F2
+
+    from real_time_scraping_and_predicting_time_series_data_spark.functions.vector import (
+        as_double,
+    )
+
+    df = _vec_df(spark, vecs)
+    v = as_double(F2.col("embedding"))
+    base = df.select(
+        v.alias("v"),
+        F2.array_min(v).alias("mn"),
+        ((F2.array_max(v) - F2.array_min(v)) / 255.0).alias("scale"),
+    )
+    for r in base.collect():
+        mn, scale = r["mn"], r["scale"]
+        for x in r["v"]:
+            code = 0 if scale == 0 else int((x - mn) / scale + 0.5)
+            assert 0 <= code <= 255
+            assert abs(x - (mn + code * scale)) <= (scale / 2 if scale else 0) + 1e-9
+
+
+@given(vecs=_vecs)
+@_SLOW
+def test_ivf_relation_equals_seeded_on_arbitrary_vectors(spark, vecs):
+    """The relation path and the broadcast seeded path are bit-identical
+    for ANY corpus — not just the curated table (same centroids, fold
+    order, tie-breaks by construction)."""
+    emb = _vec_df(spark, vecs)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    n_cells = min(3, len(vecs))
+    a = sorted(
+        map(
+            tuple,
+            ivf_topk_seeded(emb, queries, k=2, n_cells=n_cells, nprobe=2).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            ivf_topk_relation(emb, queries, k=2, n_cells=n_cells, nprobe=2).collect(),
+        )
+    )
+    assert a == b
