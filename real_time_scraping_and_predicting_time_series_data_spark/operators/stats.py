@@ -3772,10 +3772,18 @@ def _scored_grid(spark, sf_dir):
         F.col("z").cast("long").alias("y"),
         F.floor(F.lit(1000000.0) * p + F.lit(0.5)).cast("long").alias("pc"),
     )
+    # Every consumer (AP's cumsum + totals, best-F1, ROC's branches,
+    # gains' deciles) references the grid several times, and column
+    # pruning specializes each branch's aggregate so ReusedExchange never
+    # fires (the same effect as the r7 TF-IDF triple-scan) — without
+    # materialization the Newton training + scoring scan re-executes up
+    # to ~10× per query (observed in ml_pr_auc's executed plan).  The
+    # grid is bounded at min(n_docs, 1e6+1) rows by construction, so one
+    # lazy checkpoint is cheap and collapses all branches to one pass.
     return scored.groupBy("pc").agg(
         F.sum("y").cast("long").alias("pos"),
         (F.count("*") - F.sum("y")).cast("long").alias("neg"),
-    )
+    ).localCheckpoint(eager=False)
 
 
 def score_grid_from_documents(docs, w0: float, w1: float, w2: float):
