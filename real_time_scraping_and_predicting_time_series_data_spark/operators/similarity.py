@@ -1362,7 +1362,9 @@ def binary_hamming_topk(
     )
 
 
-def _binary_oracle() -> str:
+def _binary_cte() -> str:
+    """Shared CTE body (corpus → sign codes → query panel → Hamming-pooled
+    candidates) used by both the serve oracle and the recall audit."""
     w0 = " + ".join(
         f"CASE WHEN v[{i + 1}] > thr THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
         for i in range(32)
@@ -1372,7 +1374,7 @@ def _binary_oracle() -> str:
         for i in range(32)
     )
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     m AS (SELECT vec_id, v, round(list_sum(v) / {float(_BIN_DIM)}, 6) AS thr FROM e),
     coded AS (
         SELECT vec_id,
@@ -1390,7 +1392,12 @@ def _binary_oracle() -> str:
                    ORDER BY bit_count(xor(q.qw0, c.w0)) + bit_count(xor(q.qw1, c.w1)),
                             c.vec_id) AS crn
         FROM q JOIN coded c ON c.vec_id <> q.query_id
-    )
+    )"""
+
+
+def _binary_oracle() -> str:
+    return f"""
+    WITH {_binary_cte()}
     SELECT query_id, neighbor_id, CAST(ham AS BIGINT) AS ham,
            round(list_dot_product(qnv, nv), 6) AS cos,
            CAST(row_number() OVER (
@@ -1550,6 +1557,85 @@ def q_sim_sq8_adc_topk(spark, sf_dir):
     exact re-rank — the SQ8 row of the compression matrix."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sq8_adc_topk(emb, k=5)
+
+
+def _recall_audit_oracle() -> str:
+    return f"""
+    WITH {_binary_cte()},
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(list_dot_product(qnv, nv), 9) DESC,
+                                neighbor_id) AS rank
+            FROM cand WHERE crn <= {_BIN_POOL})
+        WHERE rank <= 5
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_dot_product(q.qnv, c.nv), 9) DESC,
+                                c.vec_id) AS rank
+            FROM q JOIN coded c ON c.vec_id <> q.query_id)
+        WHERE rank <= 5
+    )
+    SELECT x.query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           floor(count(a.neighbor_id) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5)
+               / 1000000 AS recall,
+           floor(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                          THEN 1.0 / log2(x.rank + 1) ELSE 0.0 END)
+                 / sum(1.0 / log2(x.rank + 1)) * 1000000 + 0.5) / 1000000 AS ndcg
+    FROM exact x LEFT JOIN approx a
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """
+
+
+@register(
+    "sim_recall_audit",
+    oracle=_recall_audit_oracle(),
+    tags=("similarity", "ann", "eval", "audit"),
+)
+def q_sim_recall_audit(spark, sf_dir):
+    """Retrieval-quality audit of the compressed-domain stack: per query,
+    recall@5 and binary-relevance nDCG@5 of the 1-bit Hamming serving
+    path against exact brute-force cosine ground truth — the eval every
+    production ANN deployment runs before swapping a cheaper index in.
+    nDCG weights each exact neighbor by 1/log2(rank+1), so losing the
+    TOP exact neighbor costs more than losing the 5th — the rank-aware
+    signal plain recall hides.
+
+    Both halves are existing deterministic serving paths (the GEMM exact
+    ranker and `binary_hamming_topk`), so the audit itself carries a full
+    DuckDB oracle — the ground-truth join is per-(query, neighbor), one
+    broadcast-sized relation each side.  At 100 TB this runs on a SAMPLE
+    of queries by construction (the panel is bounded); corpus size only
+    enters through the two serving paths' own scale shapes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _BIN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = binary_hamming_topk(emb, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    w = F.lit(1.0) / F.log2(F.col("rank") + F.lit(1))
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("k"),
+        F.count("_hit").cast("long").alias("n_hit"),
+        canon(F.count("_hit") / F.count("*")).alias("recall"),
+        canon(
+            F.sum(F.when(F.col("_hit").isNotNull(), w).otherwise(F.lit(0.0)))
+            / F.sum(w)
+        ).alias("ndcg"),
+    )
 
 
 # ---------------------------------------------------------------------------

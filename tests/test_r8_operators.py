@@ -316,3 +316,29 @@ def test_ivf_relation_equals_seeded_on_arbitrary_vectors(spark, vecs):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality audit
+# ---------------------------------------------------------------------------
+
+
+def test_recall_audit_bounds_and_consistency(spark):
+    """Every audited query reports k exact rows, 0 <= n_hit <= k,
+    recall = n_hit/k (quantized), and ndcg in [0, 1]; ndcg == 1 iff
+    n_hit == k (all exact neighbors recovered)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        q_sim_recall_audit,
+    )
+
+    rows = q_sim_recall_audit(spark, SF).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["k"] == 5
+        assert 0 <= r["n_hit"] <= r["k"]
+        assert abs(r["recall"] - round(r["n_hit"] / r["k"] * 1e6) / 1e6) < 1e-9
+        assert 0.0 <= r["ndcg"] <= 1.0
+        if r["n_hit"] == r["k"]:
+            assert r["ndcg"] == 1.0
+        if r["n_hit"] < r["k"]:
+            assert r["ndcg"] < 1.0
