@@ -256,53 +256,52 @@ HEADLINE = [
 # its plan compilation.
 RUNS = 3
 
-# r8: queries that get 5 runs instead of 3.  The intra-session environment
+# r8 (re-derived from the session-final r8_1 samples): queries that get 5 runs instead of 3.  The intra-session environment
 # drift band (SCALE.md r7: 1.2-1.9x on untouched queries) is the dominant
 # error on every cross-round trend claim, and it is concentrated where
 # medians are large.  Selection rule, mechanical, from the r7 driver
-# samples in bench_runs_local.json: top-20 by excess-spread impact
+# samples in bench_runs_r8_1.json: top-20 by excess-spread impact
 # (spread-1)*median, plus every query with median >= 2.5 s, plus the r7
 # verdict's named movers.  Re-derive each round from the round-stamped
 # samples file.
 HIGH_VARIANCE = frozenset({
     "corpus_boilerplate_ngrams",
     "corpus_dedup_pipeline_report",
+    "corpus_df_index_serve",
     "dedup_char_ngram_jaccard",
     "dedup_containment_pairs",
+    "dedup_duplicate_clusters",
     "dedup_embedding_cosine",
     "dedup_jaccard_pairs",
     "dedup_jaccard_prefix_filter",
     "dedup_minhash_pairs",
+    "dedup_semantic_drift_serve",
     "dedup_simhash_pairs",
+    "embedding_hubness",
+    "embedding_knn_probe",
     "events_markov_attribution",
     "graph_adamic_adar",
     "graph_assortativity",
     "graph_bfs_hops",
-    "graph_brand_modularity",
-    "graph_clustering_coefficient",
     "graph_copurchase_pagerank",
     "graph_kcore_peel",
     "graph_rich_club",
-    "ml_conformal_forecast",
     "ml_kmeans_summary",
-    "ml_ks_separation",
-    "ml_roc_auc_stream_serve",
-    "orders_basket_lift",
-    "orders_frequent_triples",
-    "orders_fulfillment_cycle",
+    "ml_naive_bayes_confusion",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
-    "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
+    "sim_topk_relation",
     "source_tick_batch",
     "source_tick_stream_serve",
     "stats_bootstrap_ci",
-    "stats_permutation_test",
     "stats_spearman_corr",
-    "text_keywords_topk",
     "text_ngram_novelty",
     "text_normalize_dedup_uplift",
     "ts_dtw_pairs",
     "ts_lttb_downsample",
+    "ts_resample_interpolate",
+    "udf_grouped_map_zscore",
 })
 RUNS_HV = 5
 
