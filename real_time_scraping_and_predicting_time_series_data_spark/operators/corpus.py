@@ -1106,3 +1106,96 @@ def q_corpus_bigram_llr(spark, sf_dir):
         .select("a", "b", "c_ab", F.round(llr, 6).alias("llr"))
     )
     return scored.orderBy(F.desc("llr"), "a", "b").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling — Efraimidis–Spirakis with md5 uniforms (r8)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight: F.Column,
+    n: int = 3,
+) -> DataFrame:
+    """Weighted sampling without replacement, one pass, DETERMINISTIC:
+    the A-ES scheme (Efraimidis & Spirakis 2006, public) ranks each row
+    by key = ln(u)/w and keeps the per-group top-n — exactly the
+    distribution of sequential weighted draws — with the uniform u
+    derived from the cross-engine md5-60 hash of the row id instead of a
+    RNG.  Replacing the RNG with a keyed hash is what makes the sample
+    REPRODUCIBLE across engines, retries, and cluster sizes (the same
+    property the deterministic-shuffle operator relies on) and gives the
+    query a full value-hash DuckDB oracle — the difference between
+    "sampled roughly like this" and an auditable training-mix manifest.
+
+    Scale shape: the key is one pure-codegen projection per row (hash,
+    ln, divide — no shuffle, no RNG state); the per-group top-n is a
+    window that Spark 4 runs with WindowGroupLimit pushdown (partial
+    top-n per task BEFORE the group exchange), so the exchange carries
+    O(n·groups·tasks) rows, not the corpus."""
+    from ..functions.hashing import M61, md5_60  # noqa: PLC0415
+
+    u = (md5_60(F.col(id_col).cast("string")) + F.lit(1)).cast("double") / float(
+        M61 + 1
+    )
+    key = F.log(u) / weight
+    win = Window.partitionBy(group_col).orderBy(
+        F.desc(F.round(key, 9)), F.asc(id_col)
+    )
+    return (
+        df.withColumn("_w", weight)
+        .withColumn("_k", key)
+        .withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= n)
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    from ..functions.hashing import M61, md5_60_sql  # noqa: PLC0415
+
+    u = f"(({md5_60_sql('CAST(doc_id AS VARCHAR)')}) + 1) / {float(M61 + 1)!r}"
+    return f"""
+    WITH d AS (
+        SELECT source, doc_id, n_chars,
+               ln(1.0 + n_chars) AS w,
+               {u} AS u
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars,
+           round(w, 6) AS weight,
+           round(ln(u) / w, 9) AS skey,
+           CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY round(ln(u) / w, 9) DESC, doc_id) AS BIGINT) AS rank
+    FROM d
+    QUALIFY rank <= 3
+    """
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle=_weighted_sample_oracle(),
+    tags=("corpus", "sampling", "curation", "deterministic"),
+)
+def q_corpus_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus subsample, 3 docs per source, w =
+    ln(1 + n_chars) (log-tempered length as the quality proxy — swap in
+    any positive score column).  The auditable form of 'sample the
+    training mix proportional to quality': same inputs → same sample on
+    any engine, any cluster size, any retry — and therefore fully
+    value-hash-oracled, unlike RNG sampling (`sample_stratified` stays
+    rows-only by design; this is its deterministic weighted twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.log(F.lit(1.0) + F.col("n_chars").cast("double"))
+    out = weighted_sample_per_group(docs, "source", "doc_id", w, n=3)
+    return out.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.round("_w", 6).alias("weight"),
+        F.round("_k", 9).alias("skey"),
+        "rank",
+    )

@@ -137,6 +137,7 @@ _FRONT = (
     "sim_binary_code_topk",
     "sim_sq8_adc_topk",
     "sim_recall_audit",
+    "corpus_weighted_sample",
     "dedup_semantic_drift_serve",
     # (c) queries whose implementation changed THIS round (the
     # average_precision_from_grid degenerate-cell guard) so the fix lands

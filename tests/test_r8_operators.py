@@ -380,3 +380,57 @@ def test_relation_path_survives_cell_skew(spark):
     # hot-cell members must find hot-cell neighbors with near-1 cosine
     hot = [r for r in agg if r.c1 > 0.999]
     assert len(hot) >= 40
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (A-ES / md5 uniforms)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_invariants(spark):
+    """3 docs per source, every sampled doc belongs to its group, keys
+    strictly ordered within a group (md5 uniforms make ties measure-zero
+    and the id tiebreak removes them anyway), and the sample is
+    bit-identical across two independent evaluations (determinism — the
+    property RNG sampling cannot give)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+        q_corpus_weighted_sample,
+    )
+
+    a = q_corpus_weighted_sample(spark, SF).collect()
+    b = q_corpus_weighted_sample(spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_src = {}
+    for r in a:
+        by_src.setdefault(r["source"], []).append(r)
+    docs = load_table(spark, SF, "documents")
+    n_sources = docs.select("source").distinct().count()
+    assert len(by_src) == n_sources
+    for src, rs in by_src.items():
+        assert len(rs) == 3
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+        keys = [r["skey"] for r in rs]
+        assert keys[0] >= keys[1] >= keys[2]
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    """Statistical pull check on a crafted two-point weight distribution:
+    with 100 light docs (w≈ln(2)) and 100 heavy docs (w = 50x heavier),
+    a weighted top-20 must be dominated by heavy docs (binomial tail for
+    uniform sampling makes >=16/20 heavy essentially impossible by
+    chance: p < 1e-3 under 50/50)."""
+    from pyspark.sql import functions as F2
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+        weighted_sample_per_group,
+    )
+
+    df = spark.range(200).select(
+        F2.lit("g").alias("g"),
+        F2.col("id").alias("doc_id"),
+        F2.when(F2.col("id") < 100, F2.lit(1.0)).otherwise(F2.lit(50.0)).alias("w"),
+    )
+    out = weighted_sample_per_group(df, "g", "doc_id", F2.col("w"), n=20).collect()
+    heavy = sum(1 for r in out if r["doc_id"] >= 100)
+    assert heavy >= 16
