@@ -1136,10 +1136,13 @@ def weighted_sample_per_group(
     window that Spark 4 runs with WindowGroupLimit pushdown (partial
     top-n per task BEFORE the group exchange), so the exchange carries
     O(n·groups·tasks) rows, not the corpus."""
-    from ..functions.hashing import M61, md5_60  # noqa: PLC0415
+    from ..functions.hashing import md5_60  # noqa: PLC0415
 
+    # md5_60 is a 60-bit hash (range [0, 2^60)); dividing (h+1) by 2^60
+    # makes u exactly uniform on (0, 1] — dividing by 2^61 would halve the
+    # range and skew the A-ES keys by a constant ln(0.5)/w offset.
     u = (md5_60(F.col(id_col).cast("string")) + F.lit(1)).cast("double") / float(
-        M61 + 1
+        1 << 60
     )
     key = F.log(u) / weight
     win = Window.partitionBy(group_col).orderBy(
@@ -1154,9 +1157,9 @@ def weighted_sample_per_group(
 
 
 def _weighted_sample_oracle() -> str:
-    from ..functions.hashing import M61, md5_60_sql  # noqa: PLC0415
+    from ..functions.hashing import md5_60_sql  # noqa: PLC0415
 
-    u = f"(({md5_60_sql('CAST(doc_id AS VARCHAR)')}) + 1) / {float(M61 + 1)!r}"
+    u = f"(({md5_60_sql('CAST(doc_id AS VARCHAR)')}) + 1) / {float(1 << 60)!r}"
     return f"""
     WITH d AS (
         SELECT source, doc_id, n_chars,

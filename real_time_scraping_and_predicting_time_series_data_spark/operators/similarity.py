@@ -604,9 +604,18 @@ def ivf_topk_relation(
     id_col: str = "vec_id",
     vec: str = "embedding",
     query_id: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF ANN top-k where the QUERY SIDE IS A RELATION — the
     millions-of-queries / corpus-vs-corpus shape (VERDICT r7 item 5).
+
+    ``exclude_self=True`` (the default, right for the kNN SELF-join serve
+    where queries ARE corpus rows) drops candidates whose ``neighbor_id``
+    equals the ``query_id`` — which assumes the two id spaces are shared.
+    When the query relation carries EXTERNAL ids (a crawl shard joined
+    against the corpus), an accidental id collision would silently drop a
+    legitimate nearest neighbor: pass ``exclude_self=False`` for that
+    shape.
 
     ``brute_force_topk`` and the broadcast IVF serve treat the query set
     as a bounded panel: the GEMM path collects it to the driver and the
@@ -658,11 +667,10 @@ def ivf_topk_relation(
         )
         .select(query_id, "v_q", "cell")
     )
-    scored = (
-        c_cells.join(q_cells.hint("shuffle_hash"), "cell")
-        .filter(F.col("neighbor_id") != F.col(query_id))
-        .withColumn("cos", dot(F.col("v_q"), F.col("v_c")))
-    )
+    scored = c_cells.join(q_cells.hint("shuffle_hash"), "cell")
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col(query_id))
+    scored = scored.withColumn("cos", dot(F.col("v_q"), F.col("v_c")))
     w = Window.partitionBy(query_id).orderBy(F.desc(F.round("cos", 9)), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -35,7 +35,9 @@ usual commit-protocol swap.
 
 from __future__ import annotations
 
+import contextlib
 import csv
+import io
 import json
 import os
 
@@ -52,6 +54,39 @@ __all__ = [
     "ledger_compacted_upto",
     "compact_ledger",
 ]
+
+
+@contextlib.contextmanager
+def _manifest_lock(path: str):
+    """Exclusive advisory lock serializing manifest read-modify-write.
+
+    ``commit`` runs on the stream-execution thread while ``compact_ledger``
+    is a driver-side maintenance call — without serialization a commit
+    landing between compact's manifest read and its rewrite would be
+    silently dropped from the manifest (rows permanently invisible, never
+    replayed since the checkpoint already advanced).  ``fcntl.flock`` works
+    across threads AND processes on the local/NFS paths this sink targets;
+    on platforms without fcntl (Windows) we degrade to no lock, matching
+    the sink's documented single-writer deployment there."""
+    os.makedirs(path, exist_ok=True)
+    try:
+        import fcntl  # noqa: PLC0415
+    except ImportError:  # pragma: no cover - non-POSIX fallback
+        yield
+        return
+    with open(os.path.join(path, "_manifest.lock"), "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+
+
+def _ledger_files(path: str) -> list[str]:
+    """Directory listing minus the advisory lock (not ledger data)."""
+    if not os.path.isdir(path):
+        return []
+    return [f for f in os.listdir(path) if f != "_manifest.lock"]
 
 
 def _read_manifest(path: str) -> list[dict]:
@@ -116,30 +151,33 @@ class _CsvLedgerStreamWriter(DataSourceStreamWriter):
         # or below compacted_upto was already FOLDED — its rows live in
         # the consolidated part, so the replay is dropped and its freshly
         # written parts removed (same is_compacted guard as the grid
-        # stores' ingest path).
-        lines = _read_manifest(self.path)
-        if batchId <= max(
-            (e["compacted_upto"] for e in lines if "compacted_upto" in e), default=-1
-        ):
-            for m in messages:
-                if m is not None:
-                    try:
-                        os.remove(os.path.join(self.path, m.filename))
-                    except OSError:
-                        pass
-            return
-        lines = [e for e in lines if e.get("batch_id") != batchId]
-        lines.append(
-            {
-                "batch_id": batchId,
-                "parts": [m.filename for m in messages if m is not None],
-                "rows": sum(m.n_rows for m in messages if m is not None),
-            }
-        )
-        _write_manifest(
-            self.path,
-            sorted(lines, key=lambda e: e.get("batch_id", e.get("compacted_upto"))),
-        )
+        # stores' ingest path).  The whole read-modify-write holds the
+        # manifest lock so a concurrent compact_ledger can neither drop
+        # this commit nor race the replay-drop check.
+        with _manifest_lock(self.path):
+            lines = _read_manifest(self.path)
+            if batchId <= max(
+                (e["compacted_upto"] for e in lines if "compacted_upto" in e), default=-1
+            ):
+                for m in messages:
+                    if m is not None:
+                        try:
+                            os.remove(os.path.join(self.path, m.filename))
+                        except OSError:
+                            pass
+                return
+            lines = [e for e in lines if e.get("batch_id") != batchId]
+            lines.append(
+                {
+                    "batch_id": batchId,
+                    "parts": [m.filename for m in messages if m is not None],
+                    "rows": sum(m.n_rows for m in messages if m is not None),
+                }
+            )
+            _write_manifest(
+                self.path,
+                sorted(lines, key=lambda e: e.get("batch_id", e.get("compacted_upto"))),
+            )
 
     def abort(self, messages, batchId: int) -> None:
         # unmanifested parts are invisible to readers; best-effort sweep
@@ -197,13 +235,24 @@ def compact_ledger(path: str) -> dict:
     leaves orphans no reader resolves.  Replays of folded batch ids are
     dropped at ``commit`` via the ``compacted_upto`` guard.
 
+    Concurrency: the fold itself runs lock-free (it only reads a snapshot
+    and writes an invisible uuid-named part), but the manifest rewrite
+    holds the same lock as ``commit`` and RE-MERGES: any entry that landed
+    after the snapshot (batch id above the folded high-water mark — ids
+    are monotone per stream) is carried forward, so a micro-batch commit
+    racing the compact is never dropped.
+
+    ``rows`` counts CSV RECORDS (``csv.reader`` semantics, matching
+    ``read_ledger_rows``), not physical lines — a quoted field with an
+    embedded newline is one row.
+
     Returns ``{"folded_entries", "upto", "files_before", "files_after",
     "rows"}``; a ledger with nothing new to fold (or no manifest) is a
     no-op that still reports counts."""
     import uuid
 
     entries = _read_manifest(path)
-    files_before = len(os.listdir(path)) if os.path.isdir(path) else 0
+    files_before = len(_ledger_files(path))
     if not entries:
         return {
             "folded_entries": 0,
@@ -222,12 +271,16 @@ def compact_ledger(path: str) -> dict:
     with open(os.path.join(path, name), "w", newline="") as out:
         for part in old_parts:
             with open(os.path.join(path, part), newline="") as pf:
-                for chunk in iter(lambda: pf.read(1 << 20), ""):
-                    out.write(chunk)
-                    n_rows += chunk.count("\n")
-    _write_manifest(
-        path, [{"compacted_upto": new_upto, "parts": [name], "rows": n_rows}]
-    )
+                text = pf.read()
+            out.write(text)
+            n_rows += sum(1 for _ in csv.reader(io.StringIO(text)))
+    with _manifest_lock(path):
+        fresh = _read_manifest(path)
+        late = [e for e in fresh if e.get("batch_id", -1) > new_upto]
+        _write_manifest(
+            path,
+            [{"compacted_upto": new_upto, "parts": [name], "rows": n_rows}, *late],
+        )
     for part in old_parts:
         try:
             os.remove(os.path.join(path, part))
@@ -237,6 +290,6 @@ def compact_ledger(path: str) -> dict:
         "folded_entries": len(entries),
         "upto": new_upto,
         "files_before": files_before,
-        "files_after": len(os.listdir(path)),
+        "files_after": len(_ledger_files(path)),
         "rows": n_rows,
     }

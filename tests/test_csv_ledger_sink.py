@@ -128,6 +128,127 @@ def test_compact_ledger_fold_bit_identity_and_replay_guard(spark, tmp_path):
     assert rep3["upto"] == 5 and len(read_ledger_rows(led)) == 11
 
 
+def test_compact_crash_between_fold_and_publish(spark, tmp_path, monkeypatch):
+    """r9 (VERDICT r8 item 6): kill the compact BETWEEN writing the
+    consolidated part and publishing the manifest — the orphan folded part
+    must stay invisible (reader invariance) and a re-compact must succeed,
+    the same staging-rename hazard the parquet stores pin."""
+    import real_time_scraping_and_predicting_time_series_data_spark.sources.csv_ledger_sink as cls
+
+    led = str(tmp_path / "led6")
+    os.makedirs(led)
+    w = _CsvLedgerStreamWriter({"path": led})
+    for b in range(3):
+        name = f"b{b}.csv"
+        with open(os.path.join(led, name), "w") as f:
+            f.write(f"{b},x\n")
+        w.commit([_PartMessage(name, 1)], batchId=b)
+    before = sorted(map(tuple, read_ledger_rows(led)))
+
+    real_write = cls._write_manifest
+
+    def crash_write(path, entries):
+        raise OSError("simulated crash before manifest publish")
+
+    monkeypatch.setattr(cls, "_write_manifest", crash_write)
+    try:
+        cls.compact_ledger(led)
+        raise AssertionError("expected the simulated crash")
+    except OSError:
+        pass
+    monkeypatch.setattr(cls, "_write_manifest", real_write)
+
+    # orphan consolidated part is on disk but NOT resolved by the reader
+    orphans = [f for f in os.listdir(led) if f.startswith("compacted-")]
+    assert orphans, "fold should have staged a consolidated part"
+    assert sorted(map(tuple, read_ledger_rows(led))) == before
+    # manifest still lists the original per-batch entries
+    with open(os.path.join(led, "_manifest.jsonl")) as f:
+        entries = [json.loads(ln) for ln in f]
+    assert [e["batch_id"] for e in entries] == [0, 1, 2]
+
+    # re-compact after the crash succeeds and preserves the row multiset
+    rep = cls.compact_ledger(led)
+    assert rep["upto"] == 2 and rep["rows"] == 3
+    assert sorted(map(tuple, read_ledger_rows(led))) == before
+
+
+def test_compact_merges_commit_landing_in_window(spark, tmp_path, monkeypatch):
+    """r9 (ADVICE r8): a micro-batch commit that lands between compact's
+    manifest snapshot and its locked rewrite must be carried forward, not
+    silently dropped — compact re-merges entries above the folded
+    high-water mark under the manifest lock."""
+    import contextlib
+
+    import real_time_scraping_and_predicting_time_series_data_spark.sources.csv_ledger_sink as cls
+
+    led = str(tmp_path / "led7")
+    os.makedirs(led)
+    w = _CsvLedgerStreamWriter({"path": led})
+    for b in range(3):
+        name = f"b{b}.csv"
+        with open(os.path.join(led, name), "w") as f:
+            f.write(f"{b},x\n")
+        w.commit([_PartMessage(name, 1)], batchId=b)
+
+    real_lock = cls._manifest_lock
+    state = {"injected": False}
+
+    @contextlib.contextmanager
+    def racing_lock(path):
+        # first acquisition comes from compact's rewrite: inject a real
+        # commit of batch 3 FIRST (the stream-execution thread winning the
+        # race for the lock), then let compact proceed.
+        if not state["injected"]:
+            state["injected"] = True
+            name = "b3-late.csv"
+            with open(os.path.join(led, name), "w") as f:
+                f.write("3,late\n")
+            w.commit([_PartMessage(name, 1)], batchId=3)
+        with real_lock(path):
+            yield
+
+    monkeypatch.setattr(cls, "_manifest_lock", racing_lock)
+    rep = cls.compact_ledger(led)
+    monkeypatch.setattr(cls, "_manifest_lock", real_lock)
+
+    assert rep["upto"] == 2  # fold covered only the snapshot batches
+    rows = sorted(map(tuple, read_ledger_rows(led)))
+    assert ("3", "late") in rows and len(rows) == 4  # late commit survives
+    with open(os.path.join(led, "_manifest.jsonl")) as f:
+        entries = [json.loads(ln) for ln in f]
+    assert entries[0]["compacted_upto"] == 2
+    assert [e["batch_id"] for e in entries[1:]] == [3]
+    # second fold absorbs the late batch
+    rep2 = cls.compact_ledger(led)
+    assert rep2["upto"] == 3 and rep2["rows"] == 4
+    assert sorted(map(tuple, read_ledger_rows(led))) == rows
+
+
+def test_compact_rows_counts_csv_records_not_lines(spark, tmp_path):
+    """r9 (ADVICE r8): compact's reported `rows` uses csv.reader record
+    semantics — a quoted field with an embedded newline is ONE row, in
+    agreement with read_ledger_rows."""
+    import csv as _csv
+
+    from real_time_scraping_and_predicting_time_series_data_spark.sources.csv_ledger_sink import (
+        compact_ledger,
+    )
+
+    led = str(tmp_path / "led8")
+    os.makedirs(led)
+    w = _CsvLedgerStreamWriter({"path": led})
+    with open(os.path.join(led, "p0.csv"), "w", newline="") as f:
+        cw = _csv.writer(f)
+        cw.writerow(["1", "line1\nline2"])  # 1 record, 2 physical lines
+        cw.writerow(["2", "plain"])
+    w.commit([_PartMessage("p0.csv", 2)], batchId=0)
+    assert read_ledger_rows(led) == [["1", "line1\nline2"], ["2", "plain"]]
+    rep = compact_ledger(led)
+    assert rep["rows"] == 2  # records, not '\n' count (which would be 3)
+    assert read_ledger_rows(led) == [["1", "line1\nline2"], ["2", "plain"]]
+
+
 def test_compact_ledger_streaming_end_to_end(spark, tmp_path):
     """Fold under a real streaming drain + restart: rows served by the
     manifest reader are identical across (stream, compact, resume-stream,
