@@ -1370,9 +1370,10 @@ def binary_hamming_topk(
     )
 
 
-def _binary_cte() -> str:
-    """Shared CTE body (corpus → sign codes → query panel → Hamming-pooled
-    candidates) used by both the serve oracle and the recall audit."""
+def _binary_coded_cte() -> str:
+    """CTE body corpus → per-vector-mean sign codes (``coded``: vec_id, nv,
+    w0, w1) — shared by the full-scan serve, the recall audits, and the
+    IVF-composed / relation-side serves."""
     w0 = " + ".join(
         f"CASE WHEN v[{i + 1}] > thr THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
         for i in range(32)
@@ -1389,7 +1390,13 @@ def _binary_cte() -> str:
                list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
                CAST({w0} AS BIGINT) AS w0, CAST({w1} AS BIGINT) AS w1
         FROM m
-    ),
+    )"""
+
+
+def _binary_cte() -> str:
+    """Shared CTE body (corpus → sign codes → query panel → Hamming-pooled
+    candidates) used by both the serve oracle and the recall audit."""
+    return f"""{_binary_coded_cte()},
     q AS (SELECT vec_id AS query_id, nv AS qnv, w0 AS qw0, w1 AS qw1
           FROM coded WHERE vec_id < {_BIN_QUERIES}),
     cand AS (
@@ -1516,8 +1523,12 @@ def sq8_adc_topk(
     )
 
 
-_SQ8_ORACLE = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+def _sq8_coded_cte() -> str:
+    """CTE body corpus → affine uint8 codes (``coded``: vec_id, nv, mn,
+    scale, qv) — shared by the full-scan SQ8 serve and its relation-side
+    IVF-composed twin."""
+    return """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     s AS (SELECT vec_id, v, list_min(v) AS mn,
                  (list_max(v) - list_min(v)) / 255.0 AS scale
           FROM e),
@@ -1529,7 +1540,11 @@ _SQ8_ORACLE = f"""
                     THEN list_transform(v, x -> floor((x - mn) / scale + 0.5))
                     ELSE list_transform(v, x -> 0.0) END AS qv
         FROM s
-    ),
+    )"""
+
+
+_SQ8_ORACLE = f"""
+    WITH {_sq8_coded_cte()},
     q AS (SELECT vec_id AS query_id, nv AS qnv
           FROM coded WHERE vec_id < {_SQ8_QUERIES}),
     cand AS (
@@ -1632,6 +1647,419 @@ def q_sim_recall_audit(spark, sf_dir):
     approx = binary_hamming_topk(emb, k=5).select(
         "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    w = F.lit(1.0) / F.log2(F.col("rank") + F.lit(1))
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("k"),
+        F.count("_hit").cast("long").alias("n_hit"),
+        canon(F.count("_hit") / F.count("*")).alias("recall"),
+        canon(
+            F.sum(F.when(F.col("_hit").isNotNull(), w).otherwise(F.lit(0.0)))
+            / F.sum(w)
+        ).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compressed codes INSIDE the IVF cell join, relation-side (r9, VERDICT r8
+# items 3+5): the shape a 100 TB retrieval stack actually runs — coarse
+# cells prune candidates, compressed codes (1-bit Hamming / SQ8 ADC) rank
+# them, exact cosine re-ranks the pool — with the query side a full
+# RELATION (shuffle-hash-joined on the cell key, never collected or
+# broadcast), completing the compression matrix's relation row beside
+# `sim_topk_relation` (float) and `sim_ivfpq_topk` (PQ, panel).
+# ---------------------------------------------------------------------------
+
+
+def _relation_cell_candidates(
+    c_coded: DataFrame,
+    q_coded: DataFrame,
+    n_cells: int,
+    nprobe: int,
+    exclude_self: bool = True,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Shared candidate generation for relation-side compressed serves.
+
+    ``c_coded`` carries ``neighbor_id`` + unit-normalized ``nv`` + any code
+    payload; ``q_coded`` carries ``query_id`` + ``qnv`` + payload.  Seeded
+    cosine cells (cell j = normalized corpus vector j, the
+    `ivf_topk_seeded` convention), corpus assignment and query probing are
+    per-row projections against the broadcast K-row centroid model, and
+    the candidate join is a pinned SHUFFLE hash join on ``cell`` — the
+    only exchanges are the two cell-keyed ones, so 10 queries and 10
+    million take the same plan.  Each corpus row lives in exactly one
+    cell, so a (query, neighbor) pair appears at most once even with
+    nprobe > 1.  Same ``exclude_self`` contract as `ivf_topk_relation`."""
+    cents = c_coded.filter(F.col("neighbor_id") < n_cells).select(
+        F.col("neighbor_id").cast("int").alias("cell"), F.col("nv").alias("c_nvec")
+    )
+    c_cells = ivf_assign(c_coded, cents, "nv", ["neighbor_id"])
+    q_cells = (
+        q_coded.crossJoin(F.broadcast(_centroid_row(cents)))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(_nearest_cells("qnv")), 1, nprobe),
+                    lambda s: s.getField("cell"),
+                )
+            ),
+        )
+        .drop("_cents")
+    )
+    cand = c_cells.join(q_cells.hint("shuffle_hash"), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col(query_id))
+    return cand
+
+
+def ivf_binary_topk_relation(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    pool: int = 10,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    query_id: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Binary-inside-IVF serving with a RELATION query side: candidates
+    cell-pruned by the seeded IVF probe, ranked by the 2-word
+    XOR+popcount Hamming estimator over packed sign codes (16 bytes read
+    per candidate instead of 256), exact cosine re-rank of the ``pool``
+    best — the composition `binary_hamming_topk`'s docstring promises,
+    mirroring `sim_ivfpq_topk`'s PQ analogue.
+
+    Scale shape: sign-coding and normalization are per-row projections;
+    the centroid model is the only broadcast; the candidate join
+    shuffles both sides once on ``cell`` (~nprobe/n_cells of the cross
+    product); Hamming pooling and the exact re-rank are windows over the
+    ``query_id`` exchange touching only in-cell candidates.  Fully
+    deterministic (integer Hamming, rounded folds, id tie-breaks) →
+    full DuckDB oracle."""
+    c = binary_sign_codes(corpus, vec=vec, id_col=id_col)
+    c = c.withColumn("_n", norm(F.col("v"))).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform("v", lambda x: x / F.col("_n")).alias("nv"),
+        "w0",
+        "w1",
+    )
+    qd = binary_sign_codes(
+        queries.select(F.col(query_id), F.col(vec)), vec=vec, id_col=query_id
+    )
+    qd = qd.withColumn("_n", norm(F.col("v"))).select(
+        query_id,
+        F.transform("v", lambda x: x / F.col("_n")).alias("qnv"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    cand = _relation_cell_candidates(c, qd, n_cells, nprobe, exclude_self, query_id)
+    cand = cand.withColumn(
+        "ham",
+        (
+            F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+            + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+        ).cast("long"),
+    )
+    wpool = Window.partitionBy(query_id).orderBy(F.asc("ham"), F.asc("neighbor_id"))
+    pooled = cand.withColumn("crn", F.row_number().over(wpool)).filter(
+        F.col("crn") <= pool
+    )
+    rr = pooled.withColumn("cos", dot(F.col("qnv"), F.col("nv")))
+    wr = Window.partitionBy(query_id).orderBy(
+        F.desc(F.round("cos", 9)), F.asc("neighbor_id")
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "ham", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def sq8_topk_relation(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    pool: int = 10,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    query_id: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """SQ8-inside-IVF serving with a RELATION query side: cell-pruned
+    candidates ranked by the asymmetric dequantized dot product (full-
+    precision normalized query × per-vector affine uint8 corpus codes,
+    the FAISS SQ8 shape), exact cosine re-rank of the pool.  Same plan
+    skeleton as `ivf_binary_topk_relation` — centroid model broadcast,
+    shuffle-hash cell join, no query collect/broadcast anywhere."""
+    v = as_double(F.col(vec))
+    base = corpus.select(
+        F.col(id_col),
+        v.alias("v"),
+        F.array_min(v).alias("mn"),
+        ((F.array_max(v) - F.array_min(v)) / 255.0).alias("scale"),
+    )
+    coded = base.withColumn(
+        "qv",
+        F.when(
+            F.col("scale") > 0,
+            F.transform(
+                "v", lambda x: F.floor((x - F.col("mn")) / F.col("scale") + 0.5)
+            ),
+        ).otherwise(F.transform("v", lambda x: F.lit(0).cast("bigint"))),
+    )
+    c = coded.withColumn("_n", norm(F.col("v"))).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform("v", lambda x: x / F.col("_n")).alias("nv"),
+        "mn",
+        "scale",
+        "qv",
+    )
+    qv = as_double(F.col(vec))
+    qd = queries.select(F.col(query_id), qv.alias("v"))
+    qd = qd.withColumn("_n", norm(F.col("v"))).select(
+        query_id, F.transform("v", lambda x: x / F.col("_n")).alias("qnv")
+    )
+    cand = _relation_cell_candidates(c, qd, n_cells, nprobe, exclude_self, query_id)
+    cand = cand.withColumn(
+        "est",
+        dot(F.col("qnv"), F.transform("qv", lambda c_: F.col("mn") + c_ * F.col("scale"))),
+    )
+    wpool = Window.partitionBy(query_id).orderBy(
+        F.desc(F.round("est", 9)), F.asc("neighbor_id")
+    )
+    pooled = cand.withColumn("crn", F.row_number().over(wpool)).filter(
+        F.col("crn") <= pool
+    )
+    rr = pooled.withColumn("cos", dot(F.col("qnv"), F.col("nv")))
+    wr = Window.partitionBy(query_id).orderBy(
+        F.desc(F.round("cos", 9)), F.asc("neighbor_id")
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            "neighbor_id",
+            F.round("est", 6).alias("est_dot"),
+            F.round("cos", 6).alias("cos"),
+            "rank",
+        )
+    )
+
+
+def _seeded_cells_sql(
+    corpus_extra: str, query_extra: str, nprobe: int, n_cells: int = 16
+) -> str:
+    """cents/assign/probes CTE triplet over a ``coded`` CTE carrying
+    (vec_id, nv, …payload): seeded cosine cells, round-9 argmin with the
+    lowest-cell tie-break — the `_TOPK_RELATION_ORACLE` arithmetic
+    parameterized by payload columns.  ``corpus_extra``/``query_extra``
+    are ``(outer_select, inner_select)`` pairs encoded as one string each
+    with a ``|`` separator."""
+    c_out, c_in = corpus_extra.split("|")
+    q_out, q_in = query_extra.split("|")
+    return f"""
+    cents AS (SELECT CAST(vec_id AS INT) AS cell, nv AS c_nvec
+              FROM coded WHERE vec_id < {n_cells}),
+    assign AS (
+        SELECT vec_id, nv{c_out}, cell FROM (
+            SELECT c.vec_id, c.nv{c_in}, ce.cell,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY round(-list_dot_product(c.nv, ce.c_nvec), 9), ce.cell
+                   ) AS rn
+            FROM coded c CROSS JOIN cents ce) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, qnv{q_out}, cell FROM (
+            SELECT c.vec_id AS query_id, c.nv AS qnv{q_in}, ce.cell,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY round(-list_dot_product(c.nv, ce.c_nvec), 9), ce.cell
+                   ) AS rn
+            FROM coded c CROSS JOIN cents ce) WHERE rn <= {nprobe}
+    )"""
+
+
+def _ivf_binary_relation_oracle(nprobe: int = 2, pool: int = 10, k: int = 3) -> str:
+    cells = _seeded_cells_sql(
+        ", w0, w1|, c.w0, c.w1", ", qw0, qw1|, c.w0 AS qw0, c.w1 AS qw1", nprobe
+    )
+    return f"""
+    WITH {_binary_coded_cte()},
+    {cells},
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, p.qnv, a.nv,
+               bit_count(xor(p.qw0, a.w0)) + bit_count(xor(p.qw1, a.w1)) AS ham,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY bit_count(xor(p.qw0, a.w0)) + bit_count(xor(p.qw1, a.w1)),
+                            a.vec_id) AS crn
+        FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(ham AS BIGINT) AS ham,
+           round(list_dot_product(qnv, nv), 6) AS cos,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_dot_product(qnv, nv), 9) DESC, neighbor_id)
+             AS BIGINT) AS rank
+    FROM cand WHERE crn <= {pool}
+    QUALIFY rank <= {k}
+    """
+
+
+@register(
+    "sim_ivf_binary_topk",
+    oracle=_ivf_binary_relation_oracle(),
+    tags=("similarity", "ivf", "ann", "binary", "relation"),
+)
+def q_sim_ivf_binary_topk(spark, sf_dir):
+    """The composed compressed serve at relation scale: EVERY embedding
+    row is a query; its 2 probed IVF cells bound the candidates, packed
+    1-bit Hamming ranks them (16 bytes/candidate), exact cosine re-ranks
+    the 10-candidate pool to top-3.  This is the binary analogue of
+    `sim_ivfpq_topk` with `sim_topk_relation`'s no-collect/no-query-
+    broadcast plan — the shape a 100 TB retrieval stack actually runs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_binary_topk_relation(emb, queries, k=3, n_cells=16, nprobe=2, pool=10)
+
+
+def _sq8_relation_oracle(nprobe: int = 2, pool: int = 10, k: int = 3) -> str:
+    cells = _seeded_cells_sql(
+        ", mn, scale, qv|, c.mn, c.scale, c.qv", "|", nprobe
+    )
+    est = "list_dot_product(p.qnv, list_transform(a.qv, x -> a.mn + x * a.scale))"
+    return f"""
+    WITH {_sq8_coded_cte()},
+    {cells},
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, p.qnv, a.nv,
+               {est} AS est,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY round({est}, 9) DESC, a.vec_id) AS crn
+        FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, round(est, 6) AS est_dot,
+           round(list_dot_product(qnv, nv), 6) AS cos,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_dot_product(qnv, nv), 9) DESC, neighbor_id)
+             AS BIGINT) AS rank
+    FROM cand WHERE crn <= {pool}
+    QUALIFY rank <= {k}
+    """
+
+
+@register(
+    "sim_sq8_relation_topk",
+    oracle=_sq8_relation_oracle(),
+    tags=("similarity", "ivf", "ann", "sq8", "relation"),
+)
+def q_sim_sq8_relation_topk(spark, sf_dir):
+    """SQ8-inside-IVF at relation scale: every embedding row is a query,
+    candidates cell-pruned (nprobe=2/16), ranked by the asymmetric
+    dequantized dot over uint8 codes, exact re-rank of the 10-pool to
+    top-3 — the relation twin of `sim_sq8_adc_topk`, completing the
+    compression matrix's relation row (float / 1-bit / SQ8 / PQ)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    return sq8_topk_relation(emb, queries, k=3, n_cells=16, nprobe=2, pool=10)
+
+
+_IVFBIN_AUDIT_QUERIES = 8
+_IVFBIN_AUDIT_NPROBE = 4
+_IVFBIN_AUDIT_POOL = 15
+
+
+def _ivf_binary_recall_audit_oracle() -> str:
+    cells = _seeded_cells_sql(
+        ", w0, w1|, c.w0, c.w1", ", qw0, qw1|, c.w0 AS qw0, c.w1 AS qw1",
+        _IVFBIN_AUDIT_NPROBE,
+    )
+    return f"""
+    WITH {_binary_coded_cte()},
+    {cells},
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, p.qnv, a.nv,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY bit_count(xor(p.qw0, a.w0)) + bit_count(xor(p.qw1, a.w1)),
+                            a.vec_id) AS crn
+        FROM assign a
+        JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+        WHERE p.query_id < {_IVFBIN_AUDIT_QUERIES}
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(list_dot_product(qnv, nv), 9) DESC,
+                                neighbor_id) AS rank
+            FROM cand WHERE crn <= {_IVFBIN_AUDIT_POOL})
+        WHERE rank <= 5
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.nv, c.nv), 9) DESC,
+                                c.vec_id) AS rank
+            FROM coded q JOIN coded c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {_IVFBIN_AUDIT_QUERIES})
+        WHERE rank <= 5
+    )
+    SELECT x.query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           floor(count(a.neighbor_id) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5)
+               / 1000000 AS recall,
+           floor(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                          THEN 1.0 / log2(x.rank + 1) ELSE 0.0 END)
+                 / sum(1.0 / log2(x.rank + 1)) * 1000000 + 0.5) / 1000000 AS ndcg
+    FROM exact x LEFT JOIN approx a
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """
+
+
+@register(
+    "sim_ivf_binary_recall_audit",
+    oracle=_ivf_binary_recall_audit_oracle(),
+    tags=("similarity", "ann", "eval", "audit", "ivf", "binary"),
+)
+def q_sim_ivf_binary_recall_audit(spark, sf_dir):
+    """Retrieval-quality audit of the COMPOSED binary-inside-IVF serve:
+    per query, recall@5 and binary-relevance nDCG@5 against exact
+    brute-force cosine ground truth — `sim_recall_audit`'s methodology
+    applied to the cell-pruned path, so the audit now prices BOTH
+    approximations at once (cells dropping true neighbors outside the
+    probe set, 1-bit codes mis-ranking the pool).  Wider probe budget
+    (nprobe=4, pool=15) than the serve defaults, the setting an audit
+    would green-light for production."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    panel = emb.filter(F.col("vec_id") < _IVFBIN_AUDIT_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, panel, k=5)
+    approx = ivf_binary_topk_relation(
+        emb,
+        panel,
+        k=5,
+        n_cells=16,
+        nprobe=_IVFBIN_AUDIT_NPROBE,
+        pool=_IVFBIN_AUDIT_POOL,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
     j = exact.join(approx, ["query_id", "neighbor_id"], "left")
     w = F.lit(1.0) / F.log2(F.col("rank") + F.lit(1))
     canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
