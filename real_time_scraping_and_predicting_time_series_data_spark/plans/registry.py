@@ -78,6 +78,7 @@ _QUERY_MODULES = (
     "real_time_scraping_and_predicting_time_series_data_spark.operators.quality",
     "real_time_scraping_and_predicting_time_series_data_spark.ml.forecast",
     "real_time_scraping_and_predicting_time_series_data_spark.ml.mllib_forecast",
+    "real_time_scraping_and_predicting_time_series_data_spark.ml.keras_forecast",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.relational",
     "real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries",
     "real_time_scraping_and_predicting_time_series_data_spark.plans.flagship",

@@ -98,6 +98,44 @@ def test_ivf_binary_relation_external_query_ids(spark):
     assert all(r.n == 3 and r.mx == 3 for r in rows)
 
 
+def test_fixed_lstm_forward_properties(spark):
+    """The fixed-weight LSTM twin (M1/M3 in-CI path): deterministic across
+    calls, sensitive to its input (different windows -> different
+    forecasts), output bounded by the hard-activation envelope (|y| <=
+    50 * 0.1 + 0.1 after the Dense fold), and zero-input gives the pure
+    bias-driven baseline rather than zeros."""
+    from real_time_scraping_and_predicting_time_series_data_spark.ml.keras_forecast import (
+        fixed_lstm_forward,
+    )
+
+    xs_a = [i / 9.0 for i in range(10)]
+    xs_b = [1.0 - i / 9.0 for i in range(10)]
+    a1, a2, b = fixed_lstm_forward(xs_a), fixed_lstm_forward(xs_a), fixed_lstm_forward(xs_b)
+    assert a1 == a2  # bit-identical rerun
+    assert a1 != b  # input sensitivity
+    assert all(abs(y) <= 5.1 for y in a1)  # |h2|<=1 so |dense| <= 50*0.1+0.1
+    z = fixed_lstm_forward([0.0] * 10)
+    assert any(abs(y) > 1e-9 for y in z)
+
+
+def test_lstm_query_shape_and_determinism(spark):
+    """ml_lstm_fixed_inference: one 5-step forecast per event_type, rerun-
+    identical, forecasts inside the window's [mn, mx] span widened by the
+    dense envelope."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    fn = all_queries()["ml_lstm_fixed_inference"].fn
+    a = sorted(map(tuple, fn(spark, SF).collect()))
+    b = sorted(map(tuple, fn(spark, SF).collect()))
+    assert a == b
+    types = {r[0] for r in a}
+    assert len(a) == len(types) * 5
+    steps = sorted(r[1] for r in a if r[0] == a[0][0])
+    assert steps == [1, 2, 3, 4, 5]
+
+
 def test_ivf_binary_recall_audit_bounds(spark):
     """Audit sanity: recall/ndcg in [0,1], n_hit <= k, one row per panel
     query; with nprobe=4/16 and pool=15 the mean recall must clear the
