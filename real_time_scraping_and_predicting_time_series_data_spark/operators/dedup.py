@@ -97,6 +97,7 @@ def jaccard_pairs(
     n: int = 2,
     threshold: float = 0.2,
     prune_singletons: bool = False,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via an inverted-index self-join.
 
@@ -112,16 +113,33 @@ def jaccard_pairs(
     materialization needed; (b) the join key is ``xxhash64(shingle)`` —
     8 bytes through the shuffle instead of the shingle string (collision
     odds ~|shingles|²/2⁶⁴, deterministic).
+
+    ``max_df`` (the stop-gram cap, r9): drop shingles whose in-block
+    document frequency exceeds the cap BEFORE the self-join, and size each
+    doc's set over the survivors — Jaccard over the stop-gram-filtered
+    shingle profile.  This is the skew escalation for the low-threshold
+    clustering shape where prefix filtering can't prune (prefix length →
+    |set| as tau → 0): a boilerplate shingle shared by df docs contributes
+    df² candidate rows — one straggler task and a quadratic output at
+    corpus scale — while carrying no dedup signal (production corpus-dedup
+    pipelines drop exactly these).  The cap collapses that term to zero;
+    the oracle applies the identical cap so the filtered semantics stay
+    value-hash-checked.
     """
     base = df.select(
         F.col(id_col).alias("id"),
         *( [F.col(block).alias("blk")] if block else [F.lit(0).alias("blk")] ),
         shingles(F.col(text), n).alias("sh"),
     )
-    return _jaccard_core(base, threshold, prune_singletons)
+    return _jaccard_core(base, threshold, prune_singletons, max_df=max_df)
 
 
-def _jaccard_core(base: DataFrame, threshold: float, prune_singletons: bool) -> DataFrame:
+def _jaccard_core(
+    base: DataFrame,
+    threshold: float,
+    prune_singletons: bool,
+    max_df: int | None = None,
+) -> DataFrame:
     """Shared inverted-index Jaccard machinery over (id, blk, sh) rows —
     used by the word-shingle and character-shingle pair generators."""
     base = base.withColumn("set_size", F.size("sh"))
@@ -129,6 +147,19 @@ def _jaccard_core(base: DataFrame, threshold: float, prune_singletons: bool) -> 
     inv = base.select("id", "blk", "set_size", F.explode("sh").alias("_sh")).select(
         "id", "blk", "set_size", F.xxhash64("_sh").alias("shingle")
     )
+    if max_df is not None:
+        # Stop-gram cap: both the df filter and the per-doc re-size ride
+        # window aggregates keyed on the SAME (blk, shingle) / (blk, id)
+        # partitionings the join and grouping below shuffle on — no extra
+        # exchange at cluster scale beyond the df count itself.
+        wdf = Window.partitionBy("blk", "shingle")
+        inv = (
+            inv.withColumn("_df", F.count("*").over(wdf))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+        wsz = Window.partitionBy("blk", "id")
+        inv = inv.withColumn("set_size", F.count("*").over(wsz))
     if prune_singletons:
         # A shingle occurring once in its block can't appear in any pair, so
         # drop it BEFORE the self-join (~60% of this corpus's 3-gram
@@ -822,6 +853,72 @@ def q_dedup_clusters(spark, sf_dir):
     edges = jaccard_pairs(docs, block="source", n=2, threshold=0.05).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
+    labels = connected_components(edges, docs.select("doc_id"))
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+_STOPGRAM_DF_CAP = 32
+
+
+@register(
+    "dedup_clusters_stopgram",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, source,
+               list_distinct([words[i] || ' ' || words[i+1]
+                              FOR i IN range(1, len(words))]) AS grams
+        FROM toks
+    ), inv0 AS (
+        SELECT doc_id, source, unnest(grams) AS shingle FROM sh
+    ), dfreq AS (
+        SELECT source, shingle, count(*) AS df FROM inv0 GROUP BY 1, 2
+    ), inv AS (
+        SELECT i.doc_id, i.source, i.shingle,
+               count(*) OVER (PARTITION BY i.source, i.doc_id) AS set_size
+        FROM inv0 i JOIN dfreq d
+          ON d.source = i.source AND d.shingle = i.shingle
+        WHERE d.df <= {_STOPGRAM_DF_CAP}
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.set_size AS size_a, b.set_size AS size_b,
+               count(*) AS n_common
+        FROM inv a JOIN inv b ON a.source = b.source AND a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ), pairs AS (
+        SELECT id_a, id_b FROM common
+        WHERE n_common / (size_a + size_b - n_common) >= 0.05
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "clustering", "graph", "skew"),
+)
+def q_dedup_clusters_stopgram(spark, sf_dir):
+    """`dedup_duplicate_clusters` with the stop-gram df cap (32 per
+    source block) — the skew-hardened form a 100 TB corpus runs: shingles
+    shared by more than 32 docs are boilerplate, carry no dedup signal,
+    and each contribute df² candidate rows to the inverted-index self-join
+    (the one term that breaks the Σdf² bound under hot-key skew; prefix
+    filtering can't help at tau=0.05 since the prefix length approaches
+    the whole set).  Jaccard is computed over the FILTERED shingle
+    profiles on both engines, so the variant carries its own full
+    value-hash oracle rather than approximating the uncapped one."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    edges = jaccard_pairs(
+        docs, block="source", n=2, threshold=0.05, max_df=_STOPGRAM_DF_CAP
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     labels = connected_components(edges, docs.select("doc_id"))
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 

@@ -136,6 +136,76 @@ def test_lstm_query_shape_and_determinism(spark):
     assert steps == [1, 2, 3, 4, 5]
 
 
+def test_clusters_stopgram_hot_shingle_skew_stress(spark):
+    """Skew stress for the clustering edge build (VERDICT r8 item 7):
+    85% of docs share a boilerplate header whose 2-grams are corpus-hot.
+    Uncapped, every hot shingle contributes df² candidate rows (here the
+    hot pairs are also REAL 0.05-Jaccard edges, so the output itself is
+    quadratic — ~14k pairs from 170 docs).  With the stop-gram df cap the
+    candidate volume collapses to the planted rare near-dups only, the
+    planted pairs still cluster together, and boilerplate-only docs come
+    out isolated."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+
+    boiler = "terms of service apply to all users of this site"
+    n_hot = 170  # 85% of 200
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c", "s") for i in range(n_hot)]
+    rows += [
+        (1000 + i, " ".join(f"rare{i}{c}" for c in "abcdefgh"), "s")
+        for i in range(27)
+    ]
+    # 3 planted near-dup pairs sharing rare filler (no boilerplate at all)
+    for j, base in enumerate((2000, 2010, 2020)):
+        filler = " ".join(f"dup{j}{c}" for c in "abcdefgh")
+        rows.append((base, f"{filler} x{j}", "s"))
+        rows.append((base + 1, f"{filler} y{j}", "s"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    uncapped = jaccard_pairs(docs, block="source", n=2, threshold=0.05).count()
+    assert uncapped >= n_hot * (n_hot - 1) // 2  # the quadratic hot term
+
+    capped = jaccard_pairs(
+        docs, block="source", n=2, threshold=0.05, max_df=32
+    )
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert pairs == {(2000, 2001), (2010, 2011), (2020, 2021)}
+
+    edges = capped.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = {
+        r.node: r.label
+        for r in connected_components(edges, docs.select("doc_id")).collect()
+    }
+    assert labels[2001] == 2000 and labels[2011] == 2010 and labels[2021] == 2020
+    # every boilerplate-only doc is its own cluster under the cap
+    assert all(labels[i] == i for i in range(n_hot))
+
+
+def test_stopgram_cap_plan_filters_before_selfjoin(spark):
+    """Plan pin: the df-cap filter must sit BELOW the inverted-index
+    self-join (candidates never materialize for capped shingles) — the
+    executed plan shows the window count + filter on the join's input,
+    not a post-join filter."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"a b c w{i} z{i}", "s") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    out = jaccard_pairs(docs, block="source", n=2, threshold=0.05, max_df=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    join_at = plan.find("Join")
+    filt_at = plan.rfind("<= 8")
+    assert join_at != -1 and filt_at != -1
+    # optimizedPlan prints top-down: the filter text must appear BELOW
+    # (after) the join node, i.e. on the join's input subtree
+    assert filt_at > join_at
+
+
 def test_ivf_binary_recall_audit_bounds(spark):
     """Audit sanity: recall/ndcg in [0,1], n_hit <= k, one row per panel
     query; with nprobe=4/16 and pool=15 the mean recall must clear the
