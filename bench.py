@@ -308,7 +308,31 @@ RUNS_HV = 5
 # Round stamp for the durable samples copy (see SCALE.md audit-trail
 # correction: bench_runs_local.json is last-writer-wins scratch; the
 # round-stamped copy is the audit trail BASELINE.md points at).
-ROUND = 8
+ROUND = 9
+
+# Load guard (r9, VERDICT r8 item 1): the r8 driver-stamped bench was
+# environment-contaminated — untouched queries drifted up to 5x between
+# runs taken hours apart on an otherwise identical tree.  A fixed cheap
+# calibration query runs first (3x, median = this run's reference) and
+# again every CAL_EVERY queries; a check whose median departs >CAL_RATIO
+# from the reference marks the surrounding segment's queries as
+# "load_flagged" in the samples file, so SCALE.md's trend lines can
+# exclude contaminated segments MECHANICALLY instead of by post-hoc
+# spread arguments.
+CALIBRATION = "scalar_string_fns"
+CAL_EVERY = 50
+CAL_RATIO = 1.3
+
+
+def _run_once(qs, name: str, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _calibrate(qs, spark, sf_dir: str) -> float:
+    samples = sorted(_run_once(qs, CALIBRATION, spark, sf_dir) for _ in range(3))
+    return samples[1]
 
 
 def main() -> int:
@@ -325,18 +349,41 @@ def main() -> int:
     names += sorted(
         n for n, q in qs.items() if q.oracle is not None and n not in listed
     )
+    # Isolated re-measure mode (not used by the driver, which passes no
+    # argv): `python bench.py name...` scopes the run to those queries —
+    # the mechanism for BASELINE.md's "re-measure outliers in isolation".
+    if len(sys.argv) > 1:
+        requested = [n for n in sys.argv[1:] if n in qs]
+        missing = [n for n in sys.argv[1:] if n not in qs]
+        if missing:
+            print(f"unknown queries: {missing}", file=sys.stderr)
+            return 2
+        names = requested
 
     # Warmup: JVM + codegen + parquet footer reads, not counted.
     qs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    cal_ref = _calibrate(qs, spark, sf_dir)
+    cal_checks = [{"at": 0, "median": cal_ref, "ratio": 1.0, "flagged": False}]
+
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for qi, name in enumerate(names):
-        samples = []
-        for _ in range(RUNS_HV if name in HIGH_VARIANCE else RUNS):
-            t0 = time.perf_counter()
-            qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(round(time.perf_counter() - t0, 3))
+        if qi and qi % CAL_EVERY == 0:
+            cm = _calibrate(qs, spark, sf_dir)
+            ratio = round(cm / cal_ref, 3) if cal_ref > 0 else None
+            cal_checks.append(
+                {
+                    "at": qi,
+                    "median": cm,
+                    "ratio": ratio,
+                    "flagged": bool(ratio and ratio > CAL_RATIO),
+                }
+            )
+        samples = [
+            _run_once(qs, name, spark, sf_dir)
+            for _ in range(RUNS_HV if name in HIGH_VARIANCE else RUNS)
+        ]
         runs[name] = samples
         timings[name] = sorted(samples)[len(samples) // 2]  # median
         # Queries that localCheckpoint model/edge relations (IVF, PageRank,
@@ -363,6 +410,24 @@ def main() -> int:
             except Exception:
                 pass
 
+    # Final calibration check closes the last segment.
+    cm = _calibrate(qs, spark, sf_dir)
+    ratio = round(cm / cal_ref, 3) if cal_ref > 0 else None
+    cal_checks.append(
+        {
+            "at": len(names),
+            "median": cm,
+            "ratio": ratio,
+            "flagged": bool(ratio and ratio > CAL_RATIO),
+        }
+    )
+    # A segment [check_k, check_{k+1}) is contaminated if EITHER endpoint
+    # check is flagged — its queries go into load_flagged.
+    load_flagged: list[str] = []
+    for k in range(len(cal_checks) - 1):
+        if cal_checks[k]["flagged"] or cal_checks[k + 1]["flagged"]:
+            load_flagged.extend(names[cal_checks[k]["at"] : cal_checks[k + 1]["at"]])
+
     total = round(sum(timings.values()), 3)
     # Per-sample detail goes to a local file, NOT stdout: round 4's stdout
     # line with "all_runs" (3 samples x 92 queries) exceeded the driver's
@@ -380,6 +445,13 @@ def main() -> int:
         "runs_high_variance": RUNS_HV,
         "all_runs": runs,
         "spread": spread,
+        "calibration": {
+            "query": CALIBRATION,
+            "reference": cal_ref,
+            "ratio_threshold": CAL_RATIO,
+            "checks": cal_checks,
+        },
+        "load_flagged": sorted(set(load_flagged)),
         "sf": sf,
     }
     try:

@@ -97,75 +97,119 @@ _loaded = False
 # (d) the TPC-H deep shapes and remaining never-checked
 # rolling/reshape/stats/sampling queries.
 _FRONT = (
-    # (a) ROUND 8: the 28 oracle-bearing queries no driver round (r1–r7)
-    # has ever sampled — all late-r7 waves, all green in the in-repo
-    # value-exact parity harness AND in the r7 judge's independent rerun
-    # (VERDICT.md "run_parity: ALL OK").  The driver's ~50-query window
-    # walks the registry in order, so these occupy the head; the 39 r7
-    # names that used to lead earned green rows in CORRECTNESS_r07 and
-    # drop out entirely (their green rows are on record).
-    "corpus_bigram_llr",
-    "dedup_cdc_chunks",
-    "dedup_fuzzy_orders",
-    "dq_functional_dependencies",
-    "dq_inclusion_dependencies",
-    "embedding_silhouette",
-    "graph_clustering_coefficient",
-    "ml_boosted_stumps",
-    "ml_cumulative_gains",
-    "ml_harmonic_regression",
-    "ml_isotonic_calibration",
-    "ml_ks_separation",
-    "ml_roc_auc_stream_serve",
-    "orders_frequent_triples",
-    "sketch_hll_md5",
-    "source_tick_batch",
-    "source_tick_stream_serve",
-    "sql_lateral_topk",
-    "stats_anova_oneway",
-    "stats_cramers_v",
-    "stats_experiment_stream_serve",
-    "stats_fdr_bh",
-    "stats_levene_brown_forsythe",
-    "stats_permutation_test",
-    "stats_two_proportion_z",
-    "ts_croston_forecast",
-    "ts_theta_forecast",
-    "udtf_word_chunks",
-    # (b) round-8 additions land here as built (unknown names are skipped
-    # harmlessly until their module registers them).
-    "sim_topk_relation",
-    "sim_binary_code_topk",
-    "sim_sq8_adc_topk",
-    "sim_recall_audit",
+    # (a) ROUND 9 additions + behavior changes: the five new operators
+    # (binary/SQ8 inside the IVF cell join relation-side, the composed-
+    # path recall audit, the fixed-weight LSTM twin, the stop-gram-capped
+    # clustering) have no driver row yet; corpus_weighted_sample's values
+    # changed this round (the A-ES uniform-range fix), so its r8 green row
+    # predates the current arithmetic.
+    "sim_ivf_binary_topk",
+    "sim_sq8_relation_topk",
+    "sim_ivf_binary_recall_audit",
+    "ml_lstm_fixed_inference",
+    "dedup_clusters_stopgram",
     "corpus_weighted_sample",
-    "dedup_semantic_drift_serve",
-    # (c) queries whose implementation changed THIS round (the
-    # average_precision_from_grid degenerate-cell guard) so the fix lands
-    # a fresh green row on top of its r7 one.
-    "ml_pr_auc",
-    # (d) re-checks filling out the remainder of the ~50-query window:
-    # high-value families whose latest green row is oldest.
-    "ml_roc_auc",
-    "stats_spearman_corr",
-    "dedup_jaccard_prefix_filter",
-    "dedup_containment_pairs",
-    "dedup_embedding_cosine",
-    "sim_bruteforce_topk",
-    "sim_ivfpq_topk",
-    "text_keywords_topk",
-    "corpus_boilerplate_ngrams",
-    "ml_point_in_time_features",
-    "ml_logistic_newton",
-    "ml_calibration_bins",
-    "stats_ks_drift",
-    "stats_psi_drift",
-    "events_markov_attribution",
-    "graph_copurchase_pagerank",
-    "orders_abc_classes",
-    "ml_conformal_forecast",
-    "events_value_quantiles_grid",
-    "corpus_classifier_filter",
+    # (b) evidence-freshness rotation (VERDICT r8 item 2): every query
+    # below has its newest green driver row in ROUND 1 — the stalest
+    # evidence in the ledger.  The driver's ~50-query window walks the
+    # registry in order, so r9 refreshes (a) plus the head of this list;
+    # the r8 names that used to lead earned green rows in CORRECTNESS_r08
+    # and drop out (their green rows are on record).  The in-repo parity
+    # runner keeps exercising ALL queries every round regardless.
+    "agg_conditional_pivot",
+    "agg_cube",
+    "agg_distinct_counts",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_rollup",
+    "flagship_top_movers",
+    "join_anti_customers_without_orders",
+    "join_broadcast_part",
+    "join_full_outer_nations",
+    "join_left_outer_order_lines",
+    "join_semi_customers_with_orders",
+    "monthly_revenue_trend",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "scalar_conditional_fns",
+    "scalar_date_fns",
+    "scalar_math_fns",
+    "scalar_string_fns",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_union_distinct",
+    "sort_limit_global_topk",
+    "subquery_above_nation_avg",
+    "ts_anchored_variation",
+    "ts_anomaly_zscore",
+    "ts_change_dedup",
+    "ts_cusum_drift",
+    "ts_downsample",
+    "ts_forward_fill",
+    "ts_gaps_islands",
+    "ts_minmax_scale",
+    "ts_rmse",
+    "ts_running_extrema",
+    "ts_sliding_features_lags",
+    "ts_tail_window",
+    "ts_timestamp_arithmetic",
+    "ts_tumbling_agg",
+    "ts_winsorize",
+    "window_distribution_fns",
+    "window_lag_lead_price",
+    "window_rank_orders_per_customer",
+    "window_running_sum",
+    # (c) next-stalest tier (newest green row = ROUND 2) — fills any
+    # remaining window capacity this round; the rest rotate in r10.
+    "asof_fifo_forecast_alignment",
+    "asof_join_click_purchase",
+    "asof_join_forward_tolerance",
+    "asof_join_nearest",
+    "cdc_scd2_history",
+    "cdc_upsert_snapshot",
+    "corpus_bigrams_topk",
+    "corpus_deterministic_shuffle",
+    "corpus_pii_redact",
+    "corpus_token_entropy",
+    "corpus_vocabulary",
+    "dedup_duplicate_clusters",
+    "dedup_exact_hash",
+    "dedup_exact_survivors",
+    "dedup_jaccard_pairs",
+    "events_markov_transitions",
+    "events_type_cooccurrence",
+    "funnel_three_stage",
+    "json_extract_props",
+    "json_from_json_struct",
+    "json_variant_extract",
+    "multimodal_frame_sample",
+    "multimodal_payload_stats",
+    "multimodal_text_embedding_join",
+    "pipeline_clean_corpus",
+    "retention_cohorts",
+    "sim_ivf_topk",
+    "sim_label_centroids",
+    "sketch_hll_distinct",
+    "text_decontaminate",
+    "text_edit_distance_pairs",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_scores",
+    "text_regex_extract",
+    "text_repetition_filter",
+    "text_tfidf",
+    "text_token_stats",
+    "text_token_topk",
+    "ts_sliding_features_arrays",
+    "udf_grouped_agg_pandas",
+    "udf_grouped_map_zscore",
+    "udf_scalar_pandas",
 )
 
 
