@@ -322,6 +322,13 @@ ROUND = 9
 CALIBRATION = "scalar_string_fns"
 CAL_EVERY = 50
 CAL_RATIO = 1.3
+# Ratio alone over-flags: the calibration query is ~0.17 s warm, where
+# GC jitter alone moves the median ±0.15 s (the r9 anchor run's final
+# check read 1.9x on a 0.16 s delta with nothing else running).  Real
+# machine load (the r8 contamination was 3-5x on multi-second queries)
+# moves it by whole multiples AND by absolute seconds, so a check flags
+# only when BOTH the ratio and an absolute floor trip.
+CAL_MIN_DELTA = 0.3
 
 
 def _run_once(qs, name: str, spark, sf_dir: str) -> float:
@@ -330,9 +337,18 @@ def _run_once(qs, name: str, spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def _calibrate(qs, spark, sf_dir: str) -> float:
+def _calibrate(qs, spark, sf_dir: str, warm: int = 0) -> float:
+    """Median of 3 runs; ``warm`` extra runs are taken FIRST and discarded
+    (the initial reference must not absorb JVM/codegen cold-start — the
+    r9 anchor run's first-median was 11x its steady state)."""
+    for _ in range(warm):
+        _run_once(qs, CALIBRATION, spark, sf_dir)
     samples = sorted(_run_once(qs, CALIBRATION, spark, sf_dir) for _ in range(3))
     return samples[1]
+
+
+def _cal_flagged(median: float, ref: float) -> bool:
+    return median > ref * CAL_RATIO and median - ref > CAL_MIN_DELTA
 
 
 def main() -> int:
@@ -363,7 +379,7 @@ def main() -> int:
     # Warmup: JVM + codegen + parquet footer reads, not counted.
     qs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    cal_ref = _calibrate(qs, spark, sf_dir)
+    cal_ref = _calibrate(qs, spark, sf_dir, warm=2)
     cal_checks = [{"at": 0, "median": cal_ref, "ratio": 1.0, "flagged": False}]
 
     timings: dict[str, float] = {}
@@ -377,7 +393,7 @@ def main() -> int:
                     "at": qi,
                     "median": cm,
                     "ratio": ratio,
-                    "flagged": bool(ratio and ratio > CAL_RATIO),
+                    "flagged": _cal_flagged(cm, cal_ref),
                 }
             )
         samples = [
@@ -418,7 +434,7 @@ def main() -> int:
             "at": len(names),
             "median": cm,
             "ratio": ratio,
-            "flagged": bool(ratio and ratio > CAL_RATIO),
+            "flagged": _cal_flagged(cm, cal_ref),
         }
     )
     # A segment [check_k, check_{k+1}) is contaminated if EITHER endpoint
@@ -449,6 +465,7 @@ def main() -> int:
             "query": CALIBRATION,
             "reference": cal_ref,
             "ratio_threshold": CAL_RATIO,
+            "min_delta": CAL_MIN_DELTA,
             "checks": cal_checks,
         },
         "load_flagged": sorted(set(load_flagged)),
