@@ -573,6 +573,94 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014 — public) — the documented escalation of
+    :func:`connected_components` when component DIAMETER is large:
+    min-label propagation needs O(diameter) rounds (a 1M-node chain is 1M
+    joins), star contraction needs O(log n) because every round re-points
+    nodes at their neighborhood minimum, halving tree heights.
+
+    Per round, with Γ(u) = symmetric neighbors of u and
+    m(u) = min(Γ(u) ∪ {u}):
+
+    - large-star: emit (v, m(u)) for every v ∈ Γ(u) with v > u;
+    - small-star: emit (v, m(u)) for every v ∈ Γ(u) with v ≤ u... plus
+      (u, m(u)) — implemented as edges from m(u) to each non-min small
+      neighbor and u itself.
+
+    Each half-round is ONE grouped min (m per node) joined back to the
+    neighbor list — two shuffles — and the edge multiset is deduplicated
+    to keep rounds bounded by the current edge count.  Convergence =
+    edge set unchanged (count + per-column sums — a 3-scalar aggregate,
+    no collect); at the fixpoint every surviving edge points a node at
+    its component minimum.  Labels: nodes left-join the star edges
+    (isolated nodes label themselves).  Output schema matches
+    :func:`connected_components` exactly: (node, label)."""
+    node_col = nodes.columns[0]
+    cur = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def sig(e: DataFrame) -> tuple:
+        # Fixpoint detection without a collect: count + an order-invariant
+        # content hash (sum of per-edge xxhash64) — a 2-scalar aggregate.
+        r = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (r.n, r.h)
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("_mv", "u").alias("m"))
+        )
+        j = sym.join(m, "u")
+        if large:
+            out = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("x"), F.col("m")
+            )
+        else:
+            out = j.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("x"), F.col("m")
+            ).union(m.select(F.col("u").alias("x"), F.col("m")))
+        return (
+            out.filter(F.col("x") != F.col("m"))
+            .select(F.least("x", "m").alias("a"), F.greatest("x", "m").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    prev = sig(cur)
+    for _ in range(max_iter):
+        cur = star(star(cur, large=True), large=False)
+        now = sig(cur)
+        if now == prev:
+            break
+        prev = now
+    labels = (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(cur.select(F.col("b").alias("node"), F.col("a").alias("_lbl")), "node", "left")
+        .groupBy("node")
+        .agg(F.min("_lbl").alias("_lbl"))
+        .select("node", F.coalesce("_lbl", "node").alias("label"))
+    )
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 # ---------------------------------------------------------------------------
@@ -799,9 +887,7 @@ def q_dedup_embedding(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
-@register(
-    "dedup_duplicate_clusters",
-    oracle="""
+_CLUSTERS_ORACLE = """
     WITH RECURSIVE toks AS (
         SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS words
         FROM documents
@@ -835,7 +921,12 @@ def q_dedup_embedding(spark, sf_dir):
     )
     SELECT node AS doc_id, min(label) AS cluster_id
     FROM reach GROUP BY node
-    """,
+    """
+
+
+@register(
+    "dedup_duplicate_clusters",
+    oracle=_CLUSTERS_ORACLE,
     tags=("dedup", "clustering", "graph"),
 )
 def q_dedup_clusters(spark, sf_dir):
@@ -854,6 +945,30 @@ def q_dedup_clusters(spark, sf_dir):
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     labels = connected_components(edges, docs.select("doc_id"))
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@register(
+    "dedup_clusters_star",
+    oracle=_CLUSTERS_ORACLE,
+    tags=("dedup", "clustering", "graph", "logstar"),
+)
+def q_dedup_clusters_star(spark, sf_dir):
+    """`dedup_duplicate_clusters` computed by the LARGE-STAR/SMALL-STAR
+    contraction (`connected_components_star`) instead of min-label
+    propagation — identical edges, identical labels, same recursive-CTE
+    oracle, but O(log n) rounds instead of O(diameter): the escalation
+    the min-label docstring promises for graphs whose near-dup relations
+    chain (long paraphrase chains, crawl mirror cascades).  At 100 TB
+    the difference is 20 joins vs potentially thousands on a
+    high-diameter component; on this corpus both converge fast and the
+    equality of the two algorithms' outputs is itself driver-checked
+    (same oracle)."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    edges = jaccard_pairs(docs, block="source", n=2, threshold=0.05).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    labels = connected_components_star(edges, docs.select("doc_id"))
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -206,6 +206,54 @@ def test_stopgram_cap_plan_filters_before_selfjoin(spark):
     assert filt_at > join_at
 
 
+def test_star_cc_equals_minlabel_cc(spark):
+    """connected_components_star must produce EXACTLY the labels of the
+    min-label propagation on an adversarial mix: chains, a star, a
+    clique, isolated nodes, and duplicate/reversed edges."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(0, 19)]  # 20-node chain
+        + [(100, x) for x in range(101, 110)]  # star
+        + [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]  # clique
+        + [(300, 301), (301, 300), (300, 301)]  # dupes + reversal
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame(
+        [(i,) for i in range(0, 20)]
+        + [(i,) for i in range(100, 110)]
+        + [(i,) for i in range(200, 205)]
+        + [(300,), (301,), (999,)],  # 999 isolated
+        "node long",
+    )
+    a = sorted(map(tuple, connected_components(e, n).collect()))
+    b = sorted(map(tuple, connected_components_star(e, n).collect()))
+    assert a == b
+    lbl = dict(b)
+    assert lbl[19] == 0 and lbl[109] == 100 and lbl[204] == 200 and lbl[999] == 999
+
+
+def test_star_cc_converges_log_rounds_on_long_chain(spark):
+    """The whole point of the escalation: a 256-node chain (diameter 255)
+    must converge within max_iter=12 star rounds — min-label propagation
+    would need 255.  Every node labels to node 0."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n_nodes = 256
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n_nodes - 1)], "src long, dst long"
+    )
+    n = spark.createDataFrame([(i,) for i in range(n_nodes)], "node long")
+    labels = connected_components_star(e, n, max_iter=12).collect()
+    assert len(labels) == n_nodes
+    assert all(r.label == 0 for r in labels)
+
+
 def test_ivf_binary_recall_audit_bounds(spark):
     """Audit sanity: recall/ndcg in [0,1], n_hit <= k, one row per panel
     query; with nprobe=4/16 and pool=15 the mean recall must clear the
