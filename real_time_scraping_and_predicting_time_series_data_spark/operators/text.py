@@ -253,6 +253,119 @@ def q_text_tfidf(spark, sf_dir):
     return tfidf(docs)
 
 
+_BM25_TERMS = ("hash", "join", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: tuple[str, ...] = _BM25_TERMS,
+    k: int = _BM25_TOPK,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 retrieval (Robertson & Spärck Jones family — public):
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N−df+0.5)/(df+0.5)), top-k docs for a fixed query
+    term set.  The sparse-retrieval half every hybrid (BM25 + dense)
+    stack runs; `sim_rrf_fusion` is the fusion layer above it.
+
+    Scale shape: ONE token explosion; doc length and document frequency
+    are grouped aggregates over the (doc, term) tf relation; corpus-level
+    N/avgdl collapse to a broadcast 1-row literal; only postings of the
+    |Q| query terms survive the filter, so the scored relation is
+    Σ_t∈Q df(t) rows — never the corpus.  Global top-k = orderBy + limit
+    (partial per-partition top-k then a k-row merge; the rank window runs
+    POST-limit on k rows, keeping the repo's no-unbounded-window rule).
+    avgdl is rounded to 6dp on both engines before use so the one
+    cross-engine aggregation-order difference can't leak into scores."""
+    toks = df.select(F.col(id_col), F.explode(words_of(F.col(text))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.round(F.avg("dl"), 6).alias("avgdl"), F.count("*").alias("n_docs")
+    )
+    hits = tf.filter(F.col("term").isin(*terms))
+    dfreq = hits.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("part", idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom)
+        .groupBy(id_col, "dl")
+        .agg(F.sum("part").alias("score"))
+    )
+    top = scored.orderBy(F.desc(F.round("score", 9)), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc(F.round("score", 9)), F.asc(id_col))
+    return top.select(
+        id_col,
+        "dl",
+        F.round("score", 6).alias("bm25"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+        SELECT round(avg(dl), 6) AS avgdl, count(*) AS n_docs FROM dl
+    ), dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf
+        WHERE term IN {_BM25_TERMS!r}
+        GROUP BY 1
+    ), scored AS (
+        SELECT t.doc_id, d.dl,
+               sum(
+                   ln(CAST(1.0 AS DOUBLE)
+                      + (s.n_docs - f.df + CAST(0.5 AS DOUBLE))
+                        / (f.df + CAST(0.5 AS DOUBLE)))
+                   * (t.tf * CAST({_BM25_K1 + 1.0!r} AS DOUBLE))
+                   / (t.tf + CAST({_BM25_K1!r} AS DOUBLE)
+                      * (CAST({1.0 - _BM25_B!r} AS DOUBLE)
+                         + CAST({_BM25_B!r} AS DOUBLE) * d.dl / s.avgdl))
+               ) AS score
+        FROM tf t
+        JOIN dfreq f USING (term)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN stats s
+        WHERE t.term IN {_BM25_TERMS!r}
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, dl, round(score, 6) AS bm25,
+           CAST(row_number() OVER (
+               ORDER BY round(score, 9) DESC, doc_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= {_BM25_TOPK}
+    """,
+    tags=("text", "retrieval", "bm25", "topk"),
+)
+def q_text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 for the fixed query (hash, join, vector) over the
+    documents corpus — the sparse-retrieval ranker beside the dense ANN
+    stack (fuse with `sim_rrf_fusion`).  k1=1.2, b=0.75 (the canonical
+    defaults)."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return bm25_topk(docs)
+
+
 @register(
     "text_fingerprint",
     oracle="""

@@ -254,6 +254,32 @@ def test_star_cc_converges_log_rounds_on_long_chain(spark):
     assert all(r.label == 0 for r in labels)
 
 
+def test_bm25_ranks_term_rich_docs_first(spark):
+    """BM25 sanity on a synthetic corpus: a doc saturated with the query
+    terms outranks a doc with one hit, which outranks no-hit docs (absent
+    from the result); longer docs with equal tf score lower (the length
+    normalization term)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.text import (
+        bm25_topk,
+    )
+
+    pad = " ".join(f"filler{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join vector hash join vector"),
+            (2, f"hash {pad}"),
+            (3, f"hash {pad} {pad}"),  # same tf, doubled length
+            (4, pad),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bm25_topk(docs, k=10).collect()}
+    assert 4 not in rows
+    assert rows[1].rank == 1
+    assert rows[2].bm25 > rows[3].bm25  # length normalization
+    assert rows[1].bm25 > rows[2].bm25
+
+
 def test_ivf_binary_recall_audit_bounds(spark):
     """Audit sanity: recall/ndcg in [0,1], n_hit <= k, one row per panel
     query; with nprobe=4/16 and pool=15 the mean recall must clear the
