@@ -2075,6 +2075,198 @@ def q_sim_ivf_binary_recall_audit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Spectral audit (r9): PCA top components by distributed Gram aggregation +
+# deterministic power iteration — "how concentrated is the embedding
+# space?" (effective dimensionality / variance-share), the classic
+# representation-collapse check.  Public method: Gram/covariance as a sum
+# of per-row outer products, power iteration with deflation (Golub & Van
+# Loan).  Cross-engine determinism: the ONLY nondeterministic step is
+# floating-point summation order inside aggregates, so every aggregate
+# (Gram entries, matvec components, squared norms) is rounded — 6dp for
+# the Gram, 9dp inside iterations — before further use; everything else
+# is identical IEEE arithmetic, so eigenvectors match bit-wise and the
+# whole audit carries a full value-hash oracle (the LSTM twin's pinning
+# strategy applied to linear algebra).
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64
+_PCA_ITERS = 6
+
+
+def embedding_gram(df: DataFrame, vec: str = "embedding", dim: int = _PCA_DIM) -> DataFrame:
+    """Uncentered Gram matrix G = Σ_rows v·vᵀ as a (i, j, g) relation
+    (1-based, g rounded to 6dp).  Per row the 64×64 products explode from
+    two nested index-aware transforms — pure codegen, one shuffle of dim²
+    groups; at 100 TB this is the standard outer-product-sum with a
+    map-side partial aggregate (4096 doubles per task), and the collected
+    result is only ever a dim²-row MODEL relation."""
+    v = as_double(F.col(vec))
+    pairs = F.flatten(
+        F.transform(
+            v,
+            lambda vi, i: F.transform(
+                v,
+                lambda vj, j: F.struct(
+                    (i + 1).alias("i"), (j + 1).alias("j"), (vi * vj).alias("p")
+                ),
+            ),
+        )
+    )
+    ex = df.select(F.explode(pairs).alias("s")).select("s.i", "s.j", "s.p")
+    return ex.groupBy("i", "j").agg(F.round(F.sum("p"), 6).alias("g"))
+
+
+def _power_top(g: DataFrame, dim: int, iters: int) -> DataFrame:
+    """Dominant eigenvector of the (i, j, g) matrix by ``iters`` power
+    steps from the exact-dyadic start x₀ = 1/8 (unit for dim=64): per
+    step one 64-row join-aggregate matvec (round 9), one squared-norm
+    scalar (round 9), one normalize.  Returns (j, x).  Each step is
+    ``localCheckpoint``-ed so the lineage stays flat across the 2-component
+    deflation chain."""
+    spark = g.sparkSession
+    x = spark.range(1, dim + 1).select(
+        F.col("id").cast("int").alias("j"), F.lit(0.125).alias("x")
+    )
+    for _ in range(iters):
+        y = (
+            g.join(x, "j")
+            .groupBy("i")
+            .agg(F.round(F.sum(F.col("g") * F.col("x")), 9).alias("y"))
+        )
+        n2 = y.agg(F.round(F.sum(F.col("y") * F.col("y")), 9).alias("n2"))
+        x = (
+            y.crossJoin(F.broadcast(n2))
+            .select(F.col("i").alias("j"), (F.col("y") / F.sqrt("n2")).alias("x"))
+            .localCheckpoint(eager=True)
+        )
+    return x
+
+
+def _rayleigh(g: DataFrame, x: DataFrame) -> DataFrame:
+    """1-row (lam) relation: xᵀGx rounded to 9dp."""
+    xi = x.select(F.col("j").alias("i"), F.col("x").alias("xi"))
+    xj = x.select("j", F.col("x").alias("xj"))
+    return (
+        g.join(xi, "i")
+        .join(xj, "j")
+        .agg(F.round(F.sum(F.col("g") * F.col("xi") * F.col("xj")), 9).alias("lam"))
+    )
+
+
+def _pca_oracle() -> str:
+    dim, iters = _PCA_DIM, _PCA_ITERS
+
+    def power(tag: str, gsrc: str) -> list[str]:
+        ctes = [
+            f"x{tag}0 AS MATERIALIZED (SELECT CAST(r.range AS INT) AS j, CAST(0.125 AS DOUBLE) AS x "
+            f"FROM range(1, {dim + 1}) r)"
+        ]
+        for t in range(1, iters + 1):
+            ctes.append(
+                f"y{tag}{t} AS MATERIALIZED (SELECT g.i, round(sum(g.g * x.x), 9) AS y "
+                f"FROM {gsrc} g JOIN x{tag}{t - 1} x ON g.j = x.j GROUP BY g.i)"
+            )
+            ctes.append(
+                f"n{tag}{t} AS MATERIALIZED (SELECT round(sum(y * y), 9) AS n2 FROM y{tag}{t})"
+            )
+            ctes.append(
+                f"x{tag}{t} AS MATERIALIZED (SELECT y.i AS j, y.y / sqrt(n.n2) AS x "
+                f"FROM y{tag}{t} y CROSS JOIN n{tag}{t} n)"
+            )
+        ctes.append(
+            f"lam{tag} AS MATERIALIZED (SELECT round(sum(g.g * xi.x * xj.x), 9) AS lam "
+            f"FROM {gsrc} g JOIN x{tag}{iters} xi ON xi.j = g.i "
+            f"JOIN x{tag}{iters} xj ON xj.j = g.j)"
+        )
+        return ctes
+
+    ctes = [
+        "e AS MATERIALIZED (SELECT embedding::DOUBLE[] AS v FROM embeddings)",
+        f"g1 AS MATERIALIZED (SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j, "
+        f"round(sum(v[i.range] * v[j.range]), 6) AS g "
+        f"FROM e CROSS JOIN range(1, {dim + 1}) i CROSS JOIN range(1, {dim + 1}) j "
+        f"GROUP BY 1, 2)",
+    ]
+    ctes += power("a", "g1")
+    ctes.append(
+        "g2 AS MATERIALIZED (SELECT g.i, g.j, round(g.g - l.lam * xi.x * xj.x, 9) AS g "
+        f"FROM g1 g JOIN xa{iters} xi ON xi.j = g.i "
+        f"JOIN xa{iters} xj ON xj.j = g.j CROSS JOIN lama l)"
+    )
+    ctes += power("b", "g2")
+    ctes.append("tr AS MATERIALIZED (SELECT round(sum(g), 6) AS trace FROM g1 WHERE i = j)")
+    body = ",\n    ".join(ctes)
+    sel = (
+        f"SELECT CAST(1 AS INT) AS component, CAST(x.j AS INT) AS dim, "
+        f"round(x.x, 6) AS loading, round(l.lam, 6) AS eigenvalue, "
+        f"round(l.lam / t.trace, 6) AS energy_share "
+        f"FROM xa{iters} x CROSS JOIN lama l CROSS JOIN tr t "
+        f"UNION ALL "
+        f"SELECT CAST(2 AS INT), CAST(x.j AS INT), round(x.x, 6), "
+        f"round(l.lam, 6), round(l.lam / t.trace, 6) "
+        f"FROM xb{iters} x CROSS JOIN lamb l CROSS JOIN tr t"
+    )
+    return f"WITH {body}\n    {sel}"
+
+
+@register(
+    "embedding_pca_power",
+    oracle=_pca_oracle(),
+    tags=("similarity", "embedding", "audit", "pca", "spectral"),
+)
+def q_embedding_pca_power(spark, sf_dir):
+    """Spectral concentration audit of the embedding space: top-2
+    principal directions of the uncentered Gram by power iteration with
+    deflation; per (component, dim) the loading, plus each component's
+    eigenvalue and share of total energy (trace).  A healthy embedding
+    spreads energy; a collapsing one concentrates it in the first
+    component — this is the audit that catches that drift, beside
+    `embedding_hubness` and `embedding_silhouette`.  128 output rows,
+    every loading value-hash-checked against a DuckDB replay of the
+    identical rounded-aggregate iteration."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    g1 = embedding_gram(emb).localCheckpoint(eager=True)
+    x1 = _power_top(g1, _PCA_DIM, _PCA_ITERS)
+    l1 = _rayleigh(g1, x1)
+    # deflation: G2 = G1 − λ1·x1x1ᵀ, entries re-rounded to 9dp
+    xi = x1.select(F.col("j").alias("i"), F.col("x").alias("xi"))
+    xj = x1.select("j", F.col("x").alias("xj"))
+    g2 = (
+        g1.join(xi, "i")
+        .join(xj, "j")
+        .crossJoin(F.broadcast(l1))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("g") - F.col("lam") * F.col("xi") * F.col("xj"), 9
+            ).alias("g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    x2 = _power_top(g2, _PCA_DIM, _PCA_ITERS)
+    l2 = _rayleigh(g2, x2)
+    trace = g1.filter(F.col("i") == F.col("j")).agg(
+        F.round(F.sum("g"), 6).alias("trace")
+    )
+
+    def comp(x: DataFrame, lam: DataFrame, c: int) -> DataFrame:
+        return (
+            x.crossJoin(F.broadcast(lam))
+            .crossJoin(F.broadcast(trace))
+            .select(
+                F.lit(c).cast("int").alias("component"),
+                F.col("j").cast("int").alias("dim"),
+                F.round("x", 6).alias("loading"),
+                F.round("lam", 6).alias("eigenvalue"),
+                F.round(F.col("lam") / F.col("trace"), 6).alias("energy_share"),
+            )
+        )
+
+    return comp(x1, l1, 1).unionAll(comp(x2, l2, 2))
+
+
+# ---------------------------------------------------------------------------
 # kNN label probe — representation-quality evaluation (r5)
 # ---------------------------------------------------------------------------
 

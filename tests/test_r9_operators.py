@@ -254,6 +254,33 @@ def test_star_cc_converges_log_rounds_on_long_chain(spark):
     assert all(r.label == 0 for r in labels)
 
 
+def test_pca_power_invariants(spark):
+    """Spectral audit sanity: per component 64 unit-norm loadings
+    (|‖x‖−1| < 1e-5), λ1 ≥ λ2 > 0, energy shares in (0, 1), and the two
+    eigenvectors roughly orthogonal — the synthetic corpus has a
+    near-flat spectrum, so 6 power steps leave residual mixing; the
+    audit's value is the deterministic parity-checked state, not full
+    convergence (|x1·x2| < 0.2 documents that)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = all_queries()["embedding_pca_power"].fn(spark, SF).collect()
+    assert len(rows) == 128
+    by_c = {1: {}, 2: {}}
+    lam = {}
+    for r in rows:
+        by_c[r.component][r.dim] = r.loading
+        lam[r.component] = (r.eigenvalue, r.energy_share)
+    for c in (1, 2):
+        n = sum(v * v for v in by_c[c].values()) ** 0.5
+        assert abs(n - 1.0) < 1e-5
+        assert lam[c][0] > 0 and 0 < lam[c][1] < 1
+    assert lam[1][0] >= lam[2][0]
+    dot12 = sum(by_c[1][d] * by_c[2][d] for d in by_c[1])
+    assert abs(dot12) < 0.2
+
+
 def test_bm25_ranks_term_rich_docs_first(spark):
     """BM25 sanity on a synthetic corpus: a doc saturated with the query
     terms outranks a doc with one hit, which outranks no-hit docs (absent
