@@ -256,7 +256,7 @@ HEADLINE = [
 # its plan compilation.
 RUNS = 3
 
-# r8 (re-derived from the session-final r8_1 samples): queries that get 5 runs instead of 3.  The intra-session environment
+# r9 (re-derived from the r9 anchor bench_runs_r9.json): queries that get 5 runs instead of 3.  The intra-session environment
 # drift band (SCALE.md r7: 1.2-1.9x on untouched queries) is the dominant
 # error on every cross-round trend claim, and it is concentrated where
 # medians are large.  Selection rule, mechanical, from the r7 driver
@@ -269,6 +269,8 @@ HIGH_VARIANCE = frozenset({
     "corpus_dedup_pipeline_report",
     "corpus_df_index_serve",
     "dedup_char_ngram_jaccard",
+    "dedup_clusters_star",
+    "dedup_clusters_stopgram",
     "dedup_containment_pairs",
     "dedup_duplicate_clusters",
     "dedup_embedding_cosine",
@@ -277,27 +279,33 @@ HIGH_VARIANCE = frozenset({
     "dedup_minhash_pairs",
     "dedup_semantic_drift_serve",
     "dedup_simhash_pairs",
-    "embedding_hubness",
     "embedding_knn_probe",
+    "embedding_pca_power",
     "events_markov_attribution",
-    "graph_adamic_adar",
+    "flagship_top_movers",
     "graph_assortativity",
     "graph_bfs_hops",
+    "graph_brand_modularity",
+    "graph_clustering_coefficient",
     "graph_copurchase_pagerank",
     "graph_kcore_peel",
     "graph_rich_club",
     "ml_kmeans_summary",
-    "ml_naive_bayes_confusion",
+    "orders_frequent_triples",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
     "sim_bruteforce_topk",
+    "sim_ivf_binary_recall_audit",
+    "sim_ivf_binary_topk",
     "sim_ivf_topk",
     "sim_ivfpq_topk",
+    "sim_sq8_relation_topk",
     "sim_topk_relation",
     "source_tick_batch",
     "source_tick_stream_serve",
     "stats_bootstrap_ci",
     "stats_spearman_corr",
     "text_ngram_novelty",
-    "text_normalize_dedup_uplift",
     "ts_dtw_pairs",
     "ts_lttb_downsample",
     "ts_resample_interpolate",

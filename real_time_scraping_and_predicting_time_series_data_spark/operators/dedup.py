@@ -972,6 +972,77 @@ def q_dedup_clusters_star(spark, sf_dir):
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+@register(
+    "corpus_split_leakage",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, source,
+               list_distinct([words[i] || ' ' || words[i+1]
+                              FOR i IN range(1, len(words))]) AS grams
+        FROM toks
+    ), sized AS (
+        SELECT doc_id, source, grams, len(grams) AS set_size FROM sh
+    ), inv AS (
+        SELECT doc_id, source, set_size, unnest(grams) AS shingle FROM sized
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.set_size AS size_a, b.set_size AS size_b,
+               count(*) AS n_common
+        FROM inv a JOIN inv b ON a.source = b.source AND a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ), pairs AS (
+        SELECT id_a, id_b,
+               n_common / (size_a + size_b - n_common) AS jaccard
+        FROM common
+        WHERE n_common / (size_a + size_b - n_common) >= 0.05
+    )
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard,
+           CASE WHEN ('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 15))::BIGINT % 10 >= 8
+                THEN 'test' ELSE 'train' END AS split_a,
+           CASE WHEN ('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 15))::BIGINT % 10 >= 8
+                THEN 'test' ELSE 'train' END AS split_b,
+           (('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 15))::BIGINT % 10 >= 8)
+               <> (('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 15))::BIGINT % 10 >= 8)
+               AS leak
+    FROM pairs
+    """,
+    tags=("corpus", "dedup", "split", "leakage", "eval"),
+)
+def q_corpus_split_leakage(spark, sf_dir):
+    """Train/test split LEAKAGE audit — the eval-integrity check every
+    training pipeline needs before trusting held-out metrics: near-dup
+    document pairs (2-gram Jaccard ≥ 0.05, the clustering edge set) are
+    labeled with each side's deterministic split assignment (md5-60 of
+    the doc id, % 10: buckets 8-9 = the 20% test split — the same
+    cross-engine keyed-hash convention as the deterministic shuffle), and
+    any pair straddling the boundary is a leak: its test member is a
+    near-copy of a training document, so eval loss there measures
+    memorization, not generalization.  The production fix is to split by
+    CLUSTER id (dedup_duplicate_clusters) instead of doc id; this audit
+    is what tells you that's needed and how bad the naive split is.
+    Scale shape: the pair relation is the existing Σdf²-bounded
+    inverted-index join; the split labels are per-row hash projections —
+    no new shuffles beyond the pairs themselves."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs(docs, block="source", n=2, threshold=0.05)
+
+    def bucket(c: str) -> F.Column:
+        return md5_60(F.col(c).cast("string")) % 10 >= 8
+
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.when(bucket("id_a"), "test").otherwise("train").alias("split_a"),
+        F.when(bucket("id_b"), "test").otherwise("train").alias("split_b"),
+        (bucket("id_a") != bucket("id_b")).alias("leak"),
+    )
+
+
 _STOPGRAM_DF_CAP = 32
 
 

@@ -108,6 +108,10 @@ _FRONT = (
     "sim_ivf_binary_recall_audit",
     "ml_lstm_fixed_inference",
     "dedup_clusters_stopgram",
+    "dedup_clusters_star",
+    "text_bm25_topk",
+    "embedding_pca_power",
+    "corpus_split_leakage",
     "corpus_weighted_sample",
     # (b) evidence-freshness rotation (VERDICT r8 item 2): every query
     # below has its newest green driver row in ROUND 1 — the stalest

@@ -254,6 +254,31 @@ def test_star_cc_converges_log_rounds_on_long_chain(spark):
     assert all(r.label == 0 for r in labels)
 
 
+def test_split_leakage_flags_cross_boundary_neardups(spark):
+    """corpus_split_leakage on the real corpus: every row's leak flag
+    equals (split_a != split_b); splits are deterministic md5 buckets; at
+    least one genuine cross-split near-dup exists in the planted corpus
+    (otherwise the audit would be vacuous)."""
+    import hashlib
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = all_queries()["corpus_split_leakage"].fn(spark, SF).collect()
+    assert rows
+
+    def bucket(i: int) -> str:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return "test" if h % 10 >= 8 else "train"
+
+    for r in rows:
+        assert r.split_a == bucket(r.id_a) and r.split_b == bucket(r.id_b)
+        assert r.leak == (r.split_a != r.split_b)
+        assert r.jaccard >= 0.05
+    assert any(r.leak for r in rows)
+
+
 def test_pca_power_invariants(spark):
     """Spectral audit sanity: per component 64 unit-norm loadings
     (|‖x‖−1| < 1e-5), λ1 ≥ λ2 > 0, energy shares in (0, 1), and the two
