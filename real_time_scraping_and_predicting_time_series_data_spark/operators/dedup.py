@@ -148,18 +148,27 @@ def _jaccard_core(
         "id", "blk", "set_size", F.xxhash64("_sh").alias("shingle")
     )
     if max_df is not None:
-        # Stop-gram cap: both the df filter and the per-doc re-size ride
-        # window aggregates keyed on the SAME (blk, shingle) / (blk, id)
-        # partitionings the join and grouping below shuffle on — no extra
-        # exchange at cluster scale beyond the df count itself.
-        wdf = Window.partitionBy("blk", "shingle")
-        inv = (
-            inv.withColumn("_df", F.count("*").over(wdf))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
+        # Stop-gram cap (r9, reworked from two window sorts): the hot set
+        # — shingles with df > cap — is SMALL BY DEFINITION (each member
+        # needs > cap distinct docs, so |hot| < |postings|/cap), so it
+        # aggregates through a map-side-combined groupBy and BROADCASTS
+        # into an anti-join: the posting list itself is never sorted or
+        # exchanged for the filter.  Survivor set sizes are a grouped
+        # count joined back — AQE broadcasts the doc-level side locally;
+        # at cluster scale it's a plain shuffle join on the id key.
+        hot = (
+            inv.groupBy("blk", "shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("blk", "shingle")
         )
-        wsz = Window.partitionBy("blk", "id")
-        inv = inv.withColumn("set_size", F.count("*").over(wsz))
+        inv = inv.join(F.broadcast(hot), ["blk", "shingle"], "left_anti")
+        sizes = inv.groupBy("blk", "id").agg(F.count("*").alias("_sz"))
+        inv = (
+            inv.drop("set_size")
+            .join(sizes, ["blk", "id"])
+            .withColumnRenamed("_sz", "set_size")
+        )
     if prune_singletons:
         # A shingle occurring once in its block can't appear in any pair, so
         # drop it BEFORE the self-join (~60% of this corpus's 3-gram

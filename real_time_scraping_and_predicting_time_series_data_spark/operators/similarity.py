@@ -1460,7 +1460,14 @@ def sq8_adc_topk(
     vectors.  Storage is 64 bytes + 2 doubles per vector (4× smaller than
     float32); constant vectors (scale 0) keep code 0 and dequantize to
     ``mn`` exactly.  Deterministic end-to-end (integer codes, fixed fold
-    order, rounded comparisons, id tie-breaks) → full DuckDB oracle."""
+    order, rounded comparisons, id tie-breaks) → full DuckDB oracle.
+
+    r9: the estimate is computed in DECOMPOSED form
+    ``mn·Σqᵢ + scale·(q·code)`` — algebraically the dequantized dot, but
+    Σqᵢ hoists to ONE per-query column and the per-candidate work drops
+    from build-64-array-then-fold to a single zip-fold plus two
+    multiplies (~40% less per candidate; the oracle mirrors the same
+    op order so parity is unchanged)."""
     v = as_double(F.col(vec))
     base = corpus.select(
         F.col(id_col),
@@ -1485,7 +1492,9 @@ def sq8_adc_topk(
         "qv",
     )
     q = coded.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("nv").alias("qnv")
+        F.col(id_col).alias("query_id"),
+        F.col("nv").alias("qnv"),
+        F.aggregate("nv", F.lit(0.0), lambda a, x: a + x).alias("qsum"),
     )
     # ADC estimate against the dequantized code; the query side is the
     # normalized vector so the estimate approximates cosine directly.
@@ -1494,10 +1503,7 @@ def sq8_adc_topk(
         .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "est",
-            dot(
-                F.col("qnv"),
-                F.transform("qv", lambda c: F.col("mn") + c * F.col("scale")),
-            ),
+            F.col("mn") * F.col("qsum") + F.col("scale") * dot(F.col("qnv"), F.col("qv")),
         )
     )
     wpool = Window.partitionBy("query_id").orderBy(
@@ -1545,16 +1551,17 @@ def _sq8_coded_cte() -> str:
 
 _SQ8_ORACLE = f"""
     WITH {_sq8_coded_cte()},
-    q AS (SELECT vec_id AS query_id, nv AS qnv
+    q AS (SELECT vec_id AS query_id, nv AS qnv,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), nv),
+                             (a, e) -> a + e) AS qsum
           FROM coded WHERE vec_id < {_SQ8_QUERIES}),
     cand AS (
         SELECT q.query_id, c.vec_id AS neighbor_id, q.qnv, c.nv,
-               list_dot_product(q.qnv,
-                   list_transform(c.qv, x -> c.mn + x * c.scale)) AS est,
+               c.mn * q.qsum + c.scale * list_dot_product(q.qnv, c.qv) AS est,
                row_number() OVER (
                    PARTITION BY q.query_id
-                   ORDER BY round(list_dot_product(q.qnv,
-                       list_transform(c.qv, x -> c.mn + x * c.scale)), 9) DESC,
+                   ORDER BY round(c.mn * q.qsum
+                                  + c.scale * list_dot_product(q.qnv, c.qv), 9) DESC,
                             c.vec_id) AS crn
         FROM q JOIN coded c ON c.vec_id <> q.query_id
     )
@@ -1823,13 +1830,17 @@ def sq8_topk_relation(
     )
     qv = as_double(F.col(vec))
     qd = queries.select(F.col(query_id), qv.alias("v"))
-    qd = qd.withColumn("_n", norm(F.col("v"))).select(
-        query_id, F.transform("v", lambda x: x / F.col("_n")).alias("qnv")
+    qd = (
+        qd.withColumn("_n", norm(F.col("v")))
+        .select(query_id, F.transform("v", lambda x: x / F.col("_n")).alias("qnv"))
+        .withColumn("qsum", F.aggregate("qnv", F.lit(0.0), lambda a, x: a + x))
     )
     cand = _relation_cell_candidates(c, qd, n_cells, nprobe, exclude_self, query_id)
+    # decomposed ADC (see sq8_adc_topk): mn·Σq hoists to one per-query
+    # column, leaving a single zip-fold per candidate.
     cand = cand.withColumn(
         "est",
-        dot(F.col("qnv"), F.transform("qv", lambda c_: F.col("mn") + c_ * F.col("scale"))),
+        F.col("mn") * F.col("qsum") + F.col("scale") * dot(F.col("qnv"), F.col("qv")),
     )
     wpool = Window.partitionBy(query_id).orderBy(
         F.desc(F.round("est", 9)), F.asc("neighbor_id")
@@ -1933,10 +1944,15 @@ def q_sim_ivf_binary_topk(spark, sf_dir):
 
 
 def _sq8_relation_oracle(nprobe: int = 2, pool: int = 10, k: int = 3) -> str:
-    cells = _seeded_cells_sql(
-        ", mn, scale, qv|, c.mn, c.scale, c.qv", "|", nprobe
+    qsum = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), c.nv), (a, e) -> a + e)"
     )
-    est = "list_dot_product(p.qnv, list_transform(a.qv, x -> a.mn + x * a.scale))"
+    cells = _seeded_cells_sql(
+        ", mn, scale, qv|, c.mn, c.scale, c.qv",
+        f", qsum|, {qsum} AS qsum",
+        nprobe,
+    )
+    est = "a.mn * p.qsum + a.scale * list_dot_product(p.qnv, a.qv)"
     return f"""
     WITH {_sq8_coded_cte()},
     {cells},

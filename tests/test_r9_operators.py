@@ -184,10 +184,10 @@ def test_clusters_stopgram_hot_shingle_skew_stress(spark):
 
 
 def test_stopgram_cap_plan_filters_before_selfjoin(spark):
-    """Plan pin: the df-cap filter must sit BELOW the inverted-index
-    self-join (candidates never materialize for capped shingles) — the
-    executed plan shows the window count + filter on the join's input,
-    not a post-join filter."""
+    """Plan pin: the df-cap anti-join must sit BELOW the inverted-index
+    self-join (candidates never materialize for capped shingles), and the
+    hot-set side of that anti-join must be a broadcast — the posting list
+    is never exchanged for the filter."""
     from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
         jaccard_pairs,
     )
@@ -197,13 +197,15 @@ def test_stopgram_cap_plan_filters_before_selfjoin(spark):
         "doc_id long, text string, source string",
     )
     out = jaccard_pairs(docs, block="source", n=2, threshold=0.05, max_df=8)
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
-    join_at = plan.find("Join")
-    filt_at = plan.rfind("<= 8")
-    assert join_at != -1 and filt_at != -1
-    # optimizedPlan prints top-down: the filter text must appear BELOW
-    # (after) the join node, i.e. on the join's input subtree
-    assert filt_at > join_at
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    join_at = opt.find("Join Inner")
+    anti_at = opt.find("Join LeftAnti")
+    assert join_at != -1 and anti_at != -1
+    # optimizedPlan prints top-down: the anti-join must appear BELOW
+    # (after) the candidate self-join, i.e. on the join's input subtree
+    assert anti_at > join_at
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys and "LeftAnti" in phys
 
 
 def test_star_cc_equals_minlabel_cc(spark):
