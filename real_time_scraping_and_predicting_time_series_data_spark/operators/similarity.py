@@ -1991,6 +1991,97 @@ def q_sim_sq8_relation_topk(spark, sf_dir):
     return sq8_topk_relation(emb, queries, k=3, n_cells=16, nprobe=2, pool=10)
 
 
+def _hard_negatives_oracle(nprobe: int = 2, k: int = 3) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    coded AS (
+        SELECT e.vec_id, e.label,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM e
+    ),
+    cents AS (SELECT CAST(vec_id AS INT) AS cell, nv AS c_nvec
+              FROM coded WHERE vec_id < 16),
+    assign AS (
+        SELECT vec_id, nv, label, cell FROM (
+            SELECT c.vec_id, c.nv, c.label, ce.cell,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY round(-list_dot_product(c.nv, ce.c_nvec), 9), ce.cell
+                   ) AS rn
+            FROM coded c CROSS JOIN cents ce) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, qnv, q_label, cell FROM (
+            SELECT c.vec_id AS query_id, c.nv AS qnv, c.label AS q_label, ce.cell,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY round(-list_dot_product(c.nv, ce.c_nvec), 9), ce.cell
+                   ) AS rn
+            FROM coded c CROSS JOIN cents ce) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+        SELECT p.query_id, p.q_label, a.vec_id AS neighbor_id, a.label AS n_label,
+               list_dot_product(p.qnv, a.nv) AS cos
+        FROM assign a JOIN probes p
+          ON a.cell = p.cell AND a.vec_id <> p.query_id AND a.label <> p.q_label
+    )
+    SELECT query_id, q_label, neighbor_id, n_label, round(cos, 6) AS cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY round(cos, 9) DESC, neighbor_id)
+             AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= {k}
+    """
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=_hard_negatives_oracle(),
+    tags=("similarity", "ann", "contrastive", "mining", "relation"),
+)
+def q_sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for EVERY anchor
+    embedding, the top-3 most-similar vectors with a DIFFERENT label —
+    the negatives that actually move a contrastive loss (easy negatives
+    are already far).  Relation-shaped like `sim_topk_relation`: seeded
+    IVF cells prune candidates (shuffle-hash join on the cell key, no
+    query broadcast), the wrong-label filter rides the join, exact
+    cosine ranks.  At 100 TB this is the standard offline miner: one
+    cell-keyed pass per training epoch, anchors never collected."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        as_double(F.col("embedding")).alias("v"),
+    )
+    c = c.withColumn("_n", norm(F.col("v"))).select(
+        "neighbor_id", "n_label", F.transform("v", lambda x: x / F.col("_n")).alias("nv")
+    )
+    q = c.select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("n_label").alias("q_label"),
+        F.col("nv").alias("qnv"),
+    )
+    cand = _relation_cell_candidates(c, q, n_cells=16, nprobe=2, exclude_self=True)
+    scored = cand.filter(F.col("n_label") != F.col("q_label")).withColumn(
+        "cos", dot(F.col("qnv"), F.col("nv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 9)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "n_label",
+            F.round("cos", 6).alias("cos"),
+            "rank",
+        )
+    )
+
+
 _IVFBIN_AUDIT_QUERIES = 8
 _IVFBIN_AUDIT_NPROBE = 4
 _IVFBIN_AUDIT_POOL = 15

@@ -112,6 +112,7 @@ _FRONT = (
     "text_bm25_topk",
     "embedding_pca_power",
     "corpus_split_leakage",
+    "sim_hard_negatives",
     "corpus_weighted_sample",
     # (b) evidence-freshness rotation (VERDICT r8 item 2): every query
     # below has its newest green driver row in ROUND 1 — the stalest

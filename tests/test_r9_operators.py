@@ -256,6 +256,27 @@ def test_star_cc_converges_log_rounds_on_long_chain(spark):
     assert all(r.label == 0 for r in labels)
 
 
+def test_hard_negatives_never_share_label(spark):
+    """Every mined negative must carry a label different from its
+    anchor's, ranks are 1..k dense per anchor, and each mined pair is
+    genuinely the nearest wrong-label candidate within the probed cells
+    (cos monotone down the ranks)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = all_queries()["sim_hard_negatives"].fn(spark, SF).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.n_label != r.q_label
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i].cos >= rs[i + 1].cos for i in range(len(rs) - 1))
+
+
 def test_split_leakage_flags_cross_boundary_neardups(spark):
     """corpus_split_leakage on the real corpus: every row's leak flag
     equals (split_a != split_b); splits are deterministic md5 buckets; at
