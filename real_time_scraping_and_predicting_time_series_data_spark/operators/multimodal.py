@@ -337,3 +337,173 @@ def q_multimodal_text_embedding_join(spark, sf_dir):
             F.countDistinct("label").alias("n_labels"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup (r9): the multimodal x dedup composition — a
+# 64-bit-class CONTENT-LOCALITY-SENSITIVE fingerprint per payload,
+# pigeonhole Hamming-LSH blocking, exact Hamming verification.  The
+# fingerprint is a 60-bit SimHash over the payload's byte 4-grams — the
+# deterministic stand-in at the exact point a real DCT pHash /
+# chromaprint would hash decoded pixels/samples (same stub convention as
+# decode_features, but locality-sensitive: payloads sharing most of their
+# bytes land within a few bits of each other, so the banded machinery
+# surfaces genuine near-duplicate assets, not just byte-identical ones).
+# ---------------------------------------------------------------------------
+
+_PH_BANDS = 4       # pigeonhole: any pair with hamming <= 3 shares a band
+_PH_BAND_BITS = 15  # 4 x 15 = 60 bits
+_PH_MAX_HAM = _PH_BANDS - 1
+_PH_BITS = 60
+
+
+def payload_simhash60(assets: DataFrame) -> DataFrame:
+    """(asset_id, kind, ph): 60-bit SimHash over byte 4-grams of the
+    payload — bit i = sign of Σ_grams (±1 by gram-hash bit i).  One gram
+    explosion + one grouped aggregation with 60 conditional sums, all
+    codegen; linear in total payload bytes and embarrassingly parallel."""
+    from ..functions.hashing import md5_60  # noqa: PLC0415
+
+    s = F.decode(F.col("payload"), "UTF-8")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(s) - 3), lambda i: F.substr(s, i, F.lit(4))
+    )
+    toks = (
+        assets.filter(F.length(s) >= 4)
+        .select("asset_id", "kind", F.explode(grams).alias("gram"))
+        .withColumn("h", md5_60(F.col("gram")))
+    )
+    sums = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(_PH_BITS)
+    ]
+    agg = toks.groupBy("asset_id", "kind").agg(*sums)
+    fp = None
+    for i in range(_PH_BITS):
+        bit = F.when(F.col(f"s_{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return agg.select("asset_id", "kind", fp.alias("ph"))
+
+
+def phash_neardup_pairs(assets: DataFrame, max_ham: int = _PH_MAX_HAM) -> DataFrame:
+    """(id_a, id_b, hamming) pairs of assets whose fingerprints differ in
+    at most ``max_ham`` bits.  Blocking is the pigeonhole split of the
+    60-bit code into ``_PH_BANDS`` 15-bit bands: a pair within Hamming
+    distance ``_PH_BANDS - 1`` must agree EXACTLY on at least one band,
+    so candidates come from ``_PH_BANDS`` equi-joins on (band_idx,
+    band_value) — never a cross join; at 100 TB the join is Sum of
+    band-bucket^2, the same bounded shape as MinHash-LSH."""
+    coded = payload_simhash60(assets)
+    mask = (1 << _PH_BAND_BITS) - 1
+    bands = coded.select(
+        "asset_id",
+        "kind",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("ph", i * _PH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for i in range(_PH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("asset_id", "kind", "ph", "b.band", "b.bval")
+    a = bands.select(
+        F.col("asset_id").alias("id_a"),
+        F.col("kind").alias("kind_a"),
+        F.col("ph").alias("ph_a"),
+        "band",
+        "bval",
+    )
+    b = bands.select(
+        F.col("asset_id").alias("id_b"),
+        F.col("kind").alias("kind_b"),
+        F.col("ph").alias("ph_b"),
+        "band",
+        "bval",
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "kind_a", "ph_a", "id_b", "kind_b", "ph_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_ham)
+        .select("id_a", "id_b", "kind_a", "kind_b", "hamming")
+    )
+
+
+_PH_BITSUM = " + ".join(
+    f"CASE WHEN s_{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END"
+    for i in range(_PH_BITS)
+)
+_PH_SUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+    for i in range(_PH_BITS)
+)
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id AS asset_id,
+               ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+               text
+        FROM documents
+    ), g AS (
+        SELECT asset_id, kind,
+               ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+        FROM (
+            SELECT asset_id, kind,
+                   unnest([substr(text, CAST(i AS INT), 4)
+                           FOR i IN range(1, greatest(length(text) - 2, 1))]) AS gram
+            FROM d WHERE length(text) >= 4)
+    ), sums AS (
+        SELECT asset_id, kind, {_PH_SUMS}
+        FROM g GROUP BY asset_id, kind
+    ), assets AS (
+        SELECT asset_id, kind, {_PH_BITSUM} AS ph FROM sums
+    ), bands AS (
+        SELECT asset_id, kind, ph, b.band,
+               (ph >> (b.band * {_PH_BAND_BITS})) & {(1 << _PH_BAND_BITS) - 1} AS bval
+        FROM assets CROSS JOIN (
+            SELECT unnest(range(0, {_PH_BANDS})) AS band) b
+    ), cand AS (
+        SELECT DISTINCT a.asset_id AS id_a, a.kind AS kind_a, a.ph AS ph_a,
+                        b.asset_id AS id_b, b.kind AS kind_b, b.ph AS ph_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.asset_id < b.asset_id
+    )
+    SELECT id_a, id_b, kind_a, kind_b,
+           CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ph_a, ph_b)) <= {_PH_MAX_HAM}
+    """,
+    tags=("multimodal", "dedup", "phash", "lsh"),
+)
+def q_multimodal_phash_neardup(spark, sf_dir):
+    """Near-duplicate binary assets by perceptual-hash distance: a 60-bit
+    byte-4-gram SimHash per payload (the content-locality-sensitive
+    stand-in where a real DCT pHash would hash decoded pixels), 4x15-bit
+    pigeonhole bands block candidates (exact recall to Hamming 3), exact
+    XOR+popcount verifies.  Surfaces genuinely near-identical payloads —
+    re-encoded/lightly-edited copies in a real asset store — not just
+    byte-identical ones."""
+    docs = load_table(spark, sf_dir, "documents")
+    return phash_neardup_pairs(assets_from_documents(docs))

@@ -113,6 +113,7 @@ _FRONT = (
     "embedding_pca_power",
     "corpus_split_leakage",
     "sim_hard_negatives",
+    "multimodal_phash_neardup",
     "corpus_weighted_sample",
     # (b) evidence-freshness rotation (VERDICT r8 item 2): every query
     # below has its newest green driver row in ROUND 1 — the stalest

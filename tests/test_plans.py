@@ -420,6 +420,9 @@ def test_no_unbounded_global_windows_anywhere(spark):
         "events_top_paths": {"n"},
         "flagship_top_movers": {"max_abs_variation"},
         "stats_hill_tail_index": {"x"},  # TakeOrdered-101 tail
+        # BM25 rank window runs POST-limit over the k=20-row top relation
+        # (the global sort itself is orderBy+limit = partial top-k + merge)
+        "text_bm25_topk": {"_w0"},
         # distinct 2-char pairs: bounded by |charset|^2, not by the corpus
         "corpus_bpe_first_merges": {"occurrences"},
         # PAV prefix sums over the decile-bin relation: 10 rows by

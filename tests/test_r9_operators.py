@@ -256,6 +256,28 @@ def test_star_cc_converges_log_rounds_on_long_chain(spark):
     assert all(r.label == 0 for r in labels)
 
 
+def test_phash_neardup_catches_light_edits(spark):
+    """Perceptual-hash near-dup on planted assets: a lightly-edited copy
+    (one word changed in a long payload) lands within Hamming 3 of its
+    original and is surfaced; an unrelated payload is not."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.multimodal import (
+        phash_neardup_pairs,
+    )
+
+    base = " ".join(f"token{i} value{i}" for i in range(120))
+    edited = base.replace("token57", "tokenXX")
+    other = " ".join(f"zz{i} qq{i}" for i in range(120))
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(base.encode())),
+         (2, "image", bytearray(edited.encode())),
+         (3, "image", bytearray(other.encode()))],
+        "asset_id long, kind string, payload binary",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in phash_neardup_pairs(assets).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert all(3 not in k for k in pairs)
+
+
 def test_hard_negatives_never_share_label(spark):
     """Every mined negative must carry a label different from its
     anchor's, ranks are 1..k dense per anchor, and each mined pair is
