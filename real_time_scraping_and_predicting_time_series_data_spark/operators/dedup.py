@@ -1052,6 +1052,110 @@ def q_corpus_split_leakage(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_cluster_split",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, source,
+               list_distinct([words[i] || ' ' || words[i+1]
+                              FOR i IN range(1, len(words))]) AS grams
+        FROM toks
+    ), sized AS (
+        SELECT doc_id, source, grams, len(grams) AS set_size FROM sh
+    ), inv AS (
+        SELECT doc_id, source, set_size, unnest(grams) AS shingle FROM sized
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.set_size AS size_a, b.set_size AS size_b,
+               count(*) AS n_common
+        FROM inv a JOIN inv b ON a.source = b.source AND a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ), pairs AS (
+        SELECT id_a, id_b FROM common
+        WHERE n_common / (size_a + size_b - n_common) >= 0.05
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ), clusters AS (
+        SELECT node AS doc_id, min(label) AS cluster_id
+        FROM reach GROUP BY node
+    ), assigned AS (
+        SELECT doc_id, cluster_id,
+               CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+                         % 10 >= 8
+                    THEN 'test' ELSE 'train' END AS split
+        FROM clusters
+    ), leaks AS (
+        SELECT count(*) AS n FROM pairs p
+        JOIN assigned a ON a.doc_id = p.id_a
+        JOIN assigned b ON b.doc_id = p.id_b
+        WHERE a.split <> b.split
+    )
+    SELECT a.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+           CAST(max(l.n) AS BIGINT) AS leaked_pairs
+    FROM assigned a CROSS JOIN leaks l
+    GROUP BY a.split
+    """,
+    tags=("corpus", "dedup", "split", "leakage", "eval"),
+)
+def q_corpus_cluster_split(spark, sf_dir):
+    """The FIX `corpus_split_leakage` points at: assign train/test by the
+    md5 bucket of the near-dup CLUSTER id, not the doc id.  Every
+    near-dup pair lives inside one cluster (its edge created the cluster)
+    and a cluster maps to exactly one split, so cross-split leakage is
+    ZERO BY CONSTRUCTION — and the query proves it: per split, doc and
+    cluster counts plus the cross-split near-dup pair count (always 0),
+    all value-hash-checked.  Scale shape: clusters from the existing CC
+    pipeline; the split is a per-row hash projection; the leak check is
+    two joins of the pair relation against the assignment."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs(docs, block="source", n=2, threshold=0.05).select(
+        "id_a", "id_b"
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    clusters = connected_components(edges, docs.select("doc_id")).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    assigned = clusters.withColumn(
+        "split",
+        F.when(
+            md5_60(F.col("cluster_id").cast("string")) % 10 >= 8, "test"
+        ).otherwise("train"),
+    ).localCheckpoint(eager=False)
+    leaks = (
+        pairs.join(
+            assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        assigned.crossJoin(F.broadcast(leaks))
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+            F.max("n").cast("long").alias("leaked_pairs"),
+        )
+    )
+
+
 _STOPGRAM_DF_CAP = 32
 
 

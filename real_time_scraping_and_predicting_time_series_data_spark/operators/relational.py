@@ -1392,3 +1392,60 @@ def q_sql_lateral_topk(spark, sf_dir):
         WHERE c.c_mktsegment = 'BUILDING'
         """
     )
+
+
+@register(
+    "dq_k_anonymity",
+    oracle="""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               count(*) AS sz
+        FROM customer
+        GROUP BY 1, 2, 3
+    ), tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n FROM classes),
+    ks AS (SELECT unnest([2, 5, 10]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(count(CASE WHEN c.sz < ks.k THEN 1 END) AS BIGINT)
+               AS classes_below_k,
+           CAST(coalesce(sum(CASE WHEN c.sz < ks.k THEN c.sz END), 0) AS BIGINT)
+               AS rows_at_risk,
+           round(coalesce(sum(CASE WHEN c.sz < ks.k THEN c.sz END), 0)
+                 / CAST(max(t.n) AS DOUBLE), 6) AS risk_share
+    FROM classes c CROSS JOIN ks CROSS JOIN tot t
+    GROUP BY ks.k
+    """,
+    tags=("relational", "quality", "privacy", "k-anonymity"),
+)
+def dq_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers (nation, market segment,
+    account-balance band): an equivalence class smaller than k means its
+    members are re-identifiable by those attributes alone — the privacy
+    pre-flight a training-data release runs next to `corpus_pii_redact`
+    (redaction removes direct identifiers; k-anonymity measures what the
+    QUASI-identifiers still leak).  Reports, for k ∈ {2, 5, 10}, the
+    classes below k, the rows at risk, and the risk share.  Scale shape:
+    one grouped count over the QI tuple (map-side combinable), then a
+    3-row k-grid broadcast over the class-size relation — the class
+    relation, not the data, is what the audit aggregates."""
+    c = _t(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count("*").alias("sz"))
+    tot = classes.agg(F.sum("sz").cast("long").alias("n"))
+    ks = spark.range(1).select(F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k"))
+    at_risk = F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")))
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("k").cast("long").alias("k"))
+        .agg(
+            F.count(F.when(F.col("sz") < F.col("k"), 1)).cast("long").alias("classes_below_k"),
+            F.coalesce(at_risk, F.lit(0)).cast("long").alias("rows_at_risk"),
+            F.round(
+                F.coalesce(at_risk, F.lit(0)) / F.max("n").cast("double"), 6
+            ).alias("risk_share"),
+        )
+    )

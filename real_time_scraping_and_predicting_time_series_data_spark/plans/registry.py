@@ -114,6 +114,8 @@ _FRONT = (
     "corpus_split_leakage",
     "sim_hard_negatives",
     "multimodal_phash_neardup",
+    "corpus_cluster_split",
+    "dq_k_anonymity",
     "corpus_weighted_sample",
     # (b) evidence-freshness rotation (VERDICT r8 item 2): every query
     # below has its newest green driver row in ROUND 1 — the stalest

@@ -256,6 +256,46 @@ def test_star_cc_converges_log_rounds_on_long_chain(spark):
     assert all(r.label == 0 for r in labels)
 
 
+def test_cluster_split_has_zero_leaks(spark):
+    """The leakage FIX: splitting by cluster id must produce exactly zero
+    cross-split near-dup pairs (corpus_split_leakage found >0 with the
+    naive doc-id split on the same corpus), and the two splits partition
+    all documents."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    qs = all_queries()
+    rows = {r.split: r for r in qs["corpus_cluster_split"].fn(spark, SF).collect()}
+    assert set(rows) == {"train", "test"}
+    assert all(r.leaked_pairs == 0 for r in rows.values())
+    n_docs = sum(r.n_docs for r in rows.values())
+    leaky = qs["corpus_split_leakage"].fn(spark, SF).collect()
+    assert any(r.leak for r in leaky)  # naive split leaks on this corpus
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import (
+        load_table,
+    )
+
+    assert n_docs == load_table(spark, SF, "documents").count()
+
+
+def test_k_anonymity_monotone_in_k(spark):
+    """Privacy audit sanity: rows_at_risk and classes_below_k are
+    monotone non-decreasing in k, and risk_share stays in [0, 1]."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = sorted(
+        all_queries()["dq_k_anonymity"].fn(spark, SF).collect(), key=lambda r: r.k
+    )
+    assert [r.k for r in rows] == [2, 5, 10]
+    for a, b in zip(rows, rows[1:]):
+        assert b.classes_below_k >= a.classes_below_k
+        assert b.rows_at_risk >= a.rows_at_risk
+    assert all(0.0 <= r.risk_share <= 1.0 for r in rows)
+
+
 def test_phash_neardup_catches_light_edits(spark):
     """Perceptual-hash near-dup on planted assets: a lightly-edited copy
     (one word changed in a long payload) lands within Hamming 3 of its
