@@ -313,3 +313,59 @@ def test_quantile_grid_merge_equals_whole(spark, rows, split):
     got = sorted(tuple(r) for r in quantiles_from_type_grid(merged).collect())
     want = sorted(tuple(r) for r in quantiles_from_type_grid(g).collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r9: large-star/small-star CC == min-label CC on arbitrary graphs, and both
+# == a plain-python union-find reference
+# ---------------------------------------------------------------------------
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=14), st.integers(min_value=0, max_value=14)),
+    min_size=0,
+    max_size=20,
+)
+
+
+def _uf_reference(edges, n_nodes=15):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node of the component
+    comp = {}
+    for v in range(n_nodes):
+        comp.setdefault(find(v), []).append(v)
+    return {v: min(members) for members in comp.values() for v in members}
+
+
+@SLOW
+@given(edges=_edge_lists)
+def test_star_cc_matches_union_find(spark, edges):
+    """connected_components_star on ARBITRARY hypothesis-generated graphs
+    (self-loops, duplicates, reversed edges, isolated nodes) must equal a
+    plain-python union-find AND the min-label propagation."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n_nodes = 15
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "node long")
+    if edges:
+        e = spark.createDataFrame(edges, "src long, dst long")
+    else:
+        e = spark.createDataFrame([], "src long, dst long")
+    want = _uf_reference(edges, n_nodes)
+    got_star = {r.node: r.label for r in connected_components_star(e, nodes).collect()}
+    assert got_star == want
+    got_min = {r.node: r.label for r in connected_components(e, nodes).collect()}
+    assert got_min == want
