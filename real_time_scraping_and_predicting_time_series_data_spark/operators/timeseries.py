@@ -2377,3 +2377,113 @@ def q_ts_pacf(spark, sf_dir):
     out2 = d.select("user_id", F.lit(2).cast("long").alias("lag"), canon(F.col("p2")).alias("pacf"))
     out3 = d.select("user_id", F.lit(3).cast("long").alias("lag"), canon(p3).alias("pacf"))
     return out1.union(out2).union(out3)
+
+
+_PURGE_FOLDS = 5
+_PURGE_EMBARGO = 2  # days excluded from training on EACH side of the test block
+
+
+@register(
+    "ml_purged_time_split",
+    oracle=f"""
+    WITH days AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+    ), idx AS (
+        SELECT day, row_number() OVER (ORDER BY day) AS i,
+               count(*) OVER () AS n
+        FROM days
+    ), folds AS (SELECT unnest(range(0, {_PURGE_FOLDS})) AS fold),
+    bounds AS (
+        SELECT f.fold,
+               CAST(floor(f.fold * max(i.n) / {_PURGE_FOLDS}.0) + 1 AS BIGINT) AS lo,
+               CAST(floor((f.fold + 1) * max(i.n) / {_PURGE_FOLDS}.0) AS BIGINT) AS hi
+        FROM folds f CROSS JOIN idx i GROUP BY f.fold
+    ), labeled AS (
+        SELECT b.fold, i.i,
+               CASE WHEN i.i BETWEEN b.lo AND b.hi THEN 'test'
+                    WHEN i.i < b.lo - {_PURGE_EMBARGO}
+                      OR i.i > b.hi + {_PURGE_EMBARGO} THEN 'train'
+                    ELSE 'purged' END AS role
+        FROM bounds b CROSS JOIN idx i
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(count(CASE WHEN role = 'train' THEN 1 END) AS BIGINT) AS n_train_days,
+           CAST(count(CASE WHEN role = 'test' THEN 1 END) AS BIGINT) AS n_test_days,
+           CAST(count(CASE WHEN role = 'purged' THEN 1 END) AS BIGINT) AS n_purged_days,
+           CAST(coalesce(min(CASE WHEN role = 'train' THEN
+                 least(abs(i - (SELECT min(i2.i) FROM labeled i2
+                                WHERE i2.fold = labeled.fold AND i2.role = 'test')),
+                       abs(i - (SELECT max(i2.i) FROM labeled i2
+                                WHERE i2.fold = labeled.fold AND i2.role = 'test')))
+               END), 0) AS BIGINT) AS min_train_test_gap
+    FROM labeled
+    GROUP BY fold
+    """,
+    tags=("ml", "timeseries", "split", "leakage", "eval"),
+)
+def q_ml_purged_time_split(spark, sf_dir):
+    """Purged k-fold time split with embargo (López de Prado's leakage
+    control for serially-correlated data — public): the event calendar is
+    cut into 5 contiguous test blocks; training days within 2 days of a
+    test block are PURGED, so features computed over trailing windows
+    (W1/W2 sliding features) can't smuggle test-period information into
+    training — the time-series analogue of `corpus_cluster_split`.
+    Per fold: train/test/purged day counts and the realized minimum
+    train↔test gap (always > embargo, checked by the oracle's integer
+    arithmetic).  Scale shape: the day grid is calendar-bounded (one
+    distinct-shuffle over events, then everything runs on |days| rows);
+    the fold grid is a 5-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    w = Window.orderBy("day")
+    idx = days.select(
+        "day",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    folds = idx.sparkSession.range(_PURGE_FOLDS).select(F.col("id").alias("fold"))
+    k = float(_PURGE_FOLDS)
+    bounds = (
+        folds.crossJoin(idx.select(F.max("n").alias("n")).limit(1))
+        .select(
+            "fold",
+            (F.floor(F.col("fold") * F.col("n") / k) + 1).cast("long").alias("lo"),
+            F.floor((F.col("fold") + 1) * F.col("n") / k).cast("long").alias("hi"),
+        )
+    )
+    labeled = (
+        F.broadcast(bounds)
+        .crossJoin(idx.select("i"))
+        .select(
+            "fold",
+            "i",
+            "lo",
+            "hi",
+            F.when(F.col("i").between(F.col("lo"), F.col("hi")), "test")
+            .when(
+                (F.col("i") < F.col("lo") - _PURGE_EMBARGO)
+                | (F.col("i") > F.col("hi") + _PURGE_EMBARGO),
+                "train",
+            )
+            .otherwise("purged")
+            .alias("role"),
+        )
+    )
+    tmin = labeled.filter(F.col("role") == "test").groupBy("fold").agg(
+        F.min("i").alias("t_lo"), F.max("i").alias("t_hi")
+    )
+    gap = F.least(
+        F.abs(F.col("i") - F.col("t_lo")), F.abs(F.col("i") - F.col("t_hi"))
+    )
+    return (
+        labeled.join(F.broadcast(tmin), "fold")
+        .groupBy(F.col("fold").cast("long").alias("fold"))
+        .agg(
+            F.count(F.when(F.col("role") == "train", 1)).cast("long").alias("n_train_days"),
+            F.count(F.when(F.col("role") == "test", 1)).cast("long").alias("n_test_days"),
+            F.count(F.when(F.col("role") == "purged", 1)).cast("long").alias("n_purged_days"),
+            F.coalesce(
+                F.min(F.when(F.col("role") == "train", gap)), F.lit(0)
+            ).cast("long").alias("min_train_test_gap"),
+        )
+    )

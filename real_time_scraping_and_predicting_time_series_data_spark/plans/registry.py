@@ -116,6 +116,7 @@ _FRONT = (
     "multimodal_phash_neardup",
     "corpus_cluster_split",
     "dq_k_anonymity",
+    "ml_purged_time_split",
     "corpus_weighted_sample",
     # (b) evidence-freshness rotation (VERDICT r8 item 2): every query
     # below has its newest green driver row in ROUND 1 — the stalest

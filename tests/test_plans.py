@@ -450,6 +450,8 @@ def test_no_unbounded_global_windows_anywhere(spark):
         "ts_spectral_entropy": {"day"},
         "ts_adf_unit_root": {"day"},
         "ts_turning_points": {"day"},
+        # purged-split fold bookkeeping rides the calendar-bounded day grid
+        "ml_purged_time_split": {"day"},
     }
     pat = re.compile(r"windowspecdefinition\(\s*([A-Za-z0-9_]+)#\d+L?\s+(?:ASC|DESC)")
     offenders = []

@@ -256,6 +256,36 @@ def test_star_cc_converges_log_rounds_on_long_chain(spark):
     assert all(r.label == 0 for r in labels)
 
 
+def test_purged_time_split_honors_embargo(spark):
+    """Purged k-fold: every fold's realized train-to-test gap exceeds the
+    embargo, roles partition the full day grid, and test blocks tile the
+    calendar (fold sizes within 1 day of each other)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import (
+        load_table,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = sorted(
+        all_queries()["ml_purged_time_split"].fn(spark, SF).collect(),
+        key=lambda r: r.fold,
+    )
+    assert [r.fold for r in rows] == [0, 1, 2, 3, 4]
+    n_days = (
+        load_table(spark, SF, "events")
+        .select(F.date_trunc("day", "ts"))
+        .distinct()
+        .count()
+    )
+    sizes = [r.n_test_days for r in rows]
+    assert sum(sizes) == n_days and max(sizes) - min(sizes) <= 1
+    for r in rows:
+        assert r.n_train_days + r.n_test_days + r.n_purged_days == n_days
+        if r.n_train_days:
+            assert r.min_train_test_gap > 2  # embargo
+
+
 def test_cluster_split_has_zero_leaks(spark):
     """The leakage FIX: splitting by cluster id must produce exactly zero
     cross-split near-dup pairs (corpus_split_leakage found >0 with the
