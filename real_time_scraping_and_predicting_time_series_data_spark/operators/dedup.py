@@ -1120,8 +1120,14 @@ def q_corpus_cluster_split(spark, sf_dir):
     pipeline; the split is a per-row hash projection; the leak check is
     two joins of the pair relation against the assignment."""
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    pairs = jaccard_pairs(docs, block="source", n=2, threshold=0.05).select(
-        "id_a", "id_b"
+    # The inverted-index pair build feeds BOTH the CC edge set and the
+    # leak-verification joins — materialize it once (lazy checkpoint: the
+    # first consumer executes it, the second reads the materialization)
+    # instead of re-running the Σdf² join per consumer.
+    pairs = (
+        jaccard_pairs(docs, block="source", n=2, threshold=0.05)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     clusters = connected_components(edges, docs.select("doc_id")).select(
