@@ -366,6 +366,239 @@ def q_text_bm25_topk(spark, sf_dir):
     return bm25_topk(docs)
 
 
+# Multi-query BM25 serving + retrieval eval (r9): the BATCH shape a real
+# retrieval stack runs — a query RELATION scored in one pass — plus the
+# MRR / precision@k audit that prices the ranking, mirroring how
+# `sim_recall_audit` prices the dense path.
+
+_BM25_PANEL = (
+    (1, ("hash", "join", "vector")),
+    (2, ("customer", "order", "line")),
+    (3, ("stream", "batch", "window")),
+)
+_BM25_MULTI_K = 10
+
+
+def bm25_multi_topk(
+    df: DataFrame,
+    panel: tuple = _BM25_PANEL,
+    k: int = _BM25_MULTI_K,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 over a query RELATION: one token pass, one broadcast of the
+    (query_id, term) panel, scores for every (query, doc) with at least
+    one hit, per-query top-k through a PARTITIONED rank window — |panel|
+    rides a broadcast, so 3 queries and 3 million take the same plan
+    (with a genuinely large panel the broadcast becomes a shuffle join on
+    term — one hint away)."""
+    tf = _bm25_tf(df, text, id_col)
+    qdf = _bm25_panel_df(df.sparkSession, panel)
+    return _bm25_rank_from_tf(tf, qdf, k, k1, b, id_col)
+
+
+def _bm25_tf(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    toks = df.select(F.col(id_col), F.explode(words_of(F.col(text))).alias("term"))
+    return toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+
+
+def _bm25_panel_df(spark, panel: tuple) -> DataFrame:
+    return spark.createDataFrame(
+        [(qid, t) for qid, terms in panel for t in terms], "query_id long, term string"
+    )
+
+
+def _bm25_rank_from_tf(
+    tf: DataFrame, qdf: DataFrame, k: int, k1: float, b: float, id_col: str
+) -> DataFrame:
+    """Per-query top-k from a precomputed (doc, term, tf) relation —
+    factored so consumers that also need the tf relation (the eval) share
+    ONE token explosion instead of rebuilding the subtree per branch."""
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.round(F.avg("dl"), 6).alias("avgdl"), F.count("*").alias("n_docs")
+    )
+    hits = tf.join(F.broadcast(qdf), "term")
+    dfreq = hits.select("term", id_col).distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("part", idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom)
+        .groupBy("query_id", id_col)
+        .agg(F.sum("part").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 9)), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("score", 6).alias("bm25"), "rank")
+    )
+
+
+def _bm25_multi_cte() -> str:
+    panel_rows = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_PANEL for t in terms
+    )
+    return f"""
+    qdf AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+            FROM (VALUES {panel_rows}) v(query_id, term)),
+    toks AS MATERIALIZED (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ), tf AS MATERIALIZED (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+        SELECT round(avg(dl), 6) AS avgdl, count(*) AS n_docs FROM dl
+    ), hits AS MATERIALIZED (
+        SELECT q.query_id, t.doc_id, t.term, t.tf FROM tf t JOIN qdf q USING (term)
+    ), dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1
+    ), scored AS MATERIALIZED (
+        SELECT h.query_id, h.doc_id,
+               sum(
+                   ln(CAST(1.0 AS DOUBLE)
+                      + (s.n_docs - f.df + CAST(0.5 AS DOUBLE))
+                        / (f.df + CAST(0.5 AS DOUBLE)))
+                   * (h.tf * CAST({_BM25_K1 + 1.0!r} AS DOUBLE))
+                   / (h.tf + CAST({_BM25_K1!r} AS DOUBLE)
+                      * (CAST({1.0 - _BM25_B!r} AS DOUBLE)
+                         + CAST({_BM25_B!r} AS DOUBLE) * d.dl / s.avgdl))
+               ) AS score
+        FROM hits h
+        JOIN dfreq f USING (term)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY 1, 2
+    ), ranked AS MATERIALIZED (
+        SELECT query_id, doc_id, round(score, 6) AS bm25,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(score, 9) DESC, doc_id) AS BIGINT) AS rank
+        FROM scored
+    )"""
+
+
+@register(
+    "text_bm25_multi",
+    oracle=f"""
+    WITH {_bm25_multi_cte()}
+    SELECT query_id, doc_id, bm25, rank FROM ranked WHERE rank <= {_BM25_MULTI_K}
+    """,
+    tags=("text", "retrieval", "bm25", "topk", "relation"),
+)
+def q_text_bm25_multi(spark, sf_dir):
+    """BM25 serving for a 3-query panel in one corpus pass — per-query
+    top-10 through a partitioned rank window (the batch-retrieval shape;
+    per-query metrics audited by `text_bm25_eval`)."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return bm25_multi_topk(docs)
+
+
+@register(
+    "text_bm25_eval",
+    oracle=f"""
+    WITH {_bm25_multi_cte()},
+    nterms AS (
+        SELECT query_id, count(*) AS nt FROM qdf GROUP BY 1
+    ), relevant AS (
+        SELECT h.query_id, h.doc_id
+        FROM (SELECT DISTINCT query_id, doc_id, term FROM hits) h
+        JOIN nterms n USING (query_id)
+        GROUP BY h.query_id, h.doc_id
+        HAVING count(*) = max(n.nt)
+    ), topk AS (
+        SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {_BM25_MULTI_K}
+    ), joined AS (
+        SELECT t.query_id, t.rank,
+               CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        FROM topk t LEFT JOIN relevant r
+          ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+    )
+    SELECT j.query_id,
+           CAST(max(nr.n) AS BIGINT) AS n_relevant,
+           CAST(sum(CASE WHEN j.rank <= 5 THEN j.rel ELSE 0 END) AS BIGINT)
+               AS hits_at_5,
+           round(sum(CASE WHEN j.rank <= 5 THEN j.rel ELSE 0 END) / 5.0, 6)
+               AS precision_at_5,
+           round(coalesce(max(CASE WHEN j.rel = 1
+                                   THEN 1.0 / j.rank END), 0.0), 6) AS mrr
+    FROM joined j
+    JOIN (SELECT query_id, count(*) AS n FROM relevant GROUP BY 1) nr
+      USING (query_id)
+    GROUP BY j.query_id
+    """,
+    tags=("text", "retrieval", "bm25", "eval", "audit"),
+)
+def q_text_bm25_eval(spark, sf_dir):
+    """Retrieval-quality audit of the BM25 panel: per query, with
+    relevance = "document contains EVERY query term" (the conjunctive
+    proxy — deterministic and corpus-derived, no human labels), report
+    the relevant-set size, hits@5, precision@5, and MRR@10.  The sparse
+    twin of `sim_recall_audit`: a retrieval stack ships only when both
+    its dense and sparse rankers carry an eval row."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    qdf = _bm25_panel_df(docs.sparkSession, _BM25_PANEL)
+    nterms = qdf.groupBy("query_id").agg(F.count("*").alias("nt"))
+    # ONE token explosion shared by the ranking and the relevance sides
+    # (lazy checkpoint: first consumer materializes, the rest read it).
+    tf = _bm25_tf(docs, "text", "doc_id").localCheckpoint(eager=False)
+    matched = (
+        tf.join(F.broadcast(qdf), "term")
+        .select("query_id", "doc_id", "term")
+        .distinct()
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("nm"))
+    )
+    relevant = (
+        matched.join(F.broadcast(nterms), "query_id")
+        .filter(F.col("nm") == F.col("nt"))
+        .select("query_id", "doc_id")
+    )
+    nrel = relevant.groupBy("query_id").agg(F.count("*").alias("n"))
+    topk = _bm25_rank_from_tf(
+        tf, qdf, _BM25_MULTI_K, _BM25_K1, _BM25_B, "doc_id"
+    ).select("query_id", "doc_id", "rank")
+    joined = topk.join(
+        relevant.withColumn("rel", F.lit(1)), ["query_id", "doc_id"], "left"
+    ).select("query_id", "rank", F.coalesce("rel", F.lit(0)).alias("rel"))
+    return (
+        joined.join(F.broadcast(nrel), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.max("n").cast("long").alias("n_relevant"),
+            F.sum(F.when(F.col("rank") <= 5, F.col("rel")).otherwise(0))
+            .cast("long")
+            .alias("hits_at_5"),
+            F.round(
+                F.sum(F.when(F.col("rank") <= 5, F.col("rel")).otherwise(0)) / 5.0, 6
+            ).alias("precision_at_5"),
+            F.round(
+                F.coalesce(
+                    F.max(F.when(F.col("rel") == 1, F.lit(1.0) / F.col("rank"))),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("mrr"),
+        )
+    )
+
+
 @register(
     "text_fingerprint",
     oracle="""

@@ -117,6 +117,8 @@ _FRONT = (
     "corpus_cluster_split",
     "dq_k_anonymity",
     "ml_purged_time_split",
+    "text_bm25_multi",
+    "text_bm25_eval",
     "corpus_weighted_sample",
     # (b) evidence-freshness rotation (VERDICT r8 item 2): every query
     # below has its newest green driver row in ROUND 1 — the stalest

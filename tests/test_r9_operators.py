@@ -256,6 +256,24 @@ def test_star_cc_converges_log_rounds_on_long_chain(spark):
     assert all(r.label == 0 for r in labels)
 
 
+def test_bm25_eval_metrics_are_consistent(spark):
+    """Retrieval eval invariants: one row per panel query; hits@5 <=
+    min(5, n_relevant); precision@5 = hits@5/5; mrr in [0,1] and mrr >=
+    1/k when any top-k hit exists."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = all_queries()["text_bm25_eval"].fn(spark, SF).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0 <= r.hits_at_5 <= min(5, r.n_relevant)
+        assert abs(r.precision_at_5 - r.hits_at_5 / 5.0) < 1e-9
+        assert 0.0 <= r.mrr <= 1.0
+        if r.hits_at_5 > 0:
+            assert r.mrr >= 1.0 / 10
+
+
 def test_purged_time_split_honors_embargo(spark):
     """Purged k-fold: every fold's realized train-to-test gap exceeds the
     embargo, roles partition the full day grid, and test blocks tile the
