@@ -511,6 +511,41 @@ def q_text_bm25_multi(spark, sf_dir):
 
 
 @register(
+    "text_bm25_stream_serve",
+    oracle=f"""
+    WITH {_bm25_multi_cte()}
+    SELECT query_id, doc_id, bm25, rank FROM ranked WHERE rank <= {_BM25_MULTI_K}
+    """,
+    tags=("text", "retrieval", "bm25", "streaming", "incremental"),
+)
+def q_text_bm25_stream_serve(spark, sf_dir):
+    """INCREMENTAL twin of `text_bm25_multi`, exercised as a
+    batch-callable query: documents are ingested in three deterministic
+    micro-batches (split on pmod(xxhash64(doc_id), 3)) through
+    `Bm25StreamIndex`, whose per-batch state is the (doc, term, tf)
+    inverted-index shard; the SERVED per-query top-10 over the merged
+    shards is returned.  The oracle is the plain one-pass batch SQL —
+    passing value-hash-exact proves the accumulated index serves the
+    same ranking a batch rebuild would, including the retroactive
+    df/avgdl reweighting late documents cause."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.bm25_stream import Bm25StreamIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="bm25_serve_")
+    atexit.register(shutil.rmtree, store, ignore_errors=True)
+    idx = Bm25StreamIndex(spark, store)
+    for bid in range(3):
+        idx.ingest_batch(
+            docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == bid), bid
+        )
+    return idx.serve_topk(_BM25_PANEL, k=_BM25_MULTI_K, k1=_BM25_K1, b=_BM25_B)
+
+
+@register(
     "text_bm25_eval",
     oracle=f"""
     WITH {_bm25_multi_cte()},
