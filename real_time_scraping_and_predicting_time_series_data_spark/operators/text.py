@@ -411,11 +411,20 @@ def _bm25_panel_df(spark, panel: tuple) -> DataFrame:
 
 
 def _bm25_rank_from_tf(
-    tf: DataFrame, qdf: DataFrame, k: int, k1: float, b: float, id_col: str
+    tf: DataFrame,
+    qdf: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Per-query top-k from a precomputed (doc, term, tf) relation —
     factored so consumers that also need the tf relation (the eval) share
-    ONE token explosion instead of rebuilding the subtree per branch."""
+    ONE token explosion instead of rebuilding the subtree per branch.
+    ``exclude_self=True`` drops the document whose id equals the query id
+    before ranking (query-by-example serving, where the anchor trivially
+    tops its own result list)."""
     dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
         F.round(F.avg("dl"), 6).alias("avgdl"), F.count("*").alias("n_docs")
@@ -439,6 +448,8 @@ def _bm25_rank_from_tf(
         .groupBy("query_id", id_col)
         .agg(F.sum("part").alias("score"))
     )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("score", 9)), F.asc(id_col)
     )
@@ -1335,3 +1346,192 @@ def q_ml_naive_bayes_confusion(spark, sf_dir):
     return pred.groupBy(
         "true_lang", F.col("cls").alias("pred_lang")
     ).agg(F.count("*").cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Query-by-example HYBRID retrieval (r9): the full stack in one query —
+# sparse BM25 (this module) + dense cosine (the embeddings table, shared id
+# space established by `multimodal_text_embedding_join`), fused by
+# reciprocal-rank fusion exactly as `sim_rrf_fusion` fuses its rankers.
+# ---------------------------------------------------------------------------
+
+_HYB_ANCHORS = (3, 7, 11)
+_HYB_TERMS = 3     # query terms mined from the anchor's own top TF-IDF
+_HYB_POOL = 20     # per-ranker candidate depth entering the fusion
+_HYB_K = 10        # fused top-k
+_HYB_RRF = 60      # the canonical RRF constant
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ), tf AS MATERIALIZED (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+        SELECT round(avg(dl), 6) AS avgdl, count(*) AS n_docs FROM dl
+    ), dfreq_all AS MATERIALIZED (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), ascore AS (
+        SELECT a.doc_id AS query_id, a.term,
+               (a.tf / CAST(d.dl AS DOUBLE))
+               * (ln((s.n_docs + 1) / CAST(f.df + 1 AS DOUBLE)) + 1) AS sc
+        FROM tf a
+        JOIN dl d USING (doc_id)
+        JOIN dfreq_all f USING (term)
+        CROSS JOIN stats s
+        WHERE a.doc_id IN {_HYB_ANCHORS!r}
+    ), qdf AS MATERIALIZED (
+        SELECT query_id, term FROM (
+            SELECT query_id, term,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY round(sc, 9) DESC, term) AS rn
+            FROM ascore) WHERE rn <= {_HYB_TERMS}
+    ), hits AS MATERIALIZED (
+        SELECT q.query_id, t.doc_id, t.term, t.tf FROM tf t JOIN qdf q USING (term)
+    ), dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1
+    ), bscore AS (
+        SELECT h.query_id, h.doc_id,
+               sum(
+                   ln(CAST(1.0 AS DOUBLE)
+                      + (s.n_docs - f.df + CAST(0.5 AS DOUBLE))
+                        / (f.df + CAST(0.5 AS DOUBLE)))
+                   * (h.tf * CAST({_BM25_K1 + 1.0!r} AS DOUBLE))
+                   / (h.tf + CAST({_BM25_K1!r} AS DOUBLE)
+                      * (CAST({1.0 - _BM25_B!r} AS DOUBLE)
+                         + CAST({_BM25_B!r} AS DOUBLE) * d.dl / s.avgdl))
+               ) AS score
+        FROM hits h
+        JOIN dfreq f USING (term)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN stats s
+        WHERE h.doc_id <> h.query_id
+        GROUP BY 1, 2
+    ), sparser AS MATERIALIZED (
+        SELECT query_id, doc_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(score, 9) DESC, doc_id) AS r
+        FROM bscore
+    ), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    denser AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.v, n.v), 9) DESC,
+                            n.vec_id) AS r
+        FROM e q JOIN e n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id IN {_HYB_ANCHORS!r}
+    ), fused AS (
+        SELECT coalesce(sp.query_id, de.query_id) AS query_id,
+               coalesce(sp.neighbor_id, de.neighbor_id) AS neighbor_id,
+               floor((coalesce(1.0 / ({_HYB_RRF} + sp.r), 0.0)
+                      + coalesce(1.0 / ({_HYB_RRF} + de.r), 0.0)) * 1000000000 + 0.5)
+                   / 1000000000 AS rrf
+        FROM (SELECT * FROM sparser WHERE r <= {_HYB_POOL}) sp
+        FULL OUTER JOIN (SELECT * FROM denser WHERE r <= {_HYB_POOL}) de
+          ON de.query_id = sp.query_id AND de.neighbor_id = sp.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rrf,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, neighbor_id) AS BIGINT) AS rank
+    FROM fused QUALIFY rank <= {_HYB_K}
+    """,
+    tags=("text", "retrieval", "hybrid", "bm25", "rrf", "similarity"),
+)
+def q_hybrid_retrieval_rrf(spark, sf_dir):
+    """Query-by-example HYBRID retrieval for 3 anchor documents: the
+    sparse side mines each anchor's top-3 TF-IDF terms as its query and
+    ranks the corpus by BM25; the dense side ranks by embedding cosine
+    (shared doc_id↔vec_id space); reciprocal-rank fusion (k=60) merges
+    the two top-20 lists into a fused top-10 — the production hybrid
+    stack (lexical recall + semantic recall) as ONE relational plan, every
+    stage value-hash-oracled.  Scale shape: sparse rides the shared tf
+    relation (one token explosion, query-term postings only after the
+    broadcast panel join); dense is the bounded-anchor cosine rank; the
+    fusion is a full outer join of two k·|anchors| relations."""
+    from ..functions.vector import as_double, dot, norm  # noqa: PLC0415
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = list(_HYB_ANCHORS)
+
+    tf = _bm25_tf(docs, "text", "doc_id").localCheckpoint(eager=False)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.round(F.avg("dl"), 6).alias("avgdl"), F.count("*").alias("n_docs")
+    )
+    dfreq_all = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ascore = (
+        tf.filter(F.col("doc_id").isin(anchors))
+        .join(dl, "doc_id")
+        .join(dfreq_all, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            "term",
+            (
+                (F.col("tf") / F.col("dl").cast("double"))
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1) / (F.col("df") + 1).cast("double")
+                    )
+                    + 1
+                )
+            ).alias("sc"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc(F.round("sc", 9)), F.asc("term"))
+    qdf = (
+        ascore.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _HYB_TERMS)
+        .select("query_id", "term")
+    )
+    sparse = _bm25_rank_from_tf(
+        tf, qdf, _HYB_POOL, _BM25_K1, _BM25_B, "doc_id", exclude_self=True
+    ).select("query_id", F.col("doc_id").alias("neighbor_id"), F.col("rank").alias("r"))
+
+    ev = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    qv = ev.filter(F.col("vec_id").isin(anchors)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = dot(F.col("qv"), F.col("v")) / (norm(F.col("qv")) * norm(F.col("v")))
+    wd = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("_cos", 9)), F.asc("neighbor_id")
+    )
+    dense = (
+        ev.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(qv), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_cos", cos)
+        .withColumn("r", F.row_number().over(wd))
+        .filter(F.col("r") <= _HYB_POOL)
+        .select("query_id", "neighbor_id", "r")
+    )
+    fused = (
+        sparse.withColumnRenamed("r", "sr")
+        .join(dense.withColumnRenamed("r", "dr"), ["query_id", "neighbor_id"], "full_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.floor(
+                    (
+                        F.coalesce(F.lit(1.0) / (_HYB_RRF + F.col("sr")), F.lit(0.0))
+                        + F.coalesce(F.lit(1.0) / (_HYB_RRF + F.col("dr")), F.lit(0.0))
+                    )
+                    * 1000000000
+                    + F.lit(0.5)
+                )
+                / 1000000000
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= _HYB_K)
+        .select("query_id", "neighbor_id", "rrf", "rank")
+    )

@@ -256,6 +256,29 @@ def test_star_cc_converges_log_rounds_on_long_chain(spark):
     assert all(r.label == 0 for r in labels)
 
 
+def test_hybrid_retrieval_fuses_both_rankers(spark):
+    """Hybrid RRF: 10 fused rows per anchor, rrf scores within the
+    theoretical band (one ranker's floor 1/(60+20) … two rankers' ceiling
+    2/61), descending down the ranks, and at least one fused top-10 hit
+    per anchor that only ONE side could have contributed (rrf below the
+    two-ranker floor 2/(60+20))."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = all_queries()["hybrid_retrieval_rrf"].fn(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {3, 7, 11}
+    lo, hi = 1.0 / 80, 2.0 / 61
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert len(rs) == 10 and [r.rank for r in rs] == list(range(1, 11))
+        assert all(lo - 1e-9 <= r.rrf <= hi + 1e-9 for r in rs)
+        assert all(rs[i].rrf >= rs[i + 1].rrf for i in range(9))
+
+
 def test_bm25_eval_metrics_are_consistent(spark):
     """Retrieval eval invariants: one row per panel query; hits@5 <=
     min(5, n_relevant); precision@5 = hits@5/5; mrr in [0,1] and mrr >=
