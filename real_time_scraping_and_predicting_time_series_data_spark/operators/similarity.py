@@ -2200,13 +2200,11 @@ _PCA_DIM = 64
 _PCA_ITERS = 6
 
 
-def embedding_gram(df: DataFrame, vec: str = "embedding", dim: int = _PCA_DIM) -> DataFrame:
-    """Uncentered Gram matrix G = Σ_rows v·vᵀ as a (i, j, g) relation
-    (1-based, g rounded to 6dp).  Per row the 64×64 products explode from
-    two nested index-aware transforms — pure codegen, one shuffle of dim²
-    groups; at 100 TB this is the standard outer-product-sum with a
-    map-side partial aggregate (4096 doubles per task), and the collected
-    result is only ever a dim²-row MODEL relation."""
+def gram_partial(df: DataFrame, vec: str = "embedding", dim: int = _PCA_DIM) -> DataFrame:
+    """UNROUNDED partial Gram sums Σ_rows v·vᵀ as (i, j, g) — the
+    mergeable per-batch state of the streaming accumulator (partial sums
+    merge by grouped sum; rounding must happen exactly once, on the
+    TOTAL, or per-batch rounding errors accumulate past the 6dp canon)."""
     v = as_double(F.col(vec))
     pairs = F.flatten(
         F.transform(
@@ -2220,7 +2218,19 @@ def embedding_gram(df: DataFrame, vec: str = "embedding", dim: int = _PCA_DIM) -
         )
     )
     ex = df.select(F.explode(pairs).alias("s")).select("s.i", "s.j", "s.p")
-    return ex.groupBy("i", "j").agg(F.round(F.sum("p"), 6).alias("g"))
+    return ex.groupBy("i", "j").agg(F.sum("p").alias("g"))
+
+
+def embedding_gram(df: DataFrame, vec: str = "embedding", dim: int = _PCA_DIM) -> DataFrame:
+    """Uncentered Gram matrix G = Σ_rows v·vᵀ as a (i, j, g) relation
+    (1-based, g rounded to 6dp).  Per row the 64×64 products explode from
+    two nested index-aware transforms — pure codegen, one shuffle of dim²
+    groups; at 100 TB this is the standard outer-product-sum with a
+    map-side partial aggregate (4096 doubles per task), and the collected
+    result is only ever a dim²-row MODEL relation."""
+    return gram_partial(df, vec, dim).select(
+        "i", "j", F.round("g", 6).alias("g")
+    )
 
 
 def _power_top(g: DataFrame, dim: int, iters: int) -> DataFrame:
@@ -2332,7 +2342,48 @@ def q_embedding_pca_power(spark, sf_dir):
     every loading value-hash-checked against a DuckDB replay of the
     identical rounded-aggregate iteration."""
     emb = load_table(spark, sf_dir, "embeddings")
-    g1 = embedding_gram(emb).localCheckpoint(eager=True)
+    return pca_from_gram(embedding_gram(emb))
+
+
+@register(
+    "embedding_pca_stream_serve",
+    oracle=_pca_oracle(),
+    tags=("similarity", "embedding", "audit", "pca", "streaming", "incremental"),
+)
+def q_embedding_pca_stream_serve(spark, sf_dir):
+    """INCREMENTAL twin of `embedding_pca_power`, exercised as a
+    batch-callable query: embeddings are ingested in three deterministic
+    micro-batches (split on pmod(xxhash64(vec_id), 3)) through
+    `GramStreamAccumulator`, whose per-batch state is the UNROUNDED
+    4096-row partial Gram; the served spectral audit over the merged
+    matrix is returned.  The oracle is the plain one-pass batch SQL —
+    passing value-hash-exact proves the grouped-sum Gram merge + the
+    single serve-time rounding reproduce the batch spectrum exactly
+    (rounding once on the total is what makes per-batch partials safe;
+    see streaming/pca_stream.py)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.pca_stream import GramStreamAccumulator  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = tempfile.mkdtemp(prefix="gram_serve_")
+    atexit.register(shutil.rmtree, store, ignore_errors=True)
+    acc = GramStreamAccumulator(spark, store)
+    for bid in range(3):
+        acc.ingest_batch(
+            emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(3)) == bid), bid
+        )
+    return acc.serve_pca()
+
+
+def pca_from_gram(g: DataFrame) -> DataFrame:
+    """Top-2 power-iteration PCA from a ROUNDED (i, j, g) Gram relation —
+    shared by the batch query and the streaming accumulator's serve (the
+    two produce the same rounded Gram, so this body makes serve == batch
+    by construction)."""
+    g1 = g.localCheckpoint(eager=True)
     x1 = _power_top(g1, _PCA_DIM, _PCA_ITERS)
     l1 = _rayleigh(g1, x1)
     # deflation: G2 = G1 − λ1·x1x1ᵀ, entries re-rounded to 9dp

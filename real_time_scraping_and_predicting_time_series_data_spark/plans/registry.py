@@ -121,6 +121,7 @@ _FRONT = (
     "text_bm25_eval",
     "text_bm25_stream_serve",
     "hybrid_retrieval_rrf",
+    "embedding_pca_stream_serve",
     "corpus_weighted_sample",
     # (b) evidence-freshness rotation (VERDICT r8 item 2): every query
     # below has its newest green driver row in ROUND 1 — the stalest
