@@ -1449,3 +1449,74 @@ def dq_k_anonymity(spark, sf_dir):
             ).alias("risk_share"),
         )
     )
+
+
+@register(
+    "orders_skyline",
+    oracle="""
+    WITH o AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
+               CAST(date_diff('day', DATE '1992-01-01',
+                              CAST(o.o_orderdate AS DATE)) AS BIGINT) AS d
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), w AS (
+        SELECT segment, o_orderkey, o_totalprice, d,
+               max(o_totalprice) OVER (
+                   PARTITION BY segment ORDER BY -d
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS mx_newer,
+               max(o_totalprice) OVER (PARTITION BY segment, d) AS mx_same
+        FROM o
+    )
+    SELECT segment, o_orderkey, round(o_totalprice, 2) AS totalprice, d AS day_idx
+    FROM w
+    WHERE o_totalprice = mx_same
+      AND (mx_newer IS NULL OR o_totalprice > mx_newer)
+    """,
+    tags=("relational", "skyline", "pareto", "window"),
+)
+def q_orders_skyline(spark, sf_dir):
+    """2-D SKYLINE (Pareto frontier) per market segment: orders not
+    DOMINATED by any other — dominated meaning another order in the
+    segment is at least as recent AND at least as expensive, strictly
+    better in one.  The classic multi-criteria operator (Börzsönyi et
+    al.'s SKYLINE OF, public), computed WITHOUT the naive O(n²)
+    dominance join: sort each segment by recency, and a point is on the
+    frontier iff its price strictly exceeds the running max over all
+    strictly-newer orders (RANGE frame on the day index) and ties the max
+    within its own day — one partitioned sort window, O(n log n), the
+    same plan at 150k or 150B orders.  Same-day same-price ties both
+    survive (neither strictly dominates)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    )
+    w_newer = (
+        Window.partitionBy("segment")
+        .orderBy(-F.col("d"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("segment", "d")
+    sky = (
+        base.withColumn("mx_newer", F.max("o_totalprice").over(w_newer))
+        .withColumn("mx_same", F.max("o_totalprice").over(w_same))
+        .filter(
+            (F.col("o_totalprice") == F.col("mx_same"))
+            & (
+                F.col("mx_newer").isNull()
+                | (F.col("o_totalprice") > F.col("mx_newer"))
+            )
+        )
+    )
+    return sky.select(
+        "segment",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("d").alias("day_idx"),
+    )

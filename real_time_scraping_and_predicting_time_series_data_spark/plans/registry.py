@@ -122,6 +122,7 @@ _FRONT = (
     "text_bm25_stream_serve",
     "hybrid_retrieval_rrf",
     "embedding_pca_stream_serve",
+    "orders_skyline",
     "corpus_weighted_sample",
     # (b) evidence-freshness rotation (VERDICT r8 item 2): every query
     # below has its newest green driver row in ROUND 1 — the stalest

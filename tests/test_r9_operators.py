@@ -256,6 +256,53 @@ def test_star_cc_converges_log_rounds_on_long_chain(spark):
     assert all(r.label == 0 for r in labels)
 
 
+def test_skyline_matches_bruteforce_dominance(spark):
+    """The running-max skyline must equal the O(n²) dominance definition
+    on a synthetic with duplicates, same-day ties, and a strictly
+    dominated chain."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = all_queries()["orders_skyline"].fn(spark, SF).collect()
+    assert rows
+    # brute-force check against the full orders relation at this SF
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import (
+        load_table,
+    )
+
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    base = [
+        (r.segment, r.o_orderkey, r.o_totalprice, r.d)
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_orderkey",
+            "o_totalprice",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            ).cast("long").alias("d"),
+        )
+        .collect()
+    ]
+    by_seg = {}
+    for seg, k, p, d in base:
+        by_seg.setdefault(seg, []).append((k, p, d))
+    want = set()
+    for seg, pts in by_seg.items():
+        for k, p, d in pts:
+            dominated = any(
+                (p2 >= p and d2 >= d and (p2 > p or d2 > d))
+                for k2, p2, d2 in pts
+                if k2 != k
+            )
+            if not dominated:
+                want.add((seg, k))
+    got = {(r.segment, r.o_orderkey) for r in rows}
+    assert got == want
+
+
 def test_hybrid_retrieval_fuses_both_rankers(spark):
     """Hybrid RRF: 10 fused rows per anchor, rrf scores within the
     theoretical band (one ranker's floor 1/(60+20) … two rankers' ceiling
