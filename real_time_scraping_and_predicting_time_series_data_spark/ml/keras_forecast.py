@@ -181,7 +181,14 @@ def fixed_lstm_weights() -> dict:
 def fixed_lstm_forward(xs: list[float]) -> list[float]:
     """Forward pass over one scaled window, ops in the EXACT order the SQL
     oracle replays: dot products materialize the 50 products then fold
-    left-to-right from 0.0; gate chunks in Keras order (i, f, g, o)."""
+    left-to-right from 0.0; gate chunks in Keras order (i, f, g, o).
+
+    A window shorter than ``_SEQ`` returns ``[]`` (no forecast) instead of
+    raising — series too short to fill the reference's sequence window are
+    skipped, matching the query-side ``size(xs) >= _SEQ`` filter and the
+    oracle's ``HAVING count(*) >= _SEQ``."""
+    if len(xs) < _SEQ:
+        return []
     W = fixed_lstm_weights()
 
     def dot(h: list[float], w: list[float]) -> float:
@@ -288,6 +295,7 @@ def _lstm_oracle() -> str:
         SELECT event_type, list(value ORDER BY ts ASC, event_id ASC) AS xs
         FROM win WHERE rn <= {_SEQ}
         GROUP BY event_type
+        HAVING count(*) >= {_SEQ}
     ),
     b0 AS (SELECT event_type, xs, list_min(xs) AS mn, list_max(xs) AS mx FROM seq),
     scaled AS (
@@ -363,7 +371,7 @@ def _register_lstm_query() -> None:
                 lambda s: s.getField("value"),
             ).alias("xs")
         )
-        sc = seq.select(
+        sc = seq.where(F.size("xs") >= _SEQ).select(
             "event_type",
             "xs",
             F.array_min("xs").alias("mn"),

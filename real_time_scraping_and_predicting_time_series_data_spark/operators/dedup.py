@@ -654,12 +654,28 @@ def connected_components_star(
         )
 
     prev = sig(cur)
+    converged = False
     for _ in range(max_iter):
         cur = star(star(cur, large=True), large=False)
         now = sig(cur)
         if now == prev:
+            converged = True
             break
         prev = now
+    if not converged:
+        # Star contraction converges in O(log n) rounds, so exhausting
+        # max_iter means the caller's bound was too small for the graph —
+        # the labels below may NOT be component minima.  An exact operator
+        # must not silently serve approximate output.
+        import warnings  # noqa: PLC0415
+
+        warnings.warn(
+            f"connected_components_star: edge-set fixpoint not reached "
+            f"within max_iter={max_iter}; labels may not be component "
+            f"minima — raise max_iter (O(log n) rounds suffice)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     labels = (
         nodes.select(F.col(node_col).alias("node"))
         .join(cur.select(F.col("b").alias("node"), F.col("a").alias("_lbl")), "node", "left")

@@ -37,7 +37,6 @@ from __future__ import annotations
 
 import contextlib
 import csv
-import io
 import json
 import os
 
@@ -269,19 +268,36 @@ def compact_ledger(path: str) -> dict:
     name = f"compacted-upto{new_upto}-{uuid.uuid4().hex[:8]}.csv"
     n_rows = 0
     with open(os.path.join(path, name), "w", newline="") as out:
+        # Stream records through csv.reader -> csv.writer (never the whole
+        # part in memory — parts can be large); record semantics are
+        # preserved exactly since readers resolve rows via csv.reader too.
+        w = csv.writer(out)
         for part in old_parts:
             with open(os.path.join(path, part), newline="") as pf:
-                text = pf.read()
-            out.write(text)
-            n_rows += sum(1 for _ in csv.reader(io.StringIO(text)))
+                for rec in csv.reader(pf):
+                    w.writerow(rec)
+                    n_rows += 1
+    snap_parts = set(old_parts)
     with _manifest_lock(path):
         fresh = _read_manifest(path)
         late = [e for e in fresh if e.get("batch_id", -1) > new_upto]
+        # A REPLAY of a folded batch id (<= new_upto) that committed between
+        # the unlocked snapshot and this locked rewrite is dropped from the
+        # manifest (its rows live in the fold via the original parts) — but
+        # its freshly written uuid parts would otherwise orphan forever.
+        # Collect them here and sweep them with the folded originals.
+        dropped_parts = [
+            p
+            for e in fresh
+            if "batch_id" in e and e["batch_id"] <= new_upto
+            for p in e["parts"]
+            if p not in snap_parts
+        ]
         _write_manifest(
             path,
             [{"compacted_upto": new_upto, "parts": [name], "rows": n_rows}, *late],
         )
-    for part in old_parts:
+    for part in [*old_parts, *dropped_parts]:
         try:
             os.remove(os.path.join(path, part))
         except OSError:

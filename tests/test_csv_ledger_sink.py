@@ -294,3 +294,118 @@ def test_compact_ledger_streaming_end_to_end(spark, tmp_path):
     assert sorted(int(r[0]) for r in read_ledger_rows(led)) == batch_ids(100)
     compact_ledger(led)
     assert sorted(int(r[0]) for r in read_ledger_rows(led)) == batch_ids(100)
+
+
+def test_compact_sweeps_replay_parts_landing_in_window(spark, tmp_path, monkeypatch):
+    """r10 (ADVICE r9): a REPLAY of an already-folded batch id that commits
+    between compact's manifest snapshot and its locked rewrite is dropped
+    from the manifest (its rows live on via the folded originals) — and its
+    freshly written part files must be swept too, not orphaned forever."""
+    import contextlib
+
+    import real_time_scraping_and_predicting_time_series_data_spark.sources.csv_ledger_sink as cls
+
+    led = str(tmp_path / "led9")
+    os.makedirs(led)
+    w = _CsvLedgerStreamWriter({"path": led})
+    for b in range(3):
+        name = f"b{b}.csv"
+        with open(os.path.join(led, name), "w") as f:
+            f.write(f"{b},x\n")
+        w.commit([_PartMessage(name, 1)], batchId=b)
+
+    real_lock = cls._manifest_lock
+    state = {"injected": False}
+
+    @contextlib.contextmanager
+    def racing_lock(path):
+        # first acquisition is compact's rewrite: inject a replay of batch 1
+        # (same rows, NEW uuid-style part name) before compact takes the
+        # lock — the replay's manifest line replaces the snapshot's.
+        if not state["injected"]:
+            state["injected"] = True
+            name = "b1-replay.csv"
+            with open(os.path.join(led, name), "w") as f:
+                f.write("1,x\n")
+            w.commit([_PartMessage(name, 1)], batchId=1)
+        with real_lock(path):
+            yield
+
+    monkeypatch.setattr(cls, "_manifest_lock", racing_lock)
+    rep = cls.compact_ledger(led)
+    monkeypatch.setattr(cls, "_manifest_lock", real_lock)
+
+    assert rep["upto"] == 2
+    # served rows are exactly the three originals — the replay added nothing
+    assert sorted(map(tuple, read_ledger_rows(led))) == [
+        ("0", "x"), ("1", "x"), ("2", "x"),
+    ]
+    with open(os.path.join(led, "_manifest.jsonl")) as f:
+        entries = [json.loads(ln) for ln in f]
+    assert len(entries) == 1 and entries[0]["compacted_upto"] == 2
+    # the replay's part file was swept with the folded originals — no
+    # permanent invisible orphans accumulate under replay x compact races
+    leftover = [f for f in os.listdir(led) if f.endswith(".csv")]
+    assert leftover == entries[0]["parts"]
+    assert "b1-replay.csv" not in leftover
+
+
+def test_compact_streams_parts_without_slurping(spark, tmp_path, monkeypatch):
+    """r10 (ADVICE r9): compact copies part files record-by-record — it
+    never reads a whole part into memory (pf.read is not called)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.sources.csv_ledger_sink import (
+        compact_ledger,
+        read_ledger_rows as _read,
+    )
+
+    led = str(tmp_path / "led10")
+    os.makedirs(led)
+    w = _CsvLedgerStreamWriter({"path": led})
+    import csv as _csv
+
+    with open(os.path.join(led, "big.csv"), "w", newline="") as f:
+        cw = _csv.writer(f)
+        for i in range(5000):
+            cw.writerow([str(i), "v\nq" if i % 7 == 0 else "v"])
+    w.commit([_PartMessage("big.csv", 5000)], batchId=0)
+    before = _read(led)
+
+    import builtins
+
+    real_open = builtins.open
+    slurped = []
+
+    class _GuardedFile:
+        def __init__(self, fh):
+            self._fh = fh
+
+        def read(self, *a, **k):  # whole-file slurp guard
+            if not a or a[0] in (None, -1):
+                slurped.append(self._fh.name)
+            return self._fh.read(*a, **k)
+
+        def __getattr__(self, n):
+            return getattr(self._fh, n)
+
+        def __iter__(self):
+            return iter(self._fh)
+
+        def __enter__(self):
+            self._fh.__enter__()
+            return self
+
+        def __exit__(self, *a):
+            return self._fh.__exit__(*a)
+
+    def guarded_open(file, *a, **k):
+        fh = real_open(file, *a, **k)
+        if str(file).endswith(".csv") and (not a or "r" in str(a[0])):
+            return _GuardedFile(fh)
+        return fh
+
+    monkeypatch.setattr(builtins, "open", guarded_open)
+    rep = compact_ledger(led)
+    monkeypatch.setattr(builtins, "open", real_open)
+
+    assert rep["rows"] == 5000 and not slurped
+    assert _read(led) == before

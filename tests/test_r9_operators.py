@@ -116,6 +116,11 @@ def test_fixed_lstm_forward_properties(spark):
     assert all(abs(y) <= 5.1 for y in a1)  # |h2|<=1 so |dense| <= 50*0.1+0.1
     z = fixed_lstm_forward([0.0] * 10)
     assert any(abs(y) > 1e-9 for y in z)
+    # r10 (ADVICE r9): a window shorter than _SEQ is SKIPPED (empty
+    # forecast), never an IndexError — mirrors the query-side
+    # size(xs) >= _SEQ filter and the oracle's HAVING count(*) >= _SEQ.
+    assert fixed_lstm_forward([]) == []
+    assert fixed_lstm_forward([0.5] * 9) == []
 
 
 def test_lstm_query_shape_and_determinism(spark):
@@ -324,6 +329,10 @@ def test_hybrid_retrieval_fuses_both_rankers(spark):
         assert len(rs) == 10 and [r.rank for r in rs] == list(range(1, 11))
         assert all(lo - 1e-9 <= r.rrf <= hi + 1e-9 for r in rs)
         assert all(rs[i].rrf >= rs[i + 1].rrf for i in range(9))
+        # Single-side contribution: a doc ranked by BOTH sides scores at
+        # least 1/(60+20) + 1/(60+20) = 2/80; anything below that floor can
+        # only have come from ONE ranker — fusion genuinely mixed the lists.
+        assert any(r.rrf < 2.0 / 80 - 1e-9 for r in rs)
 
 
 def test_bm25_eval_metrics_are_consistent(spark):
