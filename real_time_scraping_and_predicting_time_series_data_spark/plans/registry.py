@@ -97,69 +97,13 @@ _loaded = False
 # (d) the TPC-H deep shapes and remaining never-checked
 # rolling/reshape/stats/sampling queries.
 _FRONT = (
-    # (a) ROUND 9 additions + behavior changes: the five new operators
-    # (binary/SQ8 inside the IVF cell join relation-side, the composed-
-    # path recall audit, the fixed-weight LSTM twin, the stop-gram-capped
-    # clustering) have no driver row yet; corpus_weighted_sample's values
-    # changed this round (the A-ES uniform-range fix), so its r8 green row
-    # predates the current arithmetic.
-    "sim_ivf_binary_topk",
-    "sim_sq8_relation_topk",
-    "sim_ivf_binary_recall_audit",
+    # (a) ROUND 10 additions + behavior changes: new operators have no
+    # driver row yet; ml_lstm_fixed_inference gained the short-window
+    # guard this round (values unchanged for full windows, but the
+    # oracle text changed), so refresh its row first.
     "ml_lstm_fixed_inference",
-    "dedup_clusters_stopgram",
-    "dedup_clusters_star",
-    "text_bm25_topk",
-    "embedding_pca_power",
-    "corpus_split_leakage",
-    "sim_hard_negatives",
-    "multimodal_phash_neardup",
-    "corpus_cluster_split",
-    "dq_k_anonymity",
-    "ml_purged_time_split",
-    "text_bm25_multi",
-    "text_bm25_eval",
-    "text_bm25_stream_serve",
-    "hybrid_retrieval_rrf",
-    "embedding_pca_stream_serve",
-    "orders_skyline",
-    "corpus_weighted_sample",
-    # (b) evidence-freshness rotation (VERDICT r8 item 2): every query
-    # below has its newest green driver row in ROUND 1 — the stalest
-    # evidence in the ledger.  The driver's ~50-query window walks the
-    # registry in order, so r9 refreshes (a) plus the head of this list;
-    # the r8 names that used to lead earned green rows in CORRECTNESS_r08
-    # and drop out (their green rows are on record).  The in-repo parity
-    # runner keeps exercising ALL queries every round regardless.
-    "agg_conditional_pivot",
-    "agg_cube",
-    "agg_distinct_counts",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_rollup",
-    "flagship_top_movers",
-    "join_anti_customers_without_orders",
-    "join_broadcast_part",
-    "join_full_outer_nations",
-    "join_left_outer_order_lines",
-    "join_semi_customers_with_orders",
-    "monthly_revenue_trend",
-    "q10_returned_items",
-    "q12_shipmode_priority",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "scalar_conditional_fns",
-    "scalar_date_fns",
-    "scalar_math_fns",
-    "scalar_string_fns",
-    "set_except",
-    "set_except_all",
-    "set_intersect",
-    "set_union_distinct",
-    "sort_limit_global_topk",
+    # (b) evidence-freshness rotation (VERDICT r8 item 2 mechanism):
+    # newest green driver row = ROUND 1 — the stalest in the ledger.
     "subquery_above_nation_avg",
     "ts_anchored_variation",
     "ts_anomaly_zscore",
@@ -180,8 +124,8 @@ _FRONT = (
     "window_lag_lead_price",
     "window_rank_orders_per_customer",
     "window_running_sum",
-    # (c) next-stalest tier (newest green row = ROUND 2) — fills any
-    # remaining window capacity this round; the rest rotate in r10.
+    # (c) next-stalest tier (newest green row = ROUND 2) — fills the
+    # remaining window capacity; leftovers + the r3 tier rotate in r11.
     "asof_fifo_forecast_alignment",
     "asof_join_click_purchase",
     "asof_join_forward_tolerance",
