@@ -316,7 +316,7 @@ RUNS_HV = 5
 # Round stamp for the durable samples copy (see SCALE.md audit-trail
 # correction: bench_runs_local.json is last-writer-wins scratch; the
 # round-stamped copy is the audit trail BASELINE.md points at).
-ROUND = 9
+ROUND = 10
 
 # Load guard (r9, VERDICT r8 item 1): the r8 driver-stamped bench was
 # environment-contaminated — untouched queries drifted up to 5x between

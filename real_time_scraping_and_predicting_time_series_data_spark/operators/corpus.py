@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.hashing import md5_60, md5_60_sql
 from ..plans.registry import register
 from .text import words_of
 
@@ -1202,3 +1203,418 @@ def q_corpus_weighted_sample(spark, sf_dir):
         F.round("_k", 9).alias("skey"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE training (r10) — true merge ROUNDS, not just the first table
+# ---------------------------------------------------------------------------
+
+_BPE_SEP = "\x1f"  # unit separator: wraps every symbol as <SEP>sym<SEP>
+
+
+def bpe_train_merges(df: DataFrame, rounds: int = 3, text: str = "text") -> DataFrame:
+    """Iterative byte-pair-encoding TRAINING over the corpus (Sennrich et
+    al. 2016, public): unlike `corpus_bpe_first_merges` (one static pair
+    table), this runs ``rounds`` actual merge rounds — after each argmax
+    merge the word-type symbol sequences are REWRITTEN, so round r+1's
+    pair counts reflect the merged vocabulary.  That sequential dynamic
+    (the merge changes the next count table) is what makes BPE training
+    non-trivial to distribute; here each round is one grouped agg + a
+    1-row broadcast model join.
+
+    Representation: a word's symbol sequence is one string with every
+    symbol wrapped in U+001F (``<S>h<S><S>e<S>…``), so merging pair (a,b)
+    is a plain non-regex ``replace(seq, <S>a<S><S>b<S>, <S>ab<S>)`` —
+    left-to-right non-overlapping, exactly greedy BPE merge semantics
+    ("aaa" + merge(a,a) -> [aa, a]) with whole-symbol anchoring for free
+    (both delimiters must match), identical in Spark and DuckDB.
+
+    Scale shape: everything runs over the word-TYPE table weighted by
+    counts (Zipf: |types| << |tokens| — the types-not-tokens trick a real
+    BPE trainer uses), localCheckpointed once so the corpus is scanned a
+    single time; per round ONE pair-explode + grouped sum + a 1-row
+    argmax (count DESC, pair ASC — deterministic) broadcast into the
+    rewrite.  ``rounds`` is a small constant; at 100 TB the type table is
+    ~millions of rows and each round is one shuffle on (a, b).
+
+    Returns (merge_round, left_sym, right_sym, occurrences) — the learned
+    merge table, the artifact a tokenizer trainer ships."""
+    wf = (
+        df.select(F.explode(words_of(F.col(text))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(
+            F.regexp_replace(
+                F.col("w"), "(.)", f"{_BPE_SEP}$1{_BPE_SEP}"
+            ).alias("seq"),
+            "c",
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    cur = wf
+    for r in range(1, rounds + 1):
+        syms = F.split(F.btrim(F.col("seq"), F.lit(_BPE_SEP)), _BPE_SEP * 2)
+        pairs = (
+            cur.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(syms, F.lit(1), F.size(syms) - 1),
+                        F.slice(syms, F.lit(2), F.size(syms) - 1),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    )
+                ).alias("p"),
+                "c",
+            )
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "c")
+            .groupBy("a", "b")
+            .agg(F.sum("c").cast("long").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        row = best.select(
+            F.lit(r).cast("long").alias("merge_round"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.col("cnt").alias("occurrences"),
+        )
+        out = row if out is None else out.union(row)
+        if r < rounds:
+            cur = cur.crossJoin(F.broadcast(best)).select(
+                F.replace(
+                    F.col("seq"),
+                    F.concat(
+                        F.lit(_BPE_SEP), F.col("a"), F.lit(_BPE_SEP),
+                        F.lit(_BPE_SEP), F.col("b"), F.lit(_BPE_SEP),
+                    ),
+                    F.concat(
+                        F.lit(_BPE_SEP), F.col("a"), F.col("b"), F.lit(_BPE_SEP)
+                    ),
+                ).alias("seq"),
+                "c",
+            )
+    return out
+
+
+def _bpe_cte_steps(rounds: int = 3) -> tuple[list[str], str]:
+    """Shared DuckDB CTE chain for BPE training: word-type table, initial
+    delimited sequences, then per round a pair-count table p{r}, the
+    argmax b{r}, and (between rounds) the rewritten s{r+1}.  Returns
+    (steps, chr-literal) for composition by the trainer and fertility
+    oracles."""
+    s = "chr(31)"
+    steps = [
+        f"""wf AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+        WHERE length(w) >= 2 GROUP BY w
+    ), s1 AS MATERIALIZED (
+        SELECT regexp_replace(w, '(.)', {s} || '\\1' || {s}, 'g') AS seq, c
+        FROM wf
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        steps.append(f"""p{r} AS MATERIALIZED (
+        SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+        FROM (SELECT string_split(trim(seq, {s}), {s} || {s}) AS syms, c
+              FROM s{r}),
+             unnest(range(1, len(syms))) AS t(i)
+        GROUP BY a, b
+    ), b{r} AS MATERIALIZED (
+        SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+    )""")
+        if r < rounds:
+            steps.append(f"""s{r + 1} AS MATERIALIZED (
+        SELECT replace(seq, {s} || a || {s} || {s} || b || {s},
+                       {s} || a || b || {s}) AS seq, c
+        FROM s{r} CROSS JOIN b{r}
+    )""")
+    return steps, s
+
+
+def _bpe_train_oracle(rounds: int = 3) -> str:
+    steps, _ = _bpe_cte_steps(rounds)
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, a AS left_sym, "
+        f"b AS right_sym, cnt AS occurrences FROM b{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return "WITH " + ",\n    ".join(steps) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register(
+    "corpus_bpe_train_merges",
+    oracle=_bpe_train_oracle(),
+    tags=("corpus", "tokenizer", "bpe", "iterative"),
+)
+def q_corpus_bpe_train_merges(spark, sf_dir):
+    """Three true BPE merge rounds over the corpus word-type table — the
+    learned merge list (round, pair, corpus-weighted occurrences), with
+    each round's counts computed over the vocabulary AFTER the previous
+    merge (greedy left-to-right rewrite).  The DuckDB oracle unrolls the
+    identical three rounds over the identical delimited-string
+    representation, so the merge choices, tie-breaks, and counts are all
+    value-hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (r10) — hashed-n-gram domain selection
+# (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling" — public)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred: F.Column,
+    buckets: int = _DSIR_BUCKETS,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR log importance weight
+    log w(d) = Σ_tokens [ln p_target(b(t)) − ln p_raw(b(t))] over hashed
+    unigram buckets with add-one smoothing — the importance-resampling
+    score for selecting raw-corpus documents that look like a target
+    domain.  Positive = target-like, negative = raw-typical.  The two
+    bucket LMs are DISJOINT (raw = the complement of the target split):
+    contrasting target against a pool that contains it only shrinks every
+    ratio below the smoothing correction and nothing separates.
+
+    Bit-parity: both bucket LMs are exact BIGINT counts; each bucket's
+    log-ratio collapses to ONE ln of an exact rational (the
+    `corpus_bigram_pmi` convention), quantized to integer micro-nats
+    (floor(x·1e6 + 0.5)), so the per-document sum Σ n_db · lr_b is exact
+    BIGINT arithmetic — immune to aggregation order on both engines.
+
+    Scale shape: two grouped sums build the bounded bucket tables (≤
+    ``buckets`` rows — the mergeable LM state), the scoring join is
+    (doc, bucket) × broadcast(bucket model), and everything else is
+    per-row hashing.  No shuffle touches raw text twice.  (The exact
+    integer cross-product (ct+1)·(totr+V) inside the ln overflows BIGINT
+    past ~3e9 corpus tokens; at that scale hoist to the algebraically
+    equal DOUBLE form ((ct+1)/(cr+1))·((totr+V)/(tott+V)) — kept in
+    integer form here because it is bit-checkable.)
+
+    Returns (doc_id, n_tokens, logw_micro, logw)."""
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("is_tgt"),
+        F.explode(words_of(F.col(text))).alias("w"),
+    ).select(
+        id_col, "is_tgt", (md5_60(F.col("w")) % buckets).alias("b")
+    )
+    db = toks.groupBy(id_col, "b").agg(F.count("*").cast("long").alias("n"))
+    model = toks.groupBy("b").agg(
+        F.sum(F.when(~F.col("is_tgt"), 1).otherwise(0)).cast("long").alias("cr"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).cast("long").alias("ct"),
+    )
+    totals = model.agg(
+        F.sum("cr").cast("long").alias("totr"), F.sum("ct").cast("long").alias("tott")
+    )
+    lr = model.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.floor(
+            F.log(
+                (
+                    (F.col("ct") + 1) * (F.col("totr") + buckets)
+                ).cast("double")
+                / ((F.col("cr") + 1) * (F.col("tott") + buckets)).cast("double")
+            )
+            * 1000000.0
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lr"),
+    )
+    scored = db.join(F.broadcast(lr), "b").groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum(F.col("n") * F.col("lr")).cast("long").alias("logw_micro"),
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "logw_micro",
+        F.round(F.col("logw_micro").cast("double") / 1000000.0, 6).alias("logw"),
+    )
+
+
+def _dsir_oracle(buckets: int = _DSIR_BUCKETS) -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS is_tgt,
+               {md5_60_sql("w")} % {buckets} AS b
+        FROM (SELECT doc_id, lang,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS w
+              FROM documents)
+    ), db AS (
+        SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY doc_id, b
+    ), model AS (
+        SELECT b,
+               CAST(sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr,
+               CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        FROM toks GROUP BY b
+    ), tot AS (
+        SELECT CAST(sum(cr) AS BIGINT) AS totr, CAST(sum(ct) AS BIGINT) AS tott
+        FROM model
+    ), lr AS (
+        SELECT b,
+               CAST(floor(ln(CAST((ct + 1) * (totr + {buckets}) AS DOUBLE)
+                            / CAST((cr + 1) * (tott + {buckets}) AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS lr
+        FROM model CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(n * lr) AS BIGINT) AS logw_micro,
+           round(CAST(sum(n * lr) AS BIGINT) / 1000000.0, 6) AS logw
+    FROM db JOIN lr USING (b)
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "corpus_dsir_weights",
+    oracle=_dsir_oracle(),
+    tags=("corpus", "dsir", "importance", "selection"),
+)
+def q_corpus_dsir_weights(spark, sf_dir):
+    """DSIR importance weights with English documents as the target
+    domain: hashed-unigram bucket LMs (4096 buckets, add-one smoothing)
+    for target and raw corpus, per-doc log weight as an exact
+    BIGINT micro-nat sum — the data-selection score a pretraining
+    pipeline ranks its raw crawl by.  Fully value-hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en")
+
+
+def tokenizer_fertility(
+    df: DataFrame, rounds: int = 3, text: str = "text", grp: str = "source"
+) -> DataFrame:
+    """Tokenizer FERTILITY audit (subword tokens per word) of the
+    ``rounds``-merge BPE tokenizer learned by :func:`bpe_train_merges`,
+    broken down per ``grp`` — the standard cross-domain tokenizer-quality
+    readout (a domain with high fertility pays more sequence length per
+    word; the multilingual-tokenizer fairness metric).
+
+    The merge table is learned GLOBALLY, then applied to each group's
+    word-TYPE table (1-char words, which the trainer's pair table never
+    sees, still count — they tokenize to themselves).  Application is
+    ``rounds`` sequential 1-row broadcast rewrites; counting is
+    size-of-split — no per-token work anywhere.
+
+    Returns (grp, n_words, n_subwords, fertility)."""
+    merges = bpe_train_merges(df, rounds=rounds, text=text).localCheckpoint(
+        eager=True
+    )
+    wf = (
+        df.select(F.col(grp), F.explode(words_of(F.col(text))).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy(grp, "w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(
+            grp,
+            F.regexp_replace(
+                F.col("w"), "(.)", f"{_BPE_SEP}$1{_BPE_SEP}"
+            ).alias("seq"),
+            "c",
+        )
+    )
+    cur = wf
+    for r in range(1, rounds + 1):
+        mr = merges.filter(F.col("merge_round") == r).select(
+            F.col("left_sym").alias("_a"), F.col("right_sym").alias("_b")
+        )
+        cur = cur.crossJoin(F.broadcast(mr)).select(
+            grp,
+            F.replace(
+                F.col("seq"),
+                F.concat(
+                    F.lit(_BPE_SEP), F.col("_a"), F.lit(_BPE_SEP),
+                    F.lit(_BPE_SEP), F.col("_b"), F.lit(_BPE_SEP),
+                ),
+                F.concat(
+                    F.lit(_BPE_SEP), F.col("_a"), F.col("_b"), F.lit(_BPE_SEP)
+                ),
+            ).alias("seq"),
+            "c",
+        )
+    nsym = F.size(F.split(F.btrim(F.col("seq"), F.lit(_BPE_SEP)), _BPE_SEP * 2))
+    return (
+        cur.select(grp, "c", nsym.cast("long").alias("nsym"))
+        .groupBy(grp)
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("nsym")).cast("long").alias("n_subwords"),
+        )
+        .select(
+            grp,
+            "n_words",
+            "n_subwords",
+            F.round(
+                F.col("n_subwords").cast("double") / F.col("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+    )
+
+
+def _fertility_oracle(rounds: int = 3) -> str:
+    steps, s = _bpe_cte_steps(rounds)
+    steps.append(f"""f1 AS MATERIALIZED (
+        SELECT source,
+               regexp_replace(w, '(.)', {s} || '\\1' || {s}, 'g') AS seq,
+               CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT source,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS w
+              FROM documents)
+        WHERE length(w) >= 1
+        GROUP BY source, w""" + "\n    )")
+    for r in range(1, rounds + 1):
+        steps.append(f"""f{r + 1} AS MATERIALIZED (
+        SELECT source,
+               replace(seq, {s} || a || {s} || {s} || b || {s},
+                       {s} || a || b || {s}) AS seq, c
+        FROM f{r} CROSS JOIN b{r}
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(steps)
+        + f"""
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(sum(c * nsym) AS BIGINT) AS n_subwords,
+           round(CAST(sum(c * nsym) AS BIGINT)
+                 / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE), 6) AS fertility
+    FROM (SELECT source, c,
+                 CAST(len(string_split(trim(seq, {s}), {s} || {s})) AS BIGINT)
+                     AS nsym
+          FROM f{rounds + 1})
+    GROUP BY source
+    """
+    )
+
+
+@register(
+    "corpus_bpe_fertility",
+    oracle=_fertility_oracle(),
+    tags=("corpus", "tokenizer", "bpe", "fertility"),
+)
+def q_corpus_bpe_fertility(spark, sf_dir):
+    """Per-source fertility of the 3-merge BPE tokenizer learned on the
+    whole corpus: train globally (`corpus_bpe_train_merges`), apply the
+    merge table to each source's word types, report subword-per-word
+    ratios — the LEARNED-tokenizer companion of `corpus_tokenizer_fertility`
+    (which measures whitespace-token byte cost per language): this one
+    audits what the induced merge table actually buys per source.  The oracle replays training AND application end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tokenizer_fertility(docs, rounds=3)

@@ -1765,3 +1765,137 @@ def q_dedup_fuzzy_orders(spark, sf_dir):
             .alias("diff_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (r10) — the suffix-array dedup's
+# relational twin (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better" — public)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # tokens per shingle = minimum reported duplicate length
+
+
+def duplicate_substring_spans(
+    df: DataFrame, k: int = _SPAN_K, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MAXIMAL cross-document duplicated token spans: every k-token
+    shingle that appears in >= 2 distinct documents marks its interval
+    [off, off+k-1]; per document, overlapping/adjacent marked intervals
+    merge into maximal spans — exactly the spans a suffix-array
+    exact-substring dedup would cut (any duplicated substring of
+    >= k tokens is a union of duplicated k-shingles, so span recall is
+    complete at granularity k).
+
+    Scale shape (the reason this beats a literal suffix array on a
+    cluster): one explode to the (doc, offset, shingle-hash) relation
+    (~k× the token count), ONE grouped agg on the 60-bit md5 shingle hash
+    for document frequency, one hash-keyed join back, and per-doc island
+    windows — every step key-partitioned, no global sort of the corpus
+    (a distributed suffix array needs exactly that).  Hash collisions are
+    engine-identical (md5), so the oracle matches bit-for-bit.
+
+    This is exactly the md5-keyed scale variant `text_duplicate_spans`'s
+    docstring prescribes for 100 TB ("group on the 60-bit md5 instead,
+    same plan") — that operator groups by the raw 8-gram string (fully
+    readable oracle), this one ships 8-byte keys through the shuffle and
+    builds shingles by array-slice with NO per-doc lead window (one
+    fewer per-doc sort).
+
+    Returns (doc_id, span_start, span_end, span_tokens, n_shingles),
+    token offsets 1-based inclusive."""
+    ws = F.split(F.trim(F.col(text)), r"\s+")
+    toks = df.select(F.col(id_col), ws.alias("ws"))
+    offs = F.when(
+        F.size("ws") >= k, F.sequence(F.lit(1), F.size("ws") - k + 1)
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    sh = toks.select(
+        id_col,
+        F.explode(offs).alias("off"),
+        "ws",
+    ).select(
+        id_col,
+        F.col("off").cast("long").alias("off"),
+        md5_60(F.concat_ws(" ", F.slice(F.col("ws"), F.col("off"), k))).alias("h"),
+    )
+    dfreq = sh.groupBy("h").agg(
+        F.countDistinct(id_col).alias("nd")
+    ).filter(F.col("nd") >= 2)
+    dup = sh.join(dfreq.select("h"), "h")
+    wprev = (
+        Window.partitionBy(id_col)
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.withColumn(
+        "brk",
+        F.when(
+            F.col("off")
+            > F.coalesce(F.max(F.col("off") + k - 1).over(wprev), F.lit(-1)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    wisl = Window.partitionBy(id_col).orderBy("off")
+    isl = marked.withColumn("island", F.sum("brk").over(wisl))
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("off").cast("long").alias("span_start"),
+            (F.max("off") + k - 1).cast("long").alias("span_end"),
+            (F.max("off") + k - F.min("off")).cast("long").alias("span_tokens"),
+            F.count("*").cast("long").alias("n_shingles"),
+        )
+        .select(id_col, "span_start", "span_end", "span_tokens", "n_shingles")
+    )
+
+
+def _substring_spans_oracle(k: int = _SPAN_K) -> str:
+    shingle = f"list_aggregate(ws[i:i + {k - 1}], 'string_agg', ' ')"
+    return f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents
+    ), s AS MATERIALIZED (
+        SELECT doc_id, CAST(i AS BIGINT) AS off,
+               {md5_60_sql(shingle)} AS h
+        FROM t, unnest(range(1, len(ws) - {k} + 2)) AS u(i)
+    ), d AS (
+        SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), dup AS (
+        SELECT s.doc_id, s.off FROM s JOIN d USING (h)
+    ), m AS (
+        SELECT doc_id, off,
+               CASE WHEN off > coalesce(max(off + {k} - 1) OVER (
+                        PARTITION BY doc_id ORDER BY off
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) + 1
+               THEN 1 ELSE 0 END AS brk
+        FROM dup
+    ), isl AS (
+        SELECT doc_id, off,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS island
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(min(off) AS BIGINT) AS span_start,
+           CAST(max(off) + {k} - 1 AS BIGINT) AS span_end,
+           CAST(max(off) + {k} - min(off) AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_shingles
+    FROM isl GROUP BY doc_id, island
+    """
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=_substring_spans_oracle(),
+    tags=("dedup", "substring", "spans"),
+)
+def q_dedup_substring_spans(spark, sf_dir):
+    """Exact-substring duplicate spans at shingle granularity k=8: the
+    maximal cross-document duplicated token intervals per document —
+    what a training pipeline cuts (rather than dropping whole docs) when
+    boilerplate or quotations repeat across the corpus.  Interval-merge
+    is per-doc gaps-and-islands over the duplicated-shingle offsets;
+    fully value-hash-checked (md5-60 shingle hashes, BIGINT offsets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_substring_spans(docs, k=_SPAN_K)

@@ -1991,6 +1991,205 @@ def q_sim_sq8_relation_topk(spark, sf_dir):
     return sq8_topk_relation(emb, queries, k=3, n_cells=16, nprobe=2, pool=10)
 
 
+def pq_topk_relation(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    pool: int = 10,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    query_id: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """PQ-inside-IVF serving with a RELATION query side — the last cell of
+    the compression matrix's relation row (float `ivf_topk_relation`,
+    1-bit `ivf_binary_topk_relation`, SQ8 `sq8_topk_relation`, PQ here):
+    candidates cell-pruned by the seeded cosine probe, ranked by integer-
+    exact PQ asymmetric distance over their 4-byte codes, exact cosine
+    re-rank of the ``pool`` best.
+
+    Unlike the panel-sized `pq_adc_topk`, NO per-query LUT relation is
+    built (a LUT is |Q|*m*k rows — fine for 10 queries, not for a
+    relation-scale query side): the 16x4 codebook collapses to ONE
+    broadcast row and each candidate computes its m block distances
+    directly against the query's raw sub-vectors carried through the cell
+    join.  Plan shape matches the relation siblings exactly — centroid
+    model + codebook row are the only broadcasts, the candidate join is a
+    pinned shuffle-hash join on ``cell``, pooling/re-rank are windows on
+    the ``query_id`` exchange.  Each block distance is the `pq_assign`
+    fixed-order fold scaled to BIGINT (round(d*1e9)), so the 4-term ADC
+    sum is exact integer arithmetic on both engines.
+
+    One HOF projection per block (four sibling ``withColumn`` steps, not
+    one combined expression) — see `pq_assign`'s note on the Spark 4.1
+    copied-nested-lambda miscompile."""
+    v = as_double(F.col(vec))
+    codes = (
+        pq_assign(corpus, id_col=id_col, vec=vec)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+                lambda s: s.getField("code"),
+            ).alias("codes")
+        )
+    )
+    base = corpus.select(F.col(id_col), v.alias("v")).join(codes, id_col)
+    c = base.withColumn("_n", norm(F.col("v"))).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform("v", lambda x: x / F.col("_n")).alias("nv"),
+        "codes",
+    )
+    qd = queries.select(F.col(query_id), as_double(F.col(vec)).alias("qv"))
+    qd = qd.withColumn("_n", norm(F.col("qv"))).select(
+        query_id, "qv", F.transform("qv", lambda x: x / F.col("_n")).alias("qnv")
+    )
+    cand = _relation_cell_candidates(c, qd, n_cells, nprobe, exclude_self, query_id)
+    cb_row = (
+        corpus.filter(F.col(id_col) < _PQ_K)
+        .select(F.col(id_col).cast("int").alias("code"), v.alias("cv"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "cv"))),
+                lambda s: s.getField("cv"),
+            ).alias("_cb")
+        )
+    )
+    cand = cand.crossJoin(F.broadcast(cb_row))
+    for s in range(_PQ_M):
+        d = F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qv"), s * _PQ_SUB + 1, _PQ_SUB),
+                F.slice(
+                    F.get(F.col("_cb"), F.element_at(F.col("codes"), s + 1)),
+                    s * _PQ_SUB + 1,
+                    _PQ_SUB,
+                ),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cand = cand.withColumn(
+            f"_pdi{s}", F.round(d * F.lit(1000000000.0)).cast("long")
+        )
+    cand = cand.withColumn(
+        "adci", sum(F.col(f"_pdi{s}") for s in range(1, _PQ_M)) + F.col("_pdi0")
+    )
+    wpool = Window.partitionBy(query_id).orderBy(F.asc("adci"), F.asc("neighbor_id"))
+    pooled = cand.withColumn("crn", F.row_number().over(wpool)).filter(
+        F.col("crn") <= pool
+    )
+    rr = pooled.withColumn("cos", dot(F.col("qnv"), F.col("nv")))
+    wr = Window.partitionBy(query_id).orderBy(
+        F.desc(F.round("cos", 9)), F.asc("neighbor_id")
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            "neighbor_id",
+            F.round(F.col("adci").cast("double") / F.lit(1000000000.0), 6).alias(
+                "adc"
+            ),
+            F.round("cos", 6).alias("cos"),
+            "rank",
+        )
+    )
+
+
+def _pq_relation_oracle(nprobe: int = 2, pool: int = 10, k: int = 3) -> str:
+    def fold(s: int) -> str:
+        off = s * _PQ_SUB
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {_PQ_SUB + 1}), "
+            f"i -> (p.qv[{off} + i] - cbl[a.codes[{s + 1}] + 1][{off} + i]) "
+            f"* (p.qv[{off} + i] - cbl[a.codes[{s + 1}] + 1][{off} + i]))), "
+            "(acc, x) -> acc + x)"
+        )
+
+    def pfold(s: int) -> str:
+        off = s * _PQ_SUB
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {_PQ_SUB + 1}), "
+            f"i -> (e.v[{off} + i] - c.cv[{off} + i]) * (e.v[{off} + i] - c.cv[{off} + i]))), "
+            "(acc, x) -> acc + x)"
+        )
+
+    assign_branches = "\n        UNION ALL ".join(
+        f"SELECT e.vec_id, {s} AS subspace, c.code, round({pfold(s)}, 9) AS d\n"
+        "         FROM e CROSS JOIN codesrc c"
+        for s in range(_PQ_M)
+    )
+    adci = " + ".join(
+        f"CAST(round({fold(s)} * 1000000000.0) AS BIGINT)" for s in range(_PQ_M)
+    )
+    cells = _seeded_cells_sql(", codes|, c.codes", ", qv|, c.v AS qv", nprobe)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    codesrc AS (
+        SELECT CAST(vec_id AS INT) AS code, v AS cv FROM e WHERE vec_id < {_PQ_K}
+    ), scored AS (
+        {assign_branches}
+    ), pqa AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT vec_id, subspace, code,
+                   row_number() OVER (PARTITION BY vec_id, subspace
+                                      ORDER BY d, code) AS rn
+            FROM scored) WHERE rn = 1
+    ), pqc AS MATERIALIZED (
+        SELECT vec_id, list(code ORDER BY subspace) AS codes FROM pqa GROUP BY vec_id
+    ), coded AS MATERIALIZED (
+        SELECT e.vec_id, e.v,
+               list_transform(e.v, x -> x / sqrt(list_dot_product(e.v, e.v))) AS nv,
+               pqc.codes
+        FROM e JOIN pqc USING (vec_id)
+    ),
+    {cells},
+    cb AS (SELECT list(v ORDER BY vec_id) AS cbl FROM e WHERE vec_id < {_PQ_K}),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, p.qnv, a.nv,
+               ({adci}) AS adci,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY ({adci}), a.vec_id) AS crn
+        FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+        CROSS JOIN cb
+    )
+    SELECT query_id, neighbor_id,
+           round(CAST(adci AS DOUBLE) / 1000000000.0, 6) AS adc,
+           round(list_dot_product(qnv, nv), 6) AS cos,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_dot_product(qnv, nv), 9) DESC, neighbor_id)
+             AS BIGINT) AS rank
+    FROM cand WHERE crn <= {pool}
+    QUALIFY rank <= {k}
+    """
+
+
+@register(
+    "sim_pq_relation_topk",
+    oracle=_pq_relation_oracle(),
+    tags=("similarity", "ivf", "ann", "pq", "relation"),
+)
+def q_sim_pq_relation_topk(spark, sf_dir):
+    """PQ-inside-IVF at relation scale: every embedding row is a query,
+    candidates cell-pruned (nprobe=2/16), ranked by integer-exact PQ
+    asymmetric distance over 4-byte codes WITHOUT a per-query LUT
+    relation (codebook = one broadcast row), exact cosine re-rank of the
+    10-pool to top-3 — completing the compression matrix's relation row
+    (float / 1-bit / SQ8 / PQ all serve relation query sides)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    return pq_topk_relation(emb, queries, k=3, n_cells=16, nprobe=2, pool=10)
+
+
 def _hard_negatives_oracle(nprobe: int = 2, k: int = 3) -> str:
     return f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -5266,3 +5266,213 @@ def q_ml_boosted_stumps(spark, sf_dir):
         ).alias("leaf2_r"),
         canon(F.col("sse2") / F.col("n")).alias("train_mse_proxy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b (r10) — concordance from 2D prefix sums on a dense cell grid
+# ---------------------------------------------------------------------------
+
+_TAU_YBUCKETS = 50
+_TAU_YSTEP = 2000.0
+
+
+def kendall_tau_grid(
+    df: DataFrame,
+    grp: str,
+    x: F.Column,
+    y: F.Column,
+    nx: int = 50,
+    ny: int = _TAU_YBUCKETS,
+) -> DataFrame:
+    """Kendall rank correlation (tau-b, tie-corrected) over a bounded
+    quantized cell grid — the rank-concordance complement to
+    `stats_spearman_corr`, robust to any monotone transform of either
+    variable.
+
+    The O(n²) pair enumeration never happens: points collapse to a dense
+    nx×ny contingency grid (ONE scan, one grouped count), and
+    concordant / discordant pair counts come from 2D PREFIX SUMS on that
+    grid — C = Σ_cell n_c · P(x−1, y−1) (points strictly below-left),
+    D = Σ_cell n_c · (Cx(x−1) − P(x−1, y)) (strictly left, strictly
+    above) — each unordered pair counted exactly once at its
+    larger-x cell.  Tie terms Tx/Ty are marginal sums.  Everything up to
+    the final sqrt is BIGINT-exact, so the oracle matches bit-for-bit;
+    within-cell ties are ties BY CONSTRUCTION of the quantization (this
+    is the tau of the quantized variables — the statistic a 100 TB scan
+    can actually compute in one pass + windows on a 2 500-cell grid).
+
+    Returns (grp, n, concordant, discordant, tau_b)."""
+    cells = (
+        df.select(F.col(grp).alias("g"), x.alias("x"), y.alias("y"))
+        .groupBy("g", "x", "y")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    groups = cells.select("g").distinct()
+    dense = (
+        groups.select(
+            "g", F.explode(F.sequence(F.lit(1), F.lit(nx))).alias("x")
+        ).select(
+            "g", "x", F.explode(F.sequence(F.lit(1), F.lit(ny))).alias("y")
+        )
+    )
+    grid = dense.join(cells, ["g", "x", "y"], "left").select(
+        "g", "x", "y", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    wx = Window.partitionBy("g", "y").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wy = Window.partitionBy("g", "x").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    p = grid.withColumn("cumx", F.sum("c").over(wx)).withColumn(
+        "p", F.sum("cumx").over(wy)
+    )
+    colsum = p.groupBy("g", "x").agg(F.sum("c").cast("long").alias("tx"))
+    wcx = Window.partitionBy("g").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cx = colsum.withColumn("cumcx", F.sum("tx").over(wcx))
+    p = p.localCheckpoint(eager=False)
+    shifted = p.select(
+        "g",
+        (F.col("x") + 1).alias("x"),
+        (F.col("y") + 1).alias("y"),
+        F.col("p").alias("p_belowleft"),
+    )
+    shifted_same_y = p.select(
+        "g", (F.col("x") + 1).alias("x"), "y", F.col("p").alias("p_left_upto_y")
+    )
+    cx_shift = cx.select("g", (F.col("x") + 1).alias("x"), F.col("cumcx").alias("n_left"))
+    scored = (
+        p.filter(F.col("c") > 0)
+        .join(shifted, ["g", "x", "y"], "left")
+        .join(shifted_same_y, ["g", "x", "y"], "left")
+        .join(cx_shift, ["g", "x"], "left")
+        .select(
+            "g",
+            "c",
+            "x",
+            "y",
+            F.coalesce("p_belowleft", F.lit(0)).alias("bl"),
+            (
+                F.coalesce("n_left", F.lit(0))
+                - F.coalesce("p_left_upto_y", F.lit(0))
+            ).alias("al"),
+        )
+    )
+    agg = scored.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("bl")).cast("long").alias("concordant"),
+        F.sum(F.col("c") * F.col("al")).cast("long").alias("discordant"),
+    )
+    tiex = colsum.groupBy("g").agg(
+        F.sum(F.col("tx") * (F.col("tx") - 1) / 2).cast("long").alias("tiex")
+    )
+    rowsum = grid.groupBy("g", "y").agg(F.sum("c").cast("long").alias("ty"))
+    tiey = rowsum.groupBy("g").agg(
+        F.sum(F.col("ty") * (F.col("ty") - 1) / 2).cast("long").alias("tiey")
+    )
+    out = agg.join(tiex, "g").join(tiey, "g")
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    return out.select(
+        F.col("g").alias(grp),
+        "n",
+        "concordant",
+        "discordant",
+        F.round(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.sqrt(
+                (n0 - F.col("tiex")).cast("double")
+                * (n0 - F.col("tiey")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+_TAU_ORACLE = f"""
+WITH pts AS (
+    SELECT l_returnflag AS g,
+           CAST(l_quantity AS BIGINT) AS x,
+           least(CAST(floor(l_extendedprice / {_TAU_YSTEP}) AS BIGINT) + 1,
+                 {_TAU_YBUCKETS}) AS y
+    FROM lineitem
+), cells AS MATERIALIZED (
+    SELECT g, x, y, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY g, x, y
+), dense AS (
+    SELECT g, CAST(xs.range AS BIGINT) AS x, CAST(ys.range AS BIGINT) AS y
+    FROM (SELECT DISTINCT g FROM cells)
+    CROSS JOIN range(1, 51) xs CROSS JOIN range(1, {_TAU_YBUCKETS + 1}) ys
+), grid AS MATERIALIZED (
+    SELECT d.g, d.x, d.y, coalesce(c.c, 0) AS c
+    FROM dense d LEFT JOIN cells c ON d.g = c.g AND d.x = c.x AND d.y = c.y
+), p AS MATERIALIZED (
+    SELECT g, x, y, c,
+           CAST(sum(cumx) OVER (PARTITION BY g, x ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+    FROM (
+        SELECT g, x, y, c,
+               sum(c) OVER (PARTITION BY g, y ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumx
+        FROM grid)
+), colsum AS MATERIALIZED (
+    SELECT g, x, CAST(sum(c) AS BIGINT) AS tx,
+           CAST(sum(sum(c)) OVER (PARTITION BY g ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumcx
+    FROM grid GROUP BY g, x
+), scored AS (
+    SELECT b.g, b.c,
+           coalesce(bl.p, 0) AS bl,
+           coalesce(cs.cumcx, 0) - coalesce(ly.p, 0) AS al
+    FROM p b
+    LEFT JOIN p bl ON bl.g = b.g AND bl.x = b.x - 1 AND bl.y = b.y - 1
+    LEFT JOIN p ly ON ly.g = b.g AND ly.x = b.x - 1 AND ly.y = b.y
+    LEFT JOIN colsum cs ON cs.g = b.g AND cs.x = b.x - 1
+    WHERE b.c > 0
+), agg AS (
+    SELECT g, CAST(sum(c) AS BIGINT) AS n,
+           CAST(sum(c * bl) AS BIGINT) AS concordant,
+           CAST(sum(c * al) AS BIGINT) AS discordant
+    FROM scored GROUP BY g
+), tx AS (
+    SELECT g, CAST(sum(tx * (tx - 1) // 2) AS BIGINT) AS tiex
+    FROM colsum GROUP BY g
+), ty AS (
+    SELECT g, CAST(sum(ty * (ty - 1) // 2) AS BIGINT) AS tiey FROM (
+        SELECT g, y, CAST(sum(c) AS BIGINT) AS ty FROM grid GROUP BY g, y)
+    GROUP BY g
+)
+SELECT a.g AS l_returnflag, a.n, a.concordant, a.discordant,
+       round(CAST(a.concordant - a.discordant AS DOUBLE)
+             / sqrt(CAST(a.n * (a.n - 1) // 2 - tx.tiex AS DOUBLE)
+                    * CAST(a.n * (a.n - 1) // 2 - ty.tiey AS DOUBLE)), 6)
+           AS tau_b
+FROM agg a JOIN tx ON tx.g = a.g JOIN ty ON ty.g = a.g
+"""
+
+
+@register(
+    "stats_kendall_tau_grid",
+    oracle=_TAU_ORACLE,
+    tags=("stats", "correlation", "rank"),
+)
+def q_stats_kendall_tau_grid(spark, sf_dir):
+    """Kendall tau-b between order quantity and extended price per
+    returnflag — concordant/discordant pair counts from 2D prefix sums
+    over the dense 50×50 quantized grid (never an O(n²) pair join),
+    tie-corrected by the grid marginals, BIGINT-exact until the final
+    sqrt.  The GRID-SCALE twin of `stats_kendall_tau` (r5): that one
+    joins the per-key daily grid pairwise (fine at tens of rows per key);
+    this one handles millions of points per group, where any pair join
+    dies, in one scan + windows on 2 500 cells."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return kendall_tau_grid(
+        li,
+        "l_returnflag",
+        F.col("l_quantity").cast("long"),
+        F.least(
+            F.floor(F.col("l_extendedprice") / _TAU_YSTEP).cast("long") + 1,
+            F.lit(_TAU_YBUCKETS).cast("long"),
+        ),
+    )

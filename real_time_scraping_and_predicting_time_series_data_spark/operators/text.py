@@ -1535,3 +1535,108 @@ def q_hybrid_retrieval_rrf(spark, sf_dir):
         .filter(F.col("rank") <= _HYB_K)
         .select("query_id", "neighbor_id", "rrf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa (r10) — chance-corrected rater agreement for the langid gate
+# ---------------------------------------------------------------------------
+
+_LANGID_SCORED_SQL = """
+    WITH t AS (
+        SELECT doc_id, lang AS labeled_lang,
+               string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, labeled_lang,
+               [
+                 {'score': len(list_filter(w, x -> x IN ('der','die','und','das'))) / len(w), 'lang': 'de'},
+                 {'score': len(list_filter(w, x -> x IN ('the','a','and','of'))) / len(w), 'lang': 'en'},
+                 {'score': len(list_filter(w, x -> x IN ('el','los','y','de'))) / len(w), 'lang': 'es'},
+                 {'score': len(list_filter(w, x -> x IN ('le','la','et','de'))) / len(w), 'lang': 'fr'},
+                 {'score': len(list_filter(w, x -> x IN ('的','是','了','在'))) / len(w), 'lang': 'zh'}
+               ] AS scores
+        FROM t
+    )"""
+
+
+@register(
+    "stats_cohens_kappa",
+    oracle=_LANGID_SCORED_SQL
+    + """,
+    conf AS MATERIALIZED (
+        SELECT list_max(scores)['lang'] AS p, labeled_lang AS a,
+               CAST(count(*) AS BIGINT) AS c
+        FROM scored GROUP BY p, a
+    ), rmarg AS (SELECT p AS l, CAST(sum(c) AS BIGINT) AS rp FROM conf GROUP BY p),
+    cmarg AS (SELECT a AS l, CAST(sum(c) AS BIGINT) AS ra FROM conf GROUP BY a),
+    pe AS (
+        SELECT CAST(sum(rp * ra) AS BIGINT) AS pe_num
+        FROM rmarg JOIN cmarg USING (l)
+    ), marg AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN p = a THEN c ELSE 0 END) AS BIGINT) AS agree,
+               (SELECT pe_num FROM pe) AS pe_num
+        FROM conf
+    )
+    SELECT n AS n_docs, agree AS n_agree,
+           round(CAST(agree AS DOUBLE) / n, 6) AS po,
+           round(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS pe,
+           round(CAST(n * agree - pe_num AS DOUBLE)
+                 / CAST(n * n - pe_num AS DOUBLE), 6) AS kappa
+    FROM marg
+    """,
+    tags=("stats", "agreement", "langid", "eval"),
+)
+def q_stats_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between the marker-word langid prediction and the
+    gold `lang` label — the chance-corrected agreement readout for any
+    heuristic gate (raw accuracy flatters a rater that just predicts the
+    majority class; kappa subtracts the marginal-product chance rate).
+
+    kappa = (n·agree − Σ_l rowₗ·colₗ) / (n² − Σ_l rowₗ·colₗ): everything
+    up to the final division is BIGINT over the bounded |langs|²
+    confusion grid — one grouped count plus two marginal sums — so the
+    value-hash is exact.  Scale: the confusion grid is the mergeable
+    state (≤ 25 cells); the corpus is scanned once by the langid
+    projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    conf = (
+        langid_scores(docs)
+        .select(F.col("predicted_lang").alias("p"), F.col("labeled_lang").alias("a"))
+        .groupBy("p", "a")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    conf = conf.localCheckpoint(eager=False)
+    rmarg = conf.groupBy(F.col("p").alias("l")).agg(
+        F.sum("c").cast("long").alias("rp")
+    )
+    cmarg = conf.groupBy(F.col("a").alias("l")).agg(
+        F.sum("c").cast("long").alias("ra")
+    )
+    # chance agreement sums row_l * col_l over CLASSES, not over diagonal
+    # cells of the confusion grid — a class with an empty (l, l) cell
+    # still contributes its marginal product (join on the class label).
+    pe = rmarg.join(cmarg, "l").agg(
+        F.sum(F.col("rp") * F.col("ra")).cast("long").alias("pe_num")
+    )
+    marg = conf.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("p") == F.col("a"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    ).crossJoin(F.broadcast(pe))
+    return marg.select(
+        F.col("n").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        F.round(F.col("agree").cast("double") / F.col("n"), 6).alias("po"),
+        F.round(
+            F.col("pe_num").cast("double")
+            / (F.col("n").cast("double") * F.col("n")),
+            6,
+        ).alias("pe"),
+        F.round(
+            (F.col("n") * F.col("agree") - F.col("pe_num")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("pe_num")).cast("double"),
+            6,
+        ).alias("kappa"),
+    )

@@ -2487,3 +2487,208 @@ def q_ml_purged_time_split(spark, sf_dir):
             ).cast("long").alias("min_train_test_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matrix profile (r10) — STOMP's diagonal trick in relational form
+# (Yeh et al., "Matrix Profile I", ICDM 2016 — public)
+# ---------------------------------------------------------------------------
+
+_MP_W = 5      # subsequence length (days)
+_MP_ZONE = 3   # trivial-match exclusion: |i - j| >= _MP_ZONE
+
+
+def matrix_profile_daily(
+    df: DataFrame,
+    key: str = "event_type",
+    w: int = _MP_W,
+    zone: int = _MP_ZONE,
+) -> DataFrame:
+    """Per-key matrix profile of the DAILY mean series: for every length-w
+    subsequence, the z-normalized Euclidean distance to its nearest
+    non-trivial neighbor within the same series — the all-pairs motif /
+    discord primitive (a subsequence with a LOW profile value repeats; a
+    HIGH one is an anomaly).
+
+    Relational STOMP: all pairwise products v[p]·v[q] land in a (key,
+    diag=p−q, p) relation, and QT(i,j) — the sliding dot product every
+    distance needs — is a width-w window SUM along each diagonal, exactly
+    the O(1)-per-cell update STOMP exploits, expressed as a partitioned
+    window instead of a sequential scan.  Subsequence moments come from
+    one width-w sliding sum over the grid.  Everything quadratic runs on
+    the per-key DAILY grid (tens of rows per key after one grouped agg —
+    the `ts_theil_sen` scale move), never on raw ticks.
+
+    Bit-parity: daily means are re-quantized to integer cents, so S1, S2,
+    and QT are exact BIGINT sums (immune to window-sum accumulation
+    order); each distance is then ONE fixed-shape IEEE expression
+    corr = (w·QT − S1ᵢS1ⱼ) / (√denᵢ·√denⱼ), den = w·S2 − S1², and
+    d² = 2w(1 − corr).  Zero-variance (constant) subsequences have no
+    z-norm and are excluded from both sides of the profile.
+
+    Returns (key, win_idx, nn_idx, mp_dist, diag) — nearest-neighbor
+    index, profile distance, and the matching diagonal."""
+    vi = df.select(
+        F.col(key),
+        F.col("ts").cast("date").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    daily = vi.groupBy(key, "d").agg(
+        F.floor(
+            F.sum("vc").cast("long").cast("double") / (F.lit(1.0) * F.count("*"))
+            + F.lit(0.5)
+        ).cast("long").alias("v")
+    )
+    widx = Window.partitionBy(key).orderBy("d")
+    grid = daily.withColumn("idx", F.row_number().over(widx).cast("long")).select(
+        key, "idx", "v"
+    )
+    grid = grid.localCheckpoint(eager=False)
+    wslide = Window.partitionBy(key).orderBy("idx").rowsBetween(0, w - 1)
+    wins = (
+        grid.select(
+            key,
+            F.col("idx").alias("i"),
+            F.sum("v").over(wslide).alias("s1"),
+            F.sum(F.col("v") * F.col("v")).over(wslide).alias("s2"),
+            F.count("*").over(wslide).alias("wn"),
+        )
+        .filter(F.col("wn") == w)
+        .select(
+            key,
+            "i",
+            "s1",
+            (F.lit(w) * F.col("s2") - F.col("s1") * F.col("s1")).alias("den"),
+        )
+    )
+    a = grid.select(key, F.col("idx").alias("p"), F.col("v").alias("va"))
+    b = grid.select(key, F.col("idx").alias("q"), F.col("v").alias("vb"))
+    prods = a.join(b, key).select(
+        key,
+        (F.col("p") - F.col("q")).alias("diag"),
+        "p",
+        (F.col("va") * F.col("vb")).alias("prod"),
+    )
+    wdiag = Window.partitionBy(key, "diag").orderBy("p").rowsBetween(0, w - 1)
+    qt = (
+        prods.select(
+            key,
+            "diag",
+            F.col("p").alias("i"),
+            F.sum("prod").over(wdiag).alias("qt"),
+            F.count("*").over(wdiag).alias("qn"),
+        )
+        .filter((F.col("qn") == w) & (F.abs(F.col("diag")) >= zone))
+        .withColumn("j", F.col("i") - F.col("diag"))
+    )
+    wi = wins.select(key, "i", F.col("s1").alias("s1i"), F.col("den").alias("deni"))
+    wj = wins.select(
+        key, F.col("i").alias("j"), F.col("s1").alias("s1j"), F.col("den").alias("denj")
+    )
+    pairs = (
+        qt.join(wi, [key, "i"])
+        .join(wj, [key, "j"])
+        .filter((F.col("deni") > 0) & (F.col("denj") > 0))
+        .withColumn(
+            "corr",
+            (
+                (F.lit(w) * F.col("qt") - F.col("s1i") * F.col("s1j")).cast("double")
+            )
+            / (
+                F.sqrt(F.col("deni").cast("double"))
+                * F.sqrt(F.col("denj").cast("double"))
+            ),
+        )
+        .withColumn("d2", F.lit(2.0 * w) * (F.lit(1.0) - F.col("corr")))
+    )
+    wmin = Window.partitionBy(key, "i").orderBy(F.round("d2", 9), F.asc("j"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select(
+            key,
+            F.col("i").alias("win_idx"),
+            F.col("j").alias("nn_idx"),
+            F.round(F.sqrt(F.greatest(F.col("d2"), F.lit(0.0))), 6).alias("mp_dist"),
+            "diag",
+        )
+    )
+
+
+def _matrix_profile_oracle(w: int = _MP_W, zone: int = _MP_ZONE) -> str:
+    return f"""
+    WITH vi AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events
+    ), daily AS (
+        SELECT event_type, d,
+               CAST(floor(CAST(CAST(sum(vc) AS BIGINT) AS DOUBLE)
+                          / (1.0 * count(*)) + 0.5) AS BIGINT) AS v
+        FROM vi GROUP BY event_type, d
+    ), grid AS MATERIALIZED (
+        SELECT event_type,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                    AS BIGINT) AS idx,
+               v
+        FROM daily
+    ), wins AS MATERIALIZED (
+        SELECT event_type, i, s1, {w} * s2 - s1 * s1 AS den FROM (
+            SELECT event_type, idx AS i,
+                   CAST(sum(v) OVER sw AS BIGINT) AS s1,
+                   CAST(sum(v * v) OVER sw AS BIGINT) AS s2,
+                   count(*) OVER sw AS wn
+            FROM grid
+            WINDOW sw AS (PARTITION BY event_type ORDER BY idx
+                          ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING))
+        WHERE wn = {w}
+    ), prods AS (
+        SELECT a.event_type, a.idx - b.idx AS diag, a.idx AS p,
+               a.v * b.v AS prod
+        FROM grid a JOIN grid b USING (event_type)
+    ), qt AS (
+        SELECT event_type, diag, i, qtv, i - diag AS j FROM (
+            SELECT event_type, diag, p AS i,
+                   CAST(sum(prod) OVER dw AS BIGINT) AS qtv,
+                   count(*) OVER dw AS qn
+            FROM prods
+            WINDOW dw AS (PARTITION BY event_type, diag ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING))
+        WHERE qn = {w} AND abs(diag) >= {zone}
+    ), pairs AS (
+        SELECT q.event_type, q.i, q.j, q.diag,
+               2.0 * {w} * (1.0 - (
+                   CAST({w} * q.qtv - wi.s1 * wj.s1 AS DOUBLE)
+                   / (sqrt(CAST(wi.den AS DOUBLE)) * sqrt(CAST(wj.den AS DOUBLE)))
+               )) AS d2
+        FROM qt q
+        JOIN wins wi ON wi.event_type = q.event_type AND wi.i = q.i
+        JOIN wins wj ON wj.event_type = q.event_type AND wj.i = q.j
+        WHERE wi.den > 0 AND wj.den > 0
+    )
+    SELECT event_type, i AS win_idx, j AS nn_idx,
+           round(sqrt(greatest(d2, 0.0)), 6) AS mp_dist, diag
+    FROM (
+        SELECT event_type, i, j, diag, d2,
+               row_number() OVER (PARTITION BY event_type, i
+                                  ORDER BY round(d2, 9), j) AS rn
+        FROM pairs)
+    WHERE rn = 1
+    """
+
+
+@register(
+    "ts_matrix_profile",
+    oracle=_matrix_profile_oracle(),
+    tags=("timeseries", "matrix-profile", "motif", "anomaly"),
+)
+def q_ts_matrix_profile(spark, sf_dir):
+    """Matrix profile (w=5 days, exclusion zone 3) of each event_type's
+    daily mean series: per subsequence, the z-normalized distance to its
+    nearest non-trivial neighbor — low values = repeated motifs, high
+    values = discords (the anomaly view `ts_anomaly_stl_residual` can't
+    see: shape anomalies with normal levels).  QT via window sums along
+    (key, diagonal) — the STOMP recurrence as a partitioned window —
+    with BIGINT-exact moments; fully value-hash-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    return matrix_profile_daily(ev, key="event_type", w=_MP_W, zone=_MP_ZONE)

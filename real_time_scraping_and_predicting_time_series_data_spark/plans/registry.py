@@ -101,6 +101,11 @@ _FRONT = (
     # driver row yet; ml_lstm_fixed_inference gained the short-window
     # guard this round (values unchanged for full windows, but the
     # oracle text changed), so refresh its row first.
+    "sim_pq_relation_topk",
+    "corpus_bpe_train_merges",
+    "dedup_substring_spans",
+    "ts_matrix_profile",
+    "stats_kendall_tau_grid",
     "ml_lstm_fixed_inference",
     # (b) evidence-freshness rotation (VERDICT r8 item 2 mechanism):
     # newest green driver row = ROUND 1 — the stalest in the ledger.

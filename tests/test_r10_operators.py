@@ -1,0 +1,439 @@
+"""Round-10 operators: PQ relation serve, iterative BPE training,
+exact-substring duplicate spans, matrix profile, Kendall tau-b."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from pyspark.sql import functions as F
+
+from real_time_scraping_and_predicting_time_series_data_spark.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# sim_pq_relation_topk — the last cell of the compression matrix
+# ---------------------------------------------------------------------------
+
+
+def test_pq_relation_plan_and_shape(spark):
+    """Plan pin for the relation scale shape (mirrors the r8 relation-ANN
+    pins): the candidate join must be a shuffle join on the cell key —
+    never a broadcast of the query relation — and every query serves
+    exactly ranks 1..3 with non-negative ADC estimates."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        pq_topk_relation,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = pq_topk_relation(emb, queries, k=3, n_cells=8, nprobe=2, pool=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    for ln in plan.splitlines():
+        if "BroadcastHashJoin" in ln:
+            assert "cell" not in ln.split("BroadcastHashJoin")[1].split(",")[0]
+    rows = out.collect()
+    nq = emb.count()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == nq
+    for q, rs in by_q.items():
+        assert sorted(r.rank for r in rs) == [1, 2, 3]
+        assert all(r.adc >= 0.0 for r in rs)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_pq_relation_adc_matches_numpy(spark):
+    """The integer-exact ADC estimate must equal a numpy recomputation of
+    sum-of-block squared-L2 to the candidate's assigned codewords (the
+    same audit `sim_pq_adc_topk` carries, applied to the relation path)."""
+    import numpy as np
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        pq_assign,
+        pq_topk_relation,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    cb = {i: vecs[i] for i in range(_PQ_K)}
+    codes = {}
+    for r in pq_assign(emb).collect():
+        codes.setdefault(r.vec_id, {})[r.subspace] = r.code
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = pq_topk_relation(emb, queries, k=3, n_cells=8, nprobe=2, pool=10).collect()
+    for r in out[:50]:
+        q = vecs[r.query_id]
+        adci = 0
+        for s in range(_PQ_M):
+            cw = cb[codes[r.neighbor_id][s]]
+            lo, hi = s * _PQ_SUB, (s + 1) * _PQ_SUB
+            d = 0.0
+            for x, y in zip(q[lo:hi], cw[lo:hi]):
+                d += (x - y) * (x - y)
+            adci += int(math.floor(d * 1e9 + 0.5))
+        assert abs(r.adc - adci / 1e9) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# corpus_bpe_train_merges — iterative BPE with hand-computed dynamics
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_merges_hand_example(spark):
+    """Three merge rounds on 'aaab aaab aab' — exercises the parts a
+    static pair table can't show: greedy left-to-right merge ("aaa" with
+    merge (a,a) -> [aa, a]), counts recomputed AFTER the rewrite, and the
+    deterministic (count DESC, pair ASC) tie-break in round 2."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame([("aaab aaab aab",)], ["text"])
+    rows = sorted(
+        map(tuple, bpe_train_merges(df, rounds=3).collect())
+    )
+    assert rows == [
+        (1, "a", "a", 5),
+        (2, "a", "b", 2),   # ties (aa,a)=2 and (a,b)=2 -> 'a' < 'aa'
+        (3, "aa", "ab", 2),
+    ]
+
+
+def test_bpe_train_round1_matches_first_merge_table(spark):
+    """Round 1 of the iterative trainer must pick exactly the rank-1 pair
+    of the static `corpus_bpe_first_merges` table (same counts, same
+    tie-break) — the two operators share their first step by definition."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+        bpe_train_merges,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    r1 = bpe_train_merges(docs, rounds=1).collect()[0]
+    first = [
+        r
+        for r in all_queries()["corpus_bpe_first_merges"].fn(spark, SF).collect()
+        if r.merge_rank == 1
+    ][0]
+    assert r1.left_sym + r1.right_sym == first.pair
+    assert r1.occurrences == first.occurrences
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_spans — maximal duplicated token intervals
+# ---------------------------------------------------------------------------
+
+
+def test_substring_spans_crafted(spark):
+    """A 10-token phrase shared by two docs at different offsets yields
+    exactly one maximal span per doc covering the phrase (3 duplicated
+    8-shingles merged); a doc shorter than k emits nothing; unique text
+    emits nothing."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    phrase = " ".join(f"p{i}" for i in range(1, 11))
+    d1 = " ".join(f"a{i}" for i in range(1, 5)) + " " + phrase + " " + " ".join(
+        f"b{i}" for i in range(1, 17)
+    )  # phrase at token offsets 5..14 of 30
+    d2 = phrase + " " + " ".join(f"c{i}" for i in range(1, 11))  # offsets 1..10
+    d3 = "x1 x2 x3 x4 x5"  # shorter than k
+    df = spark.createDataFrame(
+        [("d1", d1), ("d2", d2), ("d3", d3)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in duplicate_substring_spans(df, k=8).collect()}
+    assert set(rows) == {"d1", "d2"}
+    assert (rows["d1"].span_start, rows["d1"].span_end) == (5, 14)
+    assert (rows["d2"].span_start, rows["d2"].span_end) == (1, 10)
+    assert rows["d1"].span_tokens == 10 and rows["d1"].n_shingles == 3
+    assert rows["d2"].span_tokens == 10 and rows["d2"].n_shingles == 3
+
+
+def test_substring_spans_bounds_on_corpus(spark):
+    """On the real corpus: every span is at least k tokens, offsets are
+    ordered, and the shingle count is bounded by the span's offset
+    range (equality when every in-span offset is duplicated)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = all_queries()["dedup_substring_spans"].fn(spark, SF).collect()
+    assert rows, "sf0.001 documents contain boilerplate duplicates"
+    for r in rows:
+        assert r.span_tokens == r.span_end - r.span_start + 1
+        assert r.span_tokens >= 8
+        assert 1 <= r.n_shingles <= r.span_end - r.span_start - 8 + 2
+
+
+# ---------------------------------------------------------------------------
+# ts_matrix_profile — numpy twin + planted motif
+# ---------------------------------------------------------------------------
+
+
+def _numpy_matrix_profile(v, w=5, zone=3):
+    n = len(v)
+    wins = {}
+    for i in range(1, n - w + 2):
+        seg = v[i - 1 : i - 1 + w]
+        s1 = sum(seg)
+        s2 = sum(x * x for x in seg)
+        wins[i] = (s1, w * s2 - s1 * s1)
+    out = {}
+    for i, (s1i, deni) in wins.items():
+        best = None
+        for j, (s1j, denj) in wins.items():
+            if abs(i - j) < zone or deni <= 0 or denj <= 0:
+                continue
+            qt = sum(
+                v[i - 1 + t] * v[j - 1 + t] for t in range(w)
+            )
+            corr = (w * qt - s1i * s1j) / (math.sqrt(deni) * math.sqrt(denj))
+            d2 = 2.0 * w * (1.0 - corr)
+            key = (round(d2, 9), j)
+            if best is None or key < best[0]:
+                best = (key, j, d2)
+        if best is not None:
+            out[i] = (best[1], math.sqrt(max(best[2], 0.0)))
+    return out
+
+
+def test_matrix_profile_numpy_twin_and_planted_motif(spark):
+    """One key, one tick per day: the operator must reproduce a brute-
+    force recomputation exactly, and the planted scaled-and-shifted motif
+    (z-normalization invariant) must surface as a zero-distance pair."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.timeseries import (
+        matrix_profile_daily,
+    )
+
+    pat = [0.0, 4.0, 8.0, 4.0, 0.0]
+    mid = [1.25, 7.5, 2.75, 9.0, 0.25]
+    vals = pat + mid + [2.0 * x + 3.0 for x in pat] + [5.5, 1.75, 8.25, 3.0, 6.5]
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("m", base + datetime.timedelta(days=i), float(x), i)
+        for i, x in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value", "event_id"])
+    got = {
+        r.win_idx: (r.nn_idx, r.mp_dist)
+        for r in matrix_profile_daily(df, key="event_type").collect()
+    }
+    v = [int(math.floor(x * 100 + 0.5)) for x in vals]
+    want = _numpy_matrix_profile(v)
+    assert set(got) == set(want)
+    for i, (j, dist) in want.items():
+        assert got[i][0] == j
+        assert abs(got[i][1] - dist) < 1e-6
+    # the planted motif: window 1 and window 11 are affine copies
+    assert got[1][0] == 11 and got[1][1] == 0.0
+    assert got[11][0] == 1 and got[11][1] == 0.0
+
+
+def test_matrix_profile_on_events_shape(spark):
+    """Real table: every profile row has a non-trivial neighbor
+    (|i-j| >= zone), distances are non-negative, one row per window."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = all_queries()["ts_matrix_profile"].fn(spark, SF).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert (r.event_type, r.win_idx) not in seen
+        seen.add((r.event_type, r.win_idx))
+        assert abs(r.win_idx - r.nn_idx) >= 3
+        assert r.mp_dist >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# stats_kendall_tau — brute-force twin
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_tau_bruteforce_twin(spark):
+    """Concordant/discordant/tau-b from the grid prefix sums must equal
+    the O(n²) definition on the same quantized points — including ties
+    on x, on y, and on both."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        kendall_tau_grid,
+    )
+
+    pts = [
+        ("A", 1, 2), ("A", 1, 2), ("A", 2, 1), ("A", 3, 4), ("A", 3, 5),
+        ("A", 4, 4), ("A", 5, 9), ("A", 6, 3), ("A", 6, 3), ("A", 7, 7),
+        ("B", 1, 9), ("B", 2, 8), ("B", 3, 7), ("B", 4, 6), ("B", 5, 5),
+    ]
+    df = spark.createDataFrame(pts, ["g", "x", "y"])
+    out = {
+        r.g: r
+        for r in kendall_tau_grid(
+            df, "g", F.col("x").cast("long"), F.col("y").cast("long"),
+            nx=10, ny=10,
+        ).collect()
+    }
+    for g in ("A", "B"):
+        sub = [(x, y) for gg, x, y in pts if gg == g]
+        c = d = tx = ty = 0
+        for i in range(len(sub)):
+            for j in range(i + 1, len(sub)):
+                dx = sub[i][0] - sub[j][0]
+                dy = sub[i][1] - sub[j][1]
+                if dx == 0 and dy == 0:
+                    tx += 1
+                    ty += 1
+                elif dx == 0:
+                    tx += 1
+                elif dy == 0:
+                    ty += 1
+                elif dx * dy > 0:
+                    c += 1
+                else:
+                    d += 1
+        n = len(sub)
+        n0 = n * (n - 1) // 2
+        tau = (c - d) / math.sqrt((n0 - tx) * (n0 - ty))
+        r = out[g]
+        assert (r.concordant, r.discordant, r.n) == (c, d, n)
+        assert abs(r.tau_b - tau) < 1e-6
+    assert out["B"].tau_b == -1.0
+
+
+def test_kendall_tau_on_lineitem_bounds(spark):
+    """Structural invariants on the real table: one row per returnflag,
+    tau in [-1, 1], and C + D never exceeds the untied pair budget.  (This
+    generator draws quantity and price independently, so tau is near 0 —
+    the crafted-data twin above pins the arithmetic.)"""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = all_queries()["stats_kendall_tau_grid"].fn(spark, SF).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert -1.0 <= r.tau_b <= 1.0
+        assert abs(r.tau_b) < 0.2  # independent draws
+        assert r.concordant + r.discordant <= r.n * (r.n - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# corpus_dsir_weights — python twin on a crafted two-domain corpus
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_python_twin_and_sign(spark):
+    """Target-typical docs must score positive, raw-typical negative, and
+    every micro-nat weight must equal an exact python replication of the
+    bucket LMs (md5 bucketing, add-one smoothing, floor(ln·1e6 + 0.5))."""
+    import hashlib
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+        _DSIR_BUCKETS,
+        dsir_weights,
+    )
+
+    rows = [
+        (1, "zebra zebra quagga zebra", True),
+        (2, "zebra quagga zebra okapi", True),
+        (3, "apple pear apple plum apple", False),
+        (4, "apple plum pear pear", False),
+        (5, "zebra apple", False),  # mixed raw doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_en"])
+    out = {
+        r.doc_id: r
+        for r in dsir_weights(df, F.col("is_en"), buckets=_DSIR_BUCKETS).collect()
+    }
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % _DSIR_BUCKETS
+
+    cr, ct = {}, {}
+    for _, text, tgt in rows:
+        for w in text.split():
+            b = bucket(w)
+            if tgt:
+                ct[b] = ct.get(b, 0) + 1
+            else:
+                cr[b] = cr.get(b, 0) + 1
+    totr = sum(cr.values())
+    tott = sum(ct.values())
+    for doc_id, text, _ in rows:
+        lw = 0
+        for w in text.split():
+            b = bucket(w)
+            ratio = ((ct.get(b, 0) + 1) * (totr + _DSIR_BUCKETS)) / (
+                (cr.get(b, 0) + 1) * (tott + _DSIR_BUCKETS)
+            )
+            lw += int(math.floor(math.log(ratio) * 1e6 + 0.5))
+        assert out[doc_id].logw_micro == lw
+        assert out[doc_id].n_tokens == len(text.split())
+    assert out[1].logw > 0 and out[2].logw > 0
+    assert out[3].logw < 0 and out[4].logw < 0
+
+
+# ---------------------------------------------------------------------------
+# corpus_bpe_fertility — hand-applied merge table
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_fertility_hand_example(spark):
+    """On 'aaab aaab aab': merges (a,a), (a,b), (aa,ab) tokenize aaab to
+    ONE symbol (the round-3 merge composes round-1 and round-2 outputs)
+    and aab to two, so fertility = (2·1 + 1·2)/3 — and whole-symbol
+    anchoring must keep merge (a,b) from firing inside [aa, b]."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+        tokenizer_fertility,
+    )
+
+    df = spark.createDataFrame([("s1", "aaab aaab aab")], ["source", "text"])
+    r = tokenizer_fertility(df, rounds=3).collect()[0]
+    assert r.source == "s1"
+    assert (r.n_words, r.n_subwords) == (3, 4)
+    assert abs(r.fertility - 4.0 / 3.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# stats_cohens_kappa — python recomputation from the confusion grid
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_kappa_matches_confusion_recompute(spark):
+    """Kappa, po, pe recomputed in python from the langid confusion grid —
+    including marginal products for classes with an empty diagonal cell."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.text import (
+        langid_scores,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    conf = {}
+    for r in langid_scores(docs).collect():
+        k = (r.predicted_lang, r.labeled_lang)
+        conf[k] = conf.get(k, 0) + 1
+    n = sum(conf.values())
+    agree = sum(c for (p, a), c in conf.items() if p == a)
+    rowt, colt = {}, {}
+    for (p, a), c in conf.items():
+        rowt[p] = rowt.get(p, 0) + c
+        colt[a] = colt.get(a, 0) + c
+    pe_num = sum(rowt.get(l, 0) * colt.get(l, 0) for l in set(rowt) | set(colt))
+    kappa = (n * agree - pe_num) / (n * n - pe_num)
+    out = all_queries()["stats_cohens_kappa"].fn(spark, SF).collect()[0]
+    assert out.n_docs == n and out.n_agree == agree
+    assert abs(out.po - agree / n) < 1e-6
+    assert abs(out.pe - pe_num / (n * n)) < 1e-6
+    assert abs(out.kappa - kappa) < 1e-6
