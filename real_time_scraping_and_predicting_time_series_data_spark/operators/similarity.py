@@ -2026,21 +2026,47 @@ def pq_topk_relation(
     one combined expression) — see `pq_assign`'s note on the Spark 4.1
     copied-nested-lambda miscompile."""
     v = as_double(F.col(vec))
-    codes = (
-        pq_assign(corpus, id_col=id_col, vec=vec)
-        .groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("subspace", "code"))),
-                lambda s: s.getField("code"),
-            ).alias("codes")
-        )
+    codes_model = (
+        corpus.filter(F.col(id_col) < _PQ_K)
+        .select(F.col(id_col).cast("int").alias("code"), v.alias("cv"))
+        .agg(F.collect_list(F.struct("code", "cv")).alias("_codes"))
     )
-    base = corpus.select(F.col(id_col), v.alias("v")).join(codes, id_col)
+    # Per-row code assignment against the broadcast codebook — NO explode /
+    # groupBy / join (pq_assign's (vec, subspace) relation costs two extra
+    # shuffles the serve doesn't need; values are identical, pinned by
+    # test_pq_relation_adc_matches_numpy).  One HOF projection per
+    # subspace — see pq_assign's Spark 4.1 copied-nested-lambda note.
+    base = corpus.select(F.col(id_col), v.alias("v")).crossJoin(
+        F.broadcast(codes_model)
+    )
+    for s in range(_PQ_M):
+        start = s * _PQ_SUB + 1
+
+        def block_d(cd, start=start):
+            return F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("v"), start, _PQ_SUB),
+                    F.slice(cd.getField("cv"), start, _PQ_SUB),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        best = F.array_min(
+            F.transform(
+                "_codes",
+                lambda cd: F.struct(
+                    F.round(block_d(cd), 9).alias("d"),
+                    cd.getField("code").alias("code"),
+                ),
+            )
+        )
+        base = base.withColumn(f"_c{s}", best.getField("code"))
     c = base.withColumn("_n", norm(F.col("v"))).select(
         F.col(id_col).alias("neighbor_id"),
         F.transform("v", lambda x: x / F.col("_n")).alias("nv"),
-        "codes",
+        F.array(*[F.col(f"_c{s}") for s in range(_PQ_M)]).alias("codes"),
     )
     qd = queries.select(F.col(query_id), as_double(F.col(vec)).alias("qv"))
     qd = qd.withColumn("_n", norm(F.col("qv"))).select(
