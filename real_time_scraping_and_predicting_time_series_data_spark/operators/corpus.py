@@ -1417,6 +1417,19 @@ def dsir_weights(
         F.sum(F.when(~F.col("is_tgt"), 1).otherwise(0)).cast("long").alias("cr"),
         F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).cast("long").alias("ct"),
     )
+    return dsir_score(db, model, buckets=buckets, id_col=id_col)
+
+
+def dsir_score(
+    db: DataFrame,
+    model: DataFrame,
+    buckets: int = _DSIR_BUCKETS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents from a (doc, bucket, n) relation and a (bucket, cr,
+    ct) LM-count model — the shared core of the batch query and the
+    streaming serve (`DsirStreamModel`), so stream == batch is equality
+    of inputs, not a reimplementation."""
     totals = model.agg(
         F.sum("cr").cast("long").alias("totr"), F.sum("ct").cast("long").alias("tott")
     )
@@ -1618,3 +1631,36 @@ def q_corpus_bpe_fertility(spark, sf_dir):
     audits what the induced merge table actually buys per source.  The oracle replays training AND application end to end."""
     docs = load_table(spark, sf_dir, "documents")
     return tokenizer_fertility(docs, rounds=3)
+
+
+@register(
+    "corpus_dsir_stream_serve",
+    oracle=_dsir_oracle(),
+    tags=("corpus", "dsir", "streaming", "incremental"),
+)
+def q_corpus_dsir_stream_serve(spark, sf_dir):
+    """INCREMENTAL twin of `corpus_dsir_weights` exercised end-to-end: the
+    documents table is ingested in three deterministic micro-batches
+    (split on pmod(xxhash64(doc_id), 3)) through `DsirStreamModel` —
+    per-batch (bucket, cr, ct) LM grids + per-doc bucket counts published
+    under batch_id directories — and the SERVED weights are returned.
+    The oracle is the plain one-batch SQL: passing value-hash-exact
+    proves the merge-of-grids model is bit-identical to batch, including
+    the retroactive re-weighting of early documents as later batches
+    shift both bucket LMs.  (Store outlives the returned DataFrame — the
+    `corpus_df_index_serve` Spark-4 lazy-analyzer note.)"""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.dsir_stream import DsirStreamModel
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="dsir_serve_")
+    atexit.register(shutil.rmtree, store, ignore_errors=True)
+    model = DsirStreamModel(spark, store, F.col("lang") == "en")
+    for bid in range(3):
+        model.ingest_batch(
+            docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == bid), bid
+        )
+    return model.serve_weights()

@@ -103,9 +103,13 @@ _FRONT = (
     # oracle text changed), so refresh its row first.
     "sim_pq_relation_topk",
     "corpus_bpe_train_merges",
+    "corpus_bpe_fertility",
+    "corpus_dsir_weights",
+    "corpus_dsir_stream_serve",
     "dedup_substring_spans",
     "ts_matrix_profile",
     "stats_kendall_tau_grid",
+    "stats_cohens_kappa",
     "ml_lstm_fixed_inference",
     # (b) evidence-freshness rotation (VERDICT r8 item 2 mechanism):
     # newest green driver row = ROUND 1 — the stalest in the ledger.
