@@ -463,3 +463,147 @@ def q_forecast_intervals(spark, sf_dir):
             "coverage",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pinball (quantile) loss evaluation (r10) — are the interval edges good
+# QUANTILE FORECASTS, not just well-covered in-sample?
+# ---------------------------------------------------------------------------
+
+_PINBALL_QS = (0.1, 0.5, 0.9)
+
+
+@register(
+    "ml_pinball_eval",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id,
+               value - lag(value, 7) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS r,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS trank0
+        FROM events
+    ), t AS (
+        SELECT user_id, event_id, r,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY trank0) AS trank,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        FROM s WHERE r IS NOT NULL
+    ), tr AS (
+        SELECT user_id, r,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY r, event_id) AS rn,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS ntr
+        FROM t WHERE trank <= n // 2
+    ), q AS (
+        SELECT user_id, CAST(max(ntr) AS BIGINT) AS n_train,
+               min(CASE WHEN rn = CAST(ceil(0.1 * ntr) AS BIGINT) THEN r END) AS q10,
+               min(CASE WHEN rn = CAST(ceil(0.5 * ntr) AS BIGINT) THEN r END) AS q50,
+               min(CASE WHEN rn = CAST(ceil(0.9 * ntr) AS BIGINT) THEN r END) AS q90
+        FROM tr GROUP BY user_id
+    ), te AS (
+        SELECT t.user_id, t.r, q.n_train, q.q10, q.q50, q.q90
+        FROM t JOIN q USING (user_id) WHERE t.trank > t.n // 2
+    ), lo AS (
+        SELECT user_id, n_train,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CAST(floor((CASE WHEN r >= q10 THEN 0.1 * (r - q10)
+                         ELSE 0.9 * (q10 - r) END) * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS l10,
+               CAST(sum(CAST(floor((CASE WHEN r >= q50 THEN 0.5 * (r - q50)
+                         ELSE 0.5 * (q50 - r) END) * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS l50,
+               CAST(sum(CAST(floor((CASE WHEN r >= q90 THEN 0.9 * (r - q90)
+                         ELSE 0.1 * (q90 - r) END) * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS l90
+        FROM te GROUP BY user_id, n_train
+    )
+    SELECT user_id, n_train, n_test,
+           round(l10 / (1000000.0 * n_test), 6) AS pinball_p10,
+           round(l50 / (1000000.0 * n_test), 6) AS pinball_p50,
+           round(l90 / (1000000.0 * n_test), 6) AS pinball_p90
+    FROM lo
+    """,
+    tags=("ml", "eval", "quantile", "pinball"),
+)
+def q_ml_pinball_eval(spark, sf_dir):
+    """Out-of-sample PINBALL loss of the seasonal-naive quantile
+    forecasts: per user, residual quantiles q10/q50/q90 are fit by
+    nearest-rank on the FIRST time-half of the residuals and scored with
+    the quantile loss L_q on the second half — the proper scoring rule
+    for interval edges (`ml_forecast_intervals` checks in-sample
+    coverage; this checks the edges actually FORECAST their quantile;
+    minimized in expectation by the true quantile).  Because the
+    forecast is pred + r_q, the loss collapses to a function of (r,
+    r_q) — no value/pred columns carried.  Per-row losses quantize to
+    BIGINT micro-units before summing (aggregation-order-immune); the
+    train/test split is the per-key time rank with the unique (ts,
+    event_id) tiebreak.  One user_id exchange feeds every window."""
+    ev = load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value", 7).over(wt)).alias("r"),
+        F.row_number().over(wt).alias("trank0"),
+    ).filter(F.col("r").isNotNull())
+    wt2 = Window.partitionBy("user_id").orderBy("trank0")
+    wn = Window.partitionBy("user_id")
+    t = s.select(
+        "user_id",
+        "event_id",
+        "r",
+        F.row_number().over(wt2).alias("trank"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    tr = t.filter(F.col("trank") <= F.floor(F.col("n") / 2))
+    wr = Window.partitionBy("user_id").orderBy("r", "event_id")
+    wntr = Window.partitionBy("user_id")
+    tr = tr.select(
+        "user_id",
+        "r",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count("*").over(wntr).cast("long").alias("ntr"),
+    )
+    q = tr.groupBy("user_id").agg(
+        F.max("ntr").cast("long").alias("n_train"),
+        *[
+            F.min(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(qq) * F.col("ntr")), F.col("r")
+                )
+            ).alias(f"q{int(qq * 100)}")
+            for qq in _PINBALL_QS
+        ],
+    )
+    te = t.filter(F.col("trank") > F.floor(F.col("n") / 2)).join(
+        F.broadcast(q), "user_id"
+    )
+
+    def lmicro(qq: float, qcol: str):
+        loss = F.when(
+            F.col("r") >= F.col(qcol),
+            F.lit(qq) * (F.col("r") - F.col(qcol)),
+        ).otherwise(F.lit(1.0 - qq) * (F.col(qcol) - F.col("r")))
+        return F.floor(loss * 1000000 + F.lit(0.5)).cast("long")
+
+    lo = te.groupBy("user_id", "n_train").agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.sum(lmicro(0.1, "q10")).cast("long").alias("l10"),
+        F.sum(lmicro(0.5, "q50")).cast("long").alias("l50"),
+        F.sum(lmicro(0.9, "q90")).cast("long").alias("l90"),
+    )
+    return lo.select(
+        "user_id",
+        "n_train",
+        "n_test",
+        F.round(F.col("l10") / (F.lit(1000000.0) * F.col("n_test")), 6).alias(
+            "pinball_p10"
+        ),
+        F.round(F.col("l50") / (F.lit(1000000.0) * F.col("n_test")), 6).alias(
+            "pinball_p50"
+        ),
+        F.round(F.col("l90") / (F.lit(1000000.0) * F.col("n_test")), 6).alias(
+            "pinball_p90"
+        ),
+    )

@@ -1899,3 +1899,103 @@ def q_dedup_substring_spans(spark, sf_dir):
     fully value-hash-checked (md5-60 shingle hashes, BIGINT offsets)."""
     docs = load_table(spark, sf_dir, "documents")
     return duplicate_substring_spans(docs, k=_SPAN_K)
+
+
+def substring_redact(
+    df: DataFrame, k: int = _SPAN_K, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """APPLY the substring-span pass: splice every cross-document
+    duplicated span (`duplicate_substring_spans`) out of its document and
+    return the redacted text — the cut step of exact-substring dedup
+    (dropping spans, not documents, is the point of the method: the
+    unique remainder of a boilerplate-contaminated doc survives).
+
+    Policy: every duplicated span is cut from EVERY document carrying it
+    (the conservative train-data policy — a span seen twice is memorized
+    boilerplate wherever it appears); documents with no duplicated span
+    pass through untouched.
+
+    Shape: the span relation is tiny (per-doc islands); cutting is one
+    per-doc broadcast-free equi-join of token offsets against span
+    intervals (offsets are bounded by doc length, spans by island count)
+    followed by an ordered re-concatenation — one extra shuffle on doc_id
+    beyond the span build.  Returns (doc_id, n_tokens_before,
+    n_tokens_after, n_spans_cut, clean_text)."""
+    spans = duplicate_substring_spans(df, k=k, text=text, id_col=id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.count("*").cast("long").alias("n_spans_cut"),
+    )
+    ws = F.split(F.trim(F.col(text)), r"\s+")
+    toks = df.select(F.col(id_col), ws.alias("ws"))
+    joined = toks.join(per_doc, id_col, "left").select(
+        id_col,
+        F.size("ws").cast("long").alias("n_tokens_before"),
+        F.coalesce("n_spans_cut", F.lit(0)).alias("n_spans_cut"),
+        F.when(F.col("_spans").isNull(), F.col("ws"))
+        .otherwise(
+            F.filter(
+                F.transform(
+                    "ws", lambda w, i: F.struct(w.alias("w"), (i + 1).alias("off"))
+                ),
+                lambda s: ~F.exists(
+                    "_spans",
+                    lambda sp: (s.getField("off") >= sp.getField("span_start"))
+                    & (s.getField("off") <= sp.getField("span_end")),
+                ),
+            ).getField("w")
+        )
+        .alias("kept"),
+    )
+    return joined.select(
+        id_col,
+        "n_tokens_before",
+        F.size("kept").cast("long").alias("n_tokens_after"),
+        "n_spans_cut",
+        F.concat_ws(" ", F.col("kept")).alias("clean_text"),
+    )
+
+
+def _substring_redact_oracle(k: int = _SPAN_K) -> str:
+    spans = _substring_spans_oracle(k)
+    return f"""
+    WITH spans AS MATERIALIZED ({spans}),
+    per_doc AS (
+        SELECT doc_id,
+               list(struct_pack(s := span_start, e := span_end)) AS sp,
+               CAST(count(*) AS BIGINT) AS n_spans_cut
+        FROM spans GROUP BY doc_id
+    ), toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents
+    ), cut AS (
+        SELECT t.doc_id,
+               CAST(len(t.ws) AS BIGINT) AS n_tokens_before,
+               coalesce(p.n_spans_cut, 0) AS n_spans_cut,
+               CASE WHEN p.sp IS NULL THEN t.ws ELSE
+                   [t.ws[i] FOR i IN range(1, len(t.ws) + 1)
+                    IF len(list_filter(p.sp,
+                           x -> i >= x.s AND i <= x.e)) = 0]
+               END AS kept
+        FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    )
+    SELECT doc_id, n_tokens_before,
+           CAST(len(kept) AS BIGINT) AS n_tokens_after,
+           n_spans_cut,
+           coalesce(list_aggregate(kept, 'string_agg', ' '), '') AS clean_text
+    FROM cut
+    """
+
+
+@register(
+    "dedup_substring_redact",
+    oracle=_substring_redact_oracle(),
+    tags=("dedup", "substring", "redact"),
+)
+def q_dedup_substring_redact(spark, sf_dir):
+    """The cut step of exact-substring dedup: duplicated spans spliced out
+    of every carrying document, unique remainders preserved — returns
+    before/after token counts and the redacted text itself (value-hash-
+    checked string-for-string)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_redact(docs, k=_SPAN_K)

@@ -5476,3 +5476,100 @@ def q_stats_kendall_tau_grid(spark, sf_dir):
             F.lit(_TAU_YBUCKETS).cast("long"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test (r10) — is the langid gate better than the majority
+# class on the SAME documents?
+# ---------------------------------------------------------------------------
+
+
+def _mcnemar_oracle() -> str:
+    from .text import _LANGID_SCORED_SQL  # noqa: PLC0415
+
+    z = "(CAST(a_only - b_only AS DOUBLE) / sqrt(CAST(a_only + b_only AS DOUBLE)))"
+    chi2 = "(CAST((a_only - b_only) * (a_only - b_only) AS DOUBLE) / CAST(a_only + b_only AS DOUBLE))"
+    canon = lambda e: f"floor({e} * 1000000 + 0.5) / 1000000"  # noqa: E731
+    return (
+        _LANGID_SCORED_SQL
+        + f""",
+    pairs AS (
+        SELECT (list_max(scores)['lang'] = labeled_lang) AS a_right,
+               (labeled_lang = 'en') AS b_right
+        FROM scored
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a_right AND b_right THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+               CAST(sum(CASE WHEN NOT a_right AND NOT b_right THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong,
+               CAST(sum(CASE WHEN a_right AND NOT b_right THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+               CAST(sum(CASE WHEN NOT a_right AND b_right THEN 1 ELSE 0 END) AS BIGINT) AS b_only
+        FROM pairs
+    )
+    SELECT n, both_right, both_wrong, a_only, b_only,
+           CASE WHEN a_only + b_only > 0 THEN {canon(chi2)} END AS mcnemar_chi2,
+           CASE WHEN a_only + b_only > 0 THEN {canon(z)} END AS z,
+           CASE WHEN a_only + b_only > 0
+                THEN {canon(p_two_sided_sql(z))} END AS p_value
+    FROM agg
+    """
+    )
+
+
+@register(
+    "stats_mcnemar_langid",
+    oracle=_mcnemar_oracle(),
+    tags=("stats", "paired", "eval", "langid"),
+)
+def q_stats_mcnemar_langid(spark, sf_dir):
+    """McNemar's test on paired per-document correctness: classifier A =
+    the marker-word langid, classifier B = the majority-class baseline
+    (always 'en'), both judged against the gold `lang` label on the SAME
+    documents.  Unpaired accuracy comparison wastes the pairing; McNemar
+    uses only the DISCORDANT counts b (A right, B wrong) and c (A wrong,
+    B right): chi2 = (b−c)²/(b+c), z = (b−c)/√(b+c), two-sided p via the
+    shared A&S 7.1.26 polynomial (NULL when b+c = 0).  All counts BIGINT
+    from one scan of the langid projection; the statistic is one
+    fixed-shape IEEE expression — fully value-hash-checked."""
+    from .text import langid_scores  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = langid_scores(docs).select(
+        (F.col("predicted_lang") == F.col("labeled_lang")).alias("a_right"),
+        (F.col("labeled_lang") == "en").alias("b_right"),
+    )
+    agg = scored.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("a_right") & F.col("b_right"), 1).otherwise(0))
+        .cast("long")
+        .alias("both_right"),
+        F.sum(F.when(~F.col("a_right") & ~F.col("b_right"), 1).otherwise(0))
+        .cast("long")
+        .alias("both_wrong"),
+        F.sum(F.when(F.col("a_right") & ~F.col("b_right"), 1).otherwise(0))
+        .cast("long")
+        .alias("a_only"),
+        F.sum(F.when(~F.col("a_right") & F.col("b_right"), 1).otherwise(0))
+        .cast("long")
+        .alias("b_only"),
+    )
+    bc = (F.col("a_only") + F.col("b_only")).cast("double")
+    z = F.when(
+        F.col("a_only") + F.col("b_only") > 0,
+        (F.col("a_only") - F.col("b_only")).cast("double") / F.sqrt(bc),
+    )
+    chi2 = F.when(
+        F.col("a_only") + F.col("b_only") > 0,
+        ((F.col("a_only") - F.col("b_only"))
+         * (F.col("a_only") - F.col("b_only"))).cast("double") / bc,
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return agg.select(
+        "n",
+        "both_right",
+        "both_wrong",
+        "a_only",
+        "b_only",
+        canon(chi2).alias("mcnemar_chi2"),
+        canon(z).alias("z"),
+        canon(p_two_sided(z)).alias("p_value"),
+    )

@@ -107,6 +107,9 @@ _FRONT = (
     "corpus_dsir_weights",
     "corpus_dsir_stream_serve",
     "dedup_substring_spans",
+    "dedup_substring_redact",
+    "stats_mcnemar_langid",
+    "ml_pinball_eval",
     "ts_matrix_profile",
     "stats_kendall_tau_grid",
     "stats_cohens_kappa",

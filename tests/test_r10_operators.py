@@ -437,3 +437,128 @@ def test_cohens_kappa_matches_confusion_recompute(spark):
     assert abs(out.po - agree / n) < 1e-6
     assert abs(out.pe - pe_num / (n * n)) < 1e-6
     assert abs(out.kappa - kappa) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_redact — the cut step
+# ---------------------------------------------------------------------------
+
+
+def test_substring_redact_crafted(spark):
+    """The shared phrase is spliced out of both carriers (token counts
+    drop by exactly the span length), untouched docs pass through
+    byte-identical, and a fully-duplicated doc redacts to ''."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
+        substring_redact,
+    )
+
+    phrase = " ".join(f"p{i}" for i in range(1, 11))
+    d1 = " ".join(f"a{i}" for i in range(1, 5)) + " " + phrase + " " + " ".join(
+        f"b{i}" for i in range(1, 17)
+    )
+    d2 = phrase + " " + " ".join(f"c{i}" for i in range(1, 11))
+    d4 = phrase  # fully duplicated: redacts to nothing
+    d3 = "u1 u2 u3 u4 u5 u6 u7 u8 u9"  # unique, passes through
+    df = spark.createDataFrame(
+        [("d1", d1), ("d2", d2), ("d3", d3), ("d4", d4)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in substring_redact(df, k=8).collect()}
+    assert rows["d1"].n_tokens_before == 30 and rows["d1"].n_tokens_after == 20
+    assert "p1" not in rows["d1"].clean_text and rows["d1"].clean_text.startswith("a1")
+    assert rows["d2"].n_tokens_after == 10
+    assert rows["d3"].clean_text == d3 and rows["d3"].n_spans_cut == 0
+    assert rows["d4"].n_tokens_after == 0 and rows["d4"].clean_text == ""
+
+
+# ---------------------------------------------------------------------------
+# stats_mcnemar_langid — python recomputation
+# ---------------------------------------------------------------------------
+
+
+def test_mcnemar_matches_python_recompute(spark):
+    """Discordant counts and the chi-square/z/p recomputed in python from
+    the langid projection; p matches the shared A&S polynomial."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        _ERF_A,
+        _ERF_P,
+        _SQRT2,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.text import (
+        langid_scores,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    b = c = 0
+    for r in langid_scores(docs).collect():
+        a_right = r.predicted_lang == r.labeled_lang
+        b_right = r.labeled_lang == "en"
+        if a_right and not b_right:
+            b += 1
+        elif b_right and not a_right:
+            c += 1
+    out = all_queries()["stats_mcnemar_langid"].fn(spark, SF).collect()[0]
+    assert (out.a_only, out.b_only) == (b, c)
+    chi2 = (b - c) ** 2 / (b + c)
+    z = (b - c) / math.sqrt(b + c)
+    x = abs(z) / _SQRT2
+    t = 1.0 / (1.0 + _ERF_P * x)
+    a1, a2, a3, a4, a5 = _ERF_A
+    p = (t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))) * math.exp(-x * x)
+    assert abs(out.mcnemar_chi2 - chi2) < 1e-6
+    assert abs(out.z - z) < 1e-6
+    assert abs(out.p_value - p) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# ml_pinball_eval — zero-loss constant-residual user + invariants
+# ---------------------------------------------------------------------------
+
+
+def test_pinball_zero_for_constant_residuals(spark):
+    """A perfectly linear series has constant lag-7 residuals, so every
+    train quantile equals every test residual and all pinball losses are
+    exactly 0; a noisy user has strictly positive p10/p90 losses."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for i in range(24):
+        rows.append((900001, base + datetime.timedelta(days=i), float(i), i, "tick"))
+    noisy = [5.0, 9.25, 1.5, 7.75, 3.25, 8.5, 2.0, 6.25, 0.75, 9.0,
+             4.25, 7.0, 1.25, 8.75, 3.5, 6.0, 2.75, 9.5, 0.25, 5.75,
+             4.0, 7.25, 1.75, 8.0]
+    for i, v in enumerate(noisy):
+        rows.append((900002, base + datetime.timedelta(days=i), v, 1000 + i, "tick"))
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "value", "event_id", "event_type"]
+    )
+    import tempfile
+
+    sf_dir = tempfile.mkdtemp(prefix="pinball_sf_")
+    df.write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    out = {
+        r.user_id: r
+        for r in all_queries()["ml_pinball_eval"].fn(spark, sf_dir).collect()
+    }
+    flat = out[900001]
+    assert (flat.pinball_p10, flat.pinball_p50, flat.pinball_p90) == (0.0, 0.0, 0.0)
+    noisy_r = out[900002]
+    assert noisy_r.pinball_p10 > 0 and noisy_r.pinball_p90 > 0
+    assert noisy_r.n_train + noisy_r.n_test == 24 - 7
+
+
+def test_pinball_on_events_invariants(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = all_queries()["ml_pinball_eval"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_train >= 1 and r.n_test >= 1
+        assert r.pinball_p10 >= 0 and r.pinball_p50 >= 0 and r.pinball_p90 >= 0
