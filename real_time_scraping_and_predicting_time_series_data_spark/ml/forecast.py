@@ -607,3 +607,198 @@ def q_ml_pinball_eval(spark, sf_dir):
             "pinball_p90"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Learning curve (r10) — data-scaling audit of the closed-form AR(2) model
+# ---------------------------------------------------------------------------
+
+
+def _lc_solve3(s11, s12, s13, s22, s23, s33, g1, g2, g3):
+    """Adjugate solve of the symmetric 3x3 normal equations — the exact
+    parenthesization of stats._solve3 (kept in sync with the SQL form)."""
+    det = (
+        s11 * (s22 * s33 - s23 * s23)
+        - s12 * (s12 * s33 - s13 * s23)
+        + s13 * (s12 * s23 - s13 * s22)
+    )
+    b0 = (
+        (s22 * s33 - s23 * s23) * g1
+        + (s13 * s23 - s12 * s33) * g2
+        + (s12 * s23 - s13 * s22) * g3
+    ) / det
+    b1 = (
+        (s13 * s23 - s12 * s33) * g1
+        + (s11 * s33 - s13 * s13) * g2
+        + (s12 * s13 - s11 * s23) * g3
+    ) / det
+    b2 = (
+        (s12 * s23 - s13 * s22) * g1
+        + (s12 * s13 - s11 * s23) * g2
+        + (s11 * s22 - s12 * s12) * g3
+    ) / det
+    return b0, b1, b2
+
+
+@register(
+    "ml_learning_curve_ar",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS y,
+               CAST(round(lag(value, 1) OVER w * 100) AS BIGINT) AS x1,
+               CAST(round(lag(value, 7) OVER w * 100) AS BIGINT) AS x2,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                                  || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 5 AS hq,
+               ('0x' || substr(md5('lc:' || CAST(user_id AS VARCHAR) || ':'
+                                  || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 4 AS q
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        QUALIFY x1 IS NOT NULL AND x2 IS NOT NULL
+    ), fr AS (
+        SELECT CAST(ff.range AS BIGINT) AS fraction FROM range(1, 5) ff
+    ), gram AS (
+        SELECT fr.fraction,
+               CAST(count(*) FILTER (hq < 4 AND q < fr.fraction) AS BIGINT) AS n,
+               CAST(sum(x1)      FILTER (hq < 4 AND q < fr.fraction) AS BIGINT) AS s1,
+               CAST(sum(x2)      FILTER (hq < 4 AND q < fr.fraction) AS BIGINT) AS s2,
+               CAST(sum(x1 * x1) FILTER (hq < 4 AND q < fr.fraction) AS BIGINT) AS s11,
+               CAST(sum(x1 * x2) FILTER (hq < 4 AND q < fr.fraction) AS BIGINT) AS s12,
+               CAST(sum(x2 * x2) FILTER (hq < 4 AND q < fr.fraction) AS BIGINT) AS s22,
+               CAST(sum(y)       FILTER (hq < 4 AND q < fr.fraction) AS BIGINT) AS sy,
+               CAST(sum(x1 * y)  FILTER (hq < 4 AND q < fr.fraction) AS BIGINT) AS s1y,
+               CAST(sum(x2 * y)  FILTER (hq < 4 AND q < fr.fraction) AS BIGINT) AS s2y
+        FROM f CROSS JOIN fr GROUP BY fr.fraction
+    ), model AS (
+        SELECT fraction, n,
+               CAST(n AS DOUBLE) AS m11, CAST(s1 AS DOUBLE) AS m12,
+               CAST(s2 AS DOUBLE) AS m13, CAST(s11 AS DOUBLE) AS m22,
+               CAST(s12 AS DOUBLE) AS m23, CAST(s22 AS DOUBLE) AS m33,
+               CAST(sy AS DOUBLE) AS g1, CAST(s1y AS DOUBLE) AS g2,
+               CAST(s2y AS DOUBLE) AS g3
+        FROM gram
+    ), coef AS (
+        SELECT fraction, n AS n_train,
+               ((m22*m33 - m23*m23) * g1 + (m13*m23 - m12*m33) * g2
+                + (m12*m23 - m13*m22) * g3)
+               / (m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m13*m23)
+                  + m13 * (m12*m23 - m13*m22)) AS b0,
+               ((m13*m23 - m12*m33) * g1 + (m11*m33 - m13*m13) * g2
+                + (m12*m13 - m11*m23) * g3)
+               / (m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m13*m23)
+                  + m13 * (m12*m23 - m13*m22)) AS b1,
+               ((m12*m23 - m13*m22) * g1 + (m12*m13 - m11*m23) * g2
+                + (m11*m22 - m12*m12) * g3)
+               / (m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m13*m23)
+                  + m13 * (m12*m23 - m13*m22)) AS b2
+        FROM model
+    ), scored AS (
+        SELECT c.fraction, c.n_train, c.b0, c.b1, c.b2,
+               CAST(floor((CAST(f.y AS DOUBLE) - (c.b0 + c.b1 * f.x1 + c.b2 * f.x2))
+                          * (CAST(f.y AS DOUBLE) - (c.b0 + c.b1 * f.x1 + c.b2 * f.x2))
+                          * 100 + 0.5) AS BIGINT) AS e2c
+        FROM f JOIN coef c ON true
+        WHERE f.hq = 4
+    )
+    SELECT fraction, n_train,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(sqrt(CAST(sum(e2c) AS BIGINT)
+                      / (100.0 * count(*))) / 100.0, 6) AS rmse
+    FROM scored GROUP BY fraction, n_train
+    """,
+    tags=("ml", "eval", "learning-curve"),
+)
+def q_ml_learning_curve(spark, sf_dir):
+    """Learning curve of the closed-form AR(2) forecaster (y_t on lags 1
+    and 7, cents-quantized): four NESTED training sets — 25/50/75/100% of
+    the train pool by md5 quartile — fit by exact 3×3 normal equations
+    and scored on one fixed 20% held-out split — the REGRESSION companion
+    of `ml_learning_curve` (which scales a per-user mean model along the
+    time axis): this one scales a fitted model along the sample axis with
+    nested hash fractions, so curve differences are purely data-volume.
+
+    One-scan shape: all four Gram matrices are conditional BIGINT sums
+    over the same pass (nested by construction: quartile < f), each
+    solved by the shared adjugate; scoring is one broadcast of 4
+    coefficient rows into the test relation with per-row squared errors
+    quantized to BIGINT centi-cents² (aggregation-order-immune).  (BIGINT
+    Gram sums overflow past ~1e9 rows at cents scale — hoist to
+    DECIMAL(38,0) there; kept BIGINT for bit-checkability.)"""
+    ev = load_table(spark, sf_dir, "events")
+    from ..functions.hashing import md5_60  # noqa: PLC0415
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    key = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"), F.col("event_id").cast("string")
+    )
+    f = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("y"),
+            F.round(F.lag("value", 1).over(w) * 100).cast("long").alias("x1"),
+            F.round(F.lag("value", 7).over(w) * 100).cast("long").alias("x2"),
+            (md5_60(key) % 5).alias("hq"),
+            (md5_60(F.concat(F.lit("lc:"), key)) % 4).alias("q"),
+        )
+        .filter(F.col("x1").isNotNull() & F.col("x2").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    train = F.col("hq") < 4
+
+    def gsum(expr, fr):
+        return F.sum(
+            F.when(train & (F.col("q") < fr), expr).otherwise(F.lit(0))
+        ).cast("long")
+
+    aggs = []
+    for fr in range(1, 5):
+        aggs += [
+            F.sum(F.when(train & (F.col("q") < fr), 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{fr}"),
+            gsum(F.col("x1"), fr).alias(f"s1_{fr}"),
+            gsum(F.col("x2"), fr).alias(f"s2_{fr}"),
+            gsum(F.col("x1") * F.col("x1"), fr).alias(f"s11_{fr}"),
+            gsum(F.col("x1") * F.col("x2"), fr).alias(f"s12_{fr}"),
+            gsum(F.col("x2") * F.col("x2"), fr).alias(f"s22_{fr}"),
+            gsum(F.col("y"), fr).alias(f"sy_{fr}"),
+            gsum(F.col("x1") * F.col("y"), fr).alias(f"s1y_{fr}"),
+            gsum(F.col("x2") * F.col("y"), fr).alias(f"s2y_{fr}"),
+        ]
+    g = f.agg(*aggs)
+    rows = []
+    for fr in range(1, 5):
+        d = lambda c: F.col(f"{c}_{fr}").cast("double")  # noqa: B023, E731
+        b0, b1, b2 = _lc_solve3(
+            d("n"), d("s1"), d("s2"), d("s11"), d("s12"), d("s22"),
+            d("sy"), d("s1y"), d("s2y"),
+        )
+        rows.append(
+            F.struct(
+                F.lit(fr).cast("long").alias("fraction"),
+                F.col(f"n_{fr}").alias("n_train"),
+                b0.alias("b0"),
+                b1.alias("b1"),
+                b2.alias("b2"),
+            )
+        )
+    coef = g.select(F.explode(F.array(*rows)).alias("c")).select("c.*")
+    test = f.filter(F.col("hq") == 4)
+    scored = test.crossJoin(F.broadcast(coef))
+    err = F.col("y").cast("double") - (
+        F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")
+    )
+    e2c = F.floor(err * err * 100 + F.lit(0.5)).cast("long")
+    return (
+        scored.groupBy("fraction", "n_train")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.round(
+                F.sqrt(
+                    F.sum(e2c).cast("long") / (F.lit(100.0) * F.count("*"))
+                )
+                / F.lit(100.0),
+                6,
+            ).alias("rmse"),
+        )
+    )

@@ -1999,3 +1999,136 @@ def q_dedup_substring_redact(spark, sf_dir):
     checked string-for-string)."""
     docs = load_table(spark, sf_dir, "documents")
     return substring_redact(docs, k=_SPAN_K)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH retrieval-quality audit (r10) — the dedup twin of
+# `sim_recall_audit`: price the banding scheme against exact ground truth
+# ---------------------------------------------------------------------------
+
+_MH_AUDIT_TAU = 0.6
+
+
+def _minhash_audit_oracle(
+    tau: float = _MH_AUDIT_TAU, num_perm: int = 16, bands: int = 4
+) -> str:
+    coeffs = _mh_coeffs(num_perm)
+    rows = num_perm // bands
+    min_cols = ",\n               ".join(
+        f"min({perm61_sql(a, b, 'h')}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, %d AS band, concat_ws('-', %s) AS bucket FROM sig"
+        % (bi, ", ".join(f"mh_{bi * rows + r}" for r in range(rows)))
+        for bi in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents
+    ), sh AS MATERIALIZED (
+        SELECT doc_id, list_distinct([words[i] || ' ' || words[i+1]
+                                      FOR i IN range(1, len(words))]) AS grams
+        FROM toks
+    ), ex AS MATERIALIZED (
+        SELECT doc_id, unnest(grams) AS shingle FROM sh
+    ), truth AS MATERIALIZED (
+        SELECT ia AS id_a, ib AS id_b FROM (
+            SELECT p.ia, p.ib,
+                   p.c * 1.0 / (len(sa.grams) + len(sb.grams) - p.c) AS jac
+            FROM (
+                SELECT a.doc_id AS ia, b.doc_id AS ib,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM ex a JOIN ex b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY ia, ib) p
+            JOIN sh sa ON sa.doc_id = p.ia
+            JOIN sh sb ON sb.doc_id = p.ib)
+        WHERE jac >= {tau}
+    ), hh AS (
+        SELECT doc_id, {md5_60_sql('shingle')} AS h FROM ex
+    ), sig AS (
+        SELECT doc_id, {min_cols}
+        FROM hh GROUP BY doc_id
+    ), bk AS (
+        {band_selects}
+    ), cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), hits AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_hits
+        FROM cand JOIN truth USING (id_a, id_b)
+    )
+    SELECT CAST({tau} AS DOUBLE) AS tau,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           n_hits,
+           round(n_hits / greatest((SELECT count(*) FROM truth), 1), 6) AS recall,
+           round(n_hits / greatest((SELECT count(*) FROM cand), 1), 6)
+               AS precision_at_tau
+    FROM hits
+    """
+
+
+@register(
+    "dedup_minhash_recall_audit",
+    oracle=_minhash_audit_oracle(),
+    tags=("dedup", "minhash", "lsh", "eval", "audit"),
+)
+def q_dedup_minhash_recall_audit(spark, sf_dir):
+    """Recall AND precision of the MinHash-LSH candidate stage against
+    exact n-gram-Jaccard ground truth at tau=0.6 — the dedup twin of
+    `sim_recall_audit`: before trusting a banding scheme at 100 TB you
+    price what it misses (recall: planted near-dups that never shared a
+    band) and what it wastes (precision: bucket collisions the verifier
+    must discard).  Ground truth comes from the inverted-index join
+    (pairs sharing ≥ 1 shingle bound every pair with J > 0, so truth is
+    complete); candidates are the UNVERIFIED band-bucket pairs from the
+    same md5/universal-hash chain as `dedup_minhash_pairs` — both halves
+    deterministic, so the audit itself is value-hash-checked.  One row:
+    (tau, n_true_pairs, n_candidates, n_hits, recall, precision_at_tau)."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    sets = shingle_sets(docs, n=2).localCheckpoint(eager=False)
+    ex = sets.select("id", F.explode("sh").alias("shingle"))
+    pcount = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    sizes_a = sets.select(F.col("id").alias("id_a"), F.size("sh").alias("na"))
+    sizes_b = sets.select(F.col("id").alias("id_b"), F.size("sh").alias("nb"))
+    truth = (
+        pcount.join(sizes_a, "id_a")
+        .join(sizes_b, "id_b")
+        .filter(
+            F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+            >= _MH_AUDIT_TAU
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    sigs = minhash_signatures(sets, num_perm=16)
+    cand = minhash_candidates(sigs, num_perm=16, bands=4).localCheckpoint(
+        eager=False
+    )
+    n_true = truth.count()
+    n_cand = cand.count()
+    hits = cand.join(truth, ["id_a", "id_b"])
+    return hits.agg(F.count("*").cast("long").alias("n_hits")).select(
+        F.lit(_MH_AUDIT_TAU).alias("tau"),
+        F.lit(n_true).cast("long").alias("n_true_pairs"),
+        F.lit(n_cand).cast("long").alias("n_candidates"),
+        "n_hits",
+        F.round(F.col("n_hits") / F.greatest(F.lit(n_true), F.lit(1)), 6).alias(
+            "recall"
+        ),
+        F.round(
+            F.col("n_hits") / F.greatest(F.lit(n_cand), F.lit(1)), 6
+        ).alias("precision_at_tau"),
+    )

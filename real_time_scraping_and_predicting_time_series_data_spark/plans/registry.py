@@ -110,6 +110,8 @@ _FRONT = (
     "dedup_substring_redact",
     "stats_mcnemar_langid",
     "ml_pinball_eval",
+    "ml_learning_curve_ar",
+    "dedup_minhash_recall_audit",
     "ts_matrix_profile",
     "stats_kendall_tau_grid",
     "stats_cohens_kappa",

@@ -562,3 +562,63 @@ def test_pinball_on_events_invariants(spark):
     for r in rows:
         assert r.n_train >= 1 and r.n_test >= 1
         assert r.pinball_p10 >= 0 and r.pinball_p50 >= 0 and r.pinball_p90 >= 0
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_recall_audit — truth completeness + bounds
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_audit_truth_and_bounds(spark):
+    """n_true_pairs must equal a python brute-force count of exact-Jaccard
+    pairs >= tau over the same 2-gram shingle sets, and the audit ratios
+    must be consistent with their counts."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
+        _MH_AUDIT_TAU,
+        shingle_sets,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    sets = {r.id: set(r.sh) for r in shingle_sets(docs, n=2).collect()}
+    ids = sorted(sets)
+    n_true = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= _MH_AUDIT_TAU:
+                n_true += 1
+    r = all_queries()["dedup_minhash_recall_audit"].fn(spark, SF).collect()[0]
+    assert r.n_true_pairs == n_true and n_true > 0
+    assert 0.0 <= r.recall <= 1.0 and 0.0 <= r.precision_at_tau <= 1.0
+    assert r.n_hits <= min(r.n_true_pairs, r.n_candidates)
+    assert abs(r.recall - r.n_hits / max(r.n_true_pairs, 1)) < 1e-6
+    assert abs(r.precision_at_tau - r.n_hits / max(r.n_candidates, 1)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# ml_learning_curve_ar — nesting + shape invariants
+# ---------------------------------------------------------------------------
+
+
+def test_learning_curve_ar_nesting(spark):
+    """Training sets are NESTED by construction (n_train strictly grows
+    with the fraction, roughly linearly), the test split is the same for
+    every row, and every rmse is positive and finite."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = sorted(
+        all_queries()["ml_learning_curve_ar"].fn(spark, SF).collect(),
+        key=lambda r: r.fraction,
+    )
+    assert [r.fraction for r in rows] == [1, 2, 3, 4]
+    ns = [r.n_train for r in rows]
+    assert ns == sorted(ns) and ns[0] > 0 and ns[3] > ns[0]
+    assert ns[3] >= 3 * ns[0] * 0.8  # ~quartiles
+    assert len({r.n_test for r in rows}) == 1
+    for r in rows:
+        assert r.rmse > 0 and math.isfinite(r.rmse)
