@@ -5573,3 +5573,148 @@ def q_stats_mcnemar_langid(spark, sf_dir):
         canon(z).alias("z"),
         canon(p_two_sided(z)).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (r10) — the pre-period covariate adjustment every
+# experimentation platform runs (Deng et al., WSDM 2013 — public)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_cuped_adjustment",
+    oracle="""
+    WITH b AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ), u AS (
+        SELECT (user_id % 2) AS cohort, user_id,
+               CAST(sum(CASE WHEN epoch_us(ts) < lo + (hi - lo) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(max(CASE WHEN epoch_us(ts) >= lo + (hi - lo) // 2
+                              AND event_type = 'purchase' AND value >= 200.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events CROSS JOIN b
+        GROUP BY cohort, user_id
+    ), th AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM u
+    ), co AS (
+        SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+               CAST(sx AS DOUBLE) / n AS xbar
+        FROM th
+    ), adj AS (
+        SELECT u.cohort, u.y,
+               CAST(floor((u.y - co.theta * (u.x - co.xbar)) * 1000 + 0.5)
+                    AS BIGINT) AS m
+        FROM u CROSS JOIN co
+    )
+    SELECT cohort,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(y) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+               AS conv_rate,
+           round(CAST(sum(m) AS BIGINT) / (1000.0 * count(*)), 6)
+               AS adj_mean,
+           round((CAST(sum(y) AS BIGINT) / CAST(count(*) AS DOUBLE))
+                 * (1.0 - CAST(sum(y) AS BIGINT) / CAST(count(*) AS DOUBLE)),
+                 6) AS var_raw,
+           round((CAST(sum(m * m) AS BIGINT) / CAST(count(*) AS DOUBLE)
+                  - (CAST(sum(m) AS BIGINT) / CAST(count(*) AS DOUBLE))
+                    * (CAST(sum(m) AS BIGINT) / CAST(count(*) AS DOUBLE)))
+                 / 1000000.0, 6) AS var_adj,
+           round((SELECT theta FROM co), 6) AS theta
+    FROM adj GROUP BY cohort
+    """,
+    tags=("stats", "experiment", "cuped", "variance-reduction"),
+)
+def q_stats_cuped_adjustment(spark, sf_dir):
+    """CUPED covariate adjustment for the A/B conversion readout
+    (`stats_two_proportion_z`'s cohorts): per user, the PRE-period
+    activity count is the covariate X, the POST-period high-value
+    conversion bit is the outcome Y; Yadj = Y − θ(X − X̄) with the pooled
+    θ = cov(X,Y)/var(X) — the standard variance-reduction step that
+    shrinks experiment confidence intervals using only pre-experiment
+    data (Deng et al. 2013), so the same traffic detects smaller lifts.
+
+    Bit-parity: X and Y are BIGINT; θ and X̄ are single exact-ratio
+    divisions; per-user adjusted outcomes quantize to milli-units before
+    the cohort sums (aggregation-order-immune — milli keeps m² sums
+    inside BIGINT at 1e5+ users); raw variance is the exact Bernoulli
+    p(1−p).  Shape: one user-grid agg, a 1-row broadcast model, one
+    cohort agg — the period split needs only the global (min, max) ts."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    mid = F.col("lo") + F.floor((F.col("hi") - F.col("lo")) / 2).cast("long")
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy((F.col("user_id") % 2).alias("cohort"), F.col("user_id"))
+        .agg(
+            F.sum(F.when(F.unix_micros("ts") < mid, 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.max(
+                F.when(
+                    (F.unix_micros("ts") >= mid)
+                    & (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 200.0),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    th = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    co = th.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
+    )
+    adj = u.crossJoin(F.broadcast(co)).select(
+        "cohort",
+        "y",
+        "theta",
+        F.floor(
+            (F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar"))) * 1000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("m"),
+    )
+    p = F.sum("y").cast("long") / F.count("*").cast("double")
+    return adj.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round(p, 6).alias("conv_rate"),
+        F.round(F.sum("m").cast("long") / (F.lit(1000.0) * F.count("*")), 6).alias(
+            "adj_mean"
+        ),
+        F.round(p * (F.lit(1.0) - p), 6).alias("var_raw"),
+        F.round(
+            (
+                F.sum(F.col("m") * F.col("m")).cast("long")
+                / F.count("*").cast("double")
+                - (F.sum("m").cast("long") / F.count("*").cast("double"))
+                * (F.sum("m").cast("long") / F.count("*").cast("double"))
+            )
+            / F.lit(1000000.0),
+            6,
+        ).alias("var_adj"),
+        F.round(F.max("theta"), 6).alias("theta"),
+    )

