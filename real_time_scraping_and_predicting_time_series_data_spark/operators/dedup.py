@@ -2087,7 +2087,14 @@ def q_dedup_minhash_recall_audit(spark, sf_dir):
     complete); candidates are the UNVERIFIED band-bucket pairs from the
     same md5/universal-hash chain as `dedup_minhash_pairs` — both halves
     deterministic, so the audit itself is value-hash-checked.  One row:
-    (tau, n_true_pairs, n_candidates, n_hits, recall, precision_at_tau)."""
+    (tau, n_true_pairs, n_candidates, n_hits, recall, precision_at_tau).
+
+    Scale note: exact ground truth is inherently quadratic in hot-shingle
+    document frequency — at 100 TB this audit runs on a held-out SAMPLE
+    (hash-mod the doc ids) or with the `dedup_clusters_stopgram` df cap
+    on the truth side; the LSH half scales unchanged.  Auditing on a
+    sample is the method (Broder's original recall estimates are
+    sampled), not a concession."""
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     sets = shingle_sets(docs, n=2).localCheckpoint(eager=False)
     ex = sets.select("id", F.explode("sh").alias("shingle"))
