@@ -1520,3 +1520,69 @@ def q_orders_skyline(spark, sf_dir):
         F.round("o_totalprice", 2).alias("totalprice"),
         F.col("d").alias("day_idx"),
     )
+
+
+@register(
+    "dq_l_diversity",
+    oracle="""
+    WITH classes AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               CAST(count(*) AS BIGINT) AS sz,
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS ldiv
+        FROM customer
+        GROUP BY 1, 2
+    ), tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n FROM classes),
+    ls AS (SELECT unnest([2, 3, 5]) AS l)
+    SELECT CAST(ls.l AS BIGINT) AS l,
+           CAST(count(CASE WHEN c.ldiv < ls.l THEN 1 END) AS BIGINT)
+               AS classes_below_l,
+           CAST(coalesce(sum(CASE WHEN c.ldiv < ls.l THEN c.sz END), 0)
+                AS BIGINT) AS rows_at_risk,
+           round(coalesce(sum(CASE WHEN c.ldiv < ls.l THEN c.sz END), 0)
+                 / CAST(max(t.n) AS DOUBLE), 6) AS risk_share,
+           CAST(min(c.ldiv) AS BIGINT) AS min_diversity
+    FROM classes c CROSS JOIN ls CROSS JOIN tot t
+    GROUP BY ls.l
+    """,
+    tags=("relational", "quality", "privacy", "l-diversity"),
+)
+def dq_l_diversity(spark, sf_dir):
+    """l-diversity audit — the attack k-anonymity misses: a class can be
+    large (k-anonymous) yet have every member share one SENSITIVE value,
+    so membership alone discloses it (homogeneity attack).  Quasi-
+    identifiers here are (nation, balance band); the sensitive attribute
+    is the market segment; a class with fewer than l distinct sensitive
+    values is at risk.  Reports, for l ∈ {2, 3, 5}, classes below l, rows
+    at risk, risk share, and the corpus-wide minimum diversity — the
+    companion gate to `dq_k_anonymity` (same class relation, one extra
+    countDistinct).  Scale: one grouped agg over the QI tuple; the audit
+    aggregates the class relation, never the data twice."""
+    c = _t(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(
+        F.count("*").cast("long").alias("sz"),
+        F.countDistinct("c_mktsegment").cast("long").alias("ldiv"),
+    )
+    tot = classes.agg(F.sum("sz").cast("long").alias("n"))
+    ls = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(3), F.lit(5))).alias("l")
+    )
+    at_risk = F.sum(F.when(F.col("ldiv") < F.col("l"), F.col("sz")))
+    return (
+        classes.crossJoin(F.broadcast(ls))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("l").cast("long").alias("l"))
+        .agg(
+            F.count(F.when(F.col("ldiv") < F.col("l"), 1))
+            .cast("long")
+            .alias("classes_below_l"),
+            F.coalesce(at_risk, F.lit(0)).cast("long").alias("rows_at_risk"),
+            F.round(
+                F.coalesce(at_risk, F.lit(0)) / F.max("n").cast("double"), 6
+            ).alias("risk_share"),
+            F.min("ldiv").cast("long").alias("min_diversity"),
+        )
+    )

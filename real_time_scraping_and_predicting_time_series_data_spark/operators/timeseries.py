@@ -2692,3 +2692,44 @@ def q_ts_matrix_profile(spark, sf_dir):
     with BIGINT-exact moments; fully value-hash-checked."""
     ev = load_table(spark, sf_dir, "events")
     return matrix_profile_daily(ev, key="event_type", w=_MP_W, zone=_MP_ZONE)
+
+
+@register(
+    "ts_mp_discords",
+    oracle=f"""
+    WITH mp AS ({_matrix_profile_oracle()})
+    SELECT event_type, kind, win_idx, nn_idx, mp_dist FROM (
+        SELECT event_type, 'discord' AS kind, win_idx, nn_idx, mp_dist,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY mp_dist DESC, win_idx) AS rn
+        FROM mp
+        UNION ALL
+        SELECT event_type, 'motif' AS kind, win_idx, nn_idx, mp_dist,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY mp_dist ASC, win_idx) AS rn
+        FROM mp)
+    WHERE rn = 1
+    """,
+    tags=("timeseries", "matrix-profile", "anomaly", "motif"),
+)
+def q_ts_mp_discords(spark, sf_dir):
+    """The matrix profile's consumable artifact: per key, the top DISCORD
+    (the subsequence farthest from everything — the shape anomaly) and
+    the top MOTIF pair (the closest repeat), each with its matched
+    window.  Pure per-key ranks over the `ts_matrix_profile` relation
+    (bounded: windows per key), deterministic win_idx tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    mp = matrix_profile_daily(ev, key="event_type", w=_MP_W, zone=_MP_ZONE)
+    wd = Window.partitionBy("event_type").orderBy(
+        F.desc("mp_dist"), F.asc("win_idx")
+    )
+    wm = Window.partitionBy("event_type").orderBy(
+        F.asc("mp_dist"), F.asc("win_idx")
+    )
+    disc = mp.withColumn("rn", F.row_number().over(wd)).filter(
+        F.col("rn") == 1
+    ).select("event_type", F.lit("discord").alias("kind"), "win_idx", "nn_idx", "mp_dist")
+    moti = mp.withColumn("rn", F.row_number().over(wm)).filter(
+        F.col("rn") == 1
+    ).select("event_type", F.lit("motif").alias("kind"), "win_idx", "nn_idx", "mp_dist")
+    return disc.union(moti)

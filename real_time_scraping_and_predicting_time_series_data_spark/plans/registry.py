@@ -114,6 +114,8 @@ _FRONT = (
     "dedup_minhash_recall_audit",
     "stats_cuped_adjustment",
     "ts_matrix_profile",
+    "ts_mp_discords",
+    "dq_l_diversity",
     "stats_kendall_tau_grid",
     "stats_cohens_kappa",
     "ml_lstm_fixed_inference",

@@ -646,3 +646,49 @@ def test_cuped_reduces_variance_and_preserves_means(spark):
         assert r.var_raw >= 0 and r.var_adj >= 0
         # Bernoulli variance is the ceiling at 0.25
         assert r.var_raw <= 0.2500001
+
+
+# ---------------------------------------------------------------------------
+# ts_mp_discords / dq_l_diversity — shape invariants
+# ---------------------------------------------------------------------------
+
+
+def test_mp_discords_extremes_match_profile(spark):
+    """Per key, the served discord is the argmax and the motif the argmin
+    of that key's matrix profile (win_idx tie-break), and the discord is
+    never closer than the motif."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    mp = {}
+    for r in all_queries()["ts_matrix_profile"].fn(spark, SF).collect():
+        mp.setdefault(r.event_type, []).append(r)
+    out = all_queries()["ts_mp_discords"].fn(spark, SF).collect()
+    by = {(r.event_type, r.kind): r for r in out}
+    assert len(out) == 2 * len(mp)
+    for key, rows in mp.items():
+        disc = min(rows, key=lambda r: (-r.mp_dist, r.win_idx))
+        moti = min(rows, key=lambda r: (r.mp_dist, r.win_idx))
+        assert by[(key, "discord")].win_idx == disc.win_idx
+        assert by[(key, "motif")].win_idx == moti.win_idx
+        assert by[(key, "discord")].mp_dist >= by[(key, "motif")].mp_dist
+
+
+def test_l_diversity_monotone_and_bounded(spark):
+    """Risk grows with l; min diversity is a constant across rows and at
+    most the number of market segments (5)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = sorted(
+        all_queries()["dq_l_diversity"].fn(spark, SF).collect(),
+        key=lambda r: r.l,
+    )
+    assert [r.l for r in rows] == [2, 3, 5]
+    assert rows[0].rows_at_risk <= rows[1].rows_at_risk <= rows[2].rows_at_risk
+    assert len({r.min_diversity for r in rows}) == 1
+    assert 1 <= rows[0].min_diversity <= 5
+    for r in rows:
+        assert 0.0 <= r.risk_share <= 1.0
