@@ -74,3 +74,36 @@ def test_streaming_end_to_end(spark, tmp_path):
     q.awaitTermination(120)
     want = _rows(dsir_weights(spark.read.parquet(src), F.col("lang") == "en"))
     assert _rows(m.serve_weights()) == want
+
+
+def test_streaming_restart_recovery(spark, tmp_path):
+    """Kill the stream after the first file, restart from the checkpoint
+    with more files present: no batch is double-ingested (replays
+    overwrite their own batch_id), and the final serve equals the batch
+    operator over everything — the corpus_ingest restart contract."""
+    docs = load_table(spark, SF, "documents").limit(90).localCheckpoint()
+    src = str(tmp_path / "src")
+    parts = [
+        docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == b) for b in range(3)
+    ]
+    parts[0].coalesce(1).write.mode("overwrite").parquet(src)
+    m = DsirStreamModel(spark, str(tmp_path / "store"), F.col("lang") == "en")
+    ckpt = str(tmp_path / "ckpt")
+    schema = docs.schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = m.attach(stream, ckpt)
+        q.awaitTermination(120)
+
+    drain()  # availableNow: consumes file 0 then stops
+    first = sorted(map(tuple, m.serve_weights().collect()))
+    assert first  # file-0 docs served
+    # more data lands while the stream is down
+    for p in parts[1:]:
+        p.coalesce(1).write.mode("append").parquet(src)
+    drain()  # restart from checkpoint: only the NEW files are ingested
+    want = sorted(map(tuple, dsir_weights(spark.read.parquet(src), F.col("lang") == "en").collect()))
+    assert sorted(map(tuple, m.serve_weights().collect())) == want
