@@ -5718,3 +5718,440 @@ def q_stats_cuped_adjustment(spark, sf_dir):
         ).alias("var_adj"),
         F.round(F.max("theta"), 6).alias("theta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H — k-sample rank ANOVA over the distinct-value grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH tagged AS (
+        SELECT o.o_orderpriority AS grp, CAST(l.l_quantity AS BIGINT) AS v
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), g AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM tagged GROUP BY v
+    ), c AS (
+        SELECT v, cnt,
+               CAST(COALESCE(sum(cnt) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cumbefore
+        FROM g
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        FROM g
+    ), gv AS (
+        SELECT grp, v, CAST(count(*) AS BIGINT) AS n_gv FROM tagged GROUP BY grp, v
+    ), rs AS (
+        SELECT gv.grp,
+               CAST(sum(gv.n_gv) AS BIGINT) AS n_g,
+               CAST(sum(gv.n_gv * (2 * c.cumbefore + c.cnt + 1)) AS BIGINT) AS r2
+        FROM gv JOIN c ON c.v = gv.v
+        GROUP BY gv.grp
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CAST(floor(
+                   3.0 * CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+                   / CAST(n_g AS DOUBLE)
+                   / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) + 1.0))
+                   * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+               max(t.n) AS n, max(t.ties) AS ties
+        FROM rs CROSS JOIN tot t
+    ), h AS (
+        SELECT k, n,
+               CAST(sq AS DOUBLE) / 1000000.0
+                 - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h_raw,
+               1.0 - CAST(ties AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(n AS DOUBLE)) AS tie_c
+        FROM s
+    )
+    SELECT rs.grp AS grp, rs.n_g AS n_g,
+           CAST(rs.r2 AS DOUBLE) / 2.0 AS rank_sum,
+           floor(CAST(rs.r2 AS DOUBLE) / (2.0 * rs.n_g) * 1000000 + 0.5)
+             / 1000000 AS mean_rank,
+           h.k AS k, h.n AS n,
+           floor(h.h_raw / h.tie_c * 1000000 + 0.5) / 1000000 AS h_adj,
+           CASE WHEN h.k = 5 THEN
+               floor(exp(-(h.h_raw / h.tie_c) / 2.0)
+                     * (1.0 + (h.h_raw / h.tie_c) / 2.0)
+                     * 1000000 + 0.5) / 1000000
+           END AS p_value
+    FROM rs CROSS JOIN h
+    """,
+    tags=("stats", "rank", "anova", "kruskal-wallis"),
+)
+def q_stats_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H — the k-sample rank ANOVA (does l_quantity's
+    distribution differ across the 5 order priorities?), tie-corrected,
+    with the closed-form chi-square survival p for df = 4 (even df: Q(x) =
+    e^{-x/2}·Σ_{j<m}(x/2)^j/j!, elementary — no incomplete-gamma needed).
+
+    INTEGER-EXACT on the `stats_mann_whitney` grid plan: midranks come
+    from the 50-row distinct-quantity grid (2·midrank = 2·cum_before +
+    cnt + 1, BIGINT), doubled rank sums R2_g = Σ_v n_gv·(2·cum+cnt+1)
+    stay integral, and the tie term Σ(t³−t) is integral.  The one
+    order-sensitive float reduction — Σ_g R²_g-terms — quantizes each
+    group's fixed-shape double contribution to integer micro-units before
+    the 5-row sum (the CUPED/pinball convention), so both engines agree
+    bit-wise.  Scale: two grouped aggs over (value) and (group, value)
+    grids + a 50-row broadcast join; the rank window runs over distinct
+    VALUES, never rows.  Output: one row per group carrying its rank sum
+    beside the shared (h_adj, p) verdict."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    tagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("l_quantity").cast("long").alias("v"),
+    )
+    g = tagged.groupBy("v").agg(F.count("*").cast("long").alias("cnt"))
+    c = grid_cumsum(g, ["cnt"]).select(
+        "v", "cnt", (F.col("cum_cnt") - F.col("cnt")).cast("long").alias("cumbefore")
+    )
+    tot = g.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("ties"),
+    )
+    gv = tagged.groupBy("grp", "v").agg(F.count("*").cast("long").alias("n_gv"))
+    rs = (
+        gv.join(F.broadcast(c), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("n_gv").cast("long").alias("n_g"),
+            F.sum(
+                F.col("n_gv") * (2 * F.col("cumbefore") + F.col("cnt") + 1)
+            )
+            .cast("long")
+            .alias("r2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    nd = F.col("n").cast("double")
+    contrib = (
+        F.lit(3.0)
+        * F.col("r2").cast("double")
+        * F.col("r2").cast("double")
+        / F.col("n_g").cast("double")
+        / (nd * (nd + F.lit(1.0)))
+    )
+    s = (
+        rs.crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.sum(F.floor(contrib * 1000000 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("sq"),
+            F.max("n").alias("n"),
+            F.max("ties").alias("ties"),
+        )
+    )
+    h_raw = F.col("sq").cast("double") / F.lit(1000000.0) - F.lit(3.0) * (
+        F.col("n").cast("double") + F.lit(1.0)
+    )
+    n3 = (
+        F.col("n").cast("double") * F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    tie_c = F.lit(1.0) - F.col("ties").cast("double") / (n3 - F.col("n").cast("double"))
+    h = s.select("k", "n", h_raw.alias("h_raw"), tie_c.alias("tie_c"))
+    ha = F.col("h_raw") / F.col("tie_c")
+    x = ha / F.lit(2.0)
+    p4 = F.exp(-x) * (F.lit(1.0) + x)
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return rs.crossJoin(F.broadcast(h)).select(
+        "grp",
+        "n_g",
+        (F.col("r2").cast("double") / F.lit(2.0)).alias("rank_sum"),
+        canon(F.col("r2").cast("double") / (F.lit(2.0) * F.col("n_g"))).alias(
+            "mean_rank"
+        ),
+        "k",
+        "n",
+        canon(ha).alias("h_adj"),
+        F.when(F.col("k") == 5, canon(p4)).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anderson-Darling normality audit — per-priority order totals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_anderson_darling",
+    oracle=f"""
+    WITH d AS (
+        SELECT o_orderpriority AS grp,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders
+    ), m AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(c * c) AS DOUBLE) AS s2d
+        FROM d GROUP BY grp
+    ), mm AS (
+        SELECT grp, n,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               sqrt((s2d - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                    / (n - 1)) AS sigma
+        FROM m
+    ), z AS (
+        SELECT d.grp, mm.n,
+               CAST(row_number() OVER (PARTITION BY d.grp ORDER BY d.c)
+                    AS BIGINT) AS i,
+               (CAST(d.c AS DOUBLE) - mm.mu) / mm.sigma AS zv
+        FROM d JOIN mm ON mm.grp = d.grp
+    ), t AS (
+        SELECT grp, n, i,
+               {{p2}} AS p2, zv
+        FROM z
+    ), q AS (
+        SELECT grp, n,
+               CAST(floor(
+                   ((2 * i - 1) * ln(CASE WHEN zv >= 0
+                                          THEN 1.0 - p2 / 2.0
+                                          ELSE p2 / 2.0 END)
+                    + (2 * (n - i) + 1) * ln(CASE WHEN zv >= 0
+                                                  THEN p2 / 2.0
+                                                  ELSE 1.0 - p2 / 2.0 END))
+                   * 1000000 + 0.5) AS BIGINT) AS tq
+        FROM t
+    ), s AS (
+        SELECT grp, max(n) AS n, CAST(sum(tq) AS DOUBLE) AS sq
+        FROM q GROUP BY grp
+    )
+    SELECT grp, n,
+           floor((-CAST(n AS DOUBLE) - sq / (CAST(n AS DOUBLE) * 1000000.0))
+                 * 1000000 + 0.5) / 1000000 AS a2,
+           floor((-CAST(n AS DOUBLE) - sq / (CAST(n AS DOUBLE) * 1000000.0))
+                 * (1.0 + 0.75 / n + 2.25 / (CAST(n AS DOUBLE) * n))
+                 * 1000000 + 0.5) / 1000000 AS a2_star,
+           ((-CAST(n AS DOUBLE) - sq / (CAST(n AS DOUBLE) * 1000000.0))
+            * (1.0 + 0.75 / n + 2.25 / (CAST(n AS DOUBLE) * n))) > 0.787
+               AS reject_normal_5pct
+    FROM s
+    """.replace("{p2}", p_two_sided_sql("zv")),
+    tags=("stats", "normality", "anderson-darling", "gof"),
+)
+def q_stats_anderson_darling(spark, sf_dir):
+    """Anderson-Darling A² normality audit of o_totalprice per order
+    priority (case 3: mean and variance estimated from the sample, with
+    Stephens' small-sample factor and the 0.787 5%% critical value) — the
+    tail-weighted goodness-of-fit gate that catches departures the KS
+    supremum under-weights.  A² = −n − (1/n)Σ_i[(2i−1)lnΦ(z_i) +
+    (2(n−i)+1)ln(1−Φ(z_i))] over the within-group sort order.
+
+    Bit-parity: moments are exact (BIGINT cent sums; Σc² exact integer
+    rendered to double identically by both engines); σ is ONE sqrt of a
+    fixed-shape expression; Φ is the shared A&S 7.1.26 erf polynomial
+    (`p_two_sided`), with the tail side computed as p/2 directly so
+    ln(1−Φ) keeps precision at extreme z; each row's fixed-shape term is
+    quantized to integer micro-units before the per-group sum (the
+    CUPED/pinball convention), so aggregation order cannot drift.  Tied
+    values get equal z, and the (2i−1)-weight sum over a tied block is
+    order-invariant, so row_number needs no tiebreak.  Scale: one grouped
+    agg for moments + one partitioned sort window — embarrassingly
+    parallel across groups at any n."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    m = d.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).cast("double").alias("s2d"),
+    )
+    nd = F.col("n").cast("double")
+    mm = m.select(
+        "grp",
+        "n",
+        (F.col("s1").cast("double") / nd).alias("mu"),
+        F.sqrt(
+            (F.col("s2d") - F.col("s1").cast("double") * F.col("s1").cast("double") / nd)
+            / (nd - F.lit(1.0))
+        ).alias("sigma"),
+    )
+    z = d.join(F.broadcast(mm), "grp").select(
+        "grp",
+        "n",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("c"))
+        .cast("long")
+        .alias("i"),
+        ((F.col("c").cast("double") - F.col("mu")) / F.col("sigma")).alias("zv"),
+    )
+    p2 = p_two_sided(F.col("zv"))
+    pos = F.col("zv") >= 0
+    ln_phi = F.log(F.when(pos, F.lit(1.0) - p2 / 2).otherwise(p2 / 2))
+    ln_omphi = F.log(F.when(pos, p2 / 2).otherwise(F.lit(1.0) - p2 / 2))
+    term = (2 * F.col("i") - 1).cast("double") * ln_phi + (
+        2 * (F.col("n") - F.col("i")) + 1
+    ).cast("double") * ln_omphi
+    q = z.select(
+        "grp",
+        "n",
+        F.floor(term * 1000000 + F.lit(0.5)).cast("long").alias("tq"),
+    )
+    s = q.groupBy("grp").agg(
+        F.max("n").alias("n"), F.sum("tq").cast("double").alias("sq")
+    )
+    nd2 = F.col("n").cast("double")
+    a2 = -nd2 - F.col("sq") / (nd2 * F.lit(1000000.0))
+    a2s = a2 * (F.lit(1.0) + F.lit(0.75) / F.col("n") + F.lit(2.25) / (nd2 * F.col("n")))
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return s.select(
+        "grp",
+        "n",
+        canon(a2).alias("a2"),
+        canon(a2s).alias("a2_star"),
+        (a2s > F.lit(0.787)).alias("reject_normal_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brier score + Murphy decomposition of the Newton domain classifier
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle=_LOGISTIC_CTE_SQL
+    + r"""
+    , scored AS (
+        SELECT CAST(d.z AS BIGINT) AS zq,
+               CAST(floor(1.0 / (1.0 + exp(-((c0 + d0) + (c1 + d1)*x1
+                                             + (c2 + d2)*x2)))
+                          * 1000000 + 0.5) AS BIGINT) AS pq
+        FROM d CROSS JOIN fin
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(zq) AS BIGINT) AS sz,
+               CAST(sum((pq - zq * 1000000) * (pq - zq * 1000000))
+                    AS BIGINT) AS bnum
+        FROM scored
+    ), bins AS (
+        SELECT least(pq // 100000, 9) AS bin,
+               CAST(count(*) AS BIGINT) AS n_k,
+               CAST(sum(zq) AS BIGINT) AS sz_k,
+               CAST(sum(pq) AS BIGINT) AS spq_k
+        FROM scored GROUP BY least(pq // 100000, 9)
+    ), comp AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_bins,
+               CAST(sum(CAST(floor(
+                   (CAST(spq_k AS DOUBLE) - 1000000.0 * sz_k)
+                   * (CAST(spq_k AS DOUBLE) - 1000000.0 * sz_k)
+                   / (CAST(n_k AS DOUBLE) * 1e12)
+                   * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS rel_q,
+               CAST(sum(CAST(floor(
+                   (CAST(sz_k AS DOUBLE) * t.n - CAST(t.sz AS DOUBLE) * n_k)
+                   * (CAST(sz_k AS DOUBLE) * t.n - CAST(t.sz AS DOUBLE) * n_k)
+                   / (CAST(n_k AS DOUBLE) * CAST(t.n AS DOUBLE) * t.n)
+                   * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS res_q,
+               max(t.n) AS n, max(t.sz) AS sz, max(t.bnum) AS bnum
+        FROM bins CROSS JOIN tot t
+    )
+    SELECT n, n_bins,
+           floor(CAST(bnum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
+                 * 1000000 + 0.5) / 1000000 AS brier,
+           floor(CAST(rel_q AS DOUBLE) / (1e9 * n) * 1000000 + 0.5)
+             / 1000000 AS reliability,
+           floor(CAST(res_q AS DOUBLE) / (1e9 * n) * 1000000 + 0.5)
+             / 1000000 AS resolution,
+           floor((CAST(sz AS DOUBLE) / n) * (1.0 - CAST(sz AS DOUBLE) / n)
+                 * 1000000 + 0.5) / 1000000 AS uncertainty,
+           floor((CAST(bnum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
+                  - (CAST(rel_q AS DOUBLE) / (1e9 * n)
+                     - CAST(res_q AS DOUBLE) / (1e9 * n)
+                     + (CAST(sz AS DOUBLE) / n)
+                       * (1.0 - CAST(sz AS DOUBLE) / n)))
+                 * 1000000 + 0.5) / 1000000 AS within_bin_residual
+    FROM comp
+    """,
+    tags=("ml", "calibration", "brier", "classifier"),
+)
+def q_ml_brier_decomposition(spark, sf_dir):
+    """Brier score of the Newton domain classifier with the Murphy
+    decomposition over probability deciles: BRIER = RELIABILITY −
+    RESOLUTION + UNCERTAINTY (+ a within-bin residual, nonzero because p
+    varies inside a bin — reported, not hidden).  The one-number proper
+    scoring companion to `ml_calibration_bins`' reliability diagram,
+    sharing the exact training chain (`_logistic_coeffs` /
+    `_LOGISTIC_CTE_SQL`) so all three classifier audits grade the same
+    model.
+
+    Bit-parity: scores quantize to integer micro-units per row FIRST, so
+    every sum (Brier numerator Σ(pq−z·1e6)², bin tallies) is integer
+    arithmetic; bins derive from the quantized score (pq // 1e5), never
+    the raw double; the 10-bin REL/RES reductions quantize each bin's
+    fixed-shape term to nano-units before summing.  Scale: one scan to
+    score (1-row broadcast model), one 10-row grouped agg — the decomposition
+    itself is O(bins)."""
+    d = _logistic_rows(spark, sf_dir)
+    coeffs = _logistic_coeffs(d).select("w0", "w1", "w2")
+    p = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")))
+    )
+    scored = d.crossJoin(F.broadcast(coeffs)).select(
+        F.col("z").cast("long").alias("zq"),
+        F.floor(p * 1000000 + F.lit(0.5)).cast("long").alias("pq"),
+    ).localCheckpoint(eager=False)
+    diff = F.col("pq") - F.col("zq") * 1000000
+    tot = scored.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("zq").cast("long").alias("sz"),
+        F.sum(diff * diff).cast("long").alias("bnum"),
+    )
+    bins = scored.groupBy(
+        F.least(F.floor(F.col("pq") / 100000), F.lit(9)).cast("long").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n_k"),
+        F.sum("zq").cast("long").alias("sz_k"),
+        F.sum("pq").cast("long").alias("spq_k"),
+    )
+    a = F.col("spq_k").cast("double") - F.lit(1000000.0) * F.col("sz_k")
+    rel_t = a * a / (F.col("n_k").cast("double") * F.lit(1e12))
+    c = F.col("sz_k").cast("double") * F.col("n") - F.col("sz").cast("double") * F.col(
+        "n_k"
+    )
+    res_t = c * c / (
+        F.col("n_k").cast("double") * F.col("n").cast("double") * F.col("n")
+    )
+    comp = (
+        bins.crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.count("*").cast("long").alias("n_bins"),
+            F.sum(F.floor(rel_t * 1e9 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("rel_q"),
+            F.sum(F.floor(res_t * 1e9 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("res_q"),
+            F.max("n").alias("n"),
+            F.max("sz").alias("sz"),
+            F.max("bnum").alias("bnum"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    brier = F.col("bnum").cast("double") / (nd * F.lit(1e12))
+    rel = F.col("rel_q").cast("double") / (F.lit(1e9) * F.col("n"))
+    res = F.col("res_q").cast("double") / (F.lit(1e9) * F.col("n"))
+    obar = F.col("sz").cast("double") / F.col("n")
+    unc = obar * (F.lit(1.0) - obar)
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return comp.select(
+        "n",
+        "n_bins",
+        canon(brier).alias("brier"),
+        canon(rel).alias("reliability"),
+        canon(res).alias("resolution"),
+        canon(unc).alias("uncertainty"),
+        canon(brier - (rel - res + unc)).alias("within_bin_residual"),
+    )
