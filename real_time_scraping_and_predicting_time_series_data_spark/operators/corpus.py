@@ -1664,3 +1664,105 @@ def q_corpus_dsir_stream_serve(spark, sf_dir):
             docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == bid), bid
         )
     return model.serve_weights()
+
+
+@register(
+    "corpus_kneser_ney_bigram",
+    oracle=r"""
+    WITH t AS (
+        SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), bg AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                      i -> {'a': w[i], 'b': w[i + 1]})) AS p
+        FROM t WHERE len(w) >= 2
+    ), bc AS (
+        SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab
+        FROM bg GROUP BY p.a, p.b
+    ), lc AS (
+        SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+               CAST(count(*) AS BIGINT) AS n1p_fwd
+        FROM bc GROUP BY a
+    ), rc AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS n1p_back FROM bc GROUP BY b
+    ), nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bc),
+    scored AS (
+        SELECT bc.a, bc.b, bc.c_ab, lc.c_a,
+               floor((greatest(CAST(bc.c_ab AS DOUBLE) - 0.75, 0.0)
+                      / lc.c_a) * 1000000 + 0.5) / 1000000 AS p_ml_disc,
+               floor(((0.75 * lc.n1p_fwd / lc.c_a)
+                      * (CAST(rc.n1p_back AS DOUBLE) / nt.n_types))
+                     * 1000000 + 0.5) / 1000000 AS p_cont_part,
+               floor((greatest(CAST(bc.c_ab AS DOUBLE) - 0.75, 0.0) / lc.c_a
+                      + (0.75 * lc.n1p_fwd / lc.c_a)
+                        * (CAST(rc.n1p_back AS DOUBLE) / nt.n_types))
+                     * 1000000 + 0.5) / 1000000 AS p_kn
+        FROM bc JOIN lc ON lc.a = bc.a JOIN rc ON rc.b = bc.b CROSS JOIN nt
+        WHERE bc.c_ab >= 5
+    )
+    SELECT a, b, c_ab, p_ml_disc, p_cont_part, p_kn FROM scored
+    ORDER BY p_kn DESC, a, b LIMIT 20
+    """,
+    tags=("corpus", "text", "language-model", "kneser-ney"),
+)
+def q_corpus_kneser_ney_bigram(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities (absolute discount
+    D = 0.75) — the smoothing every production n-gram LM uses, and the
+    honest upgrade over `corpus_lm_perplexity`'s add-k: P(b|a) =
+    max(c(ab)−D, 0)/c(a) + D·N1+(a·)/c(a) · N1+(·b)/N1+(··), where the
+    continuation probability counts CONTEXTS b follows, not tokens — the
+    "San Francisco" correction (frequent word, single context → low
+    continuation mass).  Top-20 bigrams by P_KN at min-support 5, with the
+    discounted-ML and continuation components reported separately.
+
+    Bit-parity: all five count relations are exact BIGINTs from two
+    grouped aggs over one bigram explosion (the `corpus_bigram_pmi`
+    plan); each probability is ONE fixed-shape expression of exact
+    integers, floor-canonicalized at 1e-6, and the top-k orders by the
+    canonicalized value with the bigram itself as tiebreak.  Scale: the
+    bigram-type relation is the only shuffle; left/right/context totals
+    are grouped folds of it; no corpus re-scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+    idx = F.when(
+        F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = t.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("a"),
+                    F.element_at("w", i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    bc = bg.groupBy("a", "b").agg(F.count("*").cast("long").alias("c_ab"))
+    bc = bc.localCheckpoint(eager=False)
+    lc = bc.groupBy("a").agg(
+        F.sum("c_ab").cast("long").alias("c_a"),
+        F.count("*").cast("long").alias("n1p_fwd"),
+    )
+    rc = bc.groupBy("b").agg(F.count("*").cast("long").alias("n1p_back"))
+    nt = bc.agg(F.count("*").cast("long").alias("n_types"))
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    disc = F.greatest(F.col("c_ab").cast("double") - F.lit(0.75), F.lit(0.0)) / F.col(
+        "c_a"
+    )
+    lam = F.lit(0.75) * F.col("n1p_fwd") / F.col("c_a")
+    cont = F.col("n1p_back").cast("double") / F.col("n_types")
+    scored = (
+        bc.filter(F.col("c_ab") >= 5)
+        .join(lc, "a")
+        .join(rc, "b")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            canon(disc).alias("p_ml_disc"),
+            canon(lam * cont).alias("p_cont_part"),
+            canon(disc + lam * cont).alias("p_kn"),
+        )
+    )
+    return scored.orderBy(F.desc("p_kn"), "a", "b").limit(20)

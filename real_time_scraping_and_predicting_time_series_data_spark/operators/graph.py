@@ -1006,3 +1006,133 @@ def q_graph_clustering_coefficient(spark, sf_dir):
             / 1000000
         ).alias("global_coeff"),
     )
+
+
+def _hits_sql_iterations(iters: int) -> str:
+    """Unrolled HITS CTE chain h{k}/a{k} over the bipartite edge set
+    ``e(c, p)`` with max-normalized integer micro-unit scores — the DuckDB
+    twin of the DataFrame loop in :func:`q_graph_hits` (same floor
+    division, same iteration count)."""
+    parts = [
+        """
+    a0 AS MATERIALIZED (
+        SELECT p, CAST(1000000 AS BIGINT) AS s FROM (SELECT DISTINCT p FROM e)
+    )"""
+    ]
+    prev_a = "a0"
+    for k in range(1, iters + 1):
+        parts.append(f"""
+    h{k}r AS MATERIALIZED (
+        SELECT e.c, CAST(sum(x.s) AS BIGINT) AS s
+        FROM e JOIN {prev_a} x ON x.p = e.p GROUP BY e.c
+    ), h{k} AS MATERIALIZED (
+        SELECT c, CAST(s * 1000000 // (SELECT max(s) FROM h{k}r) AS BIGINT) AS s
+        FROM h{k}r
+    ), a{k}r AS MATERIALIZED (
+        SELECT e.p, CAST(sum(x.s) AS BIGINT) AS s
+        FROM e JOIN h{k} x ON x.c = e.c GROUP BY e.p
+    ), a{k} AS MATERIALIZED (
+        SELECT p, CAST(s * 1000000 // (SELECT max(s) FROM a{k}r) AS BIGINT) AS s
+        FROM a{k}r
+    )""")
+        prev_a = f"a{k}"
+    return ",".join(parts)
+
+
+_HITS_ITERS = 3
+
+
+@register(
+    "graph_hits",
+    oracle="""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),"""
+    + _hits_sql_iterations(_HITS_ITERS)
+    + f"""
+    , dc AS (SELECT c, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY c),
+    dp AS (SELECT p, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY p),
+    hubs AS (
+        SELECT 'hub' AS side, h.c AS node, h.s AS score, dc.degree,
+               CAST(row_number() OVER (ORDER BY h.s DESC, h.c) AS BIGINT) AS rk
+        FROM h{_HITS_ITERS} h JOIN dc ON dc.c = h.c
+    ), auths AS (
+        SELECT 'authority' AS side, a.p AS node, a.s AS score, dp.degree,
+               CAST(row_number() OVER (ORDER BY a.s DESC, a.p) AS BIGINT) AS rk
+        FROM a{_HITS_ITERS} a JOIN dp ON dp.p = a.p
+    )
+    SELECT * FROM hubs WHERE rk <= 10
+    UNION ALL
+    SELECT * FROM auths WHERE rk <= 10
+    """,
+    tags=("graph", "hits", "iterative", "bipartite"),
+)
+def q_graph_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg, public) over the bipartite
+    customer→part purchase graph: hub customers concentrate purchases on
+    high-authority parts, authority parts are bought by high-hub
+    customers — the mutual-reinforcement companion to
+    `graph_copurchase_pagerank` (which needs a symmetric graph; HITS is
+    the tool when the relation is inherently bipartite/directed).  3
+    iterations of h ← A·a, a ← Aᵀ·h with max-normalization; top-10 per
+    side with degrees.
+
+    Bit-parity: scores live in INTEGER micro-units — each matrix-vector
+    step is a BIGINT grouped sum, each normalization is floor division by
+    the 1-row max (`s·1e6 DIV max`), so there is no float anywhere and
+    both engines agree exactly (the inflate-before-divide product stays
+    under 2^63 while max-normalized scores are ≤1e6 and degrees ≤1e6;
+    beyond that, lift to decimal(38,0)).  Scale: the edge relation
+    partitions by the join key once and every iteration is one equi-join
+    + grouped sum (sparse mat-vec, the pagerank shape); the per-side
+    top-10 window ranks the NODE relation, bounded by |customers|
+    (escalate to the sort-limit top-k pattern if the node relation itself
+    is the bottleneck)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = e.select("p").distinct().withColumn("s", F.lit(1000000).cast("long"))
+    h = None
+    for _ in range(_HITS_ITERS):
+        hr = e.join(a, "p").groupBy("c").agg(F.sum("s").cast("long").alias("s"))
+        mx = hr.agg(F.max("s").alias("mx"))
+        h = hr.crossJoin(F.broadcast(mx)).select(
+            "c", F.expr("CAST(s * 1000000 DIV mx AS BIGINT)").alias("s")
+        )
+        ar = e.join(h, "c").groupBy("p").agg(F.sum("s").cast("long").alias("s"))
+        mxa = ar.agg(F.max("s").alias("mx"))
+        a = ar.crossJoin(F.broadcast(mxa)).select(
+            "p", F.expr("CAST(s * 1000000 DIV mx AS BIGINT)").alias("s")
+        )
+    dc = e.groupBy("c").agg(F.count("*").cast("long").alias("degree"))
+    dp = e.groupBy("p").agg(F.count("*").cast("long").alias("degree"))
+    hubs = (
+        h.join(dc, "c")
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("c").alias("node"),
+            F.col("s").alias("score"),
+            "degree",
+        )
+    )
+    auths = (
+        a.join(dp, "p")
+        .select(
+            F.lit("authority").alias("side"),
+            F.col("p").alias("node"),
+            F.col("s").alias("score"),
+            "degree",
+        )
+    )
+    w = Window.partitionBy("side").orderBy(F.desc("score"), "node")
+    return (
+        hubs.unionByName(auths)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+    )

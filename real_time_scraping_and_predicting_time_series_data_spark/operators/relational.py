@@ -1586,3 +1586,132 @@ def dq_l_diversity(spark, sf_dir):
             F.min("ldiv").cast("long").alias("min_diversity"),
         )
     )
+
+
+@register(
+    "dq_t_closeness",
+    oracle="""
+    WITH seg AS (
+        SELECT c_mktsegment AS s, CAST(count(*) AS BIGINT) AS g
+        FROM customer GROUP BY c_mktsegment
+    ), tot AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM seg),
+    cls AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               c_mktsegment AS s,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM customer GROUP BY 1, 2, 3
+    ), sz AS (
+        SELECT c_nationkey, bal_band, CAST(sum(cnt) AS BIGINT) AS sz
+        FROM cls GROUP BY 1, 2
+    ), cells AS (
+        SELECT z.c_nationkey, z.bal_band, z.sz, g.s, g.g,
+               CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        FROM sz z CROSS JOIN seg g
+        LEFT JOIN cls c ON c.c_nationkey = z.c_nationkey
+                       AND c.bal_band = z.bal_band AND c.s = g.s
+    ), tvd AS (
+        SELECT c.c_nationkey, c.bal_band, max(c.sz) AS sz,
+               CAST(sum(abs(CAST(c.cnt AS DECIMAL(38,0)) * t.n
+                            - CAST(c.g AS DECIMAL(38,0)) * c.sz))
+                    AS DECIMAL(38,0)) AS num,
+               max(t.n) AS n
+        FROM cells c CROSS JOIN tot t
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT sz, n,
+               CAST(num AS DOUBLE) / (2.0 * sz * n) AS tvd
+        FROM tvd
+    ), ths AS (SELECT unnest([0.2, 0.35, 0.5]) AS t)
+    SELECT ths.t AS t,
+           CAST(count(CASE WHEN s.tvd > ths.t THEN 1 END) AS BIGINT)
+               AS classes_above_t,
+           CAST(coalesce(sum(CASE WHEN s.tvd > ths.t THEN s.sz END), 0)
+                AS BIGINT) AS rows_at_risk,
+           round(coalesce(sum(CASE WHEN s.tvd > ths.t THEN s.sz END), 0)
+                 / CAST(max(s.n) AS DOUBLE), 6) AS risk_share,
+           round(max(s.tvd), 6) AS max_tvd
+    FROM scored s CROSS JOIN ths
+    GROUP BY ths.t
+    """,
+    tags=("relational", "quality", "privacy", "t-closeness"),
+)
+def dq_t_closeness(spark, sf_dir):
+    """t-closeness audit — the attack l-diversity misses: a class can be
+    diverse yet SKEWED (e.g. 90%% of one sensitive value where the corpus
+    is uniform), so membership still shifts an attacker's posterior.  For
+    each (nation, balance-band) class, the total-variation distance
+    between its market-segment distribution and the global one — the
+    categorical Earth-Mover's distance — flags classes with TVD above
+    t ∈ {0.2, 0.35, 0.5}.  Completes the k-anonymity → l-diversity →
+    t-closeness ladder on the same quasi-identifier relation.
+
+    Bit-parity: TVD = Σ_s|cnt_s/sz − g_s/n| / 2 is computed as the exact
+    integer numerator Σ|cnt·n − g·sz| (DECIMAL(38,0) — cnt·n reaches 1e18+
+    at warehouse row counts) over ONE division, so both engines agree to
+    the last bit before the 1e-6 round.  Absent segments contribute
+    |0 − g·sz| via the class×segment cross join against the ~5-row
+    broadcast segment relation.  Scale: two grouped aggs over the QI
+    tuple; the audit never scans the data twice."""
+    c = _t(spark, sf_dir, "customer")
+    seg = c.groupBy(F.col("c_mktsegment").alias("s")).agg(
+        F.count("*").cast("long").alias("g")
+    )
+    tot = seg.agg(F.sum("g").cast("long").alias("n"))
+    cls = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        F.col("c_mktsegment").alias("s"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    sz = cls.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("cnt").cast("long").alias("sz")
+    )
+    cells = (
+        sz.crossJoin(F.broadcast(seg))
+        .join(cls, ["c_nationkey", "bal_band", "s"], "left")
+        .select(
+            "c_nationkey",
+            "bal_band",
+            "sz",
+            "g",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        )
+    )
+    num = F.sum(
+        F.abs(
+            F.col("cnt").cast("decimal(38,0)") * F.col("n")
+            - F.col("g").cast("decimal(38,0)") * F.col("sz")
+        )
+    )
+    tvd = (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "bal_band")
+        .agg(num.cast("decimal(38,0)").alias("num"), F.max("sz").alias("sz"),
+             F.max("n").alias("n"))
+        .select(
+            "sz",
+            "n",
+            (
+                F.col("num").cast("double")
+                / (F.lit(2.0) * F.col("sz") * F.col("n"))
+            ).alias("tvd"),
+        )
+    )
+    ths = spark.range(1).select(
+        F.explode(F.array(F.lit(0.2), F.lit(0.35), F.lit(0.5))).alias("t")
+    )
+    at_risk = F.sum(F.when(F.col("tvd") > F.col("t"), F.col("sz")))
+    return (
+        tvd.crossJoin(F.broadcast(ths))
+        .groupBy("t")
+        .agg(
+            F.count(F.when(F.col("tvd") > F.col("t"), 1))
+            .cast("long")
+            .alias("classes_above_t"),
+            F.coalesce(at_risk, F.lit(0)).cast("long").alias("rows_at_risk"),
+            F.round(
+                F.coalesce(at_risk, F.lit(0)) / F.max("n").cast("double"), 6
+            ).alias("risk_share"),
+            F.round(F.max("tvd"), 6).alias("max_tvd"),
+        )
+    )

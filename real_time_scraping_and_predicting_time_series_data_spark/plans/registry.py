@@ -101,6 +101,12 @@ _FRONT = (
     # driver row yet; ml_lstm_fixed_inference gained the short-window
     # guard this round (values unchanged for full windows, but the
     # oracle text changed), so refresh its row first.
+    "stats_kruskal_wallis",
+    "stats_anderson_darling",
+    "ml_brier_decomposition",
+    "dq_t_closeness",
+    "corpus_kneser_ney_bigram",
+    "graph_hits",
     "sim_pq_relation_topk",
     "corpus_bpe_train_merges",
     "corpus_bpe_fertility",
