@@ -692,3 +692,229 @@ def test_l_diversity_monotone_and_bounded(spark):
     assert 1 <= rows[0].min_diversity <= 5
     for r in rows:
         assert 0.0 <= r.risk_share <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Wave 11: Kruskal-Wallis / Anderson-Darling / Brier / KN / t-closeness / HITS
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_wallis_vs_numpy(spark):
+    """Independent numpy reference: midranks via scipy-free average
+    ranking, tie-corrected H, over the same (priority, quantity) rows."""
+    import duckdb
+    import numpy as np
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = sorted(
+        all_queries()["stats_kruskal_wallis"].fn(spark, SF).collect(),
+        key=lambda r: r.grp,
+    )
+    df = duckdb.sql(
+        f"""SELECT o.o_orderpriority AS g, CAST(l.l_quantity AS BIGINT) AS v
+            FROM '{SF}/lineitem.parquet' l
+            JOIN '{SF}/orders.parquet' o ON o.o_orderkey = l.l_orderkey"""
+    ).df()
+    v = df["v"].to_numpy()
+    order = np.argsort(v, kind="stable")
+    ranks = np.empty(len(v))
+    sv = v[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    n = len(v)
+    groups = sorted(df["g"].unique())
+    s = sum(
+        ranks[(df["g"] == g).to_numpy()].sum() ** 2
+        / (df["g"] == g).sum()
+        for g in groups
+    )
+    h = 12.0 * s / (n * (n + 1)) - 3 * (n + 1)
+    _, counts = np.unique(v, return_counts=True)
+    c = 1.0 - (counts.astype(float) ** 3 - counts).sum() / (n**3 - n)
+    assert len(rows) == len(groups)
+    assert abs(rows[0].h_adj - h / c) < 1e-3
+    for r in rows:
+        g_rank_sum = ranks[(df["g"] == r.grp).to_numpy()].sum()
+        assert abs(r.rank_sum - g_rank_sum) < 1e-6
+        assert r.p_value is not None and 0.0 <= r.p_value <= 1.0
+
+
+def test_anderson_darling_vs_numpy(spark):
+    """Independent reference with math.erf's EXACT normal CDF (the
+    operator uses the A&S 7.1.26 approximation, |err| < 1.5e-7, so the
+    statistics agree to ~1e-3)."""
+    import duckdb
+    import numpy as np
+    from math import erf, sqrt
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = {
+        r.grp: r
+        for r in all_queries()["stats_anderson_darling"].fn(spark, SF).collect()
+    }
+    df = duckdb.sql(
+        f"""SELECT o_orderpriority AS g,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+            FROM '{SF}/orders.parquet'"""
+    ).df()
+    for g, sub in df.groupby("g"):
+        x = np.sort(sub["c"].to_numpy().astype(float))
+        n = len(x)
+        mu, sd = x.mean(), x.std(ddof=1)
+        z = (x - mu) / sd
+        phi = np.array([0.5 * (1 + erf(t / sqrt(2))) for t in z])
+        i = np.arange(1, n + 1)
+        a2 = -n - ((2 * i - 1) * np.log(phi) + (2 * (n - i) + 1) * np.log(1 - phi)).sum() / n
+        assert rows[g].n == n
+        assert abs(rows[g].a2 - a2) < 1e-3
+        assert abs(rows[g].a2_star - a2 * (1 + 0.75 / n + 2.25 / n**2)) < 1e-3
+
+
+def test_brier_decomposition_identity(spark):
+    """Murphy identity holds by construction (residual closes it), all
+    components bounded, and uncertainty equals the exact base-rate
+    Bernoulli variance of the feature relation."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        _logistic_rows,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    r = all_queries()["ml_brier_decomposition"].fn(spark, SF).collect()[0]
+    assert 0.0 <= r.brier <= 1.0
+    assert r.reliability >= 0.0 and r.resolution >= 0.0
+    assert 0.0 <= r.uncertainty <= 0.25
+    assert abs(r.brier - (r.reliability - r.resolution + r.uncertainty + r.within_bin_residual)) < 5e-6
+    d = _logistic_rows(spark, SF).agg(
+        F.count("*").alias("n"), F.sum("z").alias("sz")
+    ).collect()[0]
+    obar = d.sz / d.n
+    assert abs(r.uncertainty - obar * (1 - obar)) < 5e-6
+    assert r.n == d.n
+
+
+def test_kneser_ney_components_and_reference(spark):
+    """p_kn decomposes exactly into its two reported parts, and the top
+    bigram's probability matches a duckdb count-level recompute."""
+    import duckdb
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = all_queries()["corpus_kneser_ney_bigram"].fn(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert abs(r.p_kn - (r.p_ml_disc + r.p_cont_part)) <= 2e-6
+        assert 0.0 < r.p_kn <= 1.0
+        assert r.c_ab >= 5
+    top = rows[0]
+    ref = duckdb.sql(
+        rf"""WITH t AS (
+            SELECT string_split_regex(trim(text), '\s+') AS w
+            FROM '{SF}/documents.parquet'
+        ), bg AS (
+            SELECT unnest(list_transform(range(1, len(w)),
+                          i -> {{'a': w[i], 'b': w[i + 1]}})) AS p
+            FROM t WHERE len(w) >= 2
+        ), bc AS (
+            SELECT p.a AS a, p.b AS b, count(*) AS c FROM bg GROUP BY 1, 2
+        )
+        SELECT (SELECT c FROM bc WHERE a = '{top.a}' AND b = '{top.b}') AS c_ab,
+               (SELECT sum(c) FROM bc WHERE a = '{top.a}') AS c_a,
+               (SELECT count(*) FROM bc WHERE a = '{top.a}') AS fwd,
+               (SELECT count(*) FROM bc WHERE b = '{top.b}') AS back,
+               (SELECT count(*) FROM bc) AS types
+        """
+    ).fetchone()
+    c_ab, c_a, fwd, back, types = (float(x) for x in ref)
+    expect = max(c_ab - 0.75, 0.0) / c_a + (0.75 * fwd / c_a) * (back / types)
+    assert abs(top.p_kn - expect) < 2e-6
+    assert top.c_ab == int(c_ab)
+
+
+def test_t_closeness_monotone_and_max_tvd(spark):
+    """Risk shrinks as t grows; max_tvd constant across rows, in [0, 1],
+    and equals a pandas recompute of the worst class."""
+    import duckdb
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = sorted(
+        all_queries()["dq_t_closeness"].fn(spark, SF).collect(), key=lambda r: r.t
+    )
+    assert [round(r.t, 2) for r in rows] == [0.2, 0.35, 0.5]
+    assert rows[0].rows_at_risk >= rows[1].rows_at_risk >= rows[2].rows_at_risk
+    assert len({r.max_tvd for r in rows}) == 1
+    assert 0.0 <= rows[0].max_tvd <= 1.0
+    df = duckdb.sql(
+        f"""SELECT c_nationkey AS nk,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+                   c_mktsegment AS s, count(*) AS c
+            FROM '{SF}/customer.parquet' GROUP BY 1, 2, 3"""
+    ).df()
+    n = df["c"].sum()
+    glob = df.groupby("s")["c"].sum()
+    best = 0.0
+    for _, cl in df.groupby(["nk", "band"]):
+        sz = cl["c"].sum()
+        cnt = cl.set_index("s")["c"]
+        tvd = sum(
+            abs(cnt.get(s, 0) * n - glob[s] * sz) for s in glob.index
+        ) / (2.0 * sz * n)
+        best = max(best, tvd)
+    assert abs(rows[0].max_tvd - best) < 2e-6
+
+
+def test_hits_normalization_and_numpy_power_iteration(spark):
+    """Integer HITS: per-side max score is exactly 1e6 (max-normalized),
+    and the full top-10 matches an integer numpy replicate bit-for-bit."""
+    import duckdb
+    import numpy as np
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    out = all_queries()["graph_hits"].fn(spark, SF).collect()
+    hubs = sorted((r for r in out if r.side == "hub"), key=lambda r: r.rk)
+    auths = sorted((r for r in out if r.side == "authority"), key=lambda r: r.rk)
+    assert len(hubs) == 10 and len(auths) == 10
+    assert hubs[0].score == 1000000 and auths[0].score == 1000000
+    e = duckdb.sql(
+        f"""SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+            FROM '{SF}/orders.parquet' o
+            JOIN '{SF}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey"""
+    ).df()
+    cs = {v: i for i, v in enumerate(sorted(e["c"].unique()))}
+    ps = {v: i for i, v in enumerate(sorted(e["p"].unique()))}
+    ci = e["c"].map(cs).to_numpy()
+    pi = e["p"].map(ps).to_numpy()
+    a = np.full(len(ps), 1000000, dtype=np.int64)
+    for _ in range(3):
+        h = np.zeros(len(cs), dtype=np.int64)
+        np.add.at(h, ci, a[pi])
+        h = h * 1000000 // h.max()
+        a = np.zeros(len(ps), dtype=np.int64)
+        np.add.at(a, pi, h[ci])
+        a = a * 1000000 // a.max()
+    inv_p = sorted(ps, key=ps.get)
+    ref_auth = sorted(zip(a, inv_p), key=lambda t: (-t[0], t[1]))[:10]
+    assert [(r.score, r.node) for r in auths] == [(int(s), int(n)) for s, n in ref_auth]
+    inv_c = sorted(cs, key=cs.get)
+    ref_hub = sorted(zip(h, inv_c), key=lambda t: (-t[0], t[1]))[:10]
+    assert [(r.score, r.node) for r in hubs] == [(int(s), int(n)) for s, n in ref_hub]
