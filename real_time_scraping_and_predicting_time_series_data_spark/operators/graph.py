@@ -1095,6 +1095,10 @@ def q_graph_hits(spark, sf_dir):
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
+        # One pinned copy of the edge relation reused by all 2·ITERS
+        # mat-vec joins and both degree aggs; the per-node score vectors
+        # are the small sides (AQE broadcasts them), so edges never
+        # reshuffle between iterations.
         .localCheckpoint(eager=False)
     )
     a = e.select("p").distinct().withColumn("s", F.lit(1000000).cast("long"))
