@@ -941,3 +941,185 @@ def q_events_markov_attribution(spark, sf_dir):
             "attribution_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test — two-arm survival comparison over the lifetime grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_logrank_test",
+    oracle="""
+    WITH life AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+                    AS BIGINT) AS t,
+               (max(CAST(ts AS DATE))
+                < (SELECT max(CAST(ts AS DATE)) FROM events)) AS died
+        FROM events GROUP BY user_id
+    ), ev AS (
+        SELECT t,
+               CAST(count(*) FILTER (WHERE died AND arm = 1) AS BIGINT) AS d1,
+               CAST(count(*) FILTER (WHERE died) AS BIGINT) AS d,
+               CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS leave1,
+               CAST(count(*) AS BIGINT) AS leaving
+        FROM life GROUP BY t
+    ), risk AS (
+        SELECT t, d1, d,
+               CAST(sum(leave1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS n1,
+               CAST(sum(leaving) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+        FROM ev
+    ), contrib AS (
+        SELECT d1, d,
+               CAST(floor(CAST(d AS DOUBLE) * n1 / n * 1000000 + 0.5)
+                    AS BIGINT) AS e1_q,
+               CASE WHEN n > 1 THEN CAST(floor(
+                   CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)
+                   * (1.0 - CAST(n1 AS DOUBLE) / n)
+                   * (CAST(n AS DOUBLE) - d) / (CAST(n AS DOUBLE) - 1.0)
+                   * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS v_q
+        FROM risk WHERE d > 0
+    ), s AS (
+        SELECT CAST(sum(d1) AS BIGINT) AS o1,
+               CAST(sum(d) AS BIGINT) AS d_total,
+               CAST(sum(e1_q) AS BIGINT) AS e1q,
+               CAST(sum(v_q) AS BIGINT) AS vq
+        FROM contrib
+    ), arms AS (
+        SELECT arm,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(count(*) FILTER (WHERE died) AS BIGINT) AS observed
+        FROM life GROUP BY arm
+    )
+    SELECT a.arm, a.n_users, a.observed,
+           floor(CASE WHEN a.arm = 1 THEN CAST(s.e1q AS DOUBLE) / 1000000.0
+                 ELSE CAST(s.d_total AS DOUBLE)
+                      - CAST(s.e1q AS DOUBLE) / 1000000.0 END
+                 * 1000000 + 0.5) / 1000000 AS expected,
+           floor((CAST(s.o1 AS DOUBLE) - CAST(s.e1q AS DOUBLE) / 1000000.0)
+                 / sqrt(CAST(s.vq AS DOUBLE) / 1000000.0)
+                 * 1000000 + 0.5) / 1000000 AS z_arm1,
+           floor((CAST(s.o1 AS DOUBLE) - CAST(s.e1q AS DOUBLE) / 1000000.0)
+                 * (CAST(s.o1 AS DOUBLE) - CAST(s.e1q AS DOUBLE) / 1000000.0)
+                 / (CAST(s.vq AS DOUBLE) / 1000000.0)
+                 * 1000000 + 0.5) / 1000000 AS chi2
+    FROM arms a CROSS JOIN s
+    ORDER BY a.arm
+    """,
+    tags=("events", "survival", "logrank", "ab-test"),
+)
+def q_events_logrank_test(spark, sf_dir):
+    """Log-rank test — the inferential companion to
+    `events_kaplan_meier`: are the survival curves of the two
+    deterministic A/B arms (user_id parity — the same even-split device
+    as the experiment-readout family) distinguishable, or is the apparent
+    gap chance?  The KM query draws the curve; this one says whether two
+    curves differ — together they are the survival half of an experiment
+    readout (the conversion half is `stats_two_proportion_z`).
+
+    Statistic: at each distinct death time t, arm 1 contributes observed
+    deaths d1_t against expected E1_t = d_t·n1_t/n_t under the null, with
+    hypergeometric variance V_t = d_t·(n1_t/n_t)(1−n1_t/n_t)(n_t−d_t)/
+    (n_t−1); z = (O1−E1)/√ΣV_t and chi² = z².  Death/censor bookkeeping
+    is identical to the KM query (right-censored at the corpus end date).
+
+    INTEGER-EXACT until the close: per-arm leaving/death counts are
+    BIGINT, at-risk counts are reverse cumulative sums of integers over
+    the lifetime-day grid, and each grid row's E and V contributions are
+    quantized to integer micro-units BEFORE the order-sensitive sum (the
+    CUPED/pinball convention) so both engines agree bit-wise.
+
+    Scale: everything reduces to the per-user lifetime relation (one
+    grouped agg over events) and then the distinct-lifetime-day grid —
+    the global window is calendar-bounded exactly as argued for
+    `events_kaplan_meier` (allow-listed in tests/test_plans.py).  Output:
+    one row per arm (n, observed, expected) beside the shared (z, chi²)
+    verdict."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    gmax = ev.agg(F.max(F.col("ts").cast("date")).alias("gd"))
+    life = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("d0"),
+            F.max(F.col("ts").cast("date")).alias("d1"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            (F.col("user_id") % 2).cast("long").alias("arm"),
+            F.datediff("d1", "d0").cast("long").alias("t"),
+            (F.col("d1") < F.col("gd")).alias("died"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    grid = life.groupBy("t").agg(
+        F.sum(F.when(F.col("died") & (F.col("arm") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("died"), 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("leave1"),
+        F.count("*").cast("long").alias("leaving"),
+    )
+    w_rev = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.select(
+        "t",
+        "d1",
+        "d",
+        F.sum("leave1").over(w_rev).cast("long").alias("n1"),
+        F.sum("leaving").over(w_rev).cast("long").alias("n"),
+    ).filter(F.col("d") > 0)
+    nd = F.col("n").cast("double")
+    p1 = F.col("n1").cast("double") / nd
+    e1 = F.col("d").cast("double") * p1
+    v = (
+        F.col("d").cast("double")
+        * p1
+        * (F.lit(1.0) - p1)
+        * (nd - F.col("d").cast("double"))
+        / (nd - F.lit(1.0))
+    )
+    contrib = risk.select(
+        "d1",
+        "d",
+        F.floor(e1 * 1000000 + F.lit(0.5)).cast("long").alias("e1_q"),
+        F.when(F.col("n") > 1, F.floor(v * 1000000 + F.lit(0.5)).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("v_q"),
+    )
+    s = contrib.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("d").cast("long").alias("d_total"),
+        F.sum("e1_q").cast("long").alias("e1q"),
+        F.sum("v_q").cast("long").alias("vq"),
+    )
+    arms = life.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("died"), 1).otherwise(0)).cast("long").alias("observed"),
+    )
+    e1d = F.col("e1q").cast("double") / F.lit(1000000.0)
+    zz = (F.col("o1").cast("double") - e1d) / F.sqrt(
+        F.col("vq").cast("double") / F.lit(1000000.0)
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        arms.crossJoin(F.broadcast(s))
+        .select(
+            "arm",
+            "n_users",
+            "observed",
+            canon(
+                F.when(F.col("arm") == 1, e1d).otherwise(
+                    F.col("d_total").cast("double") - e1d
+                )
+            ).alias("expected"),
+            canon(zz).alias("z_arm1"),
+            canon(zz * zz).alias("chi2"),
+        )
+        .orderBy("arm")
+    )

@@ -6155,3 +6155,330 @@ def q_ml_brier_decomposition(spark, sf_dir):
         canon(unc).alias("uncertainty"),
         canon(brier - (rel - res + unc)).alias("within_bin_residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank — paired before/after shift test per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_wilcoxon_signed_rank",
+    oracle="""
+    WITH bounds AS (
+        SELECT epoch_us(min(date_trunc('microseconds', ts)))
+               + (epoch_us(max(date_trunc('microseconds', ts)))
+                  - epoch_us(min(date_trunc('microseconds', ts)))) // 2 AS mid
+        FROM events
+    ), halves AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(date_trunc('microseconds', ts))
+                         <= (SELECT mid FROM bounds) THEN 0 ELSE 1 END AS half,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+        FROM events
+    ), m AS (
+        SELECT user_id, half,
+               CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS mean_q
+        FROM halves GROUP BY user_id, half
+    ), d AS (
+        SELECT a.user_id, (b.mean_q - a.mean_q) AS d
+        FROM m a JOIN m b ON b.user_id = a.user_id AND a.half = 0 AND b.half = 1
+        WHERE b.mean_q <> a.mean_q
+    ), g AS (
+        SELECT abs(d) AS a, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(*) FILTER (WHERE d > 0) AS BIGINT) AS pos
+        FROM d GROUP BY abs(d)
+    ), c AS (
+        SELECT a, cnt, pos,
+               CAST(COALESCE(sum(cnt) OVER (
+                   ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cumbefore
+        FROM g
+    ), s AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(pos * (2 * cumbefore + cnt + 1)) AS BIGINT) AS w2p,
+               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        FROM c
+    )
+    SELECT n,
+           CAST(w2p AS DOUBLE) / 2.0 AS w_plus,
+           CAST(n AS DOUBLE) * (n + 1) / 2.0 - CAST(w2p AS DOUBLE) / 2.0 AS w_minus,
+           CAST(n AS DOUBLE) * (n + 1) / 4.0 AS mu,
+           floor((CAST(w2p AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2.0)
+                 / sqrt((2.0 * n * (n + 1.0) * (2.0 * n + 1.0) - ties) / 12.0)
+                 * 1000000 + 0.5) / 1000000 AS z
+    FROM s
+    """,
+    tags=("stats", "rank", "paired", "wilcoxon"),
+)
+def q_stats_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank — the PAIRED one-sample shift test the panel
+    was missing beside Mann-Whitney (independent two-sample) and
+    Kruskal-Wallis (k-sample): did each user's mean event value move
+    between the first and second half of the observation window?  The
+    pairing absorbs between-user level differences that swamp an
+    unpaired test.
+
+    INTEGER-EXACT on the shared rank-grid plan: per-(user, half) means
+    are micro-quantized BIGINTs (sum of exact micro-units, floored
+    integer division — the sums stay < 2^53 so the one double divide is
+    IEEE-identical across engines), differences d are BIGINT, zeros drop
+    per the classic procedure, midranks of |d| come from the distinct-|d|
+    grid (2·midrank = 2·cum_before + cnt + 1), and the doubled positive
+    rank sum W2p = Σ pos_a·(2·cum+cnt+1) stays integral, as does the tie
+    term Σ(t³−t).  The only floats are the final closed-form moments.
+    z uses the tie-corrected normal approximation
+    σ² = [2n(n+1)(2n+1) − Σ(t³−t)]/24 on the DOUBLED statistic.
+
+    Scale: one scan of events → per-(user, half) grouped agg → per-user
+    join → distinct-|d| grid; the rank cumsum rides `grid_cumsum`
+    (range-partitioned, no global single-partition sort).  Output: one
+    row with (n, W+, W−, μ, z)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + ((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 2).cast(
+                "long"
+            )
+        ).alias("mid")
+    )
+    halves = ev.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        F.when(F.unix_micros("ts") <= F.col("mid"), 0).otherwise(1).alias("half"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    m = halves.groupBy("user_id", "half").agg(
+        F.floor(F.sum("v").cast("double") / F.count("*")).cast("long").alias("mean_q")
+    )
+    a = m.filter(F.col("half") == 0).select("user_id", F.col("mean_q").alias("m0"))
+    bb = m.filter(F.col("half") == 1).select("user_id", F.col("mean_q").alias("m1"))
+    d = (
+        a.join(bb, "user_id")
+        .filter(F.col("m1") != F.col("m0"))
+        .select((F.col("m1") - F.col("m0")).alias("d"))
+    )
+    g = d.groupBy(F.abs("d").alias("a")).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    c = grid_cumsum(g, ["cnt"], order_col="a").select(
+        "a", "cnt", "pos", (F.col("cum_cnt") - F.col("cnt")).alias("cumbefore")
+    )
+    s = c.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("pos") * (2 * F.col("cumbefore") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("w2p"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("ties"),
+    )
+    nd = F.col("n").cast("double")
+    w2pd = F.col("w2p").cast("double")
+    sigma = F.sqrt(
+        (
+            F.lit(2.0) * nd * (nd + F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(1.0))
+            - F.col("ties").cast("double")
+        )
+        / F.lit(12.0)
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return s.select(
+        "n",
+        (w2pd / F.lit(2.0)).alias("w_plus"),
+        (nd * (nd + F.lit(1.0)) / F.lit(2.0) - w2pd / F.lit(2.0)).alias("w_minus"),
+        (nd * (nd + F.lit(1.0)) / F.lit(4.0)).alias("mu"),
+        canon((w2pd - nd * (nd + F.lit(1.0)) / F.lit(2.0)) / sigma).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test — blocked rank ANOVA (nation blocks × priority treatments)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_friedman_test",
+    oracle="""
+    WITH cell AS (
+        SELECT c.c_nationkey AS blk, o.o_orderpriority AS trt,
+               CAST((CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS HUGEINT) * 1000000)
+                    // count(*) AS BIGINT) AS score
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, o.o_orderpriority
+    ), full_blk AS (
+        SELECT blk FROM cell GROUP BY blk
+        HAVING count(*) = (SELECT count(DISTINCT trt) FROM cell)
+    ), f AS (
+        SELECT cell.* FROM cell JOIN full_blk USING (blk)
+    ), sc AS (
+        SELECT blk, score, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY blk, score
+    ), rk AS (
+        SELECT blk, score, cnt,
+               CAST(2 * COALESCE(sum(cnt) OVER (
+                   PARTITION BY blk ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + cnt + 1 AS BIGINT) AS r2
+        FROM sc
+    ), tie AS (
+        SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties,
+               CAST(count(DISTINCT blk) AS BIGINT) AS b
+        FROM sc
+    ), tr AS (
+        SELECT f.trt,
+               CAST(sum(rk.r2) AS BIGINT) AS r2sum,
+               CAST(count(*) AS BIGINT) AS b
+        FROM f JOIN rk ON rk.blk = f.blk AND rk.score = f.score
+        GROUP BY f.trt
+    ), q AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(r2sum * r2sum) AS BIGINT) AS ssq,
+               max(b) AS b
+        FROM tr
+    ), stat AS (
+        SELECT k, b,
+               (3.0 * ssq / (CAST(b AS DOUBLE) * k * (k + 1.0))
+                - 3.0 * b * (k + 1.0)) AS q_raw,
+               1.0 - CAST((SELECT ties FROM tie) AS DOUBLE)
+                     / (CAST(b AS DOUBLE) * k * (CAST(k AS DOUBLE) * k - 1.0))
+                 AS tie_c
+        FROM q
+    )
+    SELECT tr.trt AS trt, tr.b AS n_blocks,
+           CAST(tr.r2sum AS DOUBLE) / 2.0 AS rank_sum,
+           floor(CAST(tr.r2sum AS DOUBLE) / (2.0 * tr.b) * 1000000 + 0.5)
+             / 1000000 AS mean_rank,
+           stat.k AS k,
+           floor(stat.q_raw / stat.tie_c * 1000000 + 0.5) / 1000000 AS q_adj,
+           CASE WHEN stat.k = 5 THEN
+               floor(exp(-(stat.q_raw / stat.tie_c) / 2.0)
+                     * (1.0 + (stat.q_raw / stat.tie_c) / 2.0)
+                     * 1000000 + 0.5) / 1000000
+           END AS p_value
+    FROM tr CROSS JOIN stat
+    """,
+    tags=("stats", "rank", "friedman", "blocked"),
+)
+def q_stats_friedman_test(spark, sf_dir):
+    """Friedman test — the BLOCKED rank ANOVA completing the rank panel
+    (Mann-Whitney: 2 independent samples; Kruskal-Wallis: k independent
+    samples; Wilcoxon: 2 paired; Friedman: k paired-by-block): do the 5
+    order priorities differ in revenue level once the 25 customer-nation
+    blocks absorb geographic spend differences?  Each (nation, priority)
+    cell is scored by its exact mean order value in micro-cents
+    (HUGEINT-safe BIGINT multiply-then-integer-divide — never a lossy
+    double product), ranked WITHIN its block with midranks, and
+    Q = 12/(b·k·(k+1))·ΣR_j² − 3·b·(k+1) is tie-corrected by
+    C = 1 − Σ(t³−t)/(b·k·(k²−1)).  p uses the elementary even-df
+    chi-square survival for df = k−1 = 4 (same closed form as
+    `stats_kruskal_wallis`).
+
+    INTEGER-EXACT: cell scores, doubled midranks (2·cum_before+cnt+1),
+    doubled per-treatment rank sums R2_j, ΣR2_j² and the tie term are all
+    BIGINT; the handful of closing floats are single IEEE expressions.
+    Incomplete blocks (a nation missing a priority) are dropped whole —
+    the classic complete-block design requirement.
+
+    Scale: one orders⋈customer join (customer side broadcastable), one
+    grouped agg to the b·k = 125-row cell relation; every window after
+    that is partitioned by block over ≤k rows.  Output: one row per
+    treatment with its rank sum beside the shared (Q_adj, p) verdict."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    cell = (
+        o.join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("blk"), F.col("o_orderpriority").alias("trt"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("s_cents"),
+            F.count("*").cast("long").alias("n_cell"),
+        )
+    )
+    # exact floor((s_cents * 1e6) / n) without a >2^63 product: split
+    # s_cents = q*n + r, then score = q*1e6 + floor(r*1e6 / n) — every
+    # intermediate stays < 2^63 (r < n, r*1e6 < n*1e6 << 2^53 as double).
+    qq = (F.col("s_cents") - (F.col("s_cents") % F.col("n_cell"))) / F.col("n_cell")
+    score = (
+        qq.cast("long") * 1000000
+        + F.floor(
+            (F.col("s_cents") % F.col("n_cell")).cast("double")
+            * 1000000.0
+            / F.col("n_cell").cast("double")
+        ).cast("long")
+    )
+    cell = cell.select("blk", "trt", score.alias("score")).localCheckpoint(eager=False)
+    k_all = cell.agg(F.countDistinct("trt").cast("long").alias("k_all"))
+    full_blk = (
+        cell.groupBy("blk")
+        .agg(F.count("*").cast("long").alias("kk"))
+        .crossJoin(F.broadcast(k_all))
+        .filter(F.col("kk") == F.col("k_all"))
+        .select("blk")
+    )
+    f = cell.join(F.broadcast(full_blk), "blk")
+    sc = f.groupBy("blk", "score").agg(F.count("*").cast("long").alias("cnt"))
+    w = (
+        Window.partitionBy("blk")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = sc.select(
+        "blk",
+        "score",
+        "cnt",
+        (2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    tie = sc.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("ties")
+    )
+    tr = (
+        f.join(rk, ["blk", "score"])
+        .groupBy("trt")
+        .agg(
+            F.sum("r2").cast("long").alias("r2sum"),
+            F.count("*").cast("long").alias("b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    q = tr.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("r2sum") * F.col("r2sum")).cast("long").alias("ssq"),
+        F.max("b").alias("b"),
+    )
+    bd = F.col("b").cast("double")
+    kd = F.col("k").cast("double")
+    q_raw = F.lit(3.0) * F.col("ssq").cast("double") / (
+        bd * kd * (kd + F.lit(1.0))
+    ) - F.lit(3.0) * bd * (kd + F.lit(1.0))
+    stat = (
+        q.crossJoin(F.broadcast(tie))
+        .select(
+            "k",
+            q_raw.alias("q_raw"),
+            (
+                F.lit(1.0)
+                - F.col("ties").cast("double") / (bd * kd * (kd * kd - F.lit(1.0)))
+            ).alias("tie_c"),
+        )
+    )
+    qa = F.col("q_raw") / F.col("tie_c")
+    x = qa / F.lit(2.0)
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return tr.crossJoin(F.broadcast(stat)).select(
+        "trt",
+        F.col("b").alias("n_blocks"),
+        (F.col("r2sum").cast("double") / F.lit(2.0)).alias("rank_sum"),
+        canon(F.col("r2sum").cast("double") / (F.lit(2.0) * F.col("b"))).alias(
+            "mean_rank"
+        ),
+        "k",
+        canon(qa).alias("q_adj"),
+        F.when(F.col("k") == 5, canon(F.exp(-x) * (F.lit(1.0) + x))).alias("p_value"),
+    )

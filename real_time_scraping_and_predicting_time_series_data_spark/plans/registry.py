@@ -101,6 +101,9 @@ _FRONT = (
     # driver row yet; ml_lstm_fixed_inference gained the short-window
     # guard this round (values unchanged for full windows, but the
     # oracle text changed), so refresh its row first.
+    "stats_wilcoxon_signed_rank",
+    "stats_friedman_test",
+    "events_logrank_test",
     "stats_kruskal_wallis",
     "stats_anderson_darling",
     "ml_brier_decomposition",

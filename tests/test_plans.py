@@ -440,6 +440,8 @@ def test_no_unbounded_global_windows_anywhere(spark):
         "ts_theta_forecast": {"day"},
         # calendar-bounded day/month grids
         "events_kaplan_meier": {"t"},
+        # log-rank rides the same lifetime-day grid as kaplan_meier
+        "events_logrank_test": {"t"},
         "monthly_revenue_trend": {"month"},
         "orders_open_backlog": {"day"},
         "stats_jarque_bera": {"day"},

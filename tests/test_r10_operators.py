@@ -918,3 +918,185 @@ def test_hits_normalization_and_numpy_power_iteration(spark):
     inv_c = sorted(cs, key=cs.get)
     ref_hub = sorted(zip(h, inv_c), key=lambda t: (-t[0], t[1]))[:10]
     assert [(r.score, r.node) for r in hubs] == [(int(s), int(n)) for s, n in ref_hub]
+
+
+# ---------------------------------------------------------------------------
+# wave 15: wilcoxon signed-rank / friedman / log-rank
+# ---------------------------------------------------------------------------
+
+
+def test_wilcoxon_signed_rank_vs_python(spark):
+    """Independent pure-python reference: replay the half-split pairing,
+    micro-quantized per-half means, midranks of |d| and the tie-corrected
+    normal z over the same events rows."""
+    import duckdb
+    import math
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    [row] = all_queries()["stats_wilcoxon_signed_rank"].fn(spark, SF).collect()
+    df = duckdb.sql(
+        f"""SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS us,
+                   CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+            FROM '{SF}/events.parquet'"""
+    ).df()
+    us = df["us"].to_numpy()
+    mid = int(us.min()) + (int(us.max()) - int(us.min())) // 2
+    sums: dict[tuple[int, int], list[int]] = {}
+    for uid, u, v in zip(df["user_id"], us, df["v"]):
+        key = (int(uid), 0 if int(u) <= mid else 1)
+        s = sums.setdefault(key, [0, 0])
+        s[0] += int(v)
+        s[1] += 1
+    means = {k: math.floor(s[0] / s[1]) for k, s in sums.items()}
+    ds = []
+    for uid in {k[0] for k in means}:
+        if (uid, 0) in means and (uid, 1) in means:
+            d = means[(uid, 1)] - means[(uid, 0)]
+            if d != 0:
+                ds.append(d)
+    ads = sorted(abs(d) for d in ds)
+    rank_of: dict[int, float] = {}
+    i = 0
+    while i < len(ads):
+        j = i
+        while j < len(ads) and ads[j] == ads[i]:
+            j += 1
+        rank_of[ads[i]] = (i + j + 1) / 2.0
+        i = j
+    w_plus = sum(rank_of[abs(d)] for d in ds if d > 0)
+    n = len(ds)
+    from collections import Counter
+
+    ties = sum(c**3 - c for c in Counter(ads).values())
+    sigma = math.sqrt((n * (n + 1) * (2 * n + 1) - ties / 2.0) / 6.0) / 2.0
+    z = (w_plus - n * (n + 1) / 4.0) / sigma
+    assert row.n == n
+    assert abs(row.w_plus - w_plus) < 1e-9
+    assert abs(row.w_minus - (n * (n + 1) / 2.0 - w_plus)) < 1e-9
+    assert abs(row.z - z) < 1e-5
+
+
+def test_friedman_vs_python(spark):
+    """Independent reference: block-wise midranks over exact micro-cent
+    mean scores, tie-corrected Q, complete blocks only."""
+    import duckdb
+    import math
+    from collections import Counter, defaultdict
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = sorted(
+        all_queries()["stats_friedman_test"].fn(spark, SF).collect(),
+        key=lambda r: r.trt,
+    )
+    df = duckdb.sql(
+        f"""SELECT c.c_nationkey AS blk, o.o_orderpriority AS trt,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+            FROM '{SF}/orders.parquet' o
+            JOIN '{SF}/customer.parquet' c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2"""
+    ).df()
+    cells = defaultdict(dict)
+    for blk, trt, s, n in zip(df["blk"], df["trt"], df["s"], df["n"]):
+        cells[int(blk)][trt] = (int(s) * 1000000) // int(n)
+    k = len({t for d in cells.values() for t in d})
+    full = {b: d for b, d in cells.items() if len(d) == k}
+    b = len(full)
+    rank_sums: dict[str, float] = defaultdict(float)
+    tie_term = 0
+    for d in full.values():
+        svals = sorted(d.values())
+        rk = {}
+        i = 0
+        while i < len(svals):
+            j = i
+            while j < len(svals) and svals[j] == svals[i]:
+                j += 1
+            for v in set(svals[i:j]):
+                rk[v] = (i + j + 1) / 2.0
+            i = j
+        for c in Counter(svals).values():
+            tie_term += c**3 - c
+        for t, v in d.items():
+            rank_sums[t] += rk[v]
+    q_raw = 12.0 / (b * k * (k + 1)) * sum(r**2 for r in rank_sums.values()) - 3.0 * b * (
+        k + 1
+    )
+    tie_c = 1.0 - tie_term / (b * k * (k * k - 1.0))
+    q_adj = q_raw / tie_c
+    assert len(rows) == k
+    for r in rows:
+        assert r.n_blocks == b
+        assert abs(r.rank_sum - rank_sums[r.trt]) < 1e-9
+        assert abs(r.q_adj - q_adj) < 1e-4
+        if k == 5:
+            p = math.exp(-q_adj / 2) * (1 + q_adj / 2)
+            assert abs(r.p_value - p) < 1e-5
+
+
+def test_logrank_vs_python(spark):
+    """Independent reference: per-death-time hypergeometric O/E/V from the
+    user-lifetime relation (right-censored at the corpus end date), arms
+    split by user_id parity.  Checks the arm bookkeeping AND the z/chi2."""
+    import duckdb
+    import math
+    from collections import defaultdict
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = sorted(
+        all_queries()["events_logrank_test"].fn(spark, SF).collect(),
+        key=lambda r: r.arm,
+    )
+    df = duckdb.sql(
+        f"""SELECT user_id,
+                   date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS t,
+                   max(CAST(ts AS DATE))
+                     < (SELECT max(CAST(ts AS DATE)) FROM '{SF}/events.parquet') AS died
+            FROM '{SF}/events.parquet' GROUP BY user_id"""
+    ).df()
+    lives = [
+        (int(u) % 2, int(t), bool(d))
+        for u, t, d in zip(df["user_id"], df["t"], df["died"])
+    ]
+    grid = defaultdict(lambda: [0, 0, 0, 0])  # d1, d, leave1, leaving
+    for arm, t, died in lives:
+        g = grid[t]
+        g[0] += died and arm == 1
+        g[1] += died
+        g[2] += arm == 1
+        g[3] += 1
+    o1 = e1 = v = d_total = 0.0
+    n1 = sum(1 for a, _, _ in lives if a == 1)
+    n = len(lives)
+    # at-risk: users with lifetime >= t
+    times = sorted(grid)
+    at1, at = n1, n
+    for t in times:
+        d1, d, l1, l = grid[t]
+        if d > 0:
+            p1 = at1 / at
+            o1 += d1
+            e1 += d * p1
+            if at > 1:
+                v += d * p1 * (1 - p1) * (at - d) / (at - 1)
+            d_total += d
+        at1 -= l1
+        at -= l
+    z = (o1 - e1) / math.sqrt(v)
+    assert rows[0].arm == 0 and rows[1].arm == 1
+    assert rows[0].n_users + rows[1].n_users == n
+    assert rows[1].observed == o1
+    assert rows[0].observed + rows[1].observed == d_total
+    assert abs(rows[1].expected - e1) < 1e-3
+    assert abs(rows[0].expected - (d_total - e1)) < 1e-3
+    assert abs(rows[0].z_arm1 - z) < 1e-3
+    assert abs(rows[0].chi2 - z * z) < 1e-2
