@@ -1140,3 +1140,233 @@ def q_graph_hits(spark, sf_dir):
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank — seed-restart relevance on the strong graph (r10)
+# ---------------------------------------------------------------------------
+
+
+def _ppr_sql_iterations(iters: int, damp: float) -> str:
+    """Unrolled r1..rN CTEs for the personalized-PageRank oracle; restart
+    mass returns to the SEED set each step (not uniformly)."""
+    out = []
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        out.append(f"""
+    , r{i} AS (
+        SELECT n.node,
+               CAST({1.0 - damp} AS DOUBLE) * n.restart
+                 + CAST({damp} AS DOUBLE) * COALESCE(m.mass, 0.0) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / d.degree) AS mass
+            FROM sym e JOIN deg d ON d.node = e.src
+                       JOIN {prev} r ON r.node = e.src
+            GROUP BY e.dst
+        ) m ON m.node = n.node
+    )""")
+    return "".join(out)
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle="""
+    WITH half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2
+    ), sym AS (
+        SELECT src, dst FROM half
+        UNION ALL SELECT dst AS src, src AS dst FROM half
+    ), deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM sym GROUP BY src
+    ), seeds AS (
+        SELECT node FROM deg ORDER BY degree DESC, node LIMIT 5
+    ), nodes AS (
+        SELECT d.node, d.degree,
+               CASE WHEN s.node IS NOT NULL THEN 0.2 ELSE 0.0 END AS restart
+        FROM deg d LEFT JOIN seeds s ON s.node = d.node
+    ), r0 AS (
+        SELECT node, CAST(restart AS DOUBLE) AS rank FROM nodes
+    )
+    __ITER__
+    SELECT n.node, n.degree, (n.restart > 0.0) AS is_seed,
+           floor(r.rank * 1000000000 + 0.5) / 1000000000 AS ppr
+    FROM r3 r JOIN nodes n ON n.node = r.node
+    WHERE r.rank > 0.0
+    ORDER BY ppr DESC, n.node LIMIT 50
+    """.replace("__ITER__", _ppr_sql_iterations(3, 0.85)),
+    tags=("graph", "pagerank", "personalized", "iterative"),
+)
+def q_graph_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from the 5 highest-degree parts of the strong
+    (support>=2) co-purchase graph — "what is relevant NEAR these
+    products", the recommendation/retrieval primitive that global
+    `graph_copurchase_pagerank` cannot answer (its restart mass spreads
+    uniformly; here it returns to the seed set, so scores measure
+    proximity to the seeds).  r ← (1−d)·restart + d·Σ r(u)/deg(u), init
+    r = restart (0.2 on each seed), d = 0.85, 3 iterations, top-50 by
+    nano-canonicalized score (unreached nodes hold exact 0.0 and are cut).
+
+    Seeds are deterministic (degree desc, node asc — same tiebreak
+    convention as the top-k family), so the full pipeline value-hashes.
+    Scale: each iteration is one sparse matvec (edge join + grouped sum)
+    with the edge relation's partitioning reused across rounds — the
+    pagerank argument — plus a per-node left join to re-inject restart
+    mass; the seed relation is 5 rows, always broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    half = strong_copurchase_half(li).localCheckpoint(eager=False)
+    sym = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    seeds = deg.orderBy(F.desc("degree"), "node").limit(5).select("node")
+    nodes = (
+        deg.join(F.broadcast(seeds.withColumn("_s", F.lit(1))), "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.when(F.col("_s").isNotNull(), F.lit(0.2)).otherwise(F.lit(0.0)).alias(
+                "restart"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes.select("node", F.col("restart").cast("double").alias("rank"))
+    damp = 0.85
+    for _ in range(3):
+        mass = (
+            sym.join(deg.withColumnRenamed("node", "src"), "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("degree")).alias("mass"))
+        )
+        ranks = nodes.join(mass, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damp) * F.col("restart")
+                + F.lit(damp) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return (
+        ranks.join(nodes, "node")
+        .filter(F.col("rank") > 0.0)
+        .select(
+            "node",
+            "degree",
+            (F.col("restart") > 0.0).alias("is_seed"),
+            (F.floor(F.col("rank") * 1000000000 + F.lit(0.5)) / 1000000000).alias(
+                "ppr"
+            ),
+        )
+        .orderBy(F.desc("ppr"), "node")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood Jaccard — integer-exact link prediction (r10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_neighborhood_jaccard",
+    oracle="""
+    WITH half AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2
+    ), sym AS (
+        SELECT src, dst FROM half
+        UNION ALL SELECT dst AS src, src AS dst FROM half
+    ), deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM sym GROUP BY src
+    ), wedges AS (
+        SELECT e1.dst AS a, e2.dst AS c
+        FROM sym e1 JOIN sym e2
+          ON e1.src = e2.src AND e1.dst < e2.dst
+    ), common AS (
+        SELECT a AS src, c AS dst, CAST(count(*) AS BIGINT) AS cn
+        FROM wedges GROUP BY a, c
+    ), nonedge AS (
+        SELECT cm.src, cm.dst, cm.cn,
+               da.degree AS deg_src, dc.degree AS deg_dst,
+               (da.degree + dc.degree - cm.cn) AS un
+        FROM common cm
+        JOIN deg da ON da.node = cm.src
+        JOIN deg dc ON dc.node = cm.dst
+        WHERE NOT EXISTS (
+            SELECT 1 FROM half h WHERE h.src = cm.src AND h.dst = cm.dst
+        )
+    )
+    SELECT src, dst, cn AS common_neighbors, deg_src, deg_dst,
+           floor(CAST(cn AS DOUBLE) / un * 1000000 + 0.5) / 1000000
+             AS jaccard
+    FROM nonedge
+    ORDER BY jaccard DESC, src, dst LIMIT 50
+    """,
+    tags=("graph", "linkpred", "jaccard"),
+)
+def q_graph_neighborhood_jaccard(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction on the strong co-purchase
+    graph: for non-adjacent pairs, |N(a)∩N(c)| / |N(a)∪N(c)| with the
+    union by inclusion-exclusion (deg_a + deg_c − common) — EVERY input
+    to the score is an exact BIGINT, so unlike `graph_adamic_adar` (whose
+    1/ln(deg) sum is float) the ranking key is a single exact integer
+    ratio: one divide, floor-canonicalized, zero accumulation skew.
+
+    Same candidate shape as adamic-adar: pairs come only from the wedge
+    join on the shared center (Σ deg(b)² with the support-2 prefilter
+    bounding hubs), the existing-edge exclusion is an anti join on the
+    oriented half relation, and degrees ride AQE-sized joins.  Top-50
+    deterministic (score desc, then pair)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    half = strong_copurchase_half(li).localCheckpoint(eager=False)
+    sym = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    e1 = sym.select(F.col("src").alias("b"), F.col("dst").alias("a"))
+    e2 = sym.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    common = (
+        e1.join(e2, "b")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy(F.col("a").alias("src"), F.col("c").alias("dst"))
+        .agg(F.count("*").cast("long").alias("cn"))
+    )
+    nonedge = (
+        common.join(half, ["src", "dst"], "left_anti")
+        .join(deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "deg_src"), "src")
+        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("degree", "deg_dst"), "dst")
+        .select(
+            "src",
+            "dst",
+            "cn",
+            "deg_src",
+            "deg_dst",
+            (F.col("deg_src") + F.col("deg_dst") - F.col("cn")).alias("un"),
+        )
+    )
+    return (
+        nonedge.select(
+            "src",
+            "dst",
+            F.col("cn").alias("common_neighbors"),
+            "deg_src",
+            "deg_dst",
+            (
+                F.floor(F.col("cn").cast("double") / F.col("un") * 1000000 + F.lit(0.5))
+                / 1000000
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "src", "dst")
+        .limit(50)
+    )

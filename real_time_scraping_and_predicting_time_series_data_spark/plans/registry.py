@@ -104,6 +104,9 @@ _FRONT = (
     "stats_wilcoxon_signed_rank",
     "stats_friedman_test",
     "events_logrank_test",
+    "ts_garch_volatility",
+    "graph_personalized_pagerank",
+    "graph_neighborhood_jaccard",
     "stats_kruskal_wallis",
     "stats_anderson_darling",
     "ml_brier_decomposition",

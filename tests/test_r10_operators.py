@@ -1100,3 +1100,128 @@ def test_logrank_vs_python(spark):
     assert abs(rows[0].expected - (d_total - e1)) < 1e-3
     assert abs(rows[0].z_arm1 - z) < 1e-3
     assert abs(rows[0].chi2 - z * z) < 1e-2
+
+
+# ---------------------------------------------------------------------------
+# wave 16: GARCH filter / personalized pagerank / neighborhood jaccard
+# ---------------------------------------------------------------------------
+
+
+def test_garch_vs_python_recurrence(spark):
+    """Replay the exact IEEE recurrence in pure python per user and
+    compare every row; also pin the seed (h_1 = 1, r_1 = 0) and
+    positivity h_t >= min(1, omega)."""
+    import duckdb
+    from collections import defaultdict
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = all_queries()["ts_garch_volatility"].fn(spark, SF).collect()
+    df = duckdb.sql(
+        f"""SELECT user_id, event_id, value FROM '{SF}/events.parquet'
+            ORDER BY user_id, ts, event_id"""
+    ).df()
+    expect = {}
+    state: dict[int, tuple[float, float, float]] = {}
+    for uid, eid, z in zip(df["user_id"], df["event_id"], df["value"]):
+        uid, z = int(uid), float(z)
+        if uid not in state:
+            r, h = 0.0, 1.0
+        else:
+            pz, pr, ph = state[uid]
+            r = z - pz
+            h = 0.1 + 0.2 * pr * pr + 0.7 * ph
+        state[uid] = (z, r, h)
+        import math
+
+        expect[int(eid)] = (
+            math.floor(r * 1e6 + 0.5) / 1e6,
+            math.floor(h * 1e6 + 0.5) / 1e6,
+        )
+    assert len(rows) == len(expect)
+    for row in rows:
+        er, eh = expect[row.event_id]
+        assert row.innovation == er, (row.event_id, row.innovation, er)
+        assert row.garch_h == eh
+        assert row.garch_h >= 0.1
+
+
+def test_personalized_pagerank_vs_numpy(spark):
+    """Numpy dense power-iteration twin on the strong co-purchase graph:
+    same seeds (degree desc, node asc top-5), same restart law, 3 steps."""
+    import duckdb
+    import numpy as np
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = all_queries()["graph_personalized_pagerank"].fn(spark, SF).collect()
+    half = duckdb.sql(
+        f"""SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM '{SF}/lineitem.parquet' a JOIN '{SF}/lineitem.parquet' b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2"""
+    ).df()
+    edges = set()
+    for s, d in zip(half["src"], half["dst"]):
+        edges.add((int(s), int(d)))
+        edges.add((int(d), int(s)))
+    nodes = sorted({s for s, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    deg = {n: 0 for n in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    seeds = sorted(nodes, key=lambda n: (-deg[n], n))[:5]
+    restart = np.zeros(len(nodes))
+    for s in seeds:
+        restart[idx[s]] = 0.2
+    r = restart.copy()
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        A[idx[d], idx[s]] = 1.0 / deg[s]
+    for _ in range(3):
+        r = 0.15 * restart + 0.85 * (A @ r)
+    byscore = {n: r[idx[n]] for n in nodes if r[idx[n]] > 0}
+    top = sorted(byscore.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:50]
+    assert len(rows) == min(50, len(top))
+    got_seeds = {row.node for row in rows if row.is_seed}
+    assert got_seeds == set(seeds)
+    for row, (n, v) in zip(rows, top):
+        assert row.node == n
+        assert abs(row.ppr - v) < 1e-7
+
+
+def test_neighborhood_jaccard_exact(spark):
+    """Pure-python set recompute: for every returned pair the common /
+    union counts must equal the true neighbor-set arithmetic, the pair
+    must be non-adjacent, and scores must be non-increasing."""
+    import duckdb
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = all_queries()["graph_neighborhood_jaccard"].fn(spark, SF).collect()
+    half = duckdb.sql(
+        f"""SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM '{SF}/lineitem.parquet' a JOIN '{SF}/lineitem.parquet' b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2"""
+    ).df()
+    nbrs: dict[int, set[int]] = {}
+    for s, d in zip(half["src"], half["dst"]):
+        nbrs.setdefault(int(s), set()).add(int(d))
+        nbrs.setdefault(int(d), set()).add(int(s))
+    last = None
+    for row in rows:
+        a, c = nbrs[row.src], nbrs[row.dst]
+        assert row.dst not in a and row.src not in c
+        assert row.common_neighbors == len(a & c) > 0
+        assert row.deg_src == len(a) and row.deg_dst == len(c)
+        assert abs(row.jaccard - len(a & c) / len(a | c)) < 1e-6
+        if last is not None:
+            assert row.jaccard <= last + 1e-12
+        last = row.jaccard
