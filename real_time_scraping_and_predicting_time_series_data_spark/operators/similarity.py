@@ -3598,3 +3598,161 @@ def q_dedup_semantic_drift_serve(spark, sf_dir):
         canon(acc_sum / acc_n).alias("mean_sil_accepted"),
         canon(acc_sum / acc_n - F.sum("s") / F.count("*")).alias("sil_drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# nprobe sweep — recall/nDCG as a function of probe depth (r10)
+# ---------------------------------------------------------------------------
+
+
+def _nprobe_curve_oracle(probes=(1, 2, 4), n_queries=8, k=5) -> str:
+    """UNION-ALL oracle: one seeded-IVF approx block per nprobe setting,
+    each audited against the shared exact top-k CTE."""
+    blocks = []
+    for p in probes:
+        blocks.append(f"""
+    , probes_{p} AS (
+        SELECT query_id, cell FROM (
+            SELECT n.vec_id AS query_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round(-list_dot_product(n.nv, c.c_nvec), 9), c.cell
+                   ) AS rn
+            FROM n CROSS JOIN cents c WHERE n.vec_id < {n_queries})
+        WHERE rn <= {p}
+    ), approx_{p} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY round(list_dot_product(q.v_q, a.nv), 9) DESC,
+                                a.vec_id) AS rank
+            FROM probes_{p} p
+            JOIN q ON q.query_id = p.query_id
+            JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id)
+        WHERE rank <= {k}
+    ), perq_{p} AS (
+        SELECT x.query_id,
+               CAST(count(*) AS BIGINT) AS kk,
+               CAST(count(a.neighbor_id) AS BIGINT) AS hit,
+               CAST(floor(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                                   THEN 1.0 / log2(x.rank + 1) ELSE 0.0 END)
+                          / sum(1.0 / log2(x.rank + 1)) * 1000000000 + 0.5)
+                    AS BIGINT) AS ndcg_q
+        FROM exact x LEFT JOIN approx_{p} a
+          ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+        GROUP BY x.query_id
+    ), stat_{p} AS (
+        SELECT CAST({p} AS BIGINT) AS nprobe,
+               CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(sum(kk) AS BIGINT) AS total_exact,
+               CAST(sum(hit) AS BIGINT) AS total_hit,
+               floor(CAST(sum(hit) AS DOUBLE) / sum(kk) * 1000000 + 0.5)
+                 / 1000000 AS recall_micro,
+               floor(CAST(sum(ndcg_q) AS DOUBLE) / (1000000000.0 * count(*))
+                     * 1000000 + 0.5) / 1000000 AS mean_ndcg
+        FROM perq_{p}
+    )""")
+    union = "\n    UNION ALL ".join(f"SELECT * FROM stat_{p}" for p in probes)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+          FROM e),
+    cents AS (SELECT CAST(vec_id AS INT) AS cell, nv AS c_nvec
+              FROM n WHERE vec_id < 16),
+    assign AS (
+        SELECT vec_id, nv, cell FROM (
+            SELECT n.vec_id, n.nv, c.cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round(-list_dot_product(n.nv, c.c_nvec), 9), c.cell
+                   ) AS rn
+            FROM n CROSS JOIN cents c)
+        WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, nv AS v_q FROM n WHERE vec_id < {n_queries}),
+    exact AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_dot_product(q.v_q, c.nv), 9) DESC,
+                                c.vec_id) AS rank
+            FROM q JOIN n c ON c.vec_id <> q.query_id)
+        WHERE rank <= {k}
+    ){"".join(blocks)}
+    {union}
+    ORDER BY nprobe
+    """
+
+
+@register(
+    "sim_nprobe_recall_curve",
+    oracle=_nprobe_curve_oracle(),
+    tags=("similarity", "ann", "eval", "audit", "tuning"),
+)
+def q_sim_nprobe_recall_curve(spark, sf_dir):
+    """The ANN TUNING CURVE: recall@5 and mean nDCG@5 of the seeded-IVF
+    serve at nprobe ∈ {1, 2, 4} against exact brute-force cosine truth —
+    the measurement that decides a production index's probe depth, where
+    every +1 nprobe buys recall at a linear cost in candidates scanned.
+    `sim_recall_audit` grades ONE operating point of the binary path;
+    this sweeps the knob that actually gets tuned.
+
+    Micro-averaged recall (Σhits/Σtruth — exact integer ratio) and
+    mean nDCG (per-query nDCG nano-quantized BEFORE the 8-query average,
+    the order-insensitive convention).  All three serving runs share the
+    one checkpointed exact ground truth, so the corpus GEMM is paid once.
+
+    Scale: the audit panel is bounded by construction (8 queries); the
+    per-nprobe serves are the standard broadcast-model IVF probes whose
+    candidate cost is nprobe/n_cells of the corpus — the sweep's total
+    cost is ~(1+2+4)/16 ≈ 44% of one full scan plus the exact baseline.
+    Output: 3 rows, one per operating point — recall must be
+    non-decreasing in nprobe (pinned by test)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5).localCheckpoint(eager=False)
+    w = F.lit(1.0) / F.log2(F.col("rank") + F.lit(1))
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    parts = []
+    for p in (1, 2, 4):
+        approx = ivf_topk_seeded(emb, queries, k=5, n_cells=16, nprobe=p).select(
+            "query_id", "neighbor_id", F.lit(1).alias("_hit")
+        )
+        perq = (
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count("*").cast("long").alias("kk"),
+                F.count("_hit").cast("long").alias("hit"),
+                F.floor(
+                    F.sum(F.when(F.col("_hit").isNotNull(), w).otherwise(F.lit(0.0)))
+                    / F.sum(w)
+                    * 1000000000
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("ndcg_q"),
+            )
+        )
+        parts.append(
+            perq.agg(
+                F.lit(p).cast("long").alias("nprobe"),
+                F.count("*").cast("long").alias("n_queries"),
+                F.sum("kk").cast("long").alias("total_exact"),
+                F.sum("hit").cast("long").alias("total_hit"),
+                canon(F.sum("hit").cast("double") / F.sum("kk")).alias("recall_micro"),
+                canon(
+                    F.sum("ndcg_q").cast("double")
+                    / (F.lit(1000000000.0) * F.count("*"))
+                ).alias("mean_ndcg"),
+            )
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.union(pdf)
+    return out.orderBy("nprobe")

@@ -6482,3 +6482,299 @@ def q_stats_friedman_test(spark, sf_dir):
         canon(qa).alias("q_adj"),
         F.when(F.col("k") == 5, canon(F.exp(-x) * (F.lit(1.0) + x))).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Segmented (piecewise-linear) trend — one-knot changepoint regression
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_segmented_trend",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+        FROM events
+    ), bounds AS (
+        SELECT min(day) AS d0, max(day) AS d1 FROM d
+    ), g AS (
+        SELECT event_type,
+               CAST(date_diff('day', (SELECT d0 FROM bounds), day) AS BIGINT) AS t,
+               CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS y
+        FROM d GROUP BY event_type, day
+    ), kk AS (
+        SELECT CAST(date_diff('day', d0, d1) // 2 AS BIGINT) AS k FROM bounds
+    ), m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS s1,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(greatest(t - (SELECT k FROM kk), 0)) AS BIGINT) AS su,
+               CAST(sum(t * t) AS BIGINT) AS stt,
+               CAST(sum(t * greatest(t - (SELECT k FROM kk), 0)) AS BIGINT) AS stu,
+               CAST(sum(greatest(t - (SELECT k FROM kk), 0)
+                        * greatest(t - (SELECT k FROM kk), 0)) AS BIGINT) AS suu,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(t * y) AS BIGINT) AS sty,
+               CAST(sum(greatest(t - (SELECT k FROM kk), 0) * y) AS BIGINT) AS suy,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM g GROUP BY event_type
+    ), sol AS (
+        SELECT event_type, s1, sy, sty, suy, syy,
+               (SELECT k FROM kk) AS k,
+               (CAST(s1 AS DOUBLE) * (CAST(stt AS DOUBLE) * suu - CAST(stu AS DOUBLE) * stu)
+                - CAST(st AS DOUBLE) * (CAST(st AS DOUBLE) * suu - CAST(stu AS DOUBLE) * su)
+                + CAST(su AS DOUBLE) * (CAST(st AS DOUBLE) * stu - CAST(stt AS DOUBLE) * su))
+                 AS det,
+               (CAST(sy AS DOUBLE) * (CAST(stt AS DOUBLE) * suu - CAST(stu AS DOUBLE) * stu)
+                - CAST(st AS DOUBLE) * (CAST(sty AS DOUBLE) * suu - CAST(stu AS DOUBLE) * suy)
+                + CAST(su AS DOUBLE) * (CAST(sty AS DOUBLE) * stu - CAST(stt AS DOUBLE) * suy))
+                 AS det0,
+               (CAST(s1 AS DOUBLE) * (CAST(sty AS DOUBLE) * suu - CAST(suy AS DOUBLE) * stu)
+                - CAST(sy AS DOUBLE) * (CAST(st AS DOUBLE) * suu - CAST(stu AS DOUBLE) * su)
+                + CAST(su AS DOUBLE) * (CAST(st AS DOUBLE) * suy - CAST(sty AS DOUBLE) * su))
+                 AS det1,
+               (CAST(s1 AS DOUBLE) * (CAST(stt AS DOUBLE) * suy - CAST(stu AS DOUBLE) * sty)
+                - CAST(st AS DOUBLE) * (CAST(st AS DOUBLE) * suy - CAST(sty AS DOUBLE) * su)
+                + CAST(sy AS DOUBLE) * (CAST(st AS DOUBLE) * stu - CAST(stt AS DOUBLE) * su))
+                 AS det2
+        FROM m
+    )
+    SELECT event_type, s1 AS n_days, k AS knot_day,
+           round(det0 / det / 1000.0, 6) AS b0,
+           round(det1 / det / 1000.0, 6) AS slope_pre,
+           round(det2 / det / 1000.0, 6) AS slope_change,
+           round((det1 + det2) / det / 1000.0, 6) AS slope_post,
+           round(sqrt(greatest(
+               (CAST(syy AS DOUBLE)
+                - (det0 / det) * sy - (det1 / det) * sty - (det2 / det) * suy)
+               / s1, 0.0)) / 1000.0, 6) AS rmse
+    FROM sol ORDER BY event_type
+    """,
+    tags=("timeseries", "trend", "changepoint", "regression"),
+)
+def q_ts_segmented_trend(spark, sf_dir):
+    """Segmented (piecewise-linear) trend with ONE fixed knot at the
+    midpoint of the observation window, fit per event type on the daily
+    mean-value grid: y ~ b0 + b1·t + b2·max(0, t−k).  The changepoint
+    upgrade of `stats_linear_trend` — a series that accelerates halfway
+    through fits a straight line badly, and b2 IS the measured slope
+    change (slope_post − slope_pre), the quantity a "did the trend
+    break?" readout wants.
+
+    Closed form like `ml_ridge_closed_form`, one dimension up: the 3×3
+    normal-equation system is solved symbolically by Cramer's rule from
+    TEN moments, every one an exact BIGINT (daily means are milli-
+    quantized integers: BIGINT sums + one <2^53 floored divide; t and u
+    are small integers), so the determinant expressions — written
+    IDENTICALLY on both sides — see bit-identical inputs.
+
+    Scale: one grouped agg to the (type, day) grid, one grouped agg to
+    the 10-moment relation (map-side combine all the way), O(1) scalar
+    math per group.  No windows, no iterations, no driver-side solve.
+    RMSE comes free from the Syy moment via SSE = Syy − β·c."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    bounds = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    g = (
+        d.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", "day")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count("*")).cast("long").alias("y"),
+            F.datediff(F.first("day"), F.first("d0")).cast("long").alias("t"),
+            F.floor(F.datediff(F.first("d1"), F.first("d0")) / 2)
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    u = F.greatest(F.col("t") - F.col("k"), F.lit(0))
+    m = g.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("s1"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(u).cast("long").alias("su"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * u).cast("long").alias("stu"),
+        F.sum(u * u).cast("long").alias("suu"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+        F.sum(u * F.col("y")).cast("long").alias("suy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.max("k").alias("k"),
+    )
+    D = lambda c: F.col(c).cast("double")  # noqa: E731
+    det = (
+        D("s1") * (D("stt") * D("suu") - D("stu") * D("stu"))
+        - D("st") * (D("st") * D("suu") - D("stu") * D("su"))
+        + D("su") * (D("st") * D("stu") - D("stt") * D("su"))
+    )
+    det0 = (
+        D("sy") * (D("stt") * D("suu") - D("stu") * D("stu"))
+        - D("st") * (D("sty") * D("suu") - D("stu") * D("suy"))
+        + D("su") * (D("sty") * D("stu") - D("stt") * D("suy"))
+    )
+    det1 = (
+        D("s1") * (D("sty") * D("suu") - D("suy") * D("stu"))
+        - D("sy") * (D("st") * D("suu") - D("stu") * D("su"))
+        + D("su") * (D("st") * D("suy") - D("sty") * D("su"))
+    )
+    det2 = (
+        D("s1") * (D("stt") * D("suy") - D("stu") * D("sty"))
+        - D("st") * (D("st") * D("suy") - D("sty") * D("su"))
+        + D("sy") * (D("st") * D("stu") - D("stt") * D("su"))
+    )
+    sol = m.select(
+        "event_type",
+        "s1",
+        "sy",
+        "sty",
+        "suy",
+        "syy",
+        "k",
+        det.alias("det"),
+        det0.alias("det0"),
+        det1.alias("det1"),
+        det2.alias("det2"),
+    )
+    sse = (
+        D("syy")
+        - (F.col("det0") / F.col("det")) * D("sy")
+        - (F.col("det1") / F.col("det")) * D("sty")
+        - (F.col("det2") / F.col("det")) * D("suy")
+    )
+    return sol.select(
+        "event_type",
+        F.col("s1").alias("n_days"),
+        F.col("k").alias("knot_day"),
+        F.round(F.col("det0") / F.col("det") / F.lit(1000.0), 6).alias("b0"),
+        F.round(F.col("det1") / F.col("det") / F.lit(1000.0), 6).alias("slope_pre"),
+        F.round(F.col("det2") / F.col("det") / F.lit(1000.0), 6).alias("slope_change"),
+        F.round(
+            (F.col("det1") + F.col("det2")) / F.col("det") / F.lit(1000.0), 6
+        ).alias("slope_post"),
+        F.round(
+            F.sqrt(F.greatest(sse / F.col("s1"), F.lit(0.0))) / F.lit(1000.0), 6
+        ).alias("rmse"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# SPRT — sequential probability ratio monitor over the order stream
+# ---------------------------------------------------------------------------
+
+# Wald SPRT for Bernoulli p0=0.18 vs p1=0.25, alpha=beta=0.05.  The log-
+# likelihood increments and boundaries are PRECOMPUTED nano-quantized
+# integer literals (embedded identically in both engines), so the entire
+# monitor is BIGINT arithmetic — no libm call ever crosses the engine
+# boundary.
+_SPRT_C1 = 328504067      # floor(ln(0.25/0.18)*1e9 + 0.5)
+_SPRT_C0 = -89231134      # floor(ln(0.75/0.82)*1e9 + 0.5)
+_SPRT_A = 2944438979      # floor(ln((1-0.05)/0.05)*1e9 + 0.5)
+
+
+@register(
+    "stats_sprt_monitor",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                    AS BIGINT) AS u
+        FROM orders GROUP BY day
+    ), c AS (
+        SELECT day, n, u,
+               CAST(sum(u) OVER w AS BIGINT) AS cu,
+               CAST(sum(n) OVER w AS BIGINT) AS cn
+        FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)
+    ), s AS (
+        SELECT day, n, u,
+               cu * CAST({_SPRT_C1} AS BIGINT)
+                 + (cn - cu) * CAST({_SPRT_C0} AS BIGINT) AS llr_q
+        FROM c
+    ), first_cross AS (
+        SELECT min(day) AS fday FROM s
+        WHERE llr_q >= {_SPRT_A} OR llr_q <= -{_SPRT_A}
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n AS n_orders, u AS n_urgent,
+           floor(CAST(llr_q AS DOUBLE) / 1000.0 + 0.5) / 1000000.0 AS llr,
+           CASE WHEN llr_q >= {_SPRT_A} THEN 'accept_h1'
+                WHEN llr_q <= -{_SPRT_A} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM s
+    WHERE (SELECT fday FROM first_cross) IS NULL
+       OR day <= (SELECT fday FROM first_cross)
+    ORDER BY day
+    """,
+    tags=("stats", "sequential", "sprt", "monitor"),
+)
+def q_stats_sprt_monitor(spark, sf_dir):
+    """Wald's sequential probability ratio test driven over the daily
+    order stream: is the urgent-order rate p0 = 0.18 (H0) or p1 = 0.25
+    (H1)?  Unlike the fixed-horizon `stats_two_proportion_z`, the SPRT
+    is the STREAMING decision procedure — it looks at the cumulative
+    log-likelihood ratio after every day and STOPS at the first boundary
+    crossing (±ln(19) for alpha = beta = 0.05), with the optimal-
+    stopping guarantee that no test with the same error rates decides
+    faster on average.  The emitted trajectory ends at the first
+    crossing day (or runs to the end undecided), so the row set itself
+    encodes the decision time.
+
+    INTEGER-EXACT throughout: the two LLR increments and the boundary
+    are nano-quantized integer literals computed once and embedded in
+    both engines, the daily counts are BIGINT, and the cumulative LLR is
+    a BIGINT dot product of the cumulative counts with those constants —
+    the monitor never evaluates a logarithm at query time.
+
+    Scale: one grouped agg to the calendar-bounded day grid; the running
+    sums ride that grid (allow-listed global window, same argument as
+    `stats_runs_test`).  The cumulative counters are MERGEABLE, so the
+    streaming twin is the same grid accumulated per micro-batch."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+        .cast("long")
+        .alias("u"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = d.select(
+        "day",
+        "n",
+        "u",
+        F.sum("u").over(w).cast("long").alias("cu"),
+        F.sum("n").over(w).cast("long").alias("cn"),
+    )
+    s = c.select(
+        "day",
+        "n",
+        "u",
+        (
+            F.col("cu") * F.lit(_SPRT_C1) + (F.col("cn") - F.col("cu")) * F.lit(_SPRT_C0)
+        ).alias("llr_q"),
+    ).localCheckpoint(eager=False)
+    crossed = F.col("llr_q") >= F.lit(_SPRT_A)
+    crossed_lo = F.col("llr_q") <= F.lit(-_SPRT_A)
+    fc = s.filter(crossed | crossed_lo).agg(F.min("day").alias("fday"))
+    return (
+        s.crossJoin(F.broadcast(fc))
+        .filter(F.col("fday").isNull() | (F.col("day") <= F.col("fday")))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").alias("n_orders"),
+            F.col("u").alias("n_urgent"),
+            (
+                F.floor(F.col("llr_q").cast("double") / F.lit(1000.0) + F.lit(0.5))
+                / F.lit(1000000.0)
+            ).alias("llr"),
+            F.when(crossed, F.lit("accept_h1"))
+            .when(crossed_lo, F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+        )
+        .orderBy("day")
+    )

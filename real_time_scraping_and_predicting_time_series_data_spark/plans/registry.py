@@ -107,6 +107,9 @@ _FRONT = (
     "ts_garch_volatility",
     "graph_personalized_pagerank",
     "graph_neighborhood_jaccard",
+    "ts_segmented_trend",
+    "stats_sprt_monitor",
+    "sim_nprobe_recall_curve",
     "stats_kruskal_wallis",
     "stats_anderson_darling",
     "ml_brier_decomposition",

@@ -446,6 +446,8 @@ def test_no_unbounded_global_windows_anywhere(spark):
         "orders_open_backlog": {"day"},
         "stats_jarque_bera": {"day"},
         "stats_runs_test": {"day", "m"},
+        # SPRT cumulative LLR rides the calendar-bounded day grid
+        "stats_sprt_monitor": {"day"},
         "ts_hurst_rs": {"day"},
         "ts_periodogram": {"day"},
         "ts_var_es": {"day", "r"},  # r = daily-return grid (calendar-bounded)

@@ -1225,3 +1225,155 @@ def test_neighborhood_jaccard_exact(spark):
         if last is not None:
             assert row.jaccard <= last + 1e-12
         last = row.jaccard
+
+
+# ---------------------------------------------------------------------------
+# wave 17: segmented trend / SPRT monitor / nprobe recall curve
+# ---------------------------------------------------------------------------
+
+
+def test_segmented_trend_vs_numpy_lstsq(spark):
+    """Numpy lstsq twin over the same milli-quantized daily-mean grid:
+    coefficients and rmse must match the Cramer solve to 1e-5."""
+    import duckdb
+    import numpy as np
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = {
+        r.event_type: r
+        for r in all_queries()["ts_segmented_trend"].fn(spark, SF).collect()
+    }
+    df = duckdb.sql(
+        f"""WITH d AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+              FROM '{SF}/events.parquet')
+            SELECT event_type,
+                   date_diff('day', (SELECT min(day) FROM d), day) AS t,
+                   CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS y,
+                   date_diff('day', (SELECT min(day) FROM d),
+                             (SELECT max(day) FROM d)) // 2 AS k
+            FROM d GROUP BY event_type, day"""
+    ).df()
+    for et, sub in df.groupby("event_type"):
+        t = sub["t"].to_numpy(dtype=float)
+        y = sub["y"].to_numpy(dtype=float)
+        k = float(sub["k"].iloc[0])
+        X = np.column_stack([np.ones_like(t), t, np.maximum(t - k, 0.0)])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        resid = y - X @ beta
+        rmse = np.sqrt((resid**2).mean()) / 1000.0
+        r = rows[et]
+        assert r.n_days == len(sub)
+        assert abs(r.b0 - beta[0] / 1000.0) < 1e-4
+        assert abs(r.slope_pre - beta[1] / 1000.0) < 1e-5
+        assert abs(r.slope_change - beta[2] / 1000.0) < 1e-5
+        assert abs(r.slope_post - (beta[1] + beta[2]) / 1000.0) < 1e-5
+        assert abs(r.rmse - rmse) < 1e-4
+
+
+def test_segmented_trend_recovers_planted_break(spark):
+    """A synthetic series with slope +2 then -1 after the midpoint knot
+    must come back with slope_pre ~= 2, slope_post ~= -1, rmse ~= 0."""
+    import datetime
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+    import real_time_scraping_and_predicting_time_series_data_spark.operators.stats as S
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for t in range(31):
+        y = 10.0 + 2.0 * t if t <= 15 else 10.0 + 2.0 * 15 - 1.0 * (t - 15)
+        rows.append((1, base + datetime.timedelta(days=t), "a", float(y)))
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+
+    import real_time_scraping_and_predicting_time_series_data_spark.catalog as C
+
+    orig = C.load_table
+    try:
+        C.load_table = lambda sp, sf, name: df  # noqa: ARG005
+        S.load_table = C.load_table
+        out = all_queries()["ts_segmented_trend"].fn(spark, "ignored").collect()[0]
+    finally:
+        C.load_table = orig
+        S.load_table = orig
+    assert out.knot_day == 15
+    assert abs(out.slope_pre - 2.0) < 1e-6
+    assert abs(out.slope_post - (-1.0)) < 1e-6
+    assert out.rmse < 1e-6
+
+
+def test_sprt_vs_python(spark):
+    """Pure-python replay of the integer SPRT: same constants, same
+    cumulative LLR, trajectory must stop at the first crossing with the
+    matching decision and monotone day order."""
+    import duckdb
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        _SPRT_A,
+        _SPRT_C0,
+        _SPRT_C1,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = all_queries()["stats_sprt_monitor"].fn(spark, SF).collect()
+    df = duckdb.sql(
+        f"""SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+                   count(*) AS n,
+                   count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS u
+            FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    cu = cn = 0
+    expect = []
+    for day, n, u in zip(df["day"], df["n"], df["u"]):
+        cu += int(u)
+        cn += int(n)
+        llr_q = cu * _SPRT_C1 + (cn - cu) * _SPRT_C0
+        dec = (
+            "accept_h1"
+            if llr_q >= _SPRT_A
+            else ("accept_h0" if llr_q <= -_SPRT_A else "continue")
+        )
+        expect.append((day, int(n), int(u), llr_q, dec))
+        if dec != "continue":
+            break
+    assert len(rows) == len(expect)
+    import math
+
+    for r, (day, n, u, llr_q, dec) in zip(rows, expect):
+        assert r.day == day and r.n_orders == n and r.n_urgent == u
+        assert r.decision == dec
+        assert abs(r.llr - math.floor(llr_q / 1000.0 + 0.5) / 1e6) < 1e-12
+    assert all(r.decision == "continue" for r in rows[:-1])
+
+
+def test_nprobe_curve_monotone_and_bounded(spark):
+    """Recall and nDCG must be non-decreasing in nprobe (probing more
+    cells can only add candidates under the deterministic ranking), with
+    total_exact = 8 queries x 5 truth rows each."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = sorted(
+        all_queries()["sim_nprobe_recall_curve"].fn(spark, SF).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    for r in rows:
+        assert r.n_queries == 8
+        assert r.total_exact == 40
+        assert 0.0 <= r.recall_micro <= 1.0
+        assert 0.0 <= r.mean_ndcg <= 1.0
+        assert r.total_hit <= r.total_exact
+    for a, b in zip(rows, rows[1:]):
+        assert b.recall_micro >= a.recall_micro - 1e-12
+        assert b.mean_ndcg >= a.mean_ndcg - 1e-12
+    assert rows[-1].recall_micro > 0.0
