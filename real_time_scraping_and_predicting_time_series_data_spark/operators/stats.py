@@ -6676,9 +6676,7 @@ _SPRT_C0 = -89231134      # floor(ln(0.75/0.82)*1e9 + 0.5)
 _SPRT_A = 2944438979      # floor(ln((1-0.05)/0.05)*1e9 + 0.5)
 
 
-@register(
-    "stats_sprt_monitor",
-    oracle=f"""
+_SPRT_ORACLE_SQL = f"""
     WITH d AS (
         SELECT CAST(o_orderdate AS DATE) AS day,
                CAST(count(*) AS BIGINT) AS n,
@@ -6709,7 +6707,12 @@ _SPRT_A = 2944438979      # floor(ln((1-0.05)/0.05)*1e9 + 0.5)
     WHERE (SELECT fday FROM first_cross) IS NULL
        OR day <= (SELECT fday FROM first_cross)
     ORDER BY day
-    """,
+    """
+
+
+@register(
+    "stats_sprt_monitor",
+    oracle=_SPRT_ORACLE_SQL,
     tags=("stats", "sequential", "sprt", "monitor"),
 )
 def q_stats_sprt_monitor(spark, sf_dir):
@@ -6735,12 +6738,26 @@ def q_stats_sprt_monitor(spark, sf_dir):
     `stats_runs_test`).  The cumulative counters are MERGEABLE, so the
     streaming twin is the same grid accumulated per micro-batch."""
     o = load_table(spark, sf_dir, "orders")
-    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+    return sprt_readout_from_day_grid(sprt_day_grid(o))
+
+
+def sprt_day_grid(orders: DataFrame) -> DataFrame:
+    """(day, n, u) daily counting grid of the SPRT monitor — MERGEABLE by
+    grouped SUM over disjoint order sets, which is what makes the
+    streaming twin (`streaming/sprt_stream.py`) serve the exact batch
+    trajectory."""
+    return orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.count("*").cast("long").alias("n"),
         F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
         .cast("long")
         .alias("u"),
     )
+
+
+def sprt_readout_from_day_grid(d: DataFrame) -> DataFrame:
+    """Cumulative-LLR trajectory up to (and including) the first boundary
+    crossing, from any (day, n, u) grid — shared by the batch query and
+    the streaming store serve."""
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     c = d.select(
         "day",
@@ -6777,4 +6794,430 @@ def q_stats_sprt_monitor(spark, sf_dir):
             .alias("decision"),
         )
         .orderBy("day")
+    )
+
+
+@register(
+    "stats_sprt_stream_serve",
+    oracle=_SPRT_ORACLE_SQL,
+    tags=("stats", "sequential", "sprt", "streaming", "incremental"),
+)
+def q_stats_sprt_stream_serve(spark, sf_dir):
+    """INCREMENTAL twin of `stats_sprt_monitor`, exercised as a
+    batch-callable query: orders are ingested in three micro-batches
+    split on pmod(xxhash64(o_orderkey), 3) — disjoint order sets, so the
+    per-day count grids merge by grouped SUM without double counting
+    (the count grids' disjointness contract).  The SERVED trajectory
+    over the merged grid is returned; the oracle is the plain one-batch
+    SQL — value-hash parity proves the mergeable store serves the batch
+    SPRT bit-exactly, including the stop-at-first-crossing row set.
+    Store in a process-scoped temp dir (lazy-analyzer lifetime rule, as
+    `stats_experiment_stream_serve`)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.sprt_stream import SprtStreamMonitor
+
+    o = load_table(spark, sf_dir, "orders")
+    store = tempfile.mkdtemp(prefix="sprt_serve_")
+    atexit.register(shutil.rmtree, store, ignore_errors=True)
+    mon = SprtStreamMonitor(spark, store)
+    for bid in range(3):
+        mon.ingest_batch(
+            o.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(3)) == bid), bid
+        )
+    return mon.serve_trajectory()
+
+
+# ---------------------------------------------------------------------------
+# Elastic net via coordinate descent — sparse regression trained in-plan
+# ---------------------------------------------------------------------------
+
+_ENET_L1 = 0.05
+_ENET_L2 = 0.10
+_ENET_ROUNDS = 6
+
+
+def _enet_update_expr(j: int) -> str:
+    """The coordinate-j soft-threshold update as a SQL-dialect-neutral
+    scalar expression over columns (ry1..ry3, r12, r13, r23, b1..b3) —
+    the SAME string is compiled by Spark (`F.expr`) and DuckDB, so both
+    engines execute the identical IEEE expression tree.  On standardized
+    (correlation-form) inputs H_jj = 1, hence the (1 + λ2) denominator."""
+    others = [k for k in (1, 2, 3) if k != j]
+    r = lambda a, b: f"r{min(a, b)}{max(a, b)}"  # noqa: E731
+    z = f"(ry{j} - {r(j, others[0])} * b{others[0]} - {r(j, others[1])} * b{others[1]})"
+    l1, l2 = _ENET_L1, _ENET_L2
+    return (
+        f"CASE WHEN {z} > {l1} THEN ({z} - {l1}) / (1.0 + {l2}) "
+        f"WHEN {z} < -{l1} THEN ({z} + {l1}) / (1.0 + {l2}) "
+        f"ELSE 0.0 END"
+    )
+
+
+def _enet_oracle_sql() -> str:
+    """Moments -> correlation form -> unrolled coordinate-descent rounds,
+    every update `SELECT * REPLACE` of one coefficient."""
+    steps = []
+    prev = "t0"
+    i = 0
+    for _ in range(_ENET_ROUNDS):
+        for j in (1, 2, 3):
+            i += 1
+            steps.append(
+                f", t{i} AS (SELECT * REPLACE(({_enet_update_expr(j)}) AS b{j}) FROM {prev})"
+            )
+            prev = f"t{i}"
+    return f"""
+    WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+               CAST(sum(x3) AS BIGINT) AS sx3, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x1*x1) AS BIGINT) AS s11, CAST(sum(x1*x2) AS BIGINT) AS s12,
+               CAST(sum(x1*x3) AS BIGINT) AS s13, CAST(sum(x2*x2) AS BIGINT) AS s22,
+               CAST(sum(x2*x3) AS BIGINT) AS s23, CAST(sum(x3*x3) AS BIGINT) AS s33,
+               CAST(sum(x1*y) AS BIGINT) AS sy1, CAST(sum(x2*y) AS BIGINT) AS sy2,
+               CAST(sum(x3*y) AS BIGINT) AS sy3, CAST(sum(y*y) AS BIGINT) AS syy
+        FROM (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS x1,
+                     CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS x2,
+                     CAST(doc_id % 100 AS BIGINT) AS x3,
+                     CAST(n_chars AS BIGINT) AS y
+              FROM documents)
+    ), c AS (
+        SELECT n,
+               CAST(sx1 AS DOUBLE) / n AS m1, CAST(sx2 AS DOUBLE) / n AS m2,
+               CAST(sx3 AS DOUBLE) / n AS m3, CAST(sy AS DOUBLE) / n AS my,
+               CAST(s11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n AS c11,
+               CAST(s12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n AS c12,
+               CAST(s13 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx3 / n AS c13,
+               CAST(s22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n AS c22,
+               CAST(s23 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx3 / n AS c23,
+               CAST(s33 AS DOUBLE) - CAST(sx3 AS DOUBLE) * sx3 / n AS c33,
+               CAST(sy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy / n AS cy1,
+               CAST(sy2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy / n AS cy2,
+               CAST(sy3 AS DOUBLE) - CAST(sx3 AS DOUBLE) * sy / n AS cy3,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy
+        FROM m
+    ), t0 AS (
+        SELECT n, m1, m2, m3, my, c11, c22, c33, cyy,
+               c12 / sqrt(c11 * c22) AS r12,
+               c13 / sqrt(c11 * c33) AS r13,
+               c23 / sqrt(c22 * c33) AS r23,
+               cy1 / sqrt(c11 * cyy) AS ry1,
+               cy2 / sqrt(c22 * cyy) AS ry2,
+               cy3 / sqrt(c33 * cyy) AS ry3,
+               CAST(0.0 AS DOUBLE) AS b1,
+               CAST(0.0 AS DOUBLE) AS b2,
+               CAST(0.0 AS DOUBLE) AS b3
+        FROM c
+    ){''.join(steps)}
+    SELECT n,
+           floor(b1 * 1000000 + 0.5) / 1000000 AS beta1_std,
+           floor(b2 * 1000000 + 0.5) / 1000000 AS beta2_std,
+           floor(b3 * 1000000 + 0.5) / 1000000 AS beta3_std,
+           round(b1 * sqrt(cyy / c11), 6) AS w_tokens,
+           round(b2 * sqrt(cyy / c22), 6) AS w_vowels,
+           round(b3 * sqrt(cyy / c33), 6) AS w_noise,
+           round(my - b1 * sqrt(cyy / c11) * m1
+                    - b2 * sqrt(cyy / c22) * m2
+                    - b3 * sqrt(cyy / c33) * m3, 4) AS intercept,
+           CAST((CASE WHEN b1 <> 0.0 THEN 1 ELSE 0 END)
+              + (CASE WHEN b2 <> 0.0 THEN 1 ELSE 0 END)
+              + (CASE WHEN b3 <> 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero
+    FROM {prev}
+    """
+
+
+@register(
+    "ml_elastic_net_cd",
+    oracle=_enet_oracle_sql(),
+    tags=("ml", "lasso", "elastic-net", "coordinate-descent"),
+)
+def q_ml_elastic_net_cd(spark, sf_dir):
+    """Elastic net (λ1=0.05, λ2=0.10 on standardized variables) for
+    n_chars ~ (token count, vowel count, doc_id%100 noise), trained by SIX unrolled
+    rounds of cyclic coordinate descent ENTIRELY INSIDE THE PLAN — the
+    sparse-regression complement to `ml_ridge_closed_form` (pure L2 has a
+    closed form; the L1 soft threshold does not, so the iteration itself
+    must be exact).  The verdict on this data: discount and tax carry no
+    signal and are zeroed by the L1 penalty (n_nonzero = 1) — the
+    automatic feature pruning that motivates the lasso.
+
+    Exactness: inputs are integer-quantized (quantity, cents, whole
+    dollars), so ALL 15 Gram/moment sums are exact BIGINTs; the
+    correlation-form reduction and every soft-threshold update are scalar
+    expressions generated from ONE shared string (`F.expr` on the Spark
+    side, the same text in the DuckDB CTE chain), so both engines walk
+    the identical IEEE expression tree for all 18 coordinate updates.
+
+    Scale: ONE map-side-combined scan of documents to 15 BIGINT moments;
+    the CD rounds are O(1) scalar algebra on a single broadcastable row —
+    at 100 TB the cost is the scan, the optimizer is free.  (Σy² is the
+    binding moment: n_chars² ≈ 1.6e7 per row keeps it < 2^63 up to ~5e11
+    documents; beyond that, rescale y to hecto-chars — documented here.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("x1"),
+        F.length(F.regexp_replace(F.col("text"), "[^aeiou]", "")).cast("long").alias("x2"),
+        (F.col("doc_id") % 100).cast("long").alias("x3"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    m = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum("x3").cast("long").alias("sx3"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x1") * F.col("x3")).cast("long").alias("s13"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x2") * F.col("x3")).cast("long").alias("s23"),
+        F.sum(F.col("x3") * F.col("x3")).cast("long").alias("s33"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("sy1"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("sy2"),
+        F.sum(F.col("x3") * F.col("y")).cast("long").alias("sy3"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    D = lambda c: F.col(c).cast("double")  # noqa: E731
+    c = m.select(
+        "n",
+        (D("sx1") / nD).alias("m1"),
+        (D("sx2") / nD).alias("m2"),
+        (D("sx3") / nD).alias("m3"),
+        (D("sy") / nD).alias("my"),
+        (D("s11") - D("sx1") * F.col("sx1") / nD).alias("c11"),
+        (D("s12") - D("sx1") * F.col("sx2") / nD).alias("c12"),
+        (D("s13") - D("sx1") * F.col("sx3") / nD).alias("c13"),
+        (D("s22") - D("sx2") * F.col("sx2") / nD).alias("c22"),
+        (D("s23") - D("sx2") * F.col("sx3") / nD).alias("c23"),
+        (D("s33") - D("sx3") * F.col("sx3") / nD).alias("c33"),
+        (D("sy1") - D("sx1") * F.col("sy") / nD).alias("cy1"),
+        (D("sy2") - D("sx2") * F.col("sy") / nD).alias("cy2"),
+        (D("sy3") - D("sx3") * F.col("sy") / nD).alias("cy3"),
+        (D("syy") - D("sy") * F.col("sy") / nD).alias("cyy"),
+    )
+    t = c.select(
+        "n",
+        "m1",
+        "m2",
+        "m3",
+        "my",
+        "c11",
+        "c22",
+        "c33",
+        "cyy",
+        (F.col("c12") / F.sqrt(F.col("c11") * F.col("c22"))).alias("r12"),
+        (F.col("c13") / F.sqrt(F.col("c11") * F.col("c33"))).alias("r13"),
+        (F.col("c23") / F.sqrt(F.col("c22") * F.col("c33"))).alias("r23"),
+        (F.col("cy1") / F.sqrt(F.col("c11") * F.col("cyy"))).alias("ry1"),
+        (F.col("cy2") / F.sqrt(F.col("c22") * F.col("cyy"))).alias("ry2"),
+        (F.col("cy3") / F.sqrt(F.col("c33") * F.col("cyy"))).alias("ry3"),
+        F.lit(0.0).alias("b1"),
+        F.lit(0.0).alias("b2"),
+        F.lit(0.0).alias("b3"),
+    )
+    # each b_j references the other two coefficients, so the expression
+    # tree doubles per round — ~3·2^6 ≈ 200 nodes at 6 rounds, still far
+    # cheaper to inline than to materialize intermediate checkpoints
+    for _ in range(_ENET_ROUNDS):
+        for j in (1, 2, 3):
+            t = t.withColumn(f"b{j}", F.expr(_enet_update_expr(j)))
+    back = lambda j, cjj: F.col(f"b{j}") * F.sqrt(F.col("cyy") / F.col(cjj))  # noqa: E731
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    nz = lambda j: F.when(F.col(f"b{j}") != 0.0, 1).otherwise(0)  # noqa: E731
+    return t.select(
+        "n",
+        canon(F.col("b1")).alias("beta1_std"),
+        canon(F.col("b2")).alias("beta2_std"),
+        canon(F.col("b3")).alias("beta3_std"),
+        F.round(back(1, "c11"), 6).alias("w_tokens"),
+        F.round(back(2, "c22"), 6).alias("w_vowels"),
+        F.round(back(3, "c33"), 6).alias("w_noise"),
+        F.round(
+            F.col("my")
+            - back(1, "c11") * F.col("m1")
+            - back(2, "c22") * F.col("m2")
+            - back(3, "c33") * F.col("m3"),
+            4,
+        ).alias("intercept"),
+        (nz(1) + nz(2) + nz(3)).cast("long").alias("n_nonzero"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Platt scaling — calibrating a raw heuristic score into a probability
+# ---------------------------------------------------------------------------
+
+_PLATT_SOLVE = """
+        {scale} * ( mm22 * gg1 - mm12 * gg2) / (mm11 * mm22 - mm12 * mm12) AS {a},
+        {scale} * (-mm12 * gg1 + mm11 * gg2) / (mm11 * mm22 - mm12 * mm12) AS {b}
+"""
+
+
+@register(
+    "ml_platt_scaling",
+    oracle="""
+    WITH d0 AS (
+        SELECT CAST(n_chars AS BIGINT) AS x,
+               CASE WHEN source = 'src1' THEN 1.0 ELSE 0.0 END AS z
+        FROM documents WHERE source IN ('src0', 'src1')
+    ), mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM d0
+    ), d AS (
+        SELECT (CAST(d0.x AS DOUBLE) - CAST(mom.sx AS DOUBLE) / mom.n)
+               / sqrt((CAST(mom.sxx AS DOUBLE)
+                       - CAST(mom.sx AS DOUBLE) * mom.sx / mom.n) / mom.n) AS s,
+               d0.z
+        FROM d0 CROSS JOIN mom
+    ), g1 AS (
+        SELECT CAST(count(*) AS DOUBLE) AS mm22,
+               sum(s) AS mm12, sum(s * s) AS mm11,
+               sum(s * (z - 0.5)) AS gg1, sum(z - 0.5) AS gg2
+        FROM d
+    ), b1 AS (
+        SELECT""" + _PLATT_SOLVE.format(scale="4.0", a="a1", b="b1") + """
+        FROM g1
+    ), r2 AS (
+        SELECT d.s, d.z, b1.a1, b1.b1,
+               1.0 / (1.0 + exp(-(a1 * s + b1))) AS p
+        FROM d CROSS JOIN b1
+    ), g2 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               min(a1) AS a1, min(b1) AS b1,
+               sum(p * (1.0 - p) * s * s) AS mm11,
+               sum(p * (1.0 - p) * s) AS mm12,
+               sum(p * (1.0 - p)) AS mm22,
+               sum(s * (z - p)) AS gg1,
+               sum(z - p) AS gg2
+        FROM r2
+    ), fin AS (
+        SELECT n, a1, b1,""" + _PLATT_SOLVE.format(scale="1.0", a="da", b="db") + """
+        FROM g2
+    ), scored AS (
+        SELECT d.z,
+               1.0 / (1.0 + exp(-((f.a1 + f.da) * d.s + (f.b1 + f.db)))) AS p,
+               f.n, f.a1 + f.da AS a, f.b1 + f.db AS b
+        FROM d CROSS JOIN fin f
+    )
+    SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+           CAST(count(*) AS BIGINT) AS n_bin,
+           floor((sum(p) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_p,
+           floor((sum(z) / count(*)) * 1000000 + 0.5) / 1000000 AS pos_rate,
+           floor(min(a) * 100000 + 0.5) / 100000 AS platt_a,
+           floor(min(b) * 100000 + 0.5) / 100000 AS platt_b
+    FROM scored
+    GROUP BY least(CAST(floor(p * 10) AS BIGINT), 9)
+    """,
+    tags=("ml", "calibration", "platt", "classifier"),
+)
+def q_ml_platt_scaling(spark, sf_dir):
+    """Platt scaling — the standard recipe for turning a RAW heuristic
+    score into a calibrated probability: fit p = σ(A·s + B) on the
+    score/label pairs by two exact Newton steps (Platt 1999, public).
+    Here the raw score is the n_chars z-score of each document and the
+    label is src1-membership — the "length looks like quality" heuristic
+    every corpus pipeline starts with, upgraded to a probability whose
+    deciles can gate admission at a chosen precision.  Completes the
+    calibration family: `ml_calibration_bins` audits an already-
+    probabilistic model, `ml_isotonic_calibration` fits the monotone
+    nonparametric map, Platt fits the 2-parameter sigmoid to an
+    ARBITRARY score.
+
+    Same exact-Newton architecture as `ml_logistic_newton` one dimension
+    down: step 1 from (A,B) = 0 has constant curvature W = I/4 and the
+    2×2 solve is symbolic; step 2 re-scores every row with the broadcast
+    1-row coefficient relation and solves the weighted system.  The
+    standardization moments are exact BIGINTs; the Gram/gradient sums
+    are the one engine-order quantity, absorbed by the 5-dp
+    canonicalization of (A, B) and the 6-dp bin aggregates.
+
+    Scale: three map-side-combined scans (moments, step-2 Gram, final
+    scoring) + two 1-row broadcasts — no MLlib state, no driver math.
+    Output: the reliability deciles of the CALIBRATED score with (A, B)
+    alongside."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    d0 = docs.select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.when(F.col("source") == "src1", 1.0).otherwise(0.0).alias("z"),
+    )
+    mom = d0.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nD = F.col("n").cast("double")
+    mu = F.col("sx").cast("double") / nD
+    sd = F.sqrt((F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / nD) / nD)
+    d = d0.crossJoin(F.broadcast(mom)).select(
+        ((F.col("x").cast("double") - mu) / sd).alias("s"), "z"
+    )
+    g1 = d.agg(
+        F.count("*").cast("double").alias("mm22"),
+        F.sum("s").alias("mm12"),
+        F.sum(F.col("s") * F.col("s")).alias("mm11"),
+        F.sum(F.col("s") * (F.col("z") - F.lit(0.5))).alias("gg1"),
+        F.sum(F.col("z") - F.lit(0.5)).alias("gg2"),
+    )
+    det = F.col("mm11") * F.col("mm22") - F.col("mm12") * F.col("mm12")
+    b1 = g1.select(
+        (F.lit(4.0) * (F.col("mm22") * F.col("gg1") - F.col("mm12") * F.col("gg2")) / det).alias("a1"),
+        (F.lit(4.0) * (-F.col("mm12") * F.col("gg1") + F.col("mm11") * F.col("gg2")) / det).alias("b1"),
+    )
+    r2 = d.crossJoin(F.broadcast(b1)).withColumn(
+        "p",
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("a1") * F.col("s") + F.col("b1")))),
+    )
+    w = F.col("p") * (F.lit(1.0) - F.col("p"))
+    g2 = r2.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("a1").alias("a1"),
+        F.min("b1").alias("b1"),
+        F.sum(w * F.col("s") * F.col("s")).alias("mm11"),
+        F.sum(w * F.col("s")).alias("mm12"),
+        F.sum(w).alias("mm22"),
+        F.sum(F.col("s") * (F.col("z") - F.col("p"))).alias("gg1"),
+        F.sum(F.col("z") - F.col("p")).alias("gg2"),
+    )
+    fin = g2.select(
+        "n",
+        "a1",
+        "b1",
+        ((F.col("mm22") * F.col("gg1") - F.col("mm12") * F.col("gg2")) / det).alias("da"),
+        ((-F.col("mm12") * F.col("gg1") + F.col("mm11") * F.col("gg2")) / det).alias("db"),
+    )
+    scored = d.crossJoin(F.broadcast(fin)).select(
+        "z",
+        (
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        (F.col("a1") + F.col("da")) * F.col("s")
+                        + (F.col("b1") + F.col("db"))
+                    )
+                )
+            )
+        ).alias("p"),
+        (F.col("a1") + F.col("da")).alias("a"),
+        (F.col("b1") + F.col("db")).alias("b"),
+    )
+    canon6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    canon5 = lambda col: F.floor(col * 100000 + F.lit(0.5)) / 100000  # noqa: E731
+    return scored.groupBy(
+        F.least(F.floor(F.col("p") * 10), F.lit(9.0)).cast("long").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n_bin"),
+        canon6(F.sum("p") / F.count("*")).alias("mean_p"),
+        canon6(F.sum("z") / F.count("*")).alias("pos_rate"),
+        canon5(F.min("a")).alias("platt_a"),
+        canon5(F.min("b")).alias("platt_b"),
     )

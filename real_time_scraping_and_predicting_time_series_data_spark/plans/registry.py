@@ -110,6 +110,9 @@ _FRONT = (
     "ts_segmented_trend",
     "stats_sprt_monitor",
     "sim_nprobe_recall_curve",
+    "ml_elastic_net_cd",
+    "stats_sprt_stream_serve",
+    "ml_platt_scaling",
     "stats_kruskal_wallis",
     "stats_anderson_darling",
     "ml_brier_decomposition",

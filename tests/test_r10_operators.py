@@ -1377,3 +1377,160 @@ def test_nprobe_curve_monotone_and_bounded(spark):
         assert b.recall_micro >= a.recall_micro - 1e-12
         assert b.mean_ndcg >= a.mean_ndcg - 1e-12
     assert rows[-1].recall_micro > 0.0
+
+
+# ---------------------------------------------------------------------------
+# wave 18: elastic net CD / streaming SPRT serve / Platt scaling
+# ---------------------------------------------------------------------------
+
+
+def test_elastic_net_vs_python_cd(spark):
+    """Pure-python coordinate-descent replay on the same integer moments:
+    standardized betas must match to 1e-9 and the planted noise feature
+    (doc_id % 100) must be exactly zeroed."""
+    import duckdb
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        _ENET_L1,
+        _ENET_L2,
+        _ENET_ROUNDS,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    [row] = all_queries()["ml_elastic_net_cd"].fn(spark, SF).collect()
+    m = duckdb.sql(
+        rf"""SELECT count(*) n, sum(x1) sx1, sum(x2) sx2, sum(x3) sx3, sum(y) sy,
+                   sum(x1*x1) s11, sum(x1*x2) s12, sum(x1*x3) s13,
+                   sum(x2*x2) s22, sum(x2*x3) s23, sum(x3*x3) s33,
+                   sum(x1*y) sy1, sum(x2*y) sy2, sum(x3*y) sy3, sum(y*y) syy
+            FROM (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) x1,
+                         CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) x2,
+                         doc_id % 100 x3, n_chars y
+                  FROM '{SF}/documents.parquet')"""
+    ).df().iloc[0]
+    n = float(m["n"])
+    c = {}
+    for i, j in [(1, 1), (1, 2), (1, 3), (2, 2), (2, 3), (3, 3)]:
+        c[(i, j)] = float(m[f"s{i}{j}"]) - float(m[f"sx{i}"]) * float(m[f"sx{j}"]) / n
+    cy = {
+        i: float(m[f"sy{i}"]) - float(m[f"sx{i}"]) * float(m["sy"]) / n
+        for i in (1, 2, 3)
+    }
+    cyy = float(m["syy"]) - float(m["sy"]) ** 2 / n
+    import math
+
+    r = {}
+    for i, j in [(1, 2), (1, 3), (2, 3)]:
+        r[(i, j)] = c[(i, j)] / math.sqrt(c[(i, i)] * c[(j, j)])
+    ry = {i: cy[i] / math.sqrt(c[(i, i)] * cyy) for i in (1, 2, 3)}
+    b = {1: 0.0, 2: 0.0, 3: 0.0}
+    for _ in range(_ENET_ROUNDS):
+        for j in (1, 2, 3):
+            o1, o2 = [k for k in (1, 2, 3) if k != j]
+            rr = lambda a, bb: r[(min(a, bb), max(a, bb))]  # noqa: E731
+            z = ry[j] - rr(j, o1) * b[o1] - rr(j, o2) * b[o2]
+            if z > _ENET_L1:
+                b[j] = (z - _ENET_L1) / (1.0 + _ENET_L2)
+            elif z < -_ENET_L1:
+                b[j] = (z + _ENET_L1) / (1.0 + _ENET_L2)
+            else:
+                b[j] = 0.0
+    assert abs(row.beta1_std - b[1]) < 1e-6
+    assert abs(row.beta2_std - b[2]) < 1e-6
+    assert row.beta3_std == 0.0 and b[3] == 0.0
+    assert row.w_noise == 0.0
+    assert row.n_nonzero == 2
+    assert row.w_tokens > 0.0  # more tokens -> more chars, always
+
+
+def test_sprt_stream_serve_equals_batch(spark, tmp_path):
+    """The streaming store's served trajectory must equal the batch SPRT
+    row-for-row, and replaying an already-ingested batch must not change
+    the serve (staging-rename idempotence)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import (
+        load_table,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.sprt_stream import (
+        SprtStreamMonitor,
+    )
+
+    batch = [
+        tuple(r)
+        for r in all_queries()["stats_sprt_monitor"].fn(spark, SF).collect()
+    ]
+    o = load_table(spark, SF, "orders")
+    mon = SprtStreamMonitor(spark, str(tmp_path / "store"))
+    for bid in range(4):
+        mon.ingest_batch(
+            o.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(4)) == bid), bid
+        )
+    served = [tuple(r) for r in mon.serve_trajectory().collect()]
+    assert served == batch
+    mon.ingest_batch(
+        o.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(4)) == 1), 1
+    )  # replay
+    assert [tuple(r) for r in mon.serve_trajectory().collect()] == batch
+    mon.compact()
+    assert [tuple(r) for r in mon.serve_trajectory().collect()] == batch
+
+
+def test_platt_vs_python_newton(spark):
+    """Python replay of the 2-step 2-parameter Newton fit on the n_chars
+    z-score; (A, B) and the decile bins must match."""
+    import duckdb
+    import math
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = sorted(
+        all_queries()["ml_platt_scaling"].fn(spark, SF).collect(),
+        key=lambda r: r.bin,
+    )
+    df = duckdb.sql(
+        f"""SELECT CAST(n_chars AS BIGINT) x,
+                   CASE WHEN source = 'src1' THEN 1.0 ELSE 0.0 END z
+            FROM '{SF}/documents.parquet' WHERE source IN ('src0','src1')"""
+    ).df()
+    xs = df["x"].to_numpy(dtype=float)
+    zs = df["z"].to_numpy(dtype=float)
+    n = len(xs)
+    mu = xs.sum() / n
+    sd = math.sqrt((xs * xs).sum() / n - mu * mu)
+    # NB: operator computes sd as sqrt((sxx - sx*sx/n)/n); same value
+    sd = math.sqrt(((xs * xs).sum() - xs.sum() ** 2 / n) / n)
+    s = (xs - mu) / sd
+    mm11, mm12, mm22 = (s * s).sum(), s.sum(), float(n)
+    gg1, gg2 = (s * (zs - 0.5)).sum(), (zs - 0.5).sum()
+    det = mm11 * mm22 - mm12 * mm12
+    a1 = 4.0 * (mm22 * gg1 - mm12 * gg2) / det
+    b1 = 4.0 * (-mm12 * gg1 + mm11 * gg2) / det
+    import numpy as np
+
+    p = 1.0 / (1.0 + np.exp(-(a1 * s + b1)))
+    w = p * (1 - p)
+    mm11, mm12, mm22 = (w * s * s).sum(), (w * s).sum(), w.sum()
+    gg1, gg2 = (s * (zs - p)).sum(), (zs - p).sum()
+    det = mm11 * mm22 - mm12 * mm12
+    a = a1 + (mm22 * gg1 - mm12 * gg2) / det
+    b = b1 + (-mm12 * gg1 + mm11 * gg2) / det
+    assert abs(rows[0].platt_a - a) < 1e-4
+    assert abs(rows[0].platt_b - b) < 1e-4
+    pf = 1.0 / (1.0 + np.exp(-(a * s + b)))
+    bins = np.minimum(np.floor(pf * 10).astype(int), 9)
+    got = {r.bin: r for r in rows}
+    import collections
+
+    for bv, cnt in collections.Counter(bins).items():
+        r = got[bv]
+        assert r.n_bin == cnt
+        sel = bins == bv
+        assert abs(r.mean_p - pf[sel].mean()) < 1e-5
+        assert abs(r.pos_rate - zs[sel].mean()) < 1e-6
+    assert sum(r.n_bin for r in rows) == n
