@@ -1123,3 +1123,165 @@ def q_events_logrank_test(spark, sf_dir):
         )
         .orderBy("arm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weibull fit — parametric survival from the Kaplan-Meier curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_weibull_fit",
+    oracle="""
+    WITH life AS (
+        SELECT user_id,
+               CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+                    AS BIGINT) AS t,
+               (max(CAST(ts AS DATE))
+                < (SELECT max(CAST(ts AS DATE)) FROM events)) AS died
+        FROM life_src GROUP BY user_id
+    ), ev AS (
+        SELECT t,
+               CAST(count(*) FILTER (WHERE died) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS leaving
+        FROM life GROUP BY t
+    ), risk AS (
+        SELECT t, d, leaving,
+               CAST(sum(leaving) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+        FROM ev
+    ), surv AS (
+        SELECT t, d, n_risk,
+               exp(sum(ln(1.0 - d / CAST(n_risk AS DOUBLE)))
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)) AS s
+        FROM risk WHERE d > 0
+    ), pts AS (
+        SELECT ln(CAST(t AS DOUBLE)) AS x, ln(-ln(s)) AS y
+        FROM surv WHERE t > 0 AND s > 0.0 AND s < 1.0
+    ), f AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        FROM pts
+    )
+    SELECT n AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS shape_k,
+           round(exp(-((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)
+                     / ((n * sxy - sx * sy) / (n * sxx - sx * sx))), 4)
+               AS scale_days,
+           round(exp(-((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)
+                     / ((n * sxy - sx * sy) / (n * sxx - sx * sx)))
+                 * pow(0.6931471805599453,
+                       1.0 / ((n * sxy - sx * sy) / (n * sxx - sx * sx))), 4)
+               AS median_days,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM f
+    WHERE n >= 2 AND (n * sxx - sx * sx) > 0 AND (n * sxy - sx * sy) <> 0
+          AND (n * syy - sy * sy) > 0
+    """.replace("life_src", "events"),
+    tags=("events", "survival", "weibull", "parametric"),
+)
+def q_events_weibull_fit(spark, sf_dir):
+    """Weibull survival fit — the PARAMETRIC step after
+    `events_kaplan_meier` (the curve) and `events_logrank_test` (the
+    comparison): S(t) = exp(−(t/λ)^k) linearizes to
+    ln(−ln S) = k·ln t − k·ln λ, so regressing the KM curve's
+    complementary-log-log against log lifetime gives the shape k
+    (k < 1: churn hazard falls with tenure — the classic early-churn
+    signature; k > 1: wear-out) and scale λ, and with them smooth
+    extrapolation and the parametric median λ·(ln 2)^{1/k} that the
+    step-function KM curve cannot provide beyond its last observed day.
+
+    The KM inputs replicate `events_kaplan_meier`'s pipeline (exact
+    integer d/n_risk ratios through exp∘Σln); the OLS runs over the
+    bounded death-day grid (same calendar bound, allow-listed window),
+    and every closing expression is written identically in both engines
+    with round-6/4 canonicalization.
+
+    Scale: identical to the KM query — one per-user grouped agg + grid
+    windows over ≤|distinct lifetimes| rows; the regression is five
+    scalar sums over that grid."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    gmax = ev.agg(F.max(F.col("ts").cast("date")).alias("gd"))
+    life = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("d0"),
+            F.max(F.col("ts").cast("date")).alias("d1"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.datediff("d1", "d0").cast("long").alias("t"),
+            (F.col("d1") < F.col("gd")).alias("died"),
+        )
+    )
+    grid = life.groupBy("t").agg(
+        F.sum(F.when(F.col("died"), 1).otherwise(0)).cast("long").alias("d"),
+        F.count("*").cast("long").alias("leaving"),
+    )
+    w_rev = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.select(
+        "t", "d", F.sum("leaving").over(w_rev).cast("long").alias("n_risk")
+    )
+    w_fwd = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = risk.filter(F.col("d") > 0).select(
+        "t",
+        F.exp(
+            F.sum(F.log(F.lit(1.0) - F.col("d") / F.col("n_risk").cast("double"))).over(
+                w_fwd
+            )
+        ).alias("s"),
+    )
+    pts = surv.filter(
+        (F.col("t") > 0) & (F.col("s") > 0.0) & (F.col("s") < 1.0)
+    ).select(
+        F.log(F.col("t").cast("double")).alias("x"),
+        F.log(-F.log("s")).alias("y"),
+    )
+    f = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    slope = (nD * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nD * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / nD
+    lam = F.exp(-intercept / slope)
+    r2 = (
+        (nD * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (nD * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            (nD * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (nD * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    # degenerate guard: a single usable death time (sf0.001) leaves the
+    # regression underdetermined — emit no row, matching the oracle WHERE
+    f = f.filter(
+        (F.col("n") >= 2)
+        & (nD * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (nD * F.col("sxy") - F.col("sx") * F.col("sy") != 0)
+        & (nD * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    )
+    return f.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("shape_k"),
+        F.round(lam, 4).alias("scale_days"),
+        F.round(lam * F.pow(F.lit(0.6931471805599453), F.lit(1.0) / slope), 4).alias(
+            "median_days"
+        ),
+        F.round(r2, 6).alias("r2"),
+    )

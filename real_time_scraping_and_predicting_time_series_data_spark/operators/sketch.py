@@ -426,3 +426,85 @@ def q_sketch_hll_md5(spark, sf_dir):
             (F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact")
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — order statistics of the hash
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH v AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), h AS (
+        SELECT DISTINCT
+               {md5_60_sql("CAST(l_partkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)")}
+                   AS h60
+        FROM v
+    ), small AS (
+        SELECT h60 FROM h ORDER BY h60 LIMIT {_KMV_K}
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(max(h60) AS BIGINT) AS kth,
+               (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_exact
+        FROM small
+    )
+    SELECT n_exact, k, kth,
+           floor((CAST(k AS DOUBLE) - 1.0)
+                 / (CAST(kth AS DOUBLE) / {float(1 << 60)!r})
+                 * 1000000 + 0.5) / 1000000 AS kmv_estimate,
+           floor(((CAST(k AS DOUBLE) - 1.0)
+                  / (CAST(kth AS DOUBLE) / {float(1 << 60)!r}) - n_exact)
+                 / n_exact * 1000000 + 0.5) / 1000000 AS rel_err
+    FROM s
+    """,
+    tags=("sketch", "distinct", "kmv", "mergeable"),
+)
+def q_sketch_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch of the (part,
+    supplier) pair universe — the ORDER-STATISTIC alternative to HLL
+    (`sketch_hll_distinct`/`sketch_hll_md5`): keep the k = 256 smallest
+    60-bit hash values; if the k-th smallest normalized hash is U, the
+    unbiased estimate is (k−1)/U (Bar-Yossef et al. 2002, public).  KMV
+    sketches MERGE by "union then keep the k smallest" — associative,
+    commutative, idempotent (stronger than the count grids' disjointness
+    contract; pinned by test) — and unlike HLL support set EXPRESSIONS
+    (intersection via the Jaccard of the union sketch).
+
+    Fully deterministic (md5-derived hashes, exact integer order
+    statistics) → full value-hash oracle, no rows-only carve-out needed.
+
+    Scale: one distinct-pair agg, then a global TOP-K BY HASH — Spark
+    plans orderBy+limit as TakeOrdered (per-partition k-heaps + a k-row
+    driver merge), so nothing ever globally sorts; the sketch state is
+    k longs regardless of corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select("l_partkey", "l_suppkey").distinct()
+    h = v.select(
+        md5_60(
+            F.concat_ws(
+                ":", F.col("l_partkey").cast("string"), F.col("l_suppkey").cast("string")
+            )
+        ).alias("h60")
+    ).distinct()
+    small = h.orderBy("h60").limit(_KMV_K)
+    n_exact = v.agg(F.count("*").cast("long").alias("n_exact"))
+    s = small.agg(
+        F.count("*").cast("long").alias("k"),
+        F.max("h60").cast("long").alias("kth"),
+    ).crossJoin(F.broadcast(n_exact))
+    est = (F.col("k").cast("double") - F.lit(1.0)) / (
+        F.col("kth").cast("double") / F.lit(float(1 << 60))
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return s.select(
+        "n_exact",
+        "k",
+        "kth",
+        canon(est).alias("kmv_estimate"),
+        canon((est - F.col("n_exact")) / F.col("n_exact")).alias("rel_err"),
+    )

@@ -7221,3 +7221,198 @@ def q_ml_platt_scaling(spark, sf_dir):
         canon5(F.min("a")).alias("platt_a"),
         canon5(F.min("b")).alias("platt_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Qini / uplift curve — heterogeneous-treatment-effect readout by decile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_qini_uplift",
+    oracle="""
+    WITH bounds AS (
+        SELECT epoch_us(min(date_trunc('microseconds', ts)))
+               + (epoch_us(max(date_trunc('microseconds', ts)))
+                  - epoch_us(min(date_trunc('microseconds', ts)))) // 2 AS mid
+        FROM events
+    ), u AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(count(*) FILTER (
+                   WHERE epoch_us(date_trunc('microseconds', ts))
+                         <= (SELECT mid FROM bounds)) AS BIGINT) AS score,
+               CAST(max(CASE WHEN event_type = 'purchase' AND value >= 200.0
+                             AND epoch_us(date_trunc('microseconds', ts))
+                                 > (SELECT mid FROM bounds)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT score,
+               CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS tn,
+               CAST(sum(conv) FILTER (WHERE arm = 1) AS BIGINT) AS tc,
+               CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS cn,
+               CAST(sum(conv) FILTER (WHERE arm = 0) AS BIGINT) AS cc,
+               CAST(count(*) AS BIGINT) AS alln
+        FROM u GROUP BY score
+    ), c AS (
+        SELECT score,
+               CAST(sum(tn) OVER w AS BIGINT) AS ctn,
+               CAST(sum(tc) OVER w AS BIGINT) AS ctc,
+               CAST(sum(cn) OVER w AS BIGINT) AS ccn,
+               CAST(sum(cc) OVER w AS BIGINT) AS ccc,
+               CAST(sum(alln) OVER w AS BIGINT) AS call
+        FROM g WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW)
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all FROM u
+    ), dec AS (
+        SELECT d.decile,
+               max(CASE WHEN c.call * 10 <= d.decile * t.n_all
+                        THEN c.call END) AS cut
+        FROM c CROSS JOIN tot t
+        CROSS JOIN (SELECT unnest(range(1, 11)) AS decile) d
+        GROUP BY d.decile
+    ), pick AS (
+        SELECT dec.decile,
+               COALESCE(max(c.ctn), 0) AS n_treat,
+               COALESCE(max(c.ccn), 0) AS n_ctrl,
+               COALESCE(max(c.ctc), 0) AS conv_treat,
+               COALESCE(max(c.ccc), 0) AS conv_ctrl
+        FROM dec LEFT JOIN c ON c.call = dec.cut
+        GROUP BY dec.decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_treat AS BIGINT) AS n_treat, CAST(n_ctrl AS BIGINT) AS n_ctrl,
+           CAST(conv_treat AS BIGINT) AS conv_treat,
+           CAST(conv_ctrl AS BIGINT) AS conv_ctrl,
+           CASE WHEN n_ctrl > 0 THEN
+               floor((conv_treat - CAST(conv_ctrl AS DOUBLE) * n_treat / n_ctrl)
+                     * 1000000 + 0.5) / 1000000 END AS qini,
+           CASE WHEN n_ctrl > 0 AND n_treat > 0 THEN
+               floor((CAST(conv_treat AS DOUBLE) / n_treat
+                      - CAST(conv_ctrl AS DOUBLE) / n_ctrl)
+                     * 1000000 + 0.5) / 1000000 END AS uplift
+    FROM pick ORDER BY decile
+    """,
+    tags=("stats", "uplift", "qini", "ab-test"),
+)
+def q_events_qini_uplift(spark, sf_dir):
+    """Qini / uplift curve — the heterogeneous-treatment-effect readout
+    that answers "WHOM does the treatment help", where
+    `stats_two_proportion_z` only answers "does it help on average":
+    rank users by a pre-period targeting score (first-half activity
+    count), then at each decile of the ranked population compare
+    second-half conversion between the user_id-parity arms.  Qini(d) =
+    convT(d) − convC(d)·nT(d)/nC(d) (incremental conversions vs a
+    control scaled to the treated population) — the area under this
+    curve is THE uplift-model benchmark metric (Radcliffe 2007, public).
+    Time-splitting score and outcome windows removes the outcome leak a
+    naive same-window activity score would have.
+
+    INTEGER-EXACT: scores and conversions are BIGINT; cumulative
+    (treat/ctrl × n/conv) ride the distinct-score grid DESC; deciles cut
+    by the exact integer rule cum_all·10 ≤ decile·n_all (the
+    `ml_cumulative_gains` device — no fp threshold); the two closing
+    divides are canonicalized.
+
+    Scale: one events scan → per-user agg → distinct-score grid (bounded
+    by max per-user activity, not |users|); the global windows ride that
+    bounded grid via grid_cumsum.  Output: 10 deciles with arm
+    bookkeeping beside (qini, uplift)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + ((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 2).cast(
+                "long"
+            )
+        ).alias("mid")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.unix_micros("ts") <= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("score"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 200.0)
+                    & (F.unix_micros("ts") > F.col("mid")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("conv"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("long").alias("arm"), "score", "conv"
+        )
+    )
+    g = u.groupBy("score").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("tn"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("tc"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("cn"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("cc"),
+        F.count("*").cast("long").alias("alln"),
+    )
+    c = grid_cumsum(
+        g.withColumn("nsc", -F.col("score")),
+        ["tn", "tc", "cn", "cc", "alln"],
+        order_col="nsc",
+    ).select(
+        F.col("cum_tn").alias("ctn"),
+        F.col("cum_tc").alias("ctc"),
+        F.col("cum_cn").alias("ccn"),
+        F.col("cum_cc").alias("ccc"),
+        F.col("cum_alln").alias("call"),
+    )
+    tot = u.agg(F.count("*").cast("long").alias("n_all"))
+    deciles = spark.range(1, 11).select(F.col("id").cast("long").alias("decile"))
+    dec = (
+        c.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(deciles))
+        .groupBy("decile")
+        .agg(
+            F.max(
+                F.when(F.col("call") * 10 <= F.col("decile") * F.col("n_all"), F.col("call"))
+            ).alias("cut")
+        )
+    )
+    pick = (
+        dec.join(c, dec.cut == c.call, "left")
+        .groupBy("decile")
+        .agg(
+            F.coalesce(F.max("ctn"), F.lit(0)).cast("long").alias("n_treat"),
+            F.coalesce(F.max("ccn"), F.lit(0)).cast("long").alias("n_ctrl"),
+            F.coalesce(F.max("ctc"), F.lit(0)).cast("long").alias("conv_treat"),
+            F.coalesce(F.max("ccc"), F.lit(0)).cast("long").alias("conv_ctrl"),
+        )
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return pick.select(
+        "decile",
+        "n_treat",
+        "n_ctrl",
+        "conv_treat",
+        "conv_ctrl",
+        F.when(
+            F.col("n_ctrl") > 0,
+            canon(
+                F.col("conv_treat")
+                - F.col("conv_ctrl").cast("double") * F.col("n_treat") / F.col("n_ctrl")
+            ),
+        ).alias("qini"),
+        F.when(
+            (F.col("n_ctrl") > 0) & (F.col("n_treat") > 0),
+            canon(
+                F.col("conv_treat").cast("double") / F.col("n_treat")
+                - F.col("conv_ctrl").cast("double") / F.col("n_ctrl")
+            ),
+        ).alias("uplift"),
+    ).orderBy("decile")

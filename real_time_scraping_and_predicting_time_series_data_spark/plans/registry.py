@@ -113,6 +113,9 @@ _FRONT = (
     "ml_elastic_net_cd",
     "stats_sprt_stream_serve",
     "ml_platt_scaling",
+    "sketch_kmv_distinct",
+    "events_weibull_fit",
+    "events_qini_uplift",
     "stats_kruskal_wallis",
     "stats_anderson_darling",
     "ml_brier_decomposition",

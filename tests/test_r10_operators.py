@@ -1534,3 +1534,167 @@ def test_platt_vs_python_newton(spark):
         assert abs(r.mean_p - pf[sel].mean()) < 1e-5
         assert abs(r.pos_rate - zs[sel].mean()) < 1e-6
     assert sum(r.n_bin for r in rows) == n
+
+
+# ---------------------------------------------------------------------------
+# wave 19: KMV sketch / Weibull survival fit / Qini uplift
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_merge_and_accuracy(spark):
+    """KMV's defining property: union-then-keep-k of two disjoint-split
+    sketches equals the global sketch exactly; and the estimate sits
+    within the ~1/sqrt(k) relative-error band."""
+    import duckdb
+    import math
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.sketch import (
+        _KMV_K,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    [row] = all_queries()["sketch_kmv_distinct"].fn(spark, SF).collect()
+    hs = duckdb.sql(
+        f"""SELECT DISTINCT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || ':'
+                   || CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM (SELECT DISTINCT l_partkey, l_suppkey
+                  FROM '{SF}/lineitem.parquet')"""
+    ).df()["h"].to_numpy()
+    glob = sorted(hs)[:_KMV_K]
+    a = sorted(h for h in hs if h % 2 == 0)[:_KMV_K]
+    b = sorted(h for h in hs if h % 2 == 1)[:_KMV_K]
+    merged = sorted(a + b)[:_KMV_K]
+    assert merged == glob  # union-then-keep-k == global
+    k = min(_KMV_K, len(hs))
+    kth = glob[k - 1]
+    est = (k - 1) / (kth / float(1 << 60))
+    assert row.k == k and row.kth == kth
+    assert abs(row.kmv_estimate - est) < 1e-3
+    n = len(hs)
+    assert abs(row.kmv_estimate - n) / n < 4.0 / math.sqrt(k)
+    assert row.n_exact == n
+
+
+def test_weibull_vs_python(spark):
+    """Recompute the KM curve and the cloglog regression in python; shape,
+    scale, median and r2 must match."""
+    import duckdb
+    import math
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    sf = "/root/testdata/sf0.01"  # sf0.001 has one death time -> guard emits no row
+    assert all_queries()["events_weibull_fit"].fn(spark, SF).count() == 0
+    [row] = all_queries()["events_weibull_fit"].fn(spark, sf).collect()
+    df = duckdb.sql(
+        f"""SELECT user_id,
+                   date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS t,
+                   max(CAST(ts AS DATE))
+                     < (SELECT max(CAST(ts AS DATE)) FROM '{sf}/events.parquet') AS died
+            FROM '{sf}/events.parquet' GROUP BY user_id"""
+    ).df()
+    from collections import defaultdict
+
+    grid = defaultdict(lambda: [0, 0])
+    for t, d in zip(df["t"], df["died"]):
+        grid[int(t)][0] += bool(d)
+        grid[int(t)][1] += 1
+    at = len(df)
+    s = 1.0
+    pts = []
+    for t in sorted(grid):
+        d, leave = grid[t]
+        if d > 0:
+            s *= 1.0 - d / at
+            if t > 0 and 0.0 < s < 1.0:
+                pts.append((math.log(t), math.log(-math.log(s))))
+        at -= leave
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    syy = sum(y * y for _, y in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    lam = math.exp(-intercept / slope)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert row.n_points == n
+    assert abs(row.shape_k - slope) < 1e-5
+    assert abs(row.scale_days - lam) < 1e-2
+    assert abs(row.median_days - lam * 0.6931471805599453 ** (1.0 / slope)) < 1e-2
+    assert abs(row.r2 - r2) < 1e-5
+    assert row.r2 > 0.5  # cloglog linearization actually fits lifetimes
+
+
+def test_qini_vs_python(spark):
+    """Replay the score/outcome split, the exact decile rule and the Qini
+    arithmetic in python; decile bookkeeping must match row-for-row."""
+    import duckdb
+    import math
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = sorted(
+        all_queries()["events_qini_uplift"].fn(spark, SF).collect(),
+        key=lambda r: r.decile,
+    )
+    df = duckdb.sql(
+        f"""SELECT user_id, epoch_us(date_trunc('microseconds', ts)) us,
+                   event_type, value
+            FROM '{SF}/events.parquet'"""
+    ).df()
+    lo, hi = int(df["us"].min()), int(df["us"].max())
+    mid = lo + (hi - lo) // 2
+    users = {}
+    for uid, us, et, v in zip(df["user_id"], df["us"], df["event_type"], df["value"]):
+        u = users.setdefault(int(uid), [0, 0])
+        if int(us) <= mid:
+            u[0] += 1
+        elif et == "purchase" and v >= 200.0:
+            u[1] = 1
+    from collections import defaultdict
+
+    g = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for uid, (score, conv) in users.items():
+        arm = uid % 2
+        e = g[score]
+        e[4] += 1
+        if arm == 1:
+            e[0] += 1
+            e[1] += conv
+        else:
+            e[2] += 1
+            e[3] += conv
+    n_all = len(users)
+    cums = []
+    ctn = ctc = ccn = ccc = call = 0
+    for score in sorted(g, reverse=True):
+        tn, tc, cn, cc, alln = g[score]
+        ctn += tn
+        ctc += tc
+        ccn += cn
+        ccc += cc
+        call += alln
+        cums.append((call, ctn, ctc, ccn, ccc))
+    for r in rows:
+        best = None
+        for call, ctn, ctc, ccn, ccc in cums:
+            if call * 10 <= r.decile * n_all:
+                best = (call, ctn, ctc, ccn, ccc)
+        if best is None:
+            assert r.n_treat == 0 and r.n_ctrl == 0
+            continue
+        _, ctn, ctc, ccn, ccc = best
+        assert (r.n_treat, r.n_ctrl, r.conv_treat, r.conv_ctrl) == (ctn, ccn, ctc, ccc)
+        qini = ctc - ccc * ctn / ccn
+        assert abs(r.qini - math.floor(qini * 1e6 + 0.5) / 1e6) < 1e-12
+    assert [r.n_treat + r.n_ctrl for r in rows] == sorted(
+        r.n_treat + r.n_ctrl for r in rows
+    )
