@@ -1285,3 +1285,137 @@ def q_events_weibull_fit(spark, sf_dir):
         ),
         F.round(r2, 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate — how predictable is the behavior stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), pairs AS (
+        SELECT cur, nxt, count(*) AS n FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), p AS (
+        SELECT cur, nxt, n / (sum(n) OVER (PARTITION BY cur)) AS p
+        FROM pairs
+    ), states AS (
+        SELECT DISTINCT cur AS state FROM p
+    ), k AS (SELECT CAST(count(*) AS DOUBLE) AS kk FROM states),
+    pi0 AS (
+        SELECT state, 1.0 / (SELECT kk FROM k) AS pi FROM states
+    ), pi1 AS (
+        SELECT p.nxt AS state, sum(pi0.pi * p.p) AS pi
+        FROM p JOIN pi0 ON pi0.state = p.cur GROUP BY p.nxt
+    ), pi2 AS (
+        SELECT p.nxt AS state, sum(pi1.pi * p.p) AS pi
+        FROM p JOIN pi1 ON pi1.state = p.cur GROUP BY p.nxt
+    ), pi3 AS (
+        SELECT p.nxt AS state, sum(pi2.pi * p.p) AS pi
+        FROM p JOIN pi2 ON pi2.state = p.cur GROUP BY p.nxt
+    ), hs AS (
+        SELECT cur AS state,
+               CAST(sum(CAST(floor(-p * ln(p) * 1000000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS h_q
+        FROM p GROUP BY cur
+    ), rate AS (
+        SELECT CAST(sum(CAST(floor(pi3.pi * (CAST(hs.h_q AS DOUBLE) / 1000000000.0)
+                                   * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS r_q,
+               max((SELECT kk FROM k)) AS kk
+        FROM pi3 JOIN hs ON hs.state = pi3.state
+    )
+    SELECT pi3.state AS state,
+           round(pi3.pi, 9) AS pi,
+           floor(CAST(hs.h_q AS DOUBLE) / 1000.0 + 0.5) / 1000000.0
+               AS h_conditional,
+           floor(CAST(r.r_q AS DOUBLE) / 1000.0 + 0.5) / 1000000.0
+               AS entropy_rate,
+           floor(ln(r.kk) * 1000000 + 0.5) / 1000000 AS max_entropy,
+           floor(CAST(r.r_q AS DOUBLE) / 1000000000.0 / ln(r.kk) * 1000000 + 0.5)
+               / 1000000 AS predictability_gap
+    FROM pi3 JOIN hs ON hs.state = pi3.state CROSS JOIN rate r
+    """,
+    tags=("events", "markov", "entropy", "sequence"),
+)
+def q_events_markov_entropy_rate(spark, sf_dir):
+    """Entropy rate of the empirical event-type Markov chain — HOW
+    PREDICTABLE is the behavior stream: H = Σ_i π_i · H_i with
+    H_i = −Σ_j p_ij ln p_ij, π from the same three power-iteration steps
+    as `events_markov_stationary`.  The ratio H / ln(k) says how close
+    user behavior is to uniformly random (1.0) vs deterministic ritual
+    (0.0) — the one-number summary that decides whether next-event
+    prediction is even worth modeling.  Completes the Markov family:
+    transitions (the model), stationary (where attention settles),
+    attribution (removal effects), entropy rate (how much signal).
+
+    Exactness: transition probabilities are exact count ratios; each
+    −p·ln(p) term and each π_i·H_i product is nano-quantized to BIGINT
+    BEFORE its sum (the CUPED convention), so the only engine-shared
+    float risk is libm's ln of identical doubles.
+
+    Scale: events are scanned ONCE for the transition counts; everything
+    after lives on the |types|² ≤ 25-row probability relation — three
+    broadcast matvecs plus two 5-row aggregates."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("cur")
+    p = pairs.select(
+        "cur", "nxt", (F.col("n") / F.sum("n").over(wt)).alias("p")
+    ).localCheckpoint(eager=False)
+    states = p.select(F.col("cur").alias("state")).distinct()
+    k = states.agg(F.count("*").cast("double").alias("kk"))
+    pi = states.crossJoin(F.broadcast(k)).select(
+        "state", (F.lit(1.0) / F.col("kk")).alias("pi")
+    )
+    for _ in range(3):
+        pi = (
+            p.join(F.broadcast(pi.withColumnRenamed("state", "cur")), "cur")
+            .groupBy(F.col("nxt").alias("state"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
+        )
+    hs = p.groupBy(F.col("cur").alias("state")).agg(
+        F.sum(
+            F.floor(-F.col("p") * F.log("p") * 1000000000 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("h_q")
+    )
+    joined = pi.join(hs, "state").localCheckpoint(eager=False)
+    rate = joined.crossJoin(F.broadcast(k)).agg(
+        F.sum(
+            F.floor(
+                F.col("pi")
+                * (F.col("h_q").cast("double") / F.lit(1000000000.0))
+                * 1000000000
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("r_q"),
+        F.max("kk").alias("kk"),
+    )
+    milli = lambda c: F.floor(c.cast("double") / F.lit(1000.0) + F.lit(0.5)) / F.lit(  # noqa: E731
+        1000000.0
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return joined.crossJoin(F.broadcast(rate)).select(
+        "state",
+        F.round("pi", 9).alias("pi"),
+        milli(F.col("h_q")).alias("h_conditional"),
+        milli(F.col("r_q")).alias("entropy_rate"),
+        canon(F.log("kk")).alias("max_entropy"),
+        canon(
+            F.col("r_q").cast("double") / F.lit(1000000000.0) / F.log("kk")
+        ).alias("predictability_gap"),
+    )

@@ -7416,3 +7416,262 @@ def q_events_qini_uplift(spark, sf_dir):
             ),
         ).alias("uplift"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# Regression influence diagnostics — leverage and Cook's distance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_regression_influence",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+        FROM events
+    ), g AS (
+        SELECT CAST(date_diff('day', (SELECT min(day) FROM d), day) AS BIGINT) AS t,
+               strftime(day, '%Y-%m-%d') AS day,
+               CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS y
+        FROM d GROUP BY day
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS st, CAST(sum(t * t) AS BIGINT) AS stt,
+               CAST(sum(y) AS BIGINT) AS sy, CAST(sum(t * y) AS BIGINT) AS sty,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM g
+    ), fit AS (
+        SELECT n, st, stt,
+               (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) AS slope,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)
+                  * st) / n AS icept,
+               (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n) AS sxx,
+               CAST(st AS DOUBLE) / n AS tbar
+        FROM m
+    ), res AS (
+        SELECT g.day, g.t, g.y, f.n,
+               (g.y - (f.icept + f.slope * g.t)) AS e,
+               (1.0 / f.n + (g.t - f.tbar) * (g.t - f.tbar) / f.sxx) AS h
+        FROM g CROSS JOIN fit f
+    ), mse AS (
+        SELECT CAST(sum(CAST(floor(e * e * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sse_q,
+               max(n) AS n
+        FROM res
+    )
+    SELECT r.day, r.t,
+           floor(r.h * 1000000 + 0.5) / 1000000 AS leverage,
+           floor(r.e / 1000.0 * 1000000 + 0.5) / 1000000 AS residual,
+           floor((r.e * r.e / ((CAST(m.sse_q AS DOUBLE) / 1000.0) / (m.n - 2))
+                  / (1.0 - r.h)) * (r.h / (2.0 * (1.0 - r.h)))
+                 * 1000000 + 0.5) / 1000000 AS cooks_d
+    FROM res r CROSS JOIN mse m
+    ORDER BY cooks_d DESC, r.day LIMIT 10
+    """,
+    tags=("ml", "regression", "diagnostics", "influence"),
+)
+def q_ml_regression_influence(spark, sf_dir):
+    """Influence diagnostics for the daily-mean trend regression: per-day
+    leverage h_i = 1/n + (t−t̄)²/S_tt, residual, and Cook's distance
+    D_i = e_i²/(p·MSE) · h_i/(1−h_i)² (p = 2) — WHICH days drive the
+    fitted trend, the audit `stats_linear_trend` owes its users: a trend
+    is only as trustworthy as its least replaceable observation.  Top-10
+    days by D, deterministic (canonicalized D desc, then day).
+
+    Exactness: the daily grid is the milli-quantized integer-mean device
+    (`ts_segmented_trend`); the five fit moments are BIGINT; hat values
+    and residuals are identical IEEE expressions of those integers; the
+    one order-sensitive reduction (SSE) quantizes e² to milli-units
+    before summing.
+
+    Scale: one scan to the day grid, one 6-moment agg, one broadcast
+    join back — diagnostics for free at any corpus size; the top-10 is
+    a TakeOrdered, never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    dmin = d.agg(F.min("day").alias("d0"))
+    g = (
+        d.crossJoin(F.broadcast(dmin))
+        .groupBy("day")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count("*")).cast("long").alias("y"),
+            F.datediff(F.first("day"), F.first("d0")).cast("long").alias("t"),
+        )
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "t", "y")
+        .localCheckpoint(eager=False)
+    )
+    m = g.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    slope = (nD * F.col("sty") - F.col("st").cast("double") * F.col("sy")) / (
+        nD * F.col("stt") - F.col("st").cast("double") * F.col("st")
+    )
+    fit = m.select(
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy").cast("double") - slope * F.col("st")) / nD).alias("icept"),
+        (F.col("stt").cast("double") - F.col("st").cast("double") * F.col("st") / nD).alias(
+            "sxx"
+        ),
+        (F.col("st").cast("double") / nD).alias("tbar"),
+    )
+    res = g.crossJoin(F.broadcast(fit)).select(
+        "day",
+        "t",
+        "n",
+        (F.col("y") - (F.col("icept") + F.col("slope") * F.col("t"))).alias("e"),
+        (
+            F.lit(1.0) / F.col("n")
+            + (F.col("t") - F.col("tbar")) * (F.col("t") - F.col("tbar")) / F.col("sxx")
+        ).alias("h"),
+    ).localCheckpoint(eager=False)
+    mse = res.agg(
+        F.sum(F.floor(F.col("e") * F.col("e") * 1000 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sse_q"),
+        F.max("n").alias("n"),
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        res.crossJoin(F.broadcast(mse.select("sse_q", F.col("n").alias("_n"))))
+        .select(
+            "day",
+            "t",
+            canon(F.col("h")).alias("leverage"),
+            canon(F.col("e") / F.lit(1000.0)).alias("residual"),
+            canon(
+                (
+                    F.col("e")
+                    * F.col("e")
+                    / (
+                        (F.col("sse_q").cast("double") / F.lit(1000.0))
+                        / (F.col("_n") - F.lit(2))
+                    )
+                    / (F.lit(1.0) - F.col("h"))
+                )
+                * (F.col("h") / (F.lit(2.0) * (F.lit(1.0) - F.col("h"))))
+            ).alias("cooks_d"),
+        )
+        .orderBy(F.desc("cooks_d"), "day")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Power / minimum-detectable-effect calculator for the experiment readout
+# ---------------------------------------------------------------------------
+
+# two-sided alpha = 0.05, power = 0.80 — classical z constants as shared
+# literals (no inverse-normal at query time; same device as the SPRT)
+_Z_ALPHA2 = 1.9599639845400545
+_Z_BETA = 0.8416212335729143
+
+
+@register(
+    "stats_power_mde",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' AND value >= 200.0
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ), base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(conv) AS BIGINT) AS n_conv,
+               sum(conv) / CAST(count(*) AS DOUBLE) AS p0
+        FROM u
+    ), grid AS (
+        SELECT unnest([0.01, 0.02, 0.03, 0.05, 0.10]) AS delta
+    )
+    SELECT g.delta, b.n_users, b.n_conv,
+           floor(b.p0 * 1000000 + 0.5) / 1000000 AS p0,
+           floor((b.p0 + g.delta) * 1000000 + 0.5) / 1000000 AS p1,
+           CAST(ceil(
+               pow({_Z_ALPHA2!r} * sqrt(2.0 * ((b.p0 + (b.p0 + g.delta)) / 2.0)
+                                        * (1.0 - (b.p0 + (b.p0 + g.delta)) / 2.0))
+                   + {_Z_BETA!r} * sqrt(b.p0 * (1.0 - b.p0)
+                                        + (b.p0 + g.delta) * (1.0 - (b.p0 + g.delta))),
+                   2.0) / (g.delta * g.delta)) AS BIGINT) AS n_per_arm,
+           CAST(floor(ceil(
+               pow({_Z_ALPHA2!r} * sqrt(2.0 * ((b.p0 + (b.p0 + g.delta)) / 2.0)
+                                        * (1.0 - (b.p0 + (b.p0 + g.delta)) / 2.0))
+                   + {_Z_BETA!r} * sqrt(b.p0 * (1.0 - b.p0)
+                                        + (b.p0 + g.delta) * (1.0 - (b.p0 + g.delta))),
+                   2.0) / (g.delta * g.delta)) * 2 / b.n_users) AS BIGINT)
+               AS x_current_population
+    FROM grid g CROSS JOIN base b
+    ORDER BY g.delta
+    """,
+    tags=("stats", "ab-test", "power", "planning"),
+)
+def q_stats_power_mde(spark, sf_dir):
+    """Experiment POWER PLANNER: for effect sizes δ ∈ {1%, 2%, 3%, 5%,
+    10%} over the observed conversion base rate, the per-arm sample size
+    a two-proportion z-test needs at two-sided α = 0.05 and power 0.80 —
+    n = (z_{{α/2}}·√(2p̄q̄) + z_β·√(p0q0 + p1q1))² / δ² (Fleiss, public) —
+    plus how many multiples of the CURRENT user population that is.  The
+    question to answer BEFORE `stats_two_proportion_z` and
+    `events_logrank_test` run: an experiment that cannot reach
+    significance at any plausible effect is not worth starting.
+
+    The two z constants are shared literals (the SPRT device — no
+    inverse-normal evaluated at query time); the base rate is an exact
+    integer ratio; every per-δ expression is identical IEEE on both
+    engines, ceil'd to an integer sample size so the value hash is
+    immune to last-ulp skew except exactly at integer boundaries (δ and
+    the constants are chosen off-boundary).
+
+    Scale: one per-user grouped agg + a 5-row literal grid — O(scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 200.0), 1
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    base = u.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
+        (F.sum("conv") / F.count("*").cast("double")).alias("p0"),
+    )
+    grid = spark.createDataFrame(
+        [(0.01,), (0.02,), (0.03,), (0.05,), (0.10,)], ["delta"]
+    )
+    j = grid.crossJoin(F.broadcast(base))
+    p0 = F.col("p0")
+    p1 = p0 + F.col("delta")
+    pbar = (p0 + p1) / F.lit(2.0)
+    n_arm = F.ceil(
+        F.pow(
+            F.lit(_Z_ALPHA2) * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar))
+            + F.lit(_Z_BETA)
+            * F.sqrt(p0 * (F.lit(1.0) - p0) + p1 * (F.lit(1.0) - p1)),
+            F.lit(2.0),
+        )
+        / (F.col("delta") * F.col("delta"))
+    ).cast("long")
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.select(
+        "delta",
+        "n_users",
+        "n_conv",
+        canon(p0).alias("p0"),
+        canon(p1).alias("p1"),
+        n_arm.alias("n_per_arm"),
+        F.floor(n_arm * 2 / F.col("n_users")).cast("long").alias(
+            "x_current_population"
+        ),
+    ).orderBy("delta")

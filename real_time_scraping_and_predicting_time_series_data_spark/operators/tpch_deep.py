@@ -678,3 +678,105 @@ def q20_excess_stock_suppliers(spark, sf_dir):
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Price indexes — Laspeyres / Paasche / Fisher by month (r10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_price_index",
+    oracle="""
+    WITH lines AS (
+        SELECT l_partkey AS part,
+               strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+               CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem
+    ), cell AS (
+        SELECT part, month,
+               CAST(floor(CAST(sum(pc) AS DOUBLE) / sum(q)) AS BIGINT) AS p,
+               CAST(sum(q) AS BIGINT) AS q
+        FROM lines GROUP BY part, month
+    ), base AS (
+        SELECT part, p AS p0, q AS q0 FROM cell
+        WHERE month = (SELECT min(month) FROM cell)
+    ), j AS (
+        SELECT c.month,
+               CAST(sum(c.p * b.q0) AS BIGINT) AS pt_q0,
+               CAST(sum(b.p0 * b.q0) AS BIGINT) AS p0_q0,
+               CAST(sum(c.p * c.q) AS BIGINT) AS pt_qt,
+               CAST(sum(b.p0 * c.q) AS BIGINT) AS p0_qt,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM cell c JOIN base b ON b.part = c.part
+        GROUP BY c.month
+    )
+    SELECT month, n_parts,
+           floor(CAST(pt_q0 AS DOUBLE) / p0_q0 * 1000000 + 0.5) / 1000000
+               AS laspeyres,
+           floor(CAST(pt_qt AS DOUBLE) / p0_qt * 1000000 + 0.5) / 1000000
+               AS paasche,
+           floor(sqrt((CAST(pt_q0 AS DOUBLE) / p0_q0)
+                      * (CAST(pt_qt AS DOUBLE) / p0_qt)) * 1000000 + 0.5)
+               / 1000000 AS fisher
+    FROM j ORDER BY month
+    """,
+    tags=("orders", "index-numbers", "economics"),
+)
+def q_orders_price_index(spark, sf_dir):
+    """Monthly Laspeyres / Paasche / Fisher price indexes of the part
+    catalog vs the first shipping month — the index-number machinery a
+    revenue dashboard needs to separate PRICE movement from VOLUME
+    movement (`monthly_revenue_trend` shows the product of both):
+    Laspeyres holds the base-month basket fixed (overstates after
+    substitution), Paasche uses the current basket (understates), Fisher
+    is their geometric mean.  Only parts present in BOTH months enter a
+    month's index (the matched-model rule).
+
+    INTEGER-EXACT: unit prices are cent-floored integer divides of exact
+    cent/quantity sums (the established mean device), and all four
+    basket dot products Σp·q are BIGINT sums of BIGINT products; the
+    three closing divides (+ one sqrt) are canonicalized.
+
+    Scale: one scan to the (part, month) cell grid, one broadcast-sized
+    base-month relation joined back, one grouped agg per month — the
+    grid is |parts|·|months|, tiny beside the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.col("l_partkey").alias("part"),
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("month"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("pc"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    cell = lines.groupBy("part", "month").agg(
+        F.floor(F.sum("pc").cast("double") / F.sum("q")).cast("long").alias("p"),
+        F.sum("q").cast("long").alias("q"),
+    ).localCheckpoint(eager=False)
+    m0 = cell.agg(F.min("month").alias("m0"))
+    base = (
+        cell.crossJoin(F.broadcast(m0))
+        .filter(F.col("month") == F.col("m0"))
+        .select("part", F.col("p").alias("p0"), F.col("q").alias("q0"))
+    )
+    j = (
+        cell.join(base, "part")
+        .groupBy("month")
+        .agg(
+            F.sum(F.col("p") * F.col("q0")).cast("long").alias("pt_q0"),
+            F.sum(F.col("p0") * F.col("q0")).cast("long").alias("p0_q0"),
+            F.sum(F.col("p") * F.col("q")).cast("long").alias("pt_qt"),
+            F.sum(F.col("p0") * F.col("q")).cast("long").alias("p0_qt"),
+            F.count("*").cast("long").alias("n_parts"),
+        )
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    lasp = F.col("pt_q0").cast("double") / F.col("p0_q0")
+    paas = F.col("pt_qt").cast("double") / F.col("p0_qt")
+    return j.select(
+        "month",
+        "n_parts",
+        canon(lasp).alias("laspeyres"),
+        canon(paas).alias("paasche"),
+        canon(F.sqrt(lasp * paas)).alias("fisher"),
+    ).orderBy("month")

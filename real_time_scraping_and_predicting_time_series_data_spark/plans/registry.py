@@ -116,6 +116,10 @@ _FRONT = (
     "sketch_kmv_distinct",
     "events_weibull_fit",
     "events_qini_uplift",
+    "events_markov_entropy_rate",
+    "ml_regression_influence",
+    "orders_price_index",
+    "stats_power_mde",
     "stats_kruskal_wallis",
     "stats_anderson_darling",
     "ml_brier_decomposition",

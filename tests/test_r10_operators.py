@@ -1698,3 +1698,201 @@ def test_qini_vs_python(spark):
     assert [r.n_treat + r.n_ctrl for r in rows] == sorted(
         r.n_treat + r.n_ctrl for r in rows
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 20: markov entropy rate / influence / price index / power
+# ---------------------------------------------------------------------------
+
+
+def test_markov_entropy_rate_vs_python(spark):
+    """Replay transitions, 3-step pi and the nano-quantized entropy sums in
+    python; also pin 0 <= H <= ln(k)."""
+    import duckdb
+    import math
+    from collections import defaultdict
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = {
+        r.state: r
+        for r in all_queries()["events_markov_entropy_rate"].fn(spark, SF).collect()
+    }
+    df = duckdb.sql(
+        f"""SELECT user_id, event_type, ts, event_id FROM '{SF}/events.parquet'
+            ORDER BY user_id, ts, event_id"""
+    ).df()
+    trans = defaultdict(lambda: defaultdict(int))
+    prev = {}
+    for uid, et in zip(df["user_id"], df["event_type"]):
+        uid = int(uid)
+        if uid in prev:
+            trans[prev[uid]][et] += 1
+        prev[uid] = et
+    p = {
+        c: {n: v / sum(d.values()) for n, v in d.items()} for c, d in trans.items()
+    }
+    states = sorted(p)
+    k = len(states)
+    pi = {s: 1.0 / k for s in states}
+    for _ in range(3):
+        nxt = defaultdict(float)
+        for c in states:
+            for nx, pr in p[c].items():
+                nxt[nx] += pi[c] * pr
+        pi = dict(nxt)
+    hq = {
+        c: sum(math.floor(-pr * math.log(pr) * 1e9 + 0.5) for pr in p[c].values())
+        for c in states
+    }
+    rq = sum(math.floor(pi[s] * (hq[s] / 1e9) * 1e9 + 0.5) for s in states)
+    for s in states:
+        r = rows[s]
+        assert abs(r.pi - round(pi[s], 9)) < 1e-12
+        assert r.h_conditional == math.floor(hq[s] / 1e3 + 0.5) / 1e6
+        assert r.entropy_rate == math.floor(rq / 1e3 + 0.5) / 1e6
+        assert 0.0 <= r.entropy_rate <= r.max_entropy + 1e-9
+        assert abs(r.max_entropy - math.log(k)) < 1e-6
+
+
+def test_regression_influence_vs_numpy(spark):
+    """Numpy hat-matrix recompute over the same integer day grid; the
+    returned top-10 must be the true top-10 by canonicalized Cook's D."""
+    import duckdb
+    import math
+    import numpy as np
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = all_queries()["ml_regression_influence"].fn(spark, SF).collect()
+    df = duckdb.sql(
+        f"""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                              CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+                       FROM '{SF}/events.parquet')
+            SELECT date_diff('day', (SELECT min(day) FROM d), day) AS t,
+                   strftime(day, '%Y-%m-%d') AS day,
+                   CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS y
+            FROM d GROUP BY day"""
+    ).df()
+    t = df["t"].to_numpy(dtype=float)
+    y = df["y"].to_numpy(dtype=float)
+    n = len(t)
+    tbar = t.sum() / n
+    sxx = (t * t).sum() - t.sum() ** 2 / n
+    slope = (n * (t * y).sum() - t.sum() * y.sum()) / (n * (t * t).sum() - t.sum() ** 2)
+    icept = (y.sum() - slope * t.sum()) / n
+    e = y - (icept + slope * t)
+    h = 1.0 / n + (t - tbar) ** 2 / sxx
+    sse = sum(math.floor(ei * ei * 1000 + 0.5) for ei in e) / 1000.0
+    s2 = sse / (n - 2)
+    cook = (e * e / s2 / (1 - h)) * (h / (2 * (1 - h)))
+    assert abs(h.sum() - 2.0) < 1e-9  # trace of the hat matrix = p
+    canon = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    ranked = sorted(
+        zip(df["day"], cook, h, e), key=lambda z: (-canon(z[1]), z[0])
+    )[:10]
+    assert len(rows) == 10
+    for r, (day, cd, hh, ee) in zip(rows, ranked):
+        assert r.day == day
+        assert r.cooks_d == canon(cd)
+        assert r.leverage == canon(hh)
+        assert abs(r.residual - ee / 1000.0) < 2e-6
+
+
+def test_price_index_vs_python(spark):
+    """Recompute the matched-model baskets in python for every month;
+    Fisher must sit between min/max of (L, P) and the base month at 1."""
+    import duckdb
+    import math
+    from collections import defaultdict
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = sorted(
+        all_queries()["orders_price_index"].fn(spark, SF).collect(),
+        key=lambda r: r.month,
+    )
+    df = duckdb.sql(
+        f"""SELECT l_partkey part, strftime(date_trunc('month', l_shipdate), '%Y-%m') m,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) pc,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) q
+            FROM '{SF}/lineitem.parquet' GROUP BY 1, 2"""
+    ).df()
+    cell = {}
+    for part, m, pc, q in zip(df["part"], df["m"], df["pc"], df["q"]):
+        cell[(int(part), m)] = (math.floor(int(pc) / int(q)), int(q))
+    months = sorted({m for _, m in cell})
+    base_m = months[0]
+    base = {p: cell[(p, m)] for (p, m) in cell if m == base_m}
+    got = {r.month: r for r in rows}
+    for m in months:
+        num_l = den_l = num_p = den_p = 0
+        np_ = 0
+        for (p, mm), (price, q) in cell.items():
+            if mm != m or p not in base:
+                continue
+            p0, q0 = base[p]
+            num_l += price * q0
+            den_l += p0 * q0
+            num_p += price * q
+            den_p += p0 * q
+            np_ += 1
+        r = got[m]
+        assert r.n_parts == np_
+        canon = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+        assert r.laspeyres == canon(num_l / den_l)
+        assert r.paasche == canon(num_p / den_p)
+        assert min(r.laspeyres, r.paasche) - 1e-6 <= r.fisher <= max(
+            r.laspeyres, r.paasche
+        ) + 1e-6
+    assert got[base_m].laspeyres == 1.0 and got[base_m].paasche == 1.0
+
+
+def test_power_mde_vs_python(spark):
+    """Closed-form Fleiss recompute; n_per_arm strictly decreasing in the
+    effect size."""
+    import duckdb
+    import math
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        _Z_ALPHA2,
+        _Z_BETA,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = sorted(
+        all_queries()["stats_power_mde"].fn(spark, SF).collect(),
+        key=lambda r: r.delta,
+    )
+    [base] = duckdb.sql(
+        f"""SELECT count(*) n, sum(conv) c FROM (
+              SELECT user_id, max(CASE WHEN event_type='purchase' AND value>=200.0
+                                       THEN 1 ELSE 0 END) conv
+              FROM '{SF}/events.parquet' GROUP BY user_id)"""
+    ).df().itertuples(index=False)
+    p0 = base.c / base.n
+    prev = None
+    for r in rows:
+        p1 = p0 + r.delta
+        pbar = (p0 + p1) / 2
+        narm = math.ceil(
+            (
+                _Z_ALPHA2 * math.sqrt(2 * pbar * (1 - pbar))
+                + _Z_BETA * math.sqrt(p0 * (1 - p0) + p1 * (1 - p1))
+            )
+            ** 2
+            / r.delta**2
+        )
+        assert r.n_per_arm == narm
+        assert r.x_current_population == (narm * 2) // base.n
+        if prev is not None:
+            assert r.n_per_arm < prev
+        prev = r.n_per_arm
