@@ -2139,3 +2139,162 @@ def q_dedup_minhash_recall_audit(spark, sf_dir):
             F.col("n_hits") / F.greatest(F.lit(n_cand), F.lit(1)), 6
         ).alias("precision_at_tau"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding tuner — expected precision/recall per (bands, rows) config
+# ---------------------------------------------------------------------------
+
+_LSH_TUNE_CONFIGS = ((1, 16), (2, 8), (4, 4), (8, 2))  # k = b*r = 16 minhashes
+_LSH_TUNE_TAU = 0.5
+
+
+def _lsh_catch_expr(b: int, r: int) -> str:
+    """P(candidate | s) = 1 − (1 − s^r)^b as a pow-free expression over a
+    column named ``s`` — integer exponents unrolled into multiplication
+    chains so Spark and DuckDB evaluate the identical IEEE tree (libm
+    pow(double, double) is not bit-portable; * is)."""
+    s_r = "(" + " * ".join(["s"] * r) + ")"
+    one_m = f"(1.0 - {s_r})"
+    return "(1.0 - " + "(" + " * ".join([one_m] * b) + ")" + ")"
+
+
+def _lsh_tuning_oracle() -> str:
+    blocks = []
+    for b, r in _LSH_TUNE_CONFIGS:
+        catch = _lsh_catch_expr(b, r)
+        blocks.append(f"""
+    SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
+           floor(pow(1.0 / {b}, 1.0 / {r}) * 1000000 + 0.5) / 1000000
+               AS crossover_s,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (WHERE s >= {_LSH_TUNE_TAU}) AS BIGINT) AS n_true,
+           floor(CAST(sum(CAST(floor({catch} * 1000000000 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 1000.0 + 0.5) / 1000000.0 AS exp_candidates,
+           floor(CAST(sum(CAST(floor({catch} * 1000000000 + 0.5) AS BIGINT))
+                          FILTER (WHERE s >= {_LSH_TUNE_TAU})
+                      AS DOUBLE) / 1000.0 + 0.5) / 1000000.0 AS exp_true,
+           floor(CAST(sum(CAST(floor({catch} * 1000000000 + 0.5) AS BIGINT))
+                          FILTER (WHERE s >= {_LSH_TUNE_TAU}) AS DOUBLE)
+                 / 1000000000.0
+                 / count(*) FILTER (WHERE s >= {_LSH_TUNE_TAU})
+                 * 1000000 + 0.5) / 1000000 AS expected_recall,
+           floor(CAST(sum(CAST(floor({catch} * 1000000000 + 0.5) AS BIGINT))
+                          FILTER (WHERE s >= {_LSH_TUNE_TAU}) AS DOUBLE)
+                 / CAST(sum(CAST(floor({catch} * 1000000000 + 0.5) AS BIGINT))
+                        AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS expected_precision
+    FROM pairs""")
+    union = "\n    UNION ALL ".join(blocks)
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS words
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, source,
+               list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                              FOR i IN range(1, len(words) - 1)]) AS grams
+        FROM toks
+    ), sized AS (
+        SELECT doc_id, source, grams, len(grams) AS set_size FROM sh
+    ), inv AS (
+        SELECT doc_id, source, set_size, unnest(grams) AS shingle FROM sized
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.set_size AS size_a, b.set_size AS size_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM inv a JOIN inv b ON a.source = b.source AND a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ), pairs AS (
+        SELECT n_common / (size_a + size_b - n_common) AS s
+        FROM common
+        WHERE n_common / (size_a + size_b - n_common) >= 0.05
+    )
+    {union}
+    ORDER BY bands
+    """
+
+
+@register(
+    "dedup_lsh_tuning_curve",
+    oracle=_lsh_tuning_oracle(),
+    tags=("dedup", "lsh", "tuning", "audit"),
+)
+def q_dedup_lsh_tuning_curve(spark, sf_dir):
+    """The LSH BANDING TUNER — `sim_nprobe_recall_curve`'s dedup twin: for
+    every (bands b, rows r) split of a 16-hash MinHash signature, the
+    expected recall and precision of banding on THIS corpus, from the
+    exact pair-similarity distribution: P(candidate | s) = 1 − (1−s^r)^b
+    summed over the observed exact-Jaccard pairs (truth at s ≥ 0.5).
+    (1,16) is the ultra-precise single band, (8,2) the recall-heavy end;
+    the crossover similarity (1/b)^{1/r} says where each config's
+    S-curve turns on.  `dedup_minhash_recall_audit` measures ONE
+    operating point empirically; this predicts the whole knob from the
+    similarity histogram before any signatures are computed — the
+    planning step of a 100 TB dedup rollout.
+
+    Universe honesty (no silent caps): sums run over the source-blocked
+    inverted-index pairs with s ≥ 0.05 (the same universe as
+    `dedup_jaccard_pairs`); pairs below that contribute ≤ b·0.05^r ≤
+    2·10⁻³ each to expected candidates for every config here (r ≥ 2),
+    so precision is bounded-optimistic by construction and the bound is
+    stated rather than hidden.
+
+    Exactness: s is an exact integer ratio; s^r and (1−s^r)^b are
+    UNROLLED MULTIPLICATION CHAINS shared as one expression string by
+    both engines (libm pow is not bit-portable; * is); each pair's catch
+    probability is nano-quantized BEFORE the order-sensitive sum.
+
+    Scale: the pair relation is the inverted-index join (Σ df² within
+    blocks — the same bound as every Jaccard operator here); the four
+    config sums are one more pass over that relation, constant output."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        jaccard_pairs(docs, n=3, block="source", threshold=0.05)
+        .select(F.col("jaccard").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    parts = []
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    for b, r in _LSH_TUNE_CONFIGS:
+        catch_q = F.floor(
+            F.expr(_lsh_catch_expr(b, r)) * 1000000000 + F.lit(0.5)
+        ).cast("long")
+        is_true = F.col("s") >= _LSH_TUNE_TAU
+        agg = pairs.agg(
+            F.lit(b).cast("long").alias("bands"),
+            F.lit(r).cast("long").alias("rows_per_band"),
+            canon(F.pow(F.lit(1.0 / b), F.lit(1.0 / r))).alias("crossover_s"),
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.when(is_true, 1).otherwise(0)).cast("long").alias("n_true"),
+            (
+                F.floor(
+                    F.sum(catch_q).cast("double") / F.lit(1000.0) + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("exp_candidates"),
+            (
+                F.floor(
+                    F.sum(F.when(is_true, catch_q).otherwise(F.lit(0)))
+                    .cast("double")
+                    / F.lit(1000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("exp_true"),
+            canon(
+                F.sum(F.when(is_true, catch_q).otherwise(F.lit(0))).cast("double")
+                / F.lit(1000000000.0)
+                / F.sum(F.when(is_true, 1).otherwise(0))
+            ).alias("expected_recall"),
+            canon(
+                F.sum(F.when(is_true, catch_q).otherwise(F.lit(0))).cast("double")
+                / F.sum(catch_q).cast("double")
+            ).alias("expected_precision"),
+        )
+        parts.append(agg)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.orderBy("bands")

@@ -1419,3 +1419,192 @@ def q_events_markov_entropy_rate(spark, sf_dir):
             F.col("r_q").cast("double") / F.lit(1000000000.0) / F.log("kk")
         ).alias("predictability_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bass diffusion — innovation/imitation fit of the adoption curve
+# ---------------------------------------------------------------------------
+
+
+
+
+@register(
+    "orders_bass_diffusion",
+    oracle="""
+    WITH adopt AS (
+        SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS day
+        FROM orders GROUP BY o_custkey
+    ), g AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dn FROM adopt GROUP BY day
+    ), c AS (
+        SELECT day, dn,
+               CAST(COALESCE(sum(dn) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nprev
+        FROM g
+    ), sc AS (
+        SELECT nprev / 1000.0 AS x, dn / 1000.0 AS y FROM c
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS q1,
+               CAST(sum(CAST(floor(x * x * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS q2,
+               CAST(sum(CAST(floor(x * x * x * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS q3,
+               CAST(sum(CAST(floor(x * x * x * x * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS q4,
+               CAST(sum(CAST(floor(y * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS qy,
+               CAST(sum(CAST(floor(x * y * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS qxy,
+               CAST(sum(CAST(floor(x * x * y * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS qxxy
+        FROM sc
+    ), mm AS (
+        SELECT CAST(n AS DOUBLE) AS n,
+               q1 / 1000000.0 AS sx, q2 / 1000000.0 AS sxx,
+               q3 / 1000000.0 AS sxxx, q4 / 1000000.0 AS sxxxx,
+               qy / 1000000.0 AS sy, qxy / 1000000.0 AS sxy,
+               qxxy / 1000000.0 AS sxxy
+        FROM m
+    ), sol AS (
+        SELECT n, sy,
+               (n * (sxx * sxxxx - sxxx * sxxx)
+                - sx * (sx * sxxxx - sxxx * sxx)
+                + sxx * (sx * sxxx - sxx * sxx)) AS det,
+               (sy * (sxx * sxxxx - sxxx * sxxx)
+                - sx * (sxy * sxxxx - sxxx * sxxy)
+                + sxx * (sxy * sxxx - sxx * sxxy)) AS deta,
+               (n * (sxy * sxxxx - sxxy * sxxx)
+                - sy * (sx * sxxxx - sxxx * sxx)
+                + sxx * (sx * sxxy - sxy * sxx)) AS detb,
+               (n * (sxx * sxxy - sxxx * sxy)
+                - sx * (sx * sxxy - sxy * sxx)
+                + sy * (sx * sxxx - sxx * sxx)) AS detc
+        FROM mm
+    ), coef AS (
+        SELECT n, sy, deta / det AS a, detb / det AS b, detc / det AS c
+        FROM sol WHERE det <> 0
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(floor(sy * 1000 + 0.5) AS BIGINT) AS n_adopters,
+           round(a, 9) AS a, round(b, 9) AS b, round(c, 9) AS c,
+           CASE WHEN c < 0 AND b * b - 4 * a * c >= 0 THEN
+               round((-b - sqrt(b * b - 4 * a * c)) / (2 * c) * 1000.0, 2)
+           END AS m_potential,
+           CASE WHEN c < 0 AND b * b - 4 * a * c >= 0
+                     AND (-b - sqrt(b * b - 4 * a * c)) / (2 * c) > 0 THEN
+               round(a / ((-b - sqrt(b * b - 4 * a * c)) / (2 * c)), 9)
+           END AS p_innovation,
+           CASE WHEN c < 0 AND b * b - 4 * a * c >= 0
+                     AND (-b - sqrt(b * b - 4 * a * c)) / (2 * c) > 0 THEN
+               round(b + a / ((-b - sqrt(b * b - 4 * a * c)) / (2 * c)), 9)
+           END AS q_imitation
+    FROM coef
+    """,
+    tags=("orders", "diffusion", "bass", "adoption"),
+)
+def q_orders_bass_diffusion(spark, sf_dir):
+    """Bass diffusion fit of CUSTOMER acquisition (Bass 1969, public):
+    daily first-order counts dN regressed on cumulative adopters N,
+    dN = a + b·N + c·N², identifying innovation p = a/m, imitation
+    q = b + p, and market potential m (positive root of c·m² + b·m + a)
+    — "is acquisition marketing-driven (p) or word-of-mouth (q), and
+    where does it saturate".  Complements `retention_cohorts` (who
+    stays) with who ARRIVES.  On this synthetic corpus arrivals are
+    near-uniform, so the honest verdict is c ≈ 0 / q ≈ p-scale noise —
+    the no-contagion null, exactly what a diffusion fit should say
+    about a Poisson arrival stream.
+
+    Exactness: adoption counts are BIGINT; N is rescaled to kilo-
+    adopters and every power/cross moment is quantized to integer
+    micro-units PER DAY-ROW before its sum (Σx⁴ in raw adopters
+    overflows 2^63 past ~30k customers — the rescale+quantize keeps all
+    eight moments BIGINT-exact through sf1, documented); the quadratic
+    solve is the `ts_segmented_trend` symbolic Cramer; root/ratio
+    outputs are guarded CASEs.
+
+    Scale: one per-customer min + one day-grid agg; cumulative adopters
+    ride the calendar-bounded day grid (allow-listed); O(1) algebra."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    adopt = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("day")
+    )
+    g = adopt.groupBy("day").agg(F.count("*").cast("long").alias("dn"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "day",
+        "dn",
+        F.coalesce(F.sum("dn").over(w), F.lit(0)).cast("long").alias("nprev"),
+    )
+    x = F.col("nprev") / F.lit(1000.0)
+    y = F.col("dn") / F.lit(1000.0)
+    qz = lambda e: F.sum(F.floor(e * 1000000 + F.lit(0.5)).cast("long")).cast("long")  # noqa: E731
+    m = c.agg(
+        F.count("*").cast("long").alias("n"),
+        qz(x).alias("q1"),
+        qz(x * x).alias("q2"),
+        qz(x * x * x).alias("q3"),
+        qz(x * x * x * x).alias("q4"),
+        qz(y).alias("qy"),
+        qz(x * y).alias("qxy"),
+        qz(x * x * y).alias("qxxy"),
+    )
+    mm = m.select(
+        F.col("n").cast("double").alias("n"),
+        (F.col("q1") / F.lit(1000000.0)).alias("sx"),
+        (F.col("q2") / F.lit(1000000.0)).alias("sxx"),
+        (F.col("q3") / F.lit(1000000.0)).alias("sxxx"),
+        (F.col("q4") / F.lit(1000000.0)).alias("sxxxx"),
+        (F.col("qy") / F.lit(1000000.0)).alias("sy"),
+        (F.col("qxy") / F.lit(1000000.0)).alias("sxy"),
+        (F.col("qxxy") / F.lit(1000000.0)).alias("sxxy"),
+    )
+    D = lambda cn: F.col(cn)  # noqa: E731
+    det = (
+        D("n") * (D("sxx") * D("sxxxx") - D("sxxx") * D("sxxx"))
+        - D("sx") * (D("sx") * D("sxxxx") - D("sxxx") * D("sxx"))
+        + D("sxx") * (D("sx") * D("sxxx") - D("sxx") * D("sxx"))
+    )
+    deta = (
+        D("sy") * (D("sxx") * D("sxxxx") - D("sxxx") * D("sxxx"))
+        - D("sx") * (D("sxy") * D("sxxxx") - D("sxxx") * D("sxxy"))
+        + D("sxx") * (D("sxy") * D("sxxx") - D("sxx") * D("sxxy"))
+    )
+    detb = (
+        D("n") * (D("sxy") * D("sxxxx") - D("sxxy") * D("sxxx"))
+        - D("sy") * (D("sx") * D("sxxxx") - D("sxxx") * D("sxx"))
+        + D("sxx") * (D("sx") * D("sxxy") - D("sxy") * D("sxx"))
+    )
+    detc = (
+        D("n") * (D("sxx") * D("sxxy") - D("sxxx") * D("sxy"))
+        - D("sx") * (D("sx") * D("sxxy") - D("sxy") * D("sxx"))
+        + D("sy") * (D("sx") * D("sxxx") - D("sxx") * D("sxx"))
+    )
+    coef = (
+        mm.select(
+            "n",
+            "sy",
+            det.alias("det"),
+            deta.alias("deta"),
+            detb.alias("detb"),
+            detc.alias("detc"),
+        )
+        .filter(F.col("det") != 0)
+        .select(
+            "n",
+            "sy",
+            (F.col("deta") / F.col("det")).alias("a"),
+            (F.col("detb") / F.col("det")).alias("b"),
+            (F.col("detc") / F.col("det")).alias("c"),
+        )
+    )
+    disc = F.col("b") * F.col("b") - 4 * F.col("a") * F.col("c")
+    mmx = (-F.col("b") - F.sqrt(disc)) / (2 * F.col("c"))
+    ok_m = (F.col("c") < 0) & (disc >= 0)
+    ok_pq = ok_m & (mmx > 0)
+    return coef.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(F.col("sy") * 1000 + F.lit(0.5)).cast("long").alias("n_adopters"),
+        F.round("a", 9).alias("a"),
+        F.round("b", 9).alias("b"),
+        F.round("c", 9).alias("c"),
+        F.when(ok_m, F.round(mmx * F.lit(1000.0), 2)).alias("m_potential"),
+        F.when(ok_pq, F.round(F.col("a") / mmx, 9)).alias("p_innovation"),
+        F.when(ok_pq, F.round(F.col("b") + F.col("a") / mmx, 9)).alias("q_imitation"),
+    )

@@ -120,6 +120,8 @@ _FRONT = (
     "ml_regression_influence",
     "orders_price_index",
     "stats_power_mde",
+    "dedup_lsh_tuning_curve",
+    "orders_bass_diffusion",
     "stats_kruskal_wallis",
     "stats_anderson_darling",
     "ml_brier_decomposition",

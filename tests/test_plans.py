@@ -442,6 +442,8 @@ def test_no_unbounded_global_windows_anywhere(spark):
         "events_kaplan_meier": {"t"},
         # log-rank rides the same lifetime-day grid as kaplan_meier
         "events_logrank_test": {"t"},
+        # bass diffusion cumulative adopters ride the calendar day grid
+        "orders_bass_diffusion": {"day"},
         "monthly_revenue_trend": {"month"},
         "orders_open_backlog": {"day"},
         "stats_jarque_bera": {"day"},

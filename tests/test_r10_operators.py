@@ -1896,3 +1896,129 @@ def test_power_mde_vs_python(spark):
         if prev is not None:
             assert r.n_per_arm < prev
         prev = r.n_per_arm
+
+
+# ---------------------------------------------------------------------------
+# wave 21: LSH banding tuner / Bass diffusion
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_tuning_vs_python(spark):
+    """Replay the catch-probability sums in python over recomputed exact
+    Jaccard pairs; pin the S-curve orderings (recall up / crossover and
+    precision down as bands increase at fixed k)."""
+    import duckdb
+    import math
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
+        _LSH_TUNE_CONFIGS,
+        _LSH_TUNE_TAU,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = sorted(
+        all_queries()["dedup_lsh_tuning_curve"].fn(spark, SF).collect(),
+        key=lambda r: r.bands,
+    )
+    ss = duckdb.sql(
+        rf"""WITH toks AS (SELECT doc_id, source,
+                     string_split_regex(trim(text), '\s+') AS words
+                 FROM '{SF}/documents.parquet'),
+            sh AS (SELECT doc_id, source,
+                     list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                    FOR i IN range(1, len(words) - 1)]) AS grams
+                   FROM toks),
+            inv AS (SELECT doc_id, source, len(grams) AS sz, unnest(grams) AS g
+                    FROM sh),
+            common AS (
+              SELECT a.doc_id ia, b.doc_id ib, a.sz sa, b.sz sb, count(*) nc
+              FROM inv a JOIN inv b ON a.source = b.source AND a.g = b.g
+              WHERE a.doc_id < b.doc_id GROUP BY 1,2,3,4)
+            SELECT nc / (sa + sb - nc) AS s FROM common
+            WHERE nc / (sa + sb - nc) >= 0.05"""
+    ).df()["s"].to_numpy()
+    by_b = {r.bands: r for r in rows}
+    for b, r in _LSH_TUNE_CONFIGS:
+        qsum = qtrue = ntrue = 0
+        for s in ss:
+            p = 1.0
+            sr = 1.0
+            for _ in range(r):
+                sr = sr * s
+            base = 1.0 - sr
+            for _ in range(b):
+                p = p * base
+            p = 1.0 - p
+            q = math.floor(p * 1e9 + 0.5)
+            qsum += q
+            if s >= _LSH_TUNE_TAU:
+                qtrue += q
+                ntrue += 1
+        row = by_b[b]
+        assert row.n_pairs == len(ss)
+        assert row.n_true == ntrue
+        assert row.exp_candidates == math.floor(qsum / 1e3 + 0.5) / 1e6
+        assert row.exp_true == math.floor(qtrue / 1e3 + 0.5) / 1e6
+        assert abs(row.expected_recall - qtrue / 1e9 / ntrue) < 2e-6
+    for a, bb in zip(rows, rows[1:]):  # bands ascending: 1,2,4,8
+        assert bb.expected_recall >= a.expected_recall - 1e-9
+        assert bb.crossover_s <= a.crossover_s + 1e-9
+        assert bb.expected_precision <= a.expected_precision + 1e-9
+
+
+def test_bass_recovers_planted_diffusion(spark):
+    """A synthetic order table whose daily first-order counts follow an
+    exact Bass recurrence (p=.03, q=.38, m=2000) must come back with the
+    planted parameters to ~10% and a NEGATIVE quadratic coefficient."""
+    import datetime
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+    import real_time_scraping_and_predicting_time_series_data_spark.operators.funnel as FN
+    import real_time_scraping_and_predicting_time_series_data_spark.catalog as C
+
+    p_, q_, m_ = 0.03, 0.38, 2000.0
+    base = datetime.date(1995, 1, 1)
+    rows = []
+    n = 0.0
+    ck = 0
+    for t in range(60):
+        dn = int(round((p_ + q_ * n / m_) * (m_ - n)))
+        n += dn
+        for _ in range(dn):
+            ck += 1
+            rows.append((ck, base + datetime.timedelta(days=t)))
+    df = spark.createDataFrame(rows, ["o_custkey", "o_orderdate"]).select(
+        "o_custkey", F.col("o_orderdate").cast("timestamp").alias("o_orderdate")
+    )
+    orig = C.load_table
+    try:
+        C.load_table = lambda sp, sf, name: df  # noqa: ARG005
+        FN.load_table = C.load_table
+        out = all_queries()["orders_bass_diffusion"].fn(spark, "ignored").collect()[0]
+    finally:
+        C.load_table = orig
+        FN.load_table = orig
+    assert out.c < 0
+    assert out.m_potential is not None
+    assert abs(out.m_potential - m_) / m_ < 0.05
+    assert abs(out.p_innovation - p_) / p_ < 0.15
+    assert abs(out.q_imitation - q_) / q_ < 0.15
+
+
+def test_bass_null_verdict_on_uniform_arrivals(spark):
+    """On the real (Poisson-arrival) orders the quadratic coefficient must
+    NOT be negative-with-positive-root — the no-contagion null: m/p/q all
+    NULL, coefficients emitted."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    [row] = all_queries()["orders_bass_diffusion"].fn(spark, SF).collect()
+    assert row.n_adopters > 0 and row.n_days > 1
+    assert row.a is not None and row.b is not None and row.c is not None
+    if row.c >= 0:
+        assert row.m_potential is None and row.p_innovation is None
