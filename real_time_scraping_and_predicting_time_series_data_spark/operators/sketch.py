@@ -508,3 +508,53 @@ def q_sketch_kmv_distinct(spark, sf_dir):
         canon(est).alias("kmv_estimate"),
         canon((est - F.col("n_exact")) / F.col("n_exact")).alias("rel_err"),
     )
+
+
+@register(
+    "sketch_kmv_stream_serve",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT
+               {md5_60_sql("CAST(l_partkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)")}
+                   AS h60
+        FROM lineitem
+    ), small AS (
+        SELECT h60 FROM h ORDER BY h60 LIMIT {_KMV_K}
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(max(h60) AS BIGINT) AS kth
+        FROM small
+    )
+    SELECT k, kth,
+           floor((CAST(k AS DOUBLE) - 1.0)
+                 / (CAST(kth AS DOUBLE) / {float(1 << 60)!r})
+                 * 1000000 + 0.5) / 1000000 AS kmv_estimate
+    FROM s
+    """,
+    tags=("sketch", "distinct", "kmv", "streaming", "incremental"),
+)
+def q_sketch_kmv_stream_serve(spark, sf_dir):
+    """INCREMENTAL twin of `sketch_kmv_distinct`, exercised as a
+    batch-callable query: lineitem is ingested in three micro-batches
+    split on pmod(xxhash64(l_orderkey), 3) — NOT disjoint in the sketch
+    key (the same (part, supplier) pair recurs across batches), which is
+    exactly the property this store exists to demonstrate: the KMV merge
+    (distinct union, keep the k smallest) is IDEMPOTENT, so overlapping
+    batches serve the identical whole-stream sketch.  The oracle is the
+    plain one-pass SQL — value-hash parity proves it.  Store in a
+    process-scoped temp dir (lazy-analyzer lifetime rule)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.kmv_stream import KmvStreamSketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    store = tempfile.mkdtemp(prefix="kmv_serve_")
+    atexit.register(shutil.rmtree, store, ignore_errors=True)
+    sk = KmvStreamSketch(spark, store)
+    for bid in range(3):
+        sk.ingest_batch(
+            li.filter(F.pmod(F.xxhash64("l_orderkey"), F.lit(3)) == bid), bid
+        )
+    return sk.serve_sketch()

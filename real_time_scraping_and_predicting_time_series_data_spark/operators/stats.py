@@ -7675,3 +7675,360 @@ def q_stats_power_mde(spark, sf_dir):
             "x_current_population"
         ),
     ).orderBy("delta")
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test — nonparametric monotone-trend detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_mann_kendall_trend",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+        FROM events
+    ), g AS (
+        SELECT event_type, day,
+               CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS y
+        FROM d GROUP BY event_type, day
+    ), s AS (
+        SELECT a.event_type,
+               CAST(sum(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS mk_s
+        FROM g a JOIN g b ON b.event_type = a.event_type AND b.day > a.day
+        GROUP BY a.event_type
+    ), nn AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY event_type
+    ), ties AS (
+        SELECT event_type,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS t
+              FROM g GROUP BY event_type, y)
+        GROUP BY event_type
+    )
+    SELECT s.event_type, nn.n, s.mk_s,
+           CAST((nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term) AS BIGINT)
+               AS var18,
+           CASE WHEN s.mk_s > 0 THEN
+               floor((s.mk_s - 1)
+                     / sqrt((nn.n * (nn.n - 1.0) * (2 * nn.n + 5) - ties.tie_term)
+                            / 18.0) * 1000000 + 0.5) / 1000000
+                WHEN s.mk_s < 0 THEN
+               floor((s.mk_s + 1)
+                     / sqrt((nn.n * (nn.n - 1.0) * (2 * nn.n + 5) - ties.tie_term)
+                            / 18.0) * 1000000 + 0.5) / 1000000
+                ELSE 0.0 END AS z
+    FROM s JOIN nn USING (event_type) JOIN ties USING (event_type)
+    ORDER BY s.event_type
+    """,
+    tags=("stats", "timeseries", "trend", "mann-kendall"),
+)
+def q_ts_mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall trend test per event type — the NONPARAMETRIC
+    monotone-trend detector (standard in hydrology/climatology, public):
+    S = Σ_{i<j} sign(y_j − y_i) over the daily-mean grid in time order,
+    tie-corrected variance Var(S) = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18,
+    continuity-corrected z.  Where `stats_linear_trend` assumes a LINEAR
+    trend and Gaussian noise, MK detects ANY monotone drift and ignores
+    outlier magnitude entirely — the robust cross-check before trusting
+    a slope (`ml_regression_influence` says which days drive the slope;
+    MK says whether the drift is real without the line).
+
+    INTEGER-EXACT: milli-quantized integer daily means (the
+    `ts_segmented_trend` device), S and the tie term are BIGINT, the one
+    float is the final z (identical expression both engines).
+
+    Scale: the pair join runs on the (type, day) GRID — |calendar|² per
+    type, bounded by time not by data (365² ≈ 133k pairs/type-year) —
+    never on raw rows; everything else is grouped aggs."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    g = (
+        d.groupBy("event_type", "day")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count("*")).cast("long").alias("y")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = g.select("event_type", F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = g.select("event_type", F.col("day").alias("db"), F.col("y").alias("yb"))
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("db") > F.col("da"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("mk_s")
+        )
+    )
+    nn = g.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        g.groupBy("event_type", "y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    j = s.join(nn, "event_type").join(ties, "event_type")
+    nD = F.col("n").cast("double")
+    sd = F.sqrt(
+        (nD * (nD - 1) * (2 * nD + 5) - F.col("tie_term").cast("double")) / F.lit(18.0)
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.select(
+        "event_type",
+        "n",
+        "mk_s",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+        )
+        .cast("long")
+        .alias("var18"),
+        F.when(F.col("mk_s") > 0, canon((F.col("mk_s") - 1) / sd))
+        .when(F.col("mk_s") < 0, canon((F.col("mk_s") + 1) / sd))
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation — do the order headers match their lines?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_reconciliation",
+    oracle="""
+    WITH header AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS header_cents
+        FROM orders GROUP BY month
+    ), lines AS (
+        SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                   * (1 + l.l_tax) * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS line_cents,
+               CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders_with_lines
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY month
+    )
+    SELECT h.month, h.n_orders, l.n_orders_with_lines,
+           h.header_cents, l.line_cents,
+           CAST(h.header_cents - l.line_cents AS BIGINT) AS diff_cents,
+           floor(abs(CAST(h.header_cents - l.line_cents AS DOUBLE))
+                 / h.header_cents * 1000000 + 0.5) / 1000000 AS rel_gap
+    FROM header h JOIN lines l USING (month)
+    ORDER BY h.month
+    """,
+    tags=("dq", "reconciliation", "consistency"),
+)
+def q_dq_reconciliation(spark, sf_dir):
+    """Cross-table RECONCILIATION audit — the classic ledger check
+    `dq_referential_integrity` (keys) and `dq_validation_suite` (row
+    rules) don't cover: does each month's order-header revenue equal the
+    revenue derived from its own line items
+    (Σ extendedprice·(1−discount)·(1+tax))?  A pipeline that ingests
+    headers and lines through different paths drifts here first; the
+    monthly grain localizes WHEN it broke.  On this synthetic corpus the
+    tables are generated independently, so the audit's honest finding is
+    a large stable gap — which is exactly what it exists to surface.
+
+    INTEGER-EXACT: both sides are per-row cent-floored BIGINT sums; the
+    diff is a BIGINT; only the relative gap divides.
+
+    Scale: one grouped agg per table (the lines side joins the
+    broadcast-unfriendly orders relation on its natural key — AQE picks
+    the strategy) — two scans, constant output per month."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    header = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("header_cents"),
+    )
+    lines = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                    * 100
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("line_cents"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders_with_lines"),
+        )
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        header.join(lines, "month")
+        .select(
+            "month",
+            "n_orders",
+            "n_orders_with_lines",
+            "header_cents",
+            "line_cents",
+            (F.col("header_cents") - F.col("line_cents")).cast("long").alias(
+                "diff_cents"
+            ),
+            canon(
+                F.abs((F.col("header_cents") - F.col("line_cents")).cast("double"))
+                / F.col("header_cents")
+            ).alias("rel_gap"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson regression — GLM(log link) of the daily event rate by Newton
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_poisson_newton",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(date_diff('day', (SELECT min(CAST(ts AS DATE)) FROM events),
+                              CAST(ts AS DATE)) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY CAST(ts AS DATE)
+    ), sc AS (
+        SELECT t / 30.0 AS x, CAST(y AS DOUBLE) AS y FROM g
+    ), seed AS (
+        SELECT ln(sum(y) / count(*)) AS b0, CAST(0.0 AS DOUBLE) AS b1 FROM sc
+    ), s1 AS (
+        SELECT max(seed.b0) AS b0, max(seed.b1) AS b1,
+               sum(exp(seed.b0 + seed.b1 * x)) AS h00,
+               sum(x * exp(seed.b0 + seed.b1 * x)) AS h01,
+               sum(x * x * exp(seed.b0 + seed.b1 * x)) AS h11,
+               sum(y - exp(seed.b0 + seed.b1 * x)) AS g0,
+               sum(x * (y - exp(seed.b0 + seed.b1 * x))) AS g1
+        FROM sc CROSS JOIN seed
+    ), b1s AS (
+        SELECT b0 + ( h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+               b1 + (-h01 * g0 + h00 * g1) / (h00 * h11 - h01 * h01) AS b1
+        FROM s1
+    ), s2 AS (
+        SELECT max(b.b0) AS b0, max(b.b1) AS b1,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(exp(b.b0 + b.b1 * x)) AS h00,
+               sum(x * exp(b.b0 + b.b1 * x)) AS h01,
+               sum(x * x * exp(b.b0 + b.b1 * x)) AS h11,
+               sum(y - exp(b.b0 + b.b1 * x)) AS g0,
+               sum(x * (y - exp(b.b0 + b.b1 * x))) AS g1
+        FROM sc CROSS JOIN b1s b
+    )
+    SELECT n AS n_days,
+           floor((b0 + ( h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01))
+                 * 100000 + 0.5) / 100000 AS b0,
+           floor((b1 + (-h01 * g0 + h00 * g1) / (h00 * h11 - h01 * h01))
+                 * 100000 + 0.5) / 100000 AS b1,
+           floor(exp(b0 + ( h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01))
+                 * 10000 + 0.5) / 10000 AS rate_day0,
+           floor(exp((b1 + (-h01 * g0 + h00 * g1) / (h00 * h11 - h01 * h01))
+                     / 30.0) * 1000000 + 0.5) / 1000000 AS daily_growth_factor
+    FROM s2
+    """,
+    tags=("ml", "glm", "poisson", "newton"),
+)
+def q_ml_poisson_newton(spark, sf_dir):
+    """Poisson regression (GLM, log link) of the DAILY EVENT RATE on
+    time, by two exact Newton steps — the COUNT-data member of the
+    exact-GLM family beside `ml_logistic_newton` (binary) and
+    `ml_ridge_closed_form` (Gaussian): ln μ_d = β0 + β1·(t/30), seeded
+    at the MLE-for-constant-rate (β0 = ln ȳ, β1 = 0) so every iterate is
+    deterministic.  `daily_growth_factor` = exp(β1/30) is the
+    multiplicative day-over-day traffic trend with correct count-data
+    error structure (a Gaussian fit on counts is heteroskedastic by
+    construction).
+
+    Same architecture as the Newton/Platt chain: each step is ONE
+    map-side-combined aggregation over the day grid with the 1-row
+    coefficient relation cross-joined in, and the 2×2 solve is symbolic;
+    both engines evaluate identical IEEE expressions (libm exp shared —
+    the `ml_logistic_newton` precedent), closed by 5-dp floor canon.
+
+    Scale: the grid is calendar-bounded; the raw table is scanned once
+    for the counts — at 100 TB the fit costs one grouped count."""
+    ev = load_table(spark, sf_dir, "events")
+    dmin = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    g = (
+        ev.crossJoin(F.broadcast(dmin))
+        .groupBy(F.col("ts").cast("date").alias("day"), F.col("d0"))
+        .agg(F.count("*").cast("long").alias("y"))
+        .select(
+            (F.datediff("day", "d0") / F.lit(30.0)).alias("x"),
+            F.col("y").cast("double").alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    seed = g.agg(
+        F.log(F.sum("y") / F.count("*")).alias("b0"), F.lit(0.0).alias("b1")
+    )
+
+    def newton_step(coeffs):
+        mu = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
+        s = g.crossJoin(F.broadcast(coeffs)).agg(
+            F.max("b0").alias("b0"),
+            F.max("b1").alias("b1"),
+            F.count("*").cast("long").alias("n"),
+            F.sum(mu).alias("h00"),
+            F.sum(F.col("x") * mu).alias("h01"),
+            F.sum(F.col("x") * F.col("x") * mu).alias("h11"),
+            F.sum(F.col("y") - mu).alias("g0"),
+            F.sum(F.col("x") * (F.col("y") - mu)).alias("g1"),
+        )
+        det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+        return s, det
+
+    s1, det1 = newton_step(seed)
+    b1s = s1.select(
+        (F.col("b0") + (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1")) / det1).alias(
+            "b0"
+        ),
+        (F.col("b1") + (-F.col("h01") * F.col("g0") + F.col("h00") * F.col("g1")) / det1).alias(
+            "b1"
+        ),
+    )
+    s2, det2 = newton_step(b1s)
+    b0f = F.col("b0") + (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1")) / det2
+    b1f = F.col("b1") + (-F.col("h01") * F.col("g0") + F.col("h00") * F.col("g1")) / det2
+    c5 = lambda col: F.floor(col * 100000 + F.lit(0.5)) / 100000  # noqa: E731
+    return s2.select(
+        F.col("n").alias("n_days"),
+        c5(b0f).alias("b0"),
+        c5(b1f).alias("b1"),
+        (F.floor(F.exp(b0f) * 10000 + F.lit(0.5)) / 10000).alias("rate_day0"),
+        (F.floor(F.exp(b1f / F.lit(30.0)) * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "daily_growth_factor"
+        ),
+    )

@@ -122,6 +122,10 @@ _FRONT = (
     "stats_power_mde",
     "dedup_lsh_tuning_curve",
     "orders_bass_diffusion",
+    "ts_mann_kendall_trend",
+    "dq_reconciliation",
+    "ml_poisson_newton",
+    "sketch_kmv_stream_serve",
     "stats_kruskal_wallis",
     "stats_anderson_darling",
     "ml_brier_decomposition",

@@ -2022,3 +2022,181 @@ def test_bass_null_verdict_on_uniform_arrivals(spark):
     assert row.a is not None and row.b is not None and row.c is not None
     if row.c >= 0:
         assert row.m_potential is None and row.p_innovation is None
+
+
+# ---------------------------------------------------------------------------
+# wave 22: mann-kendall / reconciliation / poisson GLM / streaming KMV
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_vs_python_and_planted_trend(spark):
+    """Replay S/ties/z in python on the real grid, then plant a strictly
+    increasing series and assert a large positive z."""
+    import duckdb
+    import math
+    from collections import Counter, defaultdict
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = {
+        r.event_type: r
+        for r in all_queries()["ts_mann_kendall_trend"].fn(spark, SF).collect()
+    }
+    df = duckdb.sql(
+        f"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                              CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+                       FROM '{SF}/events.parquet')
+            SELECT event_type, day,
+                   CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS y
+            FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).df()
+    series = defaultdict(list)
+    for et, y in zip(df["event_type"], df["y"]):
+        series[et].append(int(y))
+    for et, ys in series.items():
+        n = len(ys)
+        s = sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties = sum(t * (t - 1) * (2 * t + 5) for t in Counter(ys).values())
+        var = (n * (n - 1) * (2 * n + 5) - ties) / 18.0
+        r = rows[et]
+        assert r.n == n and r.mk_s == s
+        assert r.var18 == n * (n - 1) * (2 * n + 5) - ties
+        if s > 0:
+            assert abs(r.z - math.floor((s - 1) / math.sqrt(var) * 1e6 + 0.5) / 1e6) < 1e-12
+        elif s < 0:
+            assert abs(r.z - math.floor((s + 1) / math.sqrt(var) * 1e6 + 0.5) / 1e6) < 1e-12
+    # planted strictly increasing series
+    import datetime
+
+    import real_time_scraping_and_predicting_time_series_data_spark.operators.stats as S
+    import real_time_scraping_and_predicting_time_series_data_spark.catalog as C
+
+    base = datetime.datetime(2024, 1, 1)
+    pdf = spark.createDataFrame(
+        [(i, base + datetime.timedelta(days=i), "up", float(10 + i)) for i in range(25)],
+        ["event_id", "ts", "event_type", "value"],
+    )
+    orig = C.load_table
+    try:
+        C.load_table = lambda sp, sf, name: pdf  # noqa: ARG005
+        S.load_table = C.load_table
+        [row] = all_queries()["ts_mann_kendall_trend"].fn(spark, "ignored").collect()
+    finally:
+        C.load_table = orig
+        S.load_table = orig
+    assert row.mk_s == 25 * 24 // 2  # all pairs concordant
+    assert row.z > 4.0
+
+
+def test_reconciliation_vs_python(spark):
+    """Recompute both monthly ledgers in python; diff and relative gap
+    must match; months must cover the orders range."""
+    import duckdb
+    import math
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = sorted(
+        all_queries()["dq_reconciliation"].fn(spark, SF).collect(),
+        key=lambda r: r.month,
+    )
+    hdr = duckdb.sql(
+        f"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') m,
+                   count(*) n,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) c
+            FROM '{SF}/orders.parquet' GROUP BY 1"""
+    ).df().set_index("m")
+    lin = duckdb.sql(
+        f"""SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') m,
+                   sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                  * (1 + l.l_tax) * 100 + 0.5) AS BIGINT)) c,
+                   count(DISTINCT l.l_orderkey) n
+            FROM '{SF}/lineitem.parquet' l
+            JOIN '{SF}/orders.parquet' o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1"""
+    ).df().set_index("m")
+    assert rows, "joined months exist"
+    for r in rows:
+        h = int(hdr.loc[r.month, "c"])
+        l = int(lin.loc[r.month, "c"])
+        assert r.header_cents == h and r.line_cents == l
+        assert r.diff_cents == h - l
+        assert r.rel_gap == math.floor(abs(h - l) / h * 1e6 + 0.5) / 1e6
+
+
+def test_poisson_newton_vs_numpy(spark):
+    """Numpy replay of the seeded 2-step Newton; and a planted
+    exponential-growth count series must recover its growth factor."""
+    import duckdb
+    import numpy as np
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    [row] = all_queries()["ml_poisson_newton"].fn(spark, SF).collect()
+    df = duckdb.sql(
+        f"""SELECT date_diff('day', (SELECT min(CAST(ts AS DATE))
+                                     FROM '{SF}/events.parquet'),
+                             CAST(ts AS DATE)) t, count(*) y
+            FROM '{SF}/events.parquet' GROUP BY 1"""
+    ).df()
+    x = df["t"].to_numpy(dtype=float) / 30.0
+    y = df["y"].to_numpy(dtype=float)
+    b0, b1 = np.log(y.sum() / len(y)), 0.0
+    for _ in range(2):
+        mu = np.exp(b0 + b1 * x)
+        h00, h01, h11 = mu.sum(), (x * mu).sum(), (x * x * mu).sum()
+        g0, g1 = (y - mu).sum(), (x * (y - mu)).sum()
+        det = h00 * h11 - h01 * h01
+        b0 += (h11 * g0 - h01 * g1) / det
+        b1 += (-h01 * g0 + h00 * g1) / det
+    assert row.n_days == len(y)
+    assert abs(row.b0 - b0) < 1e-4
+    assert abs(row.b1 - b1) < 1e-4
+    assert abs(row.daily_growth_factor - np.exp(b1 / 30.0)) < 1e-5
+
+
+def test_kmv_stream_serve_matches_batch_and_is_idempotent(spark, tmp_path):
+    """Serve == the batch KMV sketch on the same data; replaying a batch
+    and compacting must not change the served row (idempotent merge)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import (
+        load_table,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.kmv_stream import (
+        KmvStreamSketch,
+    )
+
+    [batch] = all_queries()["sketch_kmv_distinct"].fn(spark, SF).collect()
+    li = load_table(spark, SF, "lineitem")
+    sk = KmvStreamSketch(spark, str(tmp_path / "kmv"))
+    for bid in range(4):
+        sk.ingest_batch(
+            li.filter(F.pmod(F.xxhash64("l_orderkey"), F.lit(4)) == bid), bid
+        )
+    [served] = sk.serve_sketch().collect()
+    # same key universe: distinct (part, supplier) pairs
+    assert (served.k, served.kth, served.kmv_estimate) == (
+        batch.k,
+        batch.kth,
+        batch.kmv_estimate,
+    )
+    sk.ingest_batch(li.filter(F.pmod(F.xxhash64("l_orderkey"), F.lit(4)) == 2), 2)
+    assert [tuple(r) for r in sk.serve_sketch().collect()] == [
+        (served.k, served.kth, served.kmv_estimate)
+    ]
+    sk.compact()
+    assert [tuple(r) for r in sk.serve_sketch().collect()] == [
+        (served.k, served.kth, served.kmv_estimate)
+    ]
