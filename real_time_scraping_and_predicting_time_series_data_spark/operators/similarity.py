@@ -3756,3 +3756,140 @@ def q_sim_nprobe_recall_curve(spark, sf_dir):
     for pdf in parts[1:]:
         out = out.union(pdf)
     return out.orderBy("nprobe")
+
+
+# ---------------------------------------------------------------------------
+# k-center seeding — farthest-first traversal with its coverage radius
+# ---------------------------------------------------------------------------
+
+_KC_K = 4
+
+
+def _kc_sqdist_sql(a: str, b: str) -> str:
+    """Squared L2 as dot products — the exact-fold convention every IVF
+    oracle here uses (list_dot_product == Spark's left-to-right fold)."""
+    return (
+        f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}))"
+    )
+
+
+def _kcenter_oracle() -> str:
+    d = _kc_sqdist_sql
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+    d1 AS (
+        SELECT e.vec_id, e.v, {d("e.v", "s1.v")} AS dmin
+        FROM e CROSS JOIN s1
+    ),
+    s2 AS (SELECT vec_id, v, dmin FROM d1
+           ORDER BY round(dmin, 9) DESC, vec_id LIMIT 1),
+    d2 AS (
+        SELECT d1.vec_id, d1.v,
+               least(d1.dmin, {d("d1.v", "s2.v")}) AS dmin
+        FROM d1 CROSS JOIN s2
+    ),
+    s3 AS (SELECT vec_id, v, dmin FROM d2
+           ORDER BY round(dmin, 9) DESC, vec_id LIMIT 1),
+    d3 AS (
+        SELECT d2.vec_id, d2.v,
+               least(d2.dmin, {d("d2.v", "s3.v")}) AS dmin
+        FROM d2 CROSS JOIN s3
+    ),
+    s4 AS (SELECT vec_id, v, dmin FROM d3
+           ORDER BY round(dmin, 9) DESC, vec_id LIMIT 1),
+    d4 AS (
+        SELECT d3.vec_id,
+               least(d3.dmin, {d("d3.v", "s4.v")}) AS dmin
+        FROM d3 CROSS JOIN s4
+    ),
+    radius AS (SELECT max(round(dmin, 9)) AS r2 FROM d4)
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS seed_rank, s1.vec_id,
+               0.0 AS sq_dist_at_pick,
+               floor((SELECT r2 FROM radius) * 1000000 + 0.5) / 1000000
+                   AS coverage_radius_sq
+        FROM s1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), s2.vec_id,
+               floor(s2.dmin * 1000000 + 0.5) / 1000000,
+               floor((SELECT r2 FROM radius) * 1000000 + 0.5) / 1000000 FROM s2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), s3.vec_id,
+               floor(s3.dmin * 1000000 + 0.5) / 1000000,
+               floor((SELECT r2 FROM radius) * 1000000 + 0.5) / 1000000 FROM s3
+        UNION ALL
+        SELECT CAST(4 AS BIGINT), s4.vec_id,
+               floor(s4.dmin * 1000000 + 0.5) / 1000000,
+               floor((SELECT r2 FROM radius) * 1000000 + 0.5) / 1000000 FROM s4
+    ) ORDER BY seed_rank
+    """
+
+
+@register(
+    "sim_kcenter_seeds",
+    oracle=_kcenter_oracle(),
+    tags=("similarity", "clustering", "k-center", "seeding"),
+)
+def q_sim_kcenter_seeds(spark, sf_dir):
+    """Farthest-first traversal (Gonzalez 1985, public): pick the lowest
+    vec_id, then 3× pick the point FARTHEST from everything chosen —
+    the deterministic k-center seeding whose final coverage radius
+    (max-min distance of the corpus to the 4 seeds) is a guaranteed
+    2-approximation of the optimal 4-center radius.  The principled
+    alternative to the id-seeded IVF centroids (`sim_ivf_topk_seeded`):
+    id-seeds can land in one dense cluster; farthest-first provably
+    spreads.  The emitted `sq_dist_at_pick` sequence is non-increasing —
+    it IS the k-center cost curve, and where it elbows is the right k.
+
+    Exactness: squared distances expand to the three dot products whose
+    left-to-right folds match `list_dot_product` bit-wise (the IVF
+    convention); each argmax orders by round-9 distance with vec_id
+    tiebreak; no randomness anywhere.
+
+    Scale: k passes over the corpus, each one broadcast of ≤ k chosen
+    vectors + one TakeOrdered-1 — farthest-first is WHY k-center scales
+    (compare kmeans++ which needs a weighted sample per round); the
+    running min-distance column is carried, not recomputed, so pass r
+    computes only the distance to the ONE new seed."""
+    from ..functions.vector import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    sq = lambda a, b: dot(a, a) - 2 * dot(a, b) + dot(b, b)  # noqa: E731
+    s1 = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("svid"), F.col("v").alias("sv")
+    )
+    d = e.crossJoin(F.broadcast(s1)).select(
+        "vec_id", "v", sq(F.col("v"), F.col("sv")).alias("dmin")
+    ).localCheckpoint(eager=False)
+    seeds = [(1, s1.select(F.col("svid").alias("vec_id"), F.lit(0.0).alias("dpick")))]
+    for rank in (2, 3, 4):
+        s = (
+            d.orderBy(F.desc(F.round("dmin", 9)), "vec_id")
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("svid"),
+                F.col("v").alias("sv"),
+                F.col("dmin").alias("dpick"),
+            )
+        ).localCheckpoint(eager=False)
+        seeds.append((rank, s.select(F.col("svid").alias("vec_id"), "dpick")))
+        d = d.crossJoin(F.broadcast(s.select("sv"))).select(
+            "vec_id",
+            "v",
+            F.least(F.col("dmin"), sq(F.col("v"), F.col("sv"))).alias("dmin"),
+        ).localCheckpoint(eager=False)
+    radius = d.agg(F.max(F.round("dmin", 9)).alias("r2"))
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    out = None
+    for rank, s in seeds:
+        row = s.crossJoin(F.broadcast(radius)).select(
+            F.lit(rank).cast("long").alias("seed_rank"),
+            "vec_id",
+            canon(F.col("dpick")).alias("sq_dist_at_pick"),
+            canon(F.col("r2")).alias("coverage_radius_sq"),
+        )
+        out = row if out is None else out.union(row)
+    return out.orderBy("seed_rank")

@@ -8032,3 +8032,149 @@ def q_ml_poisson_newton(spark, sf_dir):
             "daily_growth_factor"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tail dependence — do two series' extremes co-move?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_tail_dependence",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), g AS (
+        SELECT day, event_type,
+               CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS y
+        FROM d GROUP BY day, event_type
+    ), j AS (
+        SELECT a.day, a.y AS x, b.y AS y
+        FROM g a JOIN g b ON b.day = a.day
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+    tx AS (
+        SELECT min(x) AS t FROM (
+            SELECT x, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY x
+        ), nn
+        WHERE (SELECT CAST(sum(c2.c) AS BIGINT) FROM (
+                   SELECT x AS x2, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY x
+               ) c2 WHERE c2.x2 <= x) >= CAST(ceil(0.9 * nn.n) AS BIGINT)
+    ), ty AS (
+        SELECT min(y) AS t FROM (
+            SELECT y, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY y
+        ), nn
+        WHERE (SELECT CAST(sum(c2.c) AS BIGINT) FROM (
+                   SELECT y AS y2, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY y
+               ) c2 WHERE c2.y2 <= y) >= CAST(ceil(0.9 * nn.n) AS BIGINT)
+    )
+    SELECT nn.n AS n_days,
+           CAST(tx.t AS BIGINT) AS x_q90_milli, CAST(ty.t AS BIGINT) AS y_q90_milli,
+           CAST((SELECT count(*) FROM j WHERE x > tx.t) AS BIGINT) AS n_x_exceed,
+           CAST((SELECT count(*) FROM j WHERE y > ty.t) AS BIGINT) AS n_y_exceed,
+           CAST((SELECT count(*) FROM j WHERE x > tx.t AND y > ty.t) AS BIGINT)
+               AS n_joint,
+           CASE WHEN (SELECT count(*) FROM j WHERE y > ty.t) > 0 THEN
+               floor((SELECT count(*) FROM j WHERE x > tx.t AND y > ty.t)
+                     / CAST((SELECT count(*) FROM j WHERE y > ty.t) AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000 END AS lambda_upper,
+           floor((SELECT count(*) FROM j WHERE x > tx.t)
+                 * CAST((SELECT count(*) FROM j WHERE y > ty.t) AS DOUBLE)
+                 / (CAST(nn.n AS DOUBLE) * nn.n) * 1000000 + 0.5) / 1000000
+               AS independence_joint_rate
+    FROM nn, tx, ty
+    """,
+    tags=("stats", "tail", "dependence", "risk"),
+)
+def q_stats_tail_dependence(spark, sf_dir):
+    """Upper tail dependence between the click and purchase daily-mean
+    series: λ̂_U = P(X > q90_X | Y > q90_Y) — do EXTREMES co-move, which
+    correlation famously cannot see (two series can be ρ ≈ 0 yet crash
+    together; risk lives in the joint tail).  The reported
+    `independence_joint_rate` (= marginal exceedance product) is the
+    null baseline: λ_U meaningfully above it is tail co-movement.
+
+    Exactness: both series are milli-quantized integer daily means; the
+    q90 thresholds are DISCRETE order statistics via the exact integer
+    rule t = min{{v : #(≤ v) ≥ ⌈0.9 n⌉}} (no interpolating percentile —
+    engines interpolate differently); every exceedance count is BIGINT;
+    two closing divides canonicalized.
+
+    Scale: one scan to the (day, type) grid, a self-join on day, and
+    value-grid threshold scans bounded by distinct daily means — the
+    calendar bound again."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count("*")).cast("long").alias("y")
+        )
+    )
+    a = g.filter(F.col("event_type") == "click").select("day", F.col("y").alias("x"))
+    b = g.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("y").alias("yy")
+    )
+    j = a.join(b, "day").select("x", F.col("yy").alias("y")).localCheckpoint(
+        eager=False
+    )
+    nn = j.agg(F.count("*").cast("long").alias("n"))
+
+    def disc_q90(col):
+        grid = j.groupBy(col).agg(F.count("*").cast("long").alias("c"))
+        cum = grid_cumsum(grid, ["c"], order_col=col)
+        return (
+            cum.crossJoin(F.broadcast(nn))
+            .filter(
+                F.col("cum_c") >= F.ceil(F.lit(0.9) * F.col("n")).cast("long")
+            )
+            .agg(F.min(col).cast("long").alias("t"))
+        )
+
+    tx = disc_q90("x").select(F.col("t").alias("tx"))
+    ty = disc_q90("y").select(F.col("t").alias("ty"))
+    jt = j.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    agg = jt.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max("tx").alias("x_q90_milli"),
+        F.max("ty").alias("y_q90_milli"),
+        F.sum(F.when(F.col("x") > F.col("tx"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_x_exceed"),
+        F.sum(F.when(F.col("y") > F.col("ty"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_y_exceed"),
+        F.sum(
+            F.when((F.col("x") > F.col("tx")) & (F.col("y") > F.col("ty")), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_joint"),
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return agg.select(
+        "n_days",
+        "x_q90_milli",
+        "y_q90_milli",
+        "n_x_exceed",
+        "n_y_exceed",
+        "n_joint",
+        F.when(
+            F.col("n_y_exceed") > 0,
+            canon(F.col("n_joint") / F.col("n_y_exceed").cast("double")),
+        ).alias("lambda_upper"),
+        canon(
+            F.col("n_x_exceed")
+            * F.col("n_y_exceed").cast("double")
+            / (F.col("n_days").cast("double") * F.col("n_days"))
+        ).alias("independence_joint_rate"),
+    )

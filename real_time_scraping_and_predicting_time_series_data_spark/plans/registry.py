@@ -126,6 +126,8 @@ _FRONT = (
     "dq_reconciliation",
     "ml_poisson_newton",
     "sketch_kmv_stream_serve",
+    "sim_kcenter_seeds",
+    "stats_tail_dependence",
     "stats_kruskal_wallis",
     "stats_anderson_darling",
     "ml_brier_decomposition",

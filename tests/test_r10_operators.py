@@ -2200,3 +2200,109 @@ def test_kmv_stream_serve_matches_batch_and_is_idempotent(spark, tmp_path):
     assert [tuple(r) for r in sk.serve_sketch().collect()] == [
         (served.k, served.kth, served.kmv_estimate)
     ]
+
+
+# ---------------------------------------------------------------------------
+# wave 23: k-center seeding / tail dependence
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_vs_python_farthest_first(spark):
+    """Replay the traversal in python (same round-9 argmax + id tiebreak);
+    the pick-distance curve must be non-increasing and the radius must
+    equal the true max-min over the corpus."""
+    import duckdb
+    import math
+    import numpy as np
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = sorted(
+        all_queries()["sim_kcenter_seeds"].fn(spark, SF).collect(),
+        key=lambda r: r.seed_rank,
+    )
+    df = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    vecs = {int(i): np.array(v, dtype=np.float64) for i, v in zip(df["vec_id"], df["embedding"])}
+
+    def sq(a, b):
+        # same expansion as the engine: dot(a,a) - 2 dot(a,b) + dot(b,b)
+        return float(a @ a) - 2.0 * float(a @ b) + float(b @ b)
+
+    ids = sorted(vecs)
+    seeds = [ids[0]]
+    picks = [0.0]
+    dmin = {i: sq(vecs[i], vecs[seeds[0]]) for i in ids}
+    for _ in range(3):
+        best = max(ids, key=lambda i: (round(dmin[i], 9), -i))
+        seeds.append(best)
+        picks.append(dmin[best])
+        for i in ids:
+            dmin[i] = min(dmin[i], sq(vecs[i], vecs[best]))
+    radius = max(round(d, 9) for d in dmin.values())
+    canon = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    assert [r.vec_id for r in rows] == seeds
+    for r, p in zip(rows, picks):
+        assert abs(r.sq_dist_at_pick - canon(p)) < 1e-9
+        assert r.coverage_radius_sq == canon(radius)
+    for a, b in zip(rows[1:], rows[2:]):  # curve non-increasing after pick 1
+        assert b.sq_dist_at_pick <= a.sq_dist_at_pick + 1e-9
+    assert rows[-1].coverage_radius_sq <= rows[-1].sq_dist_at_pick + 1e-9
+    assert len({r.vec_id for r in rows}) == 4
+
+
+def test_tail_dependence_vs_python(spark):
+    """Replay the discrete-q90 rule and exceedance counts in python."""
+    import duckdb
+    import math
+    from collections import defaultdict
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    [row] = all_queries()["stats_tail_dependence"].fn(spark, SF).collect()
+    df = duckdb.sql(
+        f"""WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                              CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+                       FROM '{SF}/events.parquet'
+                       WHERE event_type IN ('click', 'purchase'))
+            SELECT day, event_type,
+                   CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS y
+            FROM d GROUP BY 1, 2"""
+    ).df()
+    per_day = defaultdict(dict)
+    for day, et, y in zip(df["day"], df["event_type"], df["y"]):
+        per_day[day][et] = int(y)
+    pairs = [
+        (d["click"], d["purchase"]) for d in per_day.values() if len(d) == 2
+    ]
+    n = len(pairs)
+
+    def q90(vals):
+        from collections import Counter
+
+        need = math.ceil(0.9 * n)
+        counts = Counter(vals)
+        cum = 0
+        for v in sorted(counts):
+            cum += counts[v]
+            if cum >= need:
+                return v
+        return max(vals)
+
+    tx = q90([x for x, _ in pairs])
+    ty = q90([y for _, y in pairs])
+    nx = sum(1 for x, _ in pairs if x > tx)
+    ny = sum(1 for _, y in pairs if y > ty)
+    nj = sum(1 for x, y in pairs if x > tx and y > ty)
+    assert row.n_days == n
+    assert row.x_q90_milli == tx and row.y_q90_milli == ty
+    assert (row.n_x_exceed, row.n_y_exceed, row.n_joint) == (nx, ny, nj)
+    canon = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    if ny:
+        assert row.lambda_upper == canon(nj / ny)
+    assert row.independence_joint_rate == canon(nx * ny / (n * n))
