@@ -8178,3 +8178,220 @@ def q_stats_tail_dependence(spark, sf_dir):
             / (F.col("n_days").cast("double") * F.col("n_days"))
         ).alias("independence_joint_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality — chi-square uniformity per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dow_seasonality",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow
+        FROM events
+    ), c AS (
+        SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
+        FROM d GROUP BY event_type, dow
+    ), t AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS k
+        FROM c GROUP BY event_type
+    ), chi AS (
+        SELECT c.event_type, t.total, t.k,
+               CAST(sum(CAST(floor(
+                   (c.n - CAST(t.total AS DOUBLE) / 7.0)
+                   * (c.n - CAST(t.total AS DOUBLE) / 7.0)
+                   / (CAST(t.total AS DOUBLE) / 7.0) * 1000000 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS chi_q
+        FROM c JOIN t USING (event_type)
+        GROUP BY c.event_type, t.total, t.k
+    )
+    SELECT event_type, total AS n_events, k AS n_dows_present,
+           floor(CAST(chi_q AS DOUBLE) / 1000.0 + 0.5) / 1000.0 AS chi2,
+           CASE WHEN k = 7 THEN
+               floor(exp(-(CAST(chi_q AS DOUBLE) / 1000000.0) / 2.0)
+                     * (1.0 + (CAST(chi_q AS DOUBLE) / 1000000.0) / 2.0
+                        + (CAST(chi_q AS DOUBLE) / 1000000.0)
+                          * (CAST(chi_q AS DOUBLE) / 1000000.0) / 8.0)
+                     * 1000000 + 0.5) / 1000000 END AS p_value
+    FROM chi ORDER BY event_type
+    """,
+    tags=("events", "seasonality", "chi-square", "calendar"),
+)
+def q_events_dow_seasonality(spark, sf_dir):
+    """Day-of-week seasonality gate per event type: chi-square of the DOW
+    histogram against uniform — the ONE-NUMBER answer to "does this
+    stream have a weekly rhythm worth modeling", which decides whether
+    the weekly terms in `ml_harmonic_regression` / `ts_holt_winters`
+    earn their parameters.  p uses the ELEMENTARY even-df chi-square
+    survival for df = 6: Q(x) = e^{−x/2}(1 + x/2 + x²/8) — the same
+    device as Kruskal-Wallis/Friedman at df = 4, one term longer.
+
+    Exactness: counts are BIGINT; expected = total/7 and each cell's
+    (O−E)²/E are identical IEEE expressions micro-quantized BEFORE the
+    7-term sum; only types observed on all 7 weekdays get a p (the df
+    would differ otherwise — stated, not fudged).
+
+    Scale: two grouped aggs, output bounded by |types|·7."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.dayofweek(F.col("ts").cast("date")).cast("long").alias("dow")
+    ).groupBy("event_type", "dow").agg(F.count("*").cast("long").alias("n"))
+    t = c.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total"), F.count("*").cast("long").alias("k")
+    )
+    e = F.col("total").cast("double") / F.lit(7.0)
+    cell = (F.col("n") - e) * (F.col("n") - e) / e
+    chi = (
+        c.join(t, "event_type")
+        .groupBy("event_type", "total", "k")
+        .agg(
+            F.sum(F.floor(cell * 1000000 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("chi_q")
+        )
+    )
+    x = F.col("chi_q").cast("double") / F.lit(1000000.0)
+    p6 = F.exp(-x / 2) * (F.lit(1.0) + x / 2 + x * x / 8)
+    return chi.select(
+        "event_type",
+        F.col("total").alias("n_events"),
+        F.col("k").alias("n_dows_present"),
+        (F.floor(x * 1000 + F.lit(0.5)) / 1000.0).alias("chi2"),
+        F.when(
+            F.col("k") == 7, F.floor(p6 * 1000000 + F.lit(0.5)) / 1000000
+        ).alias("p_value"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# mSPRT — always-valid p-value monitoring of the urgent-order rate
+# ---------------------------------------------------------------------------
+
+_MSPRT_P0 = 0.2
+_MSPRT_TAU2 = 0.0001  # mixture variance of the alternative drift
+
+
+@register(
+    "stats_msprt_always_valid",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                    AS BIGINT) AS u
+        FROM orders GROUP BY day
+    ), c AS (
+        SELECT day, n, u,
+               CAST(sum(u) OVER w AS BIGINT) AS cu,
+               CAST(sum(n) OVER w AS BIGINT) AS cn
+        FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)
+    ), lam AS (
+        SELECT day, n, u, cu, cn,
+               sqrt(({_MSPRT_P0} * {1 - _MSPRT_P0} / cn)
+                    / ({_MSPRT_P0} * {1 - _MSPRT_P0} / cn + {_MSPRT_TAU2}))
+               * exp((CAST(cu AS DOUBLE) / cn - {_MSPRT_P0})
+                     * (CAST(cu AS DOUBLE) / cn - {_MSPRT_P0})
+                     * {_MSPRT_TAU2}
+                     / (2.0 * ({_MSPRT_P0} * {1 - _MSPRT_P0} / cn)
+                        * ({_MSPRT_P0} * {1 - _MSPRT_P0} / cn + {_MSPRT_TAU2})))
+                 AS lambda_n
+        FROM c
+    ), runmax AS (
+        SELECT day, n, u, cn, cu, lambda_n,
+               max(CAST(floor(lambda_n * 1000000000 + 0.5) AS BIGINT))
+                   OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS maxlam_q
+        FROM lam
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n AS n_orders, u AS n_urgent,
+           floor(CAST(cu AS DOUBLE) / cn * 1000000 + 0.5) / 1000000 AS rate,
+           floor(lambda_n * 1000 + 0.5) / 1000.0 AS lambda_n,
+           floor(least(1.0, 1000000000.0 / maxlam_q) * 1000000 + 0.5)
+               / 1000000 AS always_valid_p
+    FROM runmax ORDER BY day LIMIT 120
+    """,
+    tags=("stats", "sequential", "msprt", "always-valid", "monitor"),
+)
+def q_stats_msprt_always_valid(spark, sf_dir):
+    """Mixture SPRT (Robbins 1970; Johari et al. 2017, public) over the
+    daily urgent-order rate: the ALWAYS-VALID p-value p_n = 1/max_{{m≤n}}
+    Λ_m, where Λ is the normal-mixture likelihood ratio against
+    H0: p = 0.2 with N(0, τ²) drift mixing — the "peeking-proof"
+    dashboard number: unlike a fixed-horizon z-test, reading this p
+    EVERY DAY and stopping when it crosses α keeps the type-I rate ≤ α.
+    Completes the sequential panel: `stats_sprt_monitor` tests a simple
+    alternative with a hard stop; this monitors a composite drift with a
+    continuously-valid p.
+
+    Exactness: cumulative counts are BIGINT; Λ_n is one fixed IEEE
+    expression of the exact rate cu/cn (shared literals p0, τ²); the
+    running max nano-quantizes Λ BEFORE maxing (max of integers), so the
+    reported p is an exact integer reciprocal both engines agree on.
+
+    Scale: the same calendar-bounded day grid as the SPRT (allow-listed
+    window); first 120 days emitted — the monitoring trace."""
+    o = load_table(spark, sf_dir, "orders")
+    d = sprt_day_grid(o)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = d.select(
+        "day",
+        "n",
+        "u",
+        F.sum("u").over(w).cast("long").alias("cu"),
+        F.sum("n").over(w).cast("long").alias("cn"),
+    )
+    p0, tau2 = _MSPRT_P0, _MSPRT_TAU2
+    v = F.lit(p0 * (1 - p0)) / F.col("cn")
+    diff = F.col("cu").cast("double") / F.col("cn") - F.lit(p0)
+    lam = F.sqrt(v / (v + F.lit(tau2))) * F.exp(
+        diff * diff * F.lit(tau2) / (F.lit(2.0) * v * (v + F.lit(tau2)))
+    )
+    lamdf = c.select(
+        "day",
+        "n",
+        "u",
+        "cn",
+        "cu",
+        lam.alias("lambda_n"),
+    )
+    runmax = lamdf.select(
+        "day",
+        "n",
+        "u",
+        "cn",
+        "cu",
+        "lambda_n",
+        F.max(F.floor(F.col("lambda_n") * 1000000000 + F.lit(0.5)).cast("long"))
+        .over(w)
+        .alias("maxlam_q"),
+    )
+    return (
+        runmax.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").alias("n_orders"),
+            F.col("u").alias("n_urgent"),
+            (
+                F.floor(F.col("cu").cast("double") / F.col("cn") * 1000000 + F.lit(0.5))
+                / 1000000
+            ).alias("rate"),
+            (F.floor(F.col("lambda_n") * 1000 + F.lit(0.5)) / F.lit(1000.0)).alias(
+                "lambda_n"
+            ),
+            (
+                F.floor(
+                    F.least(
+                        F.lit(1.0), F.lit(1000000000.0) / F.col("maxlam_q")
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("always_valid_p"),
+        )
+        .orderBy("day")
+        .limit(120)
+    )

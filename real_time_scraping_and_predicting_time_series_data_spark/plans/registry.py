@@ -128,6 +128,8 @@ _FRONT = (
     "sketch_kmv_stream_serve",
     "sim_kcenter_seeds",
     "stats_tail_dependence",
+    "events_dow_seasonality",
+    "stats_msprt_always_valid",
     "stats_kruskal_wallis",
     "stats_anderson_darling",
     "ml_brier_decomposition",

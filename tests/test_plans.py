@@ -450,6 +450,8 @@ def test_no_unbounded_global_windows_anywhere(spark):
         "stats_runs_test": {"day", "m"},
         # SPRT cumulative LLR rides the calendar-bounded day grid
         "stats_sprt_monitor": {"day"},
+        "stats_sprt_stream_serve": {"day"},
+        "stats_msprt_always_valid": {"day"},
         "ts_hurst_rs": {"day"},
         "ts_periodogram": {"day"},
         "ts_var_es": {"day", "r"},  # r = daily-return grid (calendar-bounded)

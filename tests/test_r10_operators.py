@@ -2306,3 +2306,95 @@ def test_tail_dependence_vs_python(spark):
     if ny:
         assert row.lambda_upper == canon(nj / ny)
     assert row.independence_joint_rate == canon(nx * ny / (n * n))
+
+
+# ---------------------------------------------------------------------------
+# wave 24: DOW seasonality / mSPRT always-valid p
+# ---------------------------------------------------------------------------
+
+
+def test_dow_seasonality_vs_python(spark):
+    """Replay the quantized chi-square and the even-df(6) closed-form p."""
+    import duckdb
+    import math
+    from collections import defaultdict
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = {
+        r.event_type: r
+        for r in all_queries()["events_dow_seasonality"].fn(spark, SF).collect()
+    }
+    df = duckdb.sql(
+        f"""SELECT event_type, CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) dow,
+                   count(*) n
+            FROM '{SF}/events.parquet' GROUP BY 1, 2"""
+    ).df()
+    agg = defaultdict(dict)
+    for et, dow, n in zip(df["event_type"], df["dow"], df["n"]):
+        agg[et][int(dow)] = int(n)
+    for et, cells in agg.items():
+        total = sum(cells.values())
+        e = total / 7.0
+        chi_q = sum(
+            math.floor((n - e) * (n - e) / e * 1e6 + 0.5) for n in cells.values()
+        )
+        r = rows[et]
+        assert r.n_events == total
+        assert r.n_dows_present == len(cells)
+        assert r.chi2 == math.floor(chi_q / 1e3 + 0.5) / 1e3
+        if len(cells) == 7:
+            x = chi_q / 1e6
+            p = math.exp(-x / 2) * (1 + x / 2 + x * x / 8)
+            assert abs(r.p_value - p) < 2e-6
+            assert 0.0 <= r.p_value <= 1.0
+
+
+def test_msprt_vs_python_and_monotone_p(spark):
+    """Replay the mixture likelihood ratio; the always-valid p must be
+    non-increasing in time and equal 1/running-max(quantized lambda)."""
+    import duckdb
+    import math
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        _MSPRT_P0,
+        _MSPRT_TAU2,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = sorted(
+        all_queries()["stats_msprt_always_valid"].fn(spark, SF).collect(),
+        key=lambda r: r.day,
+    )
+    df = duckdb.sql(
+        f"""SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+                   count(*) AS n,
+                   count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS u
+            FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    cu = cn = 0
+    maxq = 0
+    expect = []
+    for day, n, u in zip(df["day"], df["n"], df["u"]):
+        cu += int(u)
+        cn += int(n)
+        v = _MSPRT_P0 * (1 - _MSPRT_P0) / cn
+        diff = cu / cn - _MSPRT_P0
+        lam = math.sqrt(v / (v + _MSPRT_TAU2)) * math.exp(
+            diff * diff * _MSPRT_TAU2 / (2 * v * (v + _MSPRT_TAU2))
+        )
+        maxq = max(maxq, math.floor(lam * 1e9 + 0.5))
+        expect.append((day, lam, maxq))
+    assert len(rows) == min(120, len(expect))
+    prev_p = 1.0
+    for r, (day, lam, mq) in zip(rows, expect):
+        assert r.day == day
+        assert r.lambda_n == math.floor(lam * 1e3 + 0.5) / 1e3
+        p = math.floor(min(1.0, 1e9 / mq) * 1e6 + 0.5) / 1e6
+        assert r.always_valid_p == p
+        assert r.always_valid_p <= prev_p + 1e-12
+        prev_p = r.always_valid_p
