@@ -8395,3 +8395,315 @@ def q_stats_msprt_always_valid(spark, sf_dir):
         .orderBy("day")
         .limit(120)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bayesian A/B — exact P(pB > pA) under Beta posteriors
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_bayes_ab_probability",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+               max(CASE WHEN event_type = 'purchase' AND value >= 200.0
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ), s AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+        FROM u
+    ), p AS (
+        SELECT n_a, c_a, n_b, c_b,
+               c_a + 1 AS aa, n_a - c_a + 1 AS ba,
+               c_b + 1 AS ab, n_b - c_b + 1 AS bb
+        FROM s
+    ), kg AS (
+        SELECT unnest(range(1, (SELECT CAST(n_a + n_b + 6 AS BIGINT) FROM s))) AS k
+    ), lf AS (
+        SELECT k,
+               CAST(sum(lq) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS cumq
+        FROM (SELECT k, CAST(floor(ln(CAST(k AS DOUBLE)) * 1000000000 + 0.5)
+                            AS BIGINT) AS lq FROM kg)
+    ), lgq AS (  -- lnGamma(n)_q = cum at k = n-1; lnGamma(1) = 0
+        SELECT
+            (SELECT COALESCE(max(cumq), 0) FROM lf, p WHERE lf.k = p.ba + p.bb - 1)
+          - (SELECT COALESCE(max(cumq), 0) FROM lf, p
+             WHERE lf.k = p.aa + p.ba + p.bb - 1)
+          + (SELECT COALESCE(max(cumq), 0) FROM lf, p WHERE lf.k = p.aa + p.ba - 1)
+          - (SELECT COALESCE(max(cumq), 0) FROM lf, p WHERE lf.k = p.ba - 1)
+              AS lnt0_q
+    ), ig AS (
+        SELECT k - 1 AS i FROM kg, p WHERE k <= p.ab
+    ), ratio AS (
+        SELECT i,
+               CAST(floor(ln(CAST(p.aa + i AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
+             + CAST(floor(ln(CAST(p.bb + i AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
+             - CAST(floor(ln(CAST(p.aa + p.ba + p.bb + i AS DOUBLE)) * 1000000000
+                          + 0.5) AS BIGINT)
+             - CAST(floor(ln(CAST(1 + i AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
+                 AS rq
+        FROM ig CROSS JOIN p
+    ), cum AS (
+        SELECT i,
+               CAST(COALESCE(sum(rq) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumbefore
+        FROM ratio
+    ), terms AS (
+        SELECT CAST(sum(CAST(floor(
+                   exp((CAST((SELECT lnt0_q FROM lgq) AS DOUBLE) + cumbefore)
+                       / 1000000000.0) * 1000000000000 + 0.5) AS BIGINT))
+               AS BIGINT) AS pq
+        FROM cum
+    )
+    SELECT p.n_a, p.c_a, p.n_b, p.c_b,
+           floor(CAST(t.pq AS DOUBLE) / 1000000.0 + 0.5) / 1000000.0
+               AS p_b_beats_a,
+           floor((CAST(p.ab AS DOUBLE) / (p.ab + p.bb)
+                  - CAST(p.aa AS DOUBLE) / (p.aa + p.ba)) * 1000000 + 0.5)
+               / 1000000 AS expected_lift
+    FROM p CROSS JOIN terms t
+    """,
+    tags=("stats", "bayes", "ab-test", "beta-binomial"),
+)
+def q_stats_bayes_ab_probability(spark, sf_dir):
+    """Bayesian A/B readout: the EXACT posterior probability
+    P(p_B > p_A) under independent Beta(1,1)-prior posteriors — the
+    number a decision-maker actually wants ("how likely is B better"),
+    where `stats_two_proportion_z` answers the inverted frequentist
+    question.  Uses the closed-form identity (Cook 2005, public)
+    P = Σ_{i<a_B} B(a_A+i, b_A+b_B) / [(b_B+i)·B(1+i, b_B)·B(a_A, b_A)]
+    evaluated ENTIRELY by integer-quantized logarithm arithmetic: the
+    term RATIO t_{i+1}/t_i telescopes to
+    (a_A+i)(b_B+i) / [(a_A+b_A+b_B+i)(1+i)], so ln t_i is the running
+    sum of nano-quantized per-row log ratios (order-free integer
+    cumsum), t_0's three lnΓ values come from one shared quantized
+    ln-factorial grid, and each exp(ln t_i) is pico-quantized before the
+    final sum — both engines walk identical integers end to end.
+
+    Scale: the per-user conversion agg is the only corpus-sized work;
+    the grids are bounded by the USER count (ln-factorial) and the
+    B-arm conversion count (terms) — grid cumsums ride the
+    range-partitioned `grid_cumsum`, never a single-partition sort.  The
+    one driver fetch is the 4-integer arm summary used to size
+    spark.range (the bounded-scalar-fetch precedent)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 200.0), 1
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    s = u.select((F.col("user_id") % 2).alias("arm"), "conv").groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    [row] = s.collect()  # bounded 4-integer fetch: sizes the ranges below
+    n_a, c_a, n_b, c_b = row.n_a, row.c_a, row.n_b, row.c_b
+    aa, ba, ab, bb = c_a + 1, n_a - c_a + 1, c_b + 1, n_b - c_b + 1
+    nmax = n_a + n_b + 6
+    lnq = lambda col: F.floor(F.log(col.cast("double")) * 1000000000 + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    kg = spark.range(1, nmax).select(F.col("id").alias("k"), lnq(F.col("id")).alias("q"))
+    lf = grid_cumsum(kg, ["q"], order_col="k").select("k", F.col("cum_q").alias("cumq"))
+
+    def lgamma_q(n: int):
+        """lnGamma(n) in nano-units from the shared grid; lnGamma(1)=0."""
+        if n <= 1:
+            return F.lit(0).cast("long")
+        return F.max(F.when(F.col("k") == n - 1, F.col("cumq"))).cast("long")
+
+    lnt0 = lf.agg(
+        (
+            lgamma_q(ba + bb) - lgamma_q(aa + ba + bb) + lgamma_q(aa + ba) - lgamma_q(ba)
+        ).alias("lnt0_q")
+    )
+    ig = spark.range(0, ab).select(F.col("id").alias("i"))
+    ratio = ig.select(
+        "i",
+        (
+            lnq(F.col("i") + aa)
+            + lnq(F.col("i") + bb)
+            - lnq(F.col("i") + (aa + ba + bb))
+            - lnq(F.col("i") + 1)
+        ).alias("rq"),
+    )
+    cum = grid_cumsum(ratio, ["rq"], order_col="i").select(
+        "i", (F.col("cum_rq") - F.col("rq")).alias("cumbefore")
+    )
+    terms = cum.crossJoin(F.broadcast(lnt0)).agg(
+        F.sum(
+            F.floor(
+                F.exp(
+                    (F.col("lnt0_q") + F.col("cumbefore")).cast("double")
+                    / F.lit(1000000000.0)
+                )
+                * 1000000000000
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("pq")
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return s.crossJoin(F.broadcast(terms)).select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        (
+            F.floor(F.col("pq").cast("double") / F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("p_b_beats_a"),
+        canon(
+            F.lit(float(ab)) / F.lit(float(ab + bb))
+            - F.lit(float(aa)) / F.lit(float(aa + ba))
+        ).alias("expected_lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generalized ESD — iterative most-extreme-day removal over the grid
+# ---------------------------------------------------------------------------
+
+
+def _gesd_round_sql(i: int) -> str:
+    """One unrolled GESD round: moments of the surviving grid, the round's
+    most extreme day (round-9 |z| desc, day tiebreak), and the survivor
+    set for the next round."""
+    prev = f"g{i - 1}"
+    return f"""
+    , m{i} AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS ss
+        FROM {prev}
+    ), pick{i} AS (
+        SELECT g.day, g.y, m.n,
+               CASE WHEN CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n > 0
+                    THEN abs(g.y - CAST(m.s AS DOUBLE) / m.n)
+                         / sqrt((CAST(m.ss AS DOUBLE)
+                                 - CAST(m.s AS DOUBLE) * m.s / m.n) / (m.n - 1))
+                    ELSE 0.0 END AS r
+        FROM {prev} g CROSS JOIN m{i} m
+        ORDER BY round(CASE WHEN CAST(m.ss AS DOUBLE)
+                                 - CAST(m.s AS DOUBLE) * m.s / m.n > 0
+                    THEN abs(g.y - CAST(m.s AS DOUBLE) / m.n)
+                         / sqrt((CAST(m.ss AS DOUBLE)
+                                 - CAST(m.s AS DOUBLE) * m.s / m.n) / (m.n - 1))
+                    ELSE 0.0 END, 9) DESC, g.day
+        LIMIT 1
+    ), g{i} AS (
+        SELECT g.day, g.y FROM {prev} g
+        WHERE g.day <> (SELECT day FROM pick{i})
+    )"""
+
+
+@register(
+    "ts_gesd_outliers",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+        FROM events
+    ), g0 AS (
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS y
+        FROM d GROUP BY day
+    )"""
+    + "".join(_gesd_round_sql(i) for i in (1, 2, 3))
+    + """
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS round, day, CAST(y AS DOUBLE) / 1000.0 AS day_mean,
+               n AS n_remaining, floor(r * 1000000 + 0.5) / 1000000 AS r_stat
+        FROM pick1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), day, CAST(y AS DOUBLE) / 1000.0, n,
+               floor(r * 1000000 + 0.5) / 1000000 FROM pick2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), day, CAST(y AS DOUBLE) / 1000.0, n,
+               floor(r * 1000000 + 0.5) / 1000000 FROM pick3
+    ) ORDER BY round
+    """,
+    tags=("timeseries", "outliers", "gesd", "robust"),
+)
+def q_ts_gesd_outliers(spark, sf_dir):
+    """Generalized ESD (Rosner 1983, public): three unrolled rounds of
+    "remove the most extreme day, RECOMPUTE the moments, repeat" over
+    the daily-mean grid — the iterative escalation of `ts_anomaly_zscore`
+    that fixes MASKING: a pair of extreme days each inflate the σ the
+    other is judged by, so the single-pass z-score can miss both, while
+    GESD's per-round recomputation unmasks them one at a time.  The
+    emitted R-statistic sequence is the evidence trail (compare each R_i
+    to the Rosner critical value at your α to choose how many to
+    reject).
+
+    Exactness: the grid is the milli-quantized integer-mean device;
+    per-round moments are BIGINT sums of survivors; each round's argmax
+    orders by round-9 |z| with day tiebreak; removal is an exact
+    day-key anti-join.
+
+    Scale: three passes over the calendar-bounded grid (one agg + one
+    TakeOrdered-1 + one anti-join each) — the raw table is scanned once
+    for the grid."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+        )
+        .groupBy("day")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count("*")).cast("long").alias("y")
+        )
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "y")
+        .localCheckpoint(eager=False)
+    )
+    picks = []
+    for rnd in (1, 2, 3):
+        m = g.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("s"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+        )
+        mu = F.col("s").cast("double") / F.col("n")
+        cvar = (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        sd = F.sqrt(cvar / (F.col("n") - 1))
+        # zero-variance survivors (constant series after removals): R := 0
+        # on both engines instead of an ANSI divide-by-zero
+        r = F.when(cvar > 0, F.abs(F.col("y") - mu) / sd).otherwise(F.lit(0.0))
+        pick = (
+            g.crossJoin(F.broadcast(m))
+            .select("day", "y", "n", r.alias("r"))
+            .orderBy(F.desc(F.round("r", 9)), "day")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        picks.append((rnd, pick))
+        g = g.join(pick.select("day"), "day", "left_anti").localCheckpoint(eager=False)
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    out = None
+    for rnd, pick in picks:
+        row = pick.select(
+            F.lit(rnd).cast("long").alias("round"),
+            "day",
+            (F.col("y").cast("double") / F.lit(1000.0)).alias("day_mean"),
+            F.col("n").alias("n_remaining"),
+            canon(F.col("r")).alias("r_stat"),
+        )
+        out = row if out is None else out.union(row)
+    return out.orderBy("round")

@@ -130,6 +130,8 @@ _FRONT = (
     "stats_tail_dependence",
     "events_dow_seasonality",
     "stats_msprt_always_valid",
+    "stats_bayes_ab_probability",
+    "ts_gesd_outliers",
     "stats_kruskal_wallis",
     "stats_anderson_darling",
     "ml_brier_decomposition",

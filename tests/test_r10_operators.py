@@ -2398,3 +2398,135 @@ def test_msprt_vs_python_and_monotone_p(spark):
         assert r.always_valid_p == p
         assert r.always_valid_p <= prev_p + 1e-12
         prev_p = r.always_valid_p
+
+
+# ---------------------------------------------------------------------------
+# wave 25: bayesian A/B / generalized ESD
+# ---------------------------------------------------------------------------
+
+
+def test_bayes_ab_vs_python_exact(spark):
+    """Replay the quantized log-ratio cumsum in python AND cross-check
+    against a direct float evaluation of Cook's closed form."""
+    import duckdb
+    import math
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    [row] = all_queries()["stats_bayes_ab_probability"].fn(spark, SF).collect()
+    [base] = duckdb.sql(
+        f"""SELECT sum(CASE WHEN arm=0 THEN 1 ELSE 0 END) na,
+                   sum(CASE WHEN arm=0 THEN conv ELSE 0 END) ca,
+                   sum(CASE WHEN arm=1 THEN 1 ELSE 0 END) nb,
+                   sum(CASE WHEN arm=1 THEN conv ELSE 0 END) cb
+            FROM (SELECT user_id % 2 arm,
+                         max(CASE WHEN event_type='purchase' AND value>=200.0
+                                  THEN 1 ELSE 0 END) conv
+                  FROM '{SF}/events.parquet' GROUP BY user_id)"""
+    ).df().itertuples(index=False)
+    aa, ba = int(base.ca) + 1, int(base.na - base.ca) + 1
+    ab, bb = int(base.cb) + 1, int(base.nb - base.cb) + 1
+    # quantized replay (must equal the engines bit-for-bit)
+    lg = lambda n: sum(  # noqa: E731
+        math.floor(math.log(k) * 1e9 + 0.5) for k in range(1, n)
+    )
+    lnt0_q = lg(ba + bb) - lg(aa + ba + bb) + lg(aa + ba) - lg(ba)
+    cum = 0
+    pq = 0
+    for i in range(ab):
+        pq += math.floor(math.exp((lnt0_q + cum) / 1e9) * 1e12 + 0.5)
+        cum += (
+            math.floor(math.log(aa + i) * 1e9 + 0.5)
+            + math.floor(math.log(bb + i) * 1e9 + 0.5)
+            - math.floor(math.log(aa + ba + bb + i) * 1e9 + 0.5)
+            - math.floor(math.log(1 + i) * 1e9 + 0.5)
+        )
+    assert row.p_b_beats_a == math.floor(pq / 1e6 + 0.5) / 1e6
+    # independent float evaluation of the closed form (lgamma-based)
+    from math import lgamma, exp, log
+
+    def lnB(x, y):
+        return lgamma(x) + lgamma(y) - lgamma(x + y)
+
+    p = sum(
+        exp(lnB(aa + i, ba + bb) - log(bb + i) - lnB(1 + i, bb) - lnB(aa, ba))
+        for i in range(ab)
+    )
+    assert abs(row.p_b_beats_a - p) < 1e-5
+    assert 0.0 <= row.p_b_beats_a <= 1.0
+    assert abs(
+        row.expected_lift - (ab / (ab + bb) - aa / (aa + ba))
+    ) < 1e-6
+
+
+def test_gesd_vs_python_and_unmasking(spark):
+    """Python replay of the three remove-and-recompute rounds; plus a
+    masking fixture: two planted extremes must BOTH surface across
+    rounds 1-2 with R recomputed each time."""
+    import duckdb
+    import math
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = sorted(
+        all_queries()["ts_gesd_outliers"].fn(spark, SF).collect(),
+        key=lambda r: r.round,
+    )
+    df = duckdb.sql(
+        f"""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                              CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+                       FROM '{SF}/events.parquet')
+            SELECT strftime(day, '%Y-%m-%d') AS day,
+                   CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS y
+            FROM d GROUP BY day"""
+    ).df()
+    grid = {d: int(y) for d, y in zip(df["day"], df["y"])}
+    for r in rows:
+        n = len(grid)
+        s = sum(grid.values())
+        ss = sum(y * y for y in grid.values())
+        mu = s / n
+        sd = math.sqrt((ss - s * s / n) / (n - 1))
+        # engine tiebreak: day ASC among round-9 ties -> min day
+        rv = lambda d: round(abs(grid[d] - mu) / sd, 9) if sd > 0 else 0.0  # noqa: E731
+        top = max(rv(d) for d in grid)
+        best = min(d for d in grid if rv(d) == top)
+        assert r.day == best
+        assert r.n_remaining == n
+        expect_r = abs(grid[best] - mu) / sd if sd > 0 else 0.0
+        assert r.r_stat == math.floor(expect_r * 1e6 + 0.5) / 1e6
+        del grid[best]
+    # masking fixture
+    import datetime
+
+    import real_time_scraping_and_predicting_time_series_data_spark.operators.stats as S
+    import real_time_scraping_and_predicting_time_series_data_spark.catalog as C
+
+    base = datetime.datetime(2024, 1, 1)
+    vals = [10.0] * 28 + [500.0, 500.0]  # two masked extremes
+    pdf = spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(days=i), "a", v)
+            for i, v in enumerate(vals)
+        ],
+        ["event_id", "ts", "event_type", "value"],
+    )
+    orig = C.load_table
+    try:
+        C.load_table = lambda sp, sf, name: pdf  # noqa: ARG005
+        S.load_table = C.load_table
+        out = sorted(
+            all_queries()["ts_gesd_outliers"].fn(spark, "ignored").collect(),
+            key=lambda r: r.round,
+        )
+    finally:
+        C.load_table = orig
+        S.load_table = orig
+    assert out[0].day_mean == 500.0 and out[1].day_mean == 500.0
+    assert out[1].r_stat > out[0].r_stat  # unmasking: R GROWS after removal
+    assert out[2].day_mean == 10.0
+    assert out[2].r_stat == 0.0  # constant survivors -> guarded zero R
