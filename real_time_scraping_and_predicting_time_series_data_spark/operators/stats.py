@@ -8707,3 +8707,281 @@ def q_ts_gesd_outliers(spark, sf_dir):
         )
         out = row if out is None else out.union(row)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Forecast combination — inverse-SSE weighted ensemble of three baselines
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_forecast_combination",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+        FROM events
+    ), g0 AS (
+        SELECT event_type, day,
+               CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS y
+        FROM d GROUP BY event_type, day
+    ), g AS (
+        SELECT event_type, y,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+                    AS BIGINT) AS t,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM g0
+    ), sp AS (
+        SELECT event_type, n, CAST(ceil(2.0 * n / 3.0) AS BIGINT) AS k
+        FROM g GROUP BY event_type, n
+    ), model AS (
+        SELECT g.event_type, sp.k, sp.n,
+               CAST(floor(CAST(sum(g.y) AS DOUBLE) / sp.k) AS BIGINT) AS mu,
+               CAST(max(CASE WHEN g.t = sp.k - 1 THEN g.y END) AS BIGINT) AS last_y,
+               CAST(max(CASE WHEN g.t = 0 THEN g.y END) AS BIGINT) AS first_y
+        FROM g JOIN sp USING (event_type) WHERE g.t < sp.k
+        GROUP BY g.event_type, sp.k, sp.n
+    ), lagged AS (
+        SELECT g.event_type, g.t, g.y,
+               lag(g.y) OVER (PARTITION BY g.event_type ORDER BY g.t) AS yprev
+        FROM g
+    ), insse AS (
+        SELECT l.event_type,
+               CAST(sum(CASE WHEN l.t < m.k THEN
+                   CAST(floor((l.y - m.mu) * (l.y - m.mu) / 1000.0 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS sse_mean,
+               CAST(sum(CASE WHEN l.t >= 1 AND l.t < m.k THEN
+                   CAST(floor((l.y - l.yprev) * (l.y - l.yprev) / 1000.0 + 0.5)
+                        AS BIGINT) ELSE 0 END) AS BIGINT) AS sse_naive,
+               CAST(sum(CASE WHEN l.t >= 1 AND l.t < m.k THEN
+                   CAST(floor((l.y - l.yprev
+                               - CAST(m.last_y - m.first_y AS DOUBLE) / (m.k - 1))
+                              * (l.y - l.yprev
+                                 - CAST(m.last_y - m.first_y AS DOUBLE) / (m.k - 1))
+                              / 1000.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS sse_drift
+        FROM lagged l JOIN model m USING (event_type)
+        GROUP BY l.event_type
+    ), w AS (
+        SELECT event_type,
+               1.0 / sse_mean AS wm, 1.0 / sse_naive AS wn, 1.0 / sse_drift AS wd
+        FROM insse
+    ), test AS (
+        SELECT g.event_type, g.y,
+               CAST(m.mu AS DOUBLE) AS f_mean,
+               CAST(m.last_y AS DOUBLE) AS f_naive,
+               m.last_y + CAST(m.last_y - m.first_y AS DOUBLE) / (m.k - 1)
+                   * (g.t - (m.k - 1)) AS f_drift
+        FROM g JOIN model m USING (event_type) WHERE g.t >= m.k
+    ), err AS (
+        SELECT t.event_type,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CAST(floor((t.y - t.f_mean) * (t.y - t.f_mean) / 1000.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS te_mean,
+               CAST(sum(CAST(floor((t.y - t.f_naive) * (t.y - t.f_naive) / 1000.0
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS te_naive,
+               CAST(sum(CAST(floor((t.y - t.f_drift) * (t.y - t.f_drift) / 1000.0
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS te_drift,
+               CAST(sum(CAST(floor(
+                   (t.y - (w.wm * t.f_mean + w.wn * t.f_naive + w.wd * t.f_drift)
+                          / (w.wm + w.wn + w.wd))
+                   * (t.y - (w.wm * t.f_mean + w.wn * t.f_naive + w.wd * t.f_drift)
+                            / (w.wm + w.wn + w.wd)) / 1000.0 + 0.5) AS BIGINT))
+                   AS BIGINT) AS te_combo
+        FROM test t JOIN w USING (event_type)
+        GROUP BY t.event_type
+    )
+    SELECT e.event_type, m.k AS n_train, e.n_test,
+           floor(w.wm / (w.wm + w.wn + w.wd) * 1000000 + 0.5) / 1000000 AS w_mean,
+           floor(w.wn / (w.wm + w.wn + w.wd) * 1000000 + 0.5) / 1000000 AS w_naive,
+           floor(w.wd / (w.wm + w.wn + w.wd) * 1000000 + 0.5) / 1000000 AS w_drift,
+           floor(sqrt(CAST(e.te_mean AS DOUBLE) * 1000.0 / e.n_test) / 1000.0
+                 * 1000 + 0.5) / 1000 AS rmse_mean,
+           floor(sqrt(CAST(e.te_naive AS DOUBLE) * 1000.0 / e.n_test) / 1000.0
+                 * 1000 + 0.5) / 1000 AS rmse_naive,
+           floor(sqrt(CAST(e.te_drift AS DOUBLE) * 1000.0 / e.n_test) / 1000.0
+                 * 1000 + 0.5) / 1000 AS rmse_drift,
+           floor(sqrt(CAST(e.te_combo AS DOUBLE) * 1000.0 / e.n_test) / 1000.0
+                 * 1000 + 0.5) / 1000 AS rmse_combo
+    FROM err e JOIN w USING (event_type) JOIN model m USING (event_type)
+    ORDER BY e.event_type
+    """,
+    tags=("timeseries", "forecast", "ensemble", "combination"),
+)
+def q_ts_forecast_combination(spark, sf_dir):
+    """Forecast COMBINATION (Bates & Granger 1969, public): per event
+    type, three baseline forecasters — train mean, naive last-value,
+    drift — are blended with inverse-in-sample-SSE weights and evaluated
+    out-of-sample on the last third of the window.  The forecasting
+    literature's most replicated finding is that this simple combination
+    is about as good as the best component without knowing WHICH is best
+    — the production answer to model selection under regime uncertainty,
+    tying together the single-model family (`ml_seasonal_naive_eval`,
+    `ts_theta_forecast`, `ts_holt_*`).
+
+    Exactness: the grid is the milli-quantized integer-mean device;
+    model parameters (train mean, endpoints, drift slope) are exact
+    integers/rationals; in-sample and test squared errors are quantized
+    per row BEFORE their sums; weights are single IEEE expressions of
+    the integer SSEs.  Time indexes come from a per-type row_number, so
+    the split is deterministic.
+
+    Scale: one scan to the grid; everything else is per-type windows and
+    grouped aggs over calendar-bounded relations."""
+    ev = load_table(spark, sf_dir, "events")
+    g0 = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count("*")).cast("long").alias("y")
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wp = Window.partitionBy("event_type")
+    g = g0.select(
+        "event_type",
+        "y",
+        (F.row_number().over(wo) - 1).cast("long").alias("t"),
+        F.count("*").over(wp).cast("long").alias("n"),
+    ).localCheckpoint(eager=False)
+    k = F.ceil(F.lit(2.0) * F.col("n") / 3).cast("long")
+    gk = g.withColumn("k", k)
+    model = (
+        gk.filter(F.col("t") < F.col("k"))
+        .groupBy("event_type", "k", "n")
+        .agg(
+            F.floor(F.sum("y").cast("double") / F.first("k")).cast("long").alias("mu"),
+            F.max(F.when(F.col("t") == F.col("k") - 1, F.col("y")))
+            .cast("long")
+            .alias("last_y"),
+            F.max(F.when(F.col("t") == 0, F.col("y"))).cast("long").alias("first_y"),
+        )
+    )
+    wt = Window.partitionBy("event_type").orderBy("t")
+    lagged = gk.withColumn("yprev", F.lag("y").over(wt))
+    slope = F.col("last_y").cast("double") - F.col("first_y")
+    slope = slope / (F.col("k") - 1)
+    q3 = lambda e: F.floor(e / F.lit(1000.0) + F.lit(0.5)).cast("long")  # noqa: E731
+    insse = (
+        lagged.join(model.select("event_type", "mu", "last_y", "first_y", F.col("k").alias("k2")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("t") < F.col("k2"),
+                    q3((F.col("y") - F.col("mu")) * (F.col("y") - F.col("mu"))),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("sse_mean"),
+            F.sum(
+                F.when(
+                    (F.col("t") >= 1) & (F.col("t") < F.col("k2")),
+                    q3((F.col("y") - F.col("yprev")) * (F.col("y") - F.col("yprev"))),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("sse_naive"),
+            F.sum(
+                F.when(
+                    (F.col("t") >= 1) & (F.col("t") < F.col("k2")),
+                    q3(
+                        (
+                            F.col("y")
+                            - F.col("yprev")
+                            - (F.col("last_y").cast("double") - F.col("first_y"))
+                            / (F.col("k2") - 1)
+                        )
+                        * (
+                            F.col("y")
+                            - F.col("yprev")
+                            - (F.col("last_y").cast("double") - F.col("first_y"))
+                            / (F.col("k2") - 1)
+                        )
+                    ),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("sse_drift"),
+        )
+    )
+    w = insse.select(
+        "event_type",
+        (F.lit(1.0) / F.col("sse_mean")).alias("wm"),
+        (F.lit(1.0) / F.col("sse_naive")).alias("wn"),
+        (F.lit(1.0) / F.col("sse_drift")).alias("wd"),
+    )
+    test = gk.join(model.select("event_type", "mu", "last_y", "first_y", F.col("k").alias("k2")), "event_type").filter(
+        F.col("t") >= F.col("k2")
+    ).select(
+        "event_type",
+        "y",
+        F.col("mu").cast("double").alias("f_mean"),
+        F.col("last_y").cast("double").alias("f_naive"),
+        (
+            F.col("last_y")
+            + (F.col("last_y").cast("double") - F.col("first_y"))
+            / (F.col("k2") - 1)
+            * (F.col("t") - (F.col("k2") - 1))
+        ).alias("f_drift"),
+    )
+    combo = (
+        F.col("wm") * F.col("f_mean")
+        + F.col("wn") * F.col("f_naive")
+        + F.col("wd") * F.col("f_drift")
+    ) / (F.col("wm") + F.col("wn") + F.col("wd"))
+    err = (
+        test.join(w, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(q3((F.col("y") - F.col("f_mean")) * (F.col("y") - F.col("f_mean"))))
+            .cast("long")
+            .alias("te_mean"),
+            F.sum(
+                q3((F.col("y") - F.col("f_naive")) * (F.col("y") - F.col("f_naive")))
+            )
+            .cast("long")
+            .alias("te_naive"),
+            F.sum(
+                q3((F.col("y") - F.col("f_drift")) * (F.col("y") - F.col("f_drift")))
+            )
+            .cast("long")
+            .alias("te_drift"),
+            F.sum(q3((F.col("y") - combo) * (F.col("y") - combo)))
+            .cast("long")
+            .alias("te_combo"),
+        )
+    )
+    wsum = F.col("wm") + F.col("wn") + F.col("wd")
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    rmse = lambda c: (  # noqa: E731
+        F.floor(
+            F.sqrt(F.col(c).cast("double") * 1000.0 / F.col("n_test"))
+            / F.lit(1000.0)
+            * 1000
+            + F.lit(0.5)
+        )
+        / 1000
+    )
+    return (
+        err.join(w, "event_type")
+        .join(model.select("event_type", F.col("k").alias("n_train")), "event_type")
+        .select(
+            "event_type",
+            "n_train",
+            "n_test",
+            canon(F.col("wm") / wsum).alias("w_mean"),
+            canon(F.col("wn") / wsum).alias("w_naive"),
+            canon(F.col("wd") / wsum).alias("w_drift"),
+            rmse("te_mean").alias("rmse_mean"),
+            rmse("te_naive").alias("rmse_naive"),
+            rmse("te_drift").alias("rmse_drift"),
+            rmse("te_combo").alias("rmse_combo"),
+        )
+        .orderBy("event_type")
+    )

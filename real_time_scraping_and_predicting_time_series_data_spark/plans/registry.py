@@ -132,6 +132,7 @@ _FRONT = (
     "stats_msprt_always_valid",
     "stats_bayes_ab_probability",
     "ts_gesd_outliers",
+    "ts_forecast_combination",
     "stats_kruskal_wallis",
     "stats_anderson_darling",
     "ml_brier_decomposition",

@@ -2530,3 +2530,81 @@ def test_gesd_vs_python_and_unmasking(spark):
     assert out[1].r_stat > out[0].r_stat  # unmasking: R GROWS after removal
     assert out[2].day_mean == 10.0
     assert out[2].r_stat == 0.0  # constant survivors -> guarded zero R
+
+
+# ---------------------------------------------------------------------------
+# wave 26: forecast combination
+# ---------------------------------------------------------------------------
+
+
+def test_forecast_combination_vs_python(spark):
+    """Replay the full pipeline (grid, split, three models, quantized
+    SSEs, weights, test errors) in python; plus the Bates-Granger sanity
+    pin: the combo never does much worse than the best component."""
+    import duckdb
+    import math
+    from collections import defaultdict
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = {
+        r.event_type: r
+        for r in all_queries()["ts_forecast_combination"].fn(spark, SF).collect()
+    }
+    df = duckdb.sql(
+        f"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                              CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+                       FROM '{SF}/events.parquet')
+            SELECT event_type, day,
+                   CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS y
+            FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).df()
+    series = defaultdict(list)
+    for et, y in zip(df["event_type"], df["y"]):
+        series[et].append(int(y))
+    q3 = lambda e: math.floor(e / 1000.0 + 0.5)  # noqa: E731
+    for et, ys in series.items():
+        n = len(ys)
+        k = math.ceil(2.0 * n / 3.0)
+        train, test = ys[:k], ys[k:]
+        mu = math.floor(sum(train) / k)
+        last_y, first_y = train[-1], train[0]
+        slope = (last_y - first_y) / (k - 1)
+        sse_mean = sum(q3((y - mu) ** 2) for y in train)
+        sse_naive = sum(
+            q3((train[i] - train[i - 1]) ** 2) for i in range(1, k)
+        )
+        sse_drift = sum(
+            q3((train[i] - train[i - 1] - slope) ** 2) for i in range(1, k)
+        )
+        wm, wn, wd = 1.0 / sse_mean, 1.0 / sse_naive, 1.0 / sse_drift
+        te = [0, 0, 0, 0]
+        for i, y in enumerate(test):
+            t = k + i
+            fm, fn_, fd = float(mu), float(last_y), last_y + slope * (t - (k - 1))
+            fc = (wm * fm + wn * fn_ + wd * fd) / (wm + wn + wd)
+            te[0] += q3((y - fm) ** 2)
+            te[1] += q3((y - fn_) ** 2)
+            te[2] += q3((y - fd) ** 2)
+            te[3] += q3((y - fc) ** 2)
+        r = rows[et]
+        assert r.n_train == k and r.n_test == len(test)
+        ws = wm + wn + wd
+        assert r.w_mean == math.floor(wm / ws * 1e6 + 0.5) / 1e6
+        assert r.w_naive == math.floor(wn / ws * 1e6 + 0.5) / 1e6
+        rm = lambda q: math.floor(  # noqa: E731
+            math.sqrt(q * 1000.0 / len(test)) / 1000.0 * 1000 + 0.5
+        ) / 1000
+        assert r.rmse_mean == rm(te[0])
+        assert r.rmse_naive == rm(te[1])
+        assert r.rmse_drift == rm(te[2])
+        assert r.rmse_combo == rm(te[3])
+        best = min(r.rmse_mean, r.rmse_naive, r.rmse_drift)
+        worst = max(r.rmse_mean, r.rmse_naive, r.rmse_drift)
+        # Bates-Granger holds in expectation, not per sample: pin the
+        # defensible envelope — never worse than the worst component,
+        # and close to the best without having chosen it.
+        assert r.rmse_combo <= worst
+        assert r.rmse_combo <= best * 1.5
