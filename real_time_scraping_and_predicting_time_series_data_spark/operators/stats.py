@@ -8985,3 +8985,113 @@ def q_ts_forecast_combination(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Threshold selection — the classifier's operating point, chosen on-grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_threshold_selection",
+    oracle=_SCORED_CTE_SQL
+    + r"""
+    , c AS (
+        SELECT pc,
+               CAST(sum(pos) OVER (ORDER BY pc DESC) AS BIGINT) AS tp,
+               CAST(sum(neg) OVER (ORDER BY pc DESC) AS BIGINT) AS fp
+        FROM roc_g
+    ), tot AS (
+        SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(neg) AS BIGINT) AS n_neg
+        FROM roc_g
+    ), scoredc AS (
+        SELECT c.pc, c.tp, c.fp, t.n_pos, t.n_neg,
+               2.0 * c.tp / (t.n_pos + c.tp + c.fp) AS f1,
+               CAST(c.tp AS DOUBLE) / t.n_pos
+                 - CAST(c.fp AS DOUBLE) / t.n_neg AS youden
+        FROM c CROSS JOIN tot t
+    ), best_f1 AS (
+        SELECT 'max_f1' AS criterion, pc, tp, fp, n_pos, n_neg, f1, youden
+        FROM scoredc ORDER BY round(f1, 9) DESC, pc DESC LIMIT 1
+    ), best_j AS (
+        SELECT 'max_youden' AS criterion, pc, tp, fp, n_pos, n_neg, f1, youden
+        FROM scoredc ORDER BY round(youden, 9) DESC, pc DESC LIMIT 1
+    )
+    SELECT criterion,
+           floor(CAST(pc AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000
+               AS threshold,
+           tp, fp, CAST(n_pos - tp AS BIGINT) AS fn, CAST(n_neg - fp AS BIGINT) AS tn,
+           floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000 + 0.5) / 1000000
+               AS precision_at,
+           floor(CAST(tp AS DOUBLE) / n_pos * 1000000 + 0.5) / 1000000 AS recall_at,
+           floor(f1 * 1000000 + 0.5) / 1000000 AS f1,
+           floor(youden * 1000000 + 0.5) / 1000000 AS youden_j
+    FROM (SELECT * FROM best_f1 UNION ALL SELECT * FROM best_j)
+    ORDER BY criterion
+    """,
+    tags=("ml", "classifier", "threshold", "operating-point"),
+)
+def q_ml_threshold_selection(spark, sf_dir):
+    """The classifier's OPERATING POINT: sweep every threshold of the
+    Newton domain classifier's quantized score grid and return the two
+    standard choices — max-F1 (the precision/recall compromise a filter
+    deployment usually ships) and max-Youden-J (TPR − FPR, the
+    prevalence-free choice) — each with its full confusion quadrant.
+    `ml_pr_auc` reports that a good threshold EXISTS (best_f1);
+    this returns WHICH threshold, with the numbers a rollout review
+    needs.  Ties break to the HIGHER threshold (keep less, same score).
+
+    Exactness: cumulative TP/FP are integer cumsums over the descending
+    score grid; F1 and J are single ratios of BIGINTs; argmaxes order by
+    round-9 stat with the pc tiebreak.
+
+    Scale: the grid is bounded at min(n_docs, 1e6+1) rows; one
+    `grid_cumsum` + two TakeOrdered-1 picks."""
+    g = _scored_grid(spark, sf_dir).withColumn("npc", -F.col("pc"))
+    c = grid_cumsum(g, ["pos", "neg"], order_col="npc").select(
+        "pc", F.col("cum_pos").alias("tp"), F.col("cum_neg").alias("fp")
+    )
+    tot = g.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+    )
+    sc = c.crossJoin(F.broadcast(tot)).select(
+        "pc",
+        "tp",
+        "fp",
+        "n_pos",
+        "n_neg",
+        (2.0 * F.col("tp") / (F.col("n_pos") + F.col("tp") + F.col("fp"))).alias("f1"),
+        (
+            F.col("tp").cast("double") / F.col("n_pos")
+            - F.col("fp").cast("double") / F.col("n_neg")
+        ).alias("youden"),
+    ).localCheckpoint(eager=False)
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+
+    def pick(stat, label):
+        return (
+            sc.orderBy(F.desc(F.round(stat, 9)), F.desc("pc"))
+            .limit(1)
+            .select(
+                F.lit(label).alias("criterion"),
+                canon(F.col("pc").cast("double") / F.lit(1000000.0)).alias(
+                    "threshold"
+                ),
+                "tp",
+                "fp",
+                (F.col("n_pos") - F.col("tp")).cast("long").alias("fn"),
+                (F.col("n_neg") - F.col("fp")).cast("long").alias("tn"),
+                canon(F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias(
+                    "precision_at"
+                ),
+                canon(F.col("tp").cast("double") / F.col("n_pos")).alias("recall_at"),
+                canon(F.col("f1")).alias("f1"),
+                canon(F.col("youden")).alias("youden_j"),
+            )
+        )
+
+    return pick(F.col("f1"), "max_f1").union(
+        pick(F.col("youden"), "max_youden")
+    ).orderBy("criterion")

@@ -133,6 +133,7 @@ _FRONT = (
     "stats_bayes_ab_probability",
     "ts_gesd_outliers",
     "ts_forecast_combination",
+    "ml_threshold_selection",
     "stats_kruskal_wallis",
     "stats_anderson_darling",
     "ml_brier_decomposition",

@@ -2608,3 +2608,38 @@ def test_forecast_combination_vs_python(spark):
         # and close to the best without having chosen it.
         assert r.rmse_combo <= worst
         assert r.rmse_combo <= best * 1.5
+
+
+# ---------------------------------------------------------------------------
+# wave 27: threshold selection
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_selection_invariants(spark):
+    """Cross-consistency pins: max-F1 row's f1 equals ml_pr_auc's best_f1;
+    confusion quadrants sum to the population; youden in [-1, 1]; both
+    chosen stats are the maxima of their own columns."""
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = {
+        r.criterion: r
+        for r in all_queries()["ml_threshold_selection"].fn(spark, SF).collect()
+    }
+    [pr] = all_queries()["ml_pr_auc"].fn(spark, SF).collect()
+    f1row, jrow = rows["max_f1"], rows["max_youden"]
+    assert f1row.f1 == pr.best_f1  # same grid, same maximum
+    for r in (f1row, jrow):
+        assert r.tp + r.fn == pr.n_pos
+        assert r.fp + r.tn == pr.n_neg
+        assert 0.0 <= r.threshold <= 1.0
+        assert -1.0 <= r.youden_j <= 1.0
+        assert abs(
+            r.f1 - 2 * r.tp / (2 * r.tp + r.fp + r.fn)
+        ) < 2e-6
+        assert abs(
+            r.precision_at - r.tp / (r.tp + r.fp)
+        ) < 2e-6
+    assert jrow.youden_j >= f1row.youden_j - 1e-9
+    assert f1row.f1 >= jrow.f1 - 1e-9
