@@ -440,8 +440,10 @@ def test_no_unbounded_global_windows_anywhere(spark):
         "ts_theta_forecast": {"day"},
         # calendar-bounded day/month grids
         "events_kaplan_meier": {"t"},
-        # log-rank rides the same lifetime-day grid as kaplan_meier
+        # log-rank and the weibull fit ride the same lifetime-day grid as
+        # kaplan_meier (calendar-bounded)
         "events_logrank_test": {"t"},
+        "events_weibull_fit": {"t"},
         # bass diffusion cumulative adopters ride the calendar day grid
         "orders_bass_diffusion": {"day"},
         "monthly_revenue_trend": {"month"},
