@@ -511,3 +511,74 @@ def q_multimodal_phash_neardup(spark, sf_dir):
     byte-identical ones."""
     docs = load_table(spark, sf_dir, "documents")
     return phash_neardup_pairs(assets_from_documents(docs))
+
+
+@register(
+    "multimodal_exact_payload_dedup",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id AS asset_id,
+               ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+               sha256(text) AS payload_hash,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    ), g AS (
+        SELECT payload_hash,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(min(asset_id) AS BIGINT) AS survivor_id,
+               CAST(min(n_bytes) AS BIGINT) AS n_bytes,
+               CAST(count(DISTINCT kind) AS BIGINT) AS n_kinds
+        FROM a GROUP BY payload_hash
+        HAVING count(*) >= 2
+    )
+    SELECT payload_hash, n_copies, survivor_id, n_bytes,
+           CAST((n_copies - 1) * n_bytes AS BIGINT) AS bytes_saved,
+           n_kinds
+    FROM g ORDER BY payload_hash
+    """,
+    tags=("multimodal", "dedup", "content-hash"),
+)
+def q_multimodal_exact_payload_dedup(spark, sf_dir):
+    """Exact BINARY-payload dedup — the first pass of every multimodal
+    ingest (before perceptual near-dup via `multimodal_phash_neardup`):
+    group assets by sha256 of the raw bytes, keep the min-id survivor,
+    report copies and bytes saved per group.  Content hashing is
+    modality-blind by design — identical bytes dedup across the
+    image/audio/video kind tags (n_kinds > 1 groups are exactly the
+    cross-labeled copies a file-level store would double-pay for).
+
+    The payload column is real ``binary`` (the asset derivation's
+    contract); the hash is computed on the BYTES, with the oracle
+    re-deriving the identical bytes from the text column — so the
+    value-hash parity covers the binary plumbing end to end.
+
+    Scale: one projection (hash per row — embarrassingly parallel, the
+    map side of the shuffle) + one grouped agg on the 32-byte hash key;
+    this is the `dedup_exact_hash` shape applied to binary content, and
+    it is the only dedup that needs NO blocking at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = assets_from_documents(docs)
+    g = (
+        a.select(
+            "asset_id",
+            "kind",
+            F.sha2("payload", 256).alias("payload_hash"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        )
+        .groupBy("payload_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("asset_id").cast("long").alias("survivor_id"),
+            F.min("n_bytes").cast("long").alias("n_bytes"),
+            F.countDistinct("kind").cast("long").alias("n_kinds"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+    return g.select(
+        "payload_hash",
+        "n_copies",
+        "survivor_id",
+        "n_bytes",
+        ((F.col("n_copies") - 1) * F.col("n_bytes")).cast("long").alias("bytes_saved"),
+        "n_kinds",
+    ).orderBy("payload_hash")

@@ -134,6 +134,7 @@ _FRONT = (
     "ts_gesd_outliers",
     "ts_forecast_combination",
     "ml_threshold_selection",
+    "multimodal_exact_payload_dedup",
     "stats_kruskal_wallis",
     "stats_anderson_darling",
     "ml_brier_decomposition",

@@ -2643,3 +2643,143 @@ def test_threshold_selection_invariants(spark):
         ) < 2e-6
     assert jrow.youden_j >= f1row.youden_j - 1e-9
     assert f1row.f1 >= jrow.f1 - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# wave 28: exact payload dedup + mergeable-store hypothesis properties
+# ---------------------------------------------------------------------------
+
+
+def test_payload_dedup_planted_and_sf01(spark):
+    """Planted byte-identical payloads across kind tags must group with
+    correct survivor/bytes arithmetic; the real corpus is empty at
+    sf0.001/sf0.01 (true answer — first raw duplicates appear at sf0.1,
+    pinned here)."""
+    import duckdb
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+    import real_time_scraping_and_predicting_time_series_data_spark.operators.multimodal as M
+    import real_time_scraping_and_predicting_time_series_data_spark.catalog as C
+
+    assert all_queries()["multimodal_exact_payload_dedup"].fn(spark, SF).count() == 0
+    n_sf01 = int(
+        duckdb.sql(
+            "select count(*) from (select text, count(*) c from "
+            "read_parquet('/root/testdata/sf0.1/documents.parquet') "
+            "group by 1 having count(*)>=2)"
+        ).df().iloc[0, 0]
+    )
+    rows01 = (
+        all_queries()["multimodal_exact_payload_dedup"]
+        .fn(spark, "/root/testdata/sf0.1")
+        .collect()
+    )
+    assert len(rows01) == n_sf01 and n_sf01 > 0
+    # planted: doc_ids 0,1,2 share bytes (kinds image/audio/video), 3 unique
+    pdf = spark.createDataFrame(
+        [
+            (0, "same bytes here", "en", "src0", 15),
+            (1, "same bytes here", "en", "src0", 15),
+            (2, "same bytes here", "en", "src1", 15),
+            (3, "unique bytes", "en", "src0", 12),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    orig = C.load_table
+    try:
+        C.load_table = lambda sp, sf, name: pdf  # noqa: ARG005
+        M.load_table = C.load_table
+        [g] = all_queries()["multimodal_exact_payload_dedup"].fn(spark, "x").collect()
+    finally:
+        C.load_table = orig
+        M.load_table = orig
+    assert g.n_copies == 3 and g.survivor_id == 0
+    assert g.n_bytes == len("same bytes here")
+    assert g.bytes_saved == 2 * g.n_bytes
+    assert g.n_kinds == 3  # content hash ignores the modality tag
+
+
+def test_sprt_grid_mergeability_property(spark):
+    """Hypothesis property: ANY partition of the order stream into
+    micro-batches serves the exact batch SPRT trajectory (the count
+    grids' disjointness contract, exercised at the grid level without
+    touching disk)."""
+    from hypothesis import given, settings, strategies as st
+
+    import datetime
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.stats import (
+        sprt_day_grid,
+        sprt_readout_from_day_grid,
+    )
+    from pyspark.sql import functions as FF
+
+    base = datetime.datetime(1995, 1, 1)
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 19), st.booleans()), min_size=8, max_size=40
+        ),
+        st.integers(2, 4),
+    )
+    def prop(orders, n_batches):
+        rows = [
+            (
+                i,
+                base + datetime.timedelta(days=day),
+                "1-URGENT" if urgent else "5-LOW",
+            )
+            for i, (day, urgent) in enumerate(orders)
+        ]
+        df = spark.createDataFrame(
+            rows, ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+        batch_out = [
+            tuple(r)
+            for r in sprt_readout_from_day_grid(sprt_day_grid(df)).collect()
+        ]
+        grids = [
+            sprt_day_grid(
+                df.filter(FF.pmod(FF.col("o_orderkey"), FF.lit(n_batches)) == b)
+            )
+            for b in range(n_batches)
+        ]
+        merged = grids[0]
+        for g in grids[1:]:
+            merged = merged.union(g)
+        merged = merged.groupBy("day").agg(
+            FF.sum("n").cast("long").alias("n"), FF.sum("u").cast("long").alias("u")
+        )
+        served = [
+            tuple(r) for r in sprt_readout_from_day_grid(merged).collect()
+        ]
+        assert served == batch_out
+
+    prop()
+
+
+def test_kmv_merge_law_property():
+    """Hypothesis property (pure python — the merge law is engine-free):
+    for ANY split of any hash multiset into parts, union-then-keep-k of
+    the per-part sketches equals the global sketch."""
+    from hypothesis import given, settings, strategies as st
+
+    K = 16
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.integers(1, 1 << 60), min_size=1, max_size=200),
+        st.integers(2, 5),
+    )
+    def prop(hashes, parts):
+        glob = sorted(set(hashes))[:K]
+        sketches = [
+            sorted({h for h in hashes if h % parts == p})[:K] for p in range(parts)
+        ]
+        merged = sorted(set().union(*[set(s) for s in sketches]))[:K]
+        assert merged == glob
+
+    prop()
