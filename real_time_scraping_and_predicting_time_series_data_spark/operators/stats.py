@@ -9095,3 +9095,176 @@ def q_ml_threshold_selection(spark, sf_dir):
     return pick(F.col("f1"), "max_f1").union(
         pick(F.col("youden"), "max_youden")
     ).orderBy("criterion")
+
+
+# ---------------------------------------------------------------------------
+# Anomaly consensus — three detectors vote on the daily grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_anomaly_consensus",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+        FROM events
+    ), g AS (
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS y
+        FROM d GROUP BY day
+    ), mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS ss
+        FROM g
+    ), med AS (
+        SELECT CAST(min(y) AS BIGINT) AS m FROM (
+            SELECT y, CAST(sum(cnt) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY y)
+        ), mom WHERE cum * 2 >= mom.n
+    ), madg AS (
+        SELECT CAST(min(a) AS BIGINT) AS mad FROM (
+            SELECT a, CAST(sum(cnt) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM (SELECT abs(y - (SELECT m FROM med)) AS a,
+                         CAST(count(*) AS BIGINT) AS cnt
+                  FROM g GROUP BY abs(y - (SELECT m FROM med)))
+        ), mom WHERE cum * 2 >= mom.n
+    ), scored AS (
+        SELECT g.day, g.y, mom.n,
+               abs(g.y - CAST(mom.s AS DOUBLE) / mom.n)
+               / sqrt((CAST(mom.ss AS DOUBLE) - CAST(mom.s AS DOUBLE) * mom.s / mom.n)
+                      / (mom.n - 1)) AS z,
+               CASE WHEN (SELECT mad FROM madg) > 0 THEN
+                   abs(g.y - (SELECT m FROM med))
+                   / (1.4826 * (SELECT mad FROM madg)) END AS rz,
+               CAST(g.y - (SELECT m FROM med) AS DOUBLE)
+                   / greatest((SELECT m FROM med), 1) AS rel_dev
+        FROM g CROSS JOIN mom
+    ), votes AS (
+        SELECT day, y, z, rz, rel_dev,
+               (CASE WHEN z > 2.5 THEN 1 ELSE 0 END
+                + CASE WHEN rz > 2.5 THEN 1 ELSE 0 END
+                + CASE WHEN abs(rel_dev) > 0.5 THEN 1 ELSE 0 END) AS n_votes
+        FROM scored
+    )
+    SELECT day, CAST(y AS DOUBLE) / 1000.0 AS day_mean,
+           floor(z * 1000000 + 0.5) / 1000000 AS z_score,
+           floor(rz * 1000000 + 0.5) / 1000000 AS robust_z,
+           floor(rel_dev * 1000000 + 0.5) / 1000000 AS rel_dev,
+           CAST(n_votes AS BIGINT) AS n_votes
+    FROM votes WHERE n_votes >= 1
+    ORDER BY day
+    """,
+    tags=("timeseries", "anomaly", "ensemble", "consensus"),
+)
+def q_ts_anomaly_consensus(spark, sf_dir):
+    """Anomaly CONSENSUS over the daily-mean grid: three detectors with
+    different failure modes vote — the Gaussian z (fooled by its own
+    outliers inflating σ), the MAD robust z (immune to that, fooled by
+    near-zero MAD on quantized flat series), and a median-relative
+    deviation gate (scale-free sanity floor) — and every flagged day is
+    reported WITH its vote count, so the consumer picks the consensus
+    level (n_votes ≥ 2 is the false-positive-filtered tier; on this
+    smooth corpus single-detector flags are the honest norm).  The ensemble argument of
+    `ts_forecast_combination` applied to detection: agreement across
+    detectors with uncorrelated failure modes is the cheapest
+    false-positive filter there is.  Complements the escalation path:
+    one-shot consensus here, iterative `ts_gesd_outliers` when masking
+    is suspected, per-key `ts_mad_outliers`/`ts_hampel_filter` for keyed
+    streams.
+
+    Exactness: integer milli-mean grid; exact discrete medians via the
+    cum·2 ≥ n rule on value grids (the `stats_median_mode` device);
+    MAD guarded against zero; every score a single IEEE expression;
+    thresholds are literals.
+
+    Scale: one scan to the grid; medians ride bounded value grids — the
+    calendar bound throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+        )
+        .groupBy("day")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count("*")).cast("long").alias("y")
+        )
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "y")
+        .localCheckpoint(eager=False)
+    )
+    mom = g.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+    )
+
+    def disc_median(df, col, nrel):
+        # plain cumulative window over the VALUE grid: bounded by distinct
+        # daily means <= |calendar| (allow-listed), and an order of
+        # magnitude cheaper to ANALYZE than a nested grid_cumsum subplan —
+        # this query builds five scalar relations from it, and the deep
+        # variant cost ~14 s of pure driver-side analysis
+        grid = df.groupBy(col).agg(F.count("*").cast("long").alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cum = grid.select(col, F.sum("cnt").over(w).cast("long").alias("cum_cnt"))
+        return (
+            cum.crossJoin(F.broadcast(nrel))
+            .filter(F.col("cum_cnt") * 2 >= F.col("n"))
+            .agg(F.min(col).cast("long").alias("m"))
+        )
+
+    med = disc_median(g, "y", mom)
+    dev = g.crossJoin(F.broadcast(med)).select(
+        "day", "y", F.abs(F.col("y") - F.col("m")).alias("a"), "m"
+    )
+    madg = disc_median(dev, "a", mom).select(F.col("m").alias("mad"))
+    nD = F.col("n").cast("double")
+    z = F.abs(F.col("y") - F.col("s").cast("double") / nD) / F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / nD)
+        / (nD - 1)
+    )
+    rz = F.when(
+        F.col("mad") > 0,
+        F.abs(F.col("y") - F.col("m")) / (F.lit(1.4826) * F.col("mad")),
+    )
+    rel = (F.col("y") - F.col("m")).cast("double") / F.greatest(
+        F.col("m"), F.lit(1)
+    )
+    # ONE analyzed 1-row model relation instead of three nested broadcast
+    # crossJoins: the med/madg subplans each embed a grid_cumsum, and
+    # Spark's eager analysis of the repeatedly-recombined deep plan cost
+    # ~9 s of pure driver time (the elastic-net lesson, plan-shape edition)
+    stats1 = (
+        mom.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(madg))
+        .localCheckpoint(eager=False)
+    )
+    scored = g.crossJoin(F.broadcast(stats1)).select(
+        "day",
+        "y",
+        z.alias("z"),
+        rz.alias("rz"),
+        rel.alias("rel_dev"),
+    )
+    votes = scored.withColumn(
+        "n_votes",
+        F.when(F.col("z") > 2.5, 1).otherwise(0)
+        + F.when(F.col("rz") > 2.5, 1).otherwise(0)
+        + F.when(F.abs(F.col("rel_dev")) > 0.5, 1).otherwise(0),
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        votes.filter(F.col("n_votes") >= 1)
+        .select(
+            "day",
+            (F.col("y").cast("double") / F.lit(1000.0)).alias("day_mean"),
+            canon(F.col("z")).alias("z_score"),
+            canon(F.col("rz")).alias("robust_z"),
+            canon(F.col("rel_dev")).alias("rel_dev"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+        .orderBy("day")
+    )

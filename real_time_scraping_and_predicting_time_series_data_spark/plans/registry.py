@@ -135,6 +135,7 @@ _FRONT = (
     "ts_forecast_combination",
     "ml_threshold_selection",
     "multimodal_exact_payload_dedup",
+    "ts_anomaly_consensus",
     "stats_kruskal_wallis",
     "stats_anderson_darling",
     "ml_brier_decomposition",

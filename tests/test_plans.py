@@ -446,6 +446,8 @@ def test_no_unbounded_global_windows_anywhere(spark):
         "events_weibull_fit": {"t"},
         # bass diffusion cumulative adopters ride the calendar day grid
         "orders_bass_diffusion": {"day"},
+        # consensus medians ride daily-mean value grids (calendar-bounded)
+        "ts_anomaly_consensus": {"y", "a"},
         "monthly_revenue_trend": {"month"},
         "orders_open_backlog": {"day"},
         "stats_jarque_bera": {"day"},

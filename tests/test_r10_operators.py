@@ -2783,3 +2783,86 @@ def test_kmv_merge_law_property():
         assert merged == glob
 
     prop()
+
+
+# ---------------------------------------------------------------------------
+# wave 29: anomaly consensus
+# ---------------------------------------------------------------------------
+
+
+def test_anomaly_consensus_vs_python(spark):
+    """Python replay of all three detectors and the vote rule; plus a
+    planted spike must collect all three votes."""
+    import duckdb
+    import math
+
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    rows = {
+        r.day: r for r in all_queries()["ts_anomaly_consensus"].fn(spark, SF).collect()
+    }
+    df = duckdb.sql(
+        f"""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                              CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+                       FROM '{SF}/events.parquet')
+            SELECT strftime(day, '%Y-%m-%d') AS day,
+                   CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS y
+            FROM d GROUP BY day"""
+    ).df()
+    grid = {d: int(y) for d, y in zip(df["day"], df["y"])}
+    n = len(grid)
+    s = sum(grid.values())
+    ss = sum(y * y for y in grid.values())
+    mu, sd = s / n, math.sqrt((ss - s * s / n) / (n - 1))
+
+    def disc_med(vals):
+        from collections import Counter
+
+        counts = Counter(vals)
+        cum = 0
+        for v in sorted(counts):
+            cum += counts[v]
+            if cum * 2 >= n:
+                return v
+
+    m = disc_med(list(grid.values()))
+    mad = disc_med([abs(y - m) for y in grid.values()])
+    flagged = {}
+    for d, y in grid.items():
+        z = abs(y - mu) / sd
+        rz = abs(y - m) / (1.4826 * mad) if mad > 0 else None
+        rel = (y - m) / max(m, 1)
+        votes = (z > 2.5) + (rz is not None and rz > 2.5) + (abs(rel) > 0.5)
+        if votes >= 1:
+            flagged[d] = (z, rz, rel, votes)
+    assert set(rows) == set(flagged)
+    for d, (z, rz, rel, votes) in flagged.items():
+        r = rows[d]
+        assert r.n_votes == votes
+        assert r.z_score == math.floor(z * 1e6 + 0.5) / 1e6
+        if rz is not None:
+            assert r.robust_z == math.floor(rz * 1e6 + 0.5) / 1e6
+    # planted spike gets all three votes
+    import datetime
+
+    import real_time_scraping_and_predicting_time_series_data_spark.operators.stats as S
+    import real_time_scraping_and_predicting_time_series_data_spark.catalog as C
+
+    base = datetime.datetime(2024, 1, 1)
+    vals = [10.0 + (i % 3) for i in range(29)] + [900.0]
+    pdf = spark.createDataFrame(
+        [(i, base + datetime.timedelta(days=i), "a", v) for i, v in enumerate(vals)],
+        ["event_id", "ts", "event_type", "value"],
+    )
+    orig = C.load_table
+    try:
+        C.load_table = lambda sp, sf, name: pdf  # noqa: ARG005
+        S.load_table = C.load_table
+        out = all_queries()["ts_anomaly_consensus"].fn(spark, "x").collect()
+    finally:
+        C.load_table = orig
+        S.load_table = orig
+    spike = [r for r in out if r.day_mean == 900.0]
+    assert spike and spike[0].n_votes == 3
