@@ -2866,3 +2866,94 @@ def test_anomaly_consensus_vs_python(spark):
         S.load_table = orig
     spike = [r for r in out if r.day_mean == 900.0]
     assert spike and spike[0].n_votes == 3
+
+
+# ---------------------------------------------------------------------------
+# plan pins for the r10 session operators' scale shapes
+# ---------------------------------------------------------------------------
+
+
+def _optimized(spark, name):
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    return (
+        all_queries()[name].fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
+def _physical(spark, name):
+    from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+        all_queries,
+    )
+
+    return (
+        all_queries()[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_kmv_topk_is_takeordered_not_global_sort(spark):
+    """The k-smallest-hash cut must plan as TakeOrdered (per-partition
+    heaps + driver merge of k rows), never a global Sort+Limit."""
+    plan = _physical(spark, "sketch_kmv_distinct")
+    assert "TakeOrderedAndProject" in plan
+    body = plan.split("TakeOrderedAndProject")[0]
+    assert "Sort " not in body
+
+
+def test_elastic_net_single_scan(spark):
+    """The 18 coordinate-descent rounds must not multiply scans: exactly
+    ONE documents parquet scan in the whole plan."""
+    plan = _optimized(spark, "ml_elastic_net_cd")
+    assert plan.count("Relation") == 1, plan.count("Relation")
+
+
+def test_mann_kendall_pair_join_is_on_grid_not_rows(spark):
+    """The S-statistic's pair join must take two GRID-side aggregates as
+    inputs — the raw events relation is scanned for grouped means, never
+    self-joined at row level (the join inputs are Aggregates)."""
+    plan = _optimized(spark, "ts_mann_kendall_trend")
+    join_idx = plan.find("Join Inner")
+    assert join_idx > 0
+    # both join children in the optimized tree are aggregates over the
+    # day grid (the string between the join and the scans shows Aggregate
+    # before any Relation)
+    after = plan[join_idx:]
+    first_rel = after.find("Relation")
+    assert "Aggregate" in after[:first_rel]
+
+
+def test_gesd_and_kcenter_iterations_use_checkpoints(spark):
+    """Iterative remove/pick rounds must build on materialized local
+    checkpoints (LogicalRDD), not re-derive the full lineage per round."""
+    for name in ("ts_gesd_outliers", "sim_kcenter_seeds"):
+        plan = _optimized(spark, name)
+        assert "LogicalRDD" in plan, name
+
+
+def test_sprt_stream_serve_grid_bounded_state(spark, tmp_path):
+    """The SPRT store's state relation is the (day, n, u) grid — row count
+    bounded by distinct days regardless of how many orders streamed in."""
+    import duckdb
+
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import (
+        load_table,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.sprt_stream import (
+        SprtStreamMonitor,
+    )
+
+    o = load_table(spark, SF, "orders")
+    mon = SprtStreamMonitor(spark, str(tmp_path / "s"))
+    for bid in range(3):
+        mon.ingest_batch(
+            o.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(3)) == bid), bid
+        )
+    n_days = int(
+        duckdb.sql(
+            f"select count(distinct CAST(o_orderdate AS DATE)) from '{SF}/orders.parquet'"
+        ).df().iloc[0, 0]
+    )
+    mon.compact()
+    assert mon.serve_grid().count() == n_days
