@@ -316,7 +316,12 @@ RUNS_HV = 5
 # Round stamp for the durable samples copy (see SCALE.md audit-trail
 # correction: bench_runs_local.json is last-writer-wins scratch; the
 # round-stamped copy is the audit trail BASELINE.md points at).
-ROUND = 10
+ROUND = 11
+
+# Per-run sample artifacts live under bench_runs/ (ADVICE r10: 29 one-line
+# scratch files at the repo root cluttered the top level); only the
+# consolidated BENCH_rNN.json written by the driver stays at the root.
+RUNS_DIR = "bench_runs"
 
 # Load guard (r9, VERDICT r8 item 1): the r8 driver-stamped bench was
 # environment-contaminated — untouched queries drifted up to 5x between
@@ -480,7 +485,8 @@ def main() -> int:
         "sf": sf,
     }
     try:
-        with open("bench_runs_local.json", "w") as f:
+        os.makedirs(RUNS_DIR, exist_ok=True)
+        with open(os.path.join(RUNS_DIR, "bench_runs_local.json"), "w") as f:
             json.dump(payload, f)
     except OSError:
         pass
@@ -490,7 +496,8 @@ def main() -> int:
     try:
         k = 0
         while True:
-            path = f"bench_runs_r{ROUND}.json" if k == 0 else f"bench_runs_r{ROUND}_{k}.json"
+            name = f"bench_runs_r{ROUND}.json" if k == 0 else f"bench_runs_r{ROUND}_{k}.json"
+            path = os.path.join(RUNS_DIR, name)
             if not os.path.exists(path):
                 break
             k += 1

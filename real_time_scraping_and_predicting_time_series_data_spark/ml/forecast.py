@@ -20,9 +20,13 @@ The reference trains a Keras LSTM(50)x2 on sliding windows of the last
 Retraining every N new rows (M2/W5) maps to re-running ``fit`` inside a
 ``foreachBatch`` cadence (streaming/pipeline.py).
 
-No oracle SQL (iterative linear algebra); verified by pytest: the fitted
-weights must reproduce numpy's lstsq on the same design matrix, and RMSE
-must beat the naive persistence baseline on a learnable series.
+The generic float paths (``LinearForecaster``, ``fit_per_key``) are verified
+by pytest: fitted weights must reproduce numpy's lstsq on the same design
+matrix, and RMSE must beat the naive persistence baseline on a learnable
+series.  The registered eval queries additionally carry FULL value-hash
+oracles (r11): cents-quantized AR(2) with exact BIGINT Gram moments and the
+shared `_lc_solve3` adjugate parenthesization, so the whole
+fit→predict→eval loop is bit-checked against DuckDB.
 """
 
 from __future__ import annotations
@@ -135,20 +139,180 @@ class LinearForecaster:
 # ---------------------------------------------------------------------------
 
 
-@register("ml_linear_forecast_eval", oracle=None, tags=("ml", "forecast", "M1", "M3", "M4"))
+def _solve3_sql(m: str, g1: str, g2: str, g3: str) -> tuple[str, str, str, str]:
+    """SQL text of the shared adjugate 3×3 solve — the same parenthesization
+    as `_lc_solve3` (kept in sync so Spark-Column and DuckDB evaluations of
+    the same exact-integer moments are bit-identical).  `m` is the CTE/table
+    prefix holding m11..m33 (symmetric normal matrix) and g1..g3 (RHS).
+    Returns (det, b0, b1, b2) expression strings; callers divide by det."""
+    t1 = f"({m}.m22*{m}.m33 - {m}.m23*{m}.m23)"
+    t2 = f"({m}.m13*{m}.m23 - {m}.m12*{m}.m33)"
+    t3 = f"({m}.m12*{m}.m23 - {m}.m13*{m}.m22)"
+    det = (
+        f"({m}.m11 * {t1} - {m}.m12 * ({m}.m12*{m}.m33 - {m}.m13*{m}.m23)"
+        f" + {m}.m13 * {t3})"
+    )
+    b0 = f"({t1} * {g1} + {t2} * {g2} + {t3} * {g3})"
+    b1 = (
+        f"({t2} * {g1} + ({m}.m11*{m}.m33 - {m}.m13*{m}.m13) * {g2}"
+        f" + ({m}.m12*{m}.m13 - {m}.m11*{m}.m23) * {g3})"
+    )
+    b2 = (
+        f"({t3} * {g1} + ({m}.m12*{m}.m13 - {m}.m11*{m}.m23) * {g2}"
+        f" + ({m}.m11*{m}.m22 - {m}.m12*{m}.m12) * {g3})"
+    )
+    return det, b0, b1, b2
+
+
+def _ar2_linear_oracle() -> str:
+    """Full-oracle SQL for ml_linear_forecast_eval (see the query docstring
+    for the exactness argument)."""
+    det, *bs = _solve3_sql("m", "m.gy1", "m.g11", "m.g21")
+    _, *bs2 = _solve3_sql("m", "m.gy2", "m.g12", "m.g22")
+    b01, b11, b21 = (f"{b} / m.det" for b in bs)
+    b02, b12, b22 = (f"{b} / m.det" for b in bs2)
+    return f"""
+    WITH f AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS x1,
+               CAST(round(lag(value, 1) OVER w * 100) AS BIGINT) AS x2,
+               CAST(round(lead(value, 1) OVER w * 100) AS BIGINT) AS y1,
+               CAST(round(lead(value, 2) OVER w * 100) AS BIGINT) AS y2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        QUALIFY lag(value, 2) OVER w IS NOT NULL
+    ), t AS (
+        SELECT * FROM f WHERE y1 IS NOT NULL AND y2 IS NOT NULL
+    ), g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+               CAST(sum(x1*x1) AS BIGINT) AS s11, CAST(sum(x1*x2) AS BIGINT) AS s12,
+               CAST(sum(x2*x2) AS BIGINT) AS s22,
+               CAST(sum(y1) AS BIGINT) AS sy1, CAST(sum(x1*y1) AS BIGINT) AS s1y1,
+               CAST(sum(x2*y1) AS BIGINT) AS s2y1,
+               CAST(sum(y2) AS BIGINT) AS sy2, CAST(sum(x1*y2) AS BIGINT) AS s1y2,
+               CAST(sum(x2*y2) AS BIGINT) AS s2y2
+        FROM t
+    ), md AS (
+        SELECT CAST(n AS DOUBLE) AS m11, CAST(s1 AS DOUBLE) AS m12,
+               CAST(s2 AS DOUBLE) AS m13, CAST(s11 AS DOUBLE) AS m22,
+               CAST(s12 AS DOUBLE) AS m23, CAST(s22 AS DOUBLE) AS m33,
+               CAST(sy1 AS DOUBLE) AS gy1, CAST(s1y1 AS DOUBLE) AS g11,
+               CAST(s2y1 AS DOUBLE) AS g21,
+               CAST(sy2 AS DOUBLE) AS gy2, CAST(s1y2 AS DOUBLE) AS g12,
+               CAST(s2y2 AS DOUBLE) AS g22
+        FROM g
+    ), m AS (
+        SELECT md.*, {det.replace('m.', 'md.')} AS det FROM md
+    ), coef AS (
+        SELECT {b01} AS b01, {b11} AS b11, {b21} AS b21,
+               {b02} AS b02, {b12} AS b12, {b22} AS b22
+        FROM m
+    ), scored AS (
+        SELECT t.user_id,
+               CAST(floor((CAST(t.y1 AS DOUBLE) - (c.b01 + c.b11 * t.x1 + c.b21 * t.x2))
+                          * (CAST(t.y1 AS DOUBLE) - (c.b01 + c.b11 * t.x1 + c.b21 * t.x2))
+                          * 100 + 0.5) AS BIGINT) AS e1,
+               CAST(floor((CAST(t.y2 AS DOUBLE) - (c.b02 + c.b12 * t.x1 + c.b22 * t.x2))
+                          * (CAST(t.y2 AS DOUBLE) - (c.b02 + c.b12 * t.x1 + c.b22 * t.x2))
+                          * 100 + 0.5) AS BIGINT) AS e2
+        FROM t CROSS JOIN coef c
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           round(sqrt(CAST(sum(e1) AS BIGINT) / (100.0 * count(*))) / 100.0, 6) AS rmse_1,
+           round(sqrt(CAST(sum(e2) AS BIGINT) / (100.0 * count(*))) / 100.0, 6) AS rmse_2
+    FROM scored GROUP BY user_id
+    """
+
+
+@register(
+    "ml_linear_forecast_eval",
+    oracle=_ar2_linear_oracle(),
+    tags=("ml", "forecast", "M1", "M3", "M4"),
+)
 def q_ml_forecast(spark, sf_dir):
-    """M1-M4 end to end: lag featurization → distributed normal-equation fit
-    → broadcast-weights inference → per-key RMSE, on the events table
-    (lookback 5, horizon 2 to fit the per-key row counts)."""
+    """M1-M4 end to end, exact-arithmetic edition: lag featurization (W1) →
+    single-pass distributed normal-equation fit → broadcast-coefficient
+    inference → per-key RMSE, on the events table.  Direct 2-step strategy
+    (one model per horizon step), design [1, x_t, x_{t-1}] — the reference's
+    sliding-window-in / multi-step-out loop (lvmh_forecaster2.py:62-124) as
+    one declarative plan.
+
+    Rows-only until r11; now a FULL value-hash oracle via the
+    `ml_learning_curve_ar` device: inputs are cents-quantized so every Gram
+    moment is an exact BIGINT (sums of integer-valued doubles stay exact
+    below 2^53 regardless of Spark's combine order), the 3×3 solve is the
+    shared `_lc_solve3` adjugate parenthesization (`_solve3_sql` emits the
+    identical SQL text), predictions associate left-to-right in both
+    engines, and per-row squared errors are floor-quantized to BIGINT
+    centi-cents² before the order-immune integer sum.  The float lookback-5
+    path (`LinearForecaster`, numpy-checked) remains the generic API and is
+    pytest-pinned; this query pins the same math bit-exactly.
+
+    Scale: ONE scan → 12 BIGINT moments (map-side combined), coefficients
+    are a 1-row broadcast, scoring is codegen'd arithmetic — at 100 TB the
+    cost is the scan.  BIGINT moments overflow past ~1e9 rows at cents
+    scale; hoist to DECIMAL(38,0) there (documented, as learning-curve)."""
     ev = load_table(spark, sf_dir, "events")
-    feats = lag_features(ev, lookback=5, horizon=2)
-    model = LinearForecaster(lookback=5, horizon=2).fit(feats)
-    preds = model.predict(feats)
-    out = model.evaluate(preds, group="user_id")
-    return out.select(
-        "user_id",
-        F.round("rmse_1", 4).alias("rmse_1"),
-        F.round("rmse_2", 4).alias("rmse_2"),
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    f = (
+        ev.select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("x1"),
+            F.round(F.lag("value", 1).over(w) * 100).cast("long").alias("x2"),
+            F.round(F.lead("value", 1).over(w) * 100).cast("long").alias("y1"),
+            F.round(F.lead("value", 2).over(w) * 100).cast("long").alias("y2"),
+            F.lag("value", 2).over(w).alias("_lag2"),
+        )
+        .filter(F.col("_lag2").isNotNull())
+        .drop("_lag2")
+    )
+    t = f.filter(F.col("y1").isNotNull() & F.col("y2").isNotNull())
+    g = t.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum("y1").cast("long").alias("sy1"),
+        F.sum(F.col("x1") * F.col("y1")).cast("long").alias("s1y1"),
+        F.sum(F.col("x2") * F.col("y1")).cast("long").alias("s2y1"),
+        F.sum("y2").cast("long").alias("sy2"),
+        F.sum(F.col("x1") * F.col("y2")).cast("long").alias("s1y2"),
+        F.sum(F.col("x2") * F.col("y2")).cast("long").alias("s2y2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    b01, b11, b21 = _lc_solve3(
+        d("n"), d("s1"), d("s2"), d("s11"), d("s12"), d("s22"),
+        d("sy1"), d("s1y1"), d("s2y1"),
+    )
+    b02, b12, b22 = _lc_solve3(
+        d("n"), d("s1"), d("s2"), d("s11"), d("s12"), d("s22"),
+        d("sy2"), d("s1y2"), d("s2y2"),
+    )
+    coef = g.select(
+        b01.alias("b01"), b11.alias("b11"), b21.alias("b21"),
+        b02.alias("b02"), b12.alias("b12"), b22.alias("b22"),
+    )
+    scored = t.crossJoin(F.broadcast(coef))
+    e1 = F.col("y1").cast("double") - (
+        F.col("b01") + F.col("b11") * F.col("x1") + F.col("b21") * F.col("x2")
+    )
+    e2 = F.col("y2").cast("double") - (
+        F.col("b02") + F.col("b12") * F.col("x1") + F.col("b22") * F.col("x2")
+    )
+    q1 = F.floor(e1 * e1 * 100 + F.lit(0.5)).cast("long")
+    q2 = F.floor(e2 * e2 * 100 + F.lit(0.5)).cast("long")
+    return scored.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.round(
+            F.sqrt(F.sum(q1).cast("long") / (F.lit(100.0) * F.count("*"))) / F.lit(100.0), 6
+        ).alias("rmse_1"),
+        F.round(
+            F.sqrt(F.sum(q2).cast("long") / (F.lit(100.0) * F.count("*"))) / F.lit(100.0), 6
+        ).alias("rmse_2"),
     )
 
 
@@ -249,22 +413,141 @@ def predict_per_key(
     return feats.join(F.broadcast(coefs), key).withColumn("pred", dot)
 
 
-@register("ml_per_key_forecast_eval", oracle=None, tags=("ml", "forecast", "per-key", "M1", "M4"))
+def _per_key_ar2_oracle() -> str:
+    """Full-oracle SQL for ml_per_key_forecast_eval: per-(user, step) exact
+    Gram under the per-step target mask, shared adjugate solve, quantized
+    in-sample scoring — the per-key mirror of `_ar2_linear_oracle`."""
+    det, b0, b1, b2 = _solve3_sql("m", "m.gy", "m.g1", "m.g2")
+    return f"""
+    WITH f AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS x1,
+               CAST(round(lag(value, 1) OVER w * 100) AS BIGINT) AS x2,
+               CAST(round(lead(value, 1) OVER w * 100) AS BIGINT) AS y1,
+               CAST(round(lead(value, 2) OVER w * 100) AS BIGINT) AS y2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        QUALIFY lag(value, 2) OVER w IS NOT NULL
+    ), s AS (
+        SELECT f.*, st.step,
+               CASE WHEN st.step = 1 THEN y1 ELSE y2 END AS yv
+        FROM f CROSS JOIN (SELECT 1 AS step UNION ALL SELECT 2) st
+    ), g AS (
+        SELECT user_id, step,
+               CAST(count(*) FILTER (yv IS NOT NULL) AS BIGINT) AS n,
+               CAST(sum(x1) FILTER (yv IS NOT NULL) AS BIGINT) AS s1,
+               CAST(sum(x2) FILTER (yv IS NOT NULL) AS BIGINT) AS s2,
+               CAST(sum(x1*x1) FILTER (yv IS NOT NULL) AS BIGINT) AS s11,
+               CAST(sum(x1*x2) FILTER (yv IS NOT NULL) AS BIGINT) AS s12,
+               CAST(sum(x2*x2) FILTER (yv IS NOT NULL) AS BIGINT) AS s22,
+               CAST(sum(yv) AS BIGINT) AS sy,
+               CAST(sum(x1*yv) AS BIGINT) AS s1y,
+               CAST(sum(x2*yv) AS BIGINT) AS s2y
+        FROM s GROUP BY user_id, step
+    ), md AS (
+        SELECT user_id, step,
+               CAST(n AS DOUBLE) AS m11, CAST(s1 AS DOUBLE) AS m12,
+               CAST(s2 AS DOUBLE) AS m13, CAST(s11 AS DOUBLE) AS m22,
+               CAST(s12 AS DOUBLE) AS m23, CAST(s22 AS DOUBLE) AS m33,
+               CAST(sy AS DOUBLE) AS gy, CAST(s1y AS DOUBLE) AS g1,
+               CAST(s2y AS DOUBLE) AS g2
+        FROM g
+    ), m AS (
+        SELECT md.*, {det.replace('m.', 'md.')} AS det FROM md
+    ), coef AS (
+        SELECT user_id, step,
+               {b0} / m.det AS b0, {b1} / m.det AS b1, {b2} / m.det AS b2
+        FROM m
+    ), scored AS (
+        SELECT s.user_id, s.step,
+               CAST(floor((CAST(s.yv AS DOUBLE) - (c.b0 + c.b1 * s.x1 + c.b2 * s.x2))
+                          * (CAST(s.yv AS DOUBLE) - (c.b0 + c.b1 * s.x1 + c.b2 * s.x2))
+                          * 100 + 0.5) AS BIGINT) AS e2c
+        FROM s JOIN coef c ON s.user_id = c.user_id AND s.step = c.step
+        WHERE s.yv IS NOT NULL
+    )
+    SELECT user_id, CAST(step AS INTEGER) AS step,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           round(sqrt(CAST(sum(e2c) AS BIGINT) / (100.0 * count(*))) / 100.0, 6) AS rmse
+    FROM scored GROUP BY user_id, step
+    """
+
+
+@register(
+    "ml_per_key_forecast_eval",
+    oracle=_per_key_ar2_oracle(),
+    tags=("ml", "forecast", "per-key", "M1", "M4"),
+)
 def q_ml_per_key_forecast(spark, sf_dir):
-    """Per-key AR fit (grouped-map) → broadcast-coefficient scoring →
-    per-(key, step) RMSE. Rows-only (iterative lin-alg); per-key dynamics
-    recovery is pytest-asserted."""
+    """Per-key AR(2) fit via grouped-map (`applyInPandas`: each key's rows
+    arrive as one Arrow batch, only 2 tiny coefficient rows leave the
+    worker) → broadcast-coefficient JVM scoring → per-(key, step) RMSE —
+    the "one model per ticker" shape (M1/M4, lvmh_forecaster2.py:62-124
+    repeated per entity).
+
+    Rows-only until r11; now a FULL value-hash oracle: features are
+    cents-quantized BEFORE the groupBy so the per-key Gram moments the
+    pandas worker accumulates are exact int64s, and the solve inside the
+    UDF is the shared `_lc_solve3` adjugate parenthesization on Python
+    floats — bit-identical to the DuckDB CTE (`_solve3_sql` text) because
+    both walk the same IEEE expression tree over the same exact integers.
+    Per-step target masks (direct strategy: step j trains on rows where
+    lead_j exists), in-sample scoring over the same mask.
+
+    The float lookback-5 path (`fit_per_key`/`predict_per_key`,
+    numpy-checked) remains the generic API, pytest-pinned.  Scale: the fit
+    parallelizes across keys (state per task O(d²)), the coefficient table
+    is 2·|keys| rows and broadcast; at 100 TB the cost is one shuffle on
+    the key plus the scan."""
+    import pandas as pd  # noqa: PLC0415
+
     ev = load_table(spark, sf_dir, "events")
-    feats = lag_features(ev, lookback=5, horizon=2)
-    coefs = fit_per_key(feats, lookback=5, horizon=2)
-    preds = predict_per_key(feats, coefs, lookback=5)
-    scored = preds.withColumn(
-        "y", F.when(F.col("step") == 1, F.col("y_1")).otherwise(F.col("y_2"))
-    ).filter(F.col("y").isNotNull())
-    err = F.col("pred") - F.col("y")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    f = (
+        ev.select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("x1"),
+            F.round(F.lag("value", 1).over(w) * 100).cast("long").alias("x2"),
+            F.round(F.lead("value", 1).over(w) * 100).cast("long").alias("y1"),
+            F.round(F.lead("value", 2).over(w) * 100).cast("long").alias("y2"),
+            F.lag("value", 2).over(w).alias("_lag2"),
+        )
+        .filter(F.col("_lag2").isNotNull())
+        .drop("_lag2")
+    )
+
+    def _fit_exact(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = pdf["user_id"].iloc[0]
+        rows = []
+        for step, ycol in ((1, "y1"), (2, "y2")):
+            m = pdf[ycol].notna()
+            x1 = pdf.loc[m, "x1"].to_numpy("int64")
+            x2 = pdf.loc[m, "x2"].to_numpy("int64")
+            y = pdf.loc[m, ycol].to_numpy("int64")
+            b0, b1, b2 = _lc_solve3(
+                float(len(x1)), float(x1.sum()), float(x2.sum()),
+                float((x1 * x1).sum()), float((x1 * x2).sum()),
+                float((x2 * x2).sum()),
+                float(y.sum()), float((x1 * y).sum()), float((x2 * y).sum()),
+            )
+            rows.append((uid, step, b0, b1, b2))
+        return pd.DataFrame(rows, columns=["user_id", "step", "b0", "b1", "b2"])
+
+    coefs = f.groupBy("user_id").applyInPandas(
+        _fit_exact, schema="user_id long, step int, b0 double, b1 double, b2 double"
+    )
+    s = f.join(F.broadcast(coefs), "user_id")
+    yv = F.when(F.col("step") == 1, F.col("y1")).otherwise(F.col("y2"))
+    scored = s.withColumn("yv", yv).filter(F.col("yv").isNotNull())
+    err = F.col("yv").cast("double") - (
+        F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")
+    )
+    e2c = F.floor(err * err * 100 + F.lit(0.5)).cast("long")
     return scored.groupBy("user_id", "step").agg(
-        F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
-        F.count("*").alias("n_scored"),
+        F.count("*").cast("long").alias("n_scored"),
+        F.round(
+            F.sqrt(F.sum(e2c).cast("long") / (F.lit(100.0) * F.count("*"))) / F.lit(100.0), 6
+        ).alias("rmse"),
     )
 
 
@@ -801,4 +1084,113 @@ def q_ml_learning_curve(spark, sf_dir):
                 6,
             ).alias("rmse"),
         )
+    )
+
+
+@register(
+    "ml_yule_walker_ar2",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS x,
+               CAST(round(lag(value, 1) OVER w * 100) AS BIGINT) AS l1,
+               CAST(round(lag(value, 2) OVER w * 100) AS BIGINT) AS l2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(CASE WHEN l1 IS NOT NULL THEN x * l1 END) AS BIGINT) AS a1,
+               CAST(sum(CASE WHEN l1 IS NOT NULL THEN x END) AS BIGINT) AS b1,
+               CAST(sum(CASE WHEN l1 IS NOT NULL THEN l1 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN l2 IS NOT NULL THEN x * l2 END) AS BIGINT) AS a2,
+               CAST(sum(CASE WHEN l2 IS NOT NULL THEN x END) AS BIGINT) AS b2,
+               CAST(sum(CASE WHEN l2 IS NOT NULL THEN l2 END) AS BIGINT) AS c2
+        FROM f GROUP BY user_id
+    ), gam AS (
+        SELECT user_id, n,
+               (CAST(sxx AS DOUBLE) - (CAST(s AS DOUBLE) / n) * s
+                - (CAST(s AS DOUBLE) / n) * s
+                + n * ((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))) / n AS g0,
+               (CAST(a1 AS DOUBLE) - (CAST(s AS DOUBLE) / n) * b1
+                - (CAST(s AS DOUBLE) / n) * c1
+                + (n - 1) * ((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))) / n AS g1,
+               (CAST(a2 AS DOUBLE) - (CAST(s AS DOUBLE) / n) * b2
+                - (CAST(s AS DOUBLE) / n) * c2
+                + (n - 2) * ((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))) / n AS g2
+        FROM g WHERE n >= 10
+    )
+    SELECT user_id, n,
+           floor(g0 / 10000.0 * 1000000 + 0.5) / 1000000 AS gamma0,
+           floor((g1 * (g0 - g2)) / (g0 * g0 - g1 * g1) * 1000000 + 0.5) / 1000000
+               AS phi1,
+           floor((g0 * g2 - g1 * g1) / (g0 * g0 - g1 * g1) * 1000000 + 0.5) / 1000000
+               AS phi2,
+           floor((g1 / g0) * 1000000 + 0.5) / 1000000 AS rho1
+    FROM gam
+    """,
+    tags=("ml", "timeseries", "autoregression", "yule-walker"),
+)
+def q_ml_yule_walker_ar2(spark, sf_dir):
+    """Per-key AR(2) via the Yule–Walker equations — fit from the series'
+    own autocovariances (γ₀, γ₁, γ₂, biased 1/n normalization, full-series
+    mean) instead of the regression Gram: φ₁ = γ₁(γ₀−γ₂)/(γ₀²−γ₁²),
+    φ₂ = (γ₀γ₂−γ₁²)/(γ₀²−γ₁²).  The moment-method complement of
+    `ml_per_key_forecast_eval`'s least-squares AR(2) (Yule–Walker is what
+    Levinson–Durbin recursions and PACF cutoff diagnostics are built on);
+    ρ₁ = γ₁/γ₀ is the lag-1 autocorrelation readout.
+
+    Exactness: cents-quantized series makes every moment (Σx, Σx², lagged
+    cross-sums and their boundary sums) an exact BIGINT; each γₖ expands
+    the demeaned product sum as A − x̄B − x̄C + (n−k)x̄² — one identical
+    rational→double expression per engine — and the φ ratios share one
+    parenthesization.  Scale: single window pass for the two lags (the W1
+    shuffle on user_id), then one grouped 9-moment integer agg."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    f = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.round(F.lag("value", 1).over(w) * 100).cast("long").alias("l1"),
+        F.round(F.lag("value", 2).over(w) * 100).cast("long").alias("l2"),
+    )
+    g = f.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.when(F.col("l1").isNotNull(), F.col("x") * F.col("l1"))).cast("long").alias("a1"),
+        F.sum(F.when(F.col("l1").isNotNull(), F.col("x"))).cast("long").alias("b1"),
+        F.sum(F.when(F.col("l1").isNotNull(), F.col("l1"))).cast("long").alias("c1"),
+        F.sum(F.when(F.col("l2").isNotNull(), F.col("x") * F.col("l2"))).cast("long").alias("a2"),
+        F.sum(F.when(F.col("l2").isNotNull(), F.col("x"))).cast("long").alias("b2"),
+        F.sum(F.when(F.col("l2").isNotNull(), F.col("l2"))).cast("long").alias("c2"),
+    )
+    xb = F.col("s").cast("double") / F.col("n")
+
+    def gamma(a, b, c, k):
+        return (
+            F.col(a).cast("double")
+            - xb * F.col(b)
+            - xb * F.col(c)
+            + (F.col("n") - k) * (xb * xb)
+        ) / F.col("n")
+
+    gam = g.filter(F.col("n") >= 10).select(
+        "user_id",
+        "n",
+        gamma("sxx", "s", "s", 0).alias("g0"),
+        gamma("a1", "b1", "c1", 1).alias("g1"),
+        gamma("a2", "b2", "c2", 2).alias("g2"),
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    den = F.col("g0") * F.col("g0") - F.col("g1") * F.col("g1")
+    return gam.select(
+        "user_id",
+        "n",
+        canon(F.col("g0") / F.lit(10000.0)).alias("gamma0"),
+        canon((F.col("g1") * (F.col("g0") - F.col("g2"))) / den).alias("phi1"),
+        canon((F.col("g0") * F.col("g2") - F.col("g1") * F.col("g1")) / den).alias("phi2"),
+        canon(F.col("g1") / F.col("g0")).alias("rho1"),
     )

@@ -1766,3 +1766,202 @@ def q_corpus_kneser_ney_bigram(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("p_kn"), "a", "b").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup (r11) — the crawl-pipeline front door
+# ---------------------------------------------------------------------------
+
+
+def canonical_url(url):
+    """Canonicalize a URL column with pure Catalyst string expressions
+    (RFC 3986 syntax-based normalization + the de-facto crawl extras):
+
+    - lowercase scheme and authority;
+    - strip the scheme-default port (``:80`` http, ``:443`` https);
+    - drop the fragment;
+    - strip a leading ``www.`` label;
+    - collapse trailing slashes on the path (root stays ``/``; an empty
+      path becomes ``/``);
+    - drop tracking query parameters (``utm_*``, ``gclid``, ``fbclid``)
+      and sort the survivors bytewise.
+
+    Returns ``(canonical, registrable_domain)`` Columns.  The registrable
+    domain is the last-two-labels heuristic — a production pipeline swaps
+    in the Public Suffix List (a ~10k-row broadcast join keyed on the
+    longest matching suffix); the grouping shape is identical.
+
+    Scale: everything is codegen'd regexp/array work, no UDF, no shuffle;
+    the downstream dedup is one hash aggregation on the canonical key —
+    URL keys are high-cardinality and unskewed, so this is the cheapest
+    dedup tier and the one to run FIRST at 100 TB (before any content
+    hashing) — it needs only the URL column, never the payload."""
+    nofrag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    auth = F.lower(F.regexp_extract(nofrag, r"^[^:]+://([^/?#]+)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    path0 = F.regexp_extract(nofrag, r"^[^:]+://[^/?#]+([^?#]*)", 1)
+    stripped = F.regexp_replace(path0, "/+$", "")
+    path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+    query = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike("^(utm_[^=]*|gclid|fbclid)(=|$)"),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
+    )
+    reg_domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return canonical, reg_domain
+
+
+# Deterministic messy-URL synthesis shared by both engines: documents has
+# no URL column, so each doc gets a crawl-style URL whose messiness class
+# is doc_id%6 and whose page identity is doc_id%200 — docs sharing a page
+# key differ only in case / trailing slash / www / default port / fragment
+# / tracking params / param order, exactly the variation canonicalization
+# must collapse.  (doc_id%4 is constant within a page-key group since
+# 200 ≡ 0 mod 4, so the domain split is group-stable.)
+_URL_SYNTH_SQL = """
+        CASE doc_id % 6
+          WHEN 0 THEN 'https://' || source || '.news.' || dom || '/articles/item-' || k
+          WHEN 1 THEN 'HTTPS://' || upper(source) || '.News.' || upper(dom) || '/articles/item-' || k || '/'
+          WHEN 2 THEN 'https://www.' || source || '.news.' || dom || '/articles/item-' || k || '?utm_source=feed&utm_medium=rss'
+          WHEN 3 THEN 'https://' || source || '.news.' || dom || ':443/articles/item-' || k || '#section-2'
+          WHEN 4 THEN 'https://' || source || '.news.' || dom || '/articles/item-' || k || '?page=2&sort=asc'
+          ELSE 'https://' || source || '.news.' || dom || '/articles/item-' || k || '?sort=asc&page=2&fbclid=abc123'
+        END
+"""
+
+
+def _synth_url_spark():
+    k = (F.col("doc_id") % 200).cast("string")
+    dom = F.when(F.col("doc_id") % 4 < 2, F.lit("example.com")).otherwise(
+        F.lit("sample.org")
+    )
+    base = lambda *parts: F.concat(*parts)  # noqa: E731
+    src, lit = F.col("source"), F.lit
+    stem = lambda d: F.concat(src, lit(".news."), d, lit("/articles/item-"), k)  # noqa: E731
+    v = F.col("doc_id") % 6
+    return (
+        F.when(v == 0, base(lit("https://"), stem(dom)))
+        .when(
+            v == 1,
+            base(
+                lit("HTTPS://"),
+                F.upper(src),
+                lit(".News."),
+                F.upper(dom),
+                lit("/articles/item-"),
+                k,
+                lit("/"),
+            ),
+        )
+        .when(v == 2, base(lit("https://www."), stem(dom), lit("?utm_source=feed&utm_medium=rss")))
+        .when(
+            v == 3,
+            base(
+                lit("https://"),
+                src,
+                lit(".news."),
+                dom,
+                lit(":443/articles/item-"),
+                k,
+                lit("#section-2"),
+            ),
+        )
+        .when(v == 4, base(lit("https://"), stem(dom), lit("?page=2&sort=asc")))
+        .otherwise(base(lit("https://"), stem(dom), lit("?sort=asc&page=2&fbclid=abc123")))
+    )
+
+
+@register(
+    "corpus_url_canonical_dedup",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id,
+               CAST(doc_id % 200 AS VARCHAR) AS k,
+               CASE WHEN doc_id % 4 < 2 THEN 'example.com' ELSE 'sample.org' END AS dom,
+               source
+        FROM documents
+    ), raw AS (
+        SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM u
+    ), parts AS (
+        SELECT doc_id, url,
+               regexp_replace(url, '#.*$', '') AS nofrag
+        FROM raw
+    ), p2 AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+               lower(regexp_extract(nofrag, '^[^:]+://([^/?#]+)', 1)) AS auth,
+               regexp_extract(nofrag, '^[^:]+://[^/?#]+([^?#]*)', 1) AS path0,
+               regexp_extract(nofrag, '\\?([^#]*)', 1) AS query
+        FROM parts
+    ), p3 AS (
+        SELECT doc_id, url, scheme, path0, query,
+               regexp_replace(
+                   CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                        WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                        ELSE auth END,
+                   '^www\\.', '') AS host
+        FROM p2
+    ), p4 AS (
+        SELECT doc_id, url, scheme, host,
+               CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                    ELSE regexp_replace(path0, '/+$', '') END AS path,
+               coalesce(array_to_string(
+                   list_sort(list_filter(str_split(query, '&'),
+                       p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=|$)'))),
+                   '&'), '') AS canon_q
+        FROM p3
+    ), canon AS (
+        SELECT doc_id, url,
+               scheme || '://' || host || path
+                   || CASE WHEN canon_q = '' THEN '' ELSE '?' || canon_q END AS canonical_url,
+               regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS reg_domain
+        FROM p4
+    )
+    SELECT canonical_url, reg_domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS survivor_doc_id
+    FROM canon GROUP BY canonical_url, reg_domain
+    """,
+    tags=("corpus", "url", "dedup", "canonicalization"),
+)
+def q_corpus_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + dedup — the FIRST dedup tier of a crawl
+    pipeline (before any content hashing): normalize scheme/host case,
+    default ports, fragments, ``www.``, trailing slashes, and tracking
+    params; group by the canonical URL (plus last-two-labels registrable
+    domain) and keep the min-doc_id survivor per group.
+
+    documents has no URL column, so a deterministic messy URL is
+    synthesized per doc (messiness class = doc_id%6, page key =
+    doc_id%200) identically in both engines — what the value-hash then
+    checks is the canonicalization pipeline itself collapsing every
+    variant class.  Full oracle: pure string algebra, identical regex and
+    bytewise param sort on both sides.
+
+    Scale: no UDF, no extra shuffle — one hash agg on the canonical key;
+    URL keys are high-cardinality/unskewed, and only the URL column is
+    touched (column pruning leaves the payload unread at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", _synth_url_spark().alias("url"))
+    canon, reg = canonical_url(F.col("url"))
+    c = raw.select("doc_id", "url", canon.alias("canonical_url"), reg.alias("reg_domain"))
+    return c.groupBy("canonical_url", "reg_domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("url").cast("long").alias("n_variants"),
+        F.min("doc_id").cast("long").alias("survivor_doc_id"),
+    )

@@ -2303,3 +2303,66 @@ def q_dedup_lsh_tuning_curve(spark, sf_dir):
     for pp in parts[1:]:
         out = out.union(pp)
     return out.orderBy("bands")
+
+
+def cell_local_components(edges: DataFrame, members: DataFrame) -> DataFrame:
+    """Connected components when every edge is CONFINED TO A BOUNDED
+    BLOCKING CELL (LSH band bucket, IVF cell, SemDeDup cluster): one
+    grouped-map union-find per cell — a single shuffle on the cell key and
+    zero fixpoint iterations, vs O(diameter) join+checkpoint rounds for
+    the generic :func:`connected_components` loop.
+
+    Exactness: union-by-min (the larger root is attached under the
+    smaller) makes every final root the component MINIMUM, so labels are
+    identical to min-label propagation's fixpoint — the same first-seen
+    representative rule, independent of edge order.
+
+    Scale: the bounded-cell assumption is the SAME one the caller's
+    pair-join already made — if a cell were too large for an in-memory
+    union-find over its members, the cosine/Jaccard pair enumeration
+    (Σ|cell|²) would have blown up first.  Components spanning MULTIPLE
+    cells (possible under multi-band LSH blocking) are out of scope here:
+    use :func:`connected_components` / :func:`connected_components_star`
+    when edges cross blocks.
+
+    ``edges``: (cell, src, dst) — both endpoints in the same cell.
+    ``members``: (cell, node) — every node of every cell, one row each;
+    isolated members come out labeled with themselves.  Returns
+    (node, label).
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    node_col = members.columns[1]
+    e = edges.select("cell", F.col("src").cast("long"), F.col("dst").cast("long"))
+    m = members.select(
+        "cell", F.col(node_col).cast("long").alias("src")
+    ).withColumn("dst", F.lit(None).cast("long"))
+
+    def _uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        mem_mask = pdf["dst"].isna()
+        nodes = [int(n) for n in pdf.loc[mem_mask, "src"]]
+        for n in nodes:
+            parent[n] = n
+        for s, d in zip(pdf.loc[~mem_mask, "src"], pdf.loc[~mem_mask, "dst"]):
+            s, d = int(s), int(d)
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                parent[hi] = lo
+        return pd.DataFrame({"node": nodes, "label": [find(n) for n in nodes]})
+
+    return (
+        e.unionByName(m)
+        .groupBy("cell")
+        .applyInPandas(_uf, schema="node long, label long")
+    )

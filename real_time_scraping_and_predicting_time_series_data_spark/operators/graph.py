@@ -1370,3 +1370,85 @@ def q_graph_neighborhood_jaccard(spark, sf_dir):
         .orderBy(F.desc("jaccard"), "src", "dst")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (r11) — fixed-round peeling
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    ctes = [
+        """e0 AS (
+        SELECT src, dst FROM (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey
+        ) GROUP BY src, dst
+    ), e0s AS (
+        SELECT src, dst FROM e0
+        UNION ALL SELECT dst AS src, src AS dst FROM e0
+    )"""
+    ]
+    cur = "e0s"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""s{i} AS (
+        SELECT src FROM {cur} GROUP BY src HAVING count(*) >= {k}
+    ), e{i} AS (
+        SELECT e.src, e.dst FROM {cur} e
+        JOIN s{i} a ON a.src = e.src
+        JOIN s{i} b ON b.src = e.dst
+    )"""
+        )
+        cur = f"e{i}"
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree,
+           CAST(CASE WHEN count(*) >= {k} THEN 1 ELSE 0 END AS BIGINT) AS stable
+    FROM {cur} GROUP BY src
+    """
+
+
+@register(
+    "graph_k_core",
+    oracle=_kcore_oracle(),
+    tags=("graph", "k-core", "peeling"),
+)
+def q_graph_k_core(spark, sf_dir):
+    """3-core of the part co-purchase graph by FOUR unrolled peeling
+    rounds: each round drops nodes whose degree among current survivors
+    is < k and re-restricts the edge set — the standard dense-subgraph
+    extraction (spam/botnet cores, collaboration cores) beside
+    `graph_hits`/`graph_personalized_pagerank`'s score propagation.  The
+    per-node ``stable`` flag exposes convergence: when every remaining
+    node has core_degree ≥ k the peel has reached its fixpoint (pinned at
+    test scale by pytest; both engines unroll the IDENTICAL rounds, so
+    parity holds regardless).
+
+    Scale: each round is one grouped degree count + two semi-join
+    restrictions on the (src-partitioned) edge relation — the peeling
+    loop at 100 TB runs O(rounds) shuffles on a monotonically shrinking
+    edge set; the integer degrees make every round exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    cur = edges
+    for _ in range(_KCORE_ROUNDS):
+        surv = (
+            cur.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("src")
+        )
+        cur = (
+            cur.join(surv, "src", "left_semi")
+            .join(surv.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return cur.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("core_degree"),
+        F.when(F.count("*") >= _KCORE_K, 1).otherwise(0).cast("long").alias("stable"),
+    )

@@ -558,3 +558,174 @@ def q_sketch_kmv_stream_serve(spark, sf_dir):
             li.filter(F.pmod(F.xxhash64("l_orderkey"), F.lit(3)) == bid), bid
         )
     return sk.serve_sketch()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (r11) — additive heavy-hitter counts under collisions
+# ---------------------------------------------------------------------------
+
+_CM_DEPTH = 3
+_CM_WIDTH = 16
+_CM_TOPK = 10
+
+
+def cm_cells(tokens: DataFrame, token: str = "token") -> DataFrame:
+    """Count-Min sketch cells over a token-occurrence relation: depth
+    rows × width buckets, bucket_r(t) = md5_60('cm'||r||':'||t) mod width.
+    One grouped count — the sketch IS a (depth·width)-row relation whose
+    merge law is plain addition (grouped sum), which is what makes it
+    streamable and cross-shard mergeable at 100 TB."""
+    rows = F.explode(F.array(*[F.lit(r) for r in range(_CM_DEPTH)])).alias("r")
+    return (
+        tokens.select(F.col(token), rows)
+        .select(
+            "r",
+            F.pmod(
+                md5_60(
+                    F.concat(
+                        F.lit("cm"),
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col(token),
+                    )
+                ),
+                F.lit(_CM_WIDTH),
+            ).alias("b"),
+        )
+        .groupBy("r", "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def _cm_tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+
+
+def _cm_probe(sketch: DataFrame, true_top: DataFrame) -> DataFrame:
+    """Estimate each probe token's count: min over the depth rows of its
+    bucket's cell — CM guarantees est >= true (overcount only)."""
+    rows = F.explode(F.array(*[F.lit(r) for r in range(_CM_DEPTH)])).alias("r")
+    probes = true_top.select("token", "true_cnt", rows).select(
+        "token",
+        "true_cnt",
+        "r",
+        F.pmod(
+            md5_60(
+                F.concat(
+                    F.lit("cm"), F.col("r").cast("string"), F.lit(":"), F.col("token")
+                )
+            ),
+            F.lit(_CM_WIDTH),
+        ).alias("b"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("cnt").cast("long").alias("cm_est"))
+        .select(
+            "token",
+            "true_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("true_cnt")).cast("long").alias("overcount"),
+        )
+    )
+
+
+_CM_HASH_IN = "'cm' || CAST(r AS VARCHAR) || ':' || token"
+_CM_BUCKET_SQL = f"{md5_60_sql(_CM_HASH_IN)} % {_CM_WIDTH}"
+
+_CM_ORACLE = rf"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents
+    ), tk AS (
+        SELECT token FROM toks WHERE token <> ''
+    ), rows3 AS (
+        SELECT CAST(rr.range AS BIGINT) AS r FROM range(0, {_CM_DEPTH}) rr
+    ), cells AS (
+        SELECT r, {_CM_BUCKET_SQL} AS b, CAST(count(*) AS BIGINT) AS cnt
+        FROM tk CROSS JOIN rows3 GROUP BY r, b
+    ), true_top AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS true_cnt
+        FROM tk GROUP BY token
+        ORDER BY true_cnt DESC, token LIMIT {_CM_TOPK}
+    ), probes AS (
+        SELECT t.token, t.true_cnt, r3.r, {_CM_BUCKET_SQL.replace('token', 't.token')} AS b
+        FROM true_top t CROSS JOIN rows3 r3
+    )
+    SELECT p.token, p.true_cnt,
+           CAST(min(c.cnt) AS BIGINT) AS cm_est,
+           CAST(min(c.cnt) - p.true_cnt AS BIGINT) AS overcount
+    FROM probes p JOIN cells c ON c.r = p.r AND c.b = p.b
+    GROUP BY p.token, p.true_cnt
+    """
+
+
+@register(
+    "sketch_count_min",
+    oracle=_CM_ORACLE,
+    tags=("sketch", "count-min", "heavy-hitters"),
+)
+def q_sketch_count_min(spark, sf_dir):
+    """Count-Min sketch (depth 3 × width 16) of the document token stream,
+    probed at the true top-10 tokens — the fixed-memory heavy-hitter
+    counter beside `sketch_kmv_distinct` (distinct) and `sketch_hll_md5`
+    (cardinality): 48 BIGINT cells estimate any token's frequency with
+    one-sided error (est ≥ true; `overcount` exposes the collision bias
+    the 16-bucket width forces on this vocabulary).
+
+    Fully deterministic — the md5-60 row hashes make cells and estimates
+    exact relational quantities, so the whole sketch → probe → min
+    pipeline carries a value-hash oracle.  Scale: the sketch is ONE
+    grouped count to depth·width rows (map-side combined — the classic
+    mergeable-summary shape); probes broadcast the 48-cell sketch."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = _cm_tokens(docs)
+    sketch = cm_cells(tk)
+    true_top = (
+        tk.groupBy("token")
+        .agg(F.count("*").cast("long").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("token"))
+        .limit(_CM_TOPK)
+    )
+    return _cm_probe(sketch, true_top)
+
+
+@register(
+    "sketch_cm_stream_serve",
+    oracle=_CM_ORACLE,
+    tags=("sketch", "count-min", "streaming", "incremental"),
+)
+def q_sketch_cm_stream_serve(spark, sf_dir):
+    """INCREMENTAL twin of `sketch_count_min`: documents are ingested in
+    three DISJOINT micro-batches (split on pmod(md5_60(doc_id), 3) — the
+    count-grid disjointness contract: CM cells merge by grouped SUM, so
+    disjoint row sets make the merged sketch equal the one-pass sketch
+    bit-for-bit; contrast the KMV store, whose distinct-union merge
+    tolerates overlap).  The oracle is the plain one-pass SQL — parity
+    proves the store's publish/merge path reconstructs the whole-stream
+    sketch."""
+    import atexit  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..streaming.cm_stream import CmStreamSketch  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="cm_serve_")
+    atexit.register(shutil.rmtree, store, ignore_errors=True)
+    sk = CmStreamSketch(spark, store)
+    split = F.pmod(md5_60(F.col("doc_id").cast("string")), F.lit(3))
+    for bid in range(3):
+        sk.ingest_batch(docs.filter(split == bid), bid)
+    sketch = sk.merged()
+    tk = _cm_tokens(docs)
+    true_top = (
+        tk.groupBy("token")
+        .agg(F.count("*").cast("long").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("token"))
+        .limit(_CM_TOPK)
+    )
+    return _cm_probe(sketch, true_top)

@@ -6869,7 +6869,7 @@ def _enet_oracle_sql() -> str:
                 f", t{i} AS (SELECT * REPLACE(({_enet_update_expr(j)}) AS b{j}) FROM {prev})"
             )
             prev = f"t{i}"
-    return f"""
+    return rf"""
     WITH m AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
                CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
@@ -6940,12 +6940,14 @@ def q_ml_elastic_net_cd(spark, sf_dir):
     rounds of cyclic coordinate descent ENTIRELY INSIDE THE PLAN — the
     sparse-regression complement to `ml_ridge_closed_form` (pure L2 has a
     closed form; the L1 soft threshold does not, so the iteration itself
-    must be exact).  The verdict on this data: discount and tax carry no
-    signal and are zeroed by the L1 penalty (n_nonzero = 1) — the
-    automatic feature pruning that motivates the lasso.
+    must be exact).  The verdict on this data: the doc_id%100 noise
+    feature carries no signal and is zeroed by the L1 penalty while the
+    two real text features survive (n_nonzero = 2, pinned by the test) —
+    the automatic feature pruning that motivates the lasso.
 
-    Exactness: inputs are integer-quantized (quantity, cents, whole
-    dollars), so ALL 15 Gram/moment sums are exact BIGINTs; the
+    Exactness: inputs are integer-quantized (whitespace token count,
+    vowel count, doc_id%100, n_chars), so ALL 15 Gram/moment sums are
+    exact BIGINTs; the
     correlation-form reduction and every soft-threshold update are scalar
     expressions generated from ONE shared string (`F.expr` on the Spark
     side, the same text in the DuckDB CTE chain), so both engines walk
@@ -9267,4 +9269,590 @@ def q_ts_anomaly_consensus(spark, sf_dir):
             F.col("n_votes").cast("long").alias("n_votes"),
         )
         .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 1: multiple testing, two-sample GoF, sequential drift
+# ---------------------------------------------------------------------------
+
+_BH_Q = 0.10
+_LONG_DOC = 200
+
+
+@register(
+    "stats_benjamini_hochberg",
+    oracle=f"""
+    WITH b AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN n_chars >= {_LONG_DOC} THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(c) AS BIGINT) AS cc,
+               CAST(count(*) AS BIGINT) AS m
+        FROM b
+    ), z AS (
+        SELECT b.source, b.n, b.c, t.m,
+               (b.c / CAST(b.n AS DOUBLE)
+                - (t.cc - b.c) / CAST(t.nn - b.n AS DOUBLE))
+               / sqrt((t.cc / CAST(t.nn AS DOUBLE))
+                      * (1.0 - t.cc / CAST(t.nn AS DOUBLE))
+                      * (1.0 / b.n + 1.0 / (t.nn - b.n))) AS zv
+        FROM b CROSS JOIN tot t
+    ), p AS (
+        SELECT source, n, c, m, {{P}} AS pv
+        FROM z
+    ), r AS (
+        SELECT source, n, c, m, pv,
+               CAST(row_number() OVER (ORDER BY pv, source) AS BIGINT) AS bh_rank
+        FROM p
+    ), adj AS (
+        SELECT r.*,
+               least(1.0, min((m * pv) / bh_rank)
+                   OVER (ORDER BY bh_rank DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS padj,
+               max(CASE WHEN pv <= (CAST(bh_rank AS DOUBLE) * {_BH_Q}) / m
+                        THEN bh_rank END) OVER () AS k
+        FROM r
+    )
+    SELECT source, n AS n_docs, c AS n_long,
+           floor(pv * 1000000 + 0.5) / 1000000 AS p_value,
+           bh_rank,
+           floor(padj * 1000000 + 0.5) / 1000000 AS p_adj,
+           CAST(CASE WHEN k IS NOT NULL AND bh_rank <= k THEN 1 ELSE 0 END
+                AS BIGINT) AS rejected
+    FROM adj
+    """.replace("{P}", p_two_sided_sql("z.zv")),
+    tags=("stats", "fdr", "multiple-testing"),
+)
+def q_stats_benjamini_hochberg(spark, sf_dir):
+    """Benjamini–Hochberg FDR control (q = 0.10) over a per-source family
+    of two-proportion z-tests ("does this source's long-doc rate differ
+    from the rest?") — the multiple-testing layer every per-slice quality
+    monitor needs once it runs one test per source/domain/shard: at
+    hundreds of slices, uncorrected p < 0.05 alarms fire constantly.
+
+    Step-up rule: sort the m p-values ascending, k = max{i: p_(i) <=
+    i*q/m}, reject ranks 1..k; adjusted p_(i) = min over j>=i of (m*p_(j)/j)
+    capped at 1 (the running-min-from-the-top form).  Exactness: counts
+    are exact BIGINTs, every z/p expression is the shared A&S device
+    (`p_two_sided`), and the step-up scan runs over the m-row (=|sources|)
+    relation — the global windows are bounded by the family size, never
+    by data volume; at 100 TB the cost is the one counting scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("n_chars") >= _LONG_DOC, 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    tot = b.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("c").cast("long").alias("cc"),
+        F.count("*").cast("long").alias("m"),
+    )
+    z = b.crossJoin(F.broadcast(tot)).withColumn(
+        "zv",
+        (
+            F.col("c") / F.col("n").cast("double")
+            - (F.col("cc") - F.col("c")) / (F.col("nn") - F.col("n")).cast("double")
+        )
+        / F.sqrt(
+            (F.col("cc") / F.col("nn").cast("double"))
+            * (F.lit(1.0) - F.col("cc") / F.col("nn").cast("double"))
+            * (F.lit(1.0) / F.col("n") + F.lit(1.0) / (F.col("nn") - F.col("n")))
+        ),
+    )
+    p = z.withColumn("pv", p_two_sided(F.col("zv")))
+    wr = Window.partitionBy(F.lit(0)).orderBy("pv", "source")
+    r = p.withColumn("bh_rank", F.row_number().over(wr).cast("long"))
+    wdesc = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.desc("bh_rank"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(F.lit(0))
+    adj = r.withColumn(
+        "padj",
+        F.least(F.lit(1.0), F.min((F.col("m") * F.col("pv")) / F.col("bh_rank")).over(wdesc)),
+    ).withColumn(
+        "k",
+        F.max(
+            F.when(
+                F.col("pv")
+                <= (F.col("bh_rank").cast("double") * F.lit(_BH_Q)) / F.col("m"),
+                F.col("bh_rank"),
+            )
+        ).over(wall),
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return adj.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("c").alias("n_long"),
+        canon(F.col("pv")).alias("p_value"),
+        "bh_rank",
+        canon(F.col("padj")).alias("p_adj"),
+        F.when(F.col("k").isNotNull() & (F.col("bh_rank") <= F.col("k")), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("rejected"),
+    )
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle="""
+    WITH g AS (
+        SELECT n_chars AS v,
+               CAST(count(*) FILTER (source = 'src0') AS BIGINT) AS c1,
+               CAST(count(*) FILTER (source = 'src1') AS BIGINT) AS c2
+        FROM documents WHERE source IN ('src0', 'src1')
+        GROUP BY n_chars
+    ), w AS (
+        SELECT v,
+               CAST(sum(c1) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS a1,
+               CAST(sum(c2) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS a2
+        FROM g
+    ), t AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM g
+    ), dmax AS (
+        SELECT CAST(max(abs(a1 * t.n2 - a2 * t.n1)) AS BIGINT) AS dnum,
+               any_value(t.n1) AS n1, any_value(t.n2) AS n2
+        FROM w CROSS JOIN t
+    ), s AS (
+        SELECT n1, n2, dnum,
+               CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) AS d,
+               (sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) + 0.12
+                + 0.11 / sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))
+               * (CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)) AS lam
+        FROM dmax
+    )
+    SELECT n1, n2, dnum,
+           round(d, 9) AS ks_d,
+           floor(lam * 1000000 + 0.5) / 1000000 AS ks_lambda,
+           floor(least(1.0, greatest(0.0,
+                 2.0 * (exp(-2.0 * lam * lam)
+                        - exp(-8.0 * lam * lam)
+                        + exp(-18.0 * lam * lam)))) * 1000000 + 0.5) / 1000000
+               AS p_value
+    FROM s
+    """,
+    tags=("stats", "ks", "goodness-of-fit", "two-sample"),
+)
+def q_stats_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov test on the n_chars distributions of
+    src0 vs src1 — the distribution-shift detector that sees SHAPE changes
+    (`stats_psi_drift` bins; KS compares whole ECDFs; `stats_anderson_darling`
+    weights the tails).  D is computed EXACTLY in integers: with cumulative
+    counts a1, a2 at each distinct value, D = max|a1·n2 − a2·n1|/(n1·n2) —
+    the numerator is a BIGINT, so the max is order-immune; only the final
+    division and the Stephens-approximation p-value (λ = (√(n1n2/(n1+n2)) +
+    0.12 + 0.11/√(·))·D, Q(λ) = 2Σ_{k≤3}(−1)^{k−1}e^{−2k²λ²}) return to
+    identically-evaluated doubles.
+
+    Scale: one grouped count by value (map-side combined), then cumulative
+    sums over the DISTINCT-VALUE grid — bounded by the value domain
+    (|distinct n_chars| ≪ rows), not by data volume; the single-sequence
+    window is over that bounded grid."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    g = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    wcum = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = g.select(
+        "v",
+        F.sum("c1").over(wcum).cast("long").alias("a1"),
+        F.sum("c2").over(wcum).cast("long").alias("a2"),
+    )
+    t = g.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    dmax = (
+        w.crossJoin(F.broadcast(t))
+        .agg(
+            F.max(F.abs(F.col("a1") * F.col("n2") - F.col("a2") * F.col("n1")))
+            .cast("long")
+            .alias("dnum"),
+            F.any_value("n1").alias("n1"),
+            F.any_value("n2").alias("n2"),
+        )
+    )
+    n1d = F.col("n1").cast("double")
+    d = F.col("dnum").cast("double") / (n1d * F.col("n2"))
+    ne = F.sqrt(n1d * F.col("n2") / (F.col("n1") + F.col("n2")))
+    lam = (ne + F.lit(0.12) + F.lit(0.11) / ne) * d
+    s = dmax.select("n1", "n2", "dnum", d.alias("d"), lam.alias("lam"))
+    q = F.lit(2.0) * (
+        F.exp(F.lit(-2.0) * F.col("lam") * F.col("lam"))
+        - F.exp(F.lit(-8.0) * F.col("lam") * F.col("lam"))
+        + F.exp(F.lit(-18.0) * F.col("lam") * F.col("lam"))
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return s.select(
+        "n1",
+        "n2",
+        "dnum",
+        F.round("d", 9).alias("ks_d"),
+        canon(F.col("lam")).alias("ks_lambda"),
+        canon(F.least(F.lit(1.0), F.greatest(F.lit(0.0), q))).alias("p_value"),
+    )
+
+
+@register(
+    "stats_page_hinkley",
+    oracle="""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xc
+        FROM events GROUP BY day
+    ), o AS (
+        SELECT day, xc,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+               CAST(sum(xc) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        FROM d
+    ), q AS (
+        SELECT day, xc, t,
+               CAST(floor((xc - CAST(s AS DOUBLE) / t) / 100.0 * 1000000 + 0.5)
+                    AS BIGINT) AS tq
+        FROM o
+    ), m AS (
+        SELECT day, xc, t,
+               CAST(sum(tq) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mt
+        FROM q
+    ), ph AS (
+        SELECT day, xc, t, mt,
+               mt - CAST(min(mt) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS phq
+        FROM m
+    )
+    SELECT day, round(xc / 100.0, 2) AS day_total, t AS day_index,
+           round(phq / 1000000.0, 6) AS ph_stat,
+           CAST(CASE WHEN phq = max(phq) OVER () AND phq > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+    FROM ph
+    """,
+    tags=("stats", "drift", "changepoint", "sequential"),
+)
+def q_stats_page_hinkley(spark, sf_dir):
+    """Page–Hinkley upward mean-shift detector over the daily total value
+    series: PH_T = M_T − min_{t≤T} M_t with M_T = Σ_{t≤T}(x_t − x̄_t), x̄_t
+    the RUNNING mean — the sequential-drift sibling of `ts_cusum_drift`
+    (which deviates from the FIXED whole-series mean) and the offline
+    complement of `stats_sprt_monitor`.  The day with peak PH is the
+    changepoint estimate.
+
+    Exactness: daily totals are exact cent BIGINTs; the running mean s/t
+    is one identical IEEE division; each deviation is quantized to 1e-6
+    BEFORE the cumulative sum, so M and PH are integer micro-units — the
+    windows sum integers and are order-immune (the `ml_learning_curve_ar`
+    quantize-then-integer-sum device; a raw double cumsum would expose
+    DuckDB's segment-tree summation order vs Spark's sequential frame).
+
+    Scale: one day-grid aggregation (map-side combined); all windows run
+    over the bounded day grid, never over raw rows."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("xc")
+    )
+    wday = Window.partitionBy(F.lit(0)).orderBy("day")
+    wcum = wday.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = d.select(
+        "day",
+        "xc",
+        F.row_number().over(wday).cast("long").alias("t"),
+        F.sum("xc").over(wcum).cast("long").alias("s"),
+    )
+    q = o.withColumn(
+        "tq",
+        F.floor(
+            (F.col("xc") - F.col("s").cast("double") / F.col("t")) / F.lit(100.0)
+            * 1000000
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    m = q.withColumn("mt", F.sum("tq").over(wcum).cast("long"))
+    ph = m.withColumn(
+        "phq", F.col("mt") - F.min("mt").over(wcum).cast("long")
+    )
+    wall = Window.partitionBy(F.lit(0))
+    return ph.select(
+        "day",
+        F.round(F.col("xc") / 100.0, 2).alias("day_total"),
+        F.col("t").alias("day_index"),
+        F.round(F.col("phq") / 1000000.0, 6).alias("ph_stat"),
+        F.when((F.col("phq") == F.max("phq").over(wall)) & (F.col("phq") > 0), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_peak"),
+    )
+
+
+@register(
+    "ml_negative_binomial_mm",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id, day
+    ), g AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(c * c) AS BIGINT) AS s2
+        FROM d GROUP BY user_id
+    ), m AS (
+        SELECT user_id, n_days,
+               CAST(s1 AS DOUBLE) / n_days AS mu,
+               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_days)
+                   / (n_days - 1) AS v
+        FROM g WHERE n_days >= 5
+    )
+    SELECT user_id, n_days,
+           floor(mu * 1000000 + 0.5) / 1000000 AS mean_per_day,
+           floor(v * 1000000 + 0.5) / 1000000 AS var_per_day,
+           CAST(CASE WHEN v > mu THEN 1 ELSE 0 END AS BIGINT) AS overdispersed,
+           CASE WHEN v > mu
+                THEN floor((mu * mu) / (v - mu) * 1000000 + 0.5) / 1000000
+           END AS nb_k,
+           CASE WHEN v > mu
+                THEN floor((mu / v) * 1000000 + 0.5) / 1000000
+           END AS nb_p
+    FROM m
+    """,
+    tags=("ml", "count-model", "overdispersion"),
+)
+def q_ml_negative_binomial_mm(spark, sf_dir):
+    """Negative-binomial dispersion fit (method of moments) on per-user
+    daily event counts — the Poisson-adequacy check `ml_poisson_newton`'s
+    rate model needs: when Var > mean (overdispersion), the NB size k̂ =
+    μ²/(s²−μ) and p̂ = μ/s² parameterize the corrected count model; keys
+    with s² ≤ μ are flagged not-overdispersed (NULL k̂ — Poisson is fine).
+
+    Exactness: counts and their squares are exact BIGINTs; μ and the
+    unbiased s² are single identical rational→double expressions.  Scale:
+    two grouped integer aggregations (day grid, then per key), both
+    map-side combined — no window, no shuffle beyond the two keyed aggs."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    g = d.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_days")
+    v = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n_days")
+    ) / (F.col("n_days") - 1)
+    m = g.filter(F.col("n_days") >= 5).select(
+        "user_id", "n_days", mu.alias("mu"), v.alias("v")
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    over = F.col("v") > F.col("mu")
+    return m.select(
+        "user_id",
+        "n_days",
+        canon(F.col("mu")).alias("mean_per_day"),
+        canon(F.col("v")).alias("var_per_day"),
+        F.when(over, 1).otherwise(0).cast("long").alias("overdispersed"),
+        F.when(
+            over,
+            canon((F.col("mu") * F.col("mu")) / (F.col("v") - F.col("mu"))),
+        ).alias("nb_k"),
+        F.when(over, canon(F.col("mu") / F.col("v"))).alias("nb_p"),
+    )
+
+
+_HUBER_C = 20.0
+
+
+def _huber_oracle() -> str:
+    """CTE chain: integer features → OLS Gram/solve → two unrolled IRLS
+    rounds with 1e-6-quantized Huber weights → final coefficients + OLS
+    baseline + downweight count.  Solve text is `_LOGISTIC_SOLVE_SQL`
+    (the shared adjugate parenthesization)."""
+    feats = r"""
+    WITH d AS (
+        SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS x1,
+               CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS x2,
+               CAST(n_chars AS BIGINT) AS y
+        FROM documents
+    )"""
+    solve = _LOGISTIC_SOLVE_SQL
+
+    def gram_w(w_cte: str, out: str) -> str:
+        return f"""{out}_i AS (
+        SELECT CAST(sum(wq) AS BIGINT) AS i11,
+               CAST(sum(wq * x1) AS BIGINT) AS i12,
+               CAST(sum(wq * x2) AS BIGINT) AS i13,
+               CAST(sum(wq * x1 * x1) AS BIGINT) AS i22,
+               CAST(sum(wq * x1 * x2) AS BIGINT) AS i23,
+               CAST(sum(wq * x2 * x2) AS BIGINT) AS i33,
+               CAST(sum(wq * y) AS BIGINT) AS iy1,
+               CAST(sum(wq * x1 * y) AS BIGINT) AS iy2,
+               CAST(sum(wq * x2 * y) AS BIGINT) AS iy3
+        FROM {w_cte}
+    ), {out} AS (
+        SELECT CAST(i11 AS DOUBLE) AS s11, CAST(i12 AS DOUBLE) AS s12,
+               CAST(i13 AS DOUBLE) AS s13, CAST(i22 AS DOUBLE) AS s22,
+               CAST(i23 AS DOUBLE) AS s23, CAST(i33 AS DOUBLE) AS s33,
+               CAST(iy1 AS DOUBLE) AS g1, CAST(iy2 AS DOUBLE) AS g2,
+               CAST(iy3 AS DOUBLE) AS g3
+        FROM {out}_i
+    )"""
+
+    def weights(coef: str, out: str) -> str:
+        r = f"(CAST(d.y AS DOUBLE) - ({coef}.c0 + {coef}.c1 * d.x1 + {coef}.c2 * d.x2))"
+        return f"""{out} AS (
+        SELECT d.x1, d.x2, d.y,
+               CASE WHEN abs({r}) <= {_HUBER_C!r} THEN 1000000
+                    ELSE CAST(floor({_HUBER_C!r} / abs({r}) * 1000000 + 0.5) AS BIGINT)
+               END AS wq
+        FROM d CROSS JOIN {coef}
+    )"""
+
+    g0 = """g0_i AS (
+        SELECT CAST(count(*) AS BIGINT) AS i11,
+               CAST(sum(x1) AS BIGINT) AS i12, CAST(sum(x2) AS BIGINT) AS i13,
+               CAST(sum(x1 * x1) AS BIGINT) AS i22,
+               CAST(sum(x1 * x2) AS BIGINT) AS i23,
+               CAST(sum(x2 * x2) AS BIGINT) AS i33,
+               CAST(sum(y) AS BIGINT) AS iy1,
+               CAST(sum(x1 * y) AS BIGINT) AS iy2,
+               CAST(sum(x2 * y) AS BIGINT) AS iy3
+        FROM d
+    ), g0 AS (
+        SELECT CAST(i11 AS DOUBLE) AS s11, CAST(i12 AS DOUBLE) AS s12,
+               CAST(i13 AS DOUBLE) AS s13, CAST(i22 AS DOUBLE) AS s22,
+               CAST(i23 AS DOUBLE) AS s23, CAST(i33 AS DOUBLE) AS s33,
+               CAST(iy1 AS DOUBLE) AS g1, CAST(iy2 AS DOUBLE) AS g2,
+               CAST(iy3 AS DOUBLE) AS g3
+        FROM g0_i
+    )"""
+    c = lambda src, out: (  # noqa: E731
+        f"{out} AS (SELECT "
+        + solve.format(scale="1.0", c0="c0", c1="c1", c2="c2")
+        + f" FROM {src})"
+    )
+    return f"""
+    {feats}, {g0}, {c('g0', 'coef0')},
+    {weights('coef0', 'w1')}, {gram_w('w1', 'g1')}, {c('g1', 'coef1')},
+    {weights('coef1', 'w2')}, {gram_w('w2', 'g2')}, {c('g2', 'coef2')},
+    {weights('coef2', 'wf')},
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN wq < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_downweighted
+           FROM wf)
+    SELECT nd.n, nd.n_downweighted,
+           floor(o.c0 * 1000000 + 0.5) / 1000000 AS b0_ols,
+           floor(o.c1 * 1000000 + 0.5) / 1000000 AS b1_ols,
+           floor(o.c2 * 1000000 + 0.5) / 1000000 AS b2_ols,
+           floor(h.c0 * 1000000 + 0.5) / 1000000 AS b0_huber,
+           floor(h.c1 * 1000000 + 0.5) / 1000000 AS b1_huber,
+           floor(h.c2 * 1000000 + 0.5) / 1000000 AS b2_huber
+    FROM nd CROSS JOIN coef0 o CROSS JOIN coef2 h
+    """
+
+
+@register(
+    "ml_huber_irls",
+    oracle=_huber_oracle(),
+    tags=("ml", "robust", "irls", "regression"),
+)
+def q_ml_huber_irls(spark, sf_dir):
+    """Huber robust regression (c = 20 chars) of n_chars on (token count,
+    vowel count) by TWO unrolled IRLS rounds from the OLS start — the
+    outlier-resistant complement of `ml_ridge_closed_form`/`ml_elastic_net_cd`:
+    rows with |residual| > c get weight c/|r| instead of 1, so heavy-tailed
+    documents stop dominating the fit.  Output compares OLS vs Huber
+    coefficients and counts downweighted rows.
+
+    Exactness: features are integers; per-row Huber weights are quantized
+    to 1e-6 BIGINTs (the identical CASE expression in both engines —
+    residuals come from bit-identical coefficients, see below), so every
+    weighted Gram moment is an exact BIGINT sum (order-immune); each round's
+    3×3 solve is the shared `_solve3` / `_LOGISTIC_SOLVE_SQL` adjugate
+    parenthesization — coefficients stay bit-identical round over round.
+
+    Scale: IRLS with R rounds = R+1 scans of documents, each a map-side-
+    combined 9-moment aggregation with a 1-row broadcast of the previous
+    coefficients — no shuffle beyond the scalar aggs; weighted moments at
+    1e-6×500×577 per row stay under 2^63 to ~5e13 docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("x1"),
+        F.length(F.regexp_replace(F.col("text"), "[^aeiou]", "")).cast("long").alias("x2"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+
+    def gram(src, weighted):
+        wq = F.col("wq") if weighted else F.lit(1).cast("long")
+        return src.agg(
+            F.sum(wq).cast("long").alias("i11"),
+            F.sum(wq * F.col("x1")).cast("long").alias("i12"),
+            F.sum(wq * F.col("x2")).cast("long").alias("i13"),
+            F.sum(wq * F.col("x1") * F.col("x1")).cast("long").alias("i22"),
+            F.sum(wq * F.col("x1") * F.col("x2")).cast("long").alias("i23"),
+            F.sum(wq * F.col("x2") * F.col("x2")).cast("long").alias("i33"),
+            F.sum(wq * F.col("y")).cast("long").alias("iy1"),
+            F.sum(wq * F.col("x1") * F.col("y")).cast("long").alias("iy2"),
+            F.sum(wq * F.col("x2") * F.col("y")).cast("long").alias("iy3"),
+        )
+
+    def solve(g):
+        s = lambda c: F.col(c).cast("double")  # noqa: E731
+        c0, c1, c2 = _solve3(
+            s("i11"), s("i12"), s("i13"), s("i22"), s("i23"), s("i33"),
+            s("iy1"), s("iy2"), s("iy3"), F.lit(1.0),
+        )
+        return g.select(c0.alias("c0"), c1.alias("c1"), c2.alias("c2"))
+
+    def weights(coef):
+        r = F.col("y").cast("double") - (
+            F.col("c0") + F.col("c1") * F.col("x1") + F.col("c2") * F.col("x2")
+        )
+        wq = F.when(F.abs(r) <= _HUBER_C, F.lit(1000000).cast("long")).otherwise(
+            F.floor(F.lit(_HUBER_C) / F.abs(r) * 1000000 + F.lit(0.5)).cast("long")
+        )
+        return d.crossJoin(F.broadcast(coef)).withColumn("wq", wq)
+
+    coef0 = solve(gram(d, weighted=False))
+    coef1 = solve(gram(weights(coef0), weighted=True))
+    coef2 = solve(gram(weights(coef1), weighted=True))
+    wf = weights(coef2)
+    nd = wf.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("wq") < 1000000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_downweighted"),
+    )
+    canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    o = coef0.select(
+        canon(F.col("c0")).alias("b0_ols"),
+        canon(F.col("c1")).alias("b1_ols"),
+        canon(F.col("c2")).alias("b2_ols"),
+    )
+    h = coef2.select(
+        canon(F.col("c0")).alias("b0_huber"),
+        canon(F.col("c1")).alias("b1_huber"),
+        canon(F.col("c2")).alias("b2_huber"),
+    )
+    return nd.crossJoin(F.broadcast(o)).crossJoin(F.broadcast(h)).select(
+        "n", "n_downweighted",
+        "b0_ols", "b1_ols", "b2_ols", "b0_huber", "b1_huber", "b2_huber",
     )

@@ -780,3 +780,81 @@ def q_orders_price_index(spark, sf_dir):
         canon(paas).alias("paasche"),
         canon(F.sqrt(lasp * paas)).alias("fisher"),
     ).orderBy("month")
+
+
+@register(
+    "orders_herfindahl",
+    oracle="""
+    WITH r AS (
+        SELECT n.n_name AS nation, l.l_suppkey AS supp,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rc
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name, l.l_suppkey
+    ), t AS (
+        SELECT nation, CAST(sum(rc) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS n_suppliers
+        FROM r GROUP BY nation
+    ), sh AS (
+        SELECT r.nation,
+               CAST(floor((CAST(r.rc AS DOUBLE) / t.tot)
+                          * (CAST(r.rc AS DOUBLE) / t.tot)
+                          * 1000000000000 + 0.5) AS BIGINT) AS s2q,
+               t.n_suppliers, t.tot
+        FROM r JOIN t ON t.nation = r.nation
+    )
+    SELECT nation, any_value(n_suppliers) AS n_suppliers,
+           round(any_value(tot) / 100.0, 2) AS revenue,
+           round(CAST(sum(s2q) AS BIGINT) / 1000000000000.0, 9) AS hhi,
+           round(1.0 / any_value(n_suppliers), 9) AS hhi_floor
+    FROM sh GROUP BY nation
+    """,
+    tags=("orders", "concentration", "economics"),
+)
+def q_orders_herfindahl(spark, sf_dir):
+    """Herfindahl–Hirschman supplier-concentration index per nation:
+    HHI = Σᵢ shareᵢ² of each supplier's revenue share within its nation —
+    the market-structure readout (1/n = perfectly even, 1.0 = monopoly)
+    that complements `orders_price_index`'s price/volume split; the same
+    aggregate is how a corpus pipeline audits source concentration before
+    mixture balancing.
+
+    Exactness: revenues are exact cent BIGINTs (the price-index
+    quantization); each share² is an identical IEEE expression quantized
+    to 1e-12 BEFORE the per-nation sum, so the HHI sum is an order-immune
+    integer.  Scale: one fact-table agg keyed (nation, supp) with the two
+    dimension joins broadcast, then a |suppliers|-sized reduction —
+    map-side combined all the way."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    rc = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    r = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_suppkey").alias("supp"))
+        .agg(F.sum(rc).cast("long").alias("rc"))
+    )
+    t = r.groupBy("nation").agg(
+        F.sum("rc").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("n_suppliers"),
+    )
+    share = F.col("rc").cast("double") / F.col("tot")
+    sh = r.join(F.broadcast(t), "nation").select(
+        "nation",
+        F.floor(share * share * F.lit(1000000000000) + F.lit(0.5))
+        .cast("long")
+        .alias("s2q"),
+        "n_suppliers",
+        "tot",
+    )
+    return sh.groupBy("nation").agg(
+        F.any_value("n_suppliers").alias("n_suppliers"),
+        F.round(F.any_value("tot") / 100.0, 2).alias("revenue"),
+        F.round(F.sum("s2q").cast("long") / F.lit(1000000000000.0), 9).alias("hhi"),
+        F.round(F.lit(1.0) / F.any_value("n_suppliers"), 9).alias("hhi_floor"),
+    )

@@ -96,11 +96,118 @@ _loaded = False
 # the oracles), (c) signature/scale families with no driver row yet,
 # (d) the TPC-H deep shapes and remaining never-checked
 # rolling/reshape/stats/sampling queries.
-_FRONT = (
-    # (a) ROUND 10 additions + behavior changes: new operators have no
-    # driver row yet; ml_lstm_fixed_inference gained the short-window
-    # guard this round (values unchanged for full windows, but the
-    # oracle text changed), so refresh its row first.
+# (a) Queries with no driver CORRECTNESS row ever (r10's 50-query window
+# cut off exactly before the first 8; VERDICT r10 item 1 mandates they
+# lead the r11 window; all judge-parity green).  ml_lstm_fixed_inference
+# has an r9 row but its r10 oracle-text refresh was never sampled.
+_FRONT_NEVER_SAMPLED = (
+    "ml_learning_curve_ar",
+    "dedup_minhash_recall_audit",
+    "stats_cuped_adjustment",
+    "ts_matrix_profile",
+    "ts_mp_discords",
+    "dq_l_diversity",
+    "stats_kendall_tau_grid",
+    "stats_cohens_kappa",
+    "ml_lstm_fixed_inference",
+)
+
+# (b) ROUND 11 additions: new operators with no driver row yet, plus
+# rows-only queries upgraded to full oracles this round.  Appended as
+# each r11 wave lands.
+_FRONT_R11_NEW = (
+    # rows-only → full-oracle upgrades (VERDICT r10 item 3): the recorded
+    # driver rows predate the oracles.
+    "ml_linear_forecast_eval",
+    "ml_per_key_forecast_eval",
+    # new r11 operators
+    "corpus_url_canonical_dedup",
+    "sim_topk_relation_lloyd",
+    "stats_benjamini_hochberg",
+    "stats_ks_two_sample",
+    "stats_page_hinkley",
+    "ml_negative_binomial_mm",
+    "ml_huber_irls",
+    "orders_herfindahl",
+    "ml_yule_walker_ar2",
+    "sketch_count_min",
+    "sketch_cm_stream_serve",
+    "graph_k_core",
+)
+
+# (c) Evidence-freshness rotation: stalest green rows (newest driver
+# row = ROUND 1 for the first block, ROUND 2 for the rest).  Window
+# capacity left over after tiers (a)+(b) refreshes these oldest rows.
+_FRONT_STALE = (
+    "subquery_above_nation_avg",
+    "ts_anchored_variation",
+    "ts_anomaly_zscore",
+    "ts_change_dedup",
+    "ts_cusum_drift",
+    "ts_downsample",
+    "ts_forward_fill",
+    "ts_gaps_islands",
+    "ts_minmax_scale",
+    "ts_rmse",
+    "ts_running_extrema",
+    "ts_sliding_features_lags",
+    "ts_tail_window",
+    "ts_timestamp_arithmetic",
+    "ts_tumbling_agg",
+    "ts_winsorize",
+    "window_distribution_fns",
+    "window_lag_lead_price",
+    "window_rank_orders_per_customer",
+    "window_running_sum",
+    "asof_fifo_forecast_alignment",
+    "asof_join_click_purchase",
+    "asof_join_forward_tolerance",
+    "asof_join_nearest",
+    "cdc_scd2_history",
+    "cdc_upsert_snapshot",
+    "corpus_bigrams_topk",
+    "corpus_deterministic_shuffle",
+    "corpus_pii_redact",
+    "corpus_token_entropy",
+    "corpus_vocabulary",
+    "dedup_duplicate_clusters",
+    "dedup_exact_hash",
+    "dedup_exact_survivors",
+    "dedup_jaccard_pairs",
+    "events_markov_transitions",
+    "events_type_cooccurrence",
+    "funnel_three_stage",
+    "json_extract_props",
+    "json_from_json_struct",
+    "json_variant_extract",
+    "multimodal_frame_sample",
+    "multimodal_payload_stats",
+    "multimodal_text_embedding_join",
+    "pipeline_clean_corpus",
+    "retention_cohorts",
+    "sim_ivf_topk",
+    "sim_label_centroids",
+    "sketch_hll_distinct",
+    "text_decontaminate",
+    "text_edit_distance_pairs",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_scores",
+    "text_regex_extract",
+    "text_repetition_filter",
+    "text_tfidf",
+    "text_token_stats",
+    "text_token_topk",
+    "ts_sliding_features_arrays",
+    "udf_grouped_agg_pandas",
+    "udf_grouped_map_zscore",
+    "udf_scalar_pandas",
+)
+
+# (d) The 50 queries checked in ROUND 10 — the freshest evidence in
+# the ledger; kept in _FRONT only to pin their order at the tail
+# (module import order would otherwise scatter them forward).
+_FRONT_FRESH_R10 = (
     "stats_wilcoxon_signed_rank",
     "stats_friedman_test",
     "events_logrank_test",
@@ -151,83 +258,9 @@ _FRONT = (
     "dedup_substring_redact",
     "stats_mcnemar_langid",
     "ml_pinball_eval",
-    "ml_learning_curve_ar",
-    "dedup_minhash_recall_audit",
-    "stats_cuped_adjustment",
-    "ts_matrix_profile",
-    "ts_mp_discords",
-    "dq_l_diversity",
-    "stats_kendall_tau_grid",
-    "stats_cohens_kappa",
-    "ml_lstm_fixed_inference",
-    # (b) evidence-freshness rotation (VERDICT r8 item 2 mechanism):
-    # newest green driver row = ROUND 1 — the stalest in the ledger.
-    "subquery_above_nation_avg",
-    "ts_anchored_variation",
-    "ts_anomaly_zscore",
-    "ts_change_dedup",
-    "ts_cusum_drift",
-    "ts_downsample",
-    "ts_forward_fill",
-    "ts_gaps_islands",
-    "ts_minmax_scale",
-    "ts_rmse",
-    "ts_running_extrema",
-    "ts_sliding_features_lags",
-    "ts_tail_window",
-    "ts_timestamp_arithmetic",
-    "ts_tumbling_agg",
-    "ts_winsorize",
-    "window_distribution_fns",
-    "window_lag_lead_price",
-    "window_rank_orders_per_customer",
-    "window_running_sum",
-    # (c) next-stalest tier (newest green row = ROUND 2) — fills the
-    # remaining window capacity; leftovers + the r3 tier rotate in r11.
-    "asof_fifo_forecast_alignment",
-    "asof_join_click_purchase",
-    "asof_join_forward_tolerance",
-    "asof_join_nearest",
-    "cdc_scd2_history",
-    "cdc_upsert_snapshot",
-    "corpus_bigrams_topk",
-    "corpus_deterministic_shuffle",
-    "corpus_pii_redact",
-    "corpus_token_entropy",
-    "corpus_vocabulary",
-    "dedup_duplicate_clusters",
-    "dedup_exact_hash",
-    "dedup_exact_survivors",
-    "dedup_jaccard_pairs",
-    "events_markov_transitions",
-    "events_type_cooccurrence",
-    "funnel_three_stage",
-    "json_extract_props",
-    "json_from_json_struct",
-    "json_variant_extract",
-    "multimodal_frame_sample",
-    "multimodal_payload_stats",
-    "multimodal_text_embedding_join",
-    "pipeline_clean_corpus",
-    "retention_cohorts",
-    "sim_ivf_topk",
-    "sim_label_centroids",
-    "sketch_hll_distinct",
-    "text_decontaminate",
-    "text_edit_distance_pairs",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality_scores",
-    "text_regex_extract",
-    "text_repetition_filter",
-    "text_tfidf",
-    "text_token_stats",
-    "text_token_topk",
-    "ts_sliding_features_arrays",
-    "udf_grouped_agg_pandas",
-    "udf_grouped_map_zscore",
-    "udf_scalar_pandas",
 )
+
+_FRONT = _FRONT_NEVER_SAMPLED + _FRONT_R11_NEW + _FRONT_STALE + _FRONT_FRESH_R10
 
 
 def register(

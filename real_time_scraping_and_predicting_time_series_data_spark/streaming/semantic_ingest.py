@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from .store_compaction import compacted_upto, is_compacted
 
 from ..functions.vector import as_double, dot, norm
-from ..operators.dedup import connected_components
+from ..operators.dedup import cell_local_components
 from ..operators.similarity import ivf_assign
 
 __all__ = ["SemanticDedupStore"]
@@ -154,16 +154,20 @@ class SemanticDedupStore:
         assigned = self._assign(batch_df).localCheckpoint(eager=True)
 
         # within-batch: cos >= tau edges inside a cell -> min-id component
-        # representatives (chains collapse to one survivor)
+        # representatives (chains collapse to one survivor).  Edges never
+        # leave a cell, so CC is the one-shuffle per-cell union-find
+        # (cell_local_components) rather than the O(diameter) iterative
+        # loop — at micro-batch cadence the fixpoint rounds' per-job
+        # overhead dominated the whole ingest (r11 drift-serve fix).
         a = assigned.select("cell", F.col("vec_id").alias("src"), F.col("v").alias("va"))
         b = assigned.select("cell", F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
         edges = (
             a.join(b, "cell")
             .filter(F.col("src") < F.col("dst"))
             .filter(F.round(dot(F.col("va"), F.col("vb")), 9) >= self.threshold)
-            .select("src", "dst")
+            .select("cell", "src", "dst")
         )
-        labels = connected_components(edges, assigned.select("vec_id"))
+        labels = cell_local_components(edges, assigned.select("cell", "vec_id"))
         reps = assigned.join(
             labels.filter(F.col("node") == F.col("label")).select(
                 F.col("node").alias("vec_id")

@@ -1,0 +1,330 @@
+"""Round-11 operators: URL canonicalization, Lloyd relation serve, FDR /
+KS / Page-Hinkley / NB / Huber stats, HHI, Yule-Walker, Count-Min,
+k-core, cell-local union-find CC, and the exact AR(2) forecast-eval
+oracles' semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+    canonical_url,
+)
+from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
+    cell_local_components,
+    connected_components,
+)
+from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+    all_queries,
+)
+
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def _q(name):
+    return all_queries()[name].fn
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_url_collapses_every_variant_class(spark):
+    messy = [
+        "https://news.example.com/a/b",
+        "HTTPS://News.Example.COM/a/b",            # case
+        "https://news.example.com/a/b/",           # trailing slash
+        "https://www.news.example.com/a/b",        # www
+        "https://news.example.com:443/a/b",        # default port
+        "https://news.example.com/a/b#frag",       # fragment
+        "https://news.example.com/a/b?utm_source=x&utm_campaign=y",  # tracking
+    ]
+    df = spark.createDataFrame([(u,) for u in messy], "url string")
+    canon, reg = canonical_url(F.col("url"))
+    got = {r[0] for r in df.select(canon).collect()}
+    assert got == {"https://news.example.com/a/b"}
+    assert {r[0] for r in df.select(reg).collect()} == {"example.com"}
+
+
+def test_canonical_url_sorts_and_keeps_real_params(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://h.example.org/p?b=2&a=1&fbclid=zzz",),
+            ("https://h.example.org/p?a=1&b=2",),
+            ("http://h.example.org:80/p?a=1&b=2",),
+        ],
+        "url string",
+    )
+    canon, _ = canonical_url(F.col("url"))
+    got = [r[0] for r in df.select(canon).collect()]
+    assert got[0] == got[1] == "https://h.example.org/p?a=1&b=2"
+    assert got[2] == "http://h.example.org/p?a=1&b=2"  # scheme survives
+
+
+def test_url_dedup_query_collapses_variants(spark):
+    out = _q("corpus_url_canonical_dedup")(spark, SF_CORRECT)
+    rows = out.collect()
+    assert all(r.n_variants <= r.n_docs for r in rows)
+    # canonicalization must actually merge messy variants somewhere
+    assert any(r.n_variants > 1 for r in rows)
+    assert all(r.canonical_url is not None for r in rows)
+    # canonical forms carry no tracking params, fragments, or default ports
+    assert all("utm_" not in r.canonical_url for r in rows)
+    assert all("#" not in r.canonical_url for r in rows)
+    assert all(":443" not in r.canonical_url for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# cell-local union-find CC == generic iterative CC
+# ---------------------------------------------------------------------------
+
+
+def test_cell_local_components_matches_generic_cc(spark):
+    # chains, a cycle, isolated nodes, spread over 3 cells
+    edges = [
+        (0, 1, 2), (0, 2, 3), (0, 3, 4),          # chain 1-2-3-4
+        (1, 10, 11), (1, 11, 12), (1, 12, 10),    # cycle
+        (2, 20, 21),
+    ]
+    members = [(0, n) for n in (1, 2, 3, 4, 5)] + [
+        (1, n) for n in (10, 11, 12)
+    ] + [(2, n) for n in (20, 21, 22)]
+    e = spark.createDataFrame(edges, "cell int, src long, dst long")
+    m = spark.createDataFrame(members, "cell int, node long")
+    got = {
+        (r.node, r.label) for r in cell_local_components(e, m).collect()
+    }
+    want = {
+        (r.node, r.label)
+        for r in connected_components(
+            e.select("src", "dst"), m.select("node")
+        ).collect()
+    }
+    assert got == want
+    assert (5, 5) in got and (22, 22) in got  # isolated nodes label=self
+
+
+# ---------------------------------------------------------------------------
+# stats wave
+# ---------------------------------------------------------------------------
+
+
+def test_benjamini_hochberg_stepup_properties(spark):
+    rows = _q("stats_benjamini_hochberg")(spark, SF_CORRECT).collect()
+    by_rank = sorted(rows, key=lambda r: r.bh_rank)
+    # adjusted p is monotone nondecreasing in rank and >= raw p
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert a.p_adj <= b.p_adj + 1e-9
+    assert all(r.p_adj >= r.p_value - 1e-9 for r in rows)
+    # rejections form a prefix of the rank order
+    rejected_ranks = {r.bh_rank for r in rows if r.rejected}
+    if rejected_ranks:
+        assert rejected_ranks == set(range(1, max(rejected_ranks) + 1))
+
+
+def test_ks_two_sample_known_fixture(spark, tmp_path):
+    # src0 = {1,2,3,4}, src1 = {3,4,5,6}: D = max|F1-F2| = 2/4
+    rows = [(i, "x", "en", "src0", v) for i, v in enumerate([1, 2, 3, 4])] + [
+        (10 + i, "x", "en", "src1", v) for i, v in enumerate([3, 4, 5, 6])
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(p)
+    out = _q("stats_ks_two_sample")(spark, str(tmp_path)).collect()[0]
+    assert out.n1 == 4 and out.n2 == 4
+    assert out.ks_d == pytest.approx(0.5)
+
+
+def test_page_hinkley_detects_planted_shift(spark, tmp_path):
+    # 20 flat days then 10 elevated days: PH must peak in the raised regime
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(30):
+        level = 100.0 if d < 20 else 160.0
+        for i in range(5):
+            rows.append((eid, base + dt.timedelta(days=d, minutes=i), 1, level, "tick"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double, event_type string"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = _q("stats_page_hinkley")(spark, str(tmp_path)).collect()
+    peak = [r for r in out if r.is_peak]
+    assert len(peak) == 1 and peak[0].day_index > 20
+    flat = [r.ph_stat for r in out if r.day_index <= 20]
+    assert max(flat) < peak[0].ph_stat / 10
+
+
+def test_huber_downweights_planted_outliers(spark, tmp_path):
+    # clean linear relation y = 3*x1 + 2*x2 + 10 plus gross outliers
+    # (x1 = tokens, x2 = vowels; "ab" tokens carry the vowels so the two
+    # features are not collinear)
+    rows = []
+    for i in range(60):
+        x1 = 5 + (i % 20)
+        v = i % 5
+        text = " ".join(["ab"] * v + ["bb"] * (x1 - v))
+        y = 3 * x1 + 2 * v + 10
+        rows.append((i, text, "en", "src0", y))
+    for i in range(60, 66):  # outliers: absurd y
+        rows.append((i, " ".join(["ab"] * 2 + ["bb"] * 8), "en", "src0", 500))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = _q("ml_huber_irls")(spark, str(tmp_path)).collect()[0]
+    assert out.n_downweighted >= 6
+    # Huber slope closer to the clean 3.0 than OLS
+    assert abs(out.b1_huber - 3.0) < abs(out.b1_ols - 3.0)
+
+
+def test_negative_binomial_flags_overdispersion(spark):
+    rows = _q("ml_negative_binomial_mm")(spark, SF_CORRECT).collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r.overdispersed:
+            assert r.nb_k is not None and r.nb_k > 0
+            assert 0 < r.nb_p <= 1 + 1e-9
+        else:
+            assert r.nb_k is None
+
+
+def test_yule_walker_recovers_ar1(spark, tmp_path):
+    # x_t = 0.8 x_{t-1} + deterministic pseudo-noise; phi1 near 0.8, phi2 near 0
+    import hashlib
+
+    base = dt.datetime(2024, 1, 1)
+    rows, x = [], 0.0
+    for t in range(400):
+        eps = (int(hashlib.md5(str(t).encode()).hexdigest()[:6], 16) % 1000) / 500.0 - 1.0
+        x = 0.8 * x + eps
+        rows.append((t, base + dt.timedelta(minutes=t), 1, round(100 + x, 2), "tick"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double, event_type string"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = _q("ml_yule_walker_ar2")(spark, str(tmp_path)).collect()[0]
+    assert out.phi1 == pytest.approx(0.8, abs=0.15)
+    assert abs(out.phi2) < 0.2
+    assert out.rho1 > 0.6
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+
+def test_count_min_overestimates_only_and_stream_matches(spark):
+    batch = {
+        (r.token, r.true_cnt, r.cm_est)
+        for r in _q("sketch_count_min")(spark, SF_CORRECT).collect()
+    }
+    assert len(batch) == 10
+    assert all(est >= true for _, true, est in batch)
+    stream = {
+        (r.token, r.true_cnt, r.cm_est)
+        for r in _q("sketch_cm_stream_serve")(spark, SF_CORRECT).collect()
+    }
+    assert stream == batch  # disjoint-batch additive merge == one-pass sketch
+
+
+def test_cm_stream_replay_idempotent(spark, tmp_path):
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import (
+        load_table,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.functions.hashing import (
+        md5_60,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.cm_stream import (
+        CmStreamSketch,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sk = CmStreamSketch(spark, str(tmp_path / "cm"))
+    split = F.pmod(md5_60(F.col("doc_id").cast("string")), F.lit(3))
+    for bid in range(3):
+        sk.ingest_batch(docs.filter(split == bid), bid)
+    before = {(r.r, r.b, r.cnt) for r in sk.merged().collect()}
+    sk.ingest_batch(docs.filter(split == 1), 1)  # at-least-once replay
+    assert {(r.r, r.b, r.cnt) for r in sk.merged().collect()} == before
+    sk.compact()
+    assert {(r.r, r.b, r.cnt) for r in sk.merged().collect()} == before
+    sk.ingest_batch(docs.filter(split == 1), 1)  # replay of a folded batch
+    assert {(r.r, r.b, r.cnt) for r in sk.merged().collect()} == before
+
+
+# ---------------------------------------------------------------------------
+# k-core / HHI / Lloyd serve
+# ---------------------------------------------------------------------------
+
+
+def test_k_core_converged_and_valid(spark):
+    rows = _q("graph_k_core")(spark, SF_CORRECT).collect()
+    assert len(rows) > 0
+    # fixpoint reached at test scale: every survivor keeps degree >= k
+    assert all(r.stable == 1 for r in rows)
+    assert all(r.core_degree >= 3 for r in rows)
+
+
+def test_herfindahl_bounds(spark):
+    rows = _q("orders_herfindahl")(spark, SF_CORRECT).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.hhi_floor - 1e-9 <= r.hhi <= 1.0 + 1e-9
+
+
+def test_lloyd_relation_topk_recall_vs_bruteforce(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import (
+        load_table,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    approx = _q("sim_topk_relation_lloyd")(spark, SF_SMOKE)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=3)
+    a = {
+        (r.query_id, r.neighbor_id)
+        for r in approx.filter(F.col("query_id") < 40).collect()
+    }
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall > 0.4  # 2 of 8 Lloyd cells probed
+
+
+# ---------------------------------------------------------------------------
+# exact AR(2) forecast evals
+# ---------------------------------------------------------------------------
+
+
+def test_linear_forecast_eval_beats_wide_noise(spark):
+    rows = _q("ml_linear_forecast_eval")(spark, SF_CORRECT).collect()
+    assert len(rows) > 0
+    assert all(r.rmse_1 >= 0 and r.rmse_2 >= 0 for r in rows)
+    assert all(r.n_scored > 0 for r in rows)
+
+
+def test_per_key_forecast_eval_two_steps_per_key(spark):
+    rows = _q("ml_per_key_forecast_eval")(spark, SF_CORRECT).collect()
+    keys = {}
+    for r in rows:
+        keys.setdefault(r.user_id, set()).add(r.step)
+    assert all(v == {1, 2} for v in keys.values())
+    # one-step-ahead in-sample fit should not be worse than two-step
+    import statistics
+
+    by_step = {1: [], 2: []}
+    for r in rows:
+        by_step[r.step].append(r.rmse)
+    assert statistics.median(by_step[1]) <= statistics.median(by_step[2]) * 1.25

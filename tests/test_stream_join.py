@@ -190,3 +190,80 @@ def test_stream_static_join_rereads_dimension_per_batch(spark, tmp_path):
     got = dict(out_rows)
     assert got[0] == "bronze"
     assert got[1] == "gold", "dimension update not picked up by later micro-batch"
+
+
+def test_stream_join_late_actual_dropped_null_survives(spark, tmp_path):
+    """J1 streaming vs the reference's FIFO fill under LATE DATA (VERDICT
+    r10 item 6): a forecast whose actual arrives after the watermark has
+    passed must keep its NULL ledger row — the too-late actual is dropped
+    by the watermark, NOT back-filled.  The reference's driver-side FIFO
+    alignment (lvmh_forecaster2.py:173-177) would pair them regardless;
+    this is exactly the semantics gap the engine-level watermark pins.
+
+    Fixture (watermark = interval = 10 min; one poll file per side per
+    micro-batch).  Stream-stream joins drop late data through STATE
+    EVICTION (input rows are not pre-filtered, and eviction uses the
+    watermark computed from the PREVIOUS batch's maxima), so the fixture
+    advances the watermark one batch before the straggler arrives:
+      B0  left : f1(t=0) f2(t=600) f_adv(t=20000); right: a1(t=60)
+                 r_adv(t=20000, user 1) → f1-a1 matches inline.
+      B1  right: filler(t=20010, user 2 — matches nothing): watermark is
+                 now 19400 > f2.ts+interval → f2's buffered row is
+                 EVICTED and its NULL ledger row emits.
+      B2  right: a2(t=660) — f2's state is gone, so the late actual
+                 pairs with NOTHING (an unmatched right row in a
+                 left-outer join produces no output).
+      f_adv's window (20600) is still open at the final watermark, so its
+      row is correctly withheld — streaming outer joins only close
+      windows the watermark has passed."""
+    drop_l, drop_r = str(tmp_path / "forecasts"), str(tmp_path / "actuals")
+    _write_poll_file(drop_l, "poll_000.json", [(0, 0, 1, 1.0), (1, 600, 1, 2.0), (2, 20000, 1, 3.0)])
+    _write_poll_file(drop_r, "poll_000.json", [(100, 60, 1, 10.0), (102, 20000, 1, 12.0)])
+    _write_poll_file(drop_r, "poll_001.json", [(103, 20010, 2, 13.0)])
+    _write_poll_file(drop_r, "poll_002.json", [(101, 660, 1, 11.0)])
+
+    joined = stream_interval_join(
+        file_tick_stream(spark, drop_l),
+        file_tick_stream(spark, drop_r),
+        interval="10 minutes",
+        watermark="10 minutes",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("late_ledger")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM late_ledger").collect()
+    }
+    # the NULL ledger row for f2 SURVIVES; the late actual is NOT paired;
+    # f_adv's window is still open so its row is withheld.
+    assert got == {(0, 100), (1, None)}
+
+    # Batch twin over everything that ARRIVED (the reference's FIFO fill
+    # has no watermark, so it would pair f2 with the late actual):
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(e, BASE + dt.timedelta(seconds=s), u, v) for e, s, u, v in rows], TICK_SCHEMA
+    )
+    all_l = mk([(0, 0, 1, 1.0), (1, 600, 1, 2.0), (2, 20000, 1, 3.0)])
+    all_r = mk([(100, 60, 1, 10.0), (102, 20000, 1, 12.0),
+                (103, 20010, 2, 13.0), (101, 660, 1, 11.0)])
+    fifo = stream_interval_join(all_l, all_r, interval="10 minutes",
+                                watermark="10 minutes", how="left_outer")
+    fifo_pairs = {(r.l_event_id, r.r_event_id) for r in fifo.collect()}
+    assert (1, 101) in fifo_pairs and (1, 101) not in got
+
+    # Batch twin over what the watermark ADMITTED agrees with the stream
+    # on every closed window (f_adv's is the one still-open window):
+    admitted = stream_interval_join(
+        all_l, all_r.filter(F.col("event_id") != 101),
+        interval="10 minutes", watermark="10 minutes", how="left_outer",
+    )
+    admitted_pairs = {(r.l_event_id, r.r_event_id) for r in admitted.collect()}
+    assert admitted_pairs == got | {(2, None)}
