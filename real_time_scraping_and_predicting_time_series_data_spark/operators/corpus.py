@@ -1885,9 +1885,10 @@ def _synth_url_spark():
     )
 
 
-@register(
-    "corpus_url_canonical_dedup",
-    oracle=f"""
+# Shared WITH-chain (synth -> parse -> canonicalize) reused by the dedup and
+# crawl-frontier oracles; ends with the `canon(doc_id, url, canonical_url,
+# reg_domain)` CTE.
+_URL_CANON_CTES = f"""
     WITH u AS (
         SELECT doc_id,
                CAST(doc_id % 200 AS VARCHAR) AS k,
@@ -1931,6 +1932,12 @@ def _synth_url_spark():
                regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS reg_domain
         FROM p4
     )
+"""
+
+
+@register(
+    "corpus_url_canonical_dedup",
+    oracle=_URL_CANON_CTES + """
     SELECT canonical_url, reg_domain,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
@@ -1964,4 +1971,76 @@ def q_corpus_url_canonical_dedup(spark, sf_dir):
         F.count("*").cast("long").alias("n_docs"),
         F.countDistinct("url").cast("long").alias("n_variants"),
         F.min("doc_id").cast("long").alias("survivor_doc_id"),
+    )
+
+
+@register(
+    "corpus_crawl_frontier",
+    oracle=_URL_CANON_CTES + """
+    , surv AS (
+        SELECT canonical_url, reg_domain,
+               regexp_extract(canonical_url, '^[^:]+://([^/?#]+)', 1) AS host,
+               CAST(min(doc_id) AS BIGINT) AS survivor_doc_id
+        FROM canon GROUP BY canonical_url, reg_domain
+    ), pri AS (
+        SELECT s.*, d.n_chars
+        FROM surv s JOIN documents d ON d.doc_id = s.survivor_doc_id
+    ), sched AS (
+        SELECT host, reg_domain, canonical_url, survivor_doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY host
+                   ORDER BY n_chars DESC, survivor_doc_id) - 1 AS BIGINT) AS slot,
+               CASE WHEN reg_domain = 'sample.org' THEN 10 ELSE 5 END AS delay_s
+        FROM pri
+    )
+    SELECT host, reg_domain, canonical_url, survivor_doc_id, slot,
+           CAST(slot * delay_s AS BIGINT) AS fetch_offset_s
+    FROM sched
+    """,
+    tags=("corpus", "url", "crawl", "scheduling"),
+)
+def q_corpus_crawl_frontier(spark, sf_dir):
+    """Politeness-scheduled crawl frontier over the canonicalized URL set —
+    the step AFTER `corpus_url_canonical_dedup` in a crawl pipeline: one
+    fetch per HOST per time slot (round-robin within host by priority =
+    survivor doc's n_chars desc, doc_id tiebreak), with a per-domain
+    crawl delay (10 s for sample.org, 5 s otherwise standing in for
+    robots.txt `Crawl-delay`); ``fetch_offset_s`` = slot × delay is each
+    URL's scheduled start.
+
+    Scale: dedup is the canonical-key hash agg; scheduling is ONE window
+    per host — partitioned by host, so the frontier parallelizes across
+    hosts exactly the way a polite fetcher does, and no host's queue
+    depth affects another's.  The per-host window is bounded by that
+    host's frontier depth — the quantity a real crawler must bound
+    anyway (queue caps), documented here rather than hidden."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", _synth_url_spark().alias("url"))
+    canon, reg = canonical_url(F.col("url"))
+    c = raw.select("doc_id", canon.alias("canonical_url"), reg.alias("reg_domain"))
+    surv = c.groupBy("canonical_url", "reg_domain").agg(
+        F.min("doc_id").cast("long").alias("survivor_doc_id")
+    ).withColumn(
+        "host", F.regexp_extract(F.col("canonical_url"), r"^[^:]+://([^/?#]+)", 1)
+    )
+    pri = surv.join(
+        docs.select(F.col("doc_id").alias("survivor_doc_id"), "n_chars"),
+        "survivor_doc_id",
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("n_chars"), F.asc("survivor_doc_id"))
+    sched = pri.select(
+        "host",
+        "reg_domain",
+        "canonical_url",
+        "survivor_doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("slot"),
+        F.when(F.col("reg_domain") == "sample.org", 10).otherwise(5).alias("delay_s"),
+    )
+    return sched.select(
+        "host",
+        "reg_domain",
+        "canonical_url",
+        "survivor_doc_id",
+        "slot",
+        (F.col("slot") * F.col("delay_s")).cast("long").alias("fetch_offset_s"),
     )

@@ -1715,3 +1715,79 @@ def dq_t_closeness(spark, sf_dir):
             F.round(F.max("tvd"), 6).alias("max_tvd"),
         )
     )
+
+
+@register(
+    "dq_completeness_profile",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(event_id) AS BIGINT) AS nn_event_id,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS nd_event_id,
+               CAST(count(ts) AS BIGINT) AS nn_ts,
+               CAST(count(DISTINCT ts) AS BIGINT) AS nd_ts,
+               CAST(count(user_id) AS BIGINT) AS nn_user_id,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS nd_user_id,
+               CAST(count(event_type) AS BIGINT) AS nn_event_type,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS nd_event_type,
+               CAST(count(value) AS BIGINT) AS nn_value,
+               CAST(count(DISTINCT value) AS BIGINT) AS nd_value,
+               CAST(count(props) AS BIGINT) AS nn_props,
+               CAST(count(DISTINCT props) AS BIGINT) AS nd_props
+        FROM events
+    )
+    SELECT u.column_name, s.n AS n_rows, u.n_nonnull, u.n_distinct,
+           floor(u.n_nonnull / CAST(s.n AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS completeness
+    FROM s, LATERAL (
+        VALUES ('event_id', s.nn_event_id, s.nd_event_id),
+               ('ts', s.nn_ts, s.nd_ts),
+               ('user_id', s.nn_user_id, s.nd_user_id),
+               ('event_type', s.nn_event_type, s.nd_event_type),
+               ('value', s.nn_value, s.nd_value),
+               ('props', s.nn_props, s.nd_props)
+    ) u(column_name, n_nonnull, n_distinct)
+    """,
+    tags=("dq", "profiling", "completeness"),
+)
+def q_dq_completeness_profile(spark, sf_dir):
+    """Per-column completeness/cardinality profile of the events table —
+    the first report any data-quality harness emits: one row per column
+    with non-null count, exact distinct count, and completeness ratio.
+    Beside `dq_referential_integrity` (cross-table) and `dq_snapshot_diff`
+    (cross-version), this is the single-table intake gate.
+
+    Shape: ONE aggregation computes every column's stats (the distincts
+    share the scan via Spark's expand), then the 1-row result unpivots to
+    a 6-row report through an in-row struct explode — no second scan, no
+    per-column jobs (the naive profiler loops `df.select(c).distinct()`
+    per column: 2·|cols| scans).  At 100 TB swap the exact distincts for
+    `approx_count_distinct` (documented cutover, same shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = [F.count("*").cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.count(c).cast("long").alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).cast("long").alias(f"nd_{c}"))
+    s = ev.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"nn_{c}").alias("n_nonnull"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    out = s.select("n", F.explode(rows).alias("u")).select(
+        F.col("u.column_name").alias("column_name"),
+        F.col("n").alias("n_rows"),
+        F.col("u.n_nonnull").alias("n_nonnull"),
+        F.col("u.n_distinct").alias("n_distinct"),
+        (
+            F.floor(F.col("u.n_nonnull") / F.col("n").cast("double") * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("completeness"),
+    )
+    return out

@@ -133,6 +133,8 @@ _FRONT_R11_NEW = (
     "sketch_count_min",
     "sketch_cm_stream_serve",
     "graph_k_core",
+    "corpus_crawl_frontier",
+    "dq_completeness_profile",
 )
 
 # (c) Evidence-freshness rotation: stalest green rows (newest driver

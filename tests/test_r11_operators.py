@@ -328,3 +328,34 @@ def test_per_key_forecast_eval_two_steps_per_key(spark):
     for r in rows:
         by_step[r.step].append(r.rmse)
     assert statistics.median(by_step[1]) <= statistics.median(by_step[2]) * 1.25
+
+
+# ---------------------------------------------------------------------------
+# wave 2: crawl frontier + completeness profile
+# ---------------------------------------------------------------------------
+
+
+def test_crawl_frontier_politeness_invariants(spark):
+    rows = _q("corpus_crawl_frontier")(spark, SF_CORRECT).collect()
+    assert len(rows) > 0
+    # one fetch per host per slot; slots are a 0..n-1 prefix per host
+    per_host = {}
+    for r in rows:
+        per_host.setdefault(r.host, []).append(r.slot)
+    for host, slots in per_host.items():
+        assert sorted(slots) == list(range(len(slots))), host
+    # delay class by registrable domain
+    for r in rows:
+        delay = 10 if r.reg_domain == "sample.org" else 5
+        assert r.fetch_offset_s == r.slot * delay
+
+
+def test_completeness_profile_shape(spark):
+    rows = _q("dq_completeness_profile")(spark, SF_CORRECT).collect()
+    by_col = {r.column_name: r for r in rows}
+    assert set(by_col) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    n = rows[0].n_rows
+    assert all(r.n_rows == n for r in rows)
+    assert by_col["event_id"].n_distinct == n  # primary key
+    assert by_col["event_id"].completeness == 1.0
+    assert all(0 <= r.completeness <= 1.0 and r.n_distinct <= r.n_nonnull for r in rows)
