@@ -4027,3 +4027,47 @@ def q_sim_topk_relation_lloyd(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+def ivf_assign_gemm(
+    df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """GEMM-path twin of :func:`ivf_assign` for LARGE K: assignment cost is
+    O(N·K·dim) either way, but `ivf_assign`'s array higher-order functions
+    are interpreted per element (HOFs don't enter whole-stage codegen) —
+    the r11 sf1x measurement showed that at K=160 the interpreted
+    projection, not the cell join, dominates the relation serve.  Here the
+    K×dim centroid matrix ships once per task inside an Arrow
+    ``mapInPandas`` and every batch scores as ONE numpy matmul — the
+    vectorized constant is ~100× smaller per (vector, cell).
+
+    Same decision rule as `ivf_assign`: argmin over cells of
+    round(−v·c_nvec, 9) with the min-cell tiebreak (np.lexsort on
+    (d9, cell)).  NOT bit-safe against the HOF fold (numpy reduces the dot
+    in a different order, so a distance landing within ~1e-15 of a round-9
+    boundary can flip) — this is the PERF path for big-K production
+    assignment; oracle-bearing queries keep the fold.  Agreement at test
+    scale is pinned by tests/test_r11_operators.py.
+
+    Returns (id_col, cell int)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    model = centroids.select("cell", "c_nvec").collect()
+    cells = np.array([r["cell"] for r in model], dtype=np.int64)
+    cmat = np.array([r["c_nvec"] for r in model], dtype=np.float64)
+    order = np.argsort(cells)
+    cells, cmat = cells[order], cmat[order]
+
+    def assign(batches):
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d9 = np.round(-(v @ cmat.T), 9)  # (n, K)
+            # argmin with min-cell tiebreak: cells are sorted ascending, so
+            # the first minimum along axis 1 IS the lowest-cell minimum.
+            best = cells[np.argmin(d9, axis=1)]
+            yield pd.DataFrame({id_col: pdf[id_col], "cell": best.astype(np.int32)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, cell int"
+    )

@@ -359,3 +359,39 @@ def test_completeness_profile_shape(spark):
     assert by_col["event_id"].n_distinct == n  # primary key
     assert by_col["event_id"].completeness == 1.0
     assert all(0 <= r.completeness <= 1.0 and r.n_distinct <= r.n_nonnull for r in rows)
+
+
+def test_ivf_assign_gemm_agrees_with_hof_fold(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import (
+        load_table,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.functions.vector import (
+        as_double,
+        norm,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_gemm,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    c = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    c = c.withColumn("_n", norm(F.col("v"))).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("_n")).alias("v")
+    )
+    cents = c.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("c_nvec")
+    )
+    hof = {
+        r.vec_id: r.cell
+        for r in ivf_assign(c, cents, "v", ["vec_id"]).select("vec_id", "cell").collect()
+    }
+    gemm = {
+        r.vec_id: r.cell
+        for r in ivf_assign_gemm(c, cents, "v", "vec_id").collect()
+    }
+    assert set(hof) == set(gemm)
+    agree = sum(1 for k in hof if hof[k] == gemm[k]) / len(hof)
+    # fp-order differences can flip assignments only within ~1e-15 of a
+    # round-9 boundary — effectively never at this scale
+    assert agree >= 0.995, agree
