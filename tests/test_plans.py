@@ -464,6 +464,15 @@ def test_no_unbounded_global_windows_anywhere(spark):
         "ts_turning_points": {"day"},
         # purged-split fold bookkeeping rides the calendar-bounded day grid
         "ml_purged_time_split": {"day"},
+        # BH step-up windows ride the m-row per-SOURCE p-value family
+        # (bounded by |sources|, not data; r11)
+        "stats_benjamini_hochberg": {"pv", "bh_rank"},
+        # KS cumulative ECDF counts ride the distinct-n_chars value grid
+        # (domain-bounded, the same bound stats_ks_drift argues; r11)
+        "stats_ks_two_sample": {"v"},
+        # Page-Hinkley deviations/cumsums ride the calendar-bounded day
+        # grid (same bound as the SPRT family; r11)
+        "stats_page_hinkley": {"day"},
     }
     pat = re.compile(r"windowspecdefinition\(\s*([A-Za-z0-9_]+)#\d+L?\s+(?:ASC|DESC)")
     offenders = []
