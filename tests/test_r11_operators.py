@@ -395,3 +395,20 @@ def test_ivf_assign_gemm_agrees_with_hof_fold(spark):
     # fp-order differences can flip assignments only within ~1e-15 of a
     # round-9 boundary — effectively never at this scale
     assert agree >= 0.995, agree
+
+
+def test_url_dedup_scan_prunes_text(spark):
+    """The URL pipeline needs only (doc_id, source): the text/payload
+    column must never leave the parquet scan — the property that makes
+    URL dedup the cheapest tier at 100 TB."""
+    import re
+
+    plan = (
+        _q("corpus_url_canonical_dedup")(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "text" not in m.group(1), m.group(1) if m else plan
+    assert "doc_id" in m.group(1) and "source" in m.group(1)
