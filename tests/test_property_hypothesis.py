@@ -369,3 +369,33 @@ def test_star_cc_matches_union_find(spark, edges):
     assert got_star == want
     got_min = {r.node: r.label for r in connected_components(e, nodes).collect()}
     assert got_min == want
+
+
+@SLOW
+@given(edges=_edge_lists, n_cells=st.sampled_from([1, 2, 4]))
+def test_cell_local_cc_matches_union_find(spark, edges, n_cells):
+    """cell_local_components on ARBITRARY hypothesis graphs, partitioned
+    into cells by node-id range so every edge stays cell-confined (the
+    operator's contract), must equal the plain-python union-find — the
+    r11 per-cell grouped-map CC is label-for-label the min-label fixpoint.
+    Edges whose endpoints straddle a range boundary are dropped from BOTH
+    sides (the contract excludes them), isolated members label as self."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.dedup import (
+        cell_local_components,
+    )
+
+    n_nodes = 15
+    width = (n_nodes + n_cells - 1) // n_cells
+    cell_of = lambda v: v // width  # noqa: E731
+    kept = [(s, d) for s, d in edges if cell_of(s) == cell_of(d)]
+    members = [(cell_of(v), v) for v in range(n_nodes)]
+    m = spark.createDataFrame(members, "cell int, node long")
+    if kept:
+        e = spark.createDataFrame(
+            [(cell_of(s), s, d) for s, d in kept], "cell int, src long, dst long"
+        )
+    else:
+        e = spark.createDataFrame([], "cell int, src long, dst long")
+    want = _uf_reference(kept, n_nodes)
+    got = {r.node: r.label for r in cell_local_components(e, m).collect()}
+    assert got == want
