@@ -572,13 +572,23 @@ _CM_TOPK = 10
 def cm_cells(tokens: DataFrame, token: str = "token") -> DataFrame:
     """Count-Min sketch cells over a token-occurrence relation: depth
     rows × width buckets, bucket_r(t) = md5_60('cm'||r||':'||t) mod width.
-    One grouped count — the sketch IS a (depth·width)-row relation whose
-    merge law is plain addition (grouped sum), which is what makes it
-    streamable and cross-shard mergeable at 100 TB."""
+    The sketch IS a (depth·width)-row relation whose merge law is plain
+    addition (grouped sum), which is what makes it streamable and
+    cross-shard mergeable at 100 TB.
+
+    AGGREGATE-THEN-HASH (r11 sf1x fix): counting per token FIRST and
+    hashing only the |vocab| distinct tokens (×depth) replaces
+    |occurrences|·depth md5 calls with |vocab|·depth — the md5s were the
+    entire scale cost (1.85 s → 14.1 s at 10× corpus before the rewrite);
+    cell values are identical because cnt(r, b) = Σ_{tokens hashing to b}
+    count(token) either way.  The token count agg is map-side combined;
+    at 100 TB |vocab| ≪ |occurrences| always holds."""
     rows = F.explode(F.array(*[F.lit(r) for r in range(_CM_DEPTH)])).alias("r")
+    counts = tokens.groupBy(F.col(token)).agg(F.count("*").cast("long").alias("c"))
     return (
-        tokens.select(F.col(token), rows)
+        counts.select(F.col(token), "c", rows)
         .select(
+            "c",
             "r",
             F.pmod(
                 md5_60(
@@ -593,7 +603,7 @@ def cm_cells(tokens: DataFrame, token: str = "token") -> DataFrame:
             ).alias("b"),
         )
         .groupBy("r", "b")
-        .agg(F.count("*").cast("long").alias("cnt"))
+        .agg(F.sum("c").cast("long").alias("cnt"))
     )
 
 
