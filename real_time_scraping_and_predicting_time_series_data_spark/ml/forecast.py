@@ -207,7 +207,7 @@ def _ar2_linear_oracle() -> str:
     ), coef AS (
         SELECT {b01} AS b01, {b11} AS b11, {b21} AS b21,
                {b02} AS b02, {b12} AS b12, {b22} AS b22
-        FROM m
+        FROM m WHERE m.det <> 0
     ), scored AS (
         SELECT t.user_id,
                CAST(floor((CAST(t.y1 AS DOUBLE) - (c.b01 + c.b11 * t.x1 + c.b21 * t.x2))
@@ -296,6 +296,11 @@ def q_ml_forecast(spark, sf_dir):
         b01.alias("b01"), b11.alias("b11"), b21.alias("b21"),
         b02.alias("b02"), b12.alias("b12"), b22.alias("b22"),
     )
+    # Singular-design guard (ADVICE r11 mirror of the per-key fix): Spark's
+    # Divide is null-on-zero, so det == 0 makes every coefficient NULL —
+    # drop the row so a degenerate global design yields an empty eval on
+    # both engines (the oracle's coef CTE filters det <> 0 identically).
+    coef = coef.filter(F.col("b01").isNotNull())
     scored = t.crossJoin(F.broadcast(coef))
     e1 = F.col("y1").cast("double") - (
         F.col("b01") + F.col("b11") * F.col("x1") + F.col("b21") * F.col("x2")
@@ -457,7 +462,7 @@ def _per_key_ar2_oracle() -> str:
     ), coef AS (
         SELECT user_id, step,
                {b0} / m.det AS b0, {b1} / m.det AS b1, {b2} / m.det AS b2
-        FROM m
+        FROM m WHERE m.det <> 0
     ), scored AS (
         SELECT s.user_id, s.step,
                CAST(floor((CAST(s.yv AS DOUBLE) - (c.b0 + c.b1 * s.x1 + c.b2 * s.x2))
@@ -524,10 +529,26 @@ def q_ml_per_key_forecast(spark, sf_dir):
             x1 = pdf.loc[m, "x1"].to_numpy("int64")
             x2 = pdf.loc[m, "x2"].to_numpy("int64")
             y = pdf.loc[m, ycol].to_numpy("int64")
+            s11, s12, s13 = float(len(x1)), float(x1.sum()), float(x2.sum())
+            s22, s23, s33 = (
+                float((x1 * x1).sum()), float((x1 * x2).sum()), float((x2 * x2).sum())
+            )
+            # Singular-design guard (ADVICE r11): a key with no rows under
+            # this step's mask, or a constant series (x1 == x2 everywhere),
+            # has det == 0 — _lc_solve3 would raise ZeroDivisionError on
+            # Python floats and crash the whole query.  Skip the (key, step)
+            # instead, mirroring the oracle's `WHERE m.det <> 0` (Spark
+            # SQL's null-on-zero-divide degrades the column-expression twin
+            # the same way).
+            det = (
+                s11 * (s22 * s33 - s23 * s23)
+                - s12 * (s12 * s33 - s13 * s23)
+                + s13 * (s12 * s23 - s13 * s22)
+            )
+            if det == 0.0:
+                continue
             b0, b1, b2 = _lc_solve3(
-                float(len(x1)), float(x1.sum()), float(x2.sum()),
-                float((x1 * x1).sum()), float((x1 * x2).sum()),
-                float((x2 * x2).sum()),
+                s11, s12, s13, s22, s23, s33,
                 float(y.sum()), float((x1 * y).sum()), float((x2 * y).sum()),
             )
             rows.append((uid, step, b0, b1, b2))
@@ -1130,6 +1151,7 @@ def q_ml_learning_curve(spark, sf_dir):
                AS phi2,
            floor((g1 / g0) * 1000000 + 0.5) / 1000000 AS rho1
     FROM gam
+    WHERE g0 > 0 AND g0 * g0 - g1 * g1 <> 0
     """,
     tags=("ml", "timeseries", "autoregression", "yule-walker"),
 )
@@ -1186,6 +1208,12 @@ def q_ml_yule_walker_ar2(spark, sf_dir):
     )
     canon = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
     den = F.col("g0") * F.col("g0") - F.col("g1") * F.col("g1")
+    # Degenerate-key guard (ADVICE r11): a constant per-user series has
+    # g0 = 0 (and perfectly correlated lags make den = 0) — Spark's
+    # null-on-zero-divide would emit NULL where DuckDB's IEEE division
+    # emits NaN/Inf, a latent parity break.  Filter the keys identically
+    # on both engines instead (the oracle carries the same WHERE).
+    gam = gam.filter((F.col("g0") > 0) & (den != 0))
     return gam.select(
         "user_id",
         "n",

