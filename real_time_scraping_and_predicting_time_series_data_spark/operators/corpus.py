@@ -1783,13 +1783,14 @@ def canonical_url(url):
     - strip a leading ``www.`` label;
     - collapse trailing slashes on the path (root stays ``/``; an empty
       path becomes ``/``);
-    - drop tracking query parameters (``utm_*``, ``gclid``, ``fbclid``)
+    - drop tracking query parameters (``utm_*``, ``gclid``, ``fbclid``,
+      CASE-INSENSITIVELY — real crawls see ``UTM_Source=``; ADVICE r11)
       and sort the survivors bytewise.
 
-    Returns ``(canonical, registrable_domain)`` Columns.  The registrable
-    domain is the last-two-labels heuristic — a production pipeline swaps
-    in the Public Suffix List (a ~10k-row broadcast join keyed on the
-    longest matching suffix); the grouping shape is identical.
+    Returns ``(canonical, host)`` Columns; the registrable domain is a
+    Public-Suffix-List broadcast join over the host — see
+    :func:`with_registrable_domain` (r12: replaced the last-two-labels
+    heuristic, which mis-grouped ``co.uk``-style multi-label suffixes).
 
     Scale: everything is codegen'd regexp/array work, no UDF, no shuffle;
     the downstream dedup is one hash aggregation on the canonical key —
@@ -1811,7 +1812,7 @@ def canonical_url(url):
     query = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
     params = F.filter(
         F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike("^(utm_[^=]*|gclid|fbclid)(=|$)"),
+        lambda p: (p != "") & ~p.rlike("(?i)^(utm_[^=]*|gclid|fbclid)(=|$)"),
     )
     canon_q = F.array_join(F.array_sort(params), "&")
     canonical = F.concat(
@@ -1821,22 +1822,80 @@ def canonical_url(url):
         path,
         F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
     )
-    reg_domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    return canonical, reg_domain
+    return canonical, host
+
+
+# Synthetic Public Suffix List excerpt (publicsuffix.org shape): multi-label
+# suffixes are what the last-two-labels heuristic got wrong — 'metro.co.uk'
+# is a registrable domain, 'co.uk' is not.  A production pipeline loads the
+# real ~10k-row list; the join shape below is identical.
+_PSL_SUFFIXES = (
+    "com", "org", "net", "io", "edu", "gov",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "jp", "co.jp", "com.au",
+)
+
+_PSL_SQL_VALUES = ", ".join(f"('{s}')" for s in _PSL_SUFFIXES)
+
+
+def psl_table(spark):
+    """The PSL as a tiny broadcastable relation (suffix string)."""
+    return spark.createDataFrame([(s,) for s in _PSL_SUFFIXES], "suffix string")
+
+
+def with_registrable_domain(df, host_col: str = "host"):
+    """Add ``reg_domain`` via the Public-Suffix-List rule: the LONGEST
+    suffix in the PSL matching the host's trailing labels, plus one more
+    label.  Unknown TLDs fall back to the single-label default (reg
+    domain = last two labels) — the ``*`` wildcard of the real list; a
+    host that IS a public suffix falls back to itself.
+
+    Plan shape: two BROADCAST left joins (the last-3-labels and
+    last-2-labels tail strings against the suffix relation; single-label
+    suffixes need no join — they coincide with the default), then one
+    CASE projection.  No shuffle, no UDF; at 100 TB the full ~10k-row PSL
+    broadcasts the same way."""
+    spark = df.sparkSession
+    psl = psl_table(spark)
+    h = F.col(host_col)
+    tail2 = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+    tail3 = F.regexp_extract(h, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    tail4 = F.regexp_extract(h, r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$", 1)
+    d = df.withColumn("_t2", tail2).withColumn("_t3", tail3)
+    d = d.join(
+        F.broadcast(psl.select(F.col("suffix").alias("_t3"), F.lit(3).alias("_m3"))),
+        "_t3",
+        "left",
+    )
+    d = d.join(
+        F.broadcast(psl.select(F.col("suffix").alias("_t2"), F.lit(2).alias("_m2"))),
+        "_t2",
+        "left",
+    )
+    sdepth = F.coalesce(F.col("_m3"), F.col("_m2"), F.lit(1))
+    fb = lambda c: F.when(c == "", h).otherwise(c)  # noqa: E731 — host IS the suffix
+    reg = (
+        F.when(sdepth == 3, fb(tail4))
+        .when(sdepth == 2, fb(tail3))
+        .otherwise(fb(tail2))
+    )
+    return d.select(*df.columns, reg.alias("reg_domain"))
 
 
 # Deterministic messy-URL synthesis shared by both engines: documents has
 # no URL column, so each doc gets a crawl-style URL whose messiness class
 # is doc_id%6 and whose page identity is doc_id%200 — docs sharing a page
 # key differ only in case / trailing slash / www / default port / fragment
-# / tracking params / param order, exactly the variation canonicalization
-# must collapse.  (doc_id%4 is constant within a page-key group since
-# 200 ≡ 0 mod 4, so the domain split is group-stable.)
+# / tracking params (incl. mixed-case UTM_Source) / param order, exactly
+# the variation canonicalization must collapse.  (doc_id%4 is constant
+# within a page-key group since 200 ≡ 0 mod 4, so the domain split is
+# group-stable; the %4==3 slice uses a multi-label public suffix so the
+# PSL rule is exercised, not just the default.)
 _URL_SYNTH_SQL = """
         CASE doc_id % 6
           WHEN 0 THEN 'https://' || source || '.news.' || dom || '/articles/item-' || k
           WHEN 1 THEN 'HTTPS://' || upper(source) || '.News.' || upper(dom) || '/articles/item-' || k || '/'
-          WHEN 2 THEN 'https://www.' || source || '.news.' || dom || '/articles/item-' || k || '?utm_source=feed&utm_medium=rss'
+          WHEN 2 THEN 'https://www.' || source || '.news.' || dom || '/articles/item-' || k || '?UTM_Source=feed&utm_medium=rss'
           WHEN 3 THEN 'https://' || source || '.news.' || dom || ':443/articles/item-' || k || '#section-2'
           WHEN 4 THEN 'https://' || source || '.news.' || dom || '/articles/item-' || k || '?page=2&sort=asc'
           ELSE 'https://' || source || '.news.' || dom || '/articles/item-' || k || '?sort=asc&page=2&fbclid=abc123'
@@ -1846,8 +1905,10 @@ _URL_SYNTH_SQL = """
 
 def _synth_url_spark():
     k = (F.col("doc_id") % 200).cast("string")
-    dom = F.when(F.col("doc_id") % 4 < 2, F.lit("example.com")).otherwise(
-        F.lit("sample.org")
+    dom = (
+        F.when(F.col("doc_id") % 4 < 2, F.lit("example.com"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("sample.org"))
+        .otherwise(F.lit("metro.co.uk"))
     )
     base = lambda *parts: F.concat(*parts)  # noqa: E731
     src, lit = F.col("source"), F.lit
@@ -1867,7 +1928,7 @@ def _synth_url_spark():
                 lit("/"),
             ),
         )
-        .when(v == 2, base(lit("https://www."), stem(dom), lit("?utm_source=feed&utm_medium=rss")))
+        .when(v == 2, base(lit("https://www."), stem(dom), lit("?UTM_Source=feed&utm_medium=rss")))
         .when(
             v == 3,
             base(
@@ -1892,7 +1953,9 @@ _URL_CANON_CTES = f"""
     WITH u AS (
         SELECT doc_id,
                CAST(doc_id % 200 AS VARCHAR) AS k,
-               CASE WHEN doc_id % 4 < 2 THEN 'example.com' ELSE 'sample.org' END AS dom,
+               CASE WHEN doc_id % 4 < 2 THEN 'example.com'
+                    WHEN doc_id % 4 = 2 THEN 'sample.org'
+                    ELSE 'metro.co.uk' END AS dom,
                source
         FROM documents
     ), raw AS (
@@ -1916,20 +1979,37 @@ _URL_CANON_CTES = f"""
                         ELSE auth END,
                    '^www\\.', '') AS host
         FROM p2
+    ), psl(suffix) AS (
+        VALUES {_PSL_SQL_VALUES}
+    ), pm AS (
+        SELECT p3.*,
+               CASE WHEN m3.suffix IS NOT NULL THEN 3
+                    WHEN m2.suffix IS NOT NULL THEN 2
+                    ELSE 1 END AS sdepth
+        FROM p3
+        LEFT JOIN psl m3 ON regexp_extract(p3.host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) = m3.suffix
+        LEFT JOIN psl m2 ON regexp_extract(p3.host, '([^.]+\\.[^.]+)$', 1) = m2.suffix
     ), p4 AS (
-        SELECT doc_id, url, scheme, host,
+        SELECT doc_id, url, scheme, host, sdepth,
                CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
                     ELSE regexp_replace(path0, '/+$', '') END AS path,
                coalesce(array_to_string(
                    list_sort(list_filter(str_split(query, '&'),
-                       p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=|$)'))),
+                       p -> p <> '' AND NOT regexp_matches(p, '(?i)^(utm_[^=]*|gclid|fbclid)(=|$)'))),
                    '&'), '') AS canon_q
-        FROM p3
+        FROM pm
     ), canon AS (
         SELECT doc_id, url,
                scheme || '://' || host || path
                    || CASE WHEN canon_q = '' THEN '' ELSE '?' || canon_q END AS canonical_url,
-               regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS reg_domain
+               CASE sdepth
+                    WHEN 3 THEN CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1) = ''
+                                     THEN host ELSE regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1) END
+                    WHEN 2 THEN CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) = ''
+                                     THEN host ELSE regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) END
+                    ELSE CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) = ''
+                              THEN host ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END
+               END AS reg_domain
         FROM p4
     )
 """
@@ -1950,8 +2030,11 @@ def q_corpus_url_canonical_dedup(spark, sf_dir):
     """URL canonicalization + dedup — the FIRST dedup tier of a crawl
     pipeline (before any content hashing): normalize scheme/host case,
     default ports, fragments, ``www.``, trailing slashes, and tracking
-    params; group by the canonical URL (plus last-two-labels registrable
-    domain) and keep the min-doc_id survivor per group.
+    params (case-insensitively, ADVICE r11); group by the canonical URL
+    plus the PSL registrable domain and keep the min-doc_id survivor per
+    group.  r12: `with_registrable_domain` replaced the last-two-labels
+    heuristic — the ``metro.co.uk`` synth slice pins the multi-label
+    suffix rule on both engines.
 
     documents has no URL column, so a deterministic messy URL is
     synthesized per doc (messiness class = doc_id%6, page key =
@@ -1960,13 +2043,15 @@ def q_corpus_url_canonical_dedup(spark, sf_dir):
     variant class.  Full oracle: pure string algebra, identical regex and
     bytewise param sort on both sides.
 
-    Scale: no UDF, no extra shuffle — one hash agg on the canonical key;
-    URL keys are high-cardinality/unskewed, and only the URL column is
-    touched (column pruning leaves the payload unread at 100 TB)."""
+    Scale: no UDF, one hash agg on the canonical key plus two broadcast
+    PSL joins; URL keys are high-cardinality/unskewed, and only the URL
+    column is touched (column pruning leaves the payload unread at
+    100 TB)."""
     docs = load_table(spark, sf_dir, "documents")
     raw = docs.select("doc_id", _synth_url_spark().alias("url"))
-    canon, reg = canonical_url(F.col("url"))
-    c = raw.select("doc_id", "url", canon.alias("canonical_url"), reg.alias("reg_domain"))
+    canon, host = canonical_url(F.col("url"))
+    c = raw.select("doc_id", "url", canon.alias("canonical_url"), host.alias("host"))
+    c = with_registrable_domain(c, "host")
     return c.groupBy("canonical_url", "reg_domain").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.countDistinct("url").cast("long").alias("n_variants"),
@@ -1974,9 +2059,7 @@ def q_corpus_url_canonical_dedup(spark, sf_dir):
     )
 
 
-@register(
-    "corpus_crawl_frontier",
-    oracle=_URL_CANON_CTES + """
+_FRONTIER_ORACLE = _URL_CANON_CTES + """
     , surv AS (
         SELECT canonical_url, reg_domain,
                regexp_extract(canonical_url, '^[^:]+://([^/?#]+)', 1) AS host,
@@ -1996,33 +2079,18 @@ def q_corpus_url_canonical_dedup(spark, sf_dir):
     SELECT host, reg_domain, canonical_url, survivor_doc_id, slot,
            CAST(slot * delay_s AS BIGINT) AS fetch_offset_s
     FROM sched
-    """,
-    tags=("corpus", "url", "crawl", "scheduling"),
-)
-def q_corpus_crawl_frontier(spark, sf_dir):
-    """Politeness-scheduled crawl frontier over the canonicalized URL set —
-    the step AFTER `corpus_url_canonical_dedup` in a crawl pipeline: one
-    fetch per HOST per time slot (round-robin within host by priority =
-    survivor doc's n_chars desc, doc_id tiebreak), with a per-domain
-    crawl delay (10 s for sample.org, 5 s otherwise standing in for
-    robots.txt `Crawl-delay`); ``fetch_offset_s`` = slot × delay is each
-    URL's scheduled start.
+    """
 
-    Scale: dedup is the canonical-key hash agg; scheduling is ONE window
-    per host — partitioned by host, so the frontier parallelizes across
-    hosts exactly the way a polite fetcher does, and no host's queue
-    depth affects another's.  The per-host window is bounded by that
-    host's frontier depth — the quantity a real crawler must bound
-    anyway (queue caps), documented here rather than hidden."""
-    docs = load_table(spark, sf_dir, "documents")
-    raw = docs.select("doc_id", _synth_url_spark().alias("url"))
-    canon, reg = canonical_url(F.col("url"))
-    c = raw.select("doc_id", canon.alias("canonical_url"), reg.alias("reg_domain"))
-    surv = c.groupBy("canonical_url", "reg_domain").agg(
-        F.min("doc_id").cast("long").alias("survivor_doc_id")
-    ).withColumn(
-        "host", F.regexp_extract(F.col("canonical_url"), r"^[^:]+://([^/?#]+)", 1)
-    )
+
+def frontier_schedule(surv: DataFrame, docs: DataFrame) -> DataFrame:
+    """Politeness schedule over a frontier relation ``surv`` carrying
+    (canonical_url, reg_domain, host, survivor_doc_id): one fetch per
+    HOST per time slot (priority = survivor doc's n_chars desc, doc_id
+    tiebreak), per-domain crawl delay (10 s for sample.org, 5 s default —
+    the robots.txt `Crawl-delay` stand-in); ``fetch_offset_s`` = slot ×
+    delay.  Shared by the batch `corpus_crawl_frontier` and the streaming
+    `UrlFrontierStore.serve_frontier`, so serve == batch is by
+    construction, not by parallel maintenance."""
     pri = surv.join(
         docs.select(F.col("doc_id").alias("survivor_doc_id"), "n_chars"),
         "survivor_doc_id",
@@ -2044,3 +2112,72 @@ def q_corpus_crawl_frontier(spark, sf_dir):
         "slot",
         (F.col("slot") * F.col("delay_s")).cast("long").alias("fetch_offset_s"),
     )
+
+
+@register(
+    "corpus_crawl_frontier",
+    oracle=_FRONTIER_ORACLE,
+    tags=("corpus", "url", "crawl", "scheduling"),
+)
+def q_corpus_crawl_frontier(spark, sf_dir):
+    """Politeness-scheduled crawl frontier over the canonicalized URL set —
+    the step AFTER `corpus_url_canonical_dedup` in a crawl pipeline: one
+    fetch per HOST per time slot (round-robin within host by priority =
+    survivor doc's n_chars desc, doc_id tiebreak), with a per-domain
+    crawl delay (10 s for sample.org, 5 s otherwise standing in for
+    robots.txt `Crawl-delay`); ``fetch_offset_s`` = slot × delay is each
+    URL's scheduled start.
+
+    Scale: dedup is the canonical-key hash agg; scheduling is ONE window
+    per host — partitioned by host, so the frontier parallelizes across
+    hosts exactly the way a polite fetcher does, and no host's queue
+    depth affects another's.  The per-host window is bounded by that
+    host's frontier depth — the quantity a real crawler must bound
+    anyway (queue caps), documented here rather than hidden."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", _synth_url_spark().alias("url"))
+    canon, host = canonical_url(F.col("url"))
+    c = raw.select("doc_id", canon.alias("canonical_url"), host.alias("host"))
+    c = with_registrable_domain(c, "host")
+    surv = c.groupBy("canonical_url", "reg_domain", "host").agg(
+        F.min("doc_id").cast("long").alias("survivor_doc_id")
+    )
+    return frontier_schedule(surv, docs)
+
+
+@register(
+    "corpus_frontier_stream_serve",
+    oracle=_FRONTIER_ORACLE,
+    tags=("corpus", "url", "crawl", "streaming", "incremental"),
+)
+def q_corpus_frontier_stream_serve(spark, sf_dir):
+    """INCREMENTAL twin of `corpus_crawl_frontier`: URLs are discovered in
+    three micro-batches split on ASCENDING doc_id ranges (a crawl's
+    arrival order — earlier discovery ⇒ smaller id), ingested through the
+    `UrlFrontierStore` first-seen-wins canonical-URL ledger
+    (within-batch min-id survivor → ledger anti-join → idempotent
+    batch-dir publish, the `corpus_ingest` skeleton), then served through
+    the SAME `frontier_schedule` body as the batch query.  Under ordered
+    arrival first-seen == global min-doc_id survivor, so the oracle is
+    the plain one-pass SQL — parity proves the store's admit/replay/merge
+    path reconstructs the batch frontier bit-for-bit."""
+    import atexit  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..streaming.url_frontier import UrlFrontierStore  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", _synth_url_spark().alias("url"))
+    n = raw.count()
+    store_dir = tempfile.mkdtemp(prefix="frontier_serve_")
+    atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
+    store = UrlFrontierStore(spark, store_dir)
+    for bid in range(3):
+        lo = bid * n // 3
+        # last batch takes the open tail so no id space drops stragglers
+        cut = (F.col("doc_id") >= lo) & (
+            F.lit(bid == 2) | (F.col("doc_id") < (bid + 1) * n // 3)
+        )
+        store.ingest_batch(raw.filter(cut), bid)
+    return store.serve_frontier(docs)

@@ -156,37 +156,17 @@ class UrlFrontierStore:
         return self.spark.read.parquet(*dirs)
 
     def serve_frontier(self, docs: DataFrame) -> DataFrame:
-        """The politeness schedule over the accepted set — the same
-        window-per-host scheduling as ``corpus_crawl_frontier`` (priority
-        = survivor doc's n_chars desc, doc_id tiebreak; per-domain crawl
-        delay), so ordered-arrival ingest serves the batch query's exact
-        rows."""
+        """The politeness schedule over the accepted set — the SAME
+        ``frontier_schedule`` body as the batch ``corpus_crawl_frontier``
+        (priority = survivor doc's n_chars desc, doc_id tiebreak;
+        per-domain crawl delay), so serve == batch is by construction
+        under ordered arrival."""
+        from ..operators.corpus import frontier_schedule  # noqa: PLC0415
+
         surv = self.accepted().select(
             F.col("doc_id").alias("survivor_doc_id"),
             "canonical_url",
             "reg_domain",
             "host",
         )
-        pri = surv.join(
-            docs.select(F.col("doc_id").alias("survivor_doc_id"), "n_chars"),
-            "survivor_doc_id",
-        )
-        w = Window.partitionBy("host").orderBy(
-            F.desc("n_chars"), F.asc("survivor_doc_id")
-        )
-        sched = pri.select(
-            "host",
-            "reg_domain",
-            "canonical_url",
-            "survivor_doc_id",
-            (F.row_number().over(w) - 1).cast("long").alias("slot"),
-            F.when(F.col("reg_domain") == "sample.org", 10).otherwise(5).alias("delay_s"),
-        )
-        return sched.select(
-            "host",
-            "reg_domain",
-            "canonical_url",
-            "survivor_doc_id",
-            "slot",
-            (F.col("slot") * F.col("delay_s")).cast("long").alias("fetch_offset_s"),
-        )
+        return frontier_schedule(surv, docs)

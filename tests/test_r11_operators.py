@@ -44,10 +44,16 @@ def test_canonical_url_collapses_every_variant_class(spark):
         "https://news.example.com/a/b?utm_source=x&utm_campaign=y",  # tracking
     ]
     df = spark.createDataFrame([(u,) for u in messy], "url string")
-    canon, reg = canonical_url(F.col("url"))
+    canon, host = canonical_url(F.col("url"))
     got = {r[0] for r in df.select(canon).collect()}
     assert got == {"https://news.example.com/a/b"}
-    assert {r[0] for r in df.select(reg).collect()} == {"example.com"}
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+        with_registrable_domain,
+    )
+
+    hosts = df.select(host.alias("host"))
+    regs = {r.reg_domain for r in with_registrable_domain(hosts, "host").collect()}
+    assert regs == {"example.com"}
 
 
 def test_canonical_url_sorts_and_keeps_real_params(spark):

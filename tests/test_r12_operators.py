@@ -93,3 +93,60 @@ def test_yule_walker_filters_degenerate_keys(spark):
     assert len(rows) > 0
     assert all(r.gamma0 is not None and r.gamma0 > 0 for r in rows)
     assert all(r.rho1 is not None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# PSL registrable domain + case-insensitive tracking params (r12 / ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def test_psl_longest_suffix_wins(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+        with_registrable_domain,
+    )
+
+    hosts = spark.createDataFrame(
+        [
+            ("a.b.example.com",),
+            ("news.metro.co.uk",),
+            ("metro.co.uk",),
+            ("co.uk",),            # host IS a public suffix: falls back to itself
+            ("weird.zz",),         # unknown TLD: default last-two-labels rule
+            ("x.ac.uk",),
+        ],
+        "host string",
+    )
+    got = {r.host: r.reg_domain for r in with_registrable_domain(hosts).collect()}
+    assert got == {
+        "a.b.example.com": "example.com",
+        "news.metro.co.uk": "metro.co.uk",
+        "metro.co.uk": "metro.co.uk",
+        "co.uk": "co.uk",
+        "weird.zz": "weird.zz",
+        "x.ac.uk": "x.ac.uk",
+    }
+
+
+def test_canonical_url_strips_mixed_case_tracking_params(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+        canonical_url,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("https://h.example.org/p?UTM_Source=x&b=2",),
+            ("https://h.example.org/p?FBCLID=zzz&b=2",),
+            ("https://h.example.org/p?b=2",),
+        ],
+        "url string",
+    )
+    canon, _ = canonical_url(F.col("url"))
+    got = {r[0] for r in df.select(canon).collect()}
+    assert got == {"https://h.example.org/p?b=2"}
+
+
+def test_url_dedup_groups_multilabel_suffix_domains(spark):
+    rows = _q("corpus_url_canonical_dedup")(spark, SF_CORRECT).collect()
+    doms = {r.reg_domain for r in rows}
+    assert "metro.co.uk" in doms   # PSL rule, not last-two-labels 'co.uk'
+    assert "co.uk" not in doms
