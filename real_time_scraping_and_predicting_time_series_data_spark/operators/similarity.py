@@ -745,13 +745,42 @@ def q_sim_ivf_seeded(spark, sf_dir):
     return ivf_topk_seeded(emb, queries, k=5, n_cells=16, nprobe=4)
 
 
-_TOPK_RELATION_ORACLE = """
+# --- auto-sized coarse quantizer (r12, VERDICT r11 item 1) ----------------
+# The relation-side serves (|Q| = N) generate ~N·nprobe·(N/K) candidate
+# rows; at FIXED K that volume grows ~N²/K — measured 27×/67× at 10× data
+# (SCALE.md r11).  K = ⌈N / _CELL_TARGET⌉ keeps the per-cell candidate list
+# constant, so total candidate work grows LINEARLY with the corpus; the
+# target reproduces the measured-good points (sf0.1 → 16 cells, the r11
+# shipping shape; sf1x → 160 cells, the measured 83 s → 53 s fix).  Both
+# engines derive K from the same count — Spark via one bounded count()
+# (a parquet-footer scan), DuckDB via the scalar subquery — so parity
+# holds at EVERY scale factor without re-tuning.  The K-row centroid model
+# stays the only broadcast; at extreme N (broadcast ≈ K·dim·8 B) cap K and
+# move assignment to the `ivf_assign_gemm` / join path.
+_CELL_TARGET = 125
+_CELL_FLOOR = 4
+_AUTO_CELLS_SQL = (
+    f"(SELECT GREATEST({_CELL_FLOOR}, "
+    f"CAST(ceil(count(*) / {_CELL_TARGET}.0) AS INT)) FROM embeddings)"
+)
+
+
+def auto_cells(corpus: DataFrame) -> int:
+    """K = max(floor, ⌈N / target⌉) from one bounded count() — the Spark
+    twin of ``_AUTO_CELLS_SQL`` (same integers by exact float division on
+    counts < 2^53)."""
+    import math  # noqa: PLC0415
+
+    return max(_CELL_FLOOR, math.ceil(corpus.count() / _CELL_TARGET))
+
+
+_TOPK_RELATION_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     n AS (SELECT vec_id,
                  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
           FROM e),
     cents AS (SELECT CAST(vec_id AS INT) AS cell, nv AS c_nvec
-              FROM n WHERE vec_id < 16),
+              FROM n WHERE vec_id < {_AUTO_CELLS_SQL}),
     assign AS (
         SELECT vec_id, nv, cell FROM (
             SELECT n.vec_id, n.nv, c.cell,
@@ -793,10 +822,14 @@ def q_sim_topk_relation(spark, sf_dir):
     that survives a query side of millions of rows.  Same seeded
     deterministic centroids and fold arithmetic as `sim_ivf_topk_seeded`,
     so the full assign → probe → shuffle-join → rank pipeline is
-    value-hash-checked against DuckDB."""
+    value-hash-checked against DuckDB.
+
+    r12: the quantizer AUTO-SIZES — K = ⌈N/125⌉ (see `auto_cells`), so
+    candidate volume stays linear in the corpus instead of the fixed-K
+    ~N²/K blow-up SCALE.md measured at sf1x."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_topk_relation(emb, queries, k=3, n_cells=16, nprobe=2)
+    return ivf_topk_relation(emb, queries, k=3, n_cells=auto_cells(emb), nprobe=2)
 
 
 # ---------------------------------------------------------------------------
@@ -1866,7 +1899,7 @@ def sq8_topk_relation(
 
 
 def _seeded_cells_sql(
-    corpus_extra: str, query_extra: str, nprobe: int, n_cells: int = 16
+    corpus_extra: str, query_extra: str, nprobe: int, n_cells: int | str = 16
 ) -> str:
     """cents/assign/probes CTE triplet over a ``coded`` CTE carrying
     (vec_id, nv, …payload): seeded cosine cells, round-9 argmin with the
@@ -1901,7 +1934,8 @@ def _seeded_cells_sql(
 
 def _ivf_binary_relation_oracle(nprobe: int = 2, pool: int = 10, k: int = 3) -> str:
     cells = _seeded_cells_sql(
-        ", w0, w1|, c.w0, c.w1", ", qw0, qw1|, c.w0 AS qw0, c.w1 AS qw1", nprobe
+        ", w0, w1|, c.w0, c.w1", ", qw0, qw1|, c.w0 AS qw0, c.w1 AS qw1", nprobe,
+        n_cells=_AUTO_CELLS_SQL,
     )
     return f"""
     WITH {_binary_coded_cte()},
@@ -1937,10 +1971,14 @@ def q_sim_ivf_binary_topk(spark, sf_dir):
     1-bit Hamming ranks them (16 bytes/candidate), exact cosine re-ranks
     the 10-candidate pool to top-3.  This is the binary analogue of
     `sim_ivfpq_topk` with `sim_topk_relation`'s no-collect/no-query-
-    broadcast plan — the shape a 100 TB retrieval stack actually runs."""
+    broadcast plan — the shape a 100 TB retrieval stack actually runs.
+    r12: the quantizer auto-sizes (K = ⌈N/125⌉, `auto_cells`) so candidate
+    volume stays linear in the corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_binary_topk_relation(emb, queries, k=3, n_cells=16, nprobe=2, pool=10)
+    return ivf_binary_topk_relation(
+        emb, queries, k=3, n_cells=auto_cells(emb), nprobe=2, pool=10
+    )
 
 
 def _sq8_relation_oracle(nprobe: int = 2, pool: int = 10, k: int = 3) -> str:
@@ -1951,6 +1989,7 @@ def _sq8_relation_oracle(nprobe: int = 2, pool: int = 10, k: int = 3) -> str:
         ", mn, scale, qv|, c.mn, c.scale, c.qv",
         f", qsum|, {qsum} AS qsum",
         nprobe,
+        n_cells=_AUTO_CELLS_SQL,
     )
     est = "a.mn * p.qsum + a.scale * list_dot_product(p.qnv, a.qv)"
     return f"""
@@ -1985,10 +2024,13 @@ def q_sim_sq8_relation_topk(spark, sf_dir):
     candidates cell-pruned (nprobe=2/16), ranked by the asymmetric
     dequantized dot over uint8 codes, exact re-rank of the 10-pool to
     top-3 — the relation twin of `sim_sq8_adc_topk`, completing the
-    compression matrix's relation row (float / 1-bit / SQ8 / PQ)."""
+    compression matrix's relation row (float / 1-bit / SQ8 / PQ).
+    r12: the quantizer auto-sizes (K = ⌈N/125⌉, `auto_cells`)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
-    return sq8_topk_relation(emb, queries, k=3, n_cells=16, nprobe=2, pool=10)
+    return sq8_topk_relation(
+        emb, queries, k=3, n_cells=auto_cells(emb), nprobe=2, pool=10
+    )
 
 
 def pq_topk_relation(
@@ -2155,7 +2197,9 @@ def _pq_relation_oracle(nprobe: int = 2, pool: int = 10, k: int = 3) -> str:
     adci = " + ".join(
         f"CAST(round({fold(s)} * 1000000000.0) AS BIGINT)" for s in range(_PQ_M)
     )
-    cells = _seeded_cells_sql(", codes|, c.codes", ", qv|, c.v AS qv", nprobe)
+    cells = _seeded_cells_sql(
+        ", codes|, c.codes", ", qv|, c.v AS qv", nprobe, n_cells=_AUTO_CELLS_SQL
+    )
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     codesrc AS (
@@ -2210,10 +2254,13 @@ def q_sim_pq_relation_topk(spark, sf_dir):
     asymmetric distance over 4-byte codes WITHOUT a per-query LUT
     relation (codebook = one broadcast row), exact cosine re-rank of the
     10-pool to top-3 — completing the compression matrix's relation row
-    (float / 1-bit / SQ8 / PQ all serve relation query sides)."""
+    (float / 1-bit / SQ8 / PQ all serve relation query sides).
+    r12: the quantizer auto-sizes (K = ⌈N/125⌉, `auto_cells`)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
-    return pq_topk_relation(emb, queries, k=3, n_cells=16, nprobe=2, pool=10)
+    return pq_topk_relation(
+        emb, queries, k=3, n_cells=auto_cells(emb), nprobe=2, pool=10
+    )
 
 
 def _hard_negatives_oracle(nprobe: int = 2, k: int = 3) -> str:
@@ -2225,7 +2272,7 @@ def _hard_negatives_oracle(nprobe: int = 2, k: int = 3) -> str:
         FROM e
     ),
     cents AS (SELECT CAST(vec_id AS INT) AS cell, nv AS c_nvec
-              FROM coded WHERE vec_id < 16),
+              FROM coded WHERE vec_id < {_AUTO_CELLS_SQL}),
     assign AS (
         SELECT vec_id, nv, label, cell FROM (
             SELECT c.vec_id, c.nv, c.label, ce.cell,
@@ -2271,7 +2318,8 @@ def q_sim_hard_negatives(spark, sf_dir):
     IVF cells prune candidates (shuffle-hash join on the cell key, no
     query broadcast), the wrong-label filter rides the join, exact
     cosine ranks.  At 100 TB this is the standard offline miner: one
-    cell-keyed pass per training epoch, anchors never collected."""
+    cell-keyed pass per training epoch, anchors never collected.
+    r12: the quantizer auto-sizes (K = ⌈N/125⌉, `auto_cells`)."""
     emb = load_table(spark, sf_dir, "embeddings")
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -2286,7 +2334,9 @@ def q_sim_hard_negatives(spark, sf_dir):
         F.col("n_label").alias("q_label"),
         F.col("nv").alias("qnv"),
     )
-    cand = _relation_cell_candidates(c, q, n_cells=16, nprobe=2, exclude_self=True)
+    cand = _relation_cell_candidates(
+        c, q, n_cells=auto_cells(emb), nprobe=2, exclude_self=True
+    )
     scored = cand.filter(F.col("n_label") != F.col("q_label")).withColumn(
         "cos", dot(F.col("qnv"), F.col("nv"))
     )
@@ -3944,7 +3994,9 @@ def _kmeans_probe(e: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
     )
 
 
-def _lloyd_relation_oracle(k: int = 3, n_cells: int = 8, nprobe: int = 2, iters: int = 2) -> str:
+def _lloyd_relation_oracle(
+    k: int = 3, n_cells: int | str = 8, nprobe: int = 2, iters: int = 2
+) -> str:
     """DuckDB twin of the Lloyd-quantizer relation serve: normalized
     vectors, the exact-arithmetic Lloyd CTE chain (`_kmeans_assign_sql` /
     `_kmeans_update_sql` — the `ml_kmeans_summary` device), multi-cell
@@ -3989,17 +4041,19 @@ def _lloyd_relation_oracle(k: int = 3, n_cells: int = 8, nprobe: int = 2, iters:
 
 @register(
     "sim_topk_relation_lloyd",
-    oracle=_lloyd_relation_oracle(),
+    oracle=_lloyd_relation_oracle(n_cells=_AUTO_CELLS_SQL),
     tags=("similarity", "ivf", "ann", "relation", "kmeans"),
 )
 def q_sim_topk_relation_lloyd(spark, sf_dir):
     """Corpus-vs-corpus kNN (every embedding row is a query; top-3 by
     cosine within 2 probed cells) served from a LLOYD-TRAINED coarse
-    quantizer (k=8 cells, 2 exact-arithmetic iterations on normalized
-    vectors) — closing VERDICT r10 item 9: the seeded 16-cell quantizer
-    was the only relation-serve path with driver evidence; this pins the
-    trained-centroid path end-to-end (train → assign → probe →
-    shuffle-join → rank) under one value-hash oracle.
+    quantizer (K = ⌈N/125⌉ auto-sized cells — `auto_cells`, r12; 2
+    exact-arithmetic iterations on normalized vectors) — closing VERDICT
+    r10 item 9 (trained-centroid path under a full value-hash oracle) and
+    r11 item 1 (the fixed test-scale K was the repo's last superlinear
+    scaling: candidate volume ~N²/K, measured 27× at 10× data; K ∝ N
+    makes it linear, and training cost stays one K×dim aggregation per
+    iteration).
 
     Same scale shape as `sim_topk_relation`: the ONLY broadcast is the
     K-row centroid model (collapsed to one row), candidates ride a pinned
@@ -4009,7 +4063,9 @@ def q_sim_topk_relation_lloyd(spark, sf_dir):
     one zero-shuffle assignment + one K×dim partial-sum aggregation —
     the data never moves."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, assigned = kmeans_lloyd_exact(emb, k=8, iters=2, dim=64, normalize=True)
+    cents, assigned = kmeans_lloyd_exact(
+        emb, k=auto_cells(emb), iters=2, dim=64, normalize=True
+    )
     corpus = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("v_c"), "cell"
     )
