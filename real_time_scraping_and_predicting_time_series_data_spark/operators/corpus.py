@@ -2181,3 +2181,196 @@ def q_corpus_frontier_stream_serve(spark, sf_dir):
         )
         store.ingest_batch(raw.filter(cut), bid)
     return store.serve_frontier(docs)
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (r12) — markup → clean text, the step between
+# the crawl frontier and the Gopher/quality gates
+# ---------------------------------------------------------------------------
+
+# Deterministic markup synthesis shared by both engines: documents carries
+# clean text, a crawl carries markup — each doc is wrapped in a crawl-style
+# page (head with style/script by doc_id%2 / doc_id%3, nav, TWO content
+# paragraphs, a link-farm "related" box on two of three variant classes, a
+# trailing tracker script on one, footer).  Body children are FLAT <p>/<div>
+# blocks (no nesting) so the non-greedy block regex is exact.
+_HTML_SYNTH_SQL = """
+ '<html><head><title>Doc ' || doc_id || '</title>'
+ || CASE WHEN doc_id % 2 = 0 THEN '<style>.c{color:red;}</style>' ELSE '' END
+ || CASE WHEN doc_id % 3 = 0 THEN '<script>var x=1;</script>' ELSE '' END
+ || '</head><body>'
+ || '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+ || '<p>' || text || '</p>'
+ || '<p>Published by ' || source || ' desk</p>'
+ || CASE WHEN doc_id % 3 <> 1
+         THEN '<div class="rel"><a href="/a">read more here</a> <a href="/b">trending now today</a> <a href="/c">subscribe to newsletter</a> ad</div>'
+         ELSE '' END
+ || CASE WHEN doc_id % 3 = 2 THEN '<script>track();</script>' ELSE '' END
+ || '<footer><a href="/privacy">Privacy</a> <a href="/terms">Terms</a></footer>'
+ || '</body></html>'
+"""
+
+_HTML_BLOCK_RE = "(?s)<(?:p|div)[^>]*>(.*?)</(?:p|div)>"
+_HTML_LINK_RE = "(?s)<a[^>]*>(.*?)</a>"
+
+
+def _synth_html_spark():
+    did, src, lit = F.col("doc_id"), F.col("source"), F.lit
+    return F.concat(
+        lit("<html><head><title>Doc "),
+        did.cast("string"),
+        lit("</title>"),
+        F.when(did % 2 == 0, lit("<style>.c{color:red;}</style>")).otherwise(lit("")),
+        F.when(did % 3 == 0, lit("<script>var x=1;</script>")).otherwise(lit("")),
+        lit("</head><body>"),
+        lit('<nav><a href="/">Home</a> <a href="/about">About</a></nav>'),
+        lit("<p>"),
+        F.col("text"),
+        lit("</p>"),
+        lit("<p>Published by "),
+        src,
+        lit(" desk</p>"),
+        F.when(
+            did % 3 != 1,
+            lit(
+                '<div class="rel"><a href="/a">read more here</a> '
+                '<a href="/b">trending now today</a> '
+                '<a href="/c">subscribe to newsletter</a> ad</div>'
+            ),
+        ).otherwise(lit("")),
+        F.when(did % 3 == 2, lit("<script>track();</script>")).otherwise(lit("")),
+        lit('<footer><a href="/privacy">Privacy</a> <a href="/terms">Terms</a></footer>'),
+        lit("</body></html>"),
+    )
+
+
+def html_main_content(html):
+    """Main-content extraction over an HTML column with pure Catalyst
+    string/regex algebra — boilerplate stripping by SEMANTIC TAG
+    (script/style contents, nav/header/footer) then by LINK DENSITY
+    (drop any <p>/<div> block whose anchor-text length is ≥ half its
+    plain-text length — the classic readability/jusText rule, here as an
+    exact integer comparison so both engines agree bit-wise).
+
+    Returns (blocks, kept) array Columns of struct(plain, linklen);
+    compose lengths/md5 from them.  No backreferences anywhere (DuckDB's
+    RE2 has none), non-greedy spans are exact because the synthesized
+    body is flat.
+
+    Scale: per-row regex projections, zero shuffle, zero UDF — the
+    extraction rides the parquet scan exactly like `canonical_url`; at
+    100 TB this is the map stage between fetch and the quality gates."""
+    s1 = F.regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    s1 = F.regexp_replace(s1, "(?s)<style[^>]*>.*?</style>", " ")
+    s2 = F.regexp_replace(s1, "(?s)<nav[^>]*>.*?</nav>", " ")
+    s2 = F.regexp_replace(s2, "(?s)<footer[^>]*>.*?</footer>", " ")
+    s2 = F.regexp_replace(s2, "(?s)<header[^>]*>.*?</header>", " ")
+    blocks = F.regexp_extract_all(s2, F.lit(_HTML_BLOCK_RE), 1)
+    sb = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.trim(F.regexp_replace(b, "<[^>]*>", " ")).alias("plain"),
+            F.length(
+                F.concat_ws("", F.regexp_extract_all(b, F.lit(_HTML_LINK_RE), 1))
+            ).alias("linklen"),
+        ),
+    )
+    kept = F.filter(sb, lambda x: x["linklen"] * 2 < F.length(x["plain"]))
+    return sb, kept
+
+
+_HTML_EXTRACT_ORACLE = (
+    """
+    WITH raw AS (
+        SELECT doc_id, """
+    + _HTML_SYNTH_SQL
+    + """ AS html FROM documents
+    ), s1 AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS h
+        FROM raw
+    ), s2 AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(h, '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
+                   '(?s)<footer[^>]*>.*?</footer>', ' ', 'g'),
+                 '(?s)<header[^>]*>.*?</header>', ' ', 'g') AS h
+        FROM s1
+    ), blocks AS (
+        SELECT doc_id,
+               regexp_extract_all(h, '(?s)<(?:p|div)[^>]*>(.*?)</(?:p|div)>', 1) AS bl
+        FROM s2
+    ), scored AS (
+        SELECT doc_id,
+               list_transform(bl, b -> struct_pack(
+                   plain := trim(regexp_replace(b, '<[^>]*>', ' ', 'g')),
+                   linklen := length(coalesce(array_to_string(
+                       regexp_extract_all(b, '(?s)<a[^>]*>(.*?)</a>', 1), ''), ''))
+               )) AS sb
+        FROM blocks
+    ), kept AS (
+        SELECT doc_id,
+               len(sb) AS n_blocks,
+               list_filter(sb, x -> 2 * x.linklen < length(x.plain)) AS keep
+        FROM scored
+    )
+    SELECT doc_id,
+           CAST(n_blocks AS INTEGER) AS n_blocks,
+           CAST(len(keep) AS INTEGER) AS n_kept,
+           CAST(length(trim(regexp_replace(
+               array_to_string(list_transform(keep, x -> x.plain), ' '),
+               '\\s+', ' ', 'g'))) AS BIGINT) AS main_chars,
+           md5(trim(regexp_replace(
+               array_to_string(list_transform(keep, x -> x.plain), ' '),
+               '\\s+', ' ', 'g'))) AS main_md5
+    FROM kept
+    """
+)
+
+
+@register(
+    "corpus_html_extract",
+    oracle=_HTML_EXTRACT_ORACLE,
+    tags=("corpus", "html", "extraction", "boilerplate"),
+)
+def q_corpus_html_extract(spark, sf_dir):
+    """HTML main-content extraction — the missing step between
+    `corpus_crawl_frontier` (what to fetch) and `text_gopher_filters` /
+    the quality gates (which operate on CLEAN text): strip script/style,
+    drop semantic boilerplate containers (nav/header/footer), split the
+    body into flat blocks, and keep only blocks whose LINK DENSITY is
+    low (2·anchor_chars < plain_chars — the readability/jusText rule as
+    exact integer arithmetic).  Emits per-doc block counts, extracted
+    length, and md5 of the normalized main text, so the whole
+    markup→text pipeline is value-hash-checked against DuckDB running
+    the identical RE2-safe regex chain (no backreferences, non-greedy
+    spans exact on the flat synthesized body).
+
+    The crawl chain now reads end-to-end: `corpus_url_canonical_dedup`
+    (URL tier) → `corpus_crawl_frontier` / `corpus_frontier_stream_serve`
+    (scheduling) → `corpus_html_extract` (markup → text) →
+    `text_gopher_filters` → dedup/packing.
+
+    Scale: pure per-row regex projections riding the parquet scan — no
+    UDF, no shuffle, no Python; the link-density rule needs only the
+    block's own bytes, so the operator is embarrassingly parallel at
+    100 TB and its cost is the scan + regex CPU."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", _synth_html_spark().alias("html"))
+    sb, kept = html_main_content(F.col("html"))
+    scored = raw.select("doc_id", sb.alias("sb"), kept.alias("keep"))
+    main = F.trim(
+        F.regexp_replace(
+            F.concat_ws(" ", F.transform("keep", lambda x: x["plain"])), r"\s+", " "
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.size("sb").cast("int").alias("n_blocks"),
+        F.size("keep").cast("int").alias("n_kept"),
+        F.length(main).cast("long").alias("main_chars"),
+        F.md5(main).alias("main_md5"),
+    )

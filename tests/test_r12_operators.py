@@ -150,3 +150,43 @@ def test_url_dedup_groups_multilabel_suffix_domains(spark):
     doms = {r.reg_domain for r in rows}
     assert "metro.co.uk" in doms   # PSL rule, not last-two-labels 'co.uk'
     assert "co.uk" not in doms
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_html_extract_drops_boilerplate_keeps_content(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+        html_main_content,
+    )
+
+    html = (
+        "<html><head><style>.x{}</style><script>var a=1;</script></head>"
+        "<body><nav><a href='/'>Home</a></nav>"
+        "<p>real article text with many plain words here</p>"
+        "<div class='rel'><a href='/a'>link one</a> <a href='/b'>link two</a> x</div>"
+        "<footer><a href='/p'>Privacy</a></footer></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    sb, kept = html_main_content(F.col("html"))
+    row = df.select(
+        F.size(sb).alias("nb"),
+        F.size(kept).alias("nk"),
+        F.transform(kept, lambda x: x["plain"]).alias("plains"),
+    ).collect()[0]
+    assert row.nb == 2          # nav/footer containers stripped before blocking
+    assert row.nk == 1          # link farm dropped by density
+    assert row.plains == ["real article text with many plain words here"]
+
+
+def test_html_extract_query_variant_classes(spark):
+    rows = _q("corpus_html_extract")(spark, SF_CORRECT).collect()
+    assert len(rows) == 500
+    # every doc keeps exactly its two content paragraphs; the %3==1 class
+    # has no related box (2 blocks), the others have 3
+    assert all(r.n_kept == 2 for r in rows)
+    by_cls = {r.doc_id % 3: r.n_blocks for r in rows}
+    assert by_cls[1] == 2 and by_cls[0] == 3 and by_cls[2] == 3
+    assert all(r.main_chars > 0 and r.main_md5 is not None for r in rows)
