@@ -190,3 +190,23 @@ def test_html_extract_query_variant_classes(spark):
     by_cls = {r.doc_id % 3: r.n_blocks for r in rows}
     assert by_cls[1] == 2 and by_cls[0] == 3 and by_cls[2] == 3
     assert all(r.main_chars > 0 and r.main_md5 is not None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# cross-cell near-dup audit (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_cross_cell_audit_monotone_coverage(spark):
+    rows = {r.nprobe: r for r in _q("dedup_cross_cell_audit")(spark, SF_CORRECT).collect()}
+    assert set(rows) == {1, 2, 4}
+    n_pairs = {r.n_true_pairs for r in rows.values()}
+    assert len(n_pairs) == 1 and n_pairs.pop() > 0  # same ground truth per row
+    # coverage is monotone in nprobe; primary-cell coverage IS nprobe=1
+    assert rows[1].n_covered <= rows[2].n_covered <= rows[4].n_covered
+    assert rows[1].n_same_primary == rows[1].n_covered
+    for r in rows.values():
+        assert r.n_missed == r.n_true_pairs - r.n_covered
+        assert 0.0 <= r.missed_rate <= 1.0
+    # the blind spot is real at nprobe=1 on this corpus
+    assert rows[1].n_missed > 0
