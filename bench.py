@@ -265,6 +265,14 @@ RUNS = 3
 # verdict's named movers.  Re-derive each round from the round-stamped
 # samples file.
 HIGH_VARIANCE = frozenset({
+    # r12 additions by the median >= 2.5 s rule (scoped r12 samples:
+    # bench_runs_r12_{3,4,5}.json): the auto-K relation serves stay in the
+    # set via their existing entries; these are the new multi-second rows.
+    "corpus_frontier_stream_serve",
+    "dedup_cross_cell_audit",
+    "sim_topk_relation_lloyd",
+    "sim_pq_relation_topk",
+    "sim_hard_negatives",
     "corpus_boilerplate_ngrams",
     "corpus_dedup_pipeline_report",
     "corpus_df_index_serve",
