@@ -2374,3 +2374,133 @@ def q_corpus_html_extract(spark, sf_dir):
         F.length(main).cast("long").alias("main_chars"),
         F.md5(main).alias("main_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end crawl pipeline (r12) — URL tier → markup→text → quality gate →
+# content dedup, as ONE composed plan with a per-source funnel readout
+# ---------------------------------------------------------------------------
+
+_CRAWL_MIN_MAIN_CHARS = 200
+
+
+_CRAWL_PIPELINE_ORACLE = (
+    _URL_CANON_CTES
+    + """
+    , surv AS (
+        SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS doc_id
+        FROM canon GROUP BY canonical_url
+    ), sdocs AS (
+        SELECT d.doc_id, d.text, d.source FROM documents d
+        JOIN surv s ON s.doc_id = d.doc_id
+    ), shtml AS (
+        SELECT doc_id, source, """
+    + _HTML_SYNTH_SQL
+    + """ AS html FROM sdocs
+    ), hs1 AS (
+        SELECT doc_id, source,
+               regexp_replace(
+                 regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS h
+        FROM shtml
+    ), hs2 AS (
+        SELECT doc_id, source,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(h, '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
+                   '(?s)<footer[^>]*>.*?</footer>', ' ', 'g'),
+                 '(?s)<header[^>]*>.*?</header>', ' ', 'g') AS h
+        FROM hs1
+    ), hkept AS (
+        SELECT doc_id, source,
+               list_filter(
+                   list_transform(
+                       regexp_extract_all(h, '(?s)<(?:p|div)[^>]*>(.*?)</(?:p|div)>', 1),
+                       b -> struct_pack(
+                           plain := trim(regexp_replace(b, '<[^>]*>', ' ', 'g')),
+                           linklen := length(coalesce(array_to_string(
+                               regexp_extract_all(b, '(?s)<a[^>]*>(.*?)</a>', 1), ''), ''))
+                       )),
+                   x -> 2 * x.linklen < length(x.plain)) AS keep
+        FROM hs2
+    ), hmain AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(
+                   array_to_string(list_transform(keep, x -> x.plain), ' '),
+                   '\\s+', ' ', 'g')) AS main
+        FROM hkept
+    ), funnel AS (
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_crawled,
+               CAST(count(m.doc_id) AS BIGINT) AS n_url_unique,
+               CAST(count(CASE WHEN length(m.main) >= """
+    + str(_CRAWL_MIN_MAIN_CHARS)
+    + """ THEN 1 END) AS BIGINT) AS n_quality,
+               CAST(count(DISTINCT CASE WHEN length(m.main) >= """
+    + str(_CRAWL_MIN_MAIN_CHARS)
+    + """ THEN md5(m.main) END) AS BIGINT) AS n_content_unique
+        FROM documents d LEFT JOIN hmain m ON m.doc_id = d.doc_id
+        GROUP BY d.source
+    )
+    SELECT * FROM funnel
+    """
+)
+
+
+@register(
+    "pipeline_crawl_corpus",
+    oracle=_CRAWL_PIPELINE_ORACLE,
+    tags=("corpus", "pipeline", "crawl", "url", "html", "dedup"),
+)
+def q_pipeline_crawl_corpus(spark, sf_dir):
+    """The r12 crawl chain composed END-TO-END as one declarative plan,
+    with a per-source funnel readout: raw crawl (every doc, messy URL) →
+    URL-tier dedup (canonical-key min-doc_id survivors —
+    `corpus_url_canonical_dedup`'s device) → HTML main-content
+    extraction (`html_main_content`) → quality gate (main text ≥ 200
+    chars, the cheapest Gopher-style length rule on EXTRACTED text, not
+    markup) → exact content dedup (distinct md5 of the normalized main
+    text).  Output per source: n_crawled ≥ n_url_unique ≥ n_quality ≥
+    n_content_unique — the survivor funnel a crawl-pipeline owner
+    actually monitors.
+
+    One plan, fully value-hash-checked: Catalyst sees the whole chain,
+    prunes the documents scan to (doc_id, text, source), and every tier
+    is the already-oracled operator body — this query pins their
+    COMPOSITION (the join keys and gate placement between tiers), which
+    is where pipeline bugs live.
+
+    Scale: URL tier = hash agg on the canonical key; extraction = per-row
+    regex; gate = a length compare; content dedup = hash agg on md5 —
+    two shuffles total (canonical key, then the source/md5 agg) plus the
+    survivor join, all key-partitioned, no UDF anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", _synth_url_spark().alias("url"))
+    canon, _host = canonical_url(F.col("url"))
+    surv = (
+        raw.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").cast("long").alias("doc_id"))
+        .select("doc_id")
+    )
+    sdocs = docs.join(surv, "doc_id").select("doc_id", "text", "source")
+    shtml = sdocs.select("doc_id", "source", _synth_html_spark().alias("html"))
+    _sb, kept = html_main_content(F.col("html"))
+    main = F.trim(
+        F.regexp_replace(
+            F.concat_ws(" ", F.transform(kept, lambda x: x["plain"])), r"\s+", " "
+        )
+    )
+    hmain = shtml.select("doc_id", main.alias("main"))
+    qual = F.length("main") >= _CRAWL_MIN_MAIN_CHARS
+    m = docs.select("doc_id", "source").join(
+        hmain.select("doc_id", "main", F.lit(1).alias("_surv")), "doc_id", "left"
+    )
+    return m.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_crawled"),
+        F.count("_surv").cast("long").alias("n_url_unique"),
+        F.count(F.when(qual, 1)).cast("long").alias("n_quality"),
+        F.countDistinct(F.when(qual, F.md5("main")))
+        .cast("long")
+        .alias("n_content_unique"),
+    )

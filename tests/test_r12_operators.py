@@ -210,3 +210,18 @@ def test_cross_cell_audit_monotone_coverage(spark):
         assert 0.0 <= r.missed_rate <= 1.0
     # the blind spot is real at nprobe=1 on this corpus
     assert rows[1].n_missed > 0
+
+
+# ---------------------------------------------------------------------------
+# end-to-end crawl pipeline funnel (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_crawl_pipeline_funnel_monotone(spark):
+    rows = _q("pipeline_crawl_corpus")(spark, SF_CORRECT).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_crawled >= r.n_url_unique >= r.n_quality >= r.n_content_unique
+        assert r.n_url_unique > 0
+    # the URL tier must actually collapse something somewhere
+    assert any(r.n_crawled > r.n_url_unique for r in rows)
