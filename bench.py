@@ -417,6 +417,25 @@ def main() -> int:
                     "flagged": _cal_flagged(cm, cal_ref),
                 }
             )
+        # Spark's ContextCleaner reclaims accumulated broadcasts/shuffle
+        # files only after JVM GC notices the weak refs; across a 160+
+        # query session that lag inflated mid-run queries ~2x (r7:
+        # dedup_embedding_cosine 11.6 s in-bench vs 5.9 s isolated, back
+        # to 6.3 s with this).  r12: the every-10 nudge left Arrow-stage
+        # queries hostage to WHERE in the 10-window they run —
+        # embedding_knn_probe sampled [11.4, 14.1, 10.0, 1.58, 6.0] when
+        # 16 heavy ANN serves preceded it (the r11 "bimodality": a full
+        # GC landing mid-samples), vs [1.9, 1.2, ...] in the clean
+        # anchor.  The nudge sits HERE — after the calibration block,
+        # immediately before the sample loop — so every query's samples
+        # (including the first query's, and the CAL_EVERY-th queries',
+        # whose calibration run would otherwise wedge between nudge and
+        # samples) start debris-isolated (~0.1 s/query, uniform, dwarfed
+        # by the 3-5 samples).
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         samples = [
             _run_once(qs, name, spark, sf_dir)
             for _ in range(RUNS_HV if name in HIGH_VARIANCE else RUNS)
@@ -434,22 +453,6 @@ def main() -> int:
         try:
             for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
                 rdd.unpersist()
-        except Exception:
-            pass
-        # Spark's ContextCleaner reclaims accumulated broadcasts/shuffle
-        # files only after JVM GC notices the weak refs; across a 160+
-        # query session that lag inflated mid-run queries ~2x (r7:
-        # dedup_embedding_cosine 11.6 s in-bench vs 5.9 s isolated, back
-        # to 6.3 s with this).  r12: the every-10 nudge left Arrow-stage
-        # queries hostage to WHERE in the 10-window they run —
-        # embedding_knn_probe sampled [11.4, 14.1, 10.0, 1.58, 6.0] when
-        # 16 heavy ANN serves preceded it (the r11 "bimodality": a full
-        # GC landing mid-samples), vs [1.9, 1.2, ...] in the clean
-        # anchor.  Nudge BEFORE every query's sample loop instead: the
-        # median then measures the query, not the debris of its
-        # neighbors (~0.1 s/query, uniform, dwarfed by the 3-5 samples).
-        try:
-            spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
 

@@ -982,21 +982,20 @@ def _lc_solve3(s11, s12, s13, s22, s23, s33, g1, g2, g3):
                CAST(sy AS DOUBLE) AS g1, CAST(s1y AS DOUBLE) AS g2,
                CAST(s2y AS DOUBLE) AS g3
         FROM gram
+    ), modeld AS (
+        SELECT *,
+               (m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m13*m23)
+                + m13 * (m12*m23 - m13*m22)) AS det
+        FROM model
     ), coef AS (
         SELECT fraction, n AS n_train,
                ((m22*m33 - m23*m23) * g1 + (m13*m23 - m12*m33) * g2
-                + (m12*m23 - m13*m22) * g3)
-               / (m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m13*m23)
-                  + m13 * (m12*m23 - m13*m22)) AS b0,
+                + (m12*m23 - m13*m22) * g3) / det AS b0,
                ((m13*m23 - m12*m33) * g1 + (m11*m33 - m13*m13) * g2
-                + (m12*m13 - m11*m23) * g3)
-               / (m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m13*m23)
-                  + m13 * (m12*m23 - m13*m22)) AS b1,
+                + (m12*m13 - m11*m23) * g3) / det AS b1,
                ((m12*m23 - m13*m22) * g1 + (m12*m13 - m11*m23) * g2
-                + (m11*m22 - m12*m12) * g3)
-               / (m11 * (m22*m33 - m23*m23) - m12 * (m12*m33 - m13*m23)
-                  + m13 * (m12*m23 - m13*m22)) AS b2
-        FROM model
+                + (m11*m22 - m12*m12) * g3) / det AS b2
+        FROM modeld WHERE det <> 0
     ), scored AS (
         SELECT c.fraction, c.n_train, c.b0, c.b1, c.b2,
                CAST(floor((CAST(f.y AS DOUBLE) - (c.b0 + c.b1 * f.x1 + c.b2 * f.x2))
@@ -1086,7 +1085,14 @@ def q_ml_learning_curve(spark, sf_dir):
                 b2.alias("b2"),
             )
         )
-    coef = g.select(F.explode(F.array(*rows)).alias("c")).select("c.*")
+    # Singular-design guard (ADVICE r12): Spark's non-ANSI zero-divide
+    # yields NULL coefficients where DuckDB yields Inf/NaN — drop det = 0
+    # fractions on BOTH sides (oracle: `WHERE det <> 0` in the coef CTE).
+    coef = (
+        g.select(F.explode(F.array(*rows)).alias("c"))
+        .select("c.*")
+        .filter(F.col("b0").isNotNull())
+    )
     test = f.filter(F.col("hq") == 4)
     scored = test.crossJoin(F.broadcast(coef))
     err = F.col("y").cast("double") - (

@@ -1417,21 +1417,21 @@ def k_core_peel(
     edges: DataFrame,
     k: int = _KCORE_K,
     rounds: int = _KCORE_ROUNDS,
-    check_convergence: bool = True,
+    check_convergence: bool = False,
 ) -> DataFrame:
     """``rounds`` unrolled k-core peeling rounds over a symmetric (src, dst)
     edge relation; returns (node, core_degree, stable).  When any node
     survives the last round with degree < k the peel has NOT reached its
-    fixpoint — those rows carry ``stable = 0`` AND (by default) a
-    RuntimeWarning is raised (the `connected_components_star`
-    non-convergence contract, ADVICE r11: an exact operator must not
-    silently serve approximate output).  The check is a driver-side
-    action, so it EXECUTES the peel at build time; callers that consume
-    the per-row ``stable`` flag themselves (the registered query, whose
-    oracle pins the flag) pass ``check_convergence=False`` to keep the
-    peel single-execution — the r12 scoped anchor measured the eager
-    check at ~2× the query cost because each bench run rebuilds the
-    DataFrame."""
+    fixpoint — those rows ALWAYS carry ``stable = 0`` (the per-row,
+    oracle-pinned signal; consumers filter or assert on it).  Passing
+    ``check_convergence=True`` additionally raises a RuntimeWarning from
+    the driver (the `connected_components_star` non-convergence contract,
+    ADVICE r11) — but that check is a driver-side ACTION, so it executes
+    the whole peel eagerly at DataFrame-construction time and the caller
+    then re-executes it when consuming the returned plan (~2× cost,
+    measured by the r12 scoped anchor).  ADVICE r12: an API returning a
+    lazy DataFrame must not act eagerly by default — the warning is
+    opt-IN; the ``stable`` flag carries the contract either way."""
     cur = edges
     for _ in range(rounds):
         surv = (
@@ -1491,10 +1491,10 @@ def q_graph_k_core(spark, sf_dir):
     restrictions on the (src-partitioned) edge relation — the peeling
     loop at 100 TB runs O(rounds) shuffles on a monotonically shrinking
     edge set; the integer degrees make every round exact.
-    ``check_convergence=False`` here: the query's own output carries the
-    per-row ``stable`` flag (oracle-pinned), so the eager driver-side
-    re-check would only re-execute the peel per build — API callers of
-    `k_core_peel` get the warning by default."""
+    ``check_convergence=False`` here (and the API default, ADVICE r12):
+    the query's own output carries the per-row ``stable`` flag
+    (oracle-pinned), so the eager driver-side re-check would only
+    re-execute the peel per build."""
     li = load_table(spark, sf_dir, "lineitem")
     return k_core_peel(
         copurchase_edges(li), k=_KCORE_K, rounds=_KCORE_ROUNDS,

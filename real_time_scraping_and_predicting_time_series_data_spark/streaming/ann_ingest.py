@@ -86,9 +86,15 @@ class IvfStreamIndex:
             "overwrite"
         ).partitionBy("cell").parquet(staging)
         final = self._batch_dir(batch_id)
+        # Rename-aside swap (ADVICE r12, the publish_dir contract,
+        # hand-rolled here because the write stays cell-partitioned): a
+        # crash mid-swap never leaves a previously successful batch absent.
+        aside = staging + ".prev"
+        shutil.rmtree(aside, ignore_errors=True)
         if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(staging, final)
+            os.rename(final, aside)
+        os.rename(staging, final)
+        shutil.rmtree(aside, ignore_errors=True)
 
     def attach(self, stream_df: DataFrame, checkpoint: str,
                id_col: str = "vec_id", vec: str = "embedding"):

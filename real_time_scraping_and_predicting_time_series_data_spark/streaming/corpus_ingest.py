@@ -35,7 +35,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .store_compaction import compacted_upto, is_compacted
+from .store_compaction import compacted_upto, is_compacted, publish_dir
 
 __all__ = ["IncrementalCorpusStore"]
 
@@ -96,6 +96,7 @@ class IncrementalCorpusStore:
                 (d.startswith("batch_id=") and int(d.split("=", 1)[1]) <= new_upto)
                 or d.startswith("compacted_upto=")
                 or d.startswith(".staging")
+                or d.startswith("_staging")
             )
             if stale and not keep:
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
@@ -124,16 +125,12 @@ class IncrementalCorpusStore:
         ledger = self._ledger_hashes(exclude_batch_id=batch_id)
         if ledger is not None:
             survivors = survivors.join(ledger, "content_hash", "left_anti")
-        # Atomic publish (the continuous_agg staging pattern): write to a
-        # hidden staging dir, then swap via rename. A crash mid-write leaves
-        # only staging garbage — serve() never reads a partially-written
-        # batch dir, and the checkpoint replay rebuilds the batch cleanly.
-        target = os.path.join(self.root, f"batch_id={batch_id}")
-        staging = os.path.join(self.root, f".staging_batch_id={batch_id}")
-        shutil.rmtree(staging, ignore_errors=True)
-        survivors.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(target, ignore_errors=True)
-        os.rename(staging, target)
+        # Atomic publish via publish_dir's rename-aside swap (ADVICE r12):
+        # a crash mid-write leaves only staging garbage, and a crash
+        # mid-swap never leaves a previously successful batch's rows
+        # absent — serve() never reads a partially-written batch dir, and
+        # the checkpoint replay rebuilds the batch cleanly.
+        publish_dir(survivors, self.root, f"batch_id={batch_id}")
 
     def attach(self, docs: DataFrame, checkpoint: str):
         """Wire a streaming document source into the store."""

@@ -40,7 +40,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .store_compaction import compacted_upto, is_compacted
+from .store_compaction import compacted_upto, is_compacted, publish_dir
 
 from ..operators.dedup import (
     connected_components,
@@ -136,6 +136,7 @@ class NearDupCorpusStore:
                 (d.startswith("batch_id=") and int(d.split("=", 1)[1]) <= new_upto)
                 or d.startswith("compacted_upto=")
                 or d.startswith(".staging")
+                or d.startswith("_staging")
             )
             if stale and not keep:
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
@@ -220,12 +221,9 @@ class NearDupCorpusStore:
                 "doc_id",
             )
         )
-        target = os.path.join(self.root, f"batch_id={batch_id}")
-        staging = os.path.join(self.root, f".staging_batch_id={batch_id}")
-        shutil.rmtree(staging, ignore_errors=True)
-        accepted.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(target, ignore_errors=True)
-        os.rename(staging, target)
+        # publish_dir's rename-aside swap (ADVICE r12): a crash mid-publish
+        # never leaves a previously successful batch's rows absent.
+        publish_dir(accepted, self.root, f"batch_id={batch_id}")
 
     def attach(self, docs: DataFrame, checkpoint: str):
         """Wire a streaming document source into the store."""

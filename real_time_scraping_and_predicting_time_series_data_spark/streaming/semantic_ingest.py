@@ -41,7 +41,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .store_compaction import compacted_upto, is_compacted
+from .store_compaction import compacted_upto, is_compacted, publish_dir
 
 from ..functions.vector import as_double, dot, norm
 from ..operators.dedup import cell_local_components
@@ -114,6 +114,7 @@ class SemanticDedupStore:
                 (d.startswith("batch_id=") and int(d.split("=", 1)[1]) <= new_upto)
                 or d.startswith("compacted_upto=")
                 or d.startswith(".staging")
+                or d.startswith("_staging")
             )
             if stale and not keep:
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
@@ -192,12 +193,9 @@ class SemanticDedupStore:
             )
             reps = reps.join(hits, "vec_id", "left_anti")
 
-        staging = os.path.join(self.root, f"_staging_{batch_id}")
-        reps.coalesce(1).write.mode("overwrite").parquet(staging)
-        final = os.path.join(self.root, f"batch_id={batch_id}")
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(staging, final)
+        # publish_dir's rename-aside swap (ADVICE r12): a crash mid-publish
+        # never leaves a previously successful batch's rows absent.
+        publish_dir(reps, self.root, f"batch_id={batch_id}")
 
     def attach(self, stream_df: DataFrame, checkpoint: str):
         return (

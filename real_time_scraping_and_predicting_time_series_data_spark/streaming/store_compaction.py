@@ -87,13 +87,32 @@ def is_compacted(store_dir: str, batch_id: int) -> bool:
 
 def publish_dir(df: DataFrame, store_dir: str, dirname: str) -> None:
     """Stage + rename ``df`` (coalesced to one file) as ``store_dir/dirname``
-    — the idempotent publish every store in the family uses."""
-    staging = os.path.join(store_dir, f"_staging_{dirname.replace('=', '_')}")
-    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    — the idempotent publish every store in the family uses.
+
+    Crash-safe swap (ADVICE r12): the old ``rmtree(final); rename(staging,
+    final)`` order had a window where a crash deleted a previously
+    SUCCESSFUL publish and left nothing — recovery then depended entirely
+    on the at-least-once replay re-delivering that batch.  Now the old dir
+    is renamed ASIDE (never deleted before its replacement is in place),
+    the new dir renamed in, and only then the aside removed.  The aside
+    name starts with ``_staging_`` so serves' listings already ignore it
+    and the compaction sweep cleans any debris.  If a crash lands between
+    the two renames, the next publish of the same dirname (the replay
+    path) self-heals by restoring the aside first."""
     final = os.path.join(store_dir, dirname)
+    staging = os.path.join(store_dir, f"_staging_{dirname.replace('=', '_')}")
+    aside = staging + ".prev"
+    # Self-heal a crash between the two renames below: the previous
+    # publish's content is in the aside and final is absent — restore it
+    # before (re)staging, so the swap below again never leaves a gap.
+    if os.path.isdir(aside) and not os.path.exists(final):
+        os.rename(aside, final)
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(aside, ignore_errors=True)
     if os.path.exists(final):
-        shutil.rmtree(final)
-    os.replace(staging, final)
+        os.rename(final, aside)
+    os.rename(staging, final)
+    shutil.rmtree(aside, ignore_errors=True)
 
 
 def _live_parts(store_dir: str) -> list[str]:

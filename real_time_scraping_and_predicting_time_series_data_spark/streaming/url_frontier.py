@@ -41,7 +41,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .store_compaction import compacted_upto, is_compacted
+from .store_compaction import compacted_upto, is_compacted, publish_dir
 
 __all__ = ["UrlFrontierStore"]
 
@@ -101,6 +101,7 @@ class UrlFrontierStore:
                 (d.startswith("batch_id=") and int(d.split("=", 1)[1]) <= new_upto)
                 or d.startswith("compacted_upto=")
                 or d.startswith(".staging")
+                or d.startswith("_staging")
             )
             if stale and not keep:
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
@@ -129,12 +130,9 @@ class UrlFrontierStore:
         ledger = self._ledger_urls(exclude_batch_id=batch_id)
         if ledger is not None:
             survivors = survivors.join(ledger, "canonical_url", "left_anti")
-        target = os.path.join(self.root, f"batch_id={batch_id}")
-        staging = os.path.join(self.root, f".staging_batch_id={batch_id}")
-        shutil.rmtree(staging, ignore_errors=True)
-        survivors.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(target, ignore_errors=True)
-        os.rename(staging, target)
+        # publish_dir's rename-aside swap (ADVICE r12): a crash mid-publish
+        # never leaves a previously successful batch's rows absent.
+        publish_dir(survivors, self.root, f"batch_id={batch_id}")
 
     def attach(self, urls: DataFrame, checkpoint: str):
         """Wire a streaming (doc_id, url) source into the store."""

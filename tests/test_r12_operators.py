@@ -40,7 +40,7 @@ def test_k_core_warns_on_non_fixpoint(spark):
     # so 2 rounds leave interior nodes of degree 1 → stable=0 survivors.
     path = _sym_edges(spark, [(i, i + 1) for i in range(11)])
     with pytest.warns(RuntimeWarning, match="fixpoint not reached"):
-        out = k_core_peel(path, k=2, rounds=2)
+        out = k_core_peel(path, k=2, rounds=2, check_convergence=True)
     rows = out.collect()
     assert any(r.stable == 0 for r in rows)
 
@@ -54,7 +54,7 @@ def test_k_core_silent_on_fixpoint(spark):
     tri = _sym_edges(spark, [(0, 1), (1, 2), (0, 2)])
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
-        rows = k_core_peel(tri, k=2, rounds=1).collect()
+        rows = k_core_peel(tri, k=2, rounds=1, check_convergence=True).collect()
     assert {(r.node, r.core_degree, r.stable) for r in rows} == {
         (0, 2, 1),
         (1, 2, 1),
