@@ -344,6 +344,28 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, vec_col: str, id_cols: list[
     ).drop("_cents")
 
 
+def ivf_probe_cells(
+    df: DataFrame, centroids: DataFrame, vec_col: str, nprobe: int
+) -> DataFrame:
+    """Like :func:`ivf_assign` but keeps the ``nprobe`` nearest cells: adds
+    ``cell`` (the primary assignment, rn = 1) and ``probe_cells``
+    (array<int> of the nprobe nearest cells in probe order, primary
+    first).  Same broadcast one-row centroid model, same
+    round(-dot, 9) + min-cell tiebreak as every serve — zero shuffles,
+    no row explosion; the probe set is a per-row array the caller
+    explodes only where it joins."""
+    scored = df.crossJoin(F.broadcast(_centroid_row(centroids)))
+    probes = F.transform(
+        F.slice(F.array_sort(_nearest_cells(vec_col)), 1, nprobe),
+        lambda s: s.getField("cell").cast("int"),
+    )
+    return (
+        scored.withColumn("probe_cells", probes)
+        .withColumn("cell", F.element_at("probe_cells", 1))
+        .drop("_cents")
+    )
+
+
 def _cell_means(assigned: DataFrame, vec_col: str, dim: int = 64) -> DataFrame:
     """Per-cell mean vector in ONE grouped aggregation: ``dim`` per-position
     ``avg(vec[i])`` aggregate buffers reassembled into an array — a single
@@ -3484,6 +3506,7 @@ def q_embedding_silhouette(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _SEM_DRIFT_TAU = 0.3
+_SEM_NPROBE = 2  # SemanticDedupStore's shipping default (r13 multi-probe)
 
 
 def _sem_drift_oracle() -> str:
@@ -3498,8 +3521,8 @@ def _sem_drift_oracle() -> str:
           FROM e),
     cents AS (SELECT CAST(vec_id AS INT) AS cell, nv AS c_nvec
               FROM n WHERE vec_id < 16),
-    assign AS (
-        SELECT vec_id, nv, bid, cell, a_d FROM (
+    probes AS (
+        SELECT vec_id, nv, bid, cell, a_d, rn FROM (
             SELECT n.vec_id, n.nv, n.bid, c.cell,
                    1.0 - list_dot_product(n.nv, c.c_nvec) AS a_d,
                    row_number() OVER (
@@ -3507,13 +3530,16 @@ def _sem_drift_oracle() -> str:
                        ORDER BY round(-list_dot_product(n.nv, c.c_nvec), 9), c.cell
                    ) AS rn
             FROM n CROSS JOIN cents c)
-        WHERE rn = 1
+        WHERE rn <= {_SEM_NPROBE}
+    ),
+    assign AS (
+        SELECT vec_id, nv, bid, cell, a_d FROM probes WHERE rn = 1
     ),
     edges AS (
-        SELECT a.bid, a.vec_id AS src, b.vec_id AS dst
-        FROM assign a JOIN assign b
-          ON a.bid = b.bid AND a.cell = b.cell AND a.vec_id <> b.vec_id
-        WHERE round(list_dot_product(a.nv, b.nv), 9) >= {_SEM_DRIFT_TAU}
+        SELECT DISTINCT pa.bid, pa.vec_id AS src, pb.vec_id AS dst
+        FROM probes pa JOIN probes pb
+          ON pa.bid = pb.bid AND pa.cell = pb.cell AND pa.vec_id <> pb.vec_id
+        WHERE round(list_dot_product(pa.nv, pb.nv), 9) >= {_SEM_DRIFT_TAU}
     ),
     reach(bid, a, b) AS (
         SELECT bid, src, dst FROM edges
@@ -3534,14 +3560,18 @@ def _sem_drift_oracle() -> str:
     acc0 AS (SELECT * FROM reps WHERE bid = 0),
     acc1 AS (
         SELECT r.* FROM reps r WHERE r.bid = 1 AND NOT EXISTS (
-            SELECT 1 FROM acc0 o WHERE o.cell = r.cell
-              AND round(list_dot_product(r.nv, o.nv), 9) >= {_SEM_DRIFT_TAU})
+            SELECT 1 FROM acc0 o
+            JOIN probes po ON po.vec_id = o.vec_id
+            JOIN probes pr ON pr.vec_id = r.vec_id AND pr.cell = po.cell
+            WHERE round(list_dot_product(r.nv, o.nv), 9) >= {_SEM_DRIFT_TAU})
     ),
     acc01 AS (SELECT * FROM acc0 UNION ALL SELECT * FROM acc1),
     acc2 AS (
         SELECT r.* FROM reps r WHERE r.bid = 2 AND NOT EXISTS (
-            SELECT 1 FROM acc01 o WHERE o.cell = r.cell
-              AND round(list_dot_product(r.nv, o.nv), 9) >= {_SEM_DRIFT_TAU})
+            SELECT 1 FROM acc01 o
+            JOIN probes po ON po.vec_id = o.vec_id
+            JOIN probes pr ON pr.vec_id = r.vec_id AND pr.cell = po.cell
+            WHERE round(list_dot_product(r.nv, o.nv), 9) >= {_SEM_DRIFT_TAU})
     ),
     accepted AS (SELECT vec_id FROM acc01 UNION ALL SELECT vec_id FROM acc2),
     od AS (
@@ -3600,11 +3630,15 @@ def q_dedup_semantic_drift_serve(spark, sf_dir):
     Unlike the grid-merge serves (`ml_roc_auc_stream_serve`), the
     admitted SET is order-dependent (first-seen-wins over chains), so the
     oracle is not the plain one-batch SQL — it REPLAYS the admission:
-    same hash split, same assignment tiebreak (round(-dot,9), cell — the
+    same hash split, same probe tiebreak (round(-dot,9), cell — the
     `ivf_assign` convention), within-batch min-label components via a
-    recursive transitive closure, and the 3-stage ledger probe unrolled.
-    Value-hash parity therefore pins the entire streaming pipeline's
-    verdict sequence, not just the readout arithmetic.
+    recursive transitive closure over MULTI-PROBE shared-cell edges
+    (r13: the store probes its nprobe=2 nearest cells, closing the
+    measured 61.9% single-probe cross-cell blind spot to 9.5% —
+    `dedup_cross_cell_audit`), and the 3-stage ledger probe unrolled
+    with the same shared-probed-cell candidate rule.  Value-hash parity
+    therefore pins the entire streaming pipeline's verdict sequence,
+    not just the readout arithmetic.
 
     Scale shape: assignment and silhouette are zero-shuffle broadcast
     projections; admission joins are cell-keyed (Σ|cell|², never
@@ -3627,7 +3661,9 @@ def q_dedup_semantic_drift_serve(spark, sf_dir):
     )
     store_dir = tempfile.mkdtemp(prefix="sem_drift_serve_")
     atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
-    store = SemanticDedupStore(spark, store_dir, cents, threshold=_SEM_DRIFT_TAU)
+    store = SemanticDedupStore(
+        spark, store_dir, cents, threshold=_SEM_DRIFT_TAU, nprobe=_SEM_NPROBE
+    )
     bid_col = F.pmod(md5_60(F.col("vec_id").cast("string")), F.lit(3))
     for bid in range(3):
         store.ingest_batch(emb.filter(bid_col == F.lit(bid)), bid)
@@ -4277,4 +4313,148 @@ def q_dedup_cross_cell_audit(spark, sf_dir):
         canon((F.count("*") - F.sum(covered)) / F.count("*").cast("double")).alias(
             "missed_rate"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe semantic-dedup serve (r13) — the accepted SET under the store's
+# shipping nprobe, pinned row-by-row (VERDICT r12 item 1)
+# ---------------------------------------------------------------------------
+
+_MP_TAU = 0.4  # the dedup_cross_cell_audit near-dup threshold
+
+
+def _sem_multiprobe_oracle() -> str:
+    from ..functions.hashing import md5_60_sql  # noqa: PLC0415
+
+    bid = f"{md5_60_sql('CAST(vec_id AS VARCHAR)')} % 3"
+    return f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
+                 {bid} AS bid
+          FROM e),
+    cents AS (SELECT CAST(vec_id AS INT) AS cell, nv AS c_nvec
+              FROM n WHERE vec_id < {_AUTO_CELLS_SQL}),
+    probes AS (
+        SELECT vec_id, nv, bid, cell, rn FROM (
+            SELECT n.vec_id, n.nv, n.bid, c.cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round(-list_dot_product(n.nv, c.c_nvec), 9), c.cell
+                   ) AS rn
+            FROM n CROSS JOIN cents c)
+        WHERE rn <= {_SEM_NPROBE}
+    ),
+    assign AS (SELECT vec_id, nv, bid, cell FROM probes WHERE rn = 1),
+    edges AS (
+        SELECT DISTINCT pa.bid, pa.vec_id AS src, pb.vec_id AS dst
+        FROM probes pa JOIN probes pb
+          ON pa.bid = pb.bid AND pa.cell = pb.cell AND pa.vec_id <> pb.vec_id
+        WHERE round(list_dot_product(pa.nv, pb.nv), 9) >= {_MP_TAU}
+    ),
+    reach(bid, a, b) AS (
+        SELECT bid, src, dst FROM edges
+        UNION
+        SELECT r.bid, r.a, ed.dst
+        FROM reach r JOIN edges ed ON ed.bid = r.bid AND ed.src = r.b
+    ),
+    rep AS (
+        SELECT a.vec_id,
+               least(a.vec_id, coalesce(min(r.b), a.vec_id)) AS rep_id
+        FROM assign a LEFT JOIN reach r ON r.a = a.vec_id
+        GROUP BY a.vec_id
+    ),
+    reps AS (
+        SELECT s.* FROM assign s
+        JOIN rep ON rep.vec_id = s.vec_id AND rep.rep_id = s.vec_id
+    ),
+    acc0 AS (SELECT * FROM reps WHERE bid = 0),
+    acc1 AS (
+        SELECT r.* FROM reps r WHERE r.bid = 1 AND NOT EXISTS (
+            SELECT 1 FROM acc0 o
+            JOIN probes po ON po.vec_id = o.vec_id
+            JOIN probes pr ON pr.vec_id = r.vec_id AND pr.cell = po.cell
+            WHERE round(list_dot_product(r.nv, o.nv), 9) >= {_MP_TAU})
+    ),
+    acc01 AS (SELECT * FROM acc0 UNION ALL SELECT * FROM acc1),
+    acc2 AS (
+        SELECT r.* FROM reps r WHERE r.bid = 2 AND NOT EXISTS (
+            SELECT 1 FROM acc01 o
+            JOIN probes po ON po.vec_id = o.vec_id
+            JOIN probes pr ON pr.vec_id = r.vec_id AND pr.cell = po.cell
+            WHERE round(list_dot_product(r.nv, o.nv), 9) >= {_MP_TAU})
+    ),
+    accepted AS (SELECT vec_id, cell FROM acc01
+                 UNION ALL SELECT vec_id, cell FROM acc2)
+    SELECT a.cell, CAST(a.vec_id AS BIGINT) AS vec_id,
+           (SELECT string_agg(CAST(p.cell AS VARCHAR), ',' ORDER BY p.rn)
+            FROM probes p WHERE p.vec_id = a.vec_id) AS probes
+    FROM accepted a
+    """
+
+
+@register(
+    "dedup_semantic_multiprobe_serve",
+    oracle=_sem_multiprobe_oracle(),
+    tags=("dedup", "semantic", "streaming", "multiprobe", "incremental"),
+)
+def q_dedup_semantic_multiprobe_serve(spark, sf_dir):
+    """The multi-probe `SemanticDedupStore`'s accepted set, pinned
+    row-by-row: the embeddings stream in as three deterministic md5-split
+    micro-batches at the store's SHIPPING configuration (nprobe = 2,
+    τ = 0.4 — the `dedup_cross_cell_audit` threshold, auto-sized seeded
+    quantizer), and the serve emits every admitted vector with its
+    primary cell AND its stored probe set (comma-joined in probe order).
+    The DuckDB oracle replays the full multi-probe admission — probe
+    sets by the serves' round-9 + min-cell order, within-batch
+    components over SHARED-PROBED-CELL edges via a recursive closure,
+    and the 3-stage ledger probe with the same shared-cell candidate
+    rule — so value-hash parity pins the exact admit/reject verdict of
+    every vector plus the probe metadata future ledger probes join
+    through.
+
+    Why multi-probe (VERDICT r12 item 1): the single-probe store's
+    admission missed 61.9% of true τ=0.4 near-dup pairs whose endpoints
+    land in different primary cells (measured, `dedup_cross_cell_audit`
+    sf0.01); at the shipping nprobe=2 the audit's missed rate is 9.5%,
+    at nprobe=4 zero.  Coverage here is exactly the audit's symmetric
+    min_joint rule because BOTH sides' stored probe sets participate in
+    the ledger join.
+
+    Scale: probe sets are a zero-shuffle broadcast-model projection; the
+    within-batch union-find is bounded by the micro-batch; ledger
+    candidates are Σ over probed cells (never |corpus|²) with the
+    nprobe² duplicate-pair factor absorbed by a distinct on the hit
+    ids."""
+    import atexit  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..functions.hashing import md5_60  # noqa: PLC0415
+    from ..streaming.semantic_ingest import SemanticDedupStore  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k_cells = auto_cells(emb)
+    c = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    c = c.withColumn("_n", norm(F.col("v"))).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("_n")).alias("nv")
+    )
+    cents = c.filter(F.col("vec_id") < k_cells).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("nv").alias("c_nvec")
+    )
+    store_dir = tempfile.mkdtemp(prefix="sem_multiprobe_serve_")
+    atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
+    store = SemanticDedupStore(
+        spark, store_dir, cents, threshold=_MP_TAU, nprobe=_SEM_NPROBE
+    )
+    bid_col = F.pmod(md5_60(F.col("vec_id").cast("string")), F.lit(3))
+    for bid in range(3):
+        store.ingest_batch(emb.filter(bid_col == F.lit(bid)), bid)
+    return store.serve().select(
+        "cell",
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.array_join(
+            F.transform("probe_cells", lambda x: x.cast("string")), ","
+        ).alias("probes"),
     )

@@ -262,7 +262,37 @@ _FRONT_FRESH_R10 = (
     "ml_pinball_eval",
 )
 
-_FRONT = _FRONT_NEVER_SAMPLED + _FRONT_R11_NEW + _FRONT_STALE + _FRONT_FRESH_R10
+# (e) ROUND 13 window head (VERDICT r12 items 1-2): first the four r12
+# queries the driver has never sampled, then this round's new/retouched
+# queries (the multi-probe semantic store: a NEW serve, the drift serve
+# whose oracle was upgraded to replay multi-probe admission, and the
+# audit that motivated it).  Appended as each r13 wave lands.
+_FRONT_R13 = (
+    # never driver-sampled r12 queries (judge-parity green; need driver rows)
+    "corpus_html_extract",
+    "corpus_frontier_stream_serve",
+    "dedup_cross_cell_audit",
+    "pipeline_crawl_corpus",
+    # r13: multi-probe SemanticDedupStore
+    "dedup_semantic_multiprobe_serve",
+    "dedup_semantic_drift_serve",
+)
+
+# r12's 50-query window covered _FRONT_NEVER_SAMPLED + _FRONT_R11_NEW and
+# the first 25 stale rows (through cdc_scd2_history) — split the stale tier
+# so the UNREFRESHED remainder leads this round's window right after the
+# r13 tier, and the freshly-checked r12 rows rotate behind.
+_R12_CHECKED_STALE = _FRONT_STALE[: _FRONT_STALE.index("cdc_upsert_snapshot")]
+_R13_PENDING_STALE = _FRONT_STALE[_FRONT_STALE.index("cdc_upsert_snapshot"):]
+
+_FRONT = (
+    _FRONT_R13
+    + _R13_PENDING_STALE
+    + _FRONT_NEVER_SAMPLED
+    + _FRONT_R11_NEW
+    + _R12_CHECKED_STALE
+    + _FRONT_FRESH_R10
+)
 
 
 def register(

@@ -137,3 +137,172 @@ def test_k_core_default_silent_carries_stable_flag(spark):
         warnings.simplefilter("error", RuntimeWarning)
         rows = k_core_peel(edges, k=2, rounds=2).collect()
     assert any(r.stable == 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe SemanticDedupStore (VERDICT r12 item 1)
+# ---------------------------------------------------------------------------
+
+DIM = 8
+
+
+def _e(i, eps=0.0, j=None):
+    v = [0.0] * DIM
+    v[i] = 1.0
+    v[(i + 1) % DIM if j is None else j] = eps
+    return v
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _seed_rows():
+    return [(i, _e(i)) for i in range(4)]
+
+
+def _store(spark, tmp_path, nprobe, threshold=0.6, sub="s"):
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.ann_ingest import (
+        seed_centroids,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.semantic_ingest import (
+        SemanticDedupStore,
+    )
+
+    seeds = _vecs(spark, _seed_rows())
+    return SemanticDedupStore(
+        spark,
+        str(tmp_path / f"{sub}_np{nprobe}"),
+        seed_centroids(seeds, n_cells=4),
+        threshold=threshold,
+        nprobe=nprobe,
+    )
+
+
+def test_multiprobe_catches_cross_primary_cell_neardup(spark, tmp_path):
+    """Two near-identical vectors straddling the cell-0/cell-1 boundary:
+    their PRIMARY cells differ, but each probes the other's primary at
+    rank 2 — single-probe admits both (the measured blind spot),
+    nprobe=2 dedups them."""
+    import math
+
+    # 45-degree boundary pair: e0 + (1±delta) e1 — primary cells 0 and 1
+    a = [0.0] * DIM
+    a[0], a[1] = 1.0, 0.98
+    b = [0.0] * DIM
+    b[0], b[1] = 0.98, 1.0
+    cos = (a[0] * b[0] + a[1] * b[1]) / (
+        math.hypot(a[0], a[1]) * math.hypot(b[0], b[1])
+    )
+    assert cos > 0.99
+
+    for nprobe, expect_both in [(1, True), (2, False)]:
+        store = _store(spark, tmp_path, nprobe, sub="xc")
+        store.ingest_batch(_vecs(spark, [(10, a)]), 0)
+        store.ingest_batch(_vecs(spark, [(11, b)]), 1)
+        served = {r.vec_id for r in store.serve().collect()}
+        if expect_both:
+            assert served == {10, 11}  # the single-probe blind spot
+        else:
+            assert served == {10}  # multi-probe first-seen-wins
+
+
+def test_multiprobe_within_batch_cross_cell_collapse(spark, tmp_path):
+    """The same boundary pair INSIDE one batch collapses to the min-id
+    representative at nprobe=2 (the union-find spans primary cells via
+    shared probe cells)."""
+    a = [0.0] * DIM
+    a[0], a[1] = 1.0, 0.98
+    b = [0.0] * DIM
+    b[0], b[1] = 0.98, 1.0
+    store = _store(spark, tmp_path, 2, sub="wb")
+    store.ingest_batch(_vecs(spark, [(10, a), (11, b)]), 0)
+    assert {r.vec_id for r in store.serve().collect()} == {10}
+
+
+def test_multiprobe_nprobe1_matches_legacy_cell_local(spark, tmp_path):
+    """nprobe=1 degrades bit-exactly to the old same-primary-cell
+    contract: chain collapse within a cell, cross-cell pairs admitted."""
+    store = _store(spark, tmp_path, 1, threshold=0.9, sub="legacy")
+    batch0 = _seed_rows() + [(100, _e(0, 0.10)), (101, _e(0, 0.14)), (102, _e(0, 0.18))]
+    store.ingest_batch(_vecs(spark, batch0), 0)
+    assert {r.vec_id for r in store.serve().collect()} == {0, 1, 2, 3}
+    store.ingest_batch(_vecs(spark, [(200, _e(0, 0.05))]), 1)
+    served = {r.vec_id for r in store.serve().collect()}
+    assert 200 not in served
+
+
+def test_multiprobe_replay_and_restart_idempotent(spark, tmp_path):
+    """An at-least-once replay of a published batch reaches identical
+    verdicts (the replay excludes its own earlier attempt from the
+    ledger), and a fresh store object over the same directory serves the
+    same set (restart)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.ann_ingest import (
+        seed_centroids,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.semantic_ingest import (
+        SemanticDedupStore,
+    )
+
+    store = _store(spark, tmp_path, 2, sub="rr")
+    b0 = _seed_rows()
+    b1 = [(20, _e(1, 0.05)), (21, _e(2, 0.5, j=3))]
+    store.ingest_batch(_vecs(spark, b0), 0)
+    store.ingest_batch(_vecs(spark, b1), 1)
+    before = {(r.cell, r.vec_id) for r in store.serve().collect()}
+    store.ingest_batch(_vecs(spark, b1), 1)  # replay
+    assert {(r.cell, r.vec_id) for r in store.serve().collect()} == before
+
+    seeds = _vecs(spark, _seed_rows())
+    reopened = SemanticDedupStore(
+        spark,
+        str(tmp_path / "rr_np2"),
+        seed_centroids(seeds, n_cells=4),
+        threshold=0.6,
+        nprobe=2,
+    )
+    assert {(r.cell, r.vec_id) for r in reopened.serve().collect()} == before
+
+
+def test_multiprobe_compaction_preserves_verdicts(spark, tmp_path):
+    store = _store(spark, tmp_path, 2, sub="cp")
+    store.ingest_batch(_vecs(spark, _seed_rows()), 0)
+    store.ingest_batch(_vecs(spark, [(30, _e(3, 0.05))]), 1)
+    before = {(r.cell, r.vec_id) for r in store.serve().collect()}
+    info = store.compact()
+    assert info["folded_batches"] == 2
+    assert {(r.cell, r.vec_id) for r in store.serve().collect()} == before
+    # a replayed folded batch is dropped (its verdicts live in the fold)
+    store.ingest_batch(_vecs(spark, [(30, _e(3, 0.05))]), 1)
+    assert {(r.cell, r.vec_id) for r in store.serve().collect()} == before
+
+
+def test_multiprobe_served_shared_probe_invariant(spark, tmp_path):
+    """The strengthened invariant: no two SERVED vectors sharing ANY
+    probed cell are within tau."""
+    from real_time_scraping_and_predicting_time_series_data_spark.functions.vector import (
+        dot,
+    )
+
+    store = _store(spark, tmp_path, 2, threshold=0.5, sub="inv")
+    rows = [(i, _e(i % 4, 0.3 + 0.1 * (i % 3))) for i in range(40)]
+    for bid in range(4):
+        store.ingest_batch(_vecs(spark, rows[bid * 10 : (bid + 1) * 10]), bid)
+    served = store.serve()
+    a = served.select(
+        F.explode("probe_cells").alias("pc"),
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+    )
+    b = served.select(
+        F.explode("probe_cells").alias("pc"),
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+    )
+    bad = (
+        a.join(b, "pc")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(F.round(dot(F.col("va"), F.col("vb")), 9) >= 0.5)
+        .count()
+    )
+    assert bad == 0
