@@ -184,11 +184,15 @@ def test_html_extract_drops_boilerplate_keeps_content(spark):
 def test_html_extract_query_variant_classes(spark):
     rows = _q("corpus_html_extract")(spark, SF_CORRECT).collect()
     assert len(rows) == 500
-    # every doc keeps exactly its two content paragraphs; the %3==1 class
-    # has no related box (2 blocks), the others have 3
-    assert all(r.n_kept == 2 for r in rows)
-    by_cls = {r.doc_id % 3: r.n_blocks for r in rows}
-    assert by_cls[1] == 2 and by_cls[0] == 3 and by_cls[2] == 3
+    # r13 nested synth: the %3==1 class has no related box (2 blocks, both
+    # kept); the others carry the nested box = 2 extra runs (link farm +
+    # teaser), of which the teaser survives the density gate — 4 blocks,
+    # 3 kept.  The old flat-span matcher would have truncated the box at
+    # the inner </div> and never seen the teaser.
+    by_cls_blocks = {r.doc_id % 3: r.n_blocks for r in rows}
+    by_cls_kept = {r.doc_id % 3: r.n_kept for r in rows}
+    assert by_cls_blocks[1] == 2 and by_cls_blocks[0] == 4 and by_cls_blocks[2] == 4
+    assert by_cls_kept[1] == 2 and by_cls_kept[0] == 3 and by_cls_kept[2] == 3
     assert all(r.main_chars > 0 and r.main_md5 is not None for r in rows)
 
 

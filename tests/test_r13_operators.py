@@ -306,3 +306,91 @@ def test_multiprobe_served_shared_probe_invariant(spark, tmp_path):
         .count()
     )
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# Nested-HTML extraction (VERDICT r12 item 4)
+# ---------------------------------------------------------------------------
+
+_NESTED_HTML = (
+    "<html><head><title>T</title></head><body>"
+    "<nav><a href='/'>Home</a></nav>"
+    "<div class='art'>outer intro "
+    "<div class='inner'>nested paragraph body text</div>"
+    " outer conclusion text</div>"
+    "<p>closing standalone paragraph</p>"
+    "</body></html>"
+)
+
+
+def test_html_extract_exact_on_nested_blocks(spark):
+    """Boundary splitting parses <div>A<div>B</div>C</div> into the three
+    text runs A/B/C — nothing truncated, nothing lost."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+        html_main_content,
+    )
+
+    df = spark.createDataFrame([(1, _NESTED_HTML)], "doc_id long, html string")
+    sb, kept = html_main_content(F.col("html"))
+    row = df.select(sb.alias("sb"), kept.alias("keep")).collect()[0]
+    plains = [x["plain"] for x in row.sb]
+    assert plains == [
+        "outer intro",
+        "nested paragraph body text",
+        "outer conclusion text",
+        "closing standalone paragraph",
+    ]
+    assert [x["plain"] for x in row.keep] == plains  # no links -> all kept
+
+
+def test_html_extract_old_span_regex_fails_nested(spark):
+    """Regression pin: the r12 non-greedy span matcher truncates the outer
+    div at the FIRST inner </div> (its capture still contains the inner
+    opener) and drops the outer conclusion text entirely — the miss the
+    boundary splitter fixes."""
+    old_re = "(?s)<(?:p|div)[^>]*>(.*?)</(?:p|div)>"
+    df = spark.createDataFrame([(1, _NESTED_HTML)], "doc_id long, html string")
+    old_blocks = df.select(
+        F.regexp_extract_all(F.col("html"), F.lit(old_re), 1).alias("bl")
+    ).collect()[0].bl
+    joined = " ".join(old_blocks)
+    assert "outer conclusion text" not in joined  # lost by the old matcher
+    assert any("<div" in b for b in old_blocks)   # truncated mid-structure
+
+
+def test_html_extract_flat_body_unchanged_by_split(spark):
+    """On a FLAT body the boundary splitter reproduces the old span
+    matcher's blocks exactly (the in-between runs are empty and
+    filtered)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+        html_main_content,
+    )
+
+    flat = (
+        "<html><head><title>T</title></head><body>"
+        "<p>first paragraph text</p><p>second paragraph text</p>"
+        "<div>a div block</div></body></html>"
+    )
+    df = spark.createDataFrame([(1, flat)], "doc_id long, html string")
+    sb, _ = html_main_content(F.col("html"))
+    plains = [x["plain"] for x in df.select(sb.alias("sb")).collect()[0].sb]
+    assert plains == ["first paragraph text", "second paragraph text", "a div block"]
+
+
+def test_html_extract_head_stripped_not_header(spark):
+    """<head>...</head> is boilerplate-stripped (title text never becomes
+    a run) while a <header> element is still stripped by its own rule and
+    the head regex cannot swallow it."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+        html_main_content,
+    )
+
+    html = (
+        "<html><head><title>Page Title Words</title></head><body>"
+        "<header><a href='/'>masthead</a></header>"
+        "<p>real content here</p></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    sb, _ = html_main_content(F.col("html"))
+    plains = [x["plain"] for x in df.select(sb.alias("sb")).collect()[0].sb]
+    assert plains == ["real content here"]
