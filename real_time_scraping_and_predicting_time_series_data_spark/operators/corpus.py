@@ -2212,6 +2212,146 @@ def q_corpus_frontier_stream_serve(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# robots.txt disallow rules (r13) — the politeness story's missing half:
+# Crawl-delay existed (frontier_schedule); path-prefix allow/deny did not
+# ---------------------------------------------------------------------------
+
+# Synthetic per-domain rule set shared by both engines (robots.txt shape:
+# path-prefix rules, LONGEST matching prefix wins, allow wins length ties —
+# the Google REP tiebreak).  A production pipeline loads each host's parsed
+# robots.txt into this same (domain, prefix, allow) relation; the join
+# shape below is identical.  Against the synthesized '/articles/item-<k>'
+# paths: example.com denies the item-1 prefix (111 of 200 page keys) but
+# re-allows the longer item-12 prefix (11 keys back — the
+# longest-prefix-wins exercise); sample.org denies the item-7 prefix.
+_ROBOTS_RULES = (
+    ("example.com", "/articles/item-1", 0),
+    ("example.com", "/articles/item-12", 1),
+    ("sample.org", "/articles/item-7", 0),
+)
+
+_ROBOTS_SQL_VALUES = ", ".join(
+    f"('{d}', '{p}', {a})" for d, p, a in _ROBOTS_RULES
+)
+
+
+def robots_rules_table(spark, rules: tuple = _ROBOTS_RULES):
+    """The parsed robots rules as a tiny broadcastable relation."""
+    return spark.createDataFrame(
+        list(rules), "reg_domain string, prefix string, allow int"
+    )
+
+
+def apply_robots_rules(df, rules, url_col: str = "canonical_url"):
+    """Filterable robots verdict over a frontier relation carrying
+    (``url_col``, reg_domain): adds ``matched_prefix`` (the winning rule's
+    prefix, NULL when no rule matches), ``rule_allow`` and ``allowed``.
+
+    Longest-matching-prefix wins; allow wins a length tie (the REP
+    tiebreak); a URL with no matching rule is allowed.  Plan shape: the
+    per-domain rule lists collapse to one broadcast row each (the
+    `_centroid_row` model pattern), and the winner is a per-row
+    ``array_max`` over the matching prefixes — no fact-side row
+    explosion, no grouped agg, zero shuffle; a crawler-scale rule set
+    (millions of hosts) joins the same way on the host key."""
+    spark = df.sparkSession
+    grouped = rules.groupBy("reg_domain").agg(
+        F.collect_list(F.struct("prefix", "allow")).alias("_rules")
+    )
+    path = F.regexp_extract(F.col(url_col), r"^[^:]+://[^/?#]+([^?#]*)", 1)
+    j = df.join(F.broadcast(grouped), "reg_domain", "left")
+    matches = F.filter(
+        F.coalesce(F.col("_rules"), F.array().cast("array<struct<prefix:string,allow:int>>")),
+        lambda r: F.startswith(path, r["prefix"]),
+    )
+    winner = F.array_max(
+        F.transform(
+            matches,
+            lambda r: F.struct(
+                F.length(r["prefix"]).alias("l"),
+                r["allow"].alias("allow"),
+                r["prefix"].alias("prefix"),
+            ),
+        )
+    )
+    return j.select(
+        *df.columns,
+        winner.getField("prefix").alias("matched_prefix"),
+        winner.getField("allow").alias("rule_allow"),
+        (winner.isNull() | (winner.getField("allow") == 1)).alias("allowed"),
+    )
+
+
+_ROBOTS_ORACLE = _URL_CANON_CTES + f"""
+    , surv AS (
+        SELECT canonical_url, reg_domain,
+               regexp_extract(canonical_url, '^[^:]+://([^/?#]+)', 1) AS host,
+               regexp_extract(canonical_url, '^[^:]+://[^/?#]+([^?#]*)', 1) AS path,
+               CAST(min(doc_id) AS BIGINT) AS survivor_doc_id
+        FROM canon GROUP BY 1, 2, 3, 4
+    ), rules(reg_domain, prefix, allow) AS (
+        VALUES {_ROBOTS_SQL_VALUES}
+    ), verdict AS (
+        SELECT s.host, s.reg_domain, s.canonical_url, s.survivor_doc_id,
+               r.prefix, r.allow,
+               row_number() OVER (
+                   PARTITION BY s.canonical_url
+                   ORDER BY (r.prefix IS NOT NULL) DESC,
+                            length(r.prefix) DESC, r.allow DESC, r.prefix
+               ) AS rn
+        FROM surv s LEFT JOIN rules r
+          ON r.reg_domain = s.reg_domain AND starts_with(s.path, r.prefix)
+    )
+    SELECT host, reg_domain, canonical_url, survivor_doc_id,
+           prefix AS matched_prefix,
+           CAST(allow AS INT) AS rule_allow,
+           (allow IS NULL OR allow = 1) AS allowed
+    FROM verdict WHERE rn = 1
+    """
+
+
+@register(
+    "corpus_robots_filter",
+    oracle=_ROBOTS_ORACLE,
+    tags=("corpus", "url", "crawl", "robots", "politeness"),
+)
+def q_corpus_robots_filter(spark, sf_dir):
+    """robots.txt allow/deny over the canonicalized frontier — the other
+    half of the politeness story next to `corpus_crawl_frontier`'s
+    Crawl-delay: per canonical URL, match the per-domain path-prefix
+    rules, pick the LONGEST matching prefix (allow wins a length tie —
+    the REP tiebreak), and emit the verdict row the fetcher consumes
+    (matched_prefix / rule_allow / allowed; no matching rule = allowed).
+    The rule set exercises the tiebreak: example.com denies the item-1
+    prefix but re-allows the longer item-12 prefix beneath it.
+
+    Scale: the rule relation broadcasts as one per-domain array row and
+    the winner is a per-row array_max — no fact-side row explosion, no
+    shuffle beyond the URL tier's own canonical-key agg; at 100 TB only
+    the URL column and the broadcast rules are touched, so the filter
+    runs BEFORE any fetch/payload cost, which is the point of robots
+    compliance in a crawler."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", _synth_url_spark().alias("url"))
+    canon, host = canonical_url(F.col("url"))
+    c = raw.select("doc_id", canon.alias("canonical_url"), host.alias("host"))
+    c = with_registrable_domain(c, "host")
+    surv = c.groupBy("canonical_url", "reg_domain", "host").agg(
+        F.min("doc_id").cast("long").alias("survivor_doc_id")
+    )
+    out = apply_robots_rules(surv, robots_rules_table(spark))
+    return out.select(
+        "host",
+        "reg_domain",
+        "canonical_url",
+        "survivor_doc_id",
+        "matched_prefix",
+        F.col("rule_allow").cast("int").alias("rule_allow"),
+        "allowed",
+    )
+
+
+# ---------------------------------------------------------------------------
 # HTML main-content extraction (r12) — markup → clean text, the step between
 # the crawl frontier and the Gopher/quality gates
 # ---------------------------------------------------------------------------
@@ -2448,13 +2588,29 @@ _CRAWL_MIN_MAIN_CHARS = 200
 
 _CRAWL_PIPELINE_ORACLE = (
     _URL_CANON_CTES
-    + """
+    + f"""
     , surv AS (
-        SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS doc_id
-        FROM canon GROUP BY canonical_url
+        SELECT canonical_url, reg_domain,
+               regexp_extract(canonical_url, '^[^:]+://[^/?#]+([^?#]*)', 1) AS path,
+               CAST(min(doc_id) AS BIGINT) AS doc_id
+        FROM canon GROUP BY 1, 2, 3
+    ), rules(reg_domain, prefix, allow) AS (
+        VALUES {_ROBOTS_SQL_VALUES}
+    ), rb AS (
+        SELECT canonical_url, doc_id, (allow IS NULL OR allow = 1) AS allowed
+        FROM (
+            SELECT s.canonical_url, s.doc_id, r.allow,
+                   row_number() OVER (
+                       PARTITION BY s.canonical_url
+                       ORDER BY (r.prefix IS NOT NULL) DESC,
+                                length(r.prefix) DESC, r.allow DESC, r.prefix
+                   ) AS rn
+            FROM surv s LEFT JOIN rules r
+              ON r.reg_domain = s.reg_domain AND starts_with(s.path, r.prefix))
+        WHERE rn = 1
     ), sdocs AS (
         SELECT d.doc_id, d.text, d.source FROM documents d
-        JOIN surv s ON s.doc_id = d.doc_id
+        JOIN rb ON rb.doc_id = d.doc_id AND rb.allowed
     ), shtml AS (
         SELECT doc_id, source, """
     + _HTML_SYNTH_SQL
@@ -2496,14 +2652,18 @@ _CRAWL_PIPELINE_ORACLE = (
     ), funnel AS (
         SELECT d.source,
                CAST(count(*) AS BIGINT) AS n_crawled,
-               CAST(count(m.doc_id) AS BIGINT) AS n_url_unique,
+               CAST(count(rb.doc_id) AS BIGINT) AS n_url_unique,
+               CAST(count(CASE WHEN rb.allowed THEN 1 END) AS BIGINT)
+                   AS n_robots_ok,
                CAST(count(CASE WHEN length(m.main) >= """
     + str(_CRAWL_MIN_MAIN_CHARS)
     + """ THEN 1 END) AS BIGINT) AS n_quality,
                CAST(count(DISTINCT CASE WHEN length(m.main) >= """
     + str(_CRAWL_MIN_MAIN_CHARS)
     + """ THEN md5(m.main) END) AS BIGINT) AS n_content_unique
-        FROM documents d LEFT JOIN hmain m ON m.doc_id = d.doc_id
+        FROM documents d
+        LEFT JOIN rb ON rb.doc_id = d.doc_id
+        LEFT JOIN hmain m ON m.doc_id = d.doc_id
         GROUP BY d.source
     )
     SELECT * FROM funnel
@@ -2517,16 +2677,18 @@ _CRAWL_PIPELINE_ORACLE = (
     tags=("corpus", "pipeline", "crawl", "url", "html", "dedup"),
 )
 def q_pipeline_crawl_corpus(spark, sf_dir):
-    """The r12 crawl chain composed END-TO-END as one declarative plan,
-    with a per-source funnel readout: raw crawl (every doc, messy URL) →
+    """The crawl chain composed END-TO-END as one declarative plan, with
+    a per-source funnel readout: raw crawl (every doc, messy URL) →
     URL-tier dedup (canonical-key min-doc_id survivors —
-    `corpus_url_canonical_dedup`'s device) → HTML main-content
-    extraction (`html_main_content`) → quality gate (main text ≥ 200
-    chars, the cheapest Gopher-style length rule on EXTRACTED text, not
-    markup) → exact content dedup (distinct md5 of the normalized main
-    text).  Output per source: n_crawled ≥ n_url_unique ≥ n_quality ≥
-    n_content_unique — the survivor funnel a crawl-pipeline owner
-    actually monitors.
+    `corpus_url_canonical_dedup`'s device) → robots.txt allow/deny
+    (r13, `apply_robots_rules` — longest-prefix-wins; blocked URLs are
+    never fetched, so extraction cost is only paid for compliant URLs)
+    → HTML main-content extraction (`html_main_content`) → quality gate
+    (main text ≥ 200 chars, the cheapest Gopher-style length rule on
+    EXTRACTED text, not markup) → exact content dedup (distinct md5 of
+    the normalized main text).  Output per source: n_crawled ≥
+    n_url_unique ≥ n_robots_ok ≥ n_quality ≥ n_content_unique — the
+    survivor funnel a crawl-pipeline owner actually monitors.
 
     One plan, fully value-hash-checked: Catalyst sees the whole chain,
     prunes the documents scan to (doc_id, text, source), and every tier
@@ -2540,14 +2702,21 @@ def q_pipeline_crawl_corpus(spark, sf_dir):
     survivor join, all key-partitioned, no UDF anywhere."""
     docs = load_table(spark, sf_dir, "documents")
     raw = docs.select("doc_id", _synth_url_spark().alias("url"))
-    canon, _host = canonical_url(F.col("url"))
-    surv = (
-        raw.select("doc_id", canon.alias("canonical_url"))
-        .groupBy("canonical_url")
-        .agg(F.min("doc_id").cast("long").alias("doc_id"))
-        .select("doc_id")
+    canon, host = canonical_url(F.col("url"))
+    c = raw.select("doc_id", canon.alias("canonical_url"), host.alias("host"))
+    c = with_registrable_domain(c, "host")
+    surv = c.groupBy("canonical_url", "reg_domain").agg(
+        F.min("doc_id").cast("long").alias("doc_id")
     )
-    sdocs = docs.join(surv, "doc_id").select("doc_id", "text", "source")
+    # robots tier (r13): verdicts kept for the funnel, fetch/extraction
+    # runs ONLY on allowed URLs — a compliant crawler never pays payload
+    # cost for a blocked URL.
+    rb = apply_robots_rules(surv, robots_rules_table(spark)).select(
+        "doc_id", "allowed"
+    )
+    sdocs = docs.join(rb.filter(F.col("allowed")).select("doc_id"), "doc_id").select(
+        "doc_id", "text", "source"
+    )
     shtml = sdocs.select("doc_id", "source", _synth_html_spark().alias("html"))
     _sb, kept = html_main_content(F.col("html"))
     main = F.trim(
@@ -2557,12 +2726,20 @@ def q_pipeline_crawl_corpus(spark, sf_dir):
     )
     hmain = shtml.select("doc_id", main.alias("main"))
     qual = F.length("main") >= _CRAWL_MIN_MAIN_CHARS
-    m = docs.select("doc_id", "source").join(
-        hmain.select("doc_id", "main", F.lit(1).alias("_surv")), "doc_id", "left"
+    flags = rb.select(
+        "doc_id",
+        F.lit(1).alias("_surv"),
+        F.when(F.col("allowed"), 1).alias("_rok"),
+    )
+    m = (
+        docs.select("doc_id", "source")
+        .join(flags, "doc_id", "left")
+        .join(hmain, "doc_id", "left")
     )
     return m.groupBy("source").agg(
         F.count("*").cast("long").alias("n_crawled"),
         F.count("_surv").cast("long").alias("n_url_unique"),
+        F.count("_rok").cast("long").alias("n_robots_ok"),
         F.count(F.when(qual, 1)).cast("long").alias("n_quality"),
         F.countDistinct(F.when(qual, F.md5("main")))
         .cast("long")

@@ -276,6 +276,9 @@ _FRONT_R13 = (
     # r13: multi-probe SemanticDedupStore
     "dedup_semantic_multiprobe_serve",
     "dedup_semantic_drift_serve",
+    # r13: robots.txt tier (new query; pipeline gained the n_robots_ok
+    # funnel column and the extraction moved to boundary-split blocks)
+    "corpus_robots_filter",
 )
 
 # r12's 50-query window covered _FRONT_NEVER_SAMPLED + _FRONT_R11_NEW and

@@ -225,7 +225,15 @@ def test_crawl_pipeline_funnel_monotone(spark):
     rows = _q("pipeline_crawl_corpus")(spark, SF_CORRECT).collect()
     assert len(rows) > 0
     for r in rows:
-        assert r.n_crawled >= r.n_url_unique >= r.n_quality >= r.n_content_unique
+        assert (
+            r.n_crawled
+            >= r.n_url_unique
+            >= r.n_robots_ok
+            >= r.n_quality
+            >= r.n_content_unique
+        )
         assert r.n_url_unique > 0
     # the URL tier must actually collapse something somewhere
     assert any(r.n_crawled > r.n_url_unique for r in rows)
+    # the robots tier (r13) must actually block something somewhere
+    assert any(r.n_url_unique > r.n_robots_ok for r in rows)

@@ -394,3 +394,72 @@ def test_html_extract_head_stripped_not_header(spark):
     sb, _ = html_main_content(F.col("html"))
     plains = [x["plain"] for x in df.select(sb.alias("sb")).collect()[0].sb]
     assert plains == ["real content here"]
+
+
+# ---------------------------------------------------------------------------
+# robots.txt rules (VERDICT r12 item 6)
+# ---------------------------------------------------------------------------
+
+
+def test_robots_longest_prefix_wins_allow_tiebreak(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.corpus import (
+        apply_robots_rules,
+        robots_rules_table,
+    )
+
+    rules = robots_rules_table(
+        spark,
+        (
+            ("ex.com", "/a", 0),
+            ("ex.com", "/a/b", 1),       # longer prefix re-allows
+            ("ex.com", "/t", 0),
+            ("ex.com", "/t", 1),         # exact tie: allow wins (REP tiebreak)
+            ("other.org", "/", 0),       # blanket deny on another domain
+        ),
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "https://ex.com/a/x", "ex.com"),          # denied by /a
+            (2, "https://ex.com/a/b/x", "ex.com"),        # re-allowed by /a/b
+            (3, "https://ex.com/t/z", "ex.com"),          # tie -> allowed
+            (4, "https://ex.com/free", "ex.com"),         # no rule -> allowed
+            (5, "https://other.org/any", "other.org"),    # blanket deny
+            (6, "https://norules.net/x", "norules.net"),  # domain w/o rules
+        ],
+        "doc_id long, canonical_url string, reg_domain string",
+    )
+    got = {
+        r.doc_id: (r.allowed, r.matched_prefix)
+        for r in apply_robots_rules(df, rules).collect()
+    }
+    assert got == {
+        1: (False, "/a"),
+        2: (True, "/a/b"),
+        3: (True, "/t"),
+        4: (True, None),
+        5: (False, "/"),
+        6: (True, None),
+    }
+
+
+def test_robots_filter_query_blocks_expected_share(spark):
+    """On the synthesized URLs: example.com denies item-1* (111 of 200
+    page keys) minus the re-allowed item-12* (11 back); sample.org denies
+    item-7* (11 keys); metro.co.uk has no rules."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["corpus_robots_filter"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(r.allowed == (r.rule_allow != 0) for r in rows)
+    blocked = [r for r in rows if not r.allowed]
+    assert blocked, "rule set must block something"
+    for r in blocked:
+        assert r.matched_prefix in ("/articles/item-1", "/articles/item-7")
+    # the longer allow prefix re-admits item-12x URLs
+    reallowed = [
+        r for r in rows if r.allowed and r.matched_prefix == "/articles/item-12"
+    ]
+    assert reallowed
+    # metro.co.uk (no rules) is untouched
+    assert all(r.allowed for r in rows if r.reg_domain == "metro.co.uk")
