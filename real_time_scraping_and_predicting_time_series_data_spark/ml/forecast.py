@@ -255,20 +255,7 @@ def q_ml_forecast(spark, sf_dir):
     cost is the scan.  BIGINT moments overflow past ~1e9 rows at cents
     scale; hoist to DECIMAL(38,0) there (documented, as learning-curve)."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    f = (
-        ev.select(
-            "user_id",
-            F.round(F.col("value") * 100).cast("long").alias("x1"),
-            F.round(F.lag("value", 1).over(w) * 100).cast("long").alias("x2"),
-            F.round(F.lead("value", 1).over(w) * 100).cast("long").alias("y1"),
-            F.round(F.lead("value", 2).over(w) * 100).cast("long").alias("y2"),
-            F.lag("value", 2).over(w).alias("_lag2"),
-        )
-        .filter(F.col("_lag2").isNotNull())
-        .drop("_lag2")
-    )
-    t = f.filter(F.col("y1").isNotNull() & F.col("y2").isNotNull())
+    t = _ar2_complete_rows(ev)
     g = t.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("x1").cast("long").alias("s1"),
@@ -301,6 +288,35 @@ def q_ml_forecast(spark, sf_dir):
     # drop the row so a degenerate global design yields an empty eval on
     # both engines (the oracle's coef CTE filters det <> 0 identically).
     coef = coef.filter(F.col("b01").isNotNull())
+    return _ar2_rmse_readout(t, coef)
+
+
+def _ar2_complete_rows(ev) -> "DataFrame":
+    """The cents-quantized AR(2) feature relation (x1, x2, y1, y2 +
+    user_id/event_id keys), filtered to COMPLETE rows — shared by the
+    batch refit and the incremental moment store so both fit and score
+    the identical relation."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    f = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("x1"),
+            F.round(F.lag("value", 1).over(w) * 100).cast("long").alias("x2"),
+            F.round(F.lead("value", 1).over(w) * 100).cast("long").alias("y1"),
+            F.round(F.lead("value", 2).over(w) * 100).cast("long").alias("y2"),
+            F.lag("value", 2).over(w).alias("_lag2"),
+        )
+        .filter(F.col("_lag2").isNotNull())
+        .drop("_lag2")
+    )
+    return f.filter(F.col("y1").isNotNull() & F.col("y2").isNotNull())
+
+
+def _ar2_rmse_readout(t, coef) -> "DataFrame":
+    """Broadcast-coefficient scoring + per-user RMSE over floor-quantized
+    BIGINT centi-cents² errors — the order-immune readout both the batch
+    refit and the streaming serve share."""
     scored = t.crossJoin(F.broadcast(coef))
     e1 = F.col("y1").cast("double") - (
         F.col("b01") + F.col("b11") * F.col("x1") + F.col("b21") * F.col("x2")
@@ -319,6 +335,57 @@ def q_ml_forecast(spark, sf_dir):
             F.sqrt(F.sum(q2).cast("long") / (F.lit(100.0) * F.count("*"))) / F.lit(100.0), 6
         ).alias("rmse_2"),
     )
+
+
+@register(
+    "ml_forecast_stream_serve",
+    oracle=_ar2_linear_oracle(),
+    tags=("ml", "forecast", "streaming", "M2", "incremental", "warm-start"),
+)
+def q_ml_forecast_stream_serve(spark, sf_dir):
+    """INCREMENTAL twin of `ml_linear_forecast_eval` — the M2 warm-start
+    gap closed (VERDICT r12 item 7): the reference keeps model weights
+    across retrains (lvmh_forecaster2.py:90-104) but refits over full
+    history; here each micro-batch publishes only its 12 exact BIGINT
+    Gram moments into `ForecastGramStore` and the retrain is a grouped
+    sum over the tiny moment grids + the shared 3×3 adjugate solve —
+    O(batch) retrain cost, O(1) model state, recursive least squares in
+    sufficient-statistics form.
+
+    The feature rows stream in as three deterministic md5-split
+    micro-batches; the serve solves from the MERGED moments and scores
+    the full feature relation with the broadcast coefficients.  Because
+    integer moments are exact under any batch split, the served
+    coefficients — and therefore every RMSE row — are bit-identical to
+    the batch full-history refit, which is why this query ships under
+    the SAME `ml_linear_forecast_eval` oracle: value-hash parity proves
+    incremental == batch, not merely approximates it.
+
+    Scale: ingest publishes 12 rows per batch regardless of batch size;
+    a retrain reads O(#batches-since-compaction) tiny grids (12 rows
+    after `compact()`); only the EVAL scores history — a production
+    retrain loop serves predictions from the coefficients alone."""
+    import atexit  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..functions.hashing import md5_60  # noqa: PLC0415
+    from ..streaming.forecast_stream import ForecastGramStore  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+    # Materialize the feature relation once: three ingests + the scoring
+    # pass would otherwise each re-run the lag/lead window chain.
+    t = _ar2_complete_rows(ev).localCheckpoint(eager=True)
+    store_dir = tempfile.mkdtemp(prefix="forecast_gram_serve_")
+    atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
+    store = ForecastGramStore(spark, store_dir)
+    key = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"), F.col("event_id").cast("string")
+    )
+    bid_col = F.pmod(md5_60(key), F.lit(3))
+    for bid in range(3):
+        store.ingest_batch(t.filter(bid_col == F.lit(bid)), bid)
+    return _ar2_rmse_readout(t, store.coefficients())
 
 
 @register(
@@ -920,27 +987,40 @@ def q_ml_pinball_eval(spark, sf_dir):
 
 def _lc_solve3(s11, s12, s13, s22, s23, s33, g1, g2, g3):
     """Adjugate solve of the symmetric 3x3 normal equations — the exact
-    parenthesization of stats._solve3 (kept in sync with the SQL form)."""
+    parenthesization of stats._solve3 (kept in sync with the SQL form).
+
+    Column inputs divide via ``try_divide`` (r13): Spark 4's default ANSI
+    mode makes a plain ``/`` THROW on det = 0 instead of yielding the
+    NULL the singular-design guards filter — try_divide restores
+    null-on-zero under either ANSI setting and is the identical IEEE
+    division when det ≠ 0, so oracle parity is untouched.  Float inputs
+    keep plain division (the per-key grouped-map fit pre-guards det)."""
+    from pyspark.sql import Column  # noqa: PLC0415
+
     det = (
         s11 * (s22 * s33 - s23 * s23)
         - s12 * (s12 * s33 - s13 * s23)
         + s13 * (s12 * s23 - s13 * s22)
     )
-    b0 = (
+    div = F.try_divide if isinstance(det, Column) else (lambda a, b: a / b)
+    b0 = div(
         (s22 * s33 - s23 * s23) * g1
         + (s13 * s23 - s12 * s33) * g2
-        + (s12 * s23 - s13 * s22) * g3
-    ) / det
-    b1 = (
+        + (s12 * s23 - s13 * s22) * g3,
+        det,
+    )
+    b1 = div(
         (s13 * s23 - s12 * s33) * g1
         + (s11 * s33 - s13 * s13) * g2
-        + (s12 * s13 - s11 * s23) * g3
-    ) / det
-    b2 = (
+        + (s12 * s13 - s11 * s23) * g3,
+        det,
+    )
+    b2 = div(
         (s12 * s23 - s13 * s22) * g1
         + (s12 * s13 - s11 * s23) * g2
-        + (s11 * s22 - s12 * s12) * g3
-    ) / det
+        + (s11 * s22 - s12 * s12) * g3,
+        det,
+    )
     return b0, b1, b2
 
 

@@ -279,6 +279,9 @@ _FRONT_R13 = (
     # r13: robots.txt tier (new query; pipeline gained the n_robots_ok
     # funnel column and the extraction moved to boundary-split blocks)
     "corpus_robots_filter",
+    # r13: incremental AR(2) model store (M2 warm-start twin) under the
+    # same oracle as the batch refit
+    "ml_forecast_stream_serve",
 )
 
 # r12's 50-query window covered _FRONT_NEVER_SAMPLED + _FRONT_R11_NEW and

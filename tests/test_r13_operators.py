@@ -463,3 +463,94 @@ def test_robots_filter_query_blocks_expected_share(spark):
     assert reallowed
     # metro.co.uk (no rules) is untouched
     assert all(r.allowed for r in rows if r.reg_domain == "metro.co.uk")
+
+
+# ---------------------------------------------------------------------------
+# Incremental forecast model store (VERDICT r12 item 7 — M2 warm-start twin)
+# ---------------------------------------------------------------------------
+
+
+def _feat_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, x1 long, x2 long, y1 long, y2 long"
+    )
+
+
+_FEATS = [
+    (1, i, 100 + 3 * i, 95 + 3 * i, 103 + 3 * i, 106 + 3 * i) for i in range(12)
+] + [(2, 100 + i, 200 - 5 * i, 205 - 5 * i, 195 - 5 * i, 190 - 5 * i) for i in range(12)]
+
+
+def test_forecast_store_incremental_equals_batch_refit(spark, tmp_path):
+    """Coefficients from 3-batch merged moments == one-shot fit over the
+    union — bit-exact (integer moments commute with the split)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.forecast_stream import (
+        ForecastGramStore,
+        moment_grid,
+    )
+
+    t = _feat_rows(spark, _FEATS)
+    store = ForecastGramStore(spark, str(tmp_path / "s1"))
+    for bid in range(3):
+        store.ingest_batch(t.filter(F.col("event_id") % 3 == bid), bid)
+    inc = store.coefficients().collect()[0]
+
+    one = ForecastGramStore(spark, str(tmp_path / "s2"))
+    one.ingest_batch(t, 0)
+    full = one.coefficients().collect()[0]
+    assert inc == full
+    # and the merged moments equal the direct one-pass grid
+    merged = {r.k: r.v for r in moment_grid(t).collect()}
+    served = store.serve_moments().collect()[0].asDict()
+    assert served == merged
+
+
+def test_forecast_store_replay_restart_compaction(spark, tmp_path):
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.forecast_stream import (
+        ForecastGramStore,
+    )
+
+    t = _feat_rows(spark, _FEATS)
+    d = str(tmp_path / "s")
+    store = ForecastGramStore(spark, d)
+    store.ingest_batch(t.filter(F.col("event_id") < 100), 0)
+    store.ingest_batch(t.filter(F.col("event_id") >= 100), 1)
+    before = store.coefficients().collect()
+    # replay overwrites its own grid: verdicts unchanged
+    store.ingest_batch(t.filter(F.col("event_id") >= 100), 1)
+    assert store.coefficients().collect() == before
+    # restart: a fresh object over the same dir serves the same model
+    assert ForecastGramStore(spark, d).coefficients().collect() == before
+    # compaction folds to 12 rows and preserves the model; a folded
+    # replay is dropped
+    info = store.compact()
+    assert info["folded_batches"] == 2
+    assert store.coefficients().collect() == before
+    store.ingest_batch(t.limit(3), 1)
+    assert store.coefficients().collect() == before
+
+
+def test_forecast_store_empty_batch_is_identity(spark, tmp_path):
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.forecast_stream import (
+        ForecastGramStore,
+    )
+
+    t = _feat_rows(spark, _FEATS)
+    store = ForecastGramStore(spark, str(tmp_path / "s"))
+    store.ingest_batch(t, 0)
+    before = store.coefficients().collect()
+    store.ingest_batch(t.filter(F.lit(False)), 1)  # empty micro-batch
+    assert store.coefficients().collect() == before
+
+
+def test_forecast_store_degenerate_design_empty(spark, tmp_path):
+    """A singular design (constant regressors) serves an EMPTY coefficient
+    relation — the ml_linear_forecast_eval det=0 guard."""
+    from real_time_scraping_and_predicting_time_series_data_spark.streaming.forecast_stream import (
+        ForecastGramStore,
+    )
+
+    rows = [(1, i, 5, 5, 6, 7) for i in range(8)]  # x1 == x2 == const
+    store = ForecastGramStore(spark, str(tmp_path / "s"))
+    store.ingest_batch(_feat_rows(spark, rows), 0)
+    assert store.coefficients().count() == 0

@@ -8,8 +8,8 @@ constants (and COVERAGE.md) in the same commit that registers a query.
 from __future__ import annotations
 
 # Update alongside COVERAGE.md's round-delta line.
-EXPECTED_QUERIES = 424
-EXPECTED_ORACLES = 419
+EXPECTED_QUERIES = 425
+EXPECTED_ORACLES = 420
 
 
 def test_registry_counts_match_ledger():
