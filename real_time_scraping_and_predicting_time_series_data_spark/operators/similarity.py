@@ -767,33 +767,54 @@ def q_sim_ivf_seeded(spark, sf_dir):
     return ivf_topk_seeded(emb, queries, k=5, n_cells=16, nprobe=4)
 
 
-# --- auto-sized coarse quantizer (r12, VERDICT r11 item 1) ----------------
+# --- auto-sized coarse quantizer (r12 + r13 ladder, VERDICT r12 item 4) ---
 # The relation-side serves (|Q| = N) generate ~N·nprobe·(N/K) candidate
 # rows; at FIXED K that volume grows ~N²/K — measured 27×/67× at 10× data
 # (SCALE.md r11).  K = ⌈N / _CELL_TARGET⌉ keeps the per-cell candidate list
-# constant, so total candidate work grows LINEARLY with the corpus; the
-# target reproduces the measured-good points (sf0.1 → 16 cells, the r11
-# shipping shape; sf1x → 160 cells, the measured 83 s → 53 s fix).  Both
-# engines derive K from the same count — Spark via one bounded count()
-# (a parquet-footer scan), DuckDB via the scalar subquery — so parity
-# holds at EVERY scale factor without re-tuning.  The K-row centroid model
-# stays the only broadcast; at extreme N (broadcast ≈ K·dim·8 B) cap K and
-# move assignment to the `ivf_assign_gemm` / join path.
+# constant (candidates linear in N), but the OTHER term — the broadcast-
+# model probe/assign projection, a·N·K interpreted HOF work — then grows
+# ~N²/target and dominates once K passes the balance point.  r13 measured
+# the full U-curve at sf1x (N = 20 000, nprobe = 2, ivf_topk_relation):
+# K = 12 → 128 s, 20 → 62, 28 → 44, 40 → 30–35, 56 → 36, 80 → 33,
+# 120 → 44, 160 (the linear rule) → 52–57, 300 → 100.  The bottom sits at
+# K ≈ 0.4·√N — the K ∝ √N rung of the documented IVF ladder, which
+# balances a·N·K against b·N²·nprobe/K — so the shipped rule is
+#
+#     K = max(4, ⌈min(N / 125,  0.4·√N)⌉)
+#
+# linear-K below the measured crossover (N/125 = 0.4√N ⟺ N = 2 500 — the
+# local[32] balance constant; re-tune per deployment), √N above it.  At
+# the measured points: sf0.01 → 4 and sf0.1 → 16 (both unchanged — the
+# linear branch), sf1x → 57 (√ branch; ~35 s vs 52-57 s at the linear
+# rule's 160).  Both engines derive K from the same count and the same
+# IEEE double chain (/125.0, 0.4·sqrt, least, ceil) — parity holds at
+# every scale factor without re-tuning.  Candidate volume on the √ branch
+# grows N^1.5; restoring linearity at extreme N is the NEXT rung —
+# vectorized assignment (`ivf_assign_gemm`) or hierarchical coarse
+# quantization shrink `a` so the linear-K rule wins again (documented in
+# the serve docstrings; the GEMM path is not bit-safe against the fold,
+# so oracle-bearing serves stay on the fold arithmetic).
 _CELL_TARGET = 125
 _CELL_FLOOR = 4
+_CELL_SQRT_C = 0.4
 _AUTO_CELLS_SQL = (
     f"(SELECT GREATEST({_CELL_FLOOR}, "
-    f"CAST(ceil(count(*) / {_CELL_TARGET}.0) AS INT)) FROM embeddings)"
+    f"CAST(ceil(LEAST(count(*) / {_CELL_TARGET}.0, "
+    f"{_CELL_SQRT_C} * sqrt(count(*)))) AS INT)) FROM embeddings)"
 )
 
 
 def auto_cells(corpus: DataFrame) -> int:
-    """K = max(floor, ⌈N / target⌉) from one bounded count() — the Spark
-    twin of ``_AUTO_CELLS_SQL`` (same integers by exact float division on
-    counts < 2^53)."""
+    """K = max(floor, ⌈min(N/target, c·√N)⌉) from one bounded count() —
+    the Spark twin of ``_AUTO_CELLS_SQL`` (same integers: both engines
+    run the identical IEEE double chain on the same count)."""
     import math  # noqa: PLC0415
 
-    return max(_CELL_FLOOR, math.ceil(corpus.count() / _CELL_TARGET))
+    n = corpus.count()
+    return max(
+        _CELL_FLOOR,
+        math.ceil(min(n / _CELL_TARGET, _CELL_SQRT_C * math.sqrt(n))),
+    )
 
 
 _TOPK_RELATION_ORACLE = f"""

@@ -554,3 +554,66 @@ def test_forecast_store_degenerate_design_empty(spark, tmp_path):
     store = ForecastGramStore(spark, str(tmp_path / "s"))
     store.ingest_batch(_feat_rows(spark, rows), 0)
     assert store.coefficients().count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Auto-K ladder (VERDICT r12 item 4): linear below the crossover, sqrt above
+# ---------------------------------------------------------------------------
+
+
+def test_auto_cells_ladder_branches(spark):
+    import math
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        _CELL_FLOOR,
+        _CELL_SQRT_C,
+        _CELL_TARGET,
+        auto_cells,
+    )
+
+    def expect(n):
+        return max(
+            _CELL_FLOOR,
+            math.ceil(min(n / _CELL_TARGET, _CELL_SQRT_C * math.sqrt(n))),
+        )
+
+    # the measured anchor points: sf0.01 -> 4, sf0.1 -> 16 (linear branch,
+    # unchanged from r12), sf1x -> 57 (sqrt branch)
+    assert expect(500) == 4
+    assert expect(2000) == 16
+    assert expect(20000) == 57
+    # crossover at N = (target * c)^2 = 2500 — the two rules agree there
+    assert expect(2500) == math.ceil(0.4 * math.sqrt(2500)) == 20
+    # sqrt branch caps the linear blow-up at 100x
+    assert expect(2_000_000) < 2_000_000 // _CELL_TARGET
+    # auto_cells agrees with the closed form on a real DataFrame
+    df = spark.range(2000)
+    assert auto_cells(df) == expect(2000)
+
+
+def test_auto_cells_sql_twin_matches_python(spark):
+    """The DuckDB scalar subquery computes the same K as auto_cells for a
+    grid of corpus sizes — the IEEE double chain must agree exactly."""
+    import math
+
+    import duckdb
+
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        _CELL_FLOOR,
+        _CELL_SQRT_C,
+        _CELL_TARGET,
+    )
+
+    con = duckdb.connect()
+    for n in [1, 50, 499, 500, 501, 1250, 2000, 2499, 2500, 2501,
+              5000, 20000, 31250, 123457, 1000000]:
+        sql = (
+            f"SELECT GREATEST({_CELL_FLOOR}, CAST(ceil(LEAST({n} / "
+            f"{_CELL_TARGET}.0, {_CELL_SQRT_C} * sqrt({n}))) AS INT))"
+        )
+        k_sql = con.execute(sql).fetchone()[0]
+        k_py = max(
+            _CELL_FLOOR,
+            math.ceil(min(n / _CELL_TARGET, _CELL_SQRT_C * math.sqrt(n))),
+        )
+        assert k_sql == k_py, (n, k_sql, k_py)
