@@ -1849,6 +1849,12 @@ def _tail_labels(host, n: int):
     return F.regexp_extract(host, r"((?:[^.]+\.){%d}[^.]+)$" % (n - 1), 1)
 
 
+# Above this size the suffix membership test leaves codegen'd IN-literals
+# for the distinct-host broadcast map (per-row literal compares would cost
+# |PSL| string equals per row on the real ~10k-row list).
+_PSL_LITERAL_MAX = 256
+
+
 def with_registrable_domain(
     df, host_col: str = "host", suffixes: tuple[str, ...] = _PSL_SUFFIXES
 ):
@@ -1863,45 +1869,62 @@ def with_registrable_domain(
     3+-label rules once the real ~10k-row PSL is swapped in) — a list
     containing e.g. ``act.edu.au`` automatically probes 3-label tails.
 
-    Plan shape (VERDICT r12 item 5): the suffix match runs against the
-    DISTINCT hosts only — a host relation orders of magnitude smaller
-    than the fact side — and the resulting (host → reg_domain) map is
-    broadcast back onto the fact rows as ONE join.  The fact side pays
-    one broadcast hash join and zero regexp work; the per-host tail
-    extraction + PSL probe costs are proportional to |hosts|, not |rows|.
-    At 100 TB the distinct-host relation is the crawl's host census
-    (~10⁷ rows), still a cheap aggregate, and the map stays
-    broadcastable; if it ever outgrew the broadcast ceiling the same map
-    joins shuffle-hash on the host key."""
-    spark = df.sparkSession
-    psl = psl_table(spark, suffixes)
+    Two plan shapes by list size (VERDICT r12 item 5 — the r12 version
+    paid two per-row broadcast hash joins, a measured 2× on the URL
+    tier):
+
+    - ``len(suffixes) <= _PSL_LITERAL_MAX``: the membership tests inline
+      as codegen'd IN-literal predicates per tail depth — ZERO joins,
+      zero extra stages, the whole rule rides the scan projection (the
+      registered queries' path: the synthetic excerpt is 14 rows);
+    - larger lists (the real PSL): the suffix probe runs against the
+      DISTINCT hosts only — a relation orders of magnitude smaller than
+      the fact side — and the (host → reg_domain) map broadcasts back
+      onto the fact rows as ONE hash join.  Per-host tail extraction +
+      probe cost is proportional to |hosts| (the crawl's host census,
+      ~10⁷ at 100 TB), not |rows|; past the broadcast ceiling the same
+      map joins shuffle-hash on the host key."""
     max_labels = max(s.count(".") + 1 for s in suffixes)
+
+    def reg_expr(h):
+        """sdepth + reg-domain projection for a host Column — longest
+        matching suffix wins (ascending wrap order puts the DEEPEST probe
+        outermost in the when-chain, so it takes precedence)."""
+        sdepth = F.lit(1)
+        for n in range(2, max_labels + 1):
+            set_n = [s for s in suffixes if s.count(".") + 1 == n]
+            if set_n:
+                sdepth = F.when(_tail_labels(h, n).isin(set_n), n).otherwise(sdepth)
+        # reg domain = suffix depth + 1 trailing labels: index k of this
+        # array is the (k+1)-label tail, so element_at(., sd) = tail(sd+1).
+        tails_plus = F.array(
+            *[_tail_labels(h, n) for n in range(2, max_labels + 2)]
+        )
+        reg = F.element_at(tails_plus, sdepth.cast("int"))
+        return F.when(reg == "", h).otherwise(reg)
+
+    if len(suffixes) <= _PSL_LITERAL_MAX:
+        return df.select(*df.columns, reg_expr(F.col(host_col)).alias("reg_domain"))
+
     h = F.col("_h")
     hosts = df.select(F.col(host_col).alias("_h")).distinct()
-    # Candidate tails at depths 2..max_labels (a depth-1 suffix match
-    # coincides with the last-two-labels default, so it needs no probe).
-    if max_labels >= 2:
-        cands = hosts.select(
-            "_h",
-            F.posexplode(
-                F.array(*[_tail_labels(h, n) for n in range(2, max_labels + 1)])
-            ).alias("_i", "_tail"),
-        )
-        matched = (
-            cands.filter(F.col("_tail") != "")
-            .join(F.broadcast(psl.withColumnRenamed("suffix", "_tail")), "_tail")
-            .groupBy("_h")
-            .agg(F.max(F.col("_i") + 2).alias("_sdepth"))
-        )
-        regmap = hosts.join(matched, "_h", "left")
-    else:
-        regmap = hosts.withColumn("_sdepth", F.lit(None).cast("int"))
+    psl = psl_table(df.sparkSession, suffixes)
+    cands = hosts.select(
+        "_h",
+        F.posexplode(
+            F.array(*[_tail_labels(h, n) for n in range(2, max_labels + 1)])
+        ).alias("_i", "_tail"),
+    )
+    matched = (
+        cands.filter(F.col("_tail") != "")
+        .join(F.broadcast(psl.withColumnRenamed("suffix", "_tail")), "_tail")
+        .groupBy("_h")
+        .agg(F.max(F.col("_i") + 2).alias("_sdepth"))
+    )
     sd = F.coalesce(F.col("_sdepth"), F.lit(1)).cast("int")
-    # reg domain = suffix depth + 1 trailing labels: index k of this array
-    # is the (k+1)-label tail, so element_at(., sd) is tail(sd + 1).
     tails_plus = F.array(*[_tail_labels(h, n) for n in range(2, max_labels + 2)])
     reg = F.element_at(tails_plus, sd)
-    regmap = regmap.select(
+    regmap = hosts.join(matched, "_h", "left").select(
         h.alias(host_col),
         F.when(reg == "", h).otherwise(reg).alias("reg_domain"),
     )
