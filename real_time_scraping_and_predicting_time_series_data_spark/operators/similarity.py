@@ -4187,6 +4187,141 @@ def ivf_assign_gemm(
 
 
 # ---------------------------------------------------------------------------
+# GEMM serving path (r13) — the ladder rung past K ∝ √N: vectorize the
+# probe/assign term so LINEAR K (and therefore linear candidate volume)
+# wins again at extreme N
+# ---------------------------------------------------------------------------
+
+
+def auto_cells_linear(corpus: DataFrame) -> int:
+    """The LINEAR auto-K rule (K = ⌈N/target⌉, no √N cap) — right when the
+    probe/assign term is vectorized (the GEMM path below), wrong for the
+    interpreted-HOF serves (`auto_cells` caps those at 0.4·√N)."""
+    import math  # noqa: PLC0415
+
+    return max(_CELL_FLOOR, math.ceil(corpus.count() / _CELL_TARGET))
+
+
+def _gemm_cell_rows(
+    df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str, nprobe: int
+) -> DataFrame:
+    """Top-``nprobe`` cells per vector via one numpy matmul per Arrow
+    batch, CARRYING the vector through so the downstream cell join can
+    score without re-joining the source relation.  Decision rule matches
+    the fold serves — order by (round(−v·c_nvec, 9), cell) — via a stable
+    argsort over the ascending-cell column order; same bit-safety caveat
+    as :func:`ivf_assign_gemm`.  Returns (id, cell int, rn int, vec)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    model = centroids.select("cell", "c_nvec").collect()
+    cells = np.array([r["cell"] for r in model], dtype=np.int64)
+    cmat = np.array([r["c_nvec"] for r in model], dtype=np.float64)
+    order = np.argsort(cells)
+    cells, cmat = cells[order], cmat[order]
+    np_ = min(nprobe, len(cells))
+
+    def probe(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d9 = np.round(-(v @ cmat.T), 9)  # (n, K)
+            # stable argsort over ascending cells == (d9, cell) lex order
+            idx = np.argsort(d9, axis=1, kind="stable")[:, :np_]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), np_),
+                    "cell": cells[idx].ravel().astype(np.int32),
+                    "rn": np.tile(np.arange(1, np_ + 1), n).astype(np.int32),
+                    vec_col: [
+                        row for row in pdf[vec_col] for _ in range(np_)
+                    ],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        probe, schema=f"{id_col} long, cell int, rn int, {vec_col} array<double>"
+    )
+
+
+def ivf_topk_relation_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    query_id: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """GEMM twin of :func:`ivf_topk_relation` — the ladder rung past the
+    K ∝ √N cap (SCALE.md r13): the fold serves' probe/assign term is
+    interpreted array-HOF work costing ~1.5e-5 s per (vector, cell)
+    locally, which forces `auto_cells` to cap K (and accept N^1.5
+    candidate growth).  Here corpus assignment (rn = 1) and query probing
+    (rn ≤ nprobe) are numpy matmuls inside Arrow ``mapInPandas`` — the
+    per-(vector, cell) constant drops ~100×, so the LINEAR K rule
+    (`auto_cells_linear`: constant cell size, candidate volume linear in
+    N) is affordable again.  Candidate join and exact re-rank are the
+    same Catalyst shuffle-hash-on-cell + window plan as the fold path.
+
+    Bit-safety: numpy reduces dots in a different order than the fold, so
+    a distance within ~1e-15 of a round-9 boundary can flip a cell — this
+    is the PERF serving path; oracle-bearing serves keep the fold.
+    Agreement with `ivf_topk_relation` at test scale is pinned by
+    tests/test_r13_operators.py."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec)).alias("v_c"))
+    c = c.withColumn("_n", norm(F.col("v_c"))).select(
+        "neighbor_id", F.transform("v_c", lambda x: x / F.col("_n")).alias("v_c")
+    )
+    q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("v_q"))
+    q = q.withColumn("_n", norm(F.col("v_q"))).select(
+        query_id, F.transform("v_q", lambda x: x / F.col("_n")).alias("v_q")
+    )
+    cents = c.filter(F.col("neighbor_id") < n_cells).select(
+        F.col("neighbor_id").cast("int").alias("cell"), F.col("v_c").alias("c_nvec")
+    )
+    c_cells = _gemm_cell_rows(c, cents, "v_c", "neighbor_id", 1).drop("rn")
+    q_cells = _gemm_cell_rows(q, cents, "v_q", query_id, nprobe).drop("rn")
+    scored = c_cells.join(q_cells.hint("shuffle_hash"), "cell")
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col(query_id))
+    scored = scored.withColumn("cos", dot(F.col("v_q"), F.col("v_c")))
+    w = Window.partitionBy(query_id).orderBy(F.desc(F.round("cos", 9)), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+@register(
+    "sim_topk_relation_gemm",
+    oracle=None,
+    tags=("similarity", "ivf", "ann", "relation", "gemm", "scale-path"),
+)
+def q_sim_topk_relation_gemm(spark, sf_dir):
+    """Rows-only by design (the documented convention: every rows-only
+    query maps to a hash-green twin — this one's is `sim_topk_relation`,
+    bit-agreement pinned at test scale): the GEMM serving path runs
+    numpy matmuls inside Arrow ``mapInPandas``, whose reduction order is
+    not bit-reproducible against the DuckDB fold arithmetic at round-9
+    boundaries, so it ships as the PERF path rather than an
+    oracle-bearing serve.  Uses the LINEAR auto-K rule — the point of
+    vectorizing the probe term is that constant cell size (linear
+    candidate volume) becomes affordable again past the fold ladder's
+    √N cap; measured at sf1x in SCALE.md r13."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk_relation_gemm(
+        emb, queries, k=3, n_cells=auto_cells_linear(emb), nprobe=2
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-cell near-duplicate audit (r12) — quantifying the SemDeDup blind spot
 # ---------------------------------------------------------------------------
 

@@ -282,6 +282,9 @@ _FRONT_R13 = (
     # r13: incremental AR(2) model store (M2 warm-start twin) under the
     # same oracle as the batch refit
     "ml_forecast_stream_serve",
+    # r13: GEMM serving rung (rows-only by design; hash-green twin =
+    # sim_topk_relation, bit-agreement test-pinned)
+    "sim_topk_relation_gemm",
 )
 
 # r12's 50-query window covered _FRONT_NEVER_SAMPLED + _FRONT_R11_NEW and

@@ -617,3 +617,50 @@ def test_auto_cells_sql_twin_matches_python(spark):
             math.ceil(min(n / _CELL_TARGET, _CELL_SQRT_C * math.sqrt(n))),
         )
         assert k_sql == k_py, (n, k_sql, k_py)
+
+
+# ---------------------------------------------------------------------------
+# GEMM relation serve (r13 ladder rung) — agreement with the fold path
+# ---------------------------------------------------------------------------
+
+
+def test_gemm_relation_serve_matches_fold_path(spark):
+    from real_time_scraping_and_predicting_time_series_data_spark.catalog import (
+        load_table,
+    )
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        ivf_topk_relation,
+        ivf_topk_relation_gemm,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    kw = dict(k=3, n_cells=4, nprobe=2)
+    fold = sorted(map(tuple, ivf_topk_relation(emb, queries, **kw).collect()))
+    gemm = sorted(map(tuple, ivf_topk_relation_gemm(emb, queries, **kw).collect()))
+    assert fold == gemm
+
+
+def test_gemm_probe_rows_shape_and_order(spark):
+    """nprobe rows per vector, rn in probe order, primary == ivf_assign."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators.similarity import (
+        _gemm_cell_rows,
+        ivf_assign,
+    )
+
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("c_nvec")
+    )
+    out = _gemm_cell_rows(df, cents, "v", "vec_id", 2).collect()
+    assert len(out) == 12  # 2 rows per vector
+    primary = {r.vec_id: r.cell for r in out if r.rn == 1}
+    fold_primary = {
+        r.vec_id: r.cell
+        for r in ivf_assign(df, cents, "v", ["vec_id"]).select("vec_id", "cell").collect()
+    }
+    assert primary == fold_primary
+    # vectors carried through intact
+    assert all(len(r.v) == 8 for r in out)
