@@ -3541,7 +3541,7 @@ def _sem_drift_oracle() -> str:
                  {bid} AS bid
           FROM e),
     cents AS (SELECT CAST(vec_id AS INT) AS cell, nv AS c_nvec
-              FROM n WHERE vec_id < 16),
+              FROM n WHERE vec_id < {_AUTO_CELLS_SQL}),
     probes AS (
         SELECT vec_id, nv, bid, cell, a_d, rn FROM (
             SELECT n.vec_id, n.nv, n.bid, c.cell,
@@ -3677,7 +3677,10 @@ def q_dedup_semantic_drift_serve(spark, sf_dir):
     c = c.withColumn("_n", norm(F.col("v"))).select(
         "vec_id", F.transform("v", lambda x: x / F.col("_n")).alias("nv")
     )
-    cents = c.filter(F.col("vec_id") < 16).select(
+    # auto-sized quantizer (r13): the fixed 16-cell seed set froze per-cell
+    # volume at N²/16 — measured 12.7x at 10x data; auto-K restores the
+    # cell-pruned Σ|cell|² bound (4.0x on the multiprobe serve's shape).
+    cents = c.filter(F.col("vec_id") < auto_cells(emb)).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("nv").alias("c_nvec")
     )
     store_dir = tempfile.mkdtemp(prefix="sem_drift_serve_")
