@@ -2375,6 +2375,129 @@ def q_corpus_robots_filter(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# sitemap.xml discovery (r13) — the third leg of the crawl front door:
+# robots says what you MAY fetch, the frontier says WHEN, the sitemap says
+# what the site WANTS you to fetch (including pages the crawl hasn't seen)
+# ---------------------------------------------------------------------------
+
+# Deterministic per-host sitemap synthesis shared by both engines: every
+# crawled host publishes a sitemap listing page keys 0..149 (a subset of
+# the crawl's 0..199 key space) plus 1000..1009 (ten never-crawled pages —
+# the discovery payload).  The <loc> values are emitted already-canonical
+# (lowercase scheme/host, no port/fragment/query); a production pipeline
+# runs extracted locs through `canonical_url` before the diff — the listed
+# composition point, elided here so the value-hash pins the parse+diff.
+_SITEMAP_KNOWN_KEYS = (0, 150)     # half-open
+_SITEMAP_NEW_KEYS = (1000, 1010)   # half-open
+
+_SITEMAP_ORACLE = _URL_CANON_CTES + f"""
+    , known AS (
+        SELECT DISTINCT
+               regexp_extract(canonical_url, '^[^:]+://([^/?#]+)', 1) AS host,
+               canonical_url
+        FROM canon
+    ), hosts AS (SELECT DISTINCT host FROM known
+    ), sm AS (
+        SELECT host,
+               '<?xml version="1.0" encoding="UTF-8"?><urlset>'
+               || array_to_string(list_transform(
+                      list_concat(range({_SITEMAP_KNOWN_KEYS[0]}, {_SITEMAP_KNOWN_KEYS[1]}),
+                                  range({_SITEMAP_NEW_KEYS[0]}, {_SITEMAP_NEW_KEYS[1]})),
+                      k -> '<url><loc>https://' || host || '/articles/item-' || k
+                           || '</loc></url>'), '')
+               || '</urlset>' AS xml
+        FROM hosts
+    ), locs AS (
+        SELECT host,
+               unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS loc
+        FROM sm
+    ), j AS (
+        SELECT l.host, l.loc,
+               CASE WHEN k.canonical_url IS NOT NULL THEN 1 ELSE 0 END AS known
+        FROM locs l LEFT JOIN known k
+          ON k.host = l.host AND k.canonical_url = l.loc
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_listed,
+           CAST(sum(known) AS BIGINT) AS n_known,
+           CAST(count(*) - sum(known) AS BIGINT) AS n_new
+    FROM j GROUP BY host
+    """
+
+
+@register(
+    "corpus_sitemap_discovery",
+    oracle=_SITEMAP_ORACLE,
+    tags=("corpus", "url", "crawl", "sitemap", "discovery"),
+)
+def q_corpus_sitemap_discovery(spark, sf_dir):
+    """sitemap.xml URL discovery — per crawled host, synthesize the host's
+    sitemap (an <urlset> of <url><loc>…</loc></url> entries: 150 pages the
+    crawl's key space covers + 10 never-crawled pages), parse the <loc>
+    values back out with the RE2-safe extraction both engines share, and
+    DIFF against the crawl's canonical-URL set: n_known (listed pages the
+    crawl already holds under their query-less canonical form) vs n_new
+    (the discovery payload a frontier would enqueue).  Completes the
+    crawl front door next to `corpus_robots_filter` (may-fetch) and
+    `corpus_crawl_frontier` (when-to-fetch); the synthesize→parse round
+    trip pins the PARSE side, which is the part a real pipeline runs.
+
+    Scale: sitemaps are per-host documents — the whole tier is one row
+    per host (the host census, tiny next to the corpus), one regex
+    extraction per sitemap, and a host-keyed left join against the
+    canonical set projecting only (host, canonical_url); nothing touches
+    document payloads."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", _synth_url_spark().alias("url"))
+    canon, host = canonical_url(F.col("url"))
+    known = (
+        raw.select(canon.alias("canonical_url"), host.alias("host"))
+        .distinct()
+    )
+    hosts = known.select("host").distinct()
+    keys = F.concat(
+        F.sequence(F.lit(_SITEMAP_KNOWN_KEYS[0]), F.lit(_SITEMAP_KNOWN_KEYS[1] - 1)),
+        F.sequence(F.lit(_SITEMAP_NEW_KEYS[0]), F.lit(_SITEMAP_NEW_KEYS[1] - 1)),
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset>'),
+        F.array_join(
+            F.transform(
+                keys,
+                lambda k: F.concat(
+                    F.lit("<url><loc>https://"),
+                    F.col("host"),
+                    F.lit("/articles/item-"),
+                    k.cast("string"),
+                    F.lit("</loc></url>"),
+                ),
+            ),
+            "",
+        ),
+        F.lit("</urlset>"),
+    )
+    sm = hosts.select("host", xml.alias("xml"))
+    locs = sm.select(
+        "host",
+        F.explode(
+            F.regexp_extract_all(F.col("xml"), F.lit("<loc>([^<]*)</loc>"), 1)
+        ).alias("loc"),
+    )
+    j = locs.join(
+        known.select("host", F.col("canonical_url").alias("loc"), F.lit(1).alias("_k")),
+        ["host", "loc"],
+        "left",
+    )
+    return j.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_listed"),
+        F.coalesce(F.sum("_k"), F.lit(0)).cast("long").alias("n_known"),
+        (F.count("*") - F.coalesce(F.sum("_k"), F.lit(0)))
+        .cast("long")
+        .alias("n_new"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # HTML main-content extraction (r12) — markup → clean text, the step between
 # the crawl frontier and the Gopher/quality gates
 # ---------------------------------------------------------------------------

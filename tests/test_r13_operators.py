@@ -664,3 +664,24 @@ def test_gemm_probe_rows_shape_and_order(spark):
     assert primary == fold_primary
     # vectors carried through intact
     assert all(len(r.v) == 8 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# sitemap discovery (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_sitemap_discovery_counts(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["corpus_sitemap_discovery"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_listed == 160            # 150 candidate-known + 10 new keys
+        assert r.n_known + r.n_new == r.n_listed
+        assert r.n_new >= 10                # the never-crawled keys are always new
+        assert r.n_known >= 0
+    # at least one host must recognize some listed page from the crawl
+    assert any(r.n_known > 0 for r in rows)
