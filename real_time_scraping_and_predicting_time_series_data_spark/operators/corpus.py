@@ -2447,6 +2447,25 @@ def q_corpus_sitemap_discovery(spark, sf_dir):
     extraction per sitemap, and a host-keyed left join against the
     canonical set projecting only (host, canonical_url); nothing touches
     document payloads."""
+    locs, known = _sitemap_locs_and_known(spark, sf_dir)
+    j = locs.join(
+        known.select("host", F.col("canonical_url").alias("loc"), F.lit(1).alias("_k")),
+        ["host", "loc"],
+        "left",
+    )
+    return j.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_listed"),
+        F.coalesce(F.sum("_k"), F.lit(0)).cast("long").alias("n_known"),
+        (F.count("*") - F.coalesce(F.sum("_k"), F.lit(0)))
+        .cast("long")
+        .alias("n_new"),
+    )
+
+
+def _sitemap_locs_and_known(spark, sf_dir):
+    """Shared by the sitemap queries: (locs, known) — every parsed
+    (host, loc) sitemap entry, and the crawl's distinct
+    (host, canonical_url) set."""
     docs = load_table(spark, sf_dir, "documents")
     raw = docs.select("doc_id", _synth_url_spark().alias("url"))
     canon, host = canonical_url(F.col("url"))
@@ -2483,17 +2502,118 @@ def q_corpus_sitemap_discovery(spark, sf_dir):
             F.regexp_extract_all(F.col("xml"), F.lit("<loc>([^<]*)</loc>"), 1)
         ).alias("loc"),
     )
-    j = locs.join(
-        known.select("host", F.col("canonical_url").alias("loc"), F.lit(1).alias("_k")),
-        ["host", "loc"],
-        "left",
+    return locs, known
+
+
+_DISCOVERY_FRONTIER_ORACLE = _URL_CANON_CTES + f"""
+    , known AS (
+        SELECT DISTINCT
+               regexp_extract(canonical_url, '^[^:]+://([^/?#]+)', 1) AS host,
+               canonical_url, reg_domain
+        FROM canon
+    ), hosts AS (SELECT DISTINCT host FROM known
+    ), hostdom AS (SELECT DISTINCT host, reg_domain FROM known
+    ), sm AS (
+        SELECT host,
+               '<?xml version="1.0" encoding="UTF-8"?><urlset>'
+               || array_to_string(list_transform(
+                      list_concat(range({_SITEMAP_KNOWN_KEYS[0]}, {_SITEMAP_KNOWN_KEYS[1]}),
+                                  range({_SITEMAP_NEW_KEYS[0]}, {_SITEMAP_NEW_KEYS[1]})),
+                      k -> '<url><loc>https://' || host || '/articles/item-' || k
+                           || '</loc></url>'), '')
+               || '</urlset>' AS xml
+        FROM hosts
+    ), locs AS (
+        SELECT host,
+               unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS loc
+        FROM sm
+    ), newu AS (
+        SELECT l.host, l.loc FROM locs l LEFT JOIN known k
+          ON k.host = l.host AND k.canonical_url = l.loc
+        WHERE k.canonical_url IS NULL
+    ), rules(reg_domain, prefix, allow) AS (
+        VALUES {_ROBOTS_SQL_VALUES}
+    ), nd AS (
+        SELECT n.host, n.loc, hd.reg_domain,
+               regexp_extract(n.loc, '^[^:]+://[^/?#]+([^?#]*)', 1) AS path
+        FROM newu n JOIN hostdom hd ON hd.host = n.host
+    ), verd AS (
+        SELECT host, loc, reg_domain, (allow IS NULL OR allow = 1) AS allowed
+        FROM (
+            SELECT nd.*, r.allow,
+                   row_number() OVER (
+                       PARTITION BY nd.loc
+                       ORDER BY (r.prefix IS NOT NULL) DESC,
+                                length(r.prefix) DESC, r.allow DESC, r.prefix
+                   ) AS rn
+            FROM nd LEFT JOIN rules r
+              ON r.reg_domain = nd.reg_domain AND starts_with(nd.path, r.prefix))
+        WHERE rn = 1
+    ), sched AS (
+        SELECT host, reg_domain, loc AS canonical_url,
+               CAST(regexp_extract(loc, 'item-(\\d+)$', 1) AS BIGINT) AS page_key,
+               CAST(row_number() OVER (
+                   PARTITION BY host
+                   ORDER BY CAST(regexp_extract(loc, 'item-(\\d+)$', 1) AS BIGINT)
+               ) - 1 AS BIGINT) AS slot,
+               CASE WHEN reg_domain = 'sample.org' THEN 10 ELSE 5 END AS delay_s
+        FROM verd WHERE allowed
     )
-    return j.groupBy("host").agg(
-        F.count("*").cast("long").alias("n_listed"),
-        F.coalesce(F.sum("_k"), F.lit(0)).cast("long").alias("n_known"),
-        (F.count("*") - F.coalesce(F.sum("_k"), F.lit(0)))
+    SELECT host, reg_domain, canonical_url, page_key, slot,
+           CAST(slot * delay_s AS BIGINT) AS fetch_offset_s
+    FROM sched
+    """
+
+
+@register(
+    "pipeline_discovery_frontier",
+    oracle=_DISCOVERY_FRONTIER_ORACLE,
+    tags=("corpus", "pipeline", "crawl", "sitemap", "robots", "scheduling"),
+)
+def q_pipeline_discovery_frontier(spark, sf_dir):
+    """The crawl DISCOVERY loop composed end-to-end: sitemap parse →
+    never-crawled URLs (anti-join vs the canonical set) → robots.txt
+    allow/deny (longest-prefix; example.com's deny on the item-1 prefix
+    blocks its entire item-1000.. discovery payload — the rule
+    composition the funnel must respect) → politeness schedule over the
+    SURVIVING new URLs (per-host slots ordered by page key, per-domain
+    crawl delay — the `frontier_schedule` discipline applied to pages
+    that have no document yet, so priority is the deterministic page
+    key rather than content length).  This pins the COMPOSITION of the
+    three r13 front-door tiers the way `pipeline_crawl_corpus` pins the
+    content tiers.
+
+    Scale: every relation in the chain is host-keyed and tiny relative
+    to the corpus (sitemaps are one row per host, discovery is ≤ the
+    listed-URL count); the only corpus-wide work is the canonical-set
+    projection the URL tier already pays."""
+    spark_locs, known = _sitemap_locs_and_known(spark, sf_dir)
+    new = spark_locs.join(
+        known.select("host", F.col("canonical_url").alias("loc")),
+        ["host", "loc"],
+        "left_anti",
+    )
+    hostdom = (
+        with_registrable_domain(known.select("host").distinct(), "host")
+    )
+    new = new.join(F.broadcast(hostdom), "host")
+    rb = apply_robots_rules(new, robots_rules_table(spark), url_col="loc")
+    allowed = rb.filter(F.col("allowed"))
+    key = F.regexp_extract(F.col("loc"), r"item-(\d+)$", 1).cast("long")
+    allowed = allowed.withColumn("page_key", key)
+    w = Window.partitionBy("host").orderBy(F.asc("page_key"))
+    return allowed.select(
+        "host",
+        "reg_domain",
+        F.col("loc").alias("canonical_url"),
+        "page_key",
+        (F.row_number().over(w) - 1).cast("long").alias("slot"),
+        (
+            (F.row_number().over(w) - 1)
+            * F.when(F.col("reg_domain") == "sample.org", 10).otherwise(5)
+        )
         .cast("long")
-        .alias("n_new"),
+        .alias("fetch_offset_s"),
     )
 
 

@@ -285,8 +285,10 @@ _FRONT_R13 = (
     # r13: GEMM serving rung (rows-only by design; hash-green twin =
     # sim_topk_relation, bit-agreement test-pinned)
     "sim_topk_relation_gemm",
-    # r13: sitemap discovery tier (crawl front door leg 3)
+    # r13: sitemap discovery tier (crawl front door leg 3) + the composed
+    # discovery loop (sitemap -> robots -> schedule)
     "corpus_sitemap_discovery",
+    "pipeline_discovery_frontier",
 )
 
 # r12's 50-query window covered _FRONT_NEVER_SAMPLED + _FRONT_R11_NEW and

@@ -685,3 +685,27 @@ def test_sitemap_discovery_counts(spark):
         assert r.n_known >= 0
     # at least one host must recognize some listed page from the crawl
     assert any(r.n_known > 0 for r in rows)
+
+
+def test_discovery_frontier_composition(spark):
+    """Robots composition: example.com's item-1 deny blocks its whole
+    item-1000.. discovery payload; slots are dense per host starting at
+    0; fetch offsets follow the per-domain delay."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["pipeline_discovery_frontier"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+        # example.com discovery keys all start with item-1 -> robots-denied
+        assert not (r.reg_domain == "example.com" and r.page_key >= 1000)
+        delay = 10 if r.reg_domain == "sample.org" else 5
+        assert r.fetch_offset_s == r.slot * delay
+    for host, hr in by_host.items():
+        slots = sorted(x.slot for x in hr)
+        assert slots == list(range(len(hr)))
+    # sample.org / metro hosts DO receive discovery keys
+    assert any(r.page_key >= 1000 for r in rows)

@@ -8,8 +8,8 @@ constants (and COVERAGE.md) in the same commit that registers a query.
 from __future__ import annotations
 
 # Update alongside COVERAGE.md's round-delta line.
-EXPECTED_QUERIES = 427
-EXPECTED_ORACLES = 421  # 6 rows-only by design (incl. sim_topk_relation_gemm)
+EXPECTED_QUERIES = 428
+EXPECTED_ORACLES = 422  # 6 rows-only by design (incl. sim_topk_relation_gemm)
 
 
 def test_registry_counts_match_ledger():
