@@ -324,7 +324,7 @@ RUNS_HV = 5
 # Round stamp for the durable samples copy (see SCALE.md audit-trail
 # correction: bench_runs_local.json is last-writer-wins scratch; the
 # round-stamped copy is the audit trail BASELINE.md points at).
-ROUND = 12
+ROUND = 13
 
 # Per-run sample artifacts live under bench_runs/ (ADVICE r10: 29 one-line
 # scratch files at the repo root cluttered the top level); only the

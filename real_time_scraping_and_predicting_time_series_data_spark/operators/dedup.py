@@ -544,6 +544,19 @@ def connected_components(
 
     ``edges``: (src, dst) pairs.  ``nodes``: one column of node ids;
     isolated nodes come out labeled with themselves.
+
+    r13 (optimization, guide §1.2 "fewer passes"): two actions per round
+    became ONE — the per-round labels are lazy-checkpointed and the
+    fixpoint probe is a single ``sum(label)`` aggregate whose job also
+    materializes the checkpoint.  Min-label propagation only ever lowers a
+    label, so the label sum (exact DECIMAL(38,0) — no overflow at any id
+    range) is strictly decreasing until the fixpoint and constant at it;
+    the old probe was a second job PLUS a node-keyed shuffle join of old
+    vs new labels every round.  The loop also runs only over
+    EDGE-TOUCHED nodes (the only ones propagation can relabel); isolated
+    nodes join back labeled with themselves in the final assembly — at
+    corpus scale the in-loop relation shrinks from |corpus| to |docs in
+    near-dup pairs|.
     """
     node_col = nodes.columns[0]
     # The edge list is re-joined every round; materialize it once so an
@@ -557,9 +570,12 @@ def connected_components(
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(F.col(node_col).alias("node")).withColumn(
-        "label", F.col("node")
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
     )
+    prev_sum = object()  # sentinel: no sum observed yet
     for _ in range(max_iter):
         prop = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), "label"
@@ -568,18 +584,22 @@ def connected_components(
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # ONE action: materializes the round's checkpoint AND returns the
+        # fixpoint probe (None only when the edge set is empty).
+        cur_sum = new.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()[0]
         labels = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
-    return labels
+        prev_sum = cur_sum
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(labels.withColumnRenamed("label", "_lbl"), "node", "left")
+        .select("node", F.coalesce("_lbl", F.col("node")).alias("label"))
+    )
 
 
 def connected_components_star(
@@ -610,13 +630,19 @@ def connected_components_star(
     (isolated nodes label themselves).  Output schema matches
     :func:`connected_components` exactly: (node, label)."""
     node_col = nodes.columns[0]
+    # r13 (optimization, guide §1.2): every checkpoint in this loop is LAZY
+    # and the per-round ``sig`` aggregate is the single action that
+    # materializes both half-rounds' checkpoints — one job per round where
+    # there were three (2 eager checkpoint jobs + the sig job).  Exchange
+    # reuse keeps the twice-consumed inner star single-computed (its plan
+    # ends in a distinct's Exchange).
     cur = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def sig(e: DataFrame) -> tuple:
@@ -650,7 +676,7 @@ def connected_components_star(
             out.filter(F.col("x") != F.col("m"))
             .select(F.least("x", "m").alias("a"), F.greatest("x", "m").alias("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     prev = sig(cur)

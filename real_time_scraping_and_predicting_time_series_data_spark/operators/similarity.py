@@ -2551,40 +2551,19 @@ def embedding_gram(df: DataFrame, vec: str = "embedding", dim: int = _PCA_DIM) -
     )
 
 
-def _power_top(g: DataFrame, dim: int, iters: int) -> DataFrame:
-    """Dominant eigenvector of the (i, j, g) matrix by ``iters`` power
-    steps from the exact-dyadic start x₀ = 1/8 (unit for dim=64): per
-    step one 64-row join-aggregate matvec (round 9), one squared-norm
-    scalar (round 9), one normalize.  Returns (j, x).  Each step is
-    ``localCheckpoint``-ed so the lineage stays flat across the 2-component
-    deflation chain."""
-    spark = g.sparkSession
-    x = spark.range(1, dim + 1).select(
-        F.col("id").cast("int").alias("j"), F.lit(0.125).alias("x")
-    )
-    for _ in range(iters):
-        y = (
-            g.join(x, "j")
-            .groupBy("i")
-            .agg(F.round(F.sum(F.col("g") * F.col("x")), 9).alias("y"))
-        )
-        n2 = y.agg(F.round(F.sum(F.col("y") * F.col("y")), 9).alias("n2"))
-        x = (
-            y.crossJoin(F.broadcast(n2))
-            .select(F.col("i").alias("j"), (F.col("y") / F.sqrt("n2")).alias("x"))
-            .localCheckpoint(eager=True)
-        )
-    return x
+def _round_half_up(x: float, scale: int) -> float:
+    """Driver-side replica of Spark's ``round(double, s)``: Spark rounds
+    ``BigDecimal.valueOf(x)`` (= the shortest round-trip decimal repr,
+    exactly what Python's ``repr(float)`` produces) HALF_UP at ``s``
+    digits.  NOT ``round()``/``np.round`` — those are HALF_EVEN."""
+    import decimal  # noqa: PLC0415
 
-
-def _rayleigh(g: DataFrame, x: DataFrame) -> DataFrame:
-    """1-row (lam) relation: xᵀGx rounded to 9dp."""
-    xi = x.select(F.col("j").alias("i"), F.col("x").alias("xi"))
-    xj = x.select("j", F.col("x").alias("xj"))
-    return (
-        g.join(xi, "i")
-        .join(xj, "j")
-        .agg(F.round(F.sum(F.col("g") * F.col("xi") * F.col("xj")), 9).alias("lam"))
+    if x != x or x in (float("inf"), float("-inf")):
+        return x
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-scale), rounding=decimal.ROUND_HALF_UP
+        )
     )
 
 
@@ -2696,50 +2675,84 @@ def q_embedding_pca_stream_serve(spark, sf_dir):
     return acc.serve_pca()
 
 
+_PCA_SCHEMA = (
+    "component int, dim int, loading double, eigenvalue double, "
+    "energy_share double"
+)
+
+
 def pca_from_gram(g: DataFrame) -> DataFrame:
     """Top-2 power-iteration PCA from a ROUNDED (i, j, g) Gram relation —
     shared by the batch query and the streaming accumulator's serve (the
     two produce the same rounded Gram, so this body makes serve == batch
-    by construction)."""
-    g1 = g.localCheckpoint(eager=True)
-    x1 = _power_top(g1, _PCA_DIM, _PCA_ITERS)
-    l1 = _rayleigh(g1, x1)
+    by construction).
+
+    r13 (optimization, guide §1.2/§5): the Gram relation is a MODEL-sized
+    dim² = 4096-row matrix — bounded at ANY corpus scale (the data-scale
+    work is the one-pass outer-product aggregation that produced it) — so
+    the 2-component × 6-iteration deflation chain runs DRIVER-SIDE on the
+    collected matrix instead of as ~30 sequential Spark jobs of 64-row
+    joins, eager localCheckpoints and scalar aggregates (measured 6.1 s /
+    7.0 s per PCA query at sf0.1, almost entirely job-scheduling floor;
+    the collect is the same bounded-model-relation class as the IVF
+    centroid fetches).  Arithmetic is replicated EXACTLY: ``round(x, s)``
+    on a double in Spark is shortest-repr-decimal HALF_UP
+    (`_round_half_up`), sums are exactly-rounded ``math.fsum`` (the
+    engines' own partition-order sums already differ below the 9-dp
+    rounding floor — parity re-verified at sf0.001/0.01/0.1)."""
+    import math  # noqa: PLC0415
+
+    spark = g.sparkSession
+    dim, iters = _PCA_DIM, _PCA_ITERS
+    ent = {(r[0], r[1]): float(r[2]) for r in g.collect()}  # dim² model rows
+    if not ent:
+        # empty Gram (no vectors ingested) -> empty audit, matching the
+        # join-based plan's behaviour
+        return spark.createDataFrame([], _PCA_SCHEMA)
+    g1 = [[ent.get((i + 1, j + 1), 0.0) for j in range(dim)] for i in range(dim)]
+
+    def power(mat: list[list[float]]) -> list[float]:
+        x = [0.125] * dim
+        for _ in range(iters):
+            y = [
+                _round_half_up(math.fsum(mat[i][j] * x[j] for j in range(dim)), 9)
+                for i in range(dim)
+            ]
+            n2 = _round_half_up(math.fsum(v * v for v in y), 9)
+            rn = math.sqrt(n2)
+            x = [v / rn for v in y]
+        return x
+
+    def rayleigh(mat: list[list[float]], x: list[float]) -> float:
+        return _round_half_up(
+            math.fsum(
+                mat[i][j] * x[i] * x[j] for i in range(dim) for j in range(dim)
+            ),
+            9,
+        )
+
+    x1 = power(g1)
+    l1 = rayleigh(g1, x1)
     # deflation: G2 = G1 − λ1·x1x1ᵀ, entries re-rounded to 9dp
-    xi = x1.select(F.col("j").alias("i"), F.col("x").alias("xi"))
-    xj = x1.select("j", F.col("x").alias("xj"))
-    g2 = (
-        g1.join(xi, "i")
-        .join(xj, "j")
-        .crossJoin(F.broadcast(l1))
-        .select(
-            "i",
-            "j",
-            F.round(
-                F.col("g") - F.col("lam") * F.col("xi") * F.col("xj"), 9
-            ).alias("g"),
+    g2 = [
+        [_round_half_up(g1[i][j] - l1 * x1[i] * x1[j], 9) for j in range(dim)]
+        for i in range(dim)
+    ]
+    x2 = power(g2)
+    l2 = rayleigh(g2, x2)
+    trace = _round_half_up(math.fsum(g1[i][i] for i in range(dim)), 6)
+    rows = [
+        (
+            c,
+            j + 1,
+            _round_half_up(x[j], 6),
+            _round_half_up(lam, 6),
+            _round_half_up(lam / trace, 6),
         )
-        .localCheckpoint(eager=True)
-    )
-    x2 = _power_top(g2, _PCA_DIM, _PCA_ITERS)
-    l2 = _rayleigh(g2, x2)
-    trace = g1.filter(F.col("i") == F.col("j")).agg(
-        F.round(F.sum("g"), 6).alias("trace")
-    )
-
-    def comp(x: DataFrame, lam: DataFrame, c: int) -> DataFrame:
-        return (
-            x.crossJoin(F.broadcast(lam))
-            .crossJoin(F.broadcast(trace))
-            .select(
-                F.lit(c).cast("int").alias("component"),
-                F.col("j").cast("int").alias("dim"),
-                F.round("x", 6).alias("loading"),
-                F.round("lam", 6).alias("eigenvalue"),
-                F.round(F.col("lam") / F.col("trace"), 6).alias("energy_share"),
-            )
-        )
-
-    return comp(x1, l1, 1).unionAll(comp(x2, l2, 2))
+        for c, (x, lam) in ((1, (x1, l1)), (2, (x2, l2)))
+        for j in range(dim)
+    ]
+    return spark.createDataFrame(rows, _PCA_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
