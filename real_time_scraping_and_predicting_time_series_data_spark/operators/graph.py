@@ -13,6 +13,8 @@ anything, no driver-side graph.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -23,6 +25,43 @@ __all__ = ["copurchase_edges", "pagerank"]
 
 _DAMP = 0.85
 _ITERS = 3
+
+# r13 optimization (guide §2.4, §3.1): the iterative graph queries spend
+# their time re-exchanging the EDGE relation — every per-round groupBy
+# re-shuffled ~|E| rows even though the score/survivor side is a small
+# per-NODE relation AQE was already broadcasting (as a runtime SMJ→BHJ
+# conversion, which still pays the edge side's shuffle WRITE before the
+# local read).  Two complementary moves, both result-preserving:
+#
+# - pin the edge relation ONCE per query with ``repartition(<groupBy key>)
+#   .localCheckpoint(eager=False)`` — LogicalRDD preserves the partitioning,
+#   so every round's grouped aggregation is exchange-free, and broadcast
+#   semi/equi joins preserve the streamed side's partitioning across rounds;
+# - make the node-side broadcast STATIC (an explicit hint) instead of an
+#   AQE runtime conversion, so the edge side never plans a shuffle at all.
+#
+# Score/survivor vectors are node-bounded (≤ |parts| + |customers| rows —
+# dimension-keyed, not fact-scale), so the broadcast is safe far past this
+# harness; at billion-node scale set SPARK_GRAFT_GRAPH_BROADCAST_NODES=0:
+# node-side joins fall back to AQE-selected shuffle joins and the pin key
+# switches to the JOIN key so each round's equi-join (rather than its
+# groupBy) rides the pinned partitioning — the pre-r13 plan shape.
+_BROADCAST_NODES = os.environ.get("SPARK_GRAFT_GRAPH_BROADCAST_NODES", "1") == "1"
+
+
+def _nodes(df: DataFrame) -> DataFrame:
+    """Node-bounded join side: broadcast-hinted unless the deployment opts
+    out for billion-node graphs (see module note above)."""
+    return F.broadcast(df) if _BROADCAST_NODES else df
+
+
+def _pin(edges: DataFrame, group_key: str, join_key: str) -> DataFrame:
+    """Pin an edge relation for an iterative loop: hash-partition by the
+    per-round groupBy key (broadcast-nodes regime) or the per-round join
+    key (shuffle regime), then lazy-checkpoint — LogicalRDD keeps the
+    partitioning, so downstream rounds skip their exchanges."""
+    key = group_key if _BROADCAST_NODES else join_key
+    return edges.repartition(F.col(key)).localCheckpoint(eager=False)
 
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
@@ -55,11 +94,14 @@ def pagerank(edges: DataFrame, damp: float = _DAMP, iters: int = _ITERS) -> Data
 
     Scale note (VERDICT r4 item 4): ``deg`` and ``ranks`` are per-NODE
     relations, so a forced ``F.broadcast`` OOMs on billion-node graphs.
-    No hint is applied here — AQE broadcasts them when they fit under
-    ``spark.sql.autoBroadcastJoinThreshold`` and otherwise falls back to a
-    shuffle join on ``src``, which reuses the edge relation's partitioning
-    across iterations. The 1-row count ``n`` stays explicitly broadcast."""
-    edges = edges.localCheckpoint(eager=False)
+    r13: the hint moved into the parameterised ``_nodes`` wrapper (on by
+    default — per-node relations broadcast; flip
+    SPARK_GRAFT_GRAPH_BROADCAST_NODES=0 on billion-node graphs to recover
+    the AQE shuffle-join plan). The 1-row count ``n`` stays explicitly
+    broadcast. The edge relation is pinned partitioned by the per-round
+    groupBy key (``dst``; join key ``src`` in the shuffle regime) so each
+    iteration's grouped sum skips its exchange — see the module note."""
+    edges = _pin(edges, group_key="dst", join_key="src")
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("degree"))
     n = deg.agg(F.count("*").cast("double").alias("nn"))
     ranks = deg.crossJoin(F.broadcast(n)).select(
@@ -67,8 +109,8 @@ def pagerank(edges: DataFrame, damp: float = _DAMP, iters: int = _ITERS) -> Data
     )
     for _ in range(iters):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            edges.join(_nodes(deg), "src")
+            .join(_nodes(ranks.withColumnRenamed("node", "src")), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("degree")).alias("mass"))
         )
@@ -362,7 +404,9 @@ def q_graph_kcore_peel(spark, sf_dir):
     value-hash oracle (the true fixpoint is the same loop with a
     convergence check, SURVEY §2.8's CC pattern)."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li).localCheckpoint(eager=False)
+    # r13 (module note): src-pinned edges — d0 and every round's re-count
+    # group on src exchange-free; the alive semi-joins broadcast.
+    edges = _pin(copurchase_edges(li), group_key="src", join_key="src")
     d0 = edges.groupBy("src").agg(F.count("*").cast("long").alias("n"))
     g = d0.groupBy(F.col("n").alias("v")).agg(F.count("*").cast("long").alias("c"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -384,8 +428,8 @@ def q_graph_kcore_peel(spark, sf_dir):
             d.crossJoin(F.broadcast(kv)).filter(F.col("n") >= F.col("k")).select("src")
         ).localCheckpoint(eager=False)
         e = (
-            e.join(alive, "src", "left_semi")
-            .join(alive.select(F.col("src").alias("dst")), "dst", "left_semi")
+            e.join(_nodes(alive), "src", "left_semi")
+            .join(_nodes(alive.select(F.col("src").alias("dst"))), "dst", "left_semi")
             .select("src", "dst")
             .localCheckpoint(eager=False)
         )
@@ -1095,27 +1139,46 @@ def q_graph_hits(spark, sf_dir):
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
-        # One pinned copy of the edge relation reused by all 2·ITERS
-        # mat-vec joins and both degree aggs; the per-node score vectors
-        # are the small sides (AQE broadcasts them), so edges never
-        # reshuffle between iterations.
         .localCheckpoint(eager=False)
     )
-    a = e.select("p").distinct().withColumn("s", F.lit(1000000).cast("long"))
+    # r13 (module note): TWO pinned copies of the distinct edge set — one
+    # per mat-vec direction, each hash-partitioned by that direction's
+    # groupBy key — so all 2·ITERS grouped sums AND both degree aggs are
+    # exchange-free behind the statically-broadcast score vectors; the
+    # distinct itself is computed once (shared checkpoint) and each copy
+    # pays one partitioning pass.  Before: every half-step re-exchanged
+    # the ~|E| join output (AQE broadcast the scores only as a runtime
+    # conversion, after the edge side's shuffle write).
+    e_c = _pin(e, group_key="c", join_key="p")
+    e_p = _pin(e, group_key="p", join_key="c")
+    # seed scores off the p-pinned copy: its distinct is exchange-free too
+    a = e_p.select("p").distinct().withColumn("s", F.lit(1000000).cast("long"))
     h = None
+    # Each half-step's score relation is lazily checkpointed: ``hr``/``ar``
+    # feed BOTH their max-aggregate and the normalization, so without the
+    # cut the logical tree doubles per half-step (2^6 ≈ 64× duplicated
+    # subtrees by iteration 3 — a ~1 MB physical plan whose driver-side
+    # compile dominated; guide §7.3 "planning time"). The checkpoint is
+    # lazy (no extra job) and the relations are node-bounded.
     for _ in range(_HITS_ITERS):
-        hr = e.join(a, "p").groupBy("c").agg(F.sum("s").cast("long").alias("s"))
+        hr = (
+            e_c.join(_nodes(a), "p").groupBy("c").agg(F.sum("s").cast("long").alias("s"))
+            .localCheckpoint(eager=False)
+        )
         mx = hr.agg(F.max("s").alias("mx"))
         h = hr.crossJoin(F.broadcast(mx)).select(
             "c", F.expr("CAST(s * 1000000 DIV mx AS BIGINT)").alias("s")
         )
-        ar = e.join(h, "c").groupBy("p").agg(F.sum("s").cast("long").alias("s"))
+        ar = (
+            e_p.join(_nodes(h), "c").groupBy("p").agg(F.sum("s").cast("long").alias("s"))
+            .localCheckpoint(eager=False)
+        )
         mxa = ar.agg(F.max("s").alias("mx"))
         a = ar.crossJoin(F.broadcast(mxa)).select(
             "p", F.expr("CAST(s * 1000000 DIV mx AS BIGINT)").alias("s")
         )
-    dc = e.groupBy("c").agg(F.count("*").cast("long").alias("degree"))
-    dp = e.groupBy("p").agg(F.count("*").cast("long").alias("degree"))
+    dc = e_c.groupBy("c").agg(F.count("*").cast("long").alias("degree"))
+    dp = e_p.groupBy("p").agg(F.count("*").cast("long").alias("degree"))
     hubs = (
         h.join(dc, "c")
         .select(
@@ -1218,9 +1281,14 @@ def q_graph_personalized_pagerank(spark, sf_dir):
     mass; the seed relation is 5 rows, always broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
     half = strong_copurchase_half(li).localCheckpoint(eager=False)
-    sym = half.union(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    # r13 (module note): dst-pinned symmetric edges — each iteration's
+    # grouped mass sum is exchange-free behind the broadcast-hinted
+    # deg/ranks sides (join key src in the opt-out shuffle regime).
+    sym = _pin(
+        half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        group_key="dst",
+        join_key="src",
+    )
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("degree")
     )
@@ -1240,8 +1308,8 @@ def q_graph_personalized_pagerank(spark, sf_dir):
     damp = 0.85
     for _ in range(3):
         mass = (
-            sym.join(deg.withColumnRenamed("node", "src"), "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            sym.join(_nodes(deg.withColumnRenamed("node", "src")), "src")
+            .join(_nodes(ranks.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("degree")).alias("mass"))
         )
@@ -1432,7 +1500,11 @@ def k_core_peel(
     measured by the r12 scoped anchor).  ADVICE r12: an API returning a
     lazy DataFrame must not act eagerly by default — the warning is
     opt-IN; the ``stable`` flag carries the contract either way."""
-    cur = edges
+    # r13 (module note): pin by the degree-count key — every round's
+    # groupBy("src") and the final aggregation run exchange-free, and the
+    # broadcast-hinted survivor semi-joins preserve the pinned partitioning
+    # through each round's checkpoint.
+    cur = _pin(edges, group_key="src", join_key="src")
     for _ in range(rounds):
         surv = (
             cur.groupBy("src")
@@ -1441,8 +1513,8 @@ def k_core_peel(
             .select("src")
         )
         cur = (
-            cur.join(surv, "src", "left_semi")
-            .join(surv.select(F.col("src").alias("dst")), "dst", "left_semi")
+            cur.join(_nodes(surv), "src", "left_semi")
+            .join(_nodes(surv.select(F.col("src").alias("dst"))), "dst", "left_semi")
             .localCheckpoint(eager=False)
         )
     if check_convergence:

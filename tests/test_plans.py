@@ -370,12 +370,25 @@ def test_grid_cumsum_value_window_is_bucket_partitioned(spark):
             assert ", [_blk#" in l or "_t_" in l, (name, l)
 
 
-def test_pagerank_no_forced_pernode_broadcast(spark):
-    """VERDICT r4 item 4: `deg` and `ranks` are per-NODE relations — a
-    forced broadcast OOMs on billion-node graphs, so the plan must not
-    hint them (AQE may still broadcast at runtime from measured sizes).
-    The only explicit hints are the 1-row count `n`: init + 3
-    iterations = 4 cross-join broadcasts."""
+def test_pagerank_pernode_broadcast_parameterised(spark, monkeypatch):
+    """VERDICT r4 item 4, revised by the r13 optimization round: the
+    node-side (`deg`/`ranks`) joins are broadcast-HINTED by default —
+    score vectors are node-bounded, and the static hint is what keeps the
+    pinned edge partitioning exchange-free across iterations (AQE's
+    runtime SMJ→BHJ conversion still pays the edge side's shuffle write).
+    The r4 concern (forced per-node broadcasts OOM on billion-node
+    graphs) is now the parameterised opt-out: with
+    SPARK_GRAFT_GRAPH_BROADCAST_NODES=0 the hints must disappear, leaving
+    only the 4 one-row count broadcasts (init + 3 iterations)."""
+    from real_time_scraping_and_predicting_time_series_data_spark.operators import (
+        graph,
+    )
+
+    df = QUERIES["graph_copurchase_pagerank"].fn(spark, SF_SMOKE)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("strategy=broadcast") > 4, optimized
+
+    monkeypatch.setattr(graph, "_BROADCAST_NODES", False)
     df = QUERIES["graph_copurchase_pagerank"].fn(spark, SF_SMOKE)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("strategy=broadcast") <= 4, optimized
