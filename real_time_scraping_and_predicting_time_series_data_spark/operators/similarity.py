@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.vector import as_double, cosine, dot, norm
 from ..plans.registry import register
+from ..session import SHUFFLE_PARTITIONS
 
 __all__ = [
     "brute_force_topk",
@@ -608,8 +609,9 @@ def q_dedup_semantic_clusters(spark, sf_dir):
     a = assigned.select("cell", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = assigned.select("cell", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     cos = dot(F.col("va"), F.col("vb"))
+    # r13: salted explicit-parallelism self-join (`_exploding_cell_join`)
     return (
-        a.join(b, "cell")
+        _exploding_cell_join(a, b, 16, "id_b")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("_cos", cos)
         .filter(F.round("_cos", 9) >= 0.3)
@@ -689,7 +691,10 @@ def ivf_topk_relation(
         )
         .select(query_id, "v_q", "cell")
     )
-    scored = c_cells.join(q_cells.hint("shuffle_hash"), "cell")
+    # r13: salted explicit-parallelism candidate join (see
+    # `_exploding_cell_join` — AQE coalesced this exploding join to one
+    # partition at harness scale, serializing the per-candidate dot folds)
+    scored = _exploding_cell_join(c_cells, q_cells, n_cells, query_id)
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col(query_id))
     scored = scored.withColumn("cos", dot(F.col("v_q"), F.col("v_c")))
@@ -1755,6 +1760,61 @@ def q_sim_recall_audit(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _exploding_cell_join(
+    c_cells: DataFrame,
+    q_cells: DataFrame,
+    n_cells: int,
+    query_key: str = "query_id",
+) -> DataFrame:
+    """Cell-keyed candidate join at FULL parallelism (r13 optimization,
+    guide §2.5 "synthetic partitioning keys with too few distinct values"
+    + §3.3 exploding joins).
+
+    The relation serves join two SMALL keyed inputs whose join output
+    EXPLODES (~N·nprobe·N/K candidate rows); AQE sizes the post-shuffle
+    partition count from the tiny MAP bytes, so at harness scale it
+    coalesced the join to ONE partition and every downstream per-candidate
+    fold ran single-threaded (measured: the PQ ADC stage 14.5 s → 3.4 s
+    once spread).  Two moves, both result-preserving:
+
+    - an EXPLICIT-count ``repartition(P, keys)`` on both sides — a
+      user-specified repartition is not AQE-coalescible, so the join (and
+      the per-candidate scoring stage above it) keeps P-way parallelism
+      regardless of map bytes; P = SHUFFLE_PARTITIONS (env-overridable —
+      the session's documented deployment knob, not a local constant);
+    - a DETERMINISTIC salt on the cell key when K supplies too few
+      distinct values to fill P partitions (K < 20·P, the guide's
+      spread rule): the query side computes ``pmod(xxhash64(query_id),
+      salt_n)`` (deterministic per row — safe under task retry,
+      SPARK-38388), the corpus side replicates each row ``salt_n`` ways.
+      Every (query, neighbor) pair still meets exactly once — the query
+      row carries ONE salt value and exactly one corpus replica matches
+      it — so the candidate set is unchanged.  ``salt_n`` derives from
+      K and P and collapses to 1 once K ≥ 20·P (auto-K grows with the
+      corpus, so production-scale serves pay no replication).
+    """
+    p = SHUFFLE_PARTITIONS
+    salt_n = max(1, min(4 * p, (20 * p) // max(n_cells, 1)))
+    if salt_n > 1:
+        q_cells = q_cells.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(query_key)), F.lit(salt_n)).cast("int")
+        )
+        c_cells = c_cells.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
+        )
+        keys = ["cell", "_salt"]
+    else:
+        keys = ["cell"]
+    return (
+        c_cells.repartition(p, *[F.col(k) for k in keys])
+        .join(
+            q_cells.repartition(p, *[F.col(k) for k in keys]).hint("shuffle_hash"),
+            keys,
+        )
+        .drop("_salt")
+    )
+
+
 def _relation_cell_candidates(
     c_coded: DataFrame,
     q_coded: DataFrame,
@@ -1762,6 +1822,8 @@ def _relation_cell_candidates(
     nprobe: int,
     exclude_self: bool = True,
     query_id: str = "query_id",
+    c_drop: tuple[str, ...] = (),
+    q_drop: tuple[str, ...] = (),
 ) -> DataFrame:
     """Shared candidate generation for relation-side compressed serves.
 
@@ -1774,11 +1836,17 @@ def _relation_cell_candidates(
     only exchanges are the two cell-keyed ones, so 10 queries and 10
     million take the same plan.  Each corpus row lives in exactly one
     cell, so a (query, neighbor) pair appears at most once even with
-    nprobe > 1.  Same ``exclude_self`` contract as `ivf_topk_relation`."""
+    nprobe > 1.  Same ``exclude_self`` contract as `ivf_topk_relation`.
+
+    r13 (guide §2.3): ``c_drop``/``q_drop`` name columns the CALLER's
+    pooling stage doesn't read (typically the unit-normalized re-rank
+    arrays) — assignment/probing still read them, but they are projected
+    away BEFORE the cell join so neither exchange nor the candidate rows
+    carry them; the caller joins them back for its pooled survivors."""
     cents = c_coded.filter(F.col("neighbor_id") < n_cells).select(
         F.col("neighbor_id").cast("int").alias("cell"), F.col("nv").alias("c_nvec")
     )
-    c_cells = ivf_assign(c_coded, cents, "nv", ["neighbor_id"])
+    c_cells = ivf_assign(c_coded, cents, "nv", ["neighbor_id"]).drop(*c_drop)
     q_cells = (
         q_coded.crossJoin(F.broadcast(_centroid_row(cents)))
         .withColumn(
@@ -1791,8 +1859,9 @@ def _relation_cell_candidates(
             ),
         )
         .drop("_cents")
+        .drop(*q_drop)
     )
-    cand = c_cells.join(q_cells.hint("shuffle_hash"), "cell")
+    cand = _exploding_cell_join(c_cells, q_cells, n_cells, query_id)
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col(query_id))
     return cand
@@ -1840,7 +1909,15 @@ def ivf_binary_topk_relation(
         F.col("w0").alias("qw0"),
         F.col("w1").alias("qw1"),
     )
-    cand = _relation_cell_candidates(c, qd, n_cells, nprobe, exclude_self, query_id)
+    # r13 (guide §2.3/§8): Hamming pooling reads only the packed words —
+    # BOTH unit-normalized arrays are dropped before the cell join and
+    # joined back onto the pooled survivors (identical normalization
+    # folds; ranked values unchanged).  The candidate path is ids+2 words
+    # per row where it carried two 64-double arrays.
+    cand = _relation_cell_candidates(
+        c, qd, n_cells, nprobe, exclude_self, query_id,
+        c_drop=("nv",), q_drop=("qnv",),
+    )
     cand = cand.withColumn(
         "ham",
         (
@@ -1849,10 +1926,25 @@ def ivf_binary_topk_relation(
         ).cast("long"),
     )
     wpool = Window.partitionBy(query_id).orderBy(F.asc("ham"), F.asc("neighbor_id"))
-    pooled = cand.withColumn("crn", F.row_number().over(wpool)).filter(
-        F.col("crn") <= pool
+    pooled = (
+        cand.select(query_id, "neighbor_id", "ham")
+        .withColumn("crn", F.row_number().over(wpool))
+        .filter(F.col("crn") <= pool)
     )
-    rr = pooled.withColumn("cos", dot(F.col("qnv"), F.col("nv")))
+    vexp = as_double(F.col(vec))
+    cnv = corpus.select(F.col(id_col).alias("neighbor_id"), vexp.alias("v"))
+    cnv = cnv.withColumn("_n", norm(F.col("v"))).select(
+        "neighbor_id", F.transform("v", lambda x: x / F.col("_n")).alias("nv")
+    )
+    qnv_rel = queries.select(F.col(query_id), vexp.alias("v"))
+    qnv_rel = qnv_rel.withColumn("_n", norm(F.col("v"))).select(
+        query_id, F.transform("v", lambda x: x / F.col("_n")).alias("qnv")
+    )
+    rr = (
+        pooled.join(cnv, "neighbor_id")
+        .join(qnv_rel, query_id)
+        .withColumn("cos", dot(F.col("qnv"), F.col("nv")))
+    )
     wr = Window.partitionBy(query_id).orderBy(
         F.desc(F.round("cos", 9)), F.asc("neighbor_id")
     )
@@ -1911,7 +2003,14 @@ def sq8_topk_relation(
         .select(query_id, F.transform("v", lambda x: x / F.col("_n")).alias("qnv"))
         .withColumn("qsum", F.aggregate("qnv", F.lit(0.0), lambda a, x: a + x))
     )
-    cand = _relation_cell_candidates(c, qd, n_cells, nprobe, exclude_self, query_id)
+    # r13 (guide §2.3/§8): the corpus-side re-rank array is dropped before
+    # the cell join (the estimator reads only mn/scale/codes/qnv), the
+    # pool ranks a narrow (ids, est) projection, and both arrays join
+    # back onto the pooled survivors via the identical normalization
+    # folds — ranked values unchanged, the pool sort/exchange ~40× lighter.
+    cand = _relation_cell_candidates(
+        c, qd, n_cells, nprobe, exclude_self, query_id, c_drop=("nv",)
+    )
     # decomposed ADC (see sq8_adc_topk): mn·Σq hoists to one per-query
     # column, leaving a single zip-fold per candidate.
     cand = cand.withColumn(
@@ -1921,10 +2020,20 @@ def sq8_topk_relation(
     wpool = Window.partitionBy(query_id).orderBy(
         F.desc(F.round("est", 9)), F.asc("neighbor_id")
     )
-    pooled = cand.withColumn("crn", F.row_number().over(wpool)).filter(
-        F.col("crn") <= pool
+    pooled = (
+        cand.select(query_id, "neighbor_id", "est")
+        .withColumn("crn", F.row_number().over(wpool))
+        .filter(F.col("crn") <= pool)
     )
-    rr = pooled.withColumn("cos", dot(F.col("qnv"), F.col("nv")))
+    cnv = corpus.select(F.col(id_col).alias("neighbor_id"), v.alias("v"))
+    cnv = cnv.withColumn("_n", norm(F.col("v"))).select(
+        "neighbor_id", F.transform("v", lambda x: x / F.col("_n")).alias("nv")
+    )
+    rr = (
+        pooled.join(cnv, "neighbor_id")
+        .join(qd.select(query_id, "qnv"), query_id)
+        .withColumn("cos", dot(F.col("qnv"), F.col("nv")))
+    )
     wr = Window.partitionBy(query_id).orderBy(
         F.desc(F.round("cos", 9)), F.asc("neighbor_id")
     )
@@ -2109,7 +2218,18 @@ def pq_topk_relation(
 
     One HOF projection per block (four sibling ``withColumn`` steps, not
     one combined expression) — see `pq_assign`'s note on the Spark 4.1
-    copied-nested-lambda miscompile."""
+    copied-nested-lambda miscompile.
+
+    r13 optimization (guide §2.3 "project before the exchange", §8
+    "lightweight proxy"): the candidate path carries ONLY what ADC
+    pooling needs (ids, codes, the query's raw sub-vectors) — the two
+    unit-normalized 64-double arrays the exact re-rank reads are DROPPED
+    before the cell join and joined back for the ≤|Q|·pool pooled rows
+    only.  Before, both arrays rode every candidate row through the pool
+    window's sort + exchange (~1 KB/row over the full candidate volume);
+    now that sort/exchange is ids+ADC-only and the arrays move once,
+    attached to the pooled survivors (ranked values unchanged — the
+    join-back recomputes the identical normalization folds)."""
     v = as_double(F.col(vec))
     codes_model = (
         corpus.filter(F.col(id_col) < _PQ_K)
@@ -2157,7 +2277,14 @@ def pq_topk_relation(
     qd = qd.withColumn("_n", norm(F.col("qv"))).select(
         query_id, "qv", F.transform("qv", lambda x: x / F.col("_n")).alias("qnv")
     )
-    cand = _relation_cell_candidates(c, qd, n_cells, nprobe, exclude_self, query_id)
+    # r13: assignment/probing read nv/qnv, but the candidate join and the
+    # ADC pool don't — drop both arrays before the cell join (the query's
+    # raw ``qv`` must stay: ADC scores against it) and join them back for
+    # the pooled survivors only.
+    cand = _relation_cell_candidates(
+        c, qd, n_cells, nprobe, exclude_self, query_id,
+        c_drop=("nv",), q_drop=("qnv",),
+    )
     cb_row = (
         corpus.filter(F.col(id_col) < _PQ_K)
         .select(F.col(id_col).cast("int").alias("code"), v.alias("cv"))
@@ -2190,10 +2317,23 @@ def pq_topk_relation(
         "adci", sum(F.col(f"_pdi{s}") for s in range(1, _PQ_M)) + F.col("_pdi0")
     )
     wpool = Window.partitionBy(query_id).orderBy(F.asc("adci"), F.asc("neighbor_id"))
-    pooled = cand.withColumn("crn", F.row_number().over(wpool)).filter(
-        F.col("crn") <= pool
+    pooled = (
+        cand.select(query_id, "neighbor_id", "adci")
+        .withColumn("crn", F.row_number().over(wpool))
+        .filter(F.col("crn") <= pool)
     )
-    rr = pooled.withColumn("cos", dot(F.col("qnv"), F.col("nv")))
+    # join the re-rank arrays back onto the ≤|Q|·pool survivors — a fresh
+    # scan→normalize projection with the IDENTICAL folds (no codebook
+    # subtree), so the ranked values are unchanged
+    cnv = corpus.select(F.col(id_col).alias("neighbor_id"), v.alias("v"))
+    cnv = cnv.withColumn("_n", norm(F.col("v"))).select(
+        "neighbor_id", F.transform("v", lambda x: x / F.col("_n")).alias("nv")
+    )
+    rr = (
+        pooled.join(cnv, "neighbor_id")
+        .join(qd.select(query_id, "qnv"), query_id)
+        .withColumn("cos", dot(F.col("qnv"), F.col("nv")))
+    )
     wr = Window.partitionBy(query_id).orderBy(
         F.desc(F.round("cos", 9)), F.asc("neighbor_id")
     )
@@ -4136,8 +4276,9 @@ def q_sim_topk_relation_lloyd(spark, sf_dir):
     one zero-shuffle assignment + one K×dim partial-sum aggregation —
     the data never moves."""
     emb = load_table(spark, sf_dir, "embeddings")
+    k_cells = auto_cells(emb)
     cents, assigned = kmeans_lloyd_exact(
-        emb, k=auto_cells(emb), iters=2, dim=64, normalize=True
+        emb, k=k_cells, iters=2, dim=64, normalize=True
     )
     corpus = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("v_c"), "cell"
@@ -4145,8 +4286,9 @@ def q_sim_topk_relation_lloyd(spark, sf_dir):
     probes = _kmeans_probe(assigned.select("vec_id", "v"), cents, nprobe=2).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("v_q"), "cell"
     )
+    # r13: salted explicit-parallelism candidate join (`_exploding_cell_join`)
     scored = (
-        corpus.join(probes.hint("shuffle_hash"), "cell")
+        _exploding_cell_join(corpus, probes, k_cells, "query_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", dot(F.col("v_q"), F.col("v_c")))
     )
@@ -4302,7 +4444,8 @@ def ivf_topk_relation_gemm(
     )
     c_cells = _gemm_cell_rows(c, cents, "v_c", "neighbor_id", 1).drop("rn")
     q_cells = _gemm_cell_rows(q, cents, "v_q", query_id, nprobe).drop("rn")
-    scored = c_cells.join(q_cells.hint("shuffle_hash"), "cell")
+    # r13: salted explicit-parallelism candidate join (`_exploding_cell_join`)
+    scored = _exploding_cell_join(c_cells, q_cells, n_cells, query_id)
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col(query_id))
     scored = scored.withColumn("cos", dot(F.col("v_q"), F.col("v_c")))
@@ -4454,7 +4597,14 @@ def q_dedup_cross_cell_audit(spark, sf_dir):
             (F.col("pos") + 1).alias("rn"),
         )
     )
-    a = samp.select(F.col("vec_id").alias("id_a"), F.col("nv").alias("nv_a"))
+    # r13: the sample's ground-truth cross join is an EXPLODING join off a
+    # one-partition scan — round-robin repartition the streamed side with
+    # an explicit (non-AQE-coalescible) count so the |samp|² cosine folds
+    # spread across every core (guide §2.5; same pathology as
+    # `_exploding_cell_join`).
+    a = samp.select(F.col("vec_id").alias("id_a"), F.col("nv").alias("nv_a")).repartition(
+        SHUFFLE_PARTITIONS
+    )
     b = samp.select(F.col("vec_id").alias("id_b"), F.col("nv").alias("nv_b"))
     pairs = (
         a.crossJoin(b)
@@ -4465,7 +4615,7 @@ def q_dedup_cross_cell_audit(spark, sf_dir):
     pa = probes.select(F.col("vec_id").alias("id_a"), "cell", F.col("rn").alias("rn_a"))
     pb = probes.select(F.col("vec_id").alias("id_b"), "cell", F.col("rn").alias("rn_b"))
     mj = (
-        pa.join(pb, "cell")
+        _exploding_cell_join(pa, pb, k_cells, "id_b")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.min(F.greatest("rn_a", "rn_b")).alias("min_joint"))
