@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 import math
+import os
 import random
 
 from ..catalog import ensure_min_partitions, load_table
@@ -77,9 +78,16 @@ def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
 # ---------------------------------------------------------------------------
 
 
-def shingles(text: Column, n: int = 2) -> Column:
-    """Distinct word n-gram shingles of a whitespace-tokenized text."""
-    words = F.split(F.trim(text), r"\s+")
+def word_shingles(words: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles over a PRE-PROJECTED words column.
+
+    r13 optimization (guide §1.2 "don't compute things twice"): callers
+    should project ``split(trim(text), '\\s+')`` as its own column first
+    and shingle THAT — inlining the split into this expression makes the
+    optimizer's CollapseProject/pushdown machinery duplicate the whole
+    tokenize chain wherever the shingle expression is referenced
+    (measured 2–4× on the shingle stage at sf0.1).  Identical output to
+    the old inlined form: same transform order, same array_distinct."""
     if n == 1:
         return F.array_distinct(words)
     idx = F.when(
@@ -87,6 +95,18 @@ def shingles(text: Column, n: int = 2) -> Column:
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
     return F.array_distinct(grams)
+
+
+def split_words(text: Column) -> Column:
+    """The canonical whitespace tokenization every shingle consumer shares."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles(text: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of a whitespace-tokenized text.
+    Prefer ``word_shingles`` over a projected ``split_words`` column in
+    new code (see its r13 note)."""
+    return word_shingles(split_words(text), n)
 
 
 def jaccard_pairs(
@@ -126,11 +146,12 @@ def jaccard_pairs(
     the oracle applies the identical cap so the filtered semantics stay
     value-hash-checked.
     """
-    base = df.select(
+    toks = df.select(
         F.col(id_col).alias("id"),
         *( [F.col(block).alias("blk")] if block else [F.lit(0).alias("blk")] ),
-        shingles(F.col(text), n).alias("sh"),
+        split_words(F.col(text)).alias("_w"),
     )
+    base = toks.select("id", "blk", word_shingles(F.col("_w"), n).alias("sh"))
     return _jaccard_core(base, threshold, prune_singletons, max_df=max_df)
 
 
@@ -141,8 +162,18 @@ def _jaccard_core(
     max_df: int | None = None,
 ) -> DataFrame:
     """Shared inverted-index Jaccard machinery over (id, blk, sh) rows —
-    used by the word-shingle and character-shingle pair generators."""
-    base = base.withColumn("set_size", F.size("sh"))
+    used by the word-shingle and character-shingle pair generators.
+
+    r13 optimization (guide §1.2, §3.3 "materialise an intermediate"):
+    the shingle-set relation is lazily checkpointed BEFORE the explode.
+    Inlined under a Generate, the (tokenize → gram → distinct) chain gets
+    duplicated by optimizer pushdown (e.g. the inferred ``size(sh) > 0``
+    filter re-derives it below the repartition, on the un-spread scan) —
+    measured 4× on the edge build at sf0.1 (5.7 s → 1.3 s, identical
+    pairs).  The checkpoint is one doc-level pass, ~|corpus| text bytes
+    cached to local disk — the same persisted-intermediate trade the
+    MinHash pipeline already documents."""
+    base = base.withColumn("set_size", F.size("sh")).localCheckpoint(eager=False)
 
     inv = base.select("id", "blk", "set_size", F.explode("sh").alias("_sh")).select(
         "id", "blk", "set_size", F.xxhash64("_sh").alias("shingle")
@@ -209,7 +240,8 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text: str = "text", n: i
     candidate verification) should materialize it (``localCheckpoint`` /
     persist / a parquet stage at cluster scale) instead of recomputing the
     scan→tokenize→shingle subtree per consumer."""
-    return df.select(F.col(id_col).alias("id"), shingles(F.col(text), n).alias("sh"))
+    toks = df.select(F.col(id_col).alias("id"), split_words(F.col(text)).alias("_w"))
+    return toks.select("id", word_shingles(F.col("_w"), n).alias("sh"))
 
 
 # Universal-hash MinHash permutations: perm_i(h) = (a_i·h + b_i) mod p over
@@ -525,6 +557,16 @@ def _srp_banded_oracle(threshold: float, bands: int = 12, bits: int = 3) -> str:
 # Duplicate clustering: connected components over near-dup pairs
 # ---------------------------------------------------------------------------
 
+# Same knob (and env var) as operators/graph.py: label vectors in the CC
+# loop are node-bounded relations — broadcast-hinted by default so the
+# pinned edge partitioning stays exchange-free across rounds; opt out at
+# billion-node scale for AQE shuffle joins.
+_BROADCAST_NODES = os.environ.get("SPARK_GRAFT_GRAPH_BROADCAST_NODES", "1") == "1"
+
+
+def _bcast_nodes(df: DataFrame) -> DataFrame:
+    return F.broadcast(df) if _BROADCAST_NODES else df
+
 
 def connected_components(
     edges: DataFrame, nodes: DataFrame, max_iter: int = 20
@@ -557,33 +599,53 @@ def connected_components(
     nodes join back labeled with themselves in the final assembly — at
     corpus scale the in-loop relation shrinks from |corpus| to |docs in
     near-dup pairs|.
+
+    r13 session 2 (guide §2.4, the iterative-graph pattern): the
+    symmetric edge relation is pinned hash-partitioned by ``dst`` (the
+    per-round groupBy key) and the label vector joins broadcast-hinted,
+    so each round is ONE on-partition stage — prop-min per dst, merged
+    into the old labels by a node-keyed (still dst-partitioned) join —
+    instead of a shuffled join + a union-wide exchange.  The new-label
+    arithmetic ``least(old, min incoming)`` equals the old
+    ``min over (self ∪ neighbors)`` exactly.  Label vectors are
+    node-bounded relations: the broadcast hint follows the same
+    parameterised opt-out as the graph module
+    (SPARK_GRAFT_GRAPH_BROADCAST_NODES=0 → AQE shuffle joins and the
+    pin key flips to the join key ``src``).
     """
     node_col = nodes.columns[0]
-    # The edge list is re-joined every round; materialize it once so an
-    # expensive upstream (e.g. the Jaccard inverted-index join) doesn't
-    # re-execute per iteration.
     # Lazy-checkpoint the directed edges BEFORE mirroring: the union's two
     # branches would otherwise each re-execute the (possibly expensive)
-    # upstream once while materializing the eager symmetric checkpoint.
+    # upstream once.
     edges = edges.select(F.col("src"), F.col("dst")).localCheckpoint(eager=False)
+    pin_key = "dst" if _BROADCAST_NODES else "src"
     sym = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint(eager=True)
+        .repartition(F.col(pin_key))
+        .localCheckpoint(eager=False)
     )
     labels = (
-        sym.select(F.col("src").alias("node")).distinct().withColumn(
-            "label", F.col("node")
-        )
+        sym.select(F.col(pin_key).alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
     )
     prev_sum = object()  # sentinel: no sum observed yet
     for _ in range(max_iter):
-        prop = sym.join(labels, sym.src == labels.node).select(
-            F.col("dst").alias("node"), "label"
+        prop = (
+            sym.join(_bcast_nodes(labels.withColumnRenamed("node", "src")), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("_pmin"))
         )
         new = (
-            labels.union(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            labels.withColumnRenamed("label", "_old")
+            .join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("_old"), F.coalesce("_pmin", F.col("_old"))).alias(
+                    "label"
+                ),
+            )
             .localCheckpoint(eager=False)
         )
         # ONE action: materializes the round's checkpoint AND returns the
@@ -1367,11 +1429,17 @@ def containment_pairs(
     relation by a single explode (no union-branch recomputation, the
     triangle_counts lesson). Returns (contained_id, container_id,
     n_common, containment) at containment >= threshold."""
-    base = df.select(
+    # r13: hoisted tokenization + pre-explode checkpoint (see _jaccard_core)
+    toks = df.select(
         F.col(id_col).alias("id"),
         *( [F.col(block).alias("blk")] if block else [F.lit(0).alias("blk")] ),
-        shingles(F.col(text), n).alias("sh"),
-    ).withColumn("set_size", F.size("sh"))
+        split_words(F.col(text)).alias("_w"),
+    )
+    base = (
+        toks.select("id", "blk", word_shingles(F.col("_w"), n).alias("sh"))
+        .withColumn("set_size", F.size("sh"))
+        .localCheckpoint(eager=False)
+    )
     inv = base.select("id", "blk", "set_size", F.explode("sh").alias("_sh")).select(
         "id", "blk", "set_size", F.xxhash64("_sh").alias("shingle")
     )
