@@ -39,6 +39,7 @@ import random
 
 from ..catalog import ensure_min_partitions, load_table
 from ..functions.hashing import M61, md5_60, md5_60_sql, perm61, perm61_sql
+from ..session import SHUFFLE_PARTITIONS
 from ..functions.vector import as_double, cosine, dot, norm
 from ..functions.vector import hamming64
 from ..plans.registry import register
@@ -487,7 +488,12 @@ def embedding_dup_pairs_banded(
       cosine up to fp rounding).
     """
     signs = _srp_signs(bands, bits, dim, seed)
-    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec)).alias("v"))
+    # r13: spread the signature build — the 36 per-row sign folds
+    # otherwise run on the scan's single partition at harness scale
+    # (ensure_min_partitions is a no-op once the input splits naturally).
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"), as_double(F.col(vec)).alias("v")
+    )
     # Hoist the norm into its own projected column: referencing norm(v)
     # inside the transform lambda re-evaluates the O(dim) fold per ELEMENT
     # (O(dim²)/row); as a sibling column it is computed once per row.
@@ -508,8 +514,24 @@ def embedding_dup_pairs_banded(
     bk = sig.select("id", F.posexplode("sig").alias("band", "bucket"))
     a = bk.select(F.col("id").alias("id_a"), "band", "bucket")
     b = bk.select(F.col("id").alias("id_b"), "band", "bucket")
+    # r13 (guide §2.5, the `_exploding_cell_join` pattern): bands·2^bits
+    # distinct join keys under-fill the partitions and AQE sizes the
+    # exploding self-join from its tiny map bytes — deterministic salt +
+    # explicit-count repartition keep the Σ|bucket|² candidate stage at
+    # full parallelism; every pair still meets once per shared band
+    # (the b-side row carries ONE salt, exactly one a-side replica
+    # matches), and the DISTINCT collapses multi-band hits as before.
+    p = SHUFFLE_PARTITIONS
+    salt_n = max(1, min(4 * p, (20 * p) // (bands * (1 << bits))))
+    if salt_n > 1:
+        b = b.withColumn("_salt", F.pmod(F.xxhash64("id_b"), F.lit(salt_n)).cast("int"))
+        a = a.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)])))
+        keys = ["band", "bucket", "_salt"]
+    else:
+        keys = ["band", "bucket"]
     cand = (
-        a.join(b, ["band", "bucket"])
+        a.repartition(p, *[F.col(k) for k in keys])
+        .join(b.repartition(p, *[F.col(k) for k in keys]).hint("shuffle_hash"), keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
