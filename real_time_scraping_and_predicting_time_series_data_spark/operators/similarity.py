@@ -1765,6 +1765,7 @@ def _exploding_cell_join(
     q_cells: DataFrame,
     n_cells: int,
     query_key: str = "query_id",
+    cell_key: str = "cell",
 ) -> DataFrame:
     """Cell-keyed candidate join at FULL parallelism (r13 optimization,
     guide §2.5 "synthetic partitioning keys with too few distinct values"
@@ -1802,9 +1803,9 @@ def _exploding_cell_join(
         c_cells = c_cells.withColumn(
             "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
         )
-        keys = ["cell", "_salt"]
+        keys = [cell_key, "_salt"]
     else:
-        keys = ["cell"]
+        keys = [cell_key]
     return (
         c_cells.repartition(p, *[F.col(k) for k in keys])
         .join(

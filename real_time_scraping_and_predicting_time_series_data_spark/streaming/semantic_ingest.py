@@ -56,9 +56,10 @@ from pyspark.sql import functions as F
 
 from .store_compaction import compacted_upto, is_compacted, publish_dir
 
+from ..catalog import ensure_min_partitions
 from ..functions.vector import as_double, dot, norm
 from ..operators.dedup import cell_local_components
-from ..operators.similarity import ivf_probe_cells
+from ..operators.similarity import _exploding_cell_join, ivf_probe_cells
 
 __all__ = ["SemanticDedupStore"]
 
@@ -84,6 +85,10 @@ class SemanticDedupStore:
         # (cell, c_nvec) seed centroids, normalized — kept as a plain local
         # relation; every use broadcasts it
         self.centroids = centroids.localCheckpoint(eager=True)
+        # K bounds the distinct probe-cell join keys; the salted ingest
+        # joins derive their spread from it (r13, `_exploding_cell_join`).
+        # One count over the eager-checkpointed K-row model is free.
+        self.n_cells = self.centroids.count()
         os.makedirs(self.root, exist_ok=True)
 
     # -- store access -------------------------------------------------------
@@ -171,7 +176,16 @@ class SemanticDedupStore:
         idempotently per batch_id."""
         if is_compacted(self.root, batch_id):
             return  # replay of a folded batch: its verdicts are in the fold
-        assigned = self._assign(batch_df).localCheckpoint(eager=True)
+        # Eager checkpoint, deliberately (r13): the publish plan references
+        # `assigned` from several CONCURRENT broadcast-exchange jobs; a lazy
+        # checkpoint lets them race and each recompute the probe fold
+        # (measured: four ~0.35 s duplicate single-task jobs per batch).
+        # One eager job materializes it once — and the batch is spread
+        # first so the per-row K-dot probe fold runs at full parallelism
+        # instead of on the scan's single partition (guide §2.1).
+        assigned = self._assign(ensure_min_partitions(batch_df)).localCheckpoint(
+            eager=True
+        )
 
         # within-batch: cos >= tau edges between pairs SHARING A PROBED
         # cell -> min-id component representatives (chains collapse to one
@@ -193,8 +207,15 @@ class SemanticDedupStore:
             F.col("vec_id").alias("dst"),
             F.col("v").alias("vb"),
         )
+        # r13 (guide §2.5, §3.3): the probe-cell self-join has only K
+        # distinct keys and EXPLODES (Σ|cell∩batch|² candidate rows whose
+        # per-row cost is the 64-dim dot fold) — AQE sizes its post-shuffle
+        # stage from the tiny map bytes and collapses it to ~1 partition.
+        # `_exploding_cell_join` pins explicit-count parallelism + a
+        # deterministic salt; every pair still meets once per shared cell
+        # and union-find absorbs the multi-probe duplicates as before.
         edges = (
-            a.join(b, "pc")
+            _exploding_cell_join(a, b, self.n_cells, "dst", cell_key="pc")
             .filter(F.col("src") < F.col("dst"))
             .filter(F.round(dot(F.col("va"), F.col("vb")), 9) >= self.threshold)
             .select(F.lit(0).alias("cell"), "src", "dst")
@@ -223,7 +244,7 @@ class SemanticDedupStore:
                 F.col("v").alias("ov"), F.explode("probe_cells").alias("pc")
             )
             hits = (
-                np_.join(op, "pc")
+                _exploding_cell_join(op, np_, self.n_cells, "vec_id", cell_key="pc")
                 .filter(F.round(dot(F.col("v"), F.col("ov")), 9) >= self.threshold)
                 .select("vec_id")
                 .distinct()
