@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import ensure_min_partitions, load_table
 from ..functions.vector import as_double, cosine, dot, norm
 from ..plans.registry import register
 from ..session import SHUFFLE_PARTITIONS
@@ -3520,8 +3520,17 @@ def kmeans_lloyd_exact(
     + ONE grouped aggregation of dim sum-buffers (the `_cell_means`
     single-exchange shape) — the data never moves; only K×dim partial sums
     shuffle. Seeds are the vec_id < k vectors (deterministic, same
-    convention as `seed_centroids`)."""
-    e = emb.select(
+    convention as `seed_centroids`).
+
+    r13 centroid fold: when K×dim is MODEL-sized (≤ 2^20 components) the
+    per-iteration update collects the exact (cell, pos, s, n) long partials
+    and rebuilds the centroid relation as a LocalTableScan — the
+    `pca_from_gram` bounded-model-collect class; identical doubles (IEEE
+    long→double widening + division match the JVM, A/B-checked row-for-row)
+    with no per-iteration localCheckpoint planning cost and a flat
+    downstream plan.  Past that bound (K ∝ N serves at corpus scale) the
+    update stays fully distributed behind a lazy plan-cut checkpoint."""
+    e = ensure_min_partitions(emb).select(
         F.col("vec_id"), as_double(F.col("embedding")).alias("v")
     )
     if normalize:
@@ -3533,22 +3542,47 @@ def kmeans_lloyd_exact(
     )
     for _ in range(iters):
         assigned = _kmeans_assign(e, cents)
-        sums = assigned.groupBy("cell").agg(
-            F.count("*").alias("n"),
-            *[
-                F.sum(F.round(F.col("v")[i] * 1e9).cast("long")).alias(f"s{i}")
-                for i in range(dim)
-            ],
+        # r13 (guide §7.3, §1.2): the previous dim-wide unrolled update —
+        # 64 separate sum(round(v[i]*1e9)) aggregates + a 64-expression
+        # array rebuild per iteration — cost ~4.6 s of DRIVER time per
+        # query build (eager PySpark analysis re-walks the growing tree on
+        # every transformation; Spark jobs themselves summed to ~1 s).
+        # posexplode + one (cell, pos) long-sum is the oracle's own
+        # generate_subscripts shape, ships the same K×dim partial rows
+        # through the exchange (map-side partial agg), and keeps the
+        # arithmetic bit-identical: sum(cast(round(x*1e9) as long)) per
+        # component, then s/(1e9*n); array_sort on (pos, …) makes the
+        # reassembly order deterministic.
+        part = (
+            assigned.select(
+                "cell",
+                F.posexplode(
+                    F.transform("v", lambda x: F.round(x * 1e9).cast("long"))
+                ).alias("pos", "q"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
         )
-        cents = sums.select(
-            "cell",
-            F.array(
-                *[
-                    F.col(f"s{i}").cast("double") / (F.lit(1_000_000_000.0) * F.col("n"))
-                    for i in range(dim)
-                ]
-            ).alias("c"),
-        ).localCheckpoint(eager=False)
+        if k * dim <= (1 << 20):
+            # bounded-model driver fold: Python float division over the
+            # exact long partials is the same IEEE double op as
+            # s.cast(double)/(1e9*n) — bit-identical centroids
+            bycell: dict[int, dict[int, float]] = {}
+            for r in part.collect():
+                bycell.setdefault(r["cell"], {})[r["pos"]] = float(r["s"]) / (
+                    1_000_000_000.0 * float(r["n"])
+                )
+            cents = e.sparkSession.createDataFrame(
+                [(cell, [d[p] for p in sorted(d)]) for cell, d in sorted(bycell.items())],
+                "cell int, c array<double>",
+            )
+        else:
+            cents = part.groupBy("cell").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                    lambda t: t["s"].cast("double") / (F.lit(1_000_000_000.0) * t["n"]),
+                ).alias("c")
+            ).localCheckpoint(eager=False)
     return cents, _kmeans_assign(e, cents)
 
 
