@@ -1682,9 +1682,14 @@ def jaccard_prefix_filter_pairs(
     """Exact Jaccard >= tau pairs of ``docs`` (doc_id, text) via prefix
     filtering — see `q_jaccard_prefix_filter` for the lemma and scale
     argument."""
-    sh = docs.select(
+    # r13 (guide §2.1, §1.2): spread the scan before the shingle HOF (it
+    # otherwise materializes on ONE partition, ~3 s at sf0.1) and
+    # checkpoint EAGERLY — `sh` feeds three consumers (prefix candidates,
+    # ga, gb) whose broadcast-exchange jobs would otherwise race to
+    # materialize a lazy checkpoint, each recomputing the projection.
+    sh = ensure_min_partitions(docs).select(
         "doc_id", shingles(F.col("text"), n).alias("grams")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     # Postings carry only the 8-byte xxhash64 of the gram (the
     # _jaccard_core convention) — the global order is (df, h), a total
     # order up to 2^-64 hash ties, and gram strings never enter a shuffle.

@@ -39,6 +39,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import ensure_min_partitions
 from ..operators.dedup import shingles
 from ..operators.quality import boilerplate_scores
 from .store_compaction import (
@@ -82,7 +83,11 @@ class NgramDfStreamIndex:
         n_grams) base — the same shingling as the batch query (distinct
         word n-grams, xxhash64-keyed so the stored/shuffled key is 8 bytes
         instead of the n-word string)."""
-        sh = df.select(
+        # r13 (guide §2.1): spread the batch before the shingle projection —
+        # the regex-split + n-gram HOF chain otherwise runs on the scan's
+        # single partition (ensure_min_partitions is a no-op once the
+        # input splits naturally).
+        sh = ensure_min_partitions(df).select(
             F.col(self.id_col).alias("doc_id"),
             shingles(F.col(self.text_col), self.n).alias("grams"),
         ).localCheckpoint(eager=False)
