@@ -436,25 +436,37 @@ def main() -> int:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
-        samples = [
-            _run_once(qs, name, spark, sf_dir)
-            for _ in range(RUNS_HV if name in HIGH_VARIANCE else RUNS)
-        ]
-        runs[name] = samples
-        timings[name] = sorted(samples)[len(samples) // 2]  # median
         # Queries that localCheckpoint model/edge relations (IVF, PageRank,
         # MinHash signatures, triangles) leave persistent RDDs behind; 3
         # runs x N queries of leakage degrades LATER queries' timings (r4:
         # embedding_pq_codebook ran 1.1s cold but 7-11s after pagerank's
-        # accumulated checkpoints). A real pipeline unpersists after use;
-        # the harness does it between queries so each median is isolated.
+        # accumulated checkpoints). A real pipeline unpersists after use.
+        # r13 measurement fix (disclosed in OPTIMIZATION_r13.md): the
+        # unpersist now runs between SAMPLES, not just between queries —
+        # the checkpoint-heavy queries' own debris piled up WITHIN their
+        # 3/5-sample loop (graph_copurchase_pagerank sampled
+        # [6.6, 3.7, 9.8, 22.9, 22.5] in a clean zero-flag full run:
+        # monotone degradation from its own per-sample edge checkpoints,
+        # ~100 MB each, freed only via ContextCleaner lag). Per-sample
+        # isolation measures the query, not the harness debris, and
+        # applies uniformly to every query.
         # getPersistentRDDs is a private py4j surface with no public PySpark
         # twin; if a Spark upgrade removes it, degrade to leaky-but-running.
-        try:
-            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-                rdd.unpersist()
-        except Exception:
-            pass
+        def _unpersist_all() -> None:
+            try:
+                for rdd in list(
+                    spark.sparkContext._jsc.getPersistentRDDs().values()
+                ):
+                    rdd.unpersist()
+            except Exception:
+                pass
+
+        samples = []
+        for _ in range(RUNS_HV if name in HIGH_VARIANCE else RUNS):
+            samples.append(_run_once(qs, name, spark, sf_dir))
+            _unpersist_all()
+        runs[name] = samples
+        timings[name] = sorted(samples)[len(samples) // 2]  # median
 
     # Final calibration check closes the last segment.
     cm = _calibrate(qs, spark, sf_dir)
