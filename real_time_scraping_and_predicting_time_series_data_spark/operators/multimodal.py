@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load_table
+from ..catalog import ensure_min_partitions, load_table
 from ..plans.registry import register
 
 __all__ = [
@@ -404,7 +404,14 @@ def phash_neardup_pairs(assets: DataFrame, max_ham: int = _PH_MAX_HAM) -> DataFr
     so candidates come from ``_PH_BANDS`` equi-joins on (band_idx,
     band_value) — never a cross join; at 100 TB the join is Sum of
     band-bucket^2, the same bounded shape as MinHash-LSH."""
-    coded = payload_simhash60(assets)
+    # r13 (guide §1.2, §2.1): the fingerprint relation feeds BOTH sides of
+    # the band self-join with different projections — no exchange reuse —
+    # so without a cut the whole gram-explode + 60-sum aggregate ran
+    # twice; the input is also spread before the byte-gram explode. The
+    # checkpoint is one (asset_id, kind, ph) row per asset: model-sized.
+    coded = payload_simhash60(ensure_min_partitions(assets)).localCheckpoint(
+        eager=True
+    )
     mask = (1 << _PH_BAND_BITS) - 1
     bands = coded.select(
         "asset_id",

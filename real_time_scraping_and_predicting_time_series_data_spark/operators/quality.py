@@ -642,9 +642,12 @@ def q_corpus_boilerplate_ngrams(spark, sf_dir):
     # semi-join back, per-doc size) — no exchange reuse applies, so the
     # generation subtree (regex split + HOF transform) would execute three
     # times; materialize it once (halved the sf0.1 bench time).
-    sh = docs.select(
+    # r13: spread before the shingle HOF + EAGER (the
+    # `jaccard_prefix_filter` measurement: single-partition
+    # materialization + lazy-checkpoint races across the three consumers).
+    sh = ensure_min_partitions(docs).select(
         "doc_id", shingles(F.col("text"), 5).alias("grams")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     inv = sh.select("doc_id", F.explode("grams").alias("_g")).select(
         "doc_id", F.xxhash64("_g").alias("gram")
     )

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import ensure_min_partitions, load_table
 from ..plans.registry import register
 
 
@@ -1852,10 +1852,13 @@ def q_text_ngram_novelty(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     # Materialized once: three differently-keyed consumers, no exchange
-    # reuse (see corpus_boilerplate_ngrams).
-    sh = docs.select(
+    # reuse (see corpus_boilerplate_ngrams). r13: spread before the
+    # shingle HOF (single-partition scan otherwise) and EAGER — lazy
+    # checkpoints with multiple broadcast-side consumers race and
+    # recompute (the `jaccard_prefix_filter` measurement, guide §2.1/§1.2).
+    sh = ensure_min_partitions(docs).select(
         "doc_id", shingles(F.col("text"), 3).alias("grams")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     # 8-byte xxhash64 join keys instead of gram strings (the _jaccard_core
     # convention; collision odds ~|grams|²/2⁶⁴).
     inv = sh.select("doc_id", F.explode("grams").alias("_g")).select(
