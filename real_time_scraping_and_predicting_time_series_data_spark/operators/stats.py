@@ -1601,18 +1601,25 @@ def q_stats_bootstrap_ci(spark, sf_dir):
     The only engine-order-dependent step is double summation — absorbed by
     the 6-dp floor-half-up canonicalization; replicate means differ by
     O(1/sqrt(n)) so the sorted order itself is stable."""
-    from ..functions.hashing import md5_60, perm61
+    from ..functions.hashing import md5_60, perm61_sql
 
-    ev = load_table(spark, sf_dir, "events")
+    # r13 (guide §2.1): spread the scan — the 32 per-row perm61 weight
+    # chains are all codegen but ran at the scan's partition count.
+    ev = ensure_min_partitions(load_table(spark, sf_dir, "events"))
     h = ev.select("value", md5_60(F.col("event_id").cast("string")).alias("h60"))
 
     def weight(i):
+        # One F.expr per replicate instead of ~10 chained F.when Column
+        # calls (r13, guide §7.3): the ~320 py4j round trips made DataFrame
+        # CONSTRUCTION cost ~2 s per bench sample; the expression text is
+        # the oracle's own perm61_sql/CASE chain, which Spark SQL parses
+        # identically (A/B-checked bit-equal: same rows, 4.1 → 2.2 s).
         a, b = _BOOT_PARAMS[i]
-        u = perm61(a, b, F.col("h60")) / F.lit(_TWO61)
-        expr = None
-        for k, c in enumerate(_POISSON_CUM):
-            expr = F.when(u < F.lit(c), k) if expr is None else expr.when(u < F.lit(c), k)
-        return expr.otherwise(9)
+        u = f"({perm61_sql(a, b, 'h60')} / {_TWO61!r})"
+        chain = " ".join(
+            f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POISSON_CUM)
+        )
+        return F.expr(f"CASE {chain} ELSE 9 END")
 
     w = h.select("value", *[weight(i).alias(f"w{i}") for i in range(_BOOT_B)])
     aggs = [F.count("*").cast("long").alias("n"), F.sum("value").alias("sv")]
