@@ -462,7 +462,10 @@ def ivf_topk(
     # iterating (A/B at sf0.1: 4.73s → 4.33s warm median; the pre-r3
     # groupBy-argmin shape, which shuffles the whole corpus per iteration,
     # measured 4.65s — see SCALE.md §IVF).
-    c = c.withColumn("_n", norm(F.col("v_c"))).select(
+    # r13 (guide §2.1): spread before the normalize fold — the projection
+    # otherwise materializes on the scan's single partition inside the
+    # eager training checkpoint job.
+    c = ensure_min_partitions(c).withColumn("_n", norm(F.col("v_c"))).select(
         "neighbor_id", F.transform("v_c", lambda x: x / F.col("_n")).alias("v_c")
     ).localCheckpoint(eager=False)
     q = queries.select(F.col(query_id), as_double(F.col(vec)).alias("v_q"))
