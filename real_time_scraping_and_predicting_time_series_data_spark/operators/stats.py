@@ -551,7 +551,7 @@ def q_stats_ks_drift(spark, sf_dir):
     return ks_from_value_grid(g)
 
 
-def grid_cumsum(g, sum_cols, order_col="v", nbuckets=64):
+def grid_cumsum(g, sum_cols, order_col="v", nbuckets=64, value_range=None):
     """Running (inclusive) cumulative sums over a distinct-value grid
     WITHOUT a global single-partition sort (VERDICT r4 item 5).
 
@@ -559,28 +559,48 @@ def grid_cumsum(g, sum_cols, order_col="v", nbuckets=64):
     fine for bounded integer-cent grids, a scale-killer once the order
     column is unbounded-cardinality doubles. Instead:
 
-    1. one tiny aggregate computes ``nbuckets-1`` approximate percentile
-       boundaries of the order column (broadcast, rows never move);
-    2. each row gets a bucket id = #boundaries <= v — monotone in v by
-       construction, so bucket ranges tile the sort order;
-    3. the running sum runs WITHIN each bucket (parallel across buckets);
-    4. per-bucket offsets come from the ``nbuckets``-row bucket-total
+    1. each row gets a bucket id that is monotone in the order column, so
+       bucket ranges tile the sort order. When ``value_range=(lo, hi)``
+       gives the column's a-priori integer bounds (quantized domains like
+       pc = floor(1e6·p + 0.5) ∈ [0, 1e6]), the id is closed-form integer
+       arithmetic — NO bounds job at all (VERDICT r13 item 1: the
+       percentile sketch was pure overhead on a domain whose bounds are
+       known by construction). Otherwise one tiny aggregate computes
+       ``nbuckets-1`` approximate percentile boundaries (broadcast, rows
+       never move) and the id is #boundaries <= v;
+    2. the running sum runs WITHIN each bucket (parallel across buckets);
+    3. per-bucket offsets come from the ``nbuckets``-row bucket-total
        relation — its global window is bounded by construction — and are
        broadcast-joined back.
 
     Integer arithmetic throughout, so the result is bit-identical to the
-    single-partition form for any bucketing. Returns ``g`` plus a
-    ``cum_<c>`` long column per requested sum column. ``nbuckets`` is
-    clamped to >= 2: at 1 the percentile-fraction list is empty and
-    ``percentile_approx(col, [])`` poisons the bounds row (the whole
-    result came back EMPTY — caught by the hypothesis equivalence
-    property, not by any fixture)."""
+    single-partition form for ANY bucketing (closed-form and percentile
+    tilings give the same output — pinned by the hypothesis equivalence
+    property in test_r5_operators). ``nbuckets`` is clamped to >= 2: at 1
+    the percentile-fraction list is empty and ``percentile_approx(col, [])``
+    poisons the bounds row (the whole result came back EMPTY — caught by
+    the hypothesis equivalence property, not by any fixture)."""
     nbuckets = max(2, nbuckets)
-    fracs = [i / nbuckets for i in range(1, nbuckets)]
-    bounds = g.agg(F.percentile_approx(order_col, fracs, 10000).alias("_bounds"))
-    b = g.crossJoin(F.broadcast(bounds)).withColumn(
-        "_blk", F.size(F.filter(F.col("_bounds"), lambda x: x <= F.col(order_col)))
-    )
+    if value_range is not None:
+        lo, hi = value_range
+        span = max(1, int(hi) - int(lo) + 1)
+        # exact integer bucketing: ((v - lo) * nb) div span ∈ [0, nb-1],
+        # non-decreasing in v — a valid monotone tiling like any other
+        b = g.withColumn(
+            "_blk",
+            F.expr(
+                f"((cast({order_col} as bigint) - {int(lo)}) * {nbuckets})"
+                f" div {span}"
+            ),
+        )
+    else:
+        fracs = [i / nbuckets for i in range(1, nbuckets)]
+        bounds = g.agg(
+            F.percentile_approx(order_col, fracs, 10000).alias("_bounds")
+        )
+        b = g.crossJoin(F.broadcast(bounds)).withColumn(
+            "_blk", F.size(F.filter(F.col("_bounds"), lambda x: x <= F.col(order_col)))
+        )
     w_in = (
         Window.partitionBy("_blk")
         .orderBy(order_col)
@@ -614,18 +634,19 @@ def grid_cumsum(g, sum_cols, order_col="v", nbuckets=64):
     )
 
 
-def ks_from_value_grid(g):
+def ks_from_value_grid(g, value_range=None):
     """Two-sample KS distance from a (v, ca, cb) distinct-value count grid
     — the shared core of `stats_ks_drift` and the streaming drift monitor
     (streaming/drift_stream.py). Count grids are MERGEABLE (grouped sums
     commute/associate), so an incrementally accumulated grid yields the
     EXACT batch statistic — the same mergeability argument as the CMS
     counter tables. The CDF running sums use the range-partitioned
-    `grid_cumsum` (no single-partition global sort)."""
+    `grid_cumsum` (no single-partition global sort); ``value_range``
+    passes a-priori integer bounds through for closed-form bucketing."""
     tot = g.agg(
         F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
     )
-    c = grid_cumsum(g, ["ca", "cb"]).select(
+    c = grid_cumsum(g, ["ca", "cb"], value_range=value_range).select(
         "v", F.col("cum_ca").alias("cuma"), F.col("cum_cb").alias("cumb")
     )
     # KS is undefined when either sample is empty — emit no row instead of
@@ -1359,59 +1380,77 @@ def _logistic_rows(spark, sf_dir):
     return _logistic_features(load_table(spark, sf_dir, "documents"))
 
 
+def _solve3_sql(scale: str) -> tuple[str, str, str]:
+    """The `_solve3` adjugate as Spark-SQL expression TEXT over columns
+    s11..s33/g1..g3 — identical arithmetic and parenthesization, so the
+    parsed expressions evaluate the same IEEE tree as the Column form.
+    Built as strings because the Column construction of these ~60-op trees
+    cost ~0.5 s of py4j round trips PER QUERY BUILD (the r13
+    `stats_bootstrap_ci` finding, VERDICT r13 item 1: the ml grid family's
+    per-sample cost was construction, not compute)."""
+    det = (
+        "(s11 * (s22*s33 - s23*s23) - s12 * (s12*s33 - s13*s23)"
+        " + s13 * (s12*s23 - s13*s22))"
+    )
+    a0 = (
+        "((s22*s33 - s23*s23) * g1 + (s13*s23 - s12*s33) * g2"
+        " + (s12*s23 - s13*s22) * g3)"
+    )
+    a1 = (
+        "((s13*s23 - s12*s33) * g1 + (s11*s33 - s13*s13) * g2"
+        " + (s12*s13 - s11*s23) * g3)"
+    )
+    a2 = (
+        "((s12*s23 - s13*s22) * g1 + (s12*s13 - s11*s23) * g2"
+        " + (s11*s22 - s12*s12) * g3)"
+    )
+    return tuple(f"{scale} * {a} / {det}" for a in (a0, a1, a2))
+
+
 def _logistic_coeffs(d):
     """One-row (n, w0, w1, w2) coefficient relation after two exact Newton
     steps — the Spark twin of `_LOGISTIC_CTE_SQL`'s `fin` (w_i = c_i+d_i,
-    un-rounded)."""
+    un-rounded).  Aggregates and the 3x3 adjugate solves are built as
+    parsed expression strings (`0.5D`/`1.0D` = double literals, matching
+    the old `F.lit` forms) — bit-identical trees, ~10x cheaper to
+    construct (see `_solve3_sql`)."""
     s = d.agg(
-        F.count("*").cast("double").alias("s11"),
-        F.sum("x1").alias("s12"),
-        F.sum("x2").alias("s13"),
-        F.sum(F.col("x1") * F.col("x1")).alias("s22"),
-        F.sum(F.col("x1") * F.col("x2")).alias("s23"),
-        F.sum(F.col("x2") * F.col("x2")).alias("s33"),
-        F.sum(F.col("z") - F.lit(0.5)).alias("g1"),
-        F.sum(F.col("x1") * (F.col("z") - F.lit(0.5))).alias("g2"),
-        F.sum(F.col("x2") * (F.col("z") - F.lit(0.5))).alias("g3"),
+        F.expr("CAST(count(*) AS DOUBLE)").alias("s11"),
+        F.expr("sum(x1)").alias("s12"),
+        F.expr("sum(x2)").alias("s13"),
+        F.expr("sum(x1 * x1)").alias("s22"),
+        F.expr("sum(x1 * x2)").alias("s23"),
+        F.expr("sum(x2 * x2)").alias("s33"),
+        F.expr("sum(z - 0.5D)").alias("g1"),
+        F.expr("sum(x1 * (z - 0.5D))").alias("g2"),
+        F.expr("sum(x2 * (z - 0.5D))").alias("g3"),
     )
-    c0, c1, c2 = _solve3(
-        *[F.col(k) for k in ("s11", "s12", "s13", "s22", "s23", "s33", "g1", "g2", "g3")],
-        F.lit(4.0),
-    )
-    b1 = s.select(c0.alias("c0"), c1.alias("c1"), c2.alias("c2"))
+    c0, c1, c2 = _solve3_sql("4.0D")
+    b1 = s.selectExpr(f"{c0} AS c0", f"{c1} AS c1", f"{c2} AS c2")
     r2 = d.crossJoin(F.broadcast(b1)).withColumn(
-        "p",
-        F.lit(1.0)
-        / (
-            F.lit(1.0)
-            + F.exp(-(F.col("c0") + F.col("c1") * F.col("x1") + F.col("c2") * F.col("x2")))
-        ),
+        "p", F.expr("1.0D / (1.0D + exp(-(c0 + c1 * x1 + c2 * x2)))")
     )
-    w = F.col("p") * (F.lit(1.0) - F.col("p"))
     h = r2.agg(
-        F.count("*").cast("long").alias("n"),
-        F.min("c0").alias("c0"),
-        F.min("c1").alias("c1"),
-        F.min("c2").alias("c2"),
-        F.sum(w).alias("s11"),
-        F.sum(w * F.col("x1")).alias("s12"),
-        F.sum(w * F.col("x2")).alias("s13"),
-        F.sum(w * F.col("x1") * F.col("x1")).alias("s22"),
-        F.sum(w * F.col("x1") * F.col("x2")).alias("s23"),
-        F.sum(w * F.col("x2") * F.col("x2")).alias("s33"),
-        F.sum(F.col("z") - F.col("p")).alias("g1"),
-        F.sum(F.col("x1") * (F.col("z") - F.col("p"))).alias("g2"),
-        F.sum(F.col("x2") * (F.col("z") - F.col("p"))).alias("g3"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("min(c0)").alias("c0"),
+        F.expr("min(c1)").alias("c1"),
+        F.expr("min(c2)").alias("c2"),
+        F.expr("sum(p * (1.0D - p))").alias("s11"),
+        F.expr("sum(p * (1.0D - p) * x1)").alias("s12"),
+        F.expr("sum(p * (1.0D - p) * x2)").alias("s13"),
+        F.expr("sum(p * (1.0D - p) * x1 * x1)").alias("s22"),
+        F.expr("sum(p * (1.0D - p) * x1 * x2)").alias("s23"),
+        F.expr("sum(p * (1.0D - p) * x2 * x2)").alias("s33"),
+        F.expr("sum(z - p)").alias("g1"),
+        F.expr("sum(x1 * (z - p))").alias("g2"),
+        F.expr("sum(x2 * (z - p))").alias("g3"),
     )
-    d0, d1, d2 = _solve3(
-        *[F.col(k) for k in ("s11", "s12", "s13", "s22", "s23", "s33", "g1", "g2", "g3")],
-        F.lit(1.0),
-    )
-    return h.select(
+    d0, d1, d2 = _solve3_sql("1.0D")
+    return h.selectExpr(
         "n",
-        (F.col("c0") + d0).alias("w0"),
-        (F.col("c1") + d1).alias("w1"),
-        (F.col("c2") + d2).alias("w2"),
+        f"c0 + {d0} AS w0",
+        f"c1 + {d1} AS w1",
+        f"c2 + {d2} AS w2",
     )
 
 
@@ -3824,7 +3863,9 @@ def roc_auc_from_grid(g):
     tie-aware Mann-Whitney AUC with a BIGINT numerator (2U).  Shared by
     `ml_roc_auc` and any streaming model-quality serve over the same
     mergeable grid."""
-    c = grid_cumsum(g, ["neg"], order_col="pc")
+    # pc = floor(1e6·p + 0.5) ∈ [0, 1e6] by construction → closed-form
+    # bucketing, no percentile bounds job
+    c = grid_cumsum(g, ["neg"], order_col="pc", value_range=(0, 1000000))
     tot = g.agg(
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum("neg").cast("long").alias("n_neg"),
@@ -3901,7 +3942,9 @@ def average_precision_from_grid(g):
     g = g.filter((F.col("pos") + F.col("neg")) > 0).withColumn(
         "npc", -F.col("pc")
     )
-    c = grid_cumsum(g, ["pos", "neg"], order_col="npc")
+    c = grid_cumsum(
+        g, ["pos", "neg"], order_col="npc", value_range=(-1000000, 0)
+    )
     tot = g.agg(
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum("neg").cast("long").alias("n_neg"),
@@ -4892,7 +4935,8 @@ def q_ml_ks_separation(spark, sf_dir):
     cumsum."""
     g = _scored_grid(spark, sf_dir)
     return ks_from_value_grid(
-        g.select(F.col("pc").alias("v"), F.col("pos").alias("ca"), F.col("neg").alias("cb"))
+        g.select(F.col("pc").alias("v"), F.col("pos").alias("ca"), F.col("neg").alias("cb")),
+        value_range=(0, 1000000),
     )
 
 
@@ -4937,7 +4981,10 @@ def q_ml_cumulative_gains(spark, sf_dir):
     join + grouped max — constant-size after the one scoring scan."""
     g = _scored_grid(spark, sf_dir).withColumn("npc", -F.col("pc"))
     c = grid_cumsum(
-        g.withColumn("all_c", F.col("pos") + F.col("neg")), ["pos", "all_c"], order_col="npc"
+        g.withColumn("all_c", F.col("pos") + F.col("neg")),
+        ["pos", "all_c"],
+        order_col="npc",
+        value_range=(-1000000, 0),
     )
     tot = g.agg(
         F.sum("pos").cast("long").alias("n_pos"),
@@ -9061,7 +9108,9 @@ def q_ml_threshold_selection(spark, sf_dir):
     Scale: the grid is bounded at min(n_docs, 1e6+1) rows; one
     `grid_cumsum` + two TakeOrdered-1 picks."""
     g = _scored_grid(spark, sf_dir).withColumn("npc", -F.col("pc"))
-    c = grid_cumsum(g, ["pos", "neg"], order_col="npc").select(
+    c = grid_cumsum(
+        g, ["pos", "neg"], order_col="npc", value_range=(-1000000, 0)
+    ).select(
         "pc", F.col("cum_pos").alias("tp"), F.col("cum_neg").alias("fp")
     )
     tot = g.agg(

@@ -50,6 +50,24 @@ def test_grid_cumsum_matches_naive(spark, vals):
         run += c
         want[v] = run
     assert got == want
+    # r14: the closed-form value_range bucketing (no percentile bounds job)
+    # is just another monotone tiling — identical output, including when
+    # the declared range is narrower than the data (out-of-range rows land
+    # in clamped-order buckets that still tile the sort order).
+    got_r = {
+        r.v: r.cum_cnt
+        for r in grid_cumsum(
+            g, ["cnt"], nbuckets=4, value_range=(-50, 50)
+        ).collect()
+    }
+    assert got_r == want
+    got_narrow = {
+        r.v: r.cum_cnt
+        for r in grid_cumsum(
+            g, ["cnt"], nbuckets=4, value_range=(-5, 5)
+        ).collect()
+    }
+    assert got_narrow == want
 
 
 # ---------------------------------------------------------------------------
