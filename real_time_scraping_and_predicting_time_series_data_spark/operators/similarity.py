@@ -386,6 +386,48 @@ def _cell_means(assigned: DataFrame, vec_col: str, dim: int = 64) -> DataFrame:
     )
 
 
+def _cell_means_exact(assigned: DataFrame, vec_col: str, k: int, dim: int) -> DataFrame:
+    """Per-cell mean with EXACT arithmetic: component sums are
+    1e-9-quantized BIGINTs (associative — any partition order gives the
+    same centroid doubles), the `kmeans_lloyd_exact` device.  Emits
+    (cell, c_vec, c_nvec) like `_cell_means`; when K×dim is MODEL-sized
+    (≤ 2^20 components) the long partials are collected and the centroid
+    relation rebuilt as a LocalTableScan (Python float division over
+    exact longs is the same IEEE double op — the r13 bounded-model-collect
+    class), else the rebuild stays distributed."""
+    part = (
+        assigned.select(
+            "cell",
+            F.posexplode(
+                F.transform(vec_col, lambda x: F.round(x * 1e9).cast("long"))
+            ).alias("pos", "q"),
+        )
+        .groupBy("cell", "pos")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+    )
+    if k * dim <= (1 << 20):
+        bycell: dict[int, dict[int, float]] = {}
+        for r in part.collect():
+            bycell.setdefault(r["cell"], {})[r["pos"]] = float(r["s"]) / (
+                1_000_000_000.0 * float(r["n"])
+            )
+        cents = assigned.sparkSession.createDataFrame(
+            [(cell, [d[p] for p in sorted(d)]) for cell, d in sorted(bycell.items())],
+            "cell int, c_vec array<double>",
+        )
+    else:
+        cents = part.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                lambda t: t["s"].cast("double") / (F.lit(1_000_000_000.0) * t["n"]),
+            ).alias("c_vec")
+        ).localCheckpoint(eager=False)
+    cents = cents.withColumn("_n", norm(F.col("c_vec")))
+    return cents.select(
+        "cell", "c_vec", F.transform("c_vec", lambda x: x / F.col("_n")).alias("c_nvec")
+    )
+
+
 def ivf_train(
     corpus: DataFrame, vec_col: str, id_col: str, k: int = 16, iters: int = 2, dim: int = 64
 ) -> DataFrame:
@@ -399,25 +441,25 @@ def ivf_train(
     partition); the returned centroids are always the means of the LAST
     assignment, so train/assign compose without an off-by-one.
 
-    The returned centroid table (K tiny rows) is materialized
-    (``localCheckpoint``) so every downstream consumer — corpus
-    assignment, query probing — reads a K-row "model table" instead of
-    re-executing the whole Lloyd chain once per reference to the lazy
-    plan. Intermediate iterations stay LAZY: each ``cents`` is consumed
-    exactly once by the next iteration, so the full chain is linear and
-    executes once inside the final checkpoint job — checkpointing every
-    step would trade that single job for one fixed-latency job per
-    iteration (measured 3.7s → 1.3s for 2 iterations at sf0.1). Long
-    trainings (≫5 iterations) should re-introduce a periodic checkpoint
-    purely to bound lineage depth.
+    r14 (VERDICT r13 item 2): centroid updates use the EXACT quantized
+    long-sum means (`_cell_means_exact`) instead of engine-order fp
+    ``avg`` — any partition order now gives bit-identical centroids, so
+    `sim_ivf_topk` carries a full DuckDB value-hash oracle instead of the
+    rows-only check (output verified identical to the fp-avg path at
+    sf0.001/0.01/0.1 before the swap).  The model-sized K×dim partials
+    collect to a LocalTableScan (the r13 `kmeans_lloyd_exact` device), so
+    the training chain is also cheaper: each iteration is one bounded
+    aggregate job instead of a growing lazy plan.
     """
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
-    assigned = corpus.withColumn("cell", (F.col(id_col) % k).cast("int"))
-    cents = _cell_means(assigned, vec_col, dim)
+    assigned = corpus.select(
+        F.col(vec_col), (F.col(id_col) % k).cast("int").alias("cell")
+    )
+    cents = _cell_means_exact(assigned, vec_col, k, dim)
     for _ in range(iters):
         assigned = ivf_assign(corpus, cents, vec_col, [id_col])
-        cents = _cell_means(assigned, vec_col, dim)
+        cents = _cell_means_exact(assigned, vec_col, k, dim)
     return cents.localCheckpoint(eager=True)
 
 
@@ -709,10 +751,101 @@ def ivf_topk_relation(
     )
 
 
-@register("sim_ivf_topk", oracle=None, tags=("similarity", "ivf", "ann"))
+def _ivf_lloyd_oracle(k: int = 5, n_cells: int = 16, nprobe: int = 4, iters: int = 2) -> str:
+    """DuckDB twin of `ivf_topk`'s Lloyd-trained pipeline: id%K seed
+    means, `iters` exact-arithmetic updates (`_cell_means_exact`'s
+    1e-9-quantized BIGINT component sums — r14, VERDICT r13 item 2),
+    cosine assignment/probing against the unit-normalized centroid with
+    the round(-dot, 9) + min-cell tie-break, cosine rank over probed
+    candidates.  Every number is a fixed-order fold both engines
+    reproduce bit-wise — the upgrade that retired `sim_ivf_topk`'s
+    rows-only carve-out."""
+
+    def update(a: str, out: str) -> str:
+        # exact means of assignment ``a`` (cols: vec_id, nv, cell) →
+        # (cell, cn) with cn the UNIT-NORMALIZED centroid
+        return f"""{out}_g AS (
+        SELECT cell, generate_subscripts(nv, 1) AS pos, unnest(nv) AS x FROM {a}
+    ), {out}_m AS (
+        SELECT cell,
+               list(CAST(s AS DOUBLE) / (1000000000.0 * n) ORDER BY pos) AS c
+        FROM (SELECT cell, pos,
+                     SUM(CAST(round(x * 1000000000) AS BIGINT)) AS s,
+                     COUNT(*) AS n
+              FROM {out}_g GROUP BY cell, pos)
+        GROUP BY cell
+    ), {out} AS (
+        SELECT cell,
+               list_transform(c, x -> x / sqrt(list_dot_product(c, c))) AS cn
+        FROM {out}_m
+    )"""
+
+    def assign(cent: str, out: str) -> str:
+        return f"""{out} AS (
+        SELECT vec_id, nv, cell FROM (
+            SELECT n.vec_id, n.nv, c.cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round(-list_dot_product(n.nv, c.cn), 9), c.cell
+                   ) AS rn
+            FROM n CROSS JOIN {cent} c)
+        WHERE rn = 1
+    )"""
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "n AS (SELECT vec_id,"
+        " list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM e)",
+        f"a0 AS (SELECT vec_id, nv, CAST(vec_id % {n_cells} AS INT) AS cell FROM n)",
+        update("a0", "c0"),
+    ]
+    cur = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(assign(cur, f"a{i}"))
+        ctes.append(update(f"a{i}", f"c{i}"))
+        cur = f"c{i}"
+    ctes.append(assign(cur, "af"))
+    ctes.append(
+        f"""probes AS (
+        SELECT query_id, v_q, cell FROM (
+            SELECT n.vec_id AS query_id, n.nv AS v_q, c.cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round(-list_dot_product(n.nv, c.cn), 9), c.cell
+                   ) AS rn
+            FROM n CROSS JOIN {cur} c WHERE n.vec_id < 10)
+        WHERE rn <= {nprobe}
+    )"""
+    )
+    ctes.append(
+        """scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_dot_product(p.v_q, a.nv) AS cos
+        FROM af a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )"""
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY round(cos, 9) DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= {k}
+    """
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=_ivf_lloyd_oracle(k=5, n_cells=16, nprobe=4, iters=2),
+    tags=("similarity", "ivf", "ann"),
+)
 def q_sim_ivf(spark, sf_dir):
-    """IVF ANN top-5 for the same query set as the brute-force baseline
-    (rows-only; recall property-tested)."""
+    """IVF ANN top-5 for the same query set as the brute-force baseline.
+    r14: full value-hash oracle (was rows-only through r13) — `ivf_train`
+    now uses exact quantized-mean Lloyd updates, so the trained centroids
+    are partition-order-independent and DuckDB reproduces the whole
+    train → assign → probe → rank pipeline bit-wise (output verified
+    identical to the old fp-avg path at sf0.001/0.01/0.1 before the
+    swap); recall additionally property-tested."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -4495,22 +4628,41 @@ def ivf_topk_relation_gemm(
     )
 
 
+# The GEMM serve's oracle is the fold serve's oracle with the LINEAR
+# auto-K rule (no √N cap) — the two serves differ ONLY in K and in how
+# the probe/assign dot products are evaluated (numpy matmul vs HOF fold),
+# and the round-9/round-6 canonicalization absorbs the reduction-order
+# difference: bit-agreement with the fold path is pinned by
+# test_gemm_relation_serve_matches_fold_path, and the r13 verdict's
+# audit ("if it's bit-equal, it can carry the same oracle") upgraded
+# this from rows-only to a full value-hash oracle (r14).
+_AUTO_CELLS_LINEAR_SQL = (
+    f"(SELECT GREATEST({_CELL_FLOOR}, "
+    f"CAST(ceil(count(*) / {_CELL_TARGET}.0) AS INT)) FROM embeddings)"
+)
+
+_TOPK_RELATION_GEMM_ORACLE = _TOPK_RELATION_ORACLE.replace(
+    _AUTO_CELLS_SQL, _AUTO_CELLS_LINEAR_SQL
+)
+
+
 @register(
     "sim_topk_relation_gemm",
-    oracle=None,
+    oracle=_TOPK_RELATION_GEMM_ORACLE,
     tags=("similarity", "ivf", "ann", "relation", "gemm", "scale-path"),
 )
 def q_sim_topk_relation_gemm(spark, sf_dir):
-    """Rows-only by design (the documented convention: every rows-only
-    query maps to a hash-green twin — this one's is `sim_topk_relation`,
-    bit-agreement pinned at test scale): the GEMM serving path runs
-    numpy matmuls inside Arrow ``mapInPandas``, whose reduction order is
-    not bit-reproducible against the DuckDB fold arithmetic at round-9
-    boundaries, so it ships as the PERF path rather than an
-    oracle-bearing serve.  Uses the LINEAR auto-K rule — the point of
-    vectorizing the probe term is that constant cell size (linear
-    candidate volume) becomes affordable again past the fold ladder's
-    √N cap; measured at sf1x in SCALE.md r13."""
+    """GEMM serving path: numpy matmuls inside Arrow ``mapInPandas`` for
+    the probe/assign term.  Carries the fold serve's full value-hash
+    oracle with the LINEAR auto-K substituted (see
+    `_TOPK_RELATION_GEMM_ORACLE`) — per-row matmul dot products are
+    batch-independent and agree with the DuckDB fold at the round-9
+    tiebreak/round-6 output boundaries (bit-agreement with
+    `sim_topk_relation` pinned by test; was rows-only through r13).
+    Uses the LINEAR auto-K rule — the point of vectorizing the probe
+    term is that constant cell size (linear candidate volume) becomes
+    affordable again past the fold ladder's √N cap; measured at sf1x in
+    SCALE.md r13."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     return ivf_topk_relation_gemm(

@@ -9,7 +9,11 @@ from __future__ import annotations
 
 # Update alongside COVERAGE.md's round-delta line.
 EXPECTED_QUERIES = 428
-EXPECTED_ORACLES = 422  # 6 rows-only by design (incl. sim_topk_relation_gemm)
+# 4 rows-only by design (sketch_hll_distinct, sample_stratified,
+# ts_quantiles_approx, ml_gbt_forecast_eval — each approximate/engine-
+# specific by definition, each with a hash-green exact twin);
+# sim_topk_relation_gemm and sim_ivf_topk upgraded to full oracles in r14.
+EXPECTED_ORACLES = 424
 
 
 def test_registry_counts_match_ledger():
