@@ -58,8 +58,7 @@ from .store_compaction import compacted_upto, is_compacted, publish_dir
 
 from ..catalog import ensure_min_partitions
 from ..functions.vector import as_double, dot, norm
-from ..operators.dedup import cell_local_components
-from ..operators.similarity import _exploding_cell_join, ivf_probe_cells
+from ..operators.similarity import ivf_probe_cells
 
 __all__ = ["SemanticDedupStore"]
 
@@ -173,68 +172,109 @@ class SemanticDedupStore:
 
     def ingest_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch hook: admit semantically-novel vectors,
-        idempotently per batch_id."""
+        idempotently per batch_id.
+
+        r14 (VERDICT r13 item 3, guide §1.2/§4): the within-batch collapse
+        — probe-cell pair enumeration, cos >= tau edges, union-by-min —
+        is FUSED into one constant-key grouped-map kernel over the
+        assigned batch.  The r13 shape ran it as explode → salted
+        self-join → filter → grouped-map union-find → semi-join: ~16
+        Spark jobs and ~0.7 s of physical-planning gaps per micro-batch
+        (measured via the UI REST breakdown), all to produce edges that
+        were ALREADY destined for a single constant-key union-find
+        worker.  The kernel sees exactly the rows that worker saw, so the
+        scale contract is unchanged: a micro-batch fits one in-memory
+        union-find (documented below; bulk loads use
+        `connected_components_star`).  Verdicts are bit-identical — edge
+        membership is decided by the same round(dot, 9) >= tau test, with
+        numpy used only as a prefilter outside a ±1e-6 band around tau
+        (64-term summation-order error is <= ~7e-15 for unit vectors;
+        inside the band the kernel re-evaluates Spark's exact
+        left-to-right fold and HALF_UP rounding) — pinned by the replay
+        oracles of both serves and the store test suite."""
         if is_compacted(self.root, batch_id):
             return  # replay of a folded batch: its verdicts are in the fold
-        # Eager checkpoint, deliberately (r13): the publish plan references
-        # `assigned` from several CONCURRENT broadcast-exchange jobs; a lazy
-        # checkpoint lets them race and each recompute the probe fold
-        # (measured: four ~0.35 s duplicate single-task jobs per batch).
-        # One eager job materializes it once — and the batch is spread
-        # first so the per-row K-dot probe fold runs at full parallelism
-        # instead of on the scan's single partition (guide §2.1).
-        assigned = self._assign(ensure_min_partitions(batch_df)).localCheckpoint(
-            eager=True
-        )
+        # spread first so the per-row K-dot probe fold runs at full
+        # parallelism instead of on the scan's single partition (§2.1);
+        # no checkpoint — `assigned` now has exactly ONE consumer (the
+        # collapse kernel), so the r13 eager cut (which existed because
+        # several concurrent broadcast jobs raced to materialize it) has
+        # nothing left to guard.
+        assigned = self._assign(ensure_min_partitions(batch_df))
+        tau = self.threshold
 
-        # within-batch: cos >= tau edges between pairs SHARING A PROBED
-        # cell -> min-id component representatives (chains collapse to one
-        # survivor).  Multi-probe edges cross primary cells, so the
-        # union-find runs over the whole micro-batch as one group (the
-        # grouped-map `cell_local_components` with a constant key — still
-        # a single shuffle + zero fixpoint iterations, the r11 drift-serve
-        # fix; union-find absorbs the duplicate edges a 2-cell-sharing
-        # pair emits, so no distinct shuffle is paid).  A bulk-load batch
-        # too big for one in-memory union-find should go through
-        # `connected_components_star` instead.
-        a = assigned.select(
-            F.explode("probe_cells").alias("pc"),
-            F.col("vec_id").alias("src"),
-            F.col("v").alias("va"),
-        )
-        b = assigned.select(
-            F.explode("probe_cells").alias("pc"),
-            F.col("vec_id").alias("dst"),
-            F.col("v").alias("vb"),
-        )
-        # r13 (guide §2.5, §3.3): the probe-cell self-join has only K
-        # distinct keys and EXPLODES (Σ|cell∩batch|² candidate rows whose
-        # per-row cost is the 64-dim dot fold) — AQE sizes its post-shuffle
-        # stage from the tiny map bytes and collapses it to ~1 partition.
-        # `_exploding_cell_join` pins explicit-count parallelism + a
-        # deterministic salt; every pair still meets once per shared cell
-        # and union-find absorbs the multi-probe duplicates as before.
-        edges = (
-            _exploding_cell_join(a, b, self.n_cells, "dst", cell_key="pc")
-            .filter(F.col("src") < F.col("dst"))
-            .filter(F.round(dot(F.col("va"), F.col("vb")), 9) >= self.threshold)
-            .select(F.lit(0).alias("cell"), "src", "dst")
-        )
-        members = assigned.select(F.lit(0).alias("cell"), "vec_id")
-        labels = cell_local_components(edges, members)
-        reps = assigned.join(
-            labels.filter(F.col("node") == F.col("label")).select(
-                F.col("node").alias("vec_id")
-            ),
-            "vec_id",
-            "left_semi",
+        def _collapse(pdf):
+            import numpy as np  # noqa: PLC0415
+
+            from ..operators.similarity import _round_half_up  # noqa: PLC0415
+
+            if len(pdf) == 0:
+                return pdf[["cell", "vec_id", "v", "probe_cells"]]
+            ids = [int(x) for x in pdf["vec_id"]]
+            vmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            by_cell: dict[int, list[int]] = {}
+            for i, cells in enumerate(pdf["probe_cells"]):
+                for c in cells:
+                    by_cell.setdefault(int(c), []).append(i)
+            parent = {x: x for x in ids}
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            band = 1e-6
+            for idx in by_cell.values():
+                if len(idx) < 2:
+                    continue
+                sub = vmat[idx]
+                d = sub @ sub.T
+                ii, jj = np.nonzero(d >= tau - band)
+                for a, b in zip(ii.tolist(), jj.tolist()):
+                    if a >= b:
+                        continue
+                    if d[a, b] < tau + band:
+                        # boundary band: replicate Spark's exact
+                        # left-to-right fold + HALF_UP round(…, 9)
+                        va = sub[a].tolist()
+                        vb = sub[b].tolist()
+                        acc = 0.0
+                        for x, y in zip(va, vb):
+                            acc = acc + x * y
+                        if _round_half_up(acc, 9) < tau:
+                            continue
+                    ra, rb = find(ids[idx[a]]), find(ids[idx[b]])
+                    if ra != rb:
+                        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                        parent[hi] = lo
+            keep = [find(x) == x for x in ids]
+            return pdf.loc[keep, ["cell", "vec_id", "v", "probe_cells"]]
+
+        # one eager cut on the SURVIVORS: the ledger probe and the final
+        # anti-join both read reps, and the publish write is the only
+        # action per batch
+        reps = (
+            assigned.withColumn("_g", F.lit(0))
+            .groupBy("_g")
+            .applyInPandas(
+                _collapse,
+                schema="cell int, vec_id bigint, v array<double>, probe_cells array<int>",
+            )
+            .localCheckpoint(eager=True)
         )
 
         # ledger probe: compare against already-accepted vectors of every
-        # shared probed cell — both probe sets explode and equi-join on
-        # the cell key, so coverage is the audit's symmetric
+        # shared probed cell — coverage is the audit's symmetric
         # min_joint <= nprobe rule (a replay excludes its own earlier
-        # attempt so it reaches the same verdicts)
+        # attempt so it reaches the same verdicts).  r14: the batch's
+        # probe rows BROADCAST against the streamed ledger scan (a
+        # micro-batch is broadcast-sized by the same contract that sizes
+        # the union-find) — the r13 salted shuffle-hash join paid two
+        # 32-way repartition exchanges per batch for candidate volumes
+        # the broadcast join handles with zero exchanges on the ledger
+        # side; at any ledger size the scan streams.  Arithmetic
+        # unchanged: Spark's round(dot, 9) >= tau.
         led = self._ledger(exclude_batch_id=batch_id)
         if led is not None:
             np_ = reps.select(
@@ -244,12 +284,12 @@ class SemanticDedupStore:
                 F.col("v").alias("ov"), F.explode("probe_cells").alias("pc")
             )
             hits = (
-                _exploding_cell_join(op, np_, self.n_cells, "vec_id", cell_key="pc")
+                op.join(F.broadcast(np_), "pc")
                 .filter(F.round(dot(F.col("v"), F.col("ov")), 9) >= self.threshold)
                 .select("vec_id")
                 .distinct()
             )
-            reps = reps.join(hits, "vec_id", "left_anti")
+            reps = reps.join(F.broadcast(hits), "vec_id", "left_anti")
 
         # publish_dir's rename-aside swap (ADVICE r12): a crash mid-publish
         # never leaves a previously successful batch's rows absent.
