@@ -941,7 +941,18 @@ def q_orders_frequent_triples(spark, sf_dir):
     The prune is lossless by the Apriori property, and the semi-join is
     pinned in the plan (tests/test_r7_operators.py)."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")).distinct()
+    # r14 (guide §1.2): the deduped (ok, part) relation feeds FIVE branches
+    # (both sides of the pair join, the prune, the triple base, n_orders)
+    # and column pruning specialized each one, so the executed plan
+    # re-derived the scan + distinct 32 TIMES (1158-line plan, 76
+    # Exchanges — plans/r14/orders_frequent_triples_before.txt).  One lazy
+    # checkpoint materializes the dedup pass once; same trade as the
+    # r13 shingle-relation cuts.
+    op = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     # frequent-pair part universe (downward closure): a part outside every
     # frequent pair cannot be in any frequent triple.
     a = op.select(F.col("ok"), F.col("part").alias("pa"))
@@ -958,7 +969,10 @@ def q_orders_frequent_triples(spark, sf_dir):
         .unionAll(fp.select(F.col("pb").alias("part")))
         .distinct()
     )
-    pruned = op.join(fp_parts, "part", "left_semi")
+    # the pruned base feeds all three sides of the triple join — cut it
+    # too, or the semi-join (and the pair join inside its build side)
+    # replans per side
+    pruned = op.join(fp_parts, "part", "left_semi").localCheckpoint(eager=False)
     ta = pruned.select("ok", F.col("part").alias("pa"))
     tb = pruned.select("ok", F.col("part").alias("pb"))
     tc = pruned.select("ok", F.col("part").alias("pc"))

@@ -1516,13 +1516,17 @@ def binary_sign_codes(df: DataFrame, vec: str = "embedding", id_col: str = "vec_
     )
     d = df.select(F.col(id_col), v.alias("v"), thr.alias("thr"))
 
+    # r14: the two 32-term when-chains are built as ONE parsed expression
+    # string each (identical CASE tree — Spark `v[i]` is 0-based where the
+    # DuckDB oracle's list index is 1-based) instead of ~256 py4j Column
+    # round trips per query build (the r13 `stats_bootstrap_ci` device).
     def word(lo: int) -> F.Column:
-        w = F.lit(0).cast("long")
-        for i in range(lo, lo + 32):
-            w = w + F.when(
-                F.col("v")[i] > F.col("thr"), F.lit(1 << (i - lo)).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        return w
+        terms = " + ".join(
+            f"(CASE WHEN v[{i}] > thr THEN CAST({1 << (i - lo)} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+            for i in range(lo, lo + 32)
+        )
+        return F.expr(f"CAST(0 AS BIGINT) + {terms}")
 
     return d.select(id_col, "v", word(0).alias("w0"), word(32).alias("w1"))
 
