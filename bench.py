@@ -18,7 +18,10 @@ import sys
 import time
 
 from real_time_scraping_and_predicting_time_series_data_spark.plans.registry import all_queries
-from real_time_scraping_and_predicting_time_series_data_spark.session import get_spark
+from real_time_scraping_and_predicting_time_series_data_spark.session import (
+    get_spark,
+    release_persisted_rdds,
+)
 
 # Representative of the engine's surface: the reference pipeline (flagship,
 # asof, windows), relational core (agg/join/window/topk), and the
@@ -324,7 +327,7 @@ RUNS_HV = 5
 # Round stamp for the durable samples copy (see SCALE.md audit-trail
 # correction: bench_runs_local.json is last-writer-wins scratch; the
 # round-stamped copy is the audit trail BASELINE.md points at).
-ROUND = 13
+ROUND = 14
 
 # Per-run sample artifacts live under bench_runs/ (ADVICE r10: 29 one-line
 # scratch files at the repo root cluttered the top level); only the
@@ -450,16 +453,12 @@ def main() -> int:
         # ~100 MB each, freed only via ContextCleaner lag). Per-sample
         # isolation measures the query, not the harness debris, and
         # applies uniformly to every query.
-        # getPersistentRDDs is a private py4j surface with no public PySpark
-        # twin; if a Spark upgrade removes it, degrade to leaky-but-running.
+        # r14: the sweep logic moved INTO the engine
+        # (session.release_persisted_rdds — VERDICT r13 item 5: the engine,
+        # not the harness, owns checkpoint hygiene); the harness calls the
+        # same per-sample release it always did. Timing regions unchanged.
         def _unpersist_all() -> None:
-            try:
-                for rdd in list(
-                    spark.sparkContext._jsc.getPersistentRDDs().values()
-                ):
-                    rdd.unpersist()
-            except Exception:
-                pass
+            release_persisted_rdds(spark)
 
         samples = []
         for _ in range(RUNS_HV if name in HIGH_VARIANCE else RUNS):

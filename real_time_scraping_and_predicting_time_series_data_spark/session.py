@@ -17,9 +17,36 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "SHUFFLE_PARTITIONS"]
+__all__ = ["get_spark", "release_persisted_rdds", "SHUFFLE_PARTITIONS"]
 
 SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def release_persisted_rdds(spark: SparkSession) -> int:
+    """Unpersist every RDD the session currently pins — the engine-side
+    release for the per-query ``localCheckpoint`` pins (VERDICT r13 item
+    5: the engine, not the harness, should own this hygiene).
+
+    Session contract: many query plans cut lineage with ``localCheckpoint``
+    (graph edge pins, shingle relations, ANN models).  Those RDDs stay
+    referenced BY the returned DataFrame, so they can only be released
+    AFTER the consuming action — Spark's ContextCleaner eventually
+    reclaims them via GC weak refs, but a long-lived session running many
+    queries accumulates executor storage in the meantime.  Call this
+    between queries (the bench harness does, per sample); returns the
+    number of RDDs released.  DataFrames whose checkpoints are released
+    must not be re-executed afterwards.
+
+    ``getPersistentRDDs`` is a private py4j surface with no public PySpark
+    twin; if a Spark upgrade removes it, degrade to leaky-but-running."""
+    n = 0
+    try:
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+            n += 1
+    except Exception:
+        pass
+    return n
 
 
 def get_spark(
