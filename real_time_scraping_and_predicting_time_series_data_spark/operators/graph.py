@@ -964,15 +964,17 @@ def q_orders_frequent_triples(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("c_ab"))
         .filter(F.col("c_ab") >= _TRI_SUPPORT)
     )
+    # the frequent-pair part set feeds the semi-join that all three triple
+    # sides replicate — cut the PAIR JOIN here (not the pruned relation:
+    # the Apriori LeftSemi must stay visible in the final plan, pinned by
+    # test_r7), so each replica is a trivial LeftSemi over two LogicalRDDs
     fp_parts = (
         fp.select(F.col("pa").alias("part"))
         .unionAll(fp.select(F.col("pb").alias("part")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    # the pruned base feeds all three sides of the triple join — cut it
-    # too, or the semi-join (and the pair join inside its build side)
-    # replans per side
-    pruned = op.join(fp_parts, "part", "left_semi").localCheckpoint(eager=False)
+    pruned = op.join(fp_parts, "part", "left_semi")
     ta = pruned.select("ok", F.col("part").alias("pa"))
     tb = pruned.select("ok", F.col("part").alias("pb"))
     tc = pruned.select("ok", F.col("part").alias("pc"))
