@@ -386,15 +386,18 @@ def _cell_means(assigned: DataFrame, vec_col: str, dim: int = 64) -> DataFrame:
     )
 
 
-def _cell_means_exact(assigned: DataFrame, vec_col: str, k: int, dim: int) -> DataFrame:
+def _cell_means_exact(assigned: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """Per-cell mean with EXACT arithmetic: component sums are
     1e-9-quantized BIGINTs (associative — any partition order gives the
     same centroid doubles), the `kmeans_lloyd_exact` device.  Emits
-    (cell, c_vec, c_nvec) like `_cell_means`; when K×dim is MODEL-sized
-    (≤ 2^20 components) the long partials are collected and the centroid
-    relation rebuilt as a LocalTableScan (Python float division over
-    exact longs is the same IEEE double op — the r13 bounded-model-collect
-    class), else the rebuild stays distributed."""
+    (cell, c_vec, c_nvec) like `_cell_means`.  The rebuild stays a LAZY
+    distributed relation (long→double division is the same IEEE op either
+    side of a collect) so `ivf_train`'s whole iteration chain still
+    executes as ONE job inside its final eager checkpoint — a
+    per-iteration model collect was measured ~1 s/iteration SLOWER here
+    (three sequential bounded jobs vs one linear chain; unlike
+    `kmeans_lloyd_exact`, whose pre-r13 baseline was the py4j-unrolled
+    per-component aggregate, this caller never paid that cost)."""
     part = (
         assigned.select(
             "cell",
@@ -405,23 +408,12 @@ def _cell_means_exact(assigned: DataFrame, vec_col: str, k: int, dim: int) -> Da
         .groupBy("cell", "pos")
         .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
     )
-    if k * dim <= (1 << 20):
-        bycell: dict[int, dict[int, float]] = {}
-        for r in part.collect():
-            bycell.setdefault(r["cell"], {})[r["pos"]] = float(r["s"]) / (
-                1_000_000_000.0 * float(r["n"])
-            )
-        cents = assigned.sparkSession.createDataFrame(
-            [(cell, [d[p] for p in sorted(d)]) for cell, d in sorted(bycell.items())],
-            "cell int, c_vec array<double>",
-        )
-    else:
-        cents = part.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
-                lambda t: t["s"].cast("double") / (F.lit(1_000_000_000.0) * t["n"]),
-            ).alias("c_vec")
-        ).localCheckpoint(eager=False)
+    cents = part.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+            lambda t: t["s"].cast("double") / (F.lit(1_000_000_000.0) * t["n"]),
+        ).alias("c_vec")
+    )
     cents = cents.withColumn("_n", norm(F.col("c_vec")))
     return cents.select(
         "cell", "c_vec", F.transform("c_vec", lambda x: x / F.col("_n")).alias("c_nvec")
@@ -456,10 +448,10 @@ def ivf_train(
     assigned = corpus.select(
         F.col(vec_col), (F.col(id_col) % k).cast("int").alias("cell")
     )
-    cents = _cell_means_exact(assigned, vec_col, k, dim)
+    cents = _cell_means_exact(assigned, vec_col, dim)
     for _ in range(iters):
         assigned = ivf_assign(corpus, cents, vec_col, [id_col])
-        cents = _cell_means_exact(assigned, vec_col, k, dim)
+        cents = _cell_means_exact(assigned, vec_col, dim)
     return cents.localCheckpoint(eager=True)
 
 
