@@ -497,33 +497,65 @@ def resample_interpolate(
     grid = spans.select(
         key, F.explode(F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))).alias("grid_ts")
     )
-    left = grid.select(
-        key, F.col("grid_ts").alias(ts), F.monotonically_increasing_id().alias(tiebreak)
+    # r14 (guide §2.4): both brackets from ONE union + ONE (key, ts) sort —
+    # the old shape ran two cascaded asof_joins (two unions, two window
+    # exchanges over grid+ticks).  The backward fill keeps asof_join's
+    # exact ordering ((ts, side, tb): ticks sort before grid rows at equal
+    # ts ⇒ inclusive), so v_prev/ts_prev are bit-identical.  The forward
+    # fill shares that ordering with a (currentRow, unboundedFollowing)
+    # frame, which EXCLUDES an equal-ts tick (it sorts before the grid
+    # row) where the old forward join included it — but an equal-ts tick
+    # is then also the backward bracket, so tg == tp and the interpolation
+    # term (vn − vp)·(tg − tp)/(tn − tp) is exactly ±0.0 regardless of
+    # which vn was picked: interp_value is unchanged row-for-row (parity
+    # re-verified; only interp_value leaves this function).
+    l_tagged = grid.select(
+        F.lit(1).alias("_side"),
+        F.col(key),
+        F.col("grid_ts").alias("_ts"),
+        F.monotonically_increasing_id().alias("_tb"),
+        F.lit(None).cast(dict(df.dtypes)[value]).alias("_v"),
+        F.lit(None).cast(dict(df.dtypes)[ts]).alias("_tick_ts"),
     )
-    ticks = df.select(key, ts, tiebreak, value)
-    back = asof_join(
-        left, ticks, on=key, ts=ts, right_value_cols=(value, ts), tiebreak=tiebreak, suffix="_prev"
+    r_tagged = df.select(
+        F.lit(0).alias("_side"),
+        F.col(key),
+        F.col(ts).alias("_ts"),
+        F.col(tiebreak).cast("long").alias("_tb"),
+        F.col(value).alias("_v"),
+        F.col(ts).alias("_tick_ts"),
     )
-    both = asof_join(
-        back,
-        ticks,
-        on=key,
-        ts=ts,
-        right_value_cols=(value, ts),
-        tiebreak=tiebreak,
-        direction="forward",
-        suffix="_next",
+    u = l_tagged.unionByName(r_tagged)
+    order = [F.asc("_ts"), F.asc("_side"), F.asc("_tb")]
+    w_back = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    vp, vn = F.col(f"{value}_prev"), F.col(f"{value}_next")
-    tp, tn = F.unix_micros(f"{ts}_prev"), F.unix_micros(f"{ts}_next")
-    tg = F.unix_micros(F.col(ts))
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    both = u.select(
+        "_side",
+        key,
+        "_ts",
+        F.last("_v", ignorenulls=True).over(w_back).alias("_vp"),
+        F.last("_tick_ts", ignorenulls=True).over(w_back).alias("_tp"),
+        F.first("_v", ignorenulls=True).over(w_fwd).alias("_vn"),
+        F.first("_tick_ts", ignorenulls=True).over(w_fwd).alias("_tn"),
+    ).filter(F.col("_side") == 1)
+    vp, vn = F.col("_vp"), F.col("_vn")
+    tp, tn = F.unix_micros(F.col("_tp")), F.unix_micros(F.col("_tn"))
+    tg = F.unix_micros(F.col("_ts"))
     interp = (
         F.when(vp.isNull(), vn)
         .when(vn.isNull(), vp)
         .when(tn == tp, vp)
         .otherwise(vp + (vn - vp) * (tg - tp) / (tn - tp))
     )
-    return both.select(key, F.col(ts).alias("grid_ts"), interp.alias("interp_value"))
+    return both.select(key, F.col("_ts").alias("grid_ts"), interp.alias("interp_value"))
 
 
 @register(
