@@ -1126,43 +1126,63 @@ def q_ml_learning_curve(spark, sf_dir):
         .filter(F.col("x1").isNotNull() & F.col("x2").isNotNull())
         .localCheckpoint(eager=False)
     )
-    train = F.col("hq") < 4
-
-    def gsum(expr, fr):
-        return F.sum(
-            F.when(train & (F.col("q") < fr), expr).otherwise(F.lit(0))
-        ).cast("long")
+    # r14: the 36 conditional Gram aggregates and the four adjugate solves
+    # are built as parsed expression strings (identical CASE/arithmetic
+    # trees — the `stats_bootstrap_ci` device): the Column construction
+    # cost ~1.7 s of py4j round trips per query build.
+    def gsum(expr: str, fr: int) -> str:
+        return (
+            f"CAST(sum(CASE WHEN hq < 4 AND q < {fr}"
+            f" THEN {expr} ELSE 0 END) AS BIGINT)"
+        )
 
     aggs = []
     for fr in range(1, 5):
         aggs += [
-            F.sum(F.when(train & (F.col("q") < fr), 1).otherwise(0))
-            .cast("long")
-            .alias(f"n_{fr}"),
-            gsum(F.col("x1"), fr).alias(f"s1_{fr}"),
-            gsum(F.col("x2"), fr).alias(f"s2_{fr}"),
-            gsum(F.col("x1") * F.col("x1"), fr).alias(f"s11_{fr}"),
-            gsum(F.col("x1") * F.col("x2"), fr).alias(f"s12_{fr}"),
-            gsum(F.col("x2") * F.col("x2"), fr).alias(f"s22_{fr}"),
-            gsum(F.col("y"), fr).alias(f"sy_{fr}"),
-            gsum(F.col("x1") * F.col("y"), fr).alias(f"s1y_{fr}"),
-            gsum(F.col("x2") * F.col("y"), fr).alias(f"s2y_{fr}"),
+            F.expr(gsum("1", fr)).alias(f"n_{fr}"),
+            F.expr(gsum("x1", fr)).alias(f"s1_{fr}"),
+            F.expr(gsum("x2", fr)).alias(f"s2_{fr}"),
+            F.expr(gsum("x1 * x1", fr)).alias(f"s11_{fr}"),
+            F.expr(gsum("x1 * x2", fr)).alias(f"s12_{fr}"),
+            F.expr(gsum("x2 * x2", fr)).alias(f"s22_{fr}"),
+            F.expr(gsum("y", fr)).alias(f"sy_{fr}"),
+            F.expr(gsum("x1 * y", fr)).alias(f"s1y_{fr}"),
+            F.expr(gsum("x2 * y", fr)).alias(f"s2y_{fr}"),
         ]
     g = f.agg(*aggs)
     rows = []
     for fr in range(1, 5):
-        d = lambda c: F.col(f"{c}_{fr}").cast("double")  # noqa: B023, E731
-        b0, b1, b2 = _lc_solve3(
-            d("n"), d("s1"), d("s2"), d("s11"), d("s12"), d("s22"),
-            d("sy"), d("s1y"), d("s2y"),
+        dd = lambda c: f"CAST({c}_{fr} AS DOUBLE)"  # noqa: B023, E731
+        s11, s12, s13 = dd("n"), dd("s1"), dd("s2")
+        s22, s23, s33 = dd("s11"), dd("s12"), dd("s22")
+        g1, g2, g3 = dd("sy"), dd("s1y"), dd("s2y")
+        det = (
+            f"({s11} * ({s22}*{s33} - {s23}*{s23})"
+            f" - {s12} * ({s12}*{s33} - {s13}*{s23})"
+            f" + {s13} * ({s12}*{s23} - {s13}*{s22}))"
+        )
+        b0 = (
+            f"try_divide(({s22}*{s33} - {s23}*{s23}) * {g1}"
+            f" + ({s13}*{s23} - {s12}*{s33}) * {g2}"
+            f" + ({s12}*{s23} - {s13}*{s22}) * {g3}, {det})"
+        )
+        b1 = (
+            f"try_divide(({s13}*{s23} - {s12}*{s33}) * {g1}"
+            f" + ({s11}*{s33} - {s13}*{s13}) * {g2}"
+            f" + ({s12}*{s13} - {s11}*{s23}) * {g3}, {det})"
+        )
+        b2 = (
+            f"try_divide(({s12}*{s23} - {s13}*{s22}) * {g1}"
+            f" + ({s12}*{s13} - {s11}*{s23}) * {g2}"
+            f" + ({s11}*{s22} - {s12}*{s12}) * {g3}, {det})"
         )
         rows.append(
             F.struct(
                 F.lit(fr).cast("long").alias("fraction"),
                 F.col(f"n_{fr}").alias("n_train"),
-                b0.alias("b0"),
-                b1.alias("b1"),
-                b2.alias("b2"),
+                F.expr(b0).alias("b0"),
+                F.expr(b1).alias("b1"),
+                F.expr(b2).alias("b2"),
             )
         )
     # Singular-design guard (ADVICE r12): Spark's non-ANSI zero-divide
