@@ -425,11 +425,20 @@ def _bm25_rank_from_tf(
     ``exclude_self=True`` drops the document whose id equals the query id
     before ranking (query-by-example serving, where the anchor trivially
     tops its own result list)."""
-    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    # r14: dl feeds the stats aggregate AND the length-norm join; hits
+    # feeds dfreq AND the scoring join (and carries qdf, which for the
+    # hybrid serve is itself an expensive anchor-TF-IDF subtree) — without
+    # cuts every consumer re-derives them (hybrid_retrieval_rrf's executed
+    # plan: 901 lines / 66 Exchanges; 259 / 18 after)
+    dl = (
+        tf.groupBy(id_col)
+        .agg(F.sum("tf").cast("long").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
     stats = dl.agg(
         F.round(F.avg("dl"), 6).alias("avgdl"), F.count("*").alias("n_docs")
     )
-    hits = tf.join(F.broadcast(qdf), "term")
+    hits = tf.join(F.broadcast(qdf), "term").localCheckpoint(eager=False)
     dfreq = hits.select("term", id_col).distinct().groupBy("term").agg(
         F.count("*").alias("df")
     )
